@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + catalog helpers for the graft engine.
+  *
+  * The engine is DataFrame-first: every operator is a function
+  * `DataFrame => DataFrame` (or a small composition of them) so Catalyst sees
+  * the whole plan and can push filters/prune columns/choose join strategies.
+  * Nothing here drops to RDDs except the image surface (see
+  * [[graft.images]]), mirroring the design stance of SURVEY.md §7.
+  */
+object Graft {
+
+  /** Build a local session tuned for the test harness. On a real cluster the
+    * caller owns the builder; only the confs below are engine-relevant.
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the star-schema tables under a scale-factor directory.
+    * Parquet-first (columnar, pushdown-friendly); see [[graft.sources]] for
+    * the CSV compat source the reference used.
+    *
+    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark has no
+    * timestamp type for — read it as a long (nanos since epoch) and convert
+    * with [[tsFromNanos]] where timestamp semantics are needed.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Nanos-since-epoch long column → TimestampType (micro precision).
+    * Integer `div` — a double round-trip would lose sub-ms precision at
+    * 2024-epoch magnitudes (~1.7e18 ns vs 2^53 mantissa).
+    */
+  def tsFromNanos(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"`$colName` div 1000"))
+}

@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (and the north-star
+  * dedup/similarity/text extensions) is a [[GraftQuery]] registered here.
+  * Queries with `oracle = Some(sql)` are hash-verified against DuckDB by the
+  * driver; the rest get a rows-only check and are covered by ScalaTest.
+  */
 object SparkEntry {
+
+  /** The full registry, one entry per operator. */
+  val registry: Seq[GraftQuery] =
+    operators.Relational.all ++
+      operators.MapOps.all ++
+      operators.WindowOps.all ++
+      text.TextOps.all ++
+      dedup.Dedup.all ++
+      similarity.Similarity.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.PerCustomerRollup.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> ((s: SparkSession, dir: String) => q.run(s, dir))).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,224 @@
+package graft.dedup
+
+import graft.{Graft, GraftQuery}
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data-pipeline surface:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, shingle Jaccard.
+  *
+  * Scale design: every variant is shuffle-on-fingerprint — the 100 TB path is
+  * "compute a small key per document, shuffle only (key, doc_id) pairs".
+  * Nothing here materializes pairwise candidates except within an LSH bucket,
+  * which is the standard way to keep near-dup detection sub-quadratic.
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: keep the smallest doc_id per
+    * normalized-text hash. One hash-shuffle on a 32-byte key — at 100 TB the
+    * shuffle carries fingerprints, never document bodies.
+    */
+  object ExactDedup extends GraftQuery {
+    val name = "q_dedup_exact"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("fp"))
+        .orderBy("keep_id")
+    val oracle = Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       md5(lower(trim(text))) AS fp
+        |FROM documents GROUP BY md5(lower(trim(text)))
+        |ORDER BY keep_id""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Number of MinHash permutations / LSH band layout. 16 hashes in 4 bands
+    * of 4 rows ⇒ catches pairs above ~0.7 Jaccard with high probability.
+    */
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation coefficients (seeded — the reference's
+    * k-means used random centers, `pyspark_dominant.py:46`; we seed
+    * everything, SURVEY §7 risk list).
+    */
+  private val coefs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word n-gram shingles as space-joined strings: positions 0..len-n. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** MinHash signature: for each permutation i, min over shingles of
+    * ((a_i * h + b_i) mod p), h = 32-bit murmur3 of the shingle. Pure
+    * column expressions — codegen'd, no UDF.
+    */
+  def minhashSignature(shingleCol: Column): Column =
+    array(coefs.map { case (a, b) =>
+      array_min(transform(shingleCol, s =>
+        pmod(hash(s).cast("long") * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+
+  /** MinHash + LSH banding: (doc_id, band, bucket) rows. Near-dup candidates
+    * are doc pairs sharing any (band, bucket) — a self-equi-join on the
+    * bucket key, i.e. a shuffle on small keys, never a cross join.
+    * Not SQL-expressible in DuckDB (murmur3) → rows-only check + ScalaTest.
+    */
+  object MinHashLsh extends GraftQuery {
+    val name = "q_minhash_bands"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val sig = docs.select(col("doc_id"),
+        minhashSignature(shingles(col("text"), 3)).as("sig"))
+      sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+            b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+        .orderBy("doc_id", "band")
+    }
+    val oracle = None // murmur3 hash has no DuckDB equivalent
+  }
+
+  /** Candidate near-dup pairs from LSH buckets, verified by signature
+    * agreement (estimated Jaccard = fraction of matching minhashes).
+    */
+  def minhashCandidatePairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), 3)).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs.select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash from xxhash64 token hashes: per bit, sum ±1 votes over
+    * tokens (weighted by term frequency), sign → bit. Relational:
+    * explode (token, bit) votes → two-level aggregate. Shuffles only
+    * (doc_id, bit, vote) triples.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = toks
+      .select(col(idCol), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .select(col(idCol), col("bit"),
+        when(expr("(shiftright(h, bit) & 1L) = 1L"), col("tf"))
+          .otherwise(-col("tf")).as("vote"))
+      .groupBy(idCol, "bit").agg(sum(col("vote")).as("v"))
+    votes.groupBy(idCol)
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  object SimHash extends GraftQuery {
+    val name = "q_simhash"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      simhash(Graft.table(spark, sfDir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    val oracle = None // xxhash64 has no DuckDB equivalent
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, bucketed by the
+    * 4×16-bit block trick (a pair within distance 3 shares at least one
+    * exact 16-bit block) so the join is equi, not cross.
+    */
+  def simhashNearDupPairs(sims: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val blocks = sims
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("block"))
+      .withColumn("key", expr("shiftright(simhash, block * 16) & 65535L"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+          col("a." + idCol) < col("b." + idCol))
+      .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------- Shingle Jaccard
+
+  /** Word-3-gram Jaccard over a bounded candidate set — the exact
+    * verification stage behind MinHash. SQL-expressible via positional
+    * self-joins, so it carries a DuckDB oracle.
+    */
+  object ShingleJaccard extends GraftQuery {
+    val name = "q_shingle_jaccard"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents").filter(col("doc_id") < 20)
+      val sh = docs.select(col("doc_id"),
+        explode(shingles(col("text"), 3)).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("n", "n_a"), col("doc_a") === sizes("doc_id"))
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n", "n_b"), col("doc_b") === sizes("doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+    val oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.i
+        |  FROM (SELECT doc_id,
+        |               string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents WHERE doc_id < 20) d,
+        |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+        |sh AS (
+        |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+        |  FROM toks t1
+        |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
+        |s AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(n_inter AS DOUBLE)
+        |       / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON i.doc_a = sa.doc_id
+        |       JOIN s sb ON i.doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(ExactDedup, MinHashLsh, SimHash, ShingleJaccard)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import graft.functions.SafeMath._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window and time-bucket operators (absent from the reference — SURVEY §2.5
+  * notes it has none; these complete the analytic surface).
+  */
+object WindowOps {
+
+  /** Running per-supplier revenue ordered by ship date. The frame sum runs
+    * through DECIMAL so the running value is order-of-association independent
+    * (DuckDB evaluates window sums with segment trees; double addition would
+    * differ in the last ulp). Tie-broken to a total order.
+    */
+  object RunningSum extends GraftQuery {
+    val name = "q_window_running"
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    // only the full row tuple is. The frame order must be total or the
+    // running prefix is engine-dependent, so sort on every column.
+    private val tieBreak = Seq("l_shipdate", "l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val li = Graft.table(spark, sfDir, "lineitem")
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(tieBreak.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_extendedprice").cast(DecimalType(27, 6))).over(w)
+            .cast("double").as("running_revenue"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_revenue"))
+    }
+    private val tieBreakSql = tieBreak.mkString(", ")
+    val oracle = Some(
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6)))
+         |            OVER (PARTITION BY l_suppkey
+         |                  ORDER BY $tieBreakSql
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS DOUBLE) AS running_revenue
+         |FROM lineitem
+         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_revenue""".stripMargin)
+  }
+
+  /** Ranking window — top-3 orders per customer by price. */
+  object TopNPerGroup extends GraftQuery {
+    val name = "q_topn_per_group"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    }
+    val oracle = Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)
+  }
+
+  /** Tumbling event-time window — the batch shape of the Structured
+    * Streaming aggregation in [[graft.streaming.EventStream]]; hourly
+    * count + exact sum per event type. Window start emitted as a formatted
+    * UTC string so both engines hash the same value.
+    */
+  object TumblingWindow extends GraftQuery {
+    val name = "q_tumbling_window"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "events")
+        .groupBy(
+          window(Graft.tsFromNanos("ts"), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    val oracle = Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(RunningSum, TopNPerGroup, TumblingWindow)
+}

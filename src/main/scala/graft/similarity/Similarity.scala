@@ -1,0 +1,161 @@
+package graft.similarity
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a seeded
+  * random-hyperplane LSH bucketing as the scale path (bucket-equi-join
+  * instead of cross join; at 100 TB the cross join is the thing to kill).
+  *
+  * All math is pure column expressions (`zip_with` + `aggregate`) —
+  * codegen'd, no UDFs. Dot products run in exact quantized-integer units so
+  * the result is independent of accumulation order and bit-identical to the
+  * DuckDB oracle (see the note on [[Similarity.dotExact]]).
+  */
+object Similarity {
+
+  /** Quantization scale for exact dot products: floats are snapped to 1e-6
+    * units and multiplied as BIGINTs. `x * 1e6` and `round()` are single
+    * identical IEEE ops in Spark and DuckDB (both round halves away from
+    * zero), and the integer sums are exact and order-independent — so the
+    * cosine is bit-deterministic across engines. (A DECIMAL accumulator is
+    * NOT: DuckDB's double→decimal cast runs through a double multiply that
+    * is inexact beyond ~15 fractional digits, which showed up as 1-ulp
+    * mismatches in testing.) Quantization error is ~1e-6 relative — noise
+    * for ANN ranking, whose own recall tolerance is far looser.
+    */
+  private val Q = 1000000.0
+
+  private def quant(x: Column): Column =
+    round(x.cast("double") * lit(Q)).cast("long")
+
+  /** Order-independent quantized dot product of two float-array columns,
+    * in units of Q². Max |v|≈0.53 ⇒ |q|≤5.3e5, 64-dim sum ≤ 1.8e13 ≪ 2^63.
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => quant(x) * quant(y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dotExact(a, b).cast("double") /
+      (sqrt(dotExact(a, a).cast("double")) * sqrt(dotExact(b, b).cast("double")))
+
+  /** Exact brute-force cosine top-k: every query row against every candidate.
+    * Correct at any scale but O(|Q|·|C|) — keep |Q| bounded; the scale path
+    * is [[lshTopK]].
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact cosine top-3 for a fixed small query set — the DuckDB-verifiable
+    * baseline of the ANN surface.
+    */
+  object CosineTopK extends GraftQuery {
+    val name = "q_cosine_topk"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
+    }
+    val oracle = Some(
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding AS ce
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |comp AS (
+        |  SELECT query_id, neighbor_id,
+        |         sum(qa * qb) AS dot, sum(qa * qa) AS na, sum(qb * qb) AS nb
+        |  FROM (SELECT query_id, neighbor_id,
+        |               CAST(round(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT) AS qa,
+        |               CAST(round(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT) AS qb
+        |        FROM (SELECT query_id, neighbor_id, unnest(qe) AS a, unnest(ce) AS b
+        |              FROM pairs))
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+        |  FROM comp)
+        |SELECT query_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+        |       neighbor_id, cosine
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- LSH ANN
+
+  val NumPlanes = 8
+
+  /** Seeded random hyperplanes (dim × NumPlanes), shipped as literals —
+    * tiny, deterministic, broadcast with the plan.
+    */
+  private def planes(dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-hash bucket id (0 .. 2^NumPlanes-1) of an embedding column. */
+  def lshBucket(e: Column, dim: Int): Column =
+    planes(dim).zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(e, lit(p.toArray), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: bucket both sides with sign-LSH, equi-join on the
+    * bucket, exact-cosine rerank inside each bucket. Recall is tunable by
+    * NumPlanes / multi-probe; the join is a shuffle on a small int key, so
+    * the plan survives 1000 executors where a cross join would not.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      lshBucket(col("embedding"), dim).as("bucket"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      lshBucket(col("embedding"), dim).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN as a driver query (rows-only check: bucket membership
+    * depends on the seeded planes, not SQL-expressible; recall vs the exact
+    * baseline is asserted in ScalaTest).
+    */
+  object LshTopK extends GraftQuery {
+    val name = "q_lsh_topk"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      lshTopK(emb.filter(col("vec_id") < 50), emb, 64, 3)
+    }
+    val oracle = None
+  }
+
+  val all: Seq[GraftQuery] = Seq(CosineTopK, LshTopK)
+}

@@ -1,0 +1,193 @@
+package graft.text
+
+import graft.{Graft, GraftQuery}
+import graft.functions.SafeMath._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline surface
+  * (SURVEY §2.9 north-star): tokenization, token stats, quality scoring,
+  * language ID, fingerprinting, pairwise similarity. All pure column
+  * expressions — codegen'd, no UDFs — so they survive 100 TB fan-out.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer — trim first so leading/trailing blanks don't
+    * produce empty tokens (matches the DuckDB oracle's
+    * `string_split_regex(trim(text), '\s+')`).
+    */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-language marker stopwords for the n-gram/stopword language-ID
+    * heuristic. (The synthetic corpus is English-vocabulary, so real inputs
+    * mostly resolve to "en" — the op's value is its shape + determinism.)
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en",
+    "el" -> "es", "la" -> "es", "los" -> "es",
+    "le" -> "fr", "les" -> "fr", "des" -> "fr",
+    "der" -> "de", "die" -> "de", "und" -> "de",
+    "de" -> "zh")
+
+  /** Token totals per language bucket. */
+  object TokenCount extends GraftQuery {
+    val name = "q_token_count"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+        .groupBy("lang")
+        .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    val oracle = Some(
+      """SELECT lang,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Heuristic quality score: stopword ratio + length saturation. Every term
+    * is an identical IEEE expression in both engines (integer counts →
+    * double divisions), so scores are bit-deterministic.
+    */
+  object QualityScore extends GraftQuery {
+    val name = "q_quality_score"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val tok = tokens(col("text"))
+      val nTok = size(tok).cast("double")
+      val nStop = size(filter(tok, t => t.isin(stopwords.map(lit): _*))).cast("double")
+      val stopRatio = safeDiv(nStop, nTok)
+      val lenScore = least(nTok, lit(100.0)) / lit(100.0)
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          stopRatio.as("stop_ratio"),
+          (stopRatio * lit(0.5) + lenScore * lit(0.5)).as("quality"))
+        .orderBy("doc_id")
+    }
+    private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    val oracle = Some(
+      s"""SELECT doc_id,
+         |       len(toks) AS n_tokens,
+         |       CASE WHEN len(toks) = 0 THEN 0.0
+         |            ELSE CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+         |                 / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+         |       (CASE WHEN len(toks) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+         |                  / CAST(len(toks) AS DOUBLE) END) * 0.5
+         |       + (least(CAST(len(toks) AS DOUBLE), 100.0) / 100.0) * 0.5 AS quality
+         |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Stopword-marker language ID: explode tokens, join a broadcast marker
+    * dim, argmax votes per doc with alphabetical tie-break, 'und' when no
+    * marker hits. Relational formulation — identical in both engines.
+    */
+  object LangId extends GraftQuery {
+    val name = "q_lang_id"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val docs = Graft.table(spark, sfDir, "documents")
+      val markers = langMarkers.toDF("marker", "cand_lang")
+      val votes = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .join(broadcast(markers), col("tok") === col("marker"))
+        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("votes").desc, col("cand_lang").asc)
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang"), col("votes"))
+      docs.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("votes"), lit(0L)).as("votes"))
+        .orderBy("doc_id")
+    }
+    private val markerValues = langMarkers
+      .map { case (m, l) => s"('$m', '$l')" }.mkString(", ")
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id, cand_lang, count(*) AS votes
+         |  FROM toks JOIN (VALUES $markerValues) m(marker, cand_lang) ON tok = marker
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, cand_lang, votes,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY votes DESC, cand_lang ASC) AS rn
+         |  FROM votes)
+         |SELECT d.doc_id,
+         |       coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       coalesce(b.votes, 0) AS votes
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup key.
+    * (A rolling-hash variant lives in [[graft.dedup.Fingerprints]]; md5 is
+    * the one both engines share bit-for-bit.)
+    */
+  object Fingerprint extends GraftQuery {
+    val name = "q_doc_fingerprint"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(to_binary(lower(trim(col("text"))), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Pairwise token-set Jaccard similarity over a bounded candidate set
+    * (doc_id < 20) — the n-gram Jaccard family with n=1; the shingle (n=3)
+    * variant is [[graft.dedup.Dedup.ShingleJaccard]]. Pure relational:
+    * distinct tokens, self-join on token, |∩| / (|A|+|B|−|∩|).
+    */
+  object TokenJaccard extends GraftQuery {
+    val name = "q_token_jaccard"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents").filter(col("doc_id") < 20)
+      val t = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = t.as("a").join(t.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("n", "n_a"), col("doc_a") === sizes("doc_id"))
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("n", "n_b"), col("doc_b") === sizes("doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+    val oracle = Some(
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(n_inter AS DOUBLE)
+        |       / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON i.doc_a = sa.doc_id
+        |       JOIN s sb ON i.doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard)
+}
