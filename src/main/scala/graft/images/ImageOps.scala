@@ -1,0 +1,199 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+/** Per-image pure functions: decode, average color, area resize, seeded
+  * k-means dominant color (SURVEY §2.7 M1–M4).
+  *
+  * Pure JVM (`javax.imageio`) — no native deps — and deterministic: the
+  * reference's k-means used `KMEANS_RANDOM_CENTERS` (`pyspark_dominant.py:46`)
+  * making dominant colors run-dependent; we seed instead (SURVEY §7 risk
+  * list). Pixels are RGB triples (the reference's "HSV" decode flag was a
+  * misused constant and actually produced plain BGR — SURVEY §2.7 M1 note;
+  * we implement the intended semantics and document the divergence).
+  */
+object ImageOps {
+
+  /** Decoded image: packed RGB pixels, row-major. */
+  final case class Image(width: Int, height: Int, pixels: Array[Int]) {
+    def rgb(i: Int): (Int, Int, Int) =
+      ((pixels(i) >> 16) & 0xFF, (pixels(i) >> 8) & 0xFF, pixels(i) & 0xFF)
+  }
+
+  /** M1 — decode JPEG/PNG bytes (reference: `cv2.imdecode`,
+    * `pyspark_dominant.py:35`). Returns None on undecodable bytes rather
+    * than throwing — corrupt files are data, not crashes, at 100 TB.
+    */
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        // getRGB returns ARGB — mask alpha so pixels are pure packed RGB
+        Image(w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF))
+      }
+    } catch { case _: Exception => None }
+
+  /** M2 — per-channel mean truncated to int (reference truncates too:
+    * `[int(c) for c in avg]`, `pyspark_dominant.py:50`).
+    */
+  def averageColor(img: Image): (Int, Int, Int) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      val p = img.pixels(i)
+      r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+      i += 1
+    }
+    val n = math.max(img.pixels.length, 1)
+    ((r / n).toInt, (g / n).toInt, (b / n).toInt)
+  }
+
+  /** M3 — area (box-filter) resize, the semantics of `cv2.INTER_AREA`
+    * (`pyspark_dominant.py:39`): each target pixel averages its source box.
+    */
+  def resizeArea(img: Image, tw: Int, th: Int): Image = {
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * img.height / th
+      val y1 = math.max((ty + 1) * img.height / th, y0 + 1)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * img.width / tw
+        val x1 = math.max((tx + 1) * img.width / tw, x0 + 1)
+        var r = 0L; var g = 0L; var b = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.pixels(y * img.width + x)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0) * (x1 - x0)
+        out(ty * tw + tx) =
+          (((r / n).toInt & 0xFF) << 16) | (((g / n).toInt & 0xFF) << 8) | ((b / n).toInt & 0xFF)
+        tx += 1
+      }
+      ty += 1
+    }
+    Image(tw, th, out)
+  }
+
+  /** M4 — dominant color: k-means (k=4, deterministic Lloyd's) over the
+    * 128×128 area-resized pixels, dominant = centroid of the biggest cluster
+    * (reference: `cv2.kmeans` + `palette[argmax(counts)]`,
+    * `pyspark_dominant.py:39-48`). The reference's `KMEANS_RANDOM_CENTERS`
+    * made results run-dependent (SURVEY §7 risk list); here centers are
+    * initialized at the k most frequent distinct colors (count desc, value
+    * asc) — fully deterministic, and random-pixel init collapses clusters on
+    * low-cardinality images anyway.
+    */
+  def dominantColor(img: Image, k: Int = 4, iters: Int = 20): (Int, Int, Int) = {
+    val small = if (img.width * img.height > 128 * 128) resizeArea(img, 128, 128) else img
+    val n = small.pixels.length
+    val px = new Array[Float](n * 3)
+    var i = 0
+    while (i < n) {
+      val p = small.pixels(i)
+      px(i * 3) = ((p >> 16) & 0xFF).toFloat
+      px(i * 3 + 1) = ((p >> 8) & 0xFF).toFloat
+      px(i * 3 + 2) = (p & 0xFF).toFloat
+      i += 1
+    }
+    val topColors = small.pixels.groupBy(identity).view
+      .map { case (c, arr) => (c, arr.length) }.toSeq
+      .sortBy { case (c, cnt) => (-cnt, c) }
+      .take(math.min(k, n)).map(_._1)
+    val kk = topColors.length
+    val cent = topColors.map(c => Array(
+      ((c >> 16) & 0xFF).toFloat, ((c >> 8) & 0xFF).toFloat, (c & 0xFF).toFloat)).toArray
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var changed = false
+      i = 0
+      while (i < n) {
+        var best = 0; var bestD = Float.MaxValue
+        var c = 0
+        while (c < kk) {
+          val dr = px(i * 3) - cent(c)(0)
+          val dg = px(i * 3 + 1) - cent(c)(1)
+          val db = px(i * 3 + 2) - cent(c)(2)
+          val d = dr * dr + dg * dg + db * db
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, 3)
+      val cnt = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i)
+        sums(a)(0) += px(i * 3); sums(a)(1) += px(i * 3 + 1); sums(a)(2) += px(i * 3 + 2)
+        cnt(a) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnt(c) > 0) {
+          cent(c)(0) = (sums(c)(0) / cnt(c)).toFloat
+          cent(c)(1) = (sums(c)(1) / cnt(c)).toFloat
+          cent(c)(2) = (sums(c)(2) / cnt(c)).toFloat
+        }
+        c += 1
+      }
+      if (!changed) it = iters else it += 1
+    }
+    val cnt = new Array[Int](kk)
+    i = 0
+    while (i < n) { cnt(assign(i)) += 1; i += 1 }
+    var best = 0
+    var c = 1
+    while (c < kk) { if (cnt(c) > cnt(best)) best = c; c += 1 }
+    (cent(best)(0).round, cent(best)(1).round, cent(best)(2).round)
+  }
+
+  /** F8 — Euclidean distance in color space (`pyspark_dominant.py:107-108`). */
+  def colorDistance(a: (Int, Int, Int), b: (Int, Int, Int)): Double =
+    math.sqrt(
+      (a._1 - b._1).toDouble * (a._1 - b._1) +
+        (a._2 - b._2).toDouble * (a._2 - b._2) +
+        (a._3 - b._3).toDouble * (a._3 - b._3))
+
+  /** O1 — index of the nearest primary color (first minimum wins, matching
+    * `dist.index(min(dist))`, `pyspark_dominant.py:114-117`).
+    */
+  def closestPrimary(c: (Int, Int, Int), primaries: IndexedSeq[(Int, Int, Int)]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < primaries.length) {
+      val d = colorDistance(c, primaries(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The reference's six primary colors (`pyspark_dominant.py:97-105`),
+    * RGB: red, green, blue, black, white, gray.
+    */
+  val Primaries: IndexedSeq[(Int, Int, Int)] = IndexedSeq(
+    (255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 0, 0), (255, 255, 255), (128, 128, 128))
+
+  /** Test/fixture helper: encode packed-RGB pixels to PNG bytes. */
+  def encodePng(img: Image): Array[Byte] = {
+    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, img.width, img.height, img.pixels, 0, img.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+}

@@ -110,21 +110,25 @@ object Relational {
         |ORDER BY s_nationkey""".stripMargin)
   }
 
-  /** Anti-join — customers with no orders (absent from the reference;
-    * completes the join family).
+  /** Anti-join — customers with no high-value order (absent from the
+    * reference; completes the join family). The 400k threshold keeps the
+    * result non-empty at every scale factor (plain "no orders" is empty —
+    * the synthetic data covers every customer).
     */
   object AntiJoin extends GraftQuery {
     val name = "q_anti_join"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val c = Graft.table(spark, sfDir, "customer")
       val o = Graft.table(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > lit(400000.0))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     }
     val oracle = Some(
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin)
   }
 

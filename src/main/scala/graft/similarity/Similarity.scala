@@ -103,39 +103,56 @@ object Similarity {
 
   // ---------------------------------------------------------------- LSH ANN
 
-  val NumPlanes = 8
-
-  /** Seeded random hyperplanes (dim × NumPlanes), shipped as literals —
-    * tiny, deterministic, broadcast with the plan.
+  /** Multi-table sign-LSH layout. Per-table recall for a neighbor at angle θ
+    * is (1-θ/π)^planes; T independent tables lift it to 1-(1-p)^T. Defaults
+    * (8 tables × 4 planes) give ≈0.7 recall at cosine 0.4 — sized for the
+    * weakly-clustered test embeddings. At production scale raise
+    * `planesPerTable` toward log2(N / desired bucket size): selectivity
+    * grows with planes, recall is recovered by adding tables.
     */
-  private def planes(dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(NumPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  /** Seeded Gaussian hyperplanes for table `t` — deterministic, tiny,
+    * shipped as plan literals.
+    */
+  private def planes(dim: Int, table: Int, n: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7 + table * 1000003L)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-hash bucket id (0 .. 2^NumPlanes-1) of an embedding column. */
-  def lshBucket(e: Column, dim: Int): Column =
-    planes(dim).zipWithIndex.map { case (p, i) =>
+  /** Sign-hash bucket id (0 .. 2^planes-1) for one table. */
+  def lshBucket(e: Column, dim: Int, table: Int = 0, nPlanes: Int = PlanesPerTable): Column =
+    planes(dim, table, nPlanes).zipWithIndex.map { case (p, i) =>
       val d = aggregate(
         zip_with(e, lit(p.toArray), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Approximate top-k: bucket both sides with sign-LSH, equi-join on the
-    * bucket, exact-cosine rerank inside each bucket. Recall is tunable by
-    * NumPlanes / multi-probe; the join is a shuffle on a small int key, so
-    * the plan survives 1000 executors where a cross join would not.
+  /** All tables' bucket keys, namespaced as table*2^planes + bucket. */
+  def lshKeys(e: Column, dim: Int, tables: Int = NumTables,
+      nPlanes: Int = PlanesPerTable): Column =
+    array((0 until tables).map(t =>
+      lshBucket(e, dim, t, nPlanes) + lit(t << nPlanes)): _*)
+
+  /** Approximate top-k: bucket both sides in T sign-LSH tables, equi-join on
+    * the (table, bucket) key, dedup candidate pairs, exact-cosine rerank.
+    * The join is a shuffle on small int keys — the plan survives 1000
+    * executors where a cross join would not.
     */
-  def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int): DataFrame = {
+  def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
+      tables: Int = NumTables, nPlanes: Int = PlanesPerTable): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), dim).as("bucket"))
+      explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      lshBucket(col("embedding"), dim).as("bucket"))
+      explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(q, Seq("bucket"))
+    c.join(q, Seq("key"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ce"))
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Registry-level invariants + targeted semantics checks that the DuckDB
+  * oracle can't express (the oracle validates values; these validate the
+  * contract and edge semantics).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("registry: unique names, oracle keys ⊆ query keys") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() returns rows (t1 smoke shape)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.registry.foreach { q =>
+      val n = q.run(spark, sf).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("safeDiv: zero denominator → 0.0, not null/NaN (A3 semantics)") {
+    import spark.implicits._
+    val df = Seq((1.0, 0.0), (4.0, 2.0), (0.0, 0.0)).toDF("num", "den")
+    val got = df.select(functions.SafeMath.safeDiv(col("num"), col("den")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.0, 2.0, 0.0))
+  }
+
+  test("exactSum is repartition-invariant (A4 associativity concern)") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => i * 0.01 + 1e10)
+    val a = vals.toDF("x").repartition(1)
+      .agg(functions.SafeMath.exactSum(col("x"))).head().getDouble(0)
+    val b = vals.toDF("x").repartition(13)
+      .agg(functions.SafeMath.exactSum(col("x"))).head().getDouble(0)
+    assert(a == b) // bit-identical, not approx
+  }
+
+  test("map reassembly produces sorted-entry maps (A4 determinism)") {
+    import spark.implicits._
+    val grouped = Seq(("t1", "b", 2L), ("t1", "a", 1L), ("t2", "c", 3L))
+      .toDF("event_type", "prop_key", "total")
+    val m = operators.MapOps.reassembleMap(grouped, "event_type")
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toSeq).toMap
+    assert(m("t1") == Seq("a" -> 1L, "b" -> 2L))
+    assert(m("t2") == Seq("c" -> 3L))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection over synthetic documents with known duplicates —
+  * the pair-finding surfaces MinHash/SimHash queries can't oracle-check.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    Seq(
+      (0L, base),
+      (1L, base),                                        // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")),              // near dup of 0
+      (3L, "completely different content about spark catalyst optimizer rules " * 4),
+      (4L, "another unrelated text on columnar storage and parquet footers " * 4)
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash signatures: identical docs identical, near dups mostly agree") {
+    val sig = docsDf.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3)).as("sig"))
+    val m = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(0L) == m(1L))
+    val agree01 = m(0L).zip(m(2L)).count { case (a, b) => a == b }
+    assert(agree01 >= Dedup.NumHashes / 2, s"near-dup agreement only $agree01/16")
+    val agree03 = m(0L).zip(m(3L)).count { case (a, b) => a == b }
+    assert(agree03 <= 4, s"unrelated docs agree $agree03/16")
+  }
+
+  test("minhashCandidatePairs finds dup and near-dup, not unrelated pairs") {
+    val pairs = Dedup.minhashCandidatePairs(docsDf, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("simhash: exact dups equal, near dups within small hamming distance") {
+    val sh = Dedup.simhash(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) <= 12, s"near-dup hamming ${ham(sh(0L), sh(2L))}")
+    assert(ham(sh(0L), sh(3L)) > 12, s"unrelated hamming ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("simhashNearDupPairs surfaces the exact-dup pair via block buckets") {
+    val sims = Dedup.simhash(docsDf, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sims, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("shingles: n=3 produces len-n+1 distinct word-grams") {
+    import spark.implicits._
+    val r = Seq(("a b c d e")).toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d", "c d e"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.images
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end pipeline over a synthetic 4-level-sharded image tree (the
+  * reference's layout, FIXTURES.md B1): scan → detect(stub) → rollup →
+  * alphabet stat, and scan → colors → histograms.
+  */
+class ImagePipelineSpec extends SparkSpec {
+
+  private lazy val tree: String = {
+    val root = Files.createTempDirectory("graft_images").toString
+    // ids img00..img11, sharded /a/b/c/<id>.png like the reference tree
+    for (i <- 0 until 12) {
+      val id = f"img$i%02d"
+      val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
+      Files.createDirectories(dir)
+      val color = if (i < 8) (255, 0, 0) else (0, 0, 255)
+      val img = ImageOps.Image(40, 40,
+        Array.fill(1600)((color._1 << 16) | (color._2 << 8) | color._3))
+      Files.write(dir.resolve(s"$id.png"), ImageOps.encodePng(img))
+    }
+    root
+  }
+
+  test("scanImages: recursive glob + id extraction (S1/F1)") {
+    val ds = ImagePipeline.scanImages(spark, tree, "*.png")
+    assert(ds.count() == 12)
+    val ids = ds.select("id").collect().map(_.getString(0)).sorted
+    assert(ids.head == "img00" && ids.last == "img11")
+  }
+
+  test("detect → perLandmarkRollup → alphabetStat (stages 1/3/4)") {
+    import spark.implicits._
+    val images = ImagePipeline.scanImages(spark, tree, "*.png")
+    val preds = ImagePipeline.detect(images, () => new Detection.StubDetector)
+    assert(preds.count() == 12)
+    // red images (cls 2 via r=255 → 255/86=2) vs blue (cls 0)
+    val labels = (0 until 12).map(i => (f"img$i%02d", if (i < 8) "L1" else "L2"))
+      .toDF("id", "landmark_id")
+    val rollup = ImagePipeline.perLandmarkRollup(preds.toDF(), labels)
+    val byLm = rollup.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLm == Map("L1" -> 8L, "L2" -> 4L))
+    val names = Seq(("L1", "Alpha"), ("L2", "Beta")).toDF("landmark_id", "name")
+    val stat = ImagePipeline.alphabetStat(rollup, names, cls = 2)
+    val rows = stat.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // every red image yields one cls-2 box (g=0 → n=1), L1 only
+    assert(rows("A") == 8L && rows("B") == 0L)
+  }
+
+  test("colors stage: avg/dominant/closest-primary per image (stage 2)") {
+    val images = ImagePipeline.scanImages(spark, tree, "*.png")
+    val c = ImagePipeline.colors(images).collect()
+    assert(c.length == 12)
+    val red = c.find(_.id == "img00").get
+    assert(red.averageColor == Seq(255, 0, 0))
+    assert(red.dominantColor == Seq(255, 0, 0))
+    assert(red.closestPrimary == 0)
+    val blue = c.find(_.id == "img11").get
+    assert(blue.closestPrimary == 2)
+  }
+
+  test("semicolon CSV round-trip keeps the reference dialect (S2/S3)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csv").toString + "/t"
+    val df = Seq(("a", 1), ("b", 2)).toDF("id", "n")
+    Sources.writeSemicolonCsv(df, out)
+    val back = Sources.readSemicolonCsv(spark, out)
+    assert(back.columns.toSeq == Seq("id", "n"))
+    assert(back.count() == 2)
+    // dialect check: raw file really is ;-separated with header
+    val part = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .find(p => p.endsWith(".csv")).get
+    val text = new String(Files.readAllBytes(Paths.get(part)))
+    assert(text.startsWith("id;n"))
+  }
+
+  test("parquet checkpoint round-trips (I4)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_ckpt").toString + "/p"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val back = Sources.checkpoint(df, out)
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+}
