@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import graft.images.ImageOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column model: media as opaque `binary` columns plus typed
+  * metadata, with decode / feature-extract / frame-sample as per-partition
+  * transforms (the Scala analog of pandas-UDF batch plumbing).
+  *
+  * The Spark-side plumbing — schema, partition amortization, batch shape —
+  * is real and tested. Actual audio/video codecs are NOT in this
+  * environment, so those decoders are deterministic stubs behind the
+  * [[MediaDecoder]] seam (clearly marked); images decode for real via
+  * [[graft.images.ImageOps]]. Swapping a production decoder in changes one
+  * constructor, not the pipeline.
+  */
+object Multimodal {
+
+  /** One media asset: the universal training-data row shape. */
+  final case class MediaRow(
+      asset_id: String,
+      modality: String,           // "image" | "audio" | "video"
+      mime: String,
+      content: Array[Byte],       // opaque payload — never parsed by Spark itself
+      meta: Map[String, String])  // typed-ish sidecar (dims, duration, source)
+
+  /** Extracted features, one row per asset (or per sampled frame). */
+  final case class MediaFeatures(
+      asset_id: String,
+      modality: String,
+      frame_index: Int,           // 0 for whole-asset features
+      width: Int, height: Int,
+      feature: Array[Float])      // small fixed-width vector
+
+  /** Decoder seam: one instance per partition (model/codec load amortized,
+    * same pattern as [[graft.images.Detection.Detector]]).
+    */
+  trait MediaDecoder extends Serializable {
+    /** Decode + featurize; multiple rows = sampled frames. */
+    def features(row: MediaRow): Seq[MediaFeatures]
+  }
+
+  /** Real image path + STUBBED audio/video paths.
+    *
+    * Audio/video "decode" is a deterministic fake (hash-derived features of
+    * the payload bytes) standing in for a codec this container doesn't
+    * have — the schema, batching, and partition flow are exactly what a
+    * real decoder would use.
+    */
+  final class DefaultDecoder(frameStride: Int = 16) extends MediaDecoder {
+    def features(row: MediaRow): Seq[MediaFeatures] = row.modality match {
+      case "image" =>
+        ImageOps.decode(row.content).toSeq.map { img =>
+          val (r, g, b) = ImageOps.averageColor(img)
+          MediaFeatures(row.asset_id, "image", 0, img.width, img.height,
+            Array(r / 255f, g / 255f, b / 255f, img.width.toFloat, img.height.toFloat))
+        }
+      case "audio" =>
+        // ??? — real impl: PCM decode + mel-band energies. Deterministic fake:
+        Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
+          fakeFeature(row.content, 5)))
+      case "video" =>
+        // ??? — real impl: container demux + per-frame decode. Deterministic
+        // fake: one "frame" per frameStride KiB of payload.
+        val nFrames = math.max(1, row.content.length / (frameStride * 1024))
+        (0 until nFrames).map(i =>
+          MediaFeatures(row.asset_id, "video", i, 0, 0,
+            fakeFeature(row.content, 5, salt = i)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown modality: $other")
+    }
+
+    private def fakeFeature(bytes: Array[Byte], n: Int, salt: Int = 0): Array[Float] = {
+      var h = 1125899906842597L + salt
+      bytes.foreach(b => h = 31 * h + b)
+      Array.tabulate(n) { i =>
+        val x = h ^ (h >>> 17) ^ (i * 2654435761L)
+        ((x & 0xFFFF).toFloat / 0xFFFF.toFloat) - 0.5f
+      }
+    }
+  }
+
+  /** The batch transform: per-partition decoder construction, flatMap to
+    * feature rows. Binary payloads never shuffle — featurization happens
+    * where the scan put the bytes, and only small feature vectors move on.
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+      mkDecoder: () => MediaDecoder = () => new DefaultDecoder()): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val dec = mkDecoder()
+      rows.flatMap(dec.features)
+    }
+  }
+
+  /** Wrap a binaryFile scan into MediaRows, inferring modality from the
+    * extension — the ingestion edge of the multimodal pipeline.
+    */
+  def scanMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
+        when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac"), "audio")
+          .when(ext.isin("mp4", "mkv", "webm"), "video")
+          .otherwise("unknown").as("modality"),
+        concat(lit("application/"), ext).as("mime"),
+        col("content"),
+        map(lit("length"), col("length").cast("string"),
+          lit("path"), col("path")).as("meta"))
+      .as[MediaRow]
+  }
+}

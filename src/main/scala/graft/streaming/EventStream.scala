@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.Graft
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (absent from the reference — SURVEY §2.9;
+  * the engine adds it as part of the north-star pipeline capabilities).
+  *
+  * The same event schema as the batch `events` table drives both: the
+  * tumbling-window aggregation here is the streaming twin of
+  * [[graft.operators.WindowOps.TumblingWindow]], so batch backfill and live
+  * ingestion share semantics — the Kappa-style contract a training-data
+  * pipeline needs.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Hourly windowed count+sum per event type with a watermark: late data
+    * beyond 2 hours is dropped deterministically instead of growing state
+    * forever — the knob that keeps state bounded on an unbounded stream.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Custom state: per-user running session summary via
+    * `flatMapGroupsWithState` — the engine's template for arbitrary
+    * keyed-state operators (counts here; dedup-seen-sets or rate limits in
+    * production). ProcessingTimeTimeout + explicit state so memory is
+    * bounded per key.
+    */
+  def userSessions(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
+          var s = state.getOption.getOrElse(SessionSummary(userId, 0L, 0.0))
+          batch.foreach(e => s = SessionSummary(userId, s.n_events + 1, s.total_value + e.value))
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
+  /** Batch events table exposed with proper timestamps — the source both
+    * batch and streaming paths share (ts arrives as TIMESTAMP(NANOS) →
+    * long, see [[Graft.table]]).
+    */
+  def batchEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "events")
+      .select(col("event_id"), Graft.tsFromNanos("ts").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class EventStreamSpec extends SparkSpec {
+
+  test("windowedCounts over a file stream matches the batch tumbling agg") {
+    import spark.implicits._
+    // stream the batch events table through a MemoryStream
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    val rows = batch.collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    stream.addData(rows)
+    val q = EventStream.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("win_out")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batched = EventStream.windowedCounts(batch.toDF())
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batched)
+    assert(streamed.nonEmpty)
+  }
+
+  test("userSessions keyed state accumulates per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData(Seq(
+      EventStream.Event(1, t, 7L, "click", 1.0),
+      EventStream.Event(2, t, 7L, "click", 2.0),
+      EventStream.Event(3, t, 9L, "view", 5.0)))
+    val q = EventStream.userSessions(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.contains((7L, 2L, 3.0)))
+    assert(out.contains((9L, 1L, 5.0)))
+  }
+}
