@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/JIT + datasource init so the first measured query
+    // doesn't carry ~5s of one-time session cost
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -64,14 +64,23 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** MinHash signature: for each permutation i, min over shingles of
-    * ((a_i * h + b_i) mod p), h = 32-bit murmur3 of the shingle. Pure
-    * column expressions — codegen'd, no UDF.
+  /** Murmur3 hash of each shingle — compute ONCE per row and feed
+    * [[minhashSignature]]. Inlining the shingle construction into all 16
+    * permutation expressions (the naive formulation) rebuilds the shingle
+    * array 16× per row and blows whole-stage codegen size — it benched 50×
+    * slower at sf0.1.
     */
-  def minhashSignature(shingleCol: Column): Column =
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => hash(s).cast("long"))
+
+  /** MinHash signature over pre-hashed shingles: for each permutation i,
+    * min over shingles of ((a_i * h + b_i) mod p). Pure column
+    * expressions — codegen'd, no UDF.
+    */
+  def minhashSignature(hashCol: Column): Column =
     array(coefs.map { case (a, b) =>
-      array_min(transform(shingleCol, s =>
-        pmod(hash(s).cast("long") * lit(a) + lit(b), lit(MersennePrime))))
+      array_min(transform(hashCol, h =>
+        pmod(h * lit(a) + lit(b), lit(MersennePrime))))
     }: _*)
 
   /** MinHash + LSH banding: (doc_id, band, bucket) rows. Near-dup candidates
@@ -83,8 +92,7 @@ object Dedup {
     val name = "q_minhash_bands"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Graft.table(spark, sfDir, "documents")
-      val sig = docs.select(col("doc_id"),
-        minhashSignature(shingles(col("text"), 3)).as("sig"))
+      val sig = signatures(docs)
       sig.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
             b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
@@ -95,12 +103,19 @@ object Dedup {
     val oracle = None // murmur3 hash has no DuckDB equivalent
   }
 
+  /** (doc_id, sig) with shingle hashing staged once per row. The hash array
+    * is materialized behind a projection boundary so CollapseProject won't
+    * re-inline it into all 16 signature expressions.
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+
   /** Candidate near-dup pairs from LSH buckets, verified by signature
     * agreement (estimated Jaccard = fraction of matching minhashes).
     */
   def minhashCandidatePairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(shingles(col("text"), 3)).as("sig"))
+    val sig = signatures(docs)
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
           b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))

@@ -174,16 +174,24 @@ object Relational {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val li = Graft.table(spark, sfDir, "lineitem")
       val part = Graft.table(spark, sfDir, "part")
-      val j = li.join(part, li("l_partkey") === part("p_partkey"))
-      val all = j.agg(
-        exactSum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
-        .select(lit("avg_all").as("metric"),
-          safeDiv(col("sq"), col("n").cast("double")).as("value"))
-      val sub = j.filter(lower(col("p_name")).contains("widget"))
-        .agg(exactSum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
-        .select(lit("avg_widget_parts").as("metric"),
-          safeDiv(col("sq"), col("n").cast("double")).as("value"))
-      all.unionAll(sub).orderBy("metric")
+      val isSub = lower(col("p_name")).contains("widget")
+      // one scan: conditional aggregation for the subset, then explode the
+      // single agg row into the two output metrics (the reference made two
+      // full passes, `pyspark_stats.py:126-137`)
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .agg(
+          exactSum(col("l_quantity")).as("sq_all"),
+          count(lit(1)).as("n_all"),
+          exactSum(when(isSub, col("l_quantity"))).as("sq_sub"),
+          count(when(isSub, 1)).as("n_sub"))
+        .select(explode(array(
+          struct(lit("avg_all").as("metric"),
+            safeDiv(col("sq_all"), col("n_all").cast("double")).as("value")),
+          struct(lit("avg_widget_parts").as("metric"),
+            safeDiv(coalesce(col("sq_sub"), lit(0.0)),
+              col("n_sub").cast("double")).as("value")))).as("r"))
+        .select(col("r.metric").as("metric"), col("r.value").as("value"))
+        .orderBy("metric")
     }
     val oracle = Some(
       """SELECT 'avg_all' AS metric,

@@ -50,13 +50,17 @@ object Similarity {
     * is [[lshTopK]].
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    // norms are per-vector: compute once per side, not per pair (3× fewer
+    // dot products; same bits — sqrt(na) is the same number either way)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("qn"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ce")).as("cosine"))
+        (dotExact(col("qe"), col("ce")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -144,17 +148,19 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
       tables: Int = NumTables, nPlanes: Int = PlanesPerTable): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("qn"),
       explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("cn"),
       explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(q, Seq("key"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ce"))
+      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"), col("ce"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ce")).as("cosine"))
+        (dotExact(col("qe"), col("ce")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))

@@ -21,8 +21,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signatures: identical docs identical, near dups mostly agree") {
-    val sig = docsDf.select(col("doc_id"),
-      Dedup.minhashSignature(Dedup.shingles(col("text"), 3)).as("sig"))
+    val sig = Dedup.signatures(docsDf)
     val m = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(m(0L) == m(1L))
     val agree01 = m(0L).zip(m(2L)).count { case (a, b) => a == b }
