@@ -18,7 +18,8 @@ object SparkEntry {
       operators.WindowOps.all ++
       text.TextOps.all ++
       dedup.Dedup.all ++
-      similarity.Similarity.all
+      similarity.Similarity.all ++
+      sources.SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

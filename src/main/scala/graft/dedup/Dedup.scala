@@ -237,5 +237,50 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(ExactDedup, MinHashLsh, SimHash, ShingleJaccard)
+  /** Embedding-cosine near-dup pairs over a bounded id range — the
+    * semantic-dedup member of the family (exact → MinHash → SimHash →
+    * embedding cosine). Brute-force here for oracle-ability; the scale path
+    * is LSH bucketing ([[graft.similarity.Similarity.lshTopK]] machinery)
+    * exactly as the similarity ops do it.
+    */
+  object EmbedNearDup extends GraftQuery {
+    val name = "q_embed_neardup"
+    import graft.plans.VectorExpressions.{dot_long, quantize_vec}
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = Graft.table(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"),
+          sqrt(dot_long(col("q"), col("q")).cast("double")).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("q").as("qa"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("q").as("qb"), col("nrm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot_long(col("qa"), col("qb")).cast("double") /
+            (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= lit(0.3))
+        .orderBy("id_a", "id_b")
+    }
+    val oracle = Some(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |quant AS (
+        |  SELECT vec_id, i,
+        |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i FROM e)),
+        |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+        |          FROM quant GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CAST(sum(a.q * b.q) AS DOUBLE) AS dot
+        |  FROM quant a JOIN quant b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+        |FROM dots JOIN norms na ON id_a = na.vec_id
+        |          JOIN norms nb ON id_b = nb.vec_id
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(ExactDedup, MinHashLsh, SimHash, ShingleJaccard, EmbedNearDup)
 }

@@ -27,18 +27,17 @@ object Similarity {
     * mismatches in testing.) Quantization error is ~1e-6 relative — noise
     * for ANN ranking, whose own recall tolerance is far looser.
     */
-  private val Q = 1000000.0
-
-  private def quant(x: Column): Column =
-    round(x.cast("double") * lit(Q)).cast("long")
+  import graft.plans.VectorExpressions.{dot_long, quantize_vec}
 
   /** Order-independent quantized dot product of two float-array columns,
-    * in units of Q². Max |v|≈0.53 ⇒ |q|≤5.3e5, 64-dim sum ≤ 1.8e13 ≪ 2^63.
+    * in units of Q² (Q=1e6). Max |v|≈0.53 ⇒ |q|≤5.3e5, 64-dim sum ≤ 1.8e13
+    * ≪ 2^63. Runs as native codegen'd expressions
+    * ([[graft.plans.VectorExpressions]]) — the composable
+    * `aggregate(zip_with(...))` fold allocates arrays and closures per pair
+    * and dominated the ANN bench.
     */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => quant(x) * quant(y)),
-      lit(0L), (acc, x) => acc + x)
+    dot_long(quantize_vec(a), quantize_vec(b))
 
   /** Deterministic cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column =
@@ -50,17 +49,22 @@ object Similarity {
     * is [[lshTopK]].
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    // norms are per-vector: compute once per side, not per pair (3× fewer
-    // dot products; same bits — sqrt(na) is the same number either way)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("qn"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("cn"))
+    // quantize + norm once per SIDE, not per pair: the join then multiplies
+    // pre-quantized long arrays only (same bits — sqrt(na) is the same
+    // number either way)
+    val q = queries.select(col("vec_id").as("query_id"),
+      quantize_vec(col("embedding")).as("qq"),
+      sqrt(dot_long(quantize_vec(col("embedding")), quantize_vec(col("embedding")))
+        .cast("double")).as("qn"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"),
+      quantize_vec(col("embedding")).as("cq"),
+      sqrt(dot_long(quantize_vec(col("embedding")), quantize_vec(col("embedding")))
+        .cast("double")).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dotExact(col("qe"), col("ce")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
+        (dot_long(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -147,20 +151,24 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
       tables: Int = NumTables, nPlanes: Int = PlanesPerTable): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("qn"),
+    val q = queries.select(col("vec_id").as("query_id"),
+      quantize_vec(col("embedding")).as("qq"),
+      sqrt(dot_long(quantize_vec(col("embedding")), quantize_vec(col("embedding")))
+        .cast("double")).as("qn"),
       explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      sqrt(dotExact(col("embedding"), col("embedding")).cast("double")).as("cn"),
+    val c = candidates.select(col("vec_id").as("neighbor_id"),
+      quantize_vec(col("embedding")).as("cq"),
+      sqrt(dot_long(quantize_vec(col("embedding")), quantize_vec(col("embedding")))
+        .cast("double")).as("cn"),
       explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(q, Seq("key"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"), col("ce"), col("cn"))
+      .select(col("query_id"), col("qq"), col("qn"), col("neighbor_id"), col("cq"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dotExact(col("qe"), col("ce")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
+        (dot_long(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))

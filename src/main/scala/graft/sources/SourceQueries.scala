@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.{Graft, GraftQuery}
+import graft.images.ImageOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Driver-visible queries for the source/sink surface (SURVEY §2.1 S1–S3).
+  * The testdata has no CSV or image files, so each query materializes its
+  * own deterministic input from the parquet tables (or synthesizes one) in
+  * a per-scale-factor temp dir, then exercises the real source.
+  */
+object SourceQueries {
+
+  private def workDir(tag: String, sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_${tag}_$safe")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** S2+S3 — round-trip the part table through the reference's `;`-CSV
+    * dialect, then aggregate the re-read copy. The oracle runs on the
+    * original parquet — matching hashes prove the CSV boundary is lossless
+    * for this schema (header, separator, numeric formatting).
+    */
+  object CsvRoundtrip extends GraftQuery {
+    val name = "q_csv_roundtrip"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = workDir("csv", sfDir) + "/part"
+      Sources.writeSemicolonCsv(
+        Graft.table(spark, sfDir, "part").select("p_partkey", "p_brand", "p_size"), dir)
+      val back = Sources.readSemicolonCsv(spark, dir)
+      back.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("total_size"))
+        .orderBy("p_brand")
+    }
+    val oracle = Some(
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** S1 — binary scan over a deterministic synthetic image tree (4-level
+    * sharding like the reference's landmark layout), decoded and reduced to
+    * per-image average color. Rows-only check (no image data in testdata);
+    * pixel-level semantics are oracle'd by ScalaTest instead
+    * (ImageOpsSpec/ImagePipelineSpec).
+    */
+  object BinaryScan extends GraftQuery {
+    val name = "q_binary_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.images.ImagePipeline
+      val root = workDir("img", sfDir)
+      if (!Files.exists(Paths.get(root, "0"))) {
+        for (i <- 0 until 24) {
+          val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
+          Files.createDirectories(dir)
+          val img = ImageOps.Image(16, 16,
+            Array.fill(256)(((i * 10) << 16) | ((255 - i * 10) << 8) | i))
+          Files.write(dir.resolve(f"img$i%03d.png"), ImageOps.encodePng(img))
+        }
+      }
+      val images = ImagePipeline.scanImages(spark, root, "*.png")
+      ImagePipeline.colors(images).toDF()
+        .select(col("id"), col("averageColor"), col("closestPrimary"))
+        .orderBy("id")
+    }
+    val oracle = None // binary source: no DuckDB-side image decoding
+  }
+
+  val all: Seq[GraftQuery] = Seq(CsvRoundtrip, BinaryScan)
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 wraps Columns around ColumnNodes and
+  * gates the conversion behind `private[sql]` — the standard extension
+  * pattern is a shim in the sql package namespace (same trick every Spark
+  * connector/extension library uses).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
