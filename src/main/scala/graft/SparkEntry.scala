@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.MapOps.all ++
       operators.WindowOps.all ++
+      operators.AnalyticOps.all ++
       text.TextOps.all ++
       dedup.Dedup.all ++
       similarity.Similarity.all ++
