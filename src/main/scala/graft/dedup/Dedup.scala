@@ -51,7 +51,7 @@ object Dedup {
     * k-means used random centers, `pyspark_dominant.py:46`; we seed
     * everything, SURVEY §7 risk list).
     */
-  private val coefs: Seq[(Long, Long)] = {
+  val coefs: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
@@ -74,14 +74,13 @@ object Dedup {
     transform(shingleCol, s => hash(s).cast("long"))
 
   /** MinHash signature over pre-hashed shingles: for each permutation i,
-    * min over shingles of ((a_i * h + b_i) mod p). Pure column
-    * expressions — codegen'd, no UDF.
+    * min over shingles of ((a_i * h + b_i) mod p) — fused into one array
+    * pass by the native [[graft.plans.MinHashExpression]] (the composable
+    * k×`array_min(transform(...))` form traverses the array k times;
+    * equivalence is spec-verified against it).
     */
   def minhashSignature(hashCol: Column): Column =
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashCol, h =>
-        pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
+    graft.plans.MinHashExpression.minhash_sig(hashCol, coefs.map(_._1), coefs.map(_._2))
 
   /** MinHash + LSH banding: (doc_id, band, bucket) rows. Near-dup candidates
     * are doc pairs sharing any (band, bucket) — a self-equi-join on the
