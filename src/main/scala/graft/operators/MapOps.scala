@@ -92,5 +92,15 @@ object MapOps {
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("prop_key"), col("total"))))).as("props_sum"))
 
+  /** A5 as a map-level transform: divide every value of a sum-map column by
+    * a count column in place (`transform_values` — the direct Spark
+    * spelling of `avgs[key] = d[key]/file_counter`,
+    * `pyspark_yolox.py:167-169`).
+    */
+  def mapAverage(df: DataFrame, mapCol: String, countCol: String): DataFrame =
+    df.withColumn(mapCol + "_avg",
+      transform_values(col(mapCol),
+        (_, v) => v.cast("double") / col(countCol).cast("double")))
+
   val all: Seq[GraftQuery] = Seq(MapSum, MapAvg, DetectionHistogram)
 }

@@ -43,6 +43,15 @@ class QueriesSpec extends SparkSpec {
     assert(a == b) // bit-identical, not approx
   }
 
+  test("mapAverage divides every map value by the count column (A5)") {
+    import spark.implicits._
+    val df = Seq(("L1", Map("a" -> 6L, "b" -> 3L), 3L))
+      .toDF("id", "sums", "n")
+    val got = operators.MapOps.mapAverage(df, "sums", "n")
+      .select("sums_avg").head().getMap[String, Double](0)
+    assert(got("a") == 2.0 && got("b") == 1.0)
+  }
+
   test("map reassembly produces sorted-entry maps (A4 determinism)") {
     import spark.implicits._
     val grouped = Seq(("t1", "b", 2L), ("t1", "a", 1L), ("t2", "c", 3L))
