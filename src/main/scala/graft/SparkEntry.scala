@@ -17,6 +17,7 @@ object SparkEntry {
       operators.MapOps.all ++
       operators.WindowOps.all ++
       operators.AnalyticOps.all ++
+      operators.AsOfJoin.all ++
       text.TextOps.all ++
       dedup.Dedup.all ++
       similarity.Similarity.all ++

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — the canonical "operator Spark lacks" (SURVEY
+  * §2.3 lists it as absent from both the reference and stock Spark).
+  *
+  * Implemented by composition, per the preference order in SURVEY §7
+  * (compose built-ins before writing a custom SparkStrategy): tag and
+  * union both sides, sort within each key partition by (time, tag,
+  * tiebreak), and carry the right side's payload forward with
+  * `last(..., ignoreNulls)`. One shuffle on the key — no range cross-join,
+  * no per-key collect — so the plan scales like any window aggregate.
+  * A custom `LogicalPlan`+`SparkStrategy` could fuse the union away, but
+  * the composed plan is already sort-merge shaped; the strategy would buy
+  * little (documented trade-off).
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the latest right payload with
+    * `right.time <= left.time` per key (right rows sort before left rows
+    * on time ties, so same-instant right rows DO match).
+    *
+    * @param tiebreak a column present on both sides making the sort total
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+      key: String, time: String, tiebreak: String,
+      rightPayload: Column): DataFrame = {
+    // the union carries only (key, time, tiebreak, payload, tag); left's
+    // full row is re-attached afterwards by its (key, time, tiebreak) id —
+    // wide left rows never ride through the window sort
+    val rAligned = right.select(col(key), col(time), col(tiebreak),
+      rightPayload.cast("string").as("_rp"), lit(0).as("_tag"))
+    val lAligned = left.select(col(key), col(time), col(tiebreak),
+      lit(null).cast("string").as("_rp"), lit(1).as("_tag"))
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("_tag").asc, col(tiebreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rAligned.unionAll(lAligned)
+      .withColumn("_asof", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col(key), col(time), col(tiebreak), col("_asof"))
+    left.join(matched, Seq(key, time, tiebreak), "inner")
+  }
+
+  /** Purchase→last-prior-click attribution over the events table: for each
+    * 'purchase', the most recent 'click' of the same user at or before the
+    * purchase instant (nanos — exact integer time, no truncation).
+    */
+  object PurchaseAttribution extends GraftQuery {
+    val name = "q_asof_join"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val attributed = asofBackward(purchases, clicks,
+        key = "user_id", time = "ts", tiebreak = "event_id",
+        rightPayload = col("event_id"))
+      attributed
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("value").as("purchase_value"),
+          col("_asof").cast("long").as("attributed_click_id"))
+        .orderBy("purchase_id")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type, value FROM events),
+        |tagged AS (
+        |  SELECT user_id, t, event_id, 0 AS tag,
+        |         CAST(event_id AS VARCHAR) AS rp, NULL::DOUBLE AS value
+        |  FROM ev WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, t, event_id, 1 AS tag, NULL AS rp, value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT user_id, t, event_id, tag, value,
+        |         last_value(rp IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY t ASC, tag ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click
+        |  FROM tagged)
+        |SELECT event_id AS purchase_id, user_id, value AS purchase_value,
+        |       CAST(prior_click AS BIGINT) AS attributed_click_id
+        |FROM matched WHERE tag = 1
+        |ORDER BY purchase_id""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(PurchaseAttribution)
+}

@@ -52,6 +52,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop repeated event_ids within the watermark
+    * horizon — the streaming twin of [[graft.dedup.Dedup.ExactDedup]]
+    * (state stores only ids inside the watermark, so memory is bounded;
+    * duplicates arriving later than the watermark are by-contract not
+    * caught — that's the deliberate trade every streaming dedup makes).
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch events table exposed with proper timestamps — the source both
     * batch and streaming paths share (ts arrives as TIMESTAMP(NANOS) →
     * long, see [[Graft.table]]).

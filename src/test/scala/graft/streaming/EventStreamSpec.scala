@@ -29,6 +29,23 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dedupedStream drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData(Seq(
+      EventStream.Event(1, t, 7L, "click", 1.0),
+      EventStream.Event(1, t, 7L, "click", 1.0), // duplicate id
+      EventStream.Event(2, t, 7L, "view", 2.0)))
+    val q = EventStream.dedupedStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("userSessions keyed state accumulates per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
