@@ -188,6 +188,39 @@ object TextOps {
         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** Top-5 word bigrams per language bucket (n-gram frequency stats).
+    * Rank window is totally ordered (count desc, bigram asc).
+    */
+  object BigramStats extends GraftQuery {
+    val name = "q_bigram_stats"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val counts = Graft.table(spark, sfDir, "documents")
+        .select(col("lang"),
+          explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("bigram").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    }
+    val oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, lang, t.tok, t.i
+        |  FROM (SELECT doc_id, lang,
+        |               string_split_regex(trim(text), '\s+') AS l FROM documents) d,
+        |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+        |grams AS (
+        |  SELECT DISTINCT t1.doc_id, t1.lang, t1.tok || ' ' || t2.tok AS bigram
+        |  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+        |counts AS (SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2)
+        |SELECT lang, bigram, n,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |                               ORDER BY n DESC, bigram ASC) AS INT) AS rk
+        |FROM counts QUALIFY rk <= 5
+        |ORDER BY lang, rk""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard)
+    Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard, BigramStats)
 }

@@ -52,6 +52,19 @@ class QueriesSpec extends SparkSpec {
     assert(got("a") == 2.0 && got("b") == 1.0)
   }
 
+  test("map columns cross the CSV boundary via to_json/from_json (F4/F5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString + "/t"
+    val df = Seq(("a", Map("x" -> 1L, "y" -> 2L))).toDF("id", "m")
+      .select(col("id"), to_json(col("m")).as("m_json"))
+    graft.sources.Sources.writeSemicolonCsv(df, dir)
+    val back = graft.sources.Sources.readSemicolonCsv(spark, dir)
+      .select(col("id"), from_json(col("m_json"), MapType(StringType, LongType)).as("m"))
+    val m = back.head().getMap[String, Long](1)
+    assert(m("x") == 1L && m("y") == 2L)
+  }
+
   test("map reassembly produces sorted-entry maps (A4 determinism)") {
     import spark.implicits._
     val grouped = Seq(("t1", "b", 2L), ("t1", "a", 1L), ("t2", "c", 3L))
