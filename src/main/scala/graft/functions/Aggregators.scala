@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregators (SURVEY §4 names both as the candidates worth
+  * writing): a one-pass map-sum and a KMV distinct sketch. Registered via
+  * `functions.udaf` where a DataFrame column API is wanted.
+  */
+object Aggregators {
+
+  /** A4 in one pass: sum `Map[Int, Long]` histograms key-wise without the
+    * explode → groupBy → map_from_entries round trip. The explode path is
+    * the default (it shuffles narrow rows and codegens); this aggregator
+    * is for map-heavy rows where explode would blow row counts by the map
+    * arity. Output keys sorted for deterministic downstream hashing.
+    */
+  object MapSum extends Aggregator[Map[Int, Long], Map[Int, Long], Map[Int, Long]] {
+    def zero: Map[Int, Long] = Map.empty
+    def reduce(acc: Map[Int, Long], row: Map[Int, Long]): Map[Int, Long] = merge(acc, row)
+    def merge(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] = {
+      val (small, large) = if (a.size < b.size) (a, b) else (b, a)
+      small.foldLeft(large) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    }
+    def finish(acc: Map[Int, Long]): Map[Int, Long] =
+      scala.collection.immutable.SortedMap.from(acc)
+    def bufferEncoder: Encoder[Map[Int, Long]] = Encoders.kryo[Map[Int, Long]]
+    def outputEncoder: Encoder[Map[Int, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, Long]]()
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+    * 64-bit hashes; estimate = (k-1) / normalized kth minimum. Fixed-size
+    * state (k longs), associative+commutative merge — the sketch family
+    * the reference's `np.unique`-on-driver could never scale to.
+    */
+  final case class KmvBuffer(mins: Vector[Long])
+
+  class KmvSketch(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
+    require(k >= 2)
+    def zero: KmvBuffer = KmvBuffer(Vector.empty)
+    private def insert(mins: Vector[Long], h: Long): Vector[Long] = {
+      // store hashes flipped to unsigned order
+      val u = h ^ Long.MinValue
+      if (mins.length < k) (mins :+ u).distinct.sorted
+      else if (u >= mins.last) mins
+      else ((mins :+ u).distinct.sorted).take(k)
+    }
+    def reduce(b: KmvBuffer, value: Long): KmvBuffer =
+      KmvBuffer(insert(b.mins, scala.util.hashing.byteswap64(value)))
+    def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
+      KmvBuffer((a.mins ++ b.mins).distinct.sorted.take(k))
+    def finish(b: KmvBuffer): Double =
+      if (b.mins.length < k) b.mins.length.toDouble
+      else {
+        // kth smallest of n uniform [0,1) draws ≈ k/(n+1) ⇒ n ≈ k/u_k - 1;
+        // the standard KMV estimator uses (k-1)/u_k
+        val uk = (b.mins.last.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+        (k - 1).toDouble / uk
+      }
+    def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -125,5 +125,21 @@ object AnalyticOps {
          |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize)
+  /** Approximate distinct (A6's scale variant): HLL++ estimate next to the
+    * exact count per return flag. Rows-only check — sketch internals have
+    * no DuckDB equivalent; the tolerance contract is asserted in ScalaTest.
+    */
+  object ApproxDistinct extends GraftQuery {
+    val name = "q_approx_distinct"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    val oracle = None // HLL sketch internals differ per engine
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct)
 }

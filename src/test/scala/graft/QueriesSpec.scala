@@ -25,6 +25,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct within its 2% rsd contract of exact") {
+    val rows = operators.AnalyticOps.ApproxDistinct.run(spark, sf).collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("safeDiv: zero denominator → 0.0, not null/NaN (A3 semantics)") {
     import spark.implicits._
     val df = Seq((1.0, 0.0), (4.0, 2.0), (0.0, 0.0)).toDF("num", "den")
