@@ -20,6 +20,18 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain) // bit-identical via decimal-exact partials
   }
 
+  test("partitioned parquet layout prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/li"
+    val li = graft.Graft.table(spark, sf, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter pushed:\n$plan")
+    val expect = li.filter(col("l_returnflag") === "R").count()
+    assert(scan.count() == expect)
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     // (warehouse dir is a static conf — tables land in ./spark-warehouse,
     // dropped in the finally; the dir is gitignored)
