@@ -56,12 +56,18 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Word n-gram shingles as space-joined strings: positions 0..len-n. */
+  /** Word n-gram shingles as space-joined strings (distinct). Built by
+    * zipping the token array with its shifted suffixes — n linear passes,
+    * not a slice copy per position (the slice-per-position form spent the
+    * bulk of the text-query bench). Trailing partial windows concat to
+    * null and are compacted away; docs with < n tokens yield no shingles.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    val suffixes = (0 until n).map(i => slice(toks, lit(i + 1), size(toks)))
+    val joined = suffixes.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    array_distinct(array_compact(joined))
   }
 
   /** Murmur3 hash of each shingle — compute ONCE per row and feed
