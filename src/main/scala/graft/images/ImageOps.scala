@@ -182,11 +182,15 @@ object ImageOps {
     best
   }
 
-  /** The reference's six primary colors (`pyspark_dominant.py:97-105`),
-    * RGB: red, green, blue, black, white, gray.
+  /** The reference's six primary colors (`pyspark_dominant.py:96-103`):
+    * it lists them as HSV hues at full saturation/value (red, green, blue,
+    * cyan, yellow, magenta) — here as their RGB equivalents, since our
+    * decode is genuinely RGB (the reference's "HSV" was the misused-flag
+    * bug, SURVEY §2.7 M1).
     */
   val Primaries: IndexedSeq[(Int, Int, Int)] = IndexedSeq(
-    (255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 0, 0), (255, 255, 255), (128, 128, 128))
+    (255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (0, 255, 255), (255, 255, 0), (255, 0, 255))
 
   /** Test/fixture helper: encode packed-RGB pixels to PNG bytes. */
   def encodePng(img: Image): Array[Byte] = {

@@ -83,6 +83,32 @@ object StatsPipeline {
       .orderBy("band")
   }
 
+  /** Stage-2 color stats (`pyspark_dominant.py:74-137`) over the
+    * [[ImagePipeline.colors]] output: dominant-color histogram in one
+    * shuffle (the reference rescanned the collected table once per
+    * distinct color, O(k·N)) and the closest-primary histogram with all
+    * 6 primaries present (zero rows included, as the reference prints).
+    */
+  def colorHistogram(colors: DataFrame): DataFrame =
+    colors.groupBy(col("dominantColor").cast("array<int>").as("dominant_color"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dominant_color")
+
+  def closestPrimaryHistogram(colors: DataFrame): DataFrame = {
+    val spark = colors.sparkSession
+    import spark.implicits._
+    val primaries = ImageOps.Primaries.zipWithIndex
+      .map { case ((r, g, b), i) => (i, s"[$r, $g, $b]") }
+      .toDF("closestPrimary", "primary_color")
+    broadcast(primaries)
+      .join(colors.groupBy("closestPrimary").agg(count(lit(1)).as("n")),
+        Seq("closestPrimary"), "left")
+      .select(col("primary_color"), coalesce(col("n"), lit(0L)).as("n"),
+        col("closestPrimary"))
+      .orderBy("closestPrimary")
+      .drop("closestPrimary")
+  }
+
   /** Render a 2-column stat frame to the reference's golden CSV format:
     * a `;`-joined header line then `key;value` rows, trailing newline
     * (`write_results`, `pyspark_stats.py:40-52`). Driver-side — these are

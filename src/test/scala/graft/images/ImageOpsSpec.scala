@@ -60,9 +60,11 @@ class ImageOpsSpec extends AnyFunSuite {
   }
 
   test("closestPrimary picks first minimum (O1)") {
-    assert(closestPrimary((250, 5, 5), Primaries) == 0)   // red
-    assert(closestPrimary((0, 0, 0), Primaries) == 3)     // black exact
-    assert(closestPrimary((130, 130, 130), Primaries) == 5) // gray
+    assert(closestPrimary((250, 5, 5), Primaries) == 0)     // red
+    assert(closestPrimary((10, 240, 230), Primaries) == 3)  // cyan
+    assert(closestPrimary((250, 10, 245), Primaries) == 5)  // magenta
+    // black is equidistant from red/green/blue → first minimum (red) wins
+    assert(closestPrimary((0, 0, 0), Primaries) == 0)
   }
 
   test("colorDistance is a metric on exemplars (F8)") {

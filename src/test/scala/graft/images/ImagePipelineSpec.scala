@@ -23,14 +23,29 @@ class ImagePipelineSpec extends SparkSpec {
         Array.fill(1600)((color._1 << 16) | (color._2 << 8) | color._3))
       Files.write(dir.resolve(s"$id.png"), ImageOps.encodePng(img))
     }
+    // corrupt file: scanned but undecodable — must be skipped, not crash
+    Files.write(Paths.get(root, "0", "corrupt.png"), Array[Byte](9, 9, 9, 9))
     root
   }
 
   test("scanImages: recursive glob + id extraction (S1/F1)") {
     val ds = ImagePipeline.scanImages(spark, tree, "*.png")
-    assert(ds.count() == 12)
+    assert(ds.count() == 13) // incl. the corrupt file
     val ids = ds.select("id").collect().map(_.getString(0)).sorted
-    assert(ids.head == "img00" && ids.last == "img11")
+    assert(ids.head == "corrupt" && ids.last == "img11")
+  }
+
+  test("color stats: histogram + all-6-primaries golden format") {
+    val colors = ImagePipeline.colors(
+      ImagePipeline.scanImages(spark, tree, "*.png")).toDF()
+    val hist = StatsPipeline.colorHistogram(colors).collect()
+      .map(r => r.getSeq[Int](0) -> r.getLong(1)).toMap
+    assert(hist(Seq(255, 0, 0)) == 8L && hist(Seq(0, 0, 255)) == 4L)
+    val csv = StatsPipeline.toGoldenCsv(
+      StatsPipeline.closestPrimaryHistogram(colors), ("primary_color", "count"))
+    assert(csv ==
+      "primary_color;count\n[255, 0, 0];8\n[0, 255, 0];0\n[0, 0, 255];4\n" +
+        "[0, 255, 255];0\n[255, 255, 0];0\n[255, 0, 255];0\n")
   }
 
   test("detect → perLandmarkRollup → alphabetStat (stages 1/3/4)") {
