@@ -1,0 +1,96 @@
+package graft.images
+
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three spark-submit scripts as ONE composable driver
+  * (SURVEY §3: `pyspark_yolox.py` → `pyspark_dominant.py` →
+  * `pyspark_stats.py`), with Parquet checkpoints where the reference
+  * round-tripped CSV through HDFS, and every stat a single declarative
+  * plan. A reference user's migration is: point this at the same image
+  * tree + label CSVs.
+  *
+  * Layout written under `outDir`:
+  *   predictions/            per-image class histograms   (parquet)
+  *   rollup/                 per-landmark sums + averages (parquet)
+  *   colors/                 per-image color features     (parquet)
+  *   results_predictions/    stage-1 compat CSV (`;`)     [reference S3]
+  *   stats/<name>/<cls>.csv  golden-format stat files     [reference S5]
+  */
+object RunPipeline {
+
+  final case class Config(
+      imageDir: String,
+      labels: DataFrame,   // id → landmark_id       (train_labels)
+      names: DataFrame,    // landmark_id → name     (train_label_to_name)
+      outDir: String,
+      classesOfInterest: Seq[Int] = Seq(0, 2, 16),
+      mkDetector: () => Detection.Detector = () => new Detection.StubDetector)
+
+  def run(spark: SparkSession, cfg: Config): Unit = {
+    import java.nio.file.{Files, Paths}
+
+    // ---- stage 1: detection (pyspark_yolox.py) --------------------------
+    val images = ImagePipeline.scanImages(spark, cfg.imageDir, "*.{jpg,jpeg,png}")
+    val preds = Sources.checkpoint(
+      ImagePipeline.detect(images, cfg.mkDetector).toDF(),
+      s"${cfg.outDir}/predictions")
+    // compat CSV of the stage-1 output (map → JSON string at the boundary)
+    Sources.writeSemicolonCsv(
+      preds.select(col("id"), to_json(col("predictions")).as("predictions")),
+      s"${cfg.outDir}/results_predictions")
+
+    val rollup = Sources.checkpoint(
+      ImagePipeline.perLandmarkRollup(preds, cfg.labels),
+      s"${cfg.outDir}/rollup")
+
+    // ---- stage 2: colors (pyspark_dominant.py) --------------------------
+    val colors = Sources.checkpoint(
+      ImagePipeline.colors(images).toDF(), s"${cfg.outDir}/colors")
+    writeStat(StatsPipeline.colorHistogram(colors)
+        .select(col("dominant_color").cast("string"), col("n")),
+      ("dominant_color", "count"), cfg.outDir, "dominant_count", "results")
+    writeStat(StatsPipeline.closestPrimaryHistogram(colors),
+      ("primary_color", "count"), cfg.outDir, "closest_primary", "results")
+
+    // ---- stage 3: stats (pyspark_stats.py), one plan per stat × class --
+    cfg.classesOfInterest.foreach { cls =>
+      writeStat(StatsPipeline.alphabetStat(rollup, cfg.names, cls)
+          .select(col("letter"), col("count")),
+        ("letter", "count"), cfg.outDir, "alphabet_count", cls.toString)
+      writeStat(StatsPipeline.alphabetStat(rollup, cfg.names, cls)
+          .select(col("letter"), col("avg_per_image")),
+        ("letter", "count"), cfg.outDir, "alphabet_count_avg", cls.toString)
+      writeStat(StatsPipeline.cityAvgStat(rollup, cfg.names, cls),
+        ("city", "avg_detections"), cfg.outDir, "avg_obj_per_city", cls.toString)
+      writeStat(StatsPipeline.nameLengthStat(rollup, cfg.names, cls),
+        ("length_of_landmark_name", "avg_detections"),
+        cfg.outDir, "by_name_length", cls.toString)
+    }
+    writeStat(StatsPipeline.keywordContrastStat(rollup, cfg.names,
+        cfg.classesOfInterest.head),
+      ("files considered", "avg_detections"),
+      cfg.outDir, "people_in_places_with_people", cfg.classesOfInterest.head.toString)
+
+    def writeStat(stat: DataFrame, headers: (String, String),
+        out: String, dir: String, name: String): Unit = {
+      val p = Paths.get(out, "stats", dir)
+      Files.createDirectories(p)
+      Files.writeString(p.resolve(s"$name.csv"),
+        StatsPipeline.toGoldenCsv(stat, headers))
+    }
+  }
+
+  /** CLI: RunPipeline <imageDir> <labelsCsv> <namesCsv> <outDir> */
+  def main(args: Array[String]): Unit = {
+    val Array(imageDir, labelsCsv, namesCsv, outDir) = args
+    val spark = graft.Graft.session()
+    RunPipeline.run(spark, Config(
+      imageDir,
+      Sources.readSemicolonCsv(spark, labelsCsv),
+      Sources.readSemicolonCsv(spark, namesCsv),
+      outDir))
+    spark.stop()
+  }
+}

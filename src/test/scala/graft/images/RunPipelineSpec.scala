@@ -1,0 +1,48 @@
+package graft.images
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** End-to-end: the full three-script-equivalent pipeline over a synthetic
+  * sharded image tree, checked down to the golden stat files and compat
+  * CSV (SURVEY §3 lifecycle as one run).
+  */
+class RunPipelineSpec extends SparkSpec {
+
+  test("RunPipeline produces checkpoints, compat CSV, and golden stats") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_e2e").toString
+    val imgDir = s"$root/images"
+    for (i <- 0 until 12) {
+      val dir = Paths.get(imgDir, s"${i % 2}", s"${i % 3}", s"${i % 4}")
+      Files.createDirectories(dir)
+      val color = if (i < 8) 0xFF0000 else 0x0000FF
+      Files.write(dir.resolve(f"img$i%02d.png"),
+        ImageOps.encodePng(ImageOps.Image(40, 40, Array.fill(1600)(color))))
+    }
+    val labels = (0 until 12).map(i => (f"img$i%02d", if (i < 8) "L1" else "L2"))
+      .toDF("id", "landmark_id")
+    val names = Seq(("L1", "Alcatraz"), ("L2", "Berlin Tower"))
+      .toDF("landmark_id", "name")
+    val out = s"$root/out"
+
+    RunPipeline.run(spark, RunPipeline.Config(imgDir, labels, names, out,
+      classesOfInterest = Seq(0, 2)))
+
+    // checkpoints exist and are re-readable parquet
+    assert(spark.read.parquet(s"$out/predictions").count() == 12)
+    assert(spark.read.parquet(s"$out/rollup").count() == 2)
+    assert(spark.read.parquet(s"$out/colors").count() == 12)
+    // compat CSV carries JSON-encoded maps
+    val compat = graft.sources.Sources.readSemicolonCsv(spark, s"$out/results_predictions")
+    assert(compat.columns.toSeq == Seq("id", "predictions"))
+    assert(compat.count() == 12)
+    // golden stat files, reference byte format
+    val alpha = Files.readString(Paths.get(out, "stats", "alphabet_count", "2.csv"))
+    assert(alpha.startsWith("letter;count\n"))
+    // red images → stub class 2 (r=255), one box each, under letter A (L1)
+    assert(alpha.contains("A;8"))
+    val primary = Files.readString(Paths.get(out, "stats", "closest_primary", "results.csv"))
+    assert(primary.split("\n").length == 7) // header + 6 primaries
+  }
+}
