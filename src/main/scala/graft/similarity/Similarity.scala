@@ -165,10 +165,12 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(q, Seq("key"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qq"), col("qn"), col("neighbor_id"), col("cq"), col("cn"))
-      .dropDuplicates("query_id", "neighbor_id")
+      // score BEFORE dedup: a pair found in d tables costs d cheap dot
+      // products, but the dedup shuffle then carries (id, id, double)
+      // rows instead of two 64-long arrays per row
       .select(col("query_id"), col("neighbor_id"),
         (dot_long(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
