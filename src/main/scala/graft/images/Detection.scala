@@ -77,6 +77,83 @@ object Detection {
   def classHistogram(boxes: Seq[Box], threshold: Float = ScoreThreshold): Map[Int, Long] =
     boxes.filter(_.score > threshold).groupBy(_.cls).map { case (c, bs) => c -> bs.size.toLong }
 
+  /** HWC packed-RGB → CHW float32 tensor data, the YOLOX input layout
+    * (`yolox.zip!yolox/data/data_augment.py:156-157`: transpose(2,0,1), no
+    * normalization with legacy=False). `bgr=true` emits OpenCV channel
+    * order — what the reference's weights were trained on.
+    */
+  def toCHWFloat(img: ImageOps.Image, bgr: Boolean = true): Array[Float] = {
+    val n = img.width * img.height
+    val out = new Array[Float](3 * n)
+    var i = 0
+    while (i < n) {
+      val p = img.pixels(i)
+      val r = ((p >> 16) & 0xFF).toFloat
+      val g = ((p >> 8) & 0xFF).toFloat
+      val b = (p & 0xFF).toFloat
+      if (bgr) { out(i) = b; out(n + i) = g; out(2 * n + i) = r }
+      else { out(i) = r; out(n + i) = g; out(2 * n + i) = b }
+      i += 1
+    }
+    out
+  }
+
+  /** Decode raw YOLOX head outputs (n_anchors × (5+numClasses), flattened
+    * row-major) into gated candidate boxes — the math of
+    * `yolox.zip!yolox/utils/demo_utils.py:99-125` (demo_postprocess) plus
+    * the class-argmax/conf-mask of `yolox.zip!yolox/utils/boxes.py:32-56`:
+    *
+    *  - anchors enumerate strides [8,16,32], each a (size/stride)² meshgrid
+    *    in row-major (y outer, x inner) order;
+    *  - cx,cy = (raw + grid) * stride; w,h = exp(raw) * stride;
+    *  - cxcywh → xyxy; score = obj * max-class-prob, gated at `confThre`
+    *    (the reference's test_conf 0.3, `pyspark_yolox.py:40`).
+    *
+    * Feed the result to [[nms]]. This is the seam an ONNX Runtime forward
+    * pass plugs into: session output → decodeRawOutputs → nms → histogram.
+    */
+  def decodeRawOutputs(raw: Array[Float], inputSize: Int = TargetSize,
+      numClasses: Int = 80, confThre: Float = 0.3f): Seq[Box] = {
+    val strides = Seq(8, 16, 32)
+    val stride5 = 5 + numClasses
+    val boxes = scala.collection.mutable.ArrayBuffer.empty[Box]
+    var a = 0
+    strides.foreach { s =>
+      val cells = inputSize / s
+      var gy = 0
+      while (gy < cells) {
+        var gx = 0
+        while (gx < cells) {
+          val o = a * stride5
+          if (o + stride5 <= raw.length) {
+            val cx = (raw(o) + gx) * s
+            val cy = (raw(o + 1) + gy) * s
+            val w = math.exp(raw(o + 2).toDouble).toFloat * s
+            val h = math.exp(raw(o + 3).toDouble).toFloat * s
+            val obj = raw(o + 4)
+            var best = 0; var bestP = Float.MinValue
+            var c = 0
+            while (c < numClasses) {
+              val p = raw(o + 5 + c)
+              if (p > bestP) { bestP = p; best = c }
+              c += 1
+            }
+            val score = obj * bestP
+            if (score >= confThre)
+              boxes += Box(cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, score, best)
+          }
+          a += 1; gx += 1
+        }
+        gy += 1
+      }
+    }
+    boxes.toSeq
+  }
+
+  /** Total anchor count for an input size (sanity for raw buffers). */
+  def anchorCount(inputSize: Int = TargetSize): Int =
+    Seq(8, 16, 32).map(s => (inputSize / s) * (inputSize / s)).sum
+
   /** M6 — the inference seam. Implementations must be serializable: one
     * instance is constructed per executor partition via `mapPartitions`
     * (amortizing model load, the intent of the reference's model broadcast,

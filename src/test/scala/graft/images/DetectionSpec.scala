@@ -68,6 +68,49 @@ class DetectionSpec extends AnyFunSuite {
     assert(classHistogram(boxes) == Map(0 -> 1L, 2 -> 2L))
   }
 
+  test("toCHWFloat: channel-planar layout, BGR order (M5 tensor shape)") {
+    val img = ImageOps.Image(2, 1, Array(0x010203, 0x040506)) // (r,g,b) pairs
+    val t = toCHWFloat(img) // BGR planes
+    assert(t.toSeq == Seq(3f, 6f, 2f, 5f, 1f, 4f))
+    assert(toCHWFloat(img, bgr = false).toSeq == Seq(1f, 4f, 2f, 5f, 3f, 6f))
+  }
+
+  test("decodeRawOutputs: grid/stride math and conf gate (demo_postprocess)") {
+    val n = anchorCount() // 416 → 52²+26²+13² = 3549
+    assert(n == 3549)
+    val raw = new Array[Float](n * 85)
+    // anchor at stride 8, cell (gx=3, gy=2) → index gy*52+gx = 107
+    val o = 107 * 85
+    raw(o) = 0.5f; raw(o + 1) = 0.25f                  // cx=(0.5+3)*8=28, cy=(0.25+2)*8=18
+    raw(o + 2) = math.log(2.0).toFloat                  // w=2*8=16
+    raw(o + 3) = 0f                                     // h=1*8=8
+    raw(o + 4) = 0.9f; raw(o + 5 + 7) = 0.8f            // obj*cls7 = 0.72
+    // a second anchor below the conf gate must be dropped
+    val o2 = (52 * 52 + 5) * 85 // stride-16 region
+    raw(o2 + 4) = 0.4f; raw(o2 + 5) = 0.5f              // 0.2 < 0.3
+    val boxes = decodeRawOutputs(raw)
+    assert(boxes.length == 1)
+    val b = boxes.head
+    assert(b.cls == 7)
+    assert(math.abs(b.score - 0.72f) < 1e-6)
+    assert(b.x1 == 28f - 8f && b.x2 == 28f + 8f)       // w=16 around cx=28
+    assert(b.y1 == 18f - 4f && b.y2 == 18f + 4f)
+  }
+
+  test("raw decode chains into NMS + histogram (the ONNX seam end-to-end)") {
+    val raw = new Array[Float](anchorCount() * 85)
+    // two overlapping confident anchors of the same class at stride 8
+    for ((cell, obj) <- Seq((107, 0.9f), (108, 0.85f))) {
+      val o = cell * 85
+      raw(o) = 0.5f; raw(o + 1) = 0.5f
+      raw(o + 2) = math.log(4.0).toFloat; raw(o + 3) = math.log(4.0).toFloat
+      raw(o + 4) = obj; raw(o + 5 + 2) = 0.9f
+    }
+    val kept = nms(decodeRawOutputs(raw))
+    assert(kept.length == 1) // 32×32 boxes one cell apart overlap >> 0.3
+    assert(classHistogram(kept) == Map(2 -> 1L))
+  }
+
   test("iou: disjoint 0, identical 1") {
     val a = Box(0, 0, 10, 10, 1f, 0)
     assert(iou(a, Box(20, 20, 30, 30, 1f, 0)) == 0f)
