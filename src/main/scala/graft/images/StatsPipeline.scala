@@ -109,6 +109,21 @@ object StatsPipeline {
       .drop("closestPrimary")
   }
 
+  /** Stage 4's data path (`plots.py:30-40`): assemble the per-class city
+    * stats into the heatmap matrix the dashboard renders — pandas
+    * `merge`-per-class + `transpose` become one join chain producing
+    * city × class columns (the transpose is just which axis becomes
+    * columns; downstream plotting reads either orientation).
+    */
+  def heatmapMatrix(rollup: DataFrame, names: DataFrame,
+      classes: Seq[Int]): DataFrame = {
+    val perClass = classes.map { cls =>
+      cityAvgStat(rollup, names, cls)
+        .withColumnRenamed("avg_per_image", s"class_$cls")
+    }
+    perClass.reduce(_.join(_, Seq("city"), "inner")).orderBy("city")
+  }
+
   /** Render a 2-column stat frame to the reference's golden CSV format:
     * a `;`-joined header line then `key;value` rows, trailing newline
     * (`write_results`, `pyspark_stats.py:40-52`). Driver-side — these are

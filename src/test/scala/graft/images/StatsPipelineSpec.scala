@@ -64,6 +64,24 @@ class StatsPipelineSpec extends SparkSpec {
         "under_10_chars;0.5\n")
   }
 
+  test("heatmapMatrix: per-class join chain = plots.py merge+transpose shape") {
+    val m = StatsPipeline.heatmapMatrix(rollup, names, Seq(0, 16))
+    assert(m.columns.toSeq == Seq("city", "class_0", "class_16"))
+    val rows = m.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows("New York") == ((0.5, 1.0)))   // L4: cls0 2/4, cls16 4/4
+    assert(rows("Berlin")._1 == 1.0 / 12)      // L2+L3
+  }
+
+  test("compat source reads the reference's own golden CSVs byte-compatibly") {
+    // actual artifacts shipped by the reference (read-only)
+    val df = graft.sources.Sources.readSemicolonCsv(spark,
+      "/root/reference/stats_bckp/stats/alphabet_count/0.csv")
+    assert(df.columns.toSeq == Seq("letter", "count"))
+    assert(df.count() == 26)
+    val a = df.filter(col("letter") === "A").head().getString(1)
+    assert(a == "10588") // BASELINE.md's cited value
+  }
+
   test("empty-group safe divide: class absent everywhere → 0.0 rows, not NaN") {
     val stat = StatsPipeline.nameLengthStat(rollup, names, cls = 7)
     val vals = stat.collect().map(_.getDouble(1))
