@@ -117,6 +117,7 @@ object StatsPipeline {
     */
   def heatmapMatrix(rollup: DataFrame, names: DataFrame,
       classes: Seq[Int]): DataFrame = {
+    require(classes.nonEmpty, "heatmapMatrix needs at least one class column")
     val perClass = classes.map { cls =>
       cityAvgStat(rollup, names, cls)
         .withColumnRenamed("avg_per_image", s"class_$cls")

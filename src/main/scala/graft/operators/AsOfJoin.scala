@@ -24,7 +24,10 @@ object AsOfJoin {
     * `right.time <= left.time` per key (right rows sort before left rows
     * on time ties, so same-instant right rows DO match).
     *
-    * @param tiebreak a column present on both sides making the sort total
+    * @param tiebreak a column present on both sides making the sort total;
+    *                 (key, time, tiebreak) must also be UNIQUE on the left —
+    *                 it is the identity used to re-attach the match, so a
+    *                 duplicate triple would fan the join out
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       key: String, time: String, tiebreak: String,
