@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * tiebreak), and carry the right side's payload forward with
   * `last(..., ignoreNulls)`. One shuffle on the key — no range cross-join,
   * no per-key collect — so the plan scales like any window aggregate.
-  * A custom `LogicalPlan`+`SparkStrategy` could fuse the union away, but
-  * the composed plan is already sort-merge shaped; the strategy would buy
-  * little (documented trade-off).
+  *
+  * [[asofBackwardNative]] is the same operator through the full custom
+  * stack (logical node → strategy → [[graft.plans.AsOfJoinPlan.AsOfJoinExec]]):
+  * a single merge pass that skips the union and the re-join. The composed
+  * form remains as the no-extension fallback and the differential-test
+  * reference.
   */
 object AsOfJoin {
 
@@ -47,6 +50,33 @@ object AsOfJoin {
       .filter(col("_tag") === 1)
       .select(col(key), col(time), col(tiebreak), col("_asof"))
     left.join(matched, Seq(key, time, tiebreak), "inner")
+  }
+
+  /** The same join through the native operator
+    * ([[graft.plans.AsOfJoinPlan]]): one sorted merge pass instead of
+    * union+window+re-join. Requires [[graft.plans.GraftExtensions.register]]
+    * (or builder extensions) so the planner knows the strategy.
+    */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+      key: String, time: String, tiebreak: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftglue.Bridge
+    // both sides often derive from the same source and then SHARE exprIds;
+    // the analyzer's DeduplicateRelations re-aliases the right child of a
+    // custom node but cannot rewrite the node's own expressions — so mint
+    // fresh right-side attributes ourselves before building the plan
+    val r = right.select(right.columns.map(c => right(c).as(c)): _*)
+    val payloadExpr = Bridge.expression(r(payloadCol))
+    val node = graft.plans.AsOfJoinPlan.AsOfJoinNode(
+      Bridge.plan(left), Bridge.plan(r),
+      Bridge.expression(left(key)), Bridge.expression(left(time)),
+      Bridge.expression(left(tiebreak)),
+      Bridge.expression(r(key)), Bridge.expression(r(time)),
+      Bridge.expression(r(tiebreak)),
+      payloadExpr,
+      AttributeReference("_asof", payloadExpr.dataType, nullable = true)())
+    Bridge.ofRows(left.sparkSession, node)
   }
 
   /** Purchase→last-prior-click attribution over the events table: for each

@@ -24,12 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[VectorExpressions.DotLong].getName, "dot_long"),
       (children: Seq[Expression]) => VectorExpressions.DotLong(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => AsOfJoinPlan.AsOfStrategy)
   }
 }
 
 object GraftExtensions {
   /** Same registrations on an already-built session (builder extensions
-    * only bind at session construction).
+    * only bind at session construction). `experimental.extraStrategies` is
+    * the public runtime hook for planner strategies.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -39,5 +41,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("dot_long",
       (children: Seq[Expression]) => VectorExpressions.DotLong(children(0), children(1)),
       "built-in")
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinPlan.AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinPlan.AsOfStrategy
   }
 }
