@@ -91,9 +91,12 @@ object AsOfJoin {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       val clicks = ev.filter(col("event_type") === "click")
-      val attributed = asofBackward(purchases, clicks,
+      // run through the native single-pass operator (the composed form is
+      // differentially spec'd identical and remains the fallback)
+      graft.plans.GraftExtensions.register(spark)
+      val attributed = asofBackwardNative(purchases, clicks,
         key = "user_id", time = "ts", tiebreak = "event_id",
-        rightPayload = col("event_id"))
+        payloadCol = "event_id")
       attributed
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("value").as("purchase_value"),
