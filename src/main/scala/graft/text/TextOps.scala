@@ -131,9 +131,9 @@ object TextOps {
          |ORDER BY d.doc_id""".stripMargin)
   }
 
-  /** Content fingerprint: md5 of the normalized text — the exact-dedup key.
-    * (A rolling-hash variant lives in [[graft.dedup.Fingerprints]]; md5 is
-    * the one both engines share bit-for-bit.)
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup key
+    * ([[graft.dedup.Dedup.ExactDedup]] groups on it); md5 is the hash both
+    * engines share bit-for-bit.
     */
   object Fingerprint extends GraftQuery {
     val name = "q_doc_fingerprint"
