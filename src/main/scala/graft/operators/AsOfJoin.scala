@@ -125,5 +125,66 @@ object AsOfJoin {
         |ORDER BY purchase_id""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(PurchaseAttribution)
+  /** Funnel rollup over the attribution result: what share of purchases
+    * had a prior click, and how long after it they happened. Integer
+    * second math + exact count ratios — fully deterministic.
+    */
+  object AttributionRate extends GraftQuery {
+    val name = "q_attribution_rate"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val attributed = PurchaseAttribution.run(spark, sfDir)
+      val clicks = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("attributed_click_id"), col("ts").as("click_ts"))
+      val purchases = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      attributed
+        .join(purchases, "purchase_id")
+        .join(clicks, Seq("attributed_click_id"), "left")
+        .select(col("purchase_id"),
+          when(col("click_ts").isNotNull,
+            expr("(purchase_ts - click_ts) div 1000000000")).as("gap_sec"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("gap_sec")).as("n_attributed"),
+          (count(col("gap_sec")).cast("double") / count(lit(1)).cast("double"))
+            .as("conversion_rate"),
+          (sum(col("gap_sec")).cast("double") /
+            count(col("gap_sec")).cast("double")).as("avg_gap_sec"))
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type FROM events),
+        |tagged AS (
+        |  SELECT user_id, t, event_id, 0 AS tag, CAST(event_id AS VARCHAR) AS rp
+        |  FROM ev WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, t, event_id, 1 AS tag, NULL AS rp
+        |  FROM ev WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT user_id, t, event_id, tag,
+        |         last_value(rp IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY t ASC, tag ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click
+        |  FROM tagged),
+        |purchases AS (
+        |  SELECT m.event_id AS purchase_id, m.t AS pt,
+        |         CAST(m.prior_click AS BIGINT) AS click_id
+        |  FROM matched m WHERE m.tag = 1),
+        |gaps AS (
+        |  SELECT p.purchase_id,
+        |         CASE WHEN c.t IS NULL THEN NULL
+        |              ELSE (p.pt - c.t) // 1000000000 END AS gap_sec
+        |  FROM purchases p
+        |  LEFT JOIN (SELECT event_id, t FROM ev WHERE event_type = 'click') c
+        |    ON p.click_id = c.event_id)
+        |SELECT count(*) AS n_purchases,
+        |       CAST(count(gap_sec) AS BIGINT) AS n_attributed,
+        |       CAST(count(gap_sec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conversion_rate,
+        |       CAST(sum(gap_sec) AS DOUBLE) / CAST(count(gap_sec) AS DOUBLE) AS avg_gap_sec
+        |FROM gaps""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(PurchaseAttribution, AttributionRate)
 }
