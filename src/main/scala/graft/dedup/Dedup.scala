@@ -70,14 +70,16 @@ object Dedup {
     array_distinct(array_compact(joined))
   }
 
-  /** Murmur3 hash of each shingle — compute ONCE per row and feed
+  /** Portable 28-bit hash of each shingle — compute ONCE per row and feed
     * [[minhashSignature]]. Inlining the shingle construction into all 16
     * permutation expressions (the naive formulation) rebuilds the shingle
     * array 16× per row and blows whole-stage codegen size — it benched 50×
-    * slower at sf0.1.
+    * slower at sf0.1. 28 bits keeps `a*h + b` under 2^63 on both engines
+    * ([[graft.functions.PortableHash]]), making the signature — and
+    * therefore the LSH bands — DuckDB-oracle-checkable.
     */
   def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => hash(s).cast("long"))
+    transform(shingleCol, s => graft.functions.PortableHash.pHash28(s))
 
   /** MinHash signature over pre-hashed shingles: for each permutation i,
     * min over shingles of ((a_i * h + b_i) mod p) — fused into one array
@@ -88,10 +90,21 @@ object Dedup {
   def minhashSignature(hashCol: Column): Column =
     graft.plans.MinHashExpression.minhash_sig(hashCol, coefs.map(_._1), coefs.map(_._2))
 
+  /** Portable LSH bucket key for one band: md5 of the comma-joined slice of
+    * the signature. A hex string is a perfectly good shuffle key, and md5 is
+    * the hash both engines share ([[graft.functions.PortableHash]]).
+    */
+  def bandBucket(sig: Column, band: Column): Column =
+    md5(concat_ws(",",
+      transform(slice(sig, band * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+        _.cast("string"))))
+
   /** MinHash + LSH banding: (doc_id, band, bucket) rows. Near-dup candidates
     * are doc pairs sharing any (band, bucket) — a self-equi-join on the
-    * bucket key, i.e. a shuffle on small keys, never a cross join.
-    * Not SQL-expressible in DuckDB (murmur3) → rows-only check + ScalaTest.
+    * bucket key, i.e. a shuffle on small keys, never a cross join. The whole
+    * chain (shingle → 28-bit md5 hash → 16 permutations → band buckets) is
+    * replayed in ANSI SQL by the oracle below, so the signature math is
+    * hash-verified end to end.
     */
   object MinHashLsh extends GraftQuery {
     val name = "q_minhash_bands"
@@ -100,20 +113,46 @@ object Dedup {
       val sig = signatures(docs)
       sig.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-            b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+            b => bandBucket(col("sig"), b))))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
         .orderBy("doc_id", "band")
     }
-    val oracle = None // murmur3 hash has no DuckDB equivalent
+    private val permRows = coefs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.tok, t.i
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+         |        FROM documents) d,
+         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+         |sh AS (
+         |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |  FROM toks t1
+         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+         |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
+         |sig AS (
+         |  SELECT doc_id, p.i, min((h.h * p.a + p.b) % 2147483647) AS s
+         |  FROM h, (VALUES $permRows) p(i, a, b)
+         |  GROUP BY 1, 2),
+         |sigl AS (SELECT doc_id, list(s ORDER BY i) AS l FROM sig GROUP BY 1)
+         |SELECT doc_id, CAST(b.band AS INT) AS band,
+         |       md5(l[2*b.band+1]::VARCHAR || ',' || l[2*b.band+2]::VARCHAR) AS bucket
+         |FROM sigl, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b
+         |ORDER BY doc_id, band""".stripMargin)
   }
 
   /** (doc_id, sig) with shingle hashing staged once per row. The hash array
     * is materialized behind a projection boundary so CollapseProject won't
-    * re-inline it into all 16 signature expressions.
+    * re-inline it into all 16 signature expressions. Docs too short to form
+    * a single shingle are dropped — their signature would be the sentinel
+    * vector, and every such doc would spuriously LSH-collide with every
+    * other one.
     */
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
 
   /** Candidate near-dup pairs from LSH buckets, verified by signature
@@ -140,7 +179,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash from xxhash64 token hashes: per bit, sum ±1 votes over
+  /** SimHash width: 60 bits — the widest hash derivable from an md5 prefix
+    * that still fits signed-64 exactly on both engines
+    * ([[graft.functions.PortableHash.pHash60]]).
+    */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash from portable token hashes: per bit, sum ±1 votes over
     * tokens (weighted by term frequency), sign → bit. Relational:
     * explode (token, bit) votes → two-level aggregate. Shuffles only
     * (doc_id, bit, vote) triples.
@@ -149,10 +194,10 @@ object Dedup {
     val toks = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.functions.PortableHash.pHash60(col("tok")))
     val votes = toks
       .select(col(idCol), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
+        explode(sequence(lit(0), lit(SimHashBits - 1))).as("bit"))
       .select(col(idCol), col("bit"),
         when(expr("(shiftright(h, bit) & 1L) = 1L"), col("tf"))
           .otherwise(-col("tf")).as("vote"))
@@ -167,7 +212,23 @@ object Dedup {
     def run(spark: SparkSession, sfDir: String): DataFrame =
       simhash(Graft.table(spark, sfDir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
-    val oracle = None // xxhash64 has no DuckDB equivalent
+    val oracle = Some(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf,
+         |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id,
+         |               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id, tok),
+         |votes AS (
+         |  SELECT doc_id, b.bit,
+         |         sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN tf ELSE -tf END) AS v
+         |  FROM tf, (SELECT unnest(generate_series(0, ${SimHashBits - 1})) AS bit) b
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+         |            AS BIGINT) AS simhash
+         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, bucketed by the

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing.
+  *
+  * Spark's native hash functions (murmur3 `hash`, `xxhash64`) have no DuckDB
+  * equivalent, which forced the sketch-based queries (SimHash, MinHash, KMV)
+  * into weaker rows-only verification in round 1. MD5 is the one hash both
+  * engines compute bit-identically, so every sketch hash here is derived
+  * from an MD5 prefix:
+  *
+  *   Spark : `conv(substring(md5(x), 1, k), 16, 10)` cast to long
+  *   DuckDB: `('0x' || substr(md5(x), 1, k))::BIGINT`
+  *
+  * The result is a uniform nonnegative integer of 4k bits — small enough to
+  * keep downstream modular arithmetic inside exact 64-bit range on BOTH
+  * engines (DuckDB errors on BIGINT overflow rather than wrapping, so the
+  * bounds are load-bearing, not cosmetic).
+  *
+  * Cost note: MD5 is ~5× murmur3 per call, still O(100ns) — invisible next
+  * to the shuffle these hashes exist to shrink. Determinism across engines
+  * (and across Spark versions — murmur3 seeds are config-sensitive) is worth
+  * more at 100 TB than the nanoseconds.
+  */
+object PortableHash {
+
+  /** 60-bit hash (15 hex chars): uniform in [0, 2^60). */
+  def pHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 28-bit hash (7 hex chars): uniform in [0, 2^28). Small enough that
+    * `a*h + b` with 31-bit coefficients stays under 2^63.
+    */
+  def pHash28(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** Driver-side MD5 hex (lowercase) of a UTF-8 string — same value both
+    * engines' `md5()` returns. Used to bake deterministic constants (e.g.
+    * LSH hyperplane signs) into plans at build time.
+    */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+}

@@ -125,19 +125,63 @@ object AnalyticOps {
          |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
-  /** Approximate distinct (A6's scale variant): HLL++ estimate next to the
-    * exact count per return flag. Rows-only check — sketch internals have
-    * no DuckDB equivalent; the tolerance contract is asserted in ScalaTest.
+  /** Approximate distinct (A6's scale variant): a KMV (k-minimum-values)
+    * sketch estimate next to the exact count per return flag. The sketch
+    * hash is a portable md5 prefix ([[graft.functions.PortableHash]]) and
+    * the estimator `(k-1) / u_k` is two exact IEEE ops, so — unlike HLL++,
+    * whose register layout is engine-private — the whole sketch replays in
+    * ANSI SQL and hash-matches the DuckDB oracle. (The typed-Aggregator
+    * single-pass form of the same sketch is
+    * [[graft.functions.Aggregators.KmvSketch]], spec-covered; this
+    * relational form is what scales — the per-group top-k is a partial
+    * TakeOrdered under the window, shuffling k hashes per group.)
     */
   object ApproxDistinct extends GraftQuery {
     val name = "q_approx_distinct"
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      Graft.table(spark, sfDir, "lineitem")
+    val K = 256 // rsd ≈ 1/√(k-2) ≈ 6%
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val li = Graft.table(spark, sfDir, "lineitem")
+      val hashed = li
+        .select(col("l_returnflag"), pHash60(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag").orderBy("h")
+      val kmv = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      // (k-1)/u_k with u_k = hk/2^60; both factors are exactly representable
+      // doubles, and the single divide is IEEE-identical across engines
+      exact.join(kmv, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(col("n") < K, col("n").cast("double"))
+            .otherwise(lit((K - 1).toDouble) * lit(math.pow(2.0, 60)) /
+              col("hk").cast("double")).as("kmv_estimate"))
         .orderBy("l_returnflag")
-    val oracle = None // HLL sketch internals differ per engine
+    }
+    val oracle = Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag,
+         |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |topk AS (
+         |  SELECT l_returnflag, h,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM h),
+         |kmv AS (
+         |  SELECT l_returnflag, max(h) AS hk, count(*) AS n
+         |  FROM topk WHERE rn <= $K GROUP BY 1),
+         |ex AS (
+         |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+         |  FROM lineitem GROUP BY 1)
+         |SELECT e.l_returnflag, e.exact_parts,
+         |       CASE WHEN n < $K THEN CAST(n AS DOUBLE)
+         |            ELSE ${K - 1}.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+         |       END AS kmv_estimate
+         |FROM ex e JOIN kmv k ON e.l_returnflag = k.l_returnflag
+         |ORDER BY 1""".stripMargin)
   }
 
   val all: Seq[GraftQuery] =

@@ -112,7 +112,7 @@ object Similarity {
   // ---------------------------------------------------------------- LSH ANN
 
   /** Multi-table sign-LSH layout. Per-table recall for a neighbor at angle θ
-    * is (1-θ/π)^planes; T independent tables lift it to 1-(1-p)^T. Defaults
+    * is ≈(1-θ/π)^planes; T independent tables lift it to 1-(1-p)^T. Defaults
     * (8 tables × 4 planes) give ≈0.7 recall at cosine 0.4 — sized for the
     * weakly-clustered test embeddings. At production scale raise
     * `planesPerTable` toward log2(N / desired bucket size): selectivity
@@ -121,28 +121,41 @@ object Similarity {
   val NumTables = 8
   val PlanesPerTable = 4
 
-  /** Seeded Gaussian hyperplanes for table `t` — deterministic, tiny,
-    * shipped as plan literals.
+  /** Deterministic ±1 ("Rademacher") hyperplane for (table, plane): sign i
+    * comes from the low bit of md5("t_p_i"). Two wins over seeded Gaussian
+    * planes: the dot product is an exact BIGINT sum of quantized components
+    * (no float association-order issues), and md5 is computable in ANSI SQL,
+    * so bucket membership — hence the whole ANN result — replays in the
+    * DuckDB oracle. Sign projections are a standard SRP variant; recall is
+    * within noise of Gaussian planes at these widths (spec-asserted).
     */
-  private def planes(dim: Int, table: Int, n: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7 + table * 1000003L)
-    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  def signPlane(table: Int, plane: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim) { i =>
+      val hex = graft.functions.PortableHash.md5Hex(s"${table}_${plane}_$i")
+      if ((Character.digit(hex.charAt(0), 16) & 1) == 1) 1L else -1L
+    }
 
-  /** Sign-hash bucket id (0 .. 2^planes-1) for one table. */
-  def lshBucket(e: Column, dim: Int, table: Int = 0, nPlanes: Int = PlanesPerTable): Column =
-    planes(dim, table, nPlanes).zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(e, lit(p.toArray), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1 << i)).otherwise(lit(0))
+  /** Sign-hash bucket id (0 .. 2^planes-1) for one table, over the
+    * QUANTIZED embedding (see [[dotExact]] — pass `quantize_vec(e)`).
+    */
+  def lshBucketQ(q: Column, dim: Int, table: Int = 0,
+      nPlanes: Int = PlanesPerTable): Column =
+    (0 until nPlanes).map { p =>
+      when(dot_long(q, lit(signPlane(table, p, dim))) >= 0, lit(1 << p))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** All tables' bucket keys, namespaced as table*2^planes + bucket. */
-  def lshKeys(e: Column, dim: Int, tables: Int = NumTables,
+  /** [[lshBucketQ]] over a raw float embedding column. */
+  def lshBucket(e: Column, dim: Int, table: Int = 0, nPlanes: Int = PlanesPerTable): Column =
+    lshBucketQ(quantize_vec(e), dim, table, nPlanes)
+
+  /** All tables' bucket keys over the quantized embedding, namespaced as
+    * table*2^planes + bucket.
+    */
+  def lshKeysQ(q: Column, dim: Int, tables: Int = NumTables,
       nPlanes: Int = PlanesPerTable): Column =
     array((0 until tables).map(t =>
-      lshBucket(e, dim, t, nPlanes) + lit(t << nPlanes)): _*)
+      lshBucketQ(q, dim, t, nPlanes) + lit(t << nPlanes)): _*)
 
   /** Approximate top-k: bucket both sides in T sign-LSH tables, equi-join on
     * the (table, bucket) key, dedup candidate pairs, exact-cosine rerank.
@@ -151,16 +164,15 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
       tables: Int = NumTables, nPlanes: Int = PlanesPerTable): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      quantize_vec(col("embedding")).as("qq"),
-      sqrt(dot_long(quantize_vec(col("embedding")), quantize_vec(col("embedding")))
-        .cast("double")).as("qn"),
-      explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"),
-      quantize_vec(col("embedding")).as("cq"),
-      sqrt(dot_long(quantize_vec(col("embedding")), quantize_vec(col("embedding")))
-        .cast("double")).as("cn"),
-      explode(lshKeys(col("embedding"), dim, tables, nPlanes)).as("key"))
+    // quantize ONCE behind a projection boundary — the norm and all
+    // tables×planes sign dots reference the same staged array
+    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
+      df.select(col("vec_id").as(idAs), quantize_vec(col("embedding")).as(qAs))
+        .select(col(idAs), col(qAs),
+          sqrt(dot_long(col(qAs), col(qAs)).cast("double")).as(nAs),
+          explode(lshKeysQ(col(qAs), dim, tables, nPlanes)).as("key"))
+    val q = prep(queries, "query_id", "qq", "qn")
+    val c = prep(candidates, "neighbor_id", "cq", "cn")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(q, Seq("key"))
@@ -177,9 +189,11 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN as a driver query (rows-only check: bucket membership
-    * depends on the seeded planes, not SQL-expressible; recall vs the exact
-    * baseline is asserted in ScalaTest).
+  /** LSH-bucketed ANN as a driver query. The md5-derived sign planes and
+    * exact integer dots make bucket membership — and therefore the entire
+    * approximate result set — reproducible in ANSI SQL, so this carries a
+    * full DuckDB oracle (recall vs the exact baseline is additionally
+    * asserted in ScalaTest).
     */
   object LshTopK extends GraftQuery {
     val name = "q_lsh_topk"
@@ -187,7 +201,52 @@ object Similarity {
       val emb = Graft.table(spark, sfDir, "embeddings")
       lshTopK(emb.filter(col("vec_id") < 50), emb, 64, 3)
     }
-    val oracle = None
+    val oracle = Some(
+      s"""WITH planes AS (
+         |  SELECT t.t, p.p, i.i,
+         |         CASE WHEN ('0x' || substr(md5(t.t::VARCHAR || '_' ||
+         |                      p.p::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::INT
+         |                   % 2 = 1
+         |              THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT unnest(generate_series(0, ${NumTables - 1})) AS t) t,
+         |       (SELECT unnest(generate_series(0, ${PlanesPerTable - 1})) AS p) p,
+         |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+         |q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |dots AS (
+         |  SELECT q.vec_id, pl.t, pl.p, sum(q.q * pl.w) AS d
+         |  FROM q JOIN planes pl ON q.i = pl.i + 1
+         |  GROUP BY 1, 2, 3),
+         |keys AS (
+         |  SELECT vec_id,
+         |         t * ${1 << PlanesPerTable}
+         |         + CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS key
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS neighbor_id
+         |  FROM keys kq JOIN keys kc ON kq.key = kc.key
+         |  WHERE kq.vec_id < 50 AND kc.vec_id <> kq.vec_id),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |comp AS (
+         |  SELECT c.query_id, c.neighbor_id, sum(qa.q * qb.q) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.query_id
+         |              JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+         |  FROM comp JOIN norms na ON query_id = na.vec_id
+         |            JOIN norms nb ON neighbor_id = nb.vec_id)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+         |       neighbor_id, cosine
+         |FROM scored QUALIFY rank <= 3
+         |ORDER BY query_id, rank""".stripMargin)
   }
 
   val all: Seq[GraftQuery] = Seq(CosineTopK, LshTopK)

@@ -64,8 +64,14 @@ object SourceQueries {
         }
       }
       val images = ImagePipeline.scanImages(spark, root, "*.png")
+      // scalar columns only: the driver's comparator sorts result values,
+      // and array cells are unsortable/unhashable on the pandas side
       ImagePipeline.colors(images).toDF()
-        .select(col("id"), col("averageColor"), col("closestPrimary"))
+        .select(col("id"),
+          col("averageColor")(0).as("avg_c0"),
+          col("averageColor")(1).as("avg_c1"),
+          col("averageColor")(2).as("avg_c2"),
+          col("closestPrimary"))
         .orderBy("id")
     }
     val oracle = None // binary source: no DuckDB-side image decoding

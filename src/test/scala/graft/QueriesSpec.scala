@@ -25,13 +25,13 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct within its 2% rsd contract of exact") {
+  test("KMV distinct estimate within ~3 rsd of exact (k=256 ⇒ rsd ≈ 6%)") {
     val rows = operators.AnalyticOps.ApproxDistinct.run(spark, sf).collect()
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble
-      val approx = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      val approx = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact <= 0.2,
+        s"${r.getString(0)}: kmv $approx vs exact $exact")
     }
   }
 
