@@ -18,6 +18,7 @@ object SparkEntry {
       operators.WindowOps.all ++
       operators.AnalyticOps.all ++
       operators.AsOfJoin.all ++
+      Seq(operators.Salting.SaltedAgg) ++
       text.TextOps.all ++
       dedup.Dedup.all ++
       similarity.Similarity.all ++

@@ -184,6 +184,48 @@ object AnalyticOps {
          |ORDER BY 1""".stripMargin)
   }
 
+  /** Range (interval) join — for each purchase, the clicks by the same user
+    * in the preceding hour (the windowed-attribution shape; the nearest-1
+    * variant is [[AsOfJoin]]). The join is EQUI on user_id with the time
+    * range as a post-join predicate: at 100 TB the hash shuffle on user_id
+    * bounds the pair space, so no nested-loop/cross join appears anywhere —
+    * the per-user slice is the only place the range condition fans out.
+    * Timestamps compared in integer epoch seconds (identical in both
+    * engines).
+    */
+  object RangeJoin extends GraftQuery {
+    val name = "q_range_join"
+    private val WindowSeconds = 3600L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"), col("value"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("sec").as("p_sec"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("sec").as("c_sec"), col("value"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_sec") >= col("p_sec") - WindowSeconds && col("c_sec") < col("p_sec"))
+        .groupBy("user_id", "purchase_id")
+        .agg(count(lit(1)).as("n_clicks"), exactSum(col("value")).as("click_value"))
+        .orderBy("user_id", "purchase_id")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ns(ts) // 1000000000 AS sec, value
+         |  FROM events)
+         |SELECT p.user_id, p.event_id AS purchase_id,
+         |       count(*) AS n_clicks,
+         |       CAST(sum(CAST(c.value AS DECIMAL(27,6))) AS DOUBLE) AS click_value
+         |FROM ev p JOIN ev c
+         |  ON p.user_id = c.user_id
+         | AND c.sec >= p.sec - $WindowSeconds AND c.sec < p.sec
+         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct)
+    Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct,
+      RangeJoin)
 }

@@ -435,9 +435,34 @@ object Relational {
         |ORDER BY nation, segment""".stripMargin)
   }
 
+  /** Cube — all 2^2 grouping combinations over (returnflag, linestatus)
+    * (completes the grouping-sets family next to [[RollupGroupingSets]]).
+    * Same sentinel treatment for the NULL indicator cells.
+    */
+  object CubeAgg extends GraftQuery {
+    val name = "q_cube"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), exactSum(col("l_quantity")).as("total_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(ALL)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(ALL)")).as("linestatus"),
+          col("n_items"), col("total_qty"))
+        .orderBy("returnflag", "linestatus")
+    val oracle = Some(
+      """SELECT coalesce(l_returnflag, '(ALL)') AS returnflag,
+        |       coalesce(l_linestatus, '(ALL)') AS linestatus,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     AlphabetCount, AlphabetAvg, BcastJoin, SemiJoin, AntiJoin, CityAvg,
     SubsetAvg, NameLenBands, DistinctValues, ValueHistogram, Mode,
     ClosestPrimary, PivotHeatmap, PerCustomerRollup, TopK, SetOps,
-    RollupGroupingSets)
+    RollupGroupingSets, CubeAgg)
 }

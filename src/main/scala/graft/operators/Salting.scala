@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew tools for 100 TB keys (SURVEY §7 "scale hardening").
@@ -29,5 +30,27 @@ object Salting {
       .agg(sum(col("v").cast("decimal(27,6)")).as("ps"), count(lit(1)).as("pc"))
       .groupBy("key")
       .agg(sum(col("ps")).cast("double").as("total"), sum(col("pc")).as("n"))
+  }
+
+  /** The salted two-phase aggregate as a driver query, over the most skewed
+    * grouping in the testdata (3 return-flag values × 600k rows at sf0.1 —
+    * each key's rows would otherwise land on a single reducer). The oracle
+    * is the PLAIN single-phase GROUP BY: hash equality proves the salted
+    * rewrite is result-identical, which is exactly the property that makes
+    * it safe to apply mechanically to hot keys at 100 TB.
+    */
+  object SaltedAgg extends GraftQuery {
+    val name = "q_salted_agg"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      saltedSumCount(
+        Graft.table(spark, sfDir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"), salts = 32)
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS total,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

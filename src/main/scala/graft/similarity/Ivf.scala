@@ -80,4 +80,100 @@ object Ivf {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** IVF ANN as a driver query, with a SAMPLED coarse quantizer: the first
+    * `NCells` vectors serve as centroids (random-sample init is a standard
+    * IVF centroid choice; the k-means refinement lives in [[build]] and is
+    * spec-verified, but k-means centers are float-iteration artifacts no
+    * second engine can replay bit-for-bit). Sampled centroids + quantized
+    * integer distances make cell assignment — hence the whole approximate
+    * result — exact, so this carries a full DuckDB oracle.
+    *
+    * Shape at scale: assignment is a broadcast of `NCells` centroid vectors
+    * against the candidate scan (one pass, no shuffle), probing is an
+    * equi-join on cell id. Each candidate lives in exactly one cell, so no
+    * pair dedup is needed — unlike multi-table LSH.
+    */
+  object SampledIvfTopK extends graft.GraftQuery {
+    val name = "q_ivf_topk"
+    val NCells = 8
+    val NProbe = 2
+    val QueryMax = 30
+    val K = 3
+    def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+      val prep = graft.Graft.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"),
+          dot_long(col("q"), col("q")).as("qq_self"))
+      val cent = prep.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cell"), col("q").as("cq"),
+          col("qq_self").as("cc_self"))
+      // ||v-c||² = v·v − 2 v·c + c·c — three exact BIGINT dots, no floats
+      val dists = prep.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("q"), col("qq_self"), col("cell"),
+          (col("qq_self") - lit(2L) * dot_long(col("q"), col("cq")) +
+            col("cc_self")).as("dist"))
+      val byDist = Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cell").asc)
+      val ranked = dists.withColumn("rn", row_number().over(byDist))
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("q").as("cq2"),
+          sqrt(col("qq_self").cast("double")).as("cn"))
+      val probes = ranked.filter(col("vec_id") < QueryMax && col("rn") <= NProbe)
+        .select(col("vec_id").as("query_id"), col("cell"), col("q").as("qq2"),
+          sqrt(col("qq_self").cast("double")).as("qn"))
+      val byCos = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      assign.join(probes, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot_long(col("qq2"), col("cq2")).cast("double") /
+            (col("qn") * col("cn"))).as("cosine"))
+        .withColumn("rank", row_number().over(byCos))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |cent AS (SELECT vec_id AS cell, i, q FROM q WHERE vec_id < $NCells),
+         |dists AS (
+         |  SELECT q.vec_id, c.cell, sum((q.q - c.q) * (q.q - c.q)) AS dist
+         |  FROM q JOIN cent c ON q.i = c.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY dist, cell) AS rn
+         |  FROM dists),
+         |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell FROM ranked
+         |           WHERE vec_id < $QueryMax AND rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |comp AS (
+         |  SELECT c.query_id, c.neighbor_id, sum(qa.q * qb.q) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.query_id
+         |              JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+         |  FROM comp JOIN norms na ON query_id = na.vec_id
+         |            JOIN norms nb ON neighbor_id = nb.vec_id)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+         |       neighbor_id, cosine
+         |FROM scored QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin)
+  }
 }

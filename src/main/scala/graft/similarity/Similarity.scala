@@ -249,5 +249,34 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(CosineTopK, LshTopK)
+  /** Per-label embedding centroids — the vector-aggregation shape (class
+    * centroids feed semantic dedup and IVF coarse quantizers). posexplode →
+    * groupBy(label, dim) → exact integer sum → one double divide; the
+    * shuffle carries (label, dim, long) triples, so the plan is a plain
+    * two-key hash aggregate at any scale. Dim is 1-based to match DuckDB's
+    * `generate_subscripts`.
+    */
+  object LabelCentroid extends GraftQuery {
+    val name = "q_label_centroid"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "embeddings")
+        .select(col("label"), posexplode(quantize_vec(col("embedding"))))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("q"))
+        .groupBy("label", "dim")
+        .agg((sum(col("q")).cast("double") /
+          (count(lit(1)) * lit(1000000L)).cast("double")).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim")
+    val oracle = Some(
+      """SELECT label, dim,
+        |       CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS centroid,
+        |       count(*) AS n_vecs
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(CosineTopK, LshTopK, LabelCentroid, Ivf.SampledIvfTopK)
 }

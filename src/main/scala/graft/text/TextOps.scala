@@ -221,6 +221,37 @@ object TextOps {
         |ORDER BY lang, rk""".stripMargin)
   }
 
+  /** BPE-style pre-tokenization: the regex split every byte-pair tokenizer
+    * runs before merges (letter runs / digit runs / single punctuation —
+    * the GPT-2 pattern family, restricted to constructs Java regex and RE2
+    * interpret identically). Per-language totals + distinct-token counts —
+    * the "how many tokens is this corpus" pipeline question, answered
+    * without a vocabulary file.
+    */
+  object BpeTokens extends GraftQuery {
+    val name = "q_bpe_tokens"
+    private val pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val toks = regexp_extract_all(lower(col("text")), lit(pattern), lit(0))
+      Graft.table(spark, sfDir, "documents")
+        .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("tok")).as("vocab_size"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("lang")
+    }
+    val oracle = Some(
+      s"""SELECT lang, count(*) AS total_tokens,
+         |       count(DISTINCT tok) AS vocab_size,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT lang, doc_id,
+         |             unnest(regexp_extract_all(lower(text), '$pattern')) AS tok
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard, BigramStats)
+    Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
+      BigramStats, BpeTokens)
 }
