@@ -251,7 +251,62 @@ object TextOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Winnowing fingerprint (the MOSS scheme): hash every k-char gram of the
+    * normalized text, slide a w-gram window, keep each window's minimum —
+    * the classic rolling-hash document fingerprint. Guarantees any shared
+    * substring of length ≥ k+w-1 contributes a shared fingerprint, at
+    * ~1/w the k-gram count. (Rabin-Karp's O(1) rolling *update* is an
+    * optimization of the same function; grams are hashed independently here
+    * so the md5-prefix hash replays in ANSI SQL.) Output is one row per doc:
+    * fingerprint-set size + an md5 digest of the sorted set, so the whole
+    * set is hash-verified without array-typed result columns.
+    */
+  object WinnowFingerprint extends GraftQuery {
+    val name = "q_winnow_fingerprint"
+    val K = 8 // gram length (chars)
+    val W = 4 // window length (grams)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val gramHashes = expr(
+        s"""IF(length(t) >= $K,
+           |   transform(sequence(1, length(t) - ${K - 1}),
+           |     i -> cast(conv(substring(md5(cast(substring(t, i, $K) as binary)), 1, 7), 16, 10) as bigint)),
+           |   array())""".stripMargin)
+      val windowMins = expr(
+        s"""array_sort(array_distinct(
+           |  transform(sequence(1, greatest(size(hs) - ${W - 1}, 1)),
+           |    j -> array_min(slice(hs, j, $W)))))""".stripMargin)
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .select(col("doc_id"), gramHashes.as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), windowMins.as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).as("n_fps"),
+          md5(expr("cast(concat_ws(',', transform(fps, x -> cast(x as string))) as binary)")).as("digest"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, s.i,
+         |         ('0x' || substr(md5(substr(t, s.i, $K)), 1, 7))::BIGINT AS h
+         |  FROM n, LATERAL (SELECT unnest(generate_series(1, length(t) - ${K - 1})) AS i) s
+         |  WHERE length(t) >= $K),
+         |ng AS (SELECT doc_id, max(i) AS ng FROM g GROUP BY 1),
+         |w AS (
+         |  SELECT g.doc_id, j.j, min(g.h) AS mh
+         |  FROM ng, LATERAL (SELECT unnest(generate_series(1, greatest(ng.ng - ${W - 1}, 1))) AS j) j,
+         |       g
+         |  WHERE g.doc_id = ng.doc_id AND g.i BETWEEN j.j AND j.j + ${W - 1}
+         |  GROUP BY 1, 2),
+         |fps AS (SELECT DISTINCT doc_id, mh FROM w)
+         |SELECT doc_id, count(*) AS n_fps,
+         |       md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS digest
+         |FROM fps GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
-      BigramStats, BpeTokens)
+      BigramStats, BpeTokens, WinnowFingerprint)
 }
