@@ -111,11 +111,14 @@ object Dedup {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Graft.table(spark, sfDir, "documents")
       val sig = signatures(docs)
-      sig.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-            b => bandBucket(col("sig"), b))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
+      // explode the band index FIRST, then hash: one md5 expression run
+      // NumBands times per doc instead of NumBands md5 expressions fused
+      // into a single projection (same work, 1/8 the generated code — the
+      // fused form's codegen dominated the cold run)
+      sig.select(col("doc_id"), col("sig"),
+          posexplode(sequence(lit(0), lit(NumBands - 1))))
+        .select(col("doc_id"), col("pos").cast("int").as("band"),
+          bandBucket(col("sig"), col("col")).as("bucket"))
         .orderBy("doc_id", "band")
     }
     private val permRows = coefs.zipWithIndex

@@ -61,4 +61,32 @@ object Aggregators {
     def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** KMV over PRE-HASHED portable values ([[PortableHash.pHash60]] longs in
+    * [0, 2^60)): keeps the k smallest distinct hashes, estimates
+    * (k-1) / (h_k / 2^60). One pass, fixed-size state — the partial buffers
+    * that cross the shuffle are ≤ k longs per partition instead of every
+    * distinct (group, hash) row, which is what makes this the 100 TB form
+    * of the sketch. The estimator's constants and single divide are the
+    * exact IEEE expression the DuckDB oracle computes, so results stay
+    * hash-verifiable ([[graft.operators.AnalyticOps.ApproxDistinct]]).
+    */
+  class KmvPortable(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
+    require(k >= 2)
+    private def insert(mins: Vector[Long], h: Long): Vector[Long] =
+      if (mins.length < k) (mins :+ h).distinct.sorted
+      else if (h >= mins.last) mins
+      else ((mins :+ h).distinct.sorted).take(k)
+    def zero: KmvBuffer = KmvBuffer(Vector.empty)
+    def reduce(b: KmvBuffer, h: Long): KmvBuffer = KmvBuffer(insert(b.mins, h))
+    def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
+      KmvBuffer((a.mins ++ b.mins).distinct.sorted.take(k))
+    def finish(b: KmvBuffer): Double =
+      if (b.mins.length < k) b.mins.length.toDouble
+      // (k-1) * 2^60 / h_k — both constants exactly representable, one
+      // divide: bit-identical to the oracle's CASE arm
+      else (k - 1).toDouble * 1.152921504606846976e18 / b.mins.last.toDouble
+    def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 }

@@ -141,24 +141,20 @@ object AnalyticOps {
     val K = 256 // rsd ≈ 1/√(k-2) ≈ 6%
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import graft.functions.PortableHash.pHash60
-      val li = Graft.table(spark, sfDir, "lineitem")
-      val hashed = li
-        .select(col("l_returnflag"), pHash60(col("l_partkey").cast("string")).as("h"))
-        .distinct()
-      val w = Window.partitionBy("l_returnflag").orderBy("h")
-      val kmv = hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
+      import org.apache.spark.sql.Encoders
+      // one-pass typed KMV aggregator: partial state is ≤ K longs per
+      // partition, so the shuffle carries 32 tiny sketch buffers instead of
+      // every distinct (flag, hash) row — the earlier distinct + ranked-
+      // window formulation shuffled the full hashed column twice. The
+      // estimator is the same IEEE expression, so the oracle is unchanged.
+      val kmvUdaf = org.apache.spark.sql.functions.udaf(
+        new graft.functions.Aggregators.KmvPortable(K), Encoders.scalaLong)
+      Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
+          pHash60(col("l_partkey").cast("string")).as("h"))
         .groupBy("l_returnflag")
-        .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      // (k-1)/u_k with u_k = hk/2^60; both factors are exactly representable
-      // doubles, and the single divide is IEEE-identical across engines
-      exact.join(kmv, Seq("l_returnflag"))
-        .select(col("l_returnflag"), col("exact_parts"),
-          when(col("n") < K, col("n").cast("double"))
-            .otherwise(lit((K - 1).toDouble) * lit(math.pow(2.0, 60)) /
-              col("hk").cast("double")).as("kmv_estimate"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          kmvUdaf(col("h")).as("kmv_estimate"))
         .orderBy("l_returnflag")
     }
     val oracle = Some(

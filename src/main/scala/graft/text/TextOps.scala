@@ -266,27 +266,28 @@ object TextOps {
     val K = 8 // gram length (chars)
     val W = 4 // window length (grams)
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val gramHashes = expr(
-        s"""IF(length(t) >= $K,
-           |   transform(sequence(1, length(t) - ${K - 1}),
-           |     i -> cast(conv(substring(md5(cast(substring(t, i, $K) as binary)), 1, 7), 16, 10) as bigint)),
-           |   array())""".stripMargin)
-      val windowMins = expr(
-        s"""array_sort(array_distinct(
-           |  transform(sequence(1, greatest(size(hs) - ${W - 1}, 1)),
-           |    j -> array_min(slice(hs, j, $W)))))""".stripMargin)
+      // the gram-hash + window-min pass runs as ONE native expression over
+      // the normalized bytes ([[graft.plans.WinnowExpression]]): the
+      // composable transform/slice form put ~1.4M interpreted lambda evals
+      // per 5k docs on the hot path. Normalization strips non-printable-
+      // ASCII, so byte slices == char slices by construction and the
+      // char-based oracle stays bit-identical on ANY input.
       Graft.table(spark, sfDir, "documents")
-        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-        .select(col("doc_id"), gramHashes.as("hs"))
-        .filter(size(col("hs")) > 0)
-        .select(col("doc_id"), windowMins.as("fps"))
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(col("text"))), "[^ -~]", "")
+            .cast("binary").as("t"))
+        .select(col("doc_id"),
+          graft.plans.WinnowExpression.winnow_fps(col("t"), K, W).as("fps"))
+        .filter(size(col("fps")) > 0)
         .select(col("doc_id"),
           size(col("fps")).as("n_fps"),
           md5(expr("cast(concat_ws(',', transform(fps, x -> cast(x as string))) as binary)")).as("digest"))
         .orderBy("doc_id")
     }
     val oracle = Some(
-      s"""WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      s"""WITH n AS (SELECT doc_id,
+         |                  regexp_replace(lower(trim(text)), '[^ -~]', '', 'g') AS t
+         |           FROM documents),
          |g AS (
          |  SELECT doc_id, s.i,
          |         ('0x' || substr(md5(substr(t, s.i, $K)), 1, 7))::BIGINT AS h
