@@ -460,9 +460,39 @@ object Relational {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
+  /** Full outer join — open-order vs finished-order counts per customer,
+    * keys coalesced explicitly on both engines (completes the join family:
+    * inner/broadcast, semi, anti, as-of, range, full outer).
+    */
+  object FullOuterJoin extends GraftQuery {
+    val name = "q_full_outer"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("k_open")).agg(count(lit(1)).as("n_open"))
+      val fin = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("k_fin")).agg(count(lit(1)).as("n_finished"))
+      open.join(fin, col("k_open") === col("k_fin"), "full_outer")
+        .select(coalesce(col("k_open"), col("k_fin")).as("custkey"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          coalesce(col("n_finished"), lit(0L)).as("n_finished"))
+        .orderBy("custkey")
+    }
+    val oracle = Some(
+      """SELECT coalesce(a.k_open, b.k_fin) AS custkey,
+        |       coalesce(a.n_open, 0) AS n_open,
+        |       coalesce(b.n_finished, 0) AS n_finished
+        |FROM (SELECT o_custkey AS k_open, count(*) AS n_open
+        |      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) a
+        |FULL JOIN (SELECT o_custkey AS k_fin, count(*) AS n_finished
+        |           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b
+        |  ON a.k_open = b.k_fin
+        |ORDER BY custkey""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     AlphabetCount, AlphabetAvg, BcastJoin, SemiJoin, AntiJoin, CityAvg,
     SubsetAvg, NameLenBands, DistinctValues, ValueHistogram, Mode,
     ClosestPrimary, PivotHeatmap, PerCustomerRollup, TopK, SetOps,
-    RollupGroupingSets, CubeAgg)
+    RollupGroupingSets, CubeAgg, FullOuterJoin)
 }

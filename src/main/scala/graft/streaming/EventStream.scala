@@ -62,6 +62,21 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Session windows (30-min inactivity gap) per user — Spark's native
+    * merging session_window with a watermark, the streaming twin of the
+    * batch lag-based [[graft.operators.AnalyticOps.Sessionize]]. A new
+    * event extends the session iff it arrives strictly within `gap` of the
+    * previous one, so window membership partitions events exactly like the
+    * batch formulation's `gap > threshold ⇒ new session` flag
+    * (spec-verified differentially against it).
+    */
+  def sessionWindowed(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("sw.start").as("sess_start"), col("sw.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Batch events table exposed with proper timestamps — the source both
     * batch and streaming paths share (ts arrives as TIMESTAMP(NANOS) →
     * long, see [[Graft.table]]).

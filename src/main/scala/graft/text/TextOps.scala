@@ -307,7 +307,38 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Blocked edit-distance near-dup: pairwise Levenshtein over distinct
+    * part names, candidate pairs bounded by a BLOCKING equi-join on the
+    * first character — the classic entity-resolution pattern that keeps
+    * pairwise string comparison sub-quadratic at scale (pairs exist only
+    * within a block, and blocks shuffle as small keys). Levenshtein is one
+    * of the few string metrics both engines implement identically.
+    */
+  object EditDistance extends GraftQuery {
+    val name = "q_edit_distance"
+    val MaxDist = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val names = Graft.table(spark, sfDir, "part")
+        .select(col("p_name").as("name")).distinct()
+        .withColumn("blk", substring(col("name"), 1, 1))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .filter(col("dist") <= MaxDist)
+        .orderBy("name_a", "name_b")
+    }
+    val oracle = Some(
+      s"""WITH n AS (SELECT DISTINCT p_name AS name, substr(p_name, 1, 1) AS blk
+         |           FROM part)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |       levenshtein(a.name, b.name) AS dist
+         |FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+         |WHERE levenshtein(a.name, b.name) <= $MaxDist
+         |ORDER BY name_a, name_b""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
-      BigramStats, BpeTokens, WinnowFingerprint)
+      BigramStats, BpeTokens, WinnowFingerprint, EditDistance)
 }

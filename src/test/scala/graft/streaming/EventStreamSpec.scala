@@ -46,6 +46,28 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("session_window partitions events exactly like the lag-based sessionize") {
+    import org.apache.spark.sql.expressions.Window
+    // second-truncated timestamps = the batch query's integer-seconds basis
+    val ev = EventStream.batchEvents(spark, sf)
+      .select(date_trunc("second", col("ts")).as("ts"), col("user_id"), col("value"))
+    // precondition making >gap (batch) vs >=gap (session_window close)
+    // indistinguishable: no consecutive same-user gap of exactly 1800s
+    val lagW = Window.partitionBy("user_id").orderBy("ts")
+    val exactBoundary = ev
+      .withColumn("d", unix_seconds(col("ts")) - lag(unix_seconds(col("ts")), 1).over(lagW))
+      .filter(col("d") === 1800L).count()
+    assert(exactBoundary == 0L)
+    val sw = EventStream.sessionWindowed(ev)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.AnalyticOps.Sessionize.run(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sw == batch)
+    assert(sw.nonEmpty)
+  }
+
   test("userSessions keyed state accumulates per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
