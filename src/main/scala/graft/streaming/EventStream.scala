@@ -77,6 +77,28 @@ object EventStream {
       .select(col("sw.start").as("sess_start"), col("sw.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: clicks attached to purchases of the same
+    * user within the preceding hour — the streaming twin of the batch
+    * [[graft.operators.AnalyticOps.RangeJoin]]. Watermarks on BOTH sides
+    * plus a time condition bounded in BOTH directions are what make the
+    * join state provably evictable (Spark refuses unbounded stream-stream
+    * joins otherwise): a click is retained only until its watermark passes
+    * `c_ts + 1 hour`.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Batch events table exposed with proper timestamps — the source both
     * batch and streaming paths share (ts arrives as TIMESTAMP(NANOS) →
     * long, see [[Graft.table]]).

@@ -68,6 +68,28 @@ class EventStreamSpec extends SparkSpec {
     assert(sw.nonEmpty)
   }
 
+  test("stream-stream interval join matches only clicks in the hour before the purchase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val purchases = MemoryStream[EventStream.Event]
+    val clicks = MemoryStream[EventStream.Event]
+    purchases.addData(Seq(
+      EventStream.Event(100, ts("2024-01-01 10:00:00"), 7L, "purchase", 9.99)))
+    clicks.addData(Seq(
+      EventStream.Event(1, ts("2024-01-01 09:30:00"), 7L, "click", 1.0), // in window
+      EventStream.Event(2, ts("2024-01-01 08:30:00"), 7L, "click", 2.0), // too early
+      EventStream.Event(3, ts("2024-01-01 10:30:00"), 7L, "click", 3.0), // after purchase
+      EventStream.Event(4, ts("2024-01-01 09:45:00"), 9L, "click", 4.0))) // other user
+    val q = EventStream.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq == Seq((7L, 100L, 1.0)))
+  }
+
   test("userSessions keyed state accumulates per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
