@@ -154,7 +154,12 @@ object Dedup {
     * other one.
     */
   def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
+    docs.select(col("doc_id"),
+        // native fused tokenize→shingle→distinct→hash: the composable
+        // shingleHashes(shingles(...)) chain runs its higher-order lambdas
+        // interpreted and was the residual hot path of the MinHash bench
+        // (equivalence spec: ShingleExpressionSpec)
+        graft.plans.ShingleExpression.shingle_hashes(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
 

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftglue.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused word-n-gram shingle hashing: whitespace-tokenize, join each n-gram
+  * with single spaces, de-duplicate the shingle STRINGS (first-occurrence,
+  * like `array_distinct`), and hash each with the 28-bit md5 prefix
+  * ([[graft.functions.PortableHash.pHash28]]).
+  *
+  * Replaces the composable chain `split → n× slice → zip_with concat →
+  * array_compact → array_distinct → transform(md5)` whose higher-order
+  * functions all run interpreted (no codegen for HOF lambdas) — that chain
+  * was the remaining hot path of the MinHash queries. Distinct-then-hash
+  * order is preserved exactly (a hash collision between distinct shingles
+  * must keep both occurrences, as the SQL form does).
+  */
+object ShingleExpression {
+
+  def hashes(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 7 hex chars == top 28 bits
+      out(k) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      hashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.ShingleExpression.hashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  def shingle_hashes(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n))
+}
