@@ -194,25 +194,21 @@ object Dedup {
   val SimHashBits = 60
 
   /** 60-bit SimHash from portable token hashes: per bit, sum ±1 votes over
-    * tokens (weighted by term frequency), sign → bit. Relational:
-    * explode (token, bit) votes → two-level aggregate. Shuffles only
-    * (doc_id, bit, vote) triples.
+    * token OCCURRENCES, sign → bit (Σ_occurrences ±1 ≡ Σ_distinct-tokens
+    * ±tf, the classic tf-weighted definition). One pass through the typed
+    * [[graft.functions.Aggregators.SimHashAgg]]: partial state is 60
+    * counters per doc, vs the exploded relational form that pre-aggregated
+    * (doc, token) and then shuffled 60 (doc, bit, vote) rows per token —
+    * two extra shuffles whose width grew with vocabulary × bits.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", graft.functions.PortableHash.pHash60(col("tok")))
-    val votes = toks
-      .select(col(idCol), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(SimHashBits - 1))).as("bit"))
-      .select(col(idCol), col("bit"),
-        when(expr("(shiftright(h, bit) & 1L) = 1L"), col("tf"))
-          .otherwise(-col("tf")).as("vote"))
-      .groupBy(idCol, "bit").agg(sum(col("vote")).as("v"))
-    votes.groupBy(idCol)
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)"))
-        .otherwise(0L)).as("simhash"))
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.SimHashAgg(SimHashBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), graft.functions.PortableHash.pHash60(col("tok")).as("h"))
+      .groupBy(idCol)
+      .agg(agg(col("h")).as("simhash"))
   }
 
   object SimHash extends GraftQuery {

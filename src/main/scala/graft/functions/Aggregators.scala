@@ -89,4 +89,38 @@ object Aggregators {
     def bufferEncoder: Encoder[KmvBuffer] = Encoders.kryo[KmvBuffer]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** SimHash as a one-pass aggregator over portable token hashes: each
+    * occurrence votes ±1 on every bit of its hash; finish takes the sign
+    * per bit. Σ over occurrences of ±1 ≡ Σ over distinct tokens of ±tf, so
+    * this is value-identical to the tf-weighted relational formulation —
+    * but the plan needs NO per-(doc,token) pre-aggregation and NO
+    * explode-by-bits: partial state is a fixed `bits` counters per group,
+    * where the exploded form shuffled 60 rows per (doc, token).
+    */
+  class SimHashAgg(bits: Int) extends Aggregator[Long, Array[Long], Long] {
+    require(bits > 0 && bits <= 63)
+    def zero: Array[Long] = new Array[Long](bits)
+    def reduce(acc: Array[Long], h: Long): Array[Long] = {
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      acc
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bits) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(acc: Array[Long]): Long = {
+      var out = 0L
+      var b = 0
+      while (b < bits) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }

@@ -150,12 +150,26 @@ object Similarity {
     lshBucketQ(quantize_vec(e), dim, table, nPlanes)
 
   /** All tables' bucket keys over the quantized embedding, namespaced as
-    * table*2^planes + bucket.
+    * table*2^planes + bucket. Composable reference form — [[lshKeysNative]]
+    * is the fused expression the queries run (bit-equivalent,
+    * spec-verified).
     */
   def lshKeysQ(q: Column, dim: Int, tables: Int = NumTables,
       nPlanes: Int = PlanesPerTable): Column =
     array((0 until tables).map(t =>
       lshBucketQ(q, dim, t, nPlanes) + lit(t << nPlanes)): _*)
+
+  /** [[lshKeysQ]] as ONE native expression: all tables×planes sign dots in
+    * a single loop over a plane matrix reference, instead of 32 fused
+    * literal-array dot expressions whose generated code dominated cold
+    * compile time.
+    */
+  def lshKeysNative(q: Column, dim: Int, tables: Int = NumTables,
+      nPlanes: Int = PlanesPerTable): Column =
+    graft.plans.LshExpression.lsh_keys(q,
+      for (t <- 0 until tables; p <- 0 until nPlanes)
+        yield signPlane(t, p, dim),
+      tables, nPlanes)
 
   /** Approximate top-k: bucket both sides in T sign-LSH tables, equi-join on
     * the (table, bucket) key, dedup candidate pairs, exact-cosine rerank.
@@ -170,7 +184,7 @@ object Similarity {
       df.select(col("vec_id").as(idAs), quantize_vec(col("embedding")).as(qAs))
         .select(col(idAs), col(qAs),
           sqrt(dot_long(col(qAs), col(qAs)).cast("double")).as(nAs),
-          explode(lshKeysQ(col(qAs), dim, tables, nPlanes)).as("key"))
+          explode(lshKeysNative(col(qAs), dim, tables, nPlanes)).as("key"))
     val q = prep(queries, "query_id", "qq", "qn")
     val c = prep(candidates, "neighbor_id", "cq", "cn")
     val w = Window.partitionBy("query_id")
