@@ -221,7 +221,56 @@ object AnalyticOps {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Date-part extraction rollup — year/quarter/month revenue (the
+    * calendar-dimension family beyond date_trunc in [[OrdersByMonth]]).
+    * All parts are integers, identical across engines.
+    */
+  object DateParts extends GraftQuery {
+    val name = "q_date_parts"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy("y", "q", "m")
+    val oracle = Some(
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(quarter(o_orderdate) AS INT) AS q,
+        |       CAST(month(o_orderdate) AS INT) AS m,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  /** Ordered set aggregation — per-region sorted nation roster as a joined
+    * string (collect_list → array_sort → concat_ws ≡ string_agg ORDER BY).
+    * The string form keeps the result hashable by the driver comparator;
+    * deterministic because the aggregated set is sorted, not
+    * arrival-ordered.
+    */
+  object ArrayAgg extends GraftQuery {
+    val name = "q_array_agg"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val n = Graft.table(spark, sfDir, "nation")
+      val r = Graft.table(spark, sfDir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("region")
+    }
+    val oracle = Some(
+      """SELECT r_name AS region,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct,
-      RangeJoin)
+      RangeJoin, DateParts, ArrayAgg)
 }

@@ -93,5 +93,37 @@ object WindowOps {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(RunningSum, TopNPerGroup, TumblingWindow)
+  /** Analytic-function pack — lead, ntile, first_value over one totally
+    * ordered per-customer window (the ranking/navigation family beyond
+    * row_number/lag used elsewhere). Bounded to 3 customers' order
+    * histories so the full row set stays verifiable.
+    */
+  object WindowPack extends GraftQuery {
+    val name = "q_window_pack"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+        .filter(col("o_custkey") < 3)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("next_d"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_totalprice")).over(w).as("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
+    val oracle = Some(
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |       strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS next_d,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       first_value(o_totalprice) OVER w AS first_price
+        |FROM orders WHERE o_custkey < 3
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(RunningSum, TopNPerGroup, TumblingWindow, WindowPack)
 }
