@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftglue.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused word-n-gram shingle hashing: whitespace-tokenize, join each n-gram
@@ -69,4 +69,48 @@ object ShingleExpression {
 
   def shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))
+
+  /** The distinct shingle STRINGS themselves (same tokenize → n-gram →
+    * first-occurrence-distinct pipeline, no hashing) — for operators that
+    * group on the n-gram text, e.g. bigram frequency stats.
+    */
+  def strings(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      strings(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.ShingleExpression.strings($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+      copy(child = newChild)
+  }
+
+  def shingle_strings(c: Column, n: Int): Column =
+    Bridge.column(ShingleStrings(Bridge.expression(c), n))
 }

@@ -196,7 +196,9 @@ object TextOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val counts = Graft.table(spark, sfDir, "documents")
         .select(col("lang"),
-          explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("bigram"))
+          // native fused tokenize→bigram→distinct (same pipeline as the
+          // composable Dedup.shingles, which stays as the spec reference)
+          explode(graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("bigram"))
         .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("bigram").asc)

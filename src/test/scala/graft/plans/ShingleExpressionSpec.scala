@@ -36,6 +36,22 @@ class ShingleExpressionSpec extends SparkSpec {
     assert(n(2).length == 1)
   }
 
+  test("shingle_strings matches shingles(text, 2) element-wise") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox", "a b a b a b", "solo", "", "  x   y  "
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = docs.select(col("id"),
+        ShingleExpression.shingle_strings(col("text"), 2).as("sh"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val composed = docs.select(col("id"), Dedup.shingles(col("text"), 2).as("sh"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    native.zip(composed).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"doc $i: native $a vs composed $b")
+    }
+    assert(native(1) == Seq("a b", "b a"))
+  }
+
   test("signatures through the native hasher keep the oracle formulation's values") {
     // end-to-end: MinHash signature of a known doc is identical through
     // both hashing paths (the LSH band math downstream is unchanged)
