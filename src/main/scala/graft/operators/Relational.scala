@@ -490,9 +490,50 @@ object Relational {
         |ORDER BY custkey""".stripMargin)
   }
 
+  /** EXCEPT — customers with open orders but no finished order (completes
+    * the set-op family next to [[SetOps]]' INTERSECT; UNION is implicit in
+    * the as-of machinery).
+    */
+  object ExceptOp extends GraftQuery {
+    val name = "q_except"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.except(b).orderBy("o_custkey")
+    }
+    val oracle = Some(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** Unpivot/melt — the inverse of [[PivotHeatmap]]: wide per-segment count
+    * columns back to (nation, segment, n) rows via `stack` (the relational
+    * spelling of the reference's pandas transpose, `plots.py:37`). The
+    * oracle unpivots with a portable UNION ALL.
+    */
+  object Unpivot extends GraftQuery {
+    val name = "q_unpivot"
+    private val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val wide = PivotHeatmap.run(spark, sfDir)
+      val stackArgs = segs.map(s => s"'$s', ${s.toLowerCase}").mkString(", ")
+      wide.select(col("nation"),
+          expr(s"stack(${segs.length}, $stackArgs) AS (segment, n)"))
+        .orderBy("nation", "segment")
+    }
+    private def armSql(s: String) =
+      s"""SELECT n_name AS nation, '$s' AS segment, count(*) FILTER (WHERE c_mktsegment = '$s') AS n
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin
+    val oracle = Some(
+      segs.map(armSql).mkString("", "\nUNION ALL\n", "\nORDER BY nation, segment"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     AlphabetCount, AlphabetAvg, BcastJoin, SemiJoin, AntiJoin, CityAvg,
     SubsetAvg, NameLenBands, DistinctValues, ValueHistogram, Mode,
     ClosestPrimary, PivotHeatmap, PerCustomerRollup, TopK, SetOps,
-    RollupGroupingSets, CubeAgg, FullOuterJoin)
+    RollupGroupingSets, CubeAgg, FullOuterJoin, ExceptOp, Unpivot)
 }
