@@ -77,5 +77,33 @@ object SourceQueries {
     val oracle = None // binary source: no DuckDB-side image decoding
   }
 
-  val all: Seq[GraftQuery] = Seq(CsvRoundtrip, BinaryScan)
+  /** JSON-lines round-trip — the de-facto interchange format for LLM
+    * training corpora. Documents are written as JSONL, re-read with an
+    * explicit schema (no sampling/inference pass — at 100 TB schema
+    * inference is a full extra scan), and aggregated; the oracle runs on
+    * the original parquet, so matching hashes prove the JSONL boundary is
+    * lossless for this schema (string escaping, unicode, nulls).
+    */
+  object JsonlRoundtrip extends GraftQuery {
+    val name = "q_jsonl_roundtrip"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = workDir("jsonl", sfDir) + "/documents"
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select("doc_id", "text", "lang")
+      docs.write.mode("overwrite").json(dir)
+      val back = spark.read.schema(docs.schema).json(dir)
+      back.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
+    }
+    val oracle = Some(
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(CsvRoundtrip, BinaryScan, JsonlRoundtrip)
 }
