@@ -17,6 +17,27 @@ class EngineContractSpec extends SparkSpec {
     }
   }
 
+  test("oracle-backed queries emit flat, uniquely named columns") {
+    // the driver's comparator sorts columns BY NAME and hashes cell values
+    // on the pandas side: duplicate names make the sort ambiguous, and
+    // array/map/struct cells are unhashable there (this silently broke
+    // q_binary_scan in round 1 until its arrays were flattened)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.registry.filter(_.oracle.isDefined).foreach { q =>
+      val schema = q.run(spark, sf).schema
+      val names = schema.fields.map(_.name)
+      assert(names.distinct.length == names.length,
+        s"${q.name} has duplicate column names: ${names.mkString(",")}")
+      schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[ArrayType] &&
+          !f.dataType.isInstanceOf[MapType] &&
+          !f.dataType.isInstanceOf[StructType],
+          s"${q.name}.${f.name} is nested-typed (${f.dataType}); " +
+            "flatten or serialize for the comparator")
+      }
+    }
+  }
+
   test("every query is bit-deterministic across shuffle-partition counts") {
     // the driver's correctness gate hash-compares result sets, so results
     // must not depend on partitioning: total output order, decimal-exact /
