@@ -340,7 +340,37 @@ object TextOps {
          |ORDER BY name_a, name_b""".stripMargin)
   }
 
+  /** Deterministic train/val/test split assignment: bucket = portable hash
+    * of the doc id mod 100 → 80/10/10. Hash-based splits are how real
+    * corpus pipelines make held-out sets reproducible across runs AND
+    * across engines (a seeded `rand()` is neither) — and membership is
+    * stable under corpus growth: adding documents never moves an existing
+    * one between splits, unlike any fraction-based `sample()`.
+    */
+  object SplitAssign extends GraftQuery {
+    val name = "q_split_assign"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val bucket = pmod(pHash60(col("doc_id").cast("string")), lit(100L))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      Graft.table(spark, sfDir, "documents")
+        .select(split.as("split"), size(tokens(col("text"))).as("n_tok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .orderBy("split")
+    }
+    val oracle = Some(
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM (SELECT text,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
-      BigramStats, BpeTokens, WinnowFingerprint, EditDistance)
+      BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign)
 }
