@@ -29,27 +29,39 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, Long]]()
   }
 
-  /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
-    * 64-bit hashes; estimate = (k-1) / normalized kth minimum. Fixed-size
-    * state (k longs), associative+commutative merge — the sketch family
-    * the reference's `np.unique`-on-driver could never scale to.
+  /** KMV (k-minimum-values) distinct-count sketch family: keep the k
+    * smallest distinct hash values; estimate from the kth minimum.
+    * Fixed-size state (≤ k longs), associative+commutative merge — the
+    * sketch family the reference's `np.unique`-on-driver could never scale
+    * to, and the reason the shuffle cost is independent of row count.
     */
   final case class KmvBuffer(mins: Vector[Long])
 
+  /** Shared k-min-values state ops (signed ascending order — callers map
+    * their hash domain into it).
+    */
+  private object Kmv {
+    def insert(mins: Vector[Long], h: Long, k: Int): Vector[Long] =
+      if (mins.length < k) (mins :+ h).distinct.sorted
+      else if (h >= mins.last) mins
+      else ((mins :+ h).distinct.sorted).take(k)
+    def merge(a: Vector[Long], b: Vector[Long], k: Int): Vector[Long] =
+      (a ++ b).distinct.sorted.take(k)
+  }
+
+  /** KMV over raw (un-hashed) long values: hashes with byteswap64 into full
+    * unsigned-64 space. Engine-private hashing — spec-verified tolerance,
+    * not oracle-replayable; see [[KmvPortable]] for the cross-engine form.
+    */
   class KmvSketch(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
     require(k >= 2)
     def zero: KmvBuffer = KmvBuffer(Vector.empty)
-    private def insert(mins: Vector[Long], h: Long): Vector[Long] = {
-      // store hashes flipped to unsigned order
-      val u = h ^ Long.MinValue
-      if (mins.length < k) (mins :+ u).distinct.sorted
-      else if (u >= mins.last) mins
-      else ((mins :+ u).distinct.sorted).take(k)
-    }
     def reduce(b: KmvBuffer, value: Long): KmvBuffer =
-      KmvBuffer(insert(b.mins, scala.util.hashing.byteswap64(value)))
+      // flip to unsigned order so the signed-ascending core ranks correctly
+      KmvBuffer(Kmv.insert(b.mins,
+        scala.util.hashing.byteswap64(value) ^ Long.MinValue, k))
     def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
-      KmvBuffer((a.mins ++ b.mins).distinct.sorted.take(k))
+      KmvBuffer(Kmv.merge(a.mins, b.mins, k))
     def finish(b: KmvBuffer): Double =
       if (b.mins.length < k) b.mins.length.toDouble
       else {
@@ -63,24 +75,19 @@ object Aggregators {
   }
 
   /** KMV over PRE-HASHED portable values ([[PortableHash.pHash60]] longs in
-    * [0, 2^60)): keeps the k smallest distinct hashes, estimates
-    * (k-1) / (h_k / 2^60). One pass, fixed-size state — the partial buffers
-    * that cross the shuffle are ≤ k longs per partition instead of every
-    * distinct (group, hash) row, which is what makes this the 100 TB form
-    * of the sketch. The estimator's constants and single divide are the
-    * exact IEEE expression the DuckDB oracle computes, so results stay
-    * hash-verifiable ([[graft.operators.AnalyticOps.ApproxDistinct]]).
+    * [0, 2^60), already nonnegative so signed order == value order):
+    * estimates (k-1) / (h_k / 2^60). The estimator's constants and single
+    * divide are the exact IEEE expression the DuckDB oracle computes, so
+    * results stay hash-verifiable
+    * ([[graft.operators.AnalyticOps.ApproxDistinct]]).
     */
   class KmvPortable(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
     require(k >= 2)
-    private def insert(mins: Vector[Long], h: Long): Vector[Long] =
-      if (mins.length < k) (mins :+ h).distinct.sorted
-      else if (h >= mins.last) mins
-      else ((mins :+ h).distinct.sorted).take(k)
     def zero: KmvBuffer = KmvBuffer(Vector.empty)
-    def reduce(b: KmvBuffer, h: Long): KmvBuffer = KmvBuffer(insert(b.mins, h))
+    def reduce(b: KmvBuffer, h: Long): KmvBuffer =
+      KmvBuffer(Kmv.insert(b.mins, h, k))
     def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
-      KmvBuffer((a.mins ++ b.mins).distinct.sorted.take(k))
+      KmvBuffer(Kmv.merge(a.mins, b.mins, k))
     def finish(b: KmvBuffer): Double =
       if (b.mins.length < k) b.mins.length.toDouble
       // (k-1) * 2^60 / h_k — both constants exactly representable, one

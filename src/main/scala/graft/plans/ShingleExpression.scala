@@ -22,10 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleExpression {
 
-  def hashes(text: UTF8String, n: Int): GenericArrayData = {
-    val toks = text.toString.trim.split("\\s+")
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Tokenize + n-gram + first-occurrence dedup, matching the composable
+    * `split(trim(text), "\\s+")` EXACTLY: SQL `trim` strips leading/trailing
+    * SPACES only (Java's `String.trim` would also strip \n/\t/controls and
+    * diverge from both engines), and the regex split keeps leading/trailing
+    * empty tokens like Spark's `split` (limit -1; Java's default limit 0
+    * drops trailing empties).
+    */
+  private def grams(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
+    val s = text.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = Ws.split(s.substring(b, e), -1)
     val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) return seen
     var i = 0
     val last = toks.length - n
     val sb = new java.lang.StringBuilder()
@@ -40,6 +54,11 @@ object ShingleExpression {
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+
+  def hashes(text: UTF8String, n: Int): GenericArrayData = {
+    val seen = grams(text, n)
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Long](seen.size)
     var k = 0
@@ -70,28 +89,12 @@ object ShingleExpression {
   def shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))
 
-  /** The distinct shingle STRINGS themselves (same tokenize → n-gram →
-    * first-occurrence-distinct pipeline, no hashing) — for operators that
-    * group on the n-gram text, e.g. bigram frequency stats.
+  /** The distinct shingle STRINGS themselves (same [[grams]] pipeline, no
+    * hashing) — for operators that group on the n-gram text, e.g. bigram
+    * frequency stats.
     */
   def strings(text: UTF8String, n: Int): GenericArrayData = {
-    val toks = text.toString.trim.split("\\s+")
-    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    val last = toks.length - n
-    val sb = new java.lang.StringBuilder()
-    while (i <= last) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    val seen = grams(text, n)
     val out = new Array[AnyRef](seen.size)
     var k = 0
     val it = seen.iterator()

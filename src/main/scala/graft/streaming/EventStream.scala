@@ -73,7 +73,10 @@ object EventStream {
   def sessionWindowed(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal-exact like the batch twin: a double sum would depend on
+        // micro-batch/partition accumulation order
+        graft.functions.SafeMath.exactSum(col("value")).as("total_value"))
       .select(col("sw.start").as("sess_start"), col("sw.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 

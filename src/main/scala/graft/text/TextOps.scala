@@ -232,7 +232,9 @@ object TextOps {
     */
   object BpeTokens extends GraftQuery {
     val name = "q_bpe_tokens"
-    private val pattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    // whitespace spelled as an explicit char class: Java regex \s includes
+    // vertical tab, RE2's does not — the explicit list is dialect-proof
+    private val pattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val toks = regexp_extract_all(lower(col("text")), lit(pattern), lit(0))
       Graft.table(spark, sfDir, "documents")

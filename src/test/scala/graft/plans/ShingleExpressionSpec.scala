@@ -19,7 +19,10 @@ class ShingleExpressionSpec extends SparkSpec {
       "one two",           // too short → empty
       "",                  // empty text
       "  spaced   out\ttokens \n here  ",
-      "x y z " * 30
+      "x y z " * 30,
+      "two three four\n",  // trailing non-space ws survives SQL trim →
+      "\tlead tab start",  //   empty trailing/leading token, kept by split
+      "a b c d \n\t "      // mixed trailing run ending past the spaces
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
 
     val native = docs.select(col("id"),
