@@ -20,6 +20,7 @@ object SparkEntry {
       operators.AsOfJoin.all ++
       Seq(operators.Salting.SaltedAgg) ++
       text.TextOps.all ++
+      text.TextPipeline.all ++
       dedup.Dedup.all ++
       similarity.Similarity.all ++
       sources.SourceQueries.all

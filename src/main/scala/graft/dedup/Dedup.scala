@@ -168,10 +168,12 @@ object Dedup {
     */
   def minhashCandidatePairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
     val sig = signatures(docs)
+    // portable band buckets (same as [[MinHashLsh]]) — an engine-private
+    // hash here would make any query built on this stage un-oracle-able
     val banded = sig.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-          b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        posexplode(sequence(lit(0), lit(NumBands - 1))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"),
+        bandBucket(col("sig"), col("col")).as("bucket"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,7 +1,8 @@
 package graft.text
 
+import graft.{Graft, GraftQuery}
 import graft.dedup.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed training-corpus cleaning pipeline — the end-to-end shape a
@@ -49,4 +50,80 @@ object TextPipeline {
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
       minEstJaccard: Double = 0.7): DataFrame =
     nearDedup(exactDedup(qualityFilter(docs, minTokens)), minEstJaccard)
+
+  /** The composed pipeline as a driver query: quality gate → exact dedup →
+    * MinHash near-dup removal → per-language survivor stats. EVERY stage is
+    * replayed by the DuckDB oracle — quality predicate, keep-min-id dedup,
+    * the full MinHash signature/band/bucket math, the est-Jaccard ≥ 0.7
+    * drop rule — so the hash match certifies the end-to-end cleaning
+    * semantics, not just one operator. This is the flagship shape: what a
+    * 100 TB corpus-prep run actually executes.
+    */
+  object CleanCorpus extends GraftQuery {
+    val name = "q_clean_corpus"
+    private val MinTokens = 5
+    private val MinEstJaccard = 0.7
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      cleanCorpus(Graft.table(spark, sfDir, "documents"), MinTokens, MinEstJaccard)
+        .select(col("lang"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
+    private val permRows = Dedup.coefs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    // est-Jaccard ≥ 0.7 over 16 minhashes ⇔ matches ≥ 12 (11/16 = 0.6875)
+    private val minMatches =
+      math.ceil(MinEstJaccard * Dedup.NumHashes).toInt
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $MinTokens),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM q)
+         |  GROUP BY fp),
+         |d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         |toks AS (
+         |  SELECT doc_id, t.tok, t.i
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+         |        FROM d) dd,
+         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+         |sh AS (
+         |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+         |  FROM toks t1
+         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+         |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
+         |sig AS (
+         |  SELECT doc_id, p.i, min((h.h * p.a + p.b) % 2147483647) AS s
+         |  FROM h, (VALUES $permRows) p(i, a, b)
+         |  GROUP BY 1, 2),
+         |sigl AS (SELECT doc_id, list(s ORDER BY i) AS l FROM sig GROUP BY 1),
+         |bk AS (
+         |  SELECT doc_id, b.band,
+         |         md5(l[2*b.band+1]::VARCHAR || ',' || l[2*b.band+2]::VARCHAR) AS bucket
+         |  FROM sigl, (SELECT unnest(generate_series(0, ${Dedup.NumBands - 1})) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.da, c.db, count(*) FILTER (WHERE sa.s = sb.s) AS m
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
+         |              JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
+         |  GROUP BY 1, 2),
+         |dropd AS (SELECT DISTINCT db AS doc_id FROM est WHERE m >= $minMatches),
+         |final AS (
+         |  SELECT * FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM dropd WHERE dropd.doc_id = d.doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+         |       min(doc_id) AS min_doc
+         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(CleanCorpus)
 }
