@@ -106,6 +106,41 @@ object Dedup {
     * replayed in ANSI SQL by the oracle below, so the signature math is
     * hash-verified end to end.
     */
+  /** DuckDB-oracle CTE chain replaying the full sketch math — tokens →
+    * 3-gram shingles → 28-bit hashes → 16 permutation minima → band
+    * buckets — over `src` (any relation providing doc_id, text). The ONE
+    * source of truth for the replay SQL: every oracle built on MinHash
+    * splices this block, so a change to NumHashes/NumBands/coefs updates
+    * them all together. Exposes CTEs `sig` (doc_id, i, s) and `bk`
+    * (doc_id, band, bucket).
+    */
+  def minhashOracleCtes(src: String): String = {
+    val permRows = coefs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val bandSlice = (1 to RowsPerBand)
+      .map(r => s"l[$RowsPerBand*b.band+$r]::VARCHAR").mkString(" || ',' || ")
+    s"""toks AS (
+       |  SELECT doc_id, t.tok, t.i
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |        FROM $src) tsrc,
+       |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+       |sh AS (
+       |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+       |  FROM toks t1
+       |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+       |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, p.i, min((h.h * p.a + p.b) % $MersennePrime) AS s
+       |  FROM h, (VALUES $permRows) p(i, a, b)
+       |  GROUP BY 1, 2),
+       |sigl AS (SELECT doc_id, list(s ORDER BY i) AS l FROM sig GROUP BY 1),
+       |bk AS (
+       |  SELECT doc_id, b.band, md5($bandSlice) AS bucket
+       |  FROM sigl,
+       |       (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b)""".stripMargin
+  }
+
   object MinHashLsh extends GraftQuery {
     val name = "q_minhash_bands"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
@@ -121,29 +156,10 @@ object Dedup {
           bandBucket(col("sig"), col("col")).as("bucket"))
         .orderBy("doc_id", "band")
     }
-    private val permRows = coefs.zipWithIndex
-      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val oracle = Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, t.tok, t.i
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-         |        FROM documents) d,
-         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
-         |sh AS (
-         |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
-         |  FROM toks t1
-         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
-         |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
-         |sig AS (
-         |  SELECT doc_id, p.i, min((h.h * p.a + p.b) % 2147483647) AS s
-         |  FROM h, (VALUES $permRows) p(i, a, b)
-         |  GROUP BY 1, 2),
-         |sigl AS (SELECT doc_id, list(s ORDER BY i) AS l FROM sig GROUP BY 1)
-         |SELECT doc_id, CAST(b.band AS INT) AS band,
-         |       md5(l[2*b.band+1]::VARCHAR || ',' || l[2*b.band+2]::VARCHAR) AS bucket
-         |FROM sigl, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b
-         |ORDER BY doc_id, band""".stripMargin)
+      s"""WITH ${minhashOracleCtes("documents")}
+         |SELECT doc_id, CAST(band AS INT) AS band, bucket
+         |FROM bk ORDER BY doc_id, band""".stripMargin)
   }
 
   /** (doc_id, sig) with shingle hashing staged once per row. The hash array

@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleExpression {
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  // RE2-equivalent whitespace (no \x0B), matching TextOps.WhitespaceClass
+  // and therefore every DuckDB oracle's `\s+`
+  private val Ws = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
 
   /** Tokenize + n-gram + first-occurrence dedup, matching the composable
     * `split(trim(text), "\\s+")` EXACTLY: SQL `trim` strips leading/trailing

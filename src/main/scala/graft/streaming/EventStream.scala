@@ -29,7 +29,10 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact like the batch twin (WindowOps.TumblingWindow):
+        // a double sum varies in the last ulp with micro-batch boundaries
+        graft.functions.SafeMath.exactSum(col("value")).as("total_value"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -15,9 +15,13 @@ object TextOps {
 
   /** Whitespace tokenizer — trim first so leading/trailing blanks don't
     * produce empty tokens (matches the DuckDB oracle's
-    * `string_split_regex(trim(text), '\s+')`).
+    * `string_split_regex(trim(text), '\s+')`). Whitespace is an explicit
+    * char class equal to RE2's `\s`: Java's `\s` additionally matches
+    * vertical tab (), which would split differently from every
+    * DuckDB oracle on text containing one.
     */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  val WhitespaceClass = "[ \\t\\n\\f\\r]+"
+  def tokens(c: Column): Column = split(trim(c), WhitespaceClass)
 
   val stopwords = Seq("the", "a", "of", "and", "to", "in")
 

@@ -72,8 +72,6 @@ object TextPipeline {
           sum(col("n_tok")).as("total_tokens"),
           min(col("doc_id")).as("min_doc"))
         .orderBy("lang")
-    private val permRows = Dedup.coefs.zipWithIndex
-      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     // est-Jaccard ≥ 0.7 over 16 minhashes ⇔ matches ≥ 12 (11/16 = 0.6875)
     private val minMatches =
       math.ceil(MinEstJaccard * Dedup.NumHashes).toInt
@@ -86,26 +84,7 @@ object TextPipeline {
          |  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM q)
          |  GROUP BY fp),
          |d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
-         |toks AS (
-         |  SELECT doc_id, t.tok, t.i
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-         |        FROM d) dd,
-         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
-         |sh AS (
-         |  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
-         |  FROM toks t1
-         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
-         |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
-         |sig AS (
-         |  SELECT doc_id, p.i, min((h.h * p.a + p.b) % 2147483647) AS s
-         |  FROM h, (VALUES $permRows) p(i, a, b)
-         |  GROUP BY 1, 2),
-         |sigl AS (SELECT doc_id, list(s ORDER BY i) AS l FROM sig GROUP BY 1),
-         |bk AS (
-         |  SELECT doc_id, b.band,
-         |         md5(l[2*b.band+1]::VARCHAR || ',' || l[2*b.band+2]::VARCHAR) AS bucket
-         |  FROM sigl, (SELECT unnest(generate_series(0, ${Dedup.NumBands - 1})) AS band) b),
+         |${Dedup.minhashOracleCtes("d")},
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM bk a JOIN bk b
