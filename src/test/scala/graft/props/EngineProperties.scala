@@ -78,6 +78,86 @@ object EngineProperties extends Properties("graft") {
     s.finish(s.merge(bx, by)) == s.finish(s.merge(by, bx))
   }
 
+  // ---- native-expression kernels (round 2) ----------------------------
+  import graft.plans.{LshExpression, ShingleExpression, WinnowExpression}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val genWord = Gen.resize(8, Gen.nonEmptyListOf(Gen.alphaLowerChar)).map(_.mkString)
+  private val genText = Gen.resize(40, Gen.listOf(genWord)).map(_.mkString(" "))
+
+  property("shingle.countMatchesNaiveSliding") = forAll(genText) { t =>
+    val toks = t.trim.split("[ \t\n\f\r]+", -1)
+    val naive =
+      if (toks.length < 2) 0
+      else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct.length
+    ShingleExpression.strings(UTF8String.fromString(t), 2).numElements == naive
+  }
+
+  private def md5Prefix28(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+  }
+
+  property("winnow.fingerprintsAreGramHashes_sortedDistinct") = forAll(genText) { t =>
+    val bytes = t.getBytes("UTF-8")
+    val fps = WinnowExpression.fps(bytes, 8, 4)
+    val all: Set[Long] =
+      if (bytes.length < 8) Set.empty
+      else (0 to bytes.length - 8).map(i => md5Prefix28(bytes.slice(i, i + 8))).toSet
+    val vals = (0 until fps.numElements()).map(fps.getLong)
+    vals.forall(all.contains) &&
+      vals == vals.distinct.sorted &&
+      (bytes.length < 8 || vals.nonEmpty)
+  }
+
+  property("winnow.sharedSubstringSharesFingerprint") = forAll(
+    genWord, genWord, Gen.listOfN(16, Gen.alphaLowerChar).map(_.mkString)) {
+    (pre, suf, core) =>
+      // winnowing guarantee: a shared substring of length ≥ k+w-1 (=11)
+      // yields at least one shared fingerprint (one full window lies inside
+      // the shared region in both docs)
+      val a = WinnowExpression.fps((pre + core).getBytes("UTF-8"), 8, 4)
+      val b = WinnowExpression.fps((core + suf).getBytes("UTF-8"), 8, 4)
+      val sa = (0 until a.numElements()).map(a.getLong).toSet
+      val sb = (0 until b.numElements()).map(b.getLong).toSet
+      sa.intersect(sb).nonEmpty
+  }
+
+  property("simhash.orderInvariant") = forAll(Gen.listOf(Gen.long)) { hs =>
+    val agg = new Aggregators.SimHashAgg(60)
+    def run(xs: Seq[Long]) = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    run(hs) == run(hs.reverse)
+  }
+
+  property("simhash.mergeIsConcat") = forAll(
+    Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+    val agg = new Aggregators.SimHashAgg(60)
+    def buf(zs: Seq[Long]) = zs.foldLeft(agg.zero)(agg.reduce)
+    agg.finish(agg.merge(buf(xs), buf(ys))) == agg.finish(buf(xs ++ ys))
+  }
+
+  private val genH60 = Gen.choose(0L, (1L << 60) - 1)
+
+  property("kmvPortable.duplicateInsensitive") = forAll(Gen.listOf(genH60)) { hs =>
+    val agg = new Aggregators.KmvPortable(8)
+    def run(zs: Seq[Long]) = agg.finish(zs.foldLeft(agg.zero)(agg.reduce))
+    run(hs ++ hs) == run(hs)
+  }
+
+  property("lsh.keysNamespacedPerTable") = forAll(
+    Gen.listOfN(64, Gen.choose(-500000L, 500000L))) { q =>
+    val planes = (for (t <- 0 until 8; p <- 0 until 4)
+      yield graft.similarity.Similarity.signPlane(t, p, 64)).toArray
+    val keys = LshExpression.keys(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray),
+      planes, 8, 4)
+    (0 until 8).forall { t =>
+      val k = keys.getInt(t)
+      (k >> 4) == t && (k & 15) >= 0
+    }
+  }
+
   // ---- average color bounds (M2) --------------------------------------
   property("averageColor.inRange") = forAll(
     Gen.choose(1, 8), Gen.choose(1, 8), Gen.listOfN(64, Gen.choose(0, 0xFFFFFF))) {
