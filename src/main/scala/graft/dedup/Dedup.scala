@@ -185,11 +185,18 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
     val sig = signatures(docs)
     // portable band buckets (same as [[MinHashLsh]]) — an engine-private
-    // hash here would make any query built on this stage un-oracle-able
+    // hash here would make any query built on this stage un-oracle-able.
+    // Persisted: the self-join below references this frame twice, and
+    // without a materialization barrier EACH side re-runs the full
+    // tokenize→shingle→hash→signature chain over the corpus — at 100 TB
+    // that is a whole extra pass. MEMORY_AND_DISK spills rather than
+    // recomputes; the cached rows are (id, 16 longs, band, 32-char bucket),
+    // orders of magnitude narrower than the documents they summarize.
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(sequence(lit(0), lit(NumBands - 1))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"),
         bandBucket(col("sig"), col("col")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -258,10 +265,13 @@ object Dedup {
     * exact 16-bit block) so the join is equi, not cross.
     */
   def simhashNearDupPairs(sims: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    // persisted for the same reason as minhashCandidatePairs: the self-join
+    // reads this frame twice, and its lineage is the full SimHash aggregation
     val blocks = sims
       .select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("block"))
       .withColumn("key", expr("shiftright(simhash, block * 16) & 65535L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
           col("a." + idCol) < col("b." + idCol))

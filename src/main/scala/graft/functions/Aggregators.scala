@@ -41,10 +41,23 @@ object Aggregators {
     * their hash domain into it).
     */
   private object Kmv {
+    /** Per-row insert keeps `mins` sorted-distinct as an invariant: binary
+      * search for the insertion point, O(log k) and zero allocation on the
+      * (dominant at scale) reject/duplicate paths — a distinct.sorted
+      * rebuild per accepted row is O(k log k) allocation in the tightest
+      * loop of the sketch.
+      */
     def insert(mins: Vector[Long], h: Long, k: Int): Vector[Long] =
-      if (mins.length < k) (mins :+ h).distinct.sorted
-      else if (h >= mins.last) mins
-      else ((mins :+ h).distinct.sorted).take(k)
+      if (mins.length >= k && h >= mins.last) mins
+      else {
+        import scala.collection.Searching._
+        mins.search(h) match {
+          case Found(_) => mins // already present
+          case InsertionPoint(i) =>
+            val grown = mins.patch(i, Vector(h), 0)
+            if (grown.length > k) grown.dropRight(1) else grown
+        }
+      }
     def merge(a: Vector[Long], b: Vector[Long], k: Int): Vector[Long] =
       (a ++ b).distinct.sorted.take(k)
   }

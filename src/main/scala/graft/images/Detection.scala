@@ -28,12 +28,14 @@ object Detection {
     Letterbox(r, (w * r).toInt, (h * r).toInt, target)
   }
 
-  /** Apply the letterbox to a decoded image: area-resize to the scaled box,
-    * pad the remainder with 114 (gray).
+  /** Apply the letterbox to a decoded image: bilinear-resize to the scaled
+    * box (the reference preproc's `cv2.INTER_LINEAR`,
+    * `yolox.zip!yolox/data/data_augment.py:149-153` — NOT the color
+    * pipeline's area filter), pad the remainder with 114 (gray).
     */
   def letterboxImage(img: ImageOps.Image, target: Int = TargetSize): ImageOps.Image = {
     val lb = letterbox(img.width, img.height, target)
-    val scaled = ImageOps.resizeArea(img, math.max(lb.outW, 1), math.max(lb.outH, 1))
+    val scaled = ImageOps.resizeBilinear(img, math.max(lb.outW, 1), math.max(lb.outH, 1))
     val pad = (PadValue << 16) | (PadValue << 8) | PadValue
     val out = Array.fill(target * target)(pad)
     var y = 0

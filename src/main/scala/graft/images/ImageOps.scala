@@ -85,6 +85,50 @@ object ImageOps {
     Image(tw, th, out)
   }
 
+  /** Bilinear resize, the semantics of `cv2.INTER_LINEAR` — the
+    * interpolation the reference's detector preproc uses
+    * (`yolox.zip!yolox/data/data_augment.py:149-153`), distinct from the
+    * area filter of [[resizeArea]] (M3, the color pipeline's
+    * `INTER_AREA`). Source sampling uses the half-pixel-center mapping
+    * `src = (dst + 0.5) * scale - 0.5` with edge clamp (border replicate),
+    * per-channel weights rounded to nearest — matching OpenCV's fixed-point
+    * bilinear to within its rounding.
+    */
+  def resizeBilinear(img: Image, tw: Int, th: Int): Image = {
+    val out = new Array[Int](tw * th)
+    val sx = img.width.toDouble / tw
+    val sy = img.height.toDouble / th
+    var ty = 0
+    while (ty < th) {
+      val yc = math.max(0.0, math.min(img.height - 1.0, (ty + 0.5) * sy - 0.5))
+      val y0 = yc.toInt
+      val y1 = math.min(y0 + 1, img.height - 1)
+      val wy = yc - y0
+      var tx = 0
+      while (tx < tw) {
+        val xc = math.max(0.0, math.min(img.width - 1.0, (tx + 0.5) * sx - 0.5))
+        val x0 = xc.toInt
+        val x1 = math.min(x0 + 1, img.width - 1)
+        val wx = xc - x0
+        val p00 = img.pixels(y0 * img.width + x0)
+        val p01 = img.pixels(y0 * img.width + x1)
+        val p10 = img.pixels(y1 * img.width + x0)
+        val p11 = img.pixels(y1 * img.width + x1)
+        def ch(shift: Int): Int = {
+          val c00 = (p00 >> shift) & 0xFF; val c01 = (p01 >> shift) & 0xFF
+          val c10 = (p10 >> shift) & 0xFF; val c11 = (p11 >> shift) & 0xFF
+          val top = c00 + (c01 - c00) * wx
+          val bot = c10 + (c11 - c10) * wx
+          math.round(top + (bot - top) * wy).toInt
+        }
+        out(ty * tw + tx) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+        tx += 1
+      }
+      ty += 1
+    }
+    Image(tw, th, out)
+  }
+
   /** M4 — dominant color: k-means (k=4, deterministic Lloyd's) over the
     * 128×128 area-resized pixels, dominant = centroid of the biggest cluster
     * (reference: `cv2.kmeans` + `palette[argmax(counts)]`,

@@ -31,6 +31,17 @@ object RunPipeline {
   def run(spark: SparkSession, cfg: Config): Unit = {
     import java.nio.file.{Files, Paths}
 
+    // golden-format stat writer (reference `write_results`,
+    // `pyspark_stats.py:40-52`): headers MUST match what `plots.py` reads
+    // back per stat type — letter/count, letter/avg_count, city/…
+    def writeStat(stat: DataFrame, headers: (String, String),
+        out: String, dir: String, name: String): Unit = {
+      val p = Paths.get(out, "stats", dir)
+      Files.createDirectories(p)
+      Files.writeString(p.resolve(s"$name.csv"),
+        StatsPipeline.toGoldenCsv(stat, headers))
+    }
+
     // ---- stage 1: detection (pyspark_yolox.py) --------------------------
     val images = ImagePipeline.scanImages(spark, cfg.imageDir, "*.{jpg,jpeg,png}")
     val preds = Sources.checkpoint(
@@ -59,27 +70,30 @@ object RunPipeline {
       writeStat(StatsPipeline.alphabetStat(rollup, cfg.names, cls)
           .select(col("letter"), col("count")),
         ("letter", "count"), cfg.outDir, "alphabet_count", cls.toString)
+      // header `letter;avg_count` per `pyspark_stats.py:98` / `plots.py:55`
+      // (the reference's local stats_bckp/stats copy says `letter;count`,
+      // but that copy is stale — its own plots.py would KeyError on it)
       writeStat(StatsPipeline.alphabetStat(rollup, cfg.names, cls)
           .select(col("letter"), col("avg_per_image")),
-        ("letter", "count"), cfg.outDir, "alphabet_count_avg", cls.toString)
+        ("letter", "avg_count"), cfg.outDir, "alphabet_count_avg", cls.toString)
       writeStat(StatsPipeline.cityAvgStat(rollup, cfg.names, cls),
         ("city", "avg_detections"), cfg.outDir, "avg_obj_per_city", cls.toString)
+      // dir name is the reference's literal `dogs_by_name_length`
+      // (`pyspark_stats.py:198`, read back `plots.py:57`) even though the
+      // stat is parameterized over any class here, not just 16=dog
       writeStat(StatsPipeline.nameLengthStat(rollup, cfg.names, cls),
         ("length_of_landmark_name", "avg_detections"),
-        cfg.outDir, "by_name_length", cls.toString)
+        cfg.outDir, "dogs_by_name_length", cls.toString)
     }
     writeStat(StatsPipeline.keywordContrastStat(rollup, cfg.names,
         cfg.classesOfInterest.head),
       ("files considered", "avg_detections"),
       cfg.outDir, "people_in_places_with_people", cfg.classesOfInterest.head.toString)
 
-    def writeStat(stat: DataFrame, headers: (String, String),
-        out: String, dir: String, name: String): Unit = {
-      val p = Paths.get(out, "stats", dir)
-      Files.createDirectories(p)
-      Files.writeString(p.resolve(s"$name.csv"),
-        StatsPipeline.toGoldenCsv(stat, headers))
-    }
+    // ---- stage 4: plots (plots.py) — replays the reference's CSV read
+    // path (column lookup BY HEADER NAME), so a header drift that would
+    // KeyError the reference's plots.py fails here too
+    Plots.writeAll(cfg.outDir, cfg.classesOfInterest)
   }
 
   /** CLI: RunPipeline <imageDir> <labelsCsv> <namesCsv> <outDir> */

@@ -21,10 +21,30 @@ object MapOps {
   private val propsType = MapType(StringType, LongType)
 
   /** props parsed and exploded to (event_type, key, value) rows. */
-  private def exploded(spark: SparkSession, sfDir: String): DataFrame =
-    Graft.table(spark, sfDir, "events")
-      .select(col("event_type"),
-        explode(from_json(col("props"), propsType)).as(Seq("prop_key", "v")))
+  private def exploded(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      explode(from_json(col("props"), propsType)).as(Seq("prop_key", "v")))
+
+  /** A4 over any (event_type, props:json) frame — the spec drives this with
+    * multi-key maps; the driver query is the same plan over `events`.
+    */
+  def mapSum(events: DataFrame): DataFrame =
+    exploded(events)
+      .groupBy("event_type", "prop_key")
+      .agg(sum(col("v")).as("total"))
+      .orderBy("event_type", "prop_key")
+
+  /** A5 over any (event_type, props:json) frame. */
+  def mapAvg(events: DataFrame): DataFrame = {
+    val n = events.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    exploded(events)
+      .groupBy("event_type", "prop_key")
+      .agg(sum(col("v")).as("total"))
+      .join(broadcast(n), "event_type")
+      .select(col("event_type"), col("prop_key"),
+        (col("total").cast("double") / col("n_events").cast("double")).as("avg_val"))
+      .orderBy("event_type", "prop_key")
+  }
 
   /** A4 — map-valued sum per group (`pyspark_yolox.py:158-165`): one
     * explode + one hash aggregate instead of a per-group driver loop.
@@ -33,14 +53,18 @@ object MapOps {
   object MapSum extends GraftQuery {
     val name = "q_map_sum"
     def run(spark: SparkSession, sfDir: String): DataFrame =
-      exploded(spark, sfDir)
-        .groupBy("event_type", "prop_key")
-        .agg(sum(col("v")).as("total"))
-        .orderBy("event_type", "prop_key")
+      mapSum(Graft.table(spark, sfDir, "events"))
+    // json_keys + quoted-path extract replays arbitrary-key maps (the
+    // previous '$.k' oracle certified only the single-key shape the
+    // testdata happens to use); keys containing a double-quote would break
+    // the path literal — out of scope for JSON object keys in this corpus
     val oracle = Some(
-      """SELECT event_type, 'k' AS prop_key,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total
-        |FROM events GROUP BY event_type ORDER BY event_type, prop_key""".stripMargin)
+      """WITH kv AS (
+        |  SELECT event_type, k.key AS prop_key,
+        |         CAST(json_extract_string(props, '$."' || k.key || '"') AS BIGINT) AS v
+        |  FROM events, LATERAL (SELECT unnest(json_keys(props)) AS key) k)
+        |SELECT event_type, prop_key, CAST(sum(v) AS BIGINT) AS total
+        |FROM kv GROUP BY 1, 2 ORDER BY event_type, prop_key""".stripMargin)
   }
 
   /** A5 — map-valued average: per-key sum over the group's total row count
@@ -49,22 +73,21 @@ object MapOps {
     */
   object MapAvg extends GraftQuery {
     val name = "q_map_avg"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val n = Graft.table(spark, sfDir, "events")
-        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
-      exploded(spark, sfDir)
-        .groupBy("event_type", "prop_key")
-        .agg(sum(col("v")).as("total"))
-        .join(broadcast(n), "event_type")
-        .select(col("event_type"), col("prop_key"),
-          (col("total").cast("double") / col("n_events").cast("double")).as("avg_val"))
-        .orderBy("event_type", "prop_key")
-    }
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      mapAvg(Graft.table(spark, sfDir, "events"))
+    // divisor is the group's EVENT count, not its (event, key) row count —
+    // hence the separate `n` CTE (a lateral-unnested count(*) would count
+    // exploded rows and silently change the average's denominator)
     val oracle = Some(
-      """SELECT event_type, 'k' AS prop_key,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-        |       / CAST(count(*) AS DOUBLE) AS avg_val
-        |FROM events GROUP BY event_type ORDER BY event_type, prop_key""".stripMargin)
+      """WITH n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+        |kv AS (
+        |  SELECT event_type, k.key AS prop_key,
+        |         CAST(json_extract_string(props, '$."' || k.key || '"') AS BIGINT) AS v
+        |  FROM events, LATERAL (SELECT unnest(json_keys(props)) AS key) k)
+        |SELECT kv.event_type, kv.prop_key,
+        |       CAST(sum(kv.v) AS DOUBLE) / CAST(max(n.n_events) AS DOUBLE) AS avg_val
+        |FROM kv JOIN n ON kv.event_type = n.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
   /** A8 — threshold filter + grouped histogram (the detection-score gate,

@@ -40,14 +40,22 @@ object LshExpression {
     new GenericArrayData(out)
   }
 
-  case class LshKeys(child: Expression, planes: Array[Array[Long]],
+  /** Planes carried as `Seq[Seq[Long]]`, not arrays: case-class equality /
+    * hashCode stay structural, so Catalyst canonicalization and
+    * common-subexpression elimination can dedup two identical LshKeys
+    * (array params compare by reference and silently defeat plan sharing).
+    * The eval/codegen hot path uses the pre-converted [[planeArr]].
+    */
+  case class LshKeys(child: Expression, planes: Seq[Seq[Long]],
       tables: Int, nPlanes: Int) extends UnaryExpression {
+    @transient private lazy val planeArr: Array[Array[Long]] =
+      planes.map(_.toArray).toArray
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(input: Any): Any =
-      keys(input.asInstanceOf[ArrayData], planes, tables, nPlanes)
+      keys(input.asInstanceOf[ArrayData], planeArr, tables, nPlanes)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("lshPlanes", planes, "long[][]")
+      val ref = ctx.addReferenceObj("lshPlanes", planeArr, "long[][]")
       defineCodeGen(ctx, ev, c =>
         s"graft.plans.LshExpression.keys($c, $ref, $tables, $nPlanes)")
     }
@@ -56,5 +64,5 @@ object LshExpression {
   }
 
   def lsh_keys(q: Column, planes: Seq[Array[Long]], tables: Int, nPlanes: Int): Column =
-    Bridge.column(LshKeys(Bridge.expression(q), planes.toArray, tables, nPlanes))
+    Bridge.column(LshKeys(Bridge.expression(q), planes.map(_.toSeq), tables, nPlanes))
 }

@@ -72,9 +72,13 @@ object TextPipeline {
           sum(col("n_tok")).as("total_tokens"),
           min(col("doc_id")).as("min_doc"))
         .orderBy("lang")
-    // est-Jaccard ≥ 0.7 over 16 minhashes ⇔ matches ≥ 12 (11/16 = 0.6875)
+    // est-Jaccard ≥ 0.7 over 16 minhashes ⇔ matches ≥ 12 (11/16 = 0.6875).
+    // Derived by the SAME comparison the engine runs (m/N >= threshold in
+    // IEEE doubles) — ceil(threshold*N) can overshoot when the double
+    // product lands just above an exact integer (0.1*20 = 2.0000…4).
     private val minMatches =
-      math.ceil(MinEstJaccard * Dedup.NumHashes).toInt
+      (0 to Dedup.NumHashes)
+        .find(m => m.toDouble / Dedup.NumHashes >= MinEstJaccard).get
     val oracle = Some(
       s"""WITH q AS (
          |  SELECT doc_id, text, lang FROM documents

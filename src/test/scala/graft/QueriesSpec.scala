@@ -75,6 +75,27 @@ class QueriesSpec extends SparkSpec {
     assert(m("x") == 1L && m("y") == 2L)
   }
 
+  test("mapSum/mapAvg handle arbitrary multi-key maps (A4/A5 generality)") {
+    import spark.implicits._
+    // keys differ per row and per group — the shape the single-key testdata
+    // never exercises (heterogeneous keys, missing keys, spaces in keys)
+    val events = Seq(
+      ("t1", """{"a": 1, "b": 2}"""),
+      ("t1", """{"a": 3, "c d": 5}"""),
+      ("t2", """{"b": 7}""")).toDF("event_type", "props")
+    val sums = operators.MapOps.mapSum(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sums == Map(
+      ("t1", "a") -> 4L, ("t1", "b") -> 2L, ("t1", "c d") -> 5L,
+      ("t2", "b") -> 7L))
+    val avgs = operators.MapOps.mapAvg(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // divisor = events in the group (2 for t1), not rows carrying the key
+    assert(avgs == Map(
+      ("t1", "a") -> 2.0, ("t1", "b") -> 1.0, ("t1", "c d") -> 2.5,
+      ("t2", "b") -> 7.0))
+  }
+
   test("map reassembly produces sorted-entry maps (A4 determinism)") {
     import spark.implicits._
     val grouped = Seq(("t1", "b", 2L), ("t1", "a", 1L), ("t2", "c", 3L))

@@ -111,6 +111,51 @@ class DetectionSpec extends AnyFunSuite {
     assert(classHistogram(kept) == Map(2 -> 1L))
   }
 
+  test("golden head tensor: decode → NMS → histogram, exact boxes at all strides") {
+    // A synthetically recorded YOLOX-tiny head (3549 anchors × 85) with six
+    // hand-placed anchors spanning every stride and every gate:
+    //   A stride-8  (10,5):  cx=(10.5)·8=84,  cy=44, w=e^ln4·8=32, h=16, 0.9·0.8=0.72, cls 17
+    //   B stride-8  (11,5):  cx=92, same size → IoU(A,B)=384/640=0.6 → NMS-suppressed
+    //                        despite cls 3 ≠ 17 (NMS is class-AGNOSTIC, boxes.py:56)
+    //   C stride-16 (3,2):   cx=48, cy=32, w=h=e^ln2·16=32 → (32,16,64,48), 0.75·0.8=0.6, cls 17
+    //   D stride-32 (6,6):   cx=cy=(6.25)·32=200 → (184,184,216,216), 0.9·0.5=0.45, cls 0
+    //   E stride-16 (20,20): (312,312,328,328), 0.7·0.5=0.35 — decoded (≥0.3),
+    //                        kept by NMS, but UNDER the 0.4 histogram gate
+    //   F stride-8  (0,0):   0.5·0.5=0.25 < 0.3 — never decoded
+    val raw = new Array[Float](anchorCount() * 85)
+    def put(idx: Int, cxOff: Float, cyOff: Float, lnW: Double, lnH: Double,
+        obj: Float, cls: Int, p: Float): Unit = {
+      val o = idx * 85
+      raw(o) = cxOff; raw(o + 1) = cyOff
+      raw(o + 2) = lnW.toFloat; raw(o + 3) = lnH.toFloat
+      raw(o + 4) = obj; raw(o + 5 + cls) = p
+    }
+    val ln2 = math.log(2.0); val ln4 = math.log(4.0)
+    put(5 * 52 + 10, 0.5f, 0.5f, ln4, ln2, 0.9f, 17, 0.8f)              // A
+    put(5 * 52 + 11, 0.5f, 0.5f, ln4, ln2, 0.8f, 3, 0.8f)               // B
+    put(52 * 52 + 2 * 26 + 3, 0f, 0f, ln2, ln2, 0.75f, 17, 0.8f)        // C
+    put(52 * 52 + 26 * 26 + 6 * 13 + 6, 0.25f, 0.25f, 0.0, 0.0, 0.9f, 0, 0.5f) // D
+    put(52 * 52 + 20 * 26 + 20, 0f, 0f, 0.0, 0.0, 0.7f, 42, 0.5f)       // E
+    put(0, 0.5f, 0.5f, 0.0, 0.0, 0.5f, 9, 0.5f)                          // F
+
+    val decoded = decodeRawOutputs(raw)
+    assert(decoded.length == 5) // F gated at decode
+    def close(a: Float, b: Float) = math.abs(a - b) < 1e-3
+    val Seq(a, b, c, e, d) = decoded // stride-major, then cell order
+    assert(a.cls == 17 && close(a.score, 0.72f) &&
+      close(a.x1, 68) && close(a.y1, 36) && close(a.x2, 100) && close(a.y2, 52))
+    assert(b.cls == 3 && close(b.score, 0.64f) && close(b.x1, 76) && close(b.x2, 108))
+    assert(c.cls == 17 && close(c.score, 0.6f) &&
+      close(c.x1, 32) && close(c.y1, 16) && close(c.x2, 64) && close(c.y2, 48))
+    assert(d.cls == 0 && close(d.score, 0.45f) &&
+      close(d.x1, 184) && close(d.y1, 184) && close(d.x2, 216) && close(d.y2, 216))
+    assert(e.cls == 42 && close(e.score, 0.35f) && close(e.x1, 312))
+
+    val kept = nms(decoded)
+    assert(kept.map(_.cls) == Seq(17, 17, 0, 42)) // B suppressed by A cross-class
+    assert(classHistogram(kept) == Map(17 -> 2L, 0 -> 1L)) // E under the 0.4 gate
+  }
+
   test("iou: disjoint 0, identical 1") {
     val a = Box(0, 0, 10, 10, 1f, 0)
     assert(iou(a, Box(20, 20, 30, 30, 1f, 0)) == 0f)

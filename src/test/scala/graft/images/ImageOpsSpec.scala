@@ -54,6 +54,27 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(dom == ((255, 0, 0)))
   }
 
+  test("resizeBilinear matches hand-computed INTER_LINEAR values") {
+    // 2×1 gradient [0, 100] upscaled ×2: src = (dst+0.5)*0.5-0.5 gives
+    // fx = -0.25, 0.25, 0.75, 1.25 → clamp + lerp → 0, 25, 75, 100
+    val g = Image(2, 1, Array(0x000000, 100 << 16 | 100 << 8 | 100))
+    val up = resizeBilinear(g, 4, 1)
+    assert(up.pixels.map(_ & 0xFF).toSeq == Seq(0, 25, 75, 100))
+
+    // 2×2 checker downsampled to 1×1: center sample (0.5, 0.5) averages
+    // all four corners — (200+0+0+100)/4 = 75 per hit channel
+    val c = Image(2, 2, Array(200 << 16, 0, 0, 100 << 16))
+    assert(resizeBilinear(c, 1, 1).pixels(0) == (75 << 16))
+
+    // vertical interpolation too: 1×2 column [10, 30] → ×2 → 10,15,25,30
+    val v = Image(1, 2, Array(10, 30))
+    assert(resizeBilinear(v, 1, 4).pixels.map(_ & 0xFF).toSeq == Seq(10, 15, 25, 30))
+
+    // identity when dims unchanged (fx lands exactly on source centers)
+    val id = Image(3, 1, Array(1, 2, 3))
+    assert(resizeBilinear(id, 3, 1).pixels.toSeq == Seq(1, 2, 3))
+  }
+
   test("dominantColor is deterministic across calls (seeded)") {
     val img = Image(32, 32, Array.tabulate(32 * 32)(i => (i * 2654435761L).toInt & 0xFFFFFF))
     assert(dominantColor(img) == dominantColor(img))

@@ -44,5 +44,43 @@ class RunPipelineSpec extends SparkSpec {
     assert(alpha.contains("A;8"))
     val primary = Files.readString(Paths.get(out, "stats", "closest_primary", "results.csv"))
     assert(primary.split("\n").length == 7) // header + 6 primaries
+
+    // golden headers byte-for-byte, per the reference's write_results calls
+    // (`pyspark_stats.py:96-98,198`) — these are what plots.py addresses
+    val avg = Files.readString(Paths.get(out, "stats", "alphabet_count_avg", "2.csv"))
+    assert(avg.startsWith("letter;avg_count\n"))
+    val dogs = Files.readString(Paths.get(out, "stats", "dogs_by_name_length", "2.csv"))
+    assert(dogs.startsWith("length_of_landmark_name;avg_detections\n"))
+    assert(primary.startsWith("primary_color;count\n"))
+    val ppl = Files.readString(
+      Paths.get(out, "stats", "people_in_places_with_people", "0.csv"))
+    assert(ppl.startsWith("files considered;avg_detections\n"))
+
+    // stage 4: plots.py-parity emission ran against the same tree — every
+    // chart exists under the reference's plots/<type>/ layout, and the CSV
+    // columns resolved BY NAME (writeAll throws on any header drift)
+    for (f <- Seq(
+        "plots/closest_primary/results.html",
+        "plots/alphabet_count/person.html",
+        "plots/alphabet_count_avg/car.html",
+        "plots/dogs_by_name_length/car.html",
+        "plots/people_in_places_with_people/person.html",
+        "plots/alphabet_count/heatmap.html",
+        "plots/alphabet_count_avg/heatmap.html",
+        "plots/avg_obj_per_city/heatmap.html"))
+      assert(Files.exists(Paths.get(out, f)), s"missing $f")
+    // the heatmap carries the merged letter axis from the golden CSVs
+    val hm = Files.readString(Paths.get(out, "plots", "alphabet_count", "heatmap.html"))
+    assert(hm.contains("<th>A</th>") && hm.contains("person"))
+  }
+
+  test("Plots.readStat fails loudly on a header drift (plots.py KeyError parity)") {
+    val dir = Files.createTempDirectory("graft_hdr")
+    val f = dir.resolve("0.csv")
+    Files.writeString(f, "letter;count\nA;1.0\n")
+    assert(Plots.readStat(f, "letter", "count") == Seq(("A", 1.0)))
+    intercept[IllegalArgumentException] {
+      Plots.readStat(f, "letter", "avg_count") // the stale-golden-header bug
+    }
   }
 }

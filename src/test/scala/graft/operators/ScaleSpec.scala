@@ -32,6 +32,60 @@ class ScaleSpec extends SparkSpec {
     assert(scan.count() == expect)
   }
 
+  test("AQE splits a skewed join partition (the runtime skew path)") {
+    import spark.implicits._
+    // one hot key carrying ~all rows: the classic skew shape. Thresholds
+    // forced down so the tiny fixture trips the same decision a hot key
+    // trips at 100 TB; broadcast disabled so a shuffle join actually plans.
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def set(k: String, v: String): Unit = spark.conf.set(k, v)
+    set("spark.sql.adaptive.enabled", "true")
+    set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    set("spark.sql.adaptive.skewJoin.enabled", "true")
+    set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // payload columns must survive into the join (referenced by the agg
+      // below) — with key-only scans, column pruning leaves partitions too
+      // small to trip the byte threshold, and identical sides collapse
+      // into a ReusedExchange
+      val left = (1 to 4000)
+        .map(i => (if (i % 10 == 0) i.toLong else 7L, s"payload_left_$i" * 4))
+        .toDF("k", "lv")
+      val right = (1 to 4000)
+        .map(i => (if (i % 10 == 0) i.toLong else 7L, s"payload_right_$i" * 4))
+        .toDF("k", "rv")
+      // global agg on top: requires no hash distribution on k, so AQE is
+      // free to split the skewed partition (a parent that re-required
+      // hashpartitioning(k) would veto the split as an extra shuffle).
+      // Inspect THIS frame's queryExecution — .count() would build and
+      // execute a separate one, leaving this plan un-finalized.
+      val cnt = left.join(right, "k")
+        .agg(count(when(length(col("lv")) > 0 && length(col("rv")) > 0, 1)).as("n"))
+      val n = cnt.collect().head.getLong(0)
+      // hot key 7: 3600 × 3600 pairs, plus 400 distinct singletons
+      assert(n == 3600L * 3600L + 400L)
+      val plan = cnt.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"no skew-split marker in the adaptive plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     // (warehouse dir is a static conf — tables land in ./spark-warehouse,
     // dropped in the finally; the dir is gitignored)
