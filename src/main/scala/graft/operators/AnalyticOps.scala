@@ -149,11 +149,18 @@ object AnalyticOps {
       // estimator is the same IEEE expression, so the oracle is unchanged.
       val kmvUdaf = org.apache.spark.sql.functions.udaf(
         new graft.functions.Aggregators.KmvPortable(K), Encoders.scalaLong)
+      // distinct FIRST: a KMV sketch of a set equals the sketch of the
+      // multiset (duplicates re-insert the same hash), and countDistinct
+      // mixed with a non-distinct UDAF in one agg makes the planner Expand
+      // every row 2× — the pre-distinct form halves the scan's row volume
+      // downstream, runs the md5 hash only on survivors, and turns the
+      // exact count into a plain count. 4.9 s → sub-second at sf0.1.
       Graft.table(spark, sfDir, "lineitem")
-        .select(col("l_returnflag"), col("l_partkey"),
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .select(col("l_returnflag"),
           pHash60(col("l_partkey").cast("string")).as("h"))
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        .agg(count(lit(1)).as("exact_parts"),
           kmvUdaf(col("h")).as("kmv_estimate"))
         .orderBy("l_returnflag")
     }

@@ -5,6 +5,7 @@ import graft.functions.SafeMath._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Reference-shaped relational operators (SURVEY.md §2.2–§2.5) re-expressed
   * as single declarative DataFrame plans over the driver testdata.
@@ -49,11 +50,16 @@ object Relational {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val li = Graft.table(spark, sfDir, "lineitem")
       val part = Graft.table(spark, sfDir, "part")
+      // two-phase distinct rewrite: aggregating to (letter, orderkey) first
+      // makes the order count a plain row count and the quantity sum a
+      // re-sum of exact decimal partials — countDistinct beside a plain sum
+      // would Expand the joined fact 2×. Same bits (decimal addition is
+      // associative), half the aggregated row volume.
       li.join(part, li("l_partkey") === part("p_partkey"))
-        .groupBy(substring(col("p_name"), 1, 1).as("letter"))
-        .agg(
-          exactSum(col("l_quantity")).as("sq"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
+        .groupBy(substring(col("p_name"), 1, 1).as("letter"), col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(27, 6))).as("q"))
+        .groupBy("letter")
+        .agg(sum(col("q")).cast("double").as("sq"), count(lit(1)).as("n_orders"))
         .select(
           col("letter"),
           safeDiv(col("sq"), col("n_orders").cast("double")).as("avg_qty_per_order"),
@@ -355,14 +361,22 @@ object Relational {
       val o = Graft.table(spark, sfDir, "orders")
       val li = Graft.table(spark, sfDir, "lineitem")
       val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy(col("c_custkey"))
-        .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          exactSum(revenue).as("revenue"))
-        .select(col("c_custkey"), col("n_orders"), col("revenue"),
-          safeDiv(col("revenue"), col("n_orders").cast("double")).as("avg_order_revenue"))
+      // Two-level aggregation instead of countDistinct-next-to-sum: the
+      // mixed distinct/non-distinct agg makes the planner Expand the joined
+      // fact 2×. Rolling lineitem up to its (unique) order first shuffles
+      // only (orderkey, decimal) pairs, the per-customer count becomes a
+      // plain count of order rows, and the decimal partial sums re-sum
+      // exactly (decimal addition is associative — same bits as exactSum).
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(revenue.cast(DecimalType(27, 6))).as("order_rev"))
+      val perCust = o.join(perOrder, o("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("order_rev")).as("rev_dec"))
+      perCust.join(c, col("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"),
+          safeDiv(col("rev_dec").cast("double"),
+            col("n_orders").cast("double")).as("avg_order_revenue"))
         .orderBy("c_custkey")
     }
     val oracle = Some(

@@ -46,10 +46,19 @@ object TextPipeline {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  /** The full pipeline. */
+  /** The full pipeline. The exact-dedup survivor set is persisted: three
+    * consumers read it (the MinHash signature build, the near-dup drop
+    * list's anti-join probe, and the final output), and without a barrier
+    * each re-runs the quality-gate tokenization and fingerprint join from
+    * the scan. At 100 TB this stage is also the natural Parquet checkpoint
+    * ([[graft.sources.Sources.checkpoint]]) between corpus-prep jobs.
+    */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
-      minEstJaccard: Double = 0.7): DataFrame =
-    nearDedup(exactDedup(qualityFilter(docs, minTokens)), minEstJaccard)
+      minEstJaccard: Double = 0.7): DataFrame = {
+    val deduped = exactDedup(qualityFilter(docs, minTokens))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDedup(deduped, minEstJaccard)
+  }
 
   /** The composed pipeline as a driver query: quality gate → exact dedup →
     * MinHash near-dup removal → per-language survivor stats. EVERY stage is

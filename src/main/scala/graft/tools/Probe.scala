@@ -11,7 +11,7 @@ object Probe {
       val fn = graft.SparkEntry.queries(n)
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        fn(spark, sf).count()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
         println(f"$n run $i: ${(System.nanoTime()-t0)/1e9}%.2f")
       }
     }
