@@ -197,16 +197,19 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("pos").as("band"),
         bandBucket(col("sig"), col("col")).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = banded.as("a").join(banded.as("b"),
+    // score-before-dedup: est_jaccard is functional in the pair, so
+    // computing it per bucket hit and filtering BEFORE the distinct means
+    // the dedup shuffle carries (long, long, double) survivors only — not
+    // two 16-long signatures per hit, and not the (majority) sub-threshold
+    // candidates. Same rows out; the zip per duplicate hit is 16 compares.
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    pairs.select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           b => b)).cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -236,28 +239,38 @@ object Dedup {
       .agg(agg(col("h")).as("simhash"))
   }
 
+  /** DuckDB CTE chain replaying the SimHash math over `src` (any relation
+    * providing doc_id, text) — tf-weighted per-bit votes → sign → packed
+    * 60-bit hash. The ONE source of truth for the replay SQL, spliced by
+    * every oracle built on SimHash. Exposes CTE `sh` (doc_id, simhash).
+    */
+  def simhashOracleCtes(src: String): String =
+    s"""tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf,
+       |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id,
+       |               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |        FROM $src)
+       |  GROUP BY doc_id, tok),
+       |votes AS (
+       |  SELECT doc_id, b.bit,
+       |         sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN tf ELSE -tf END) AS v
+       |  FROM tf, (SELECT unnest(generate_series(0, ${SimHashBits - 1})) AS bit) b
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+       |              AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1)""".stripMargin
+
   object SimHash extends GraftQuery {
     val name = "q_simhash"
     def run(spark: SparkSession, sfDir: String): DataFrame =
       simhash(Graft.table(spark, sfDir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     val oracle = Some(
-      s"""WITH tf AS (
-         |  SELECT doc_id, tok, count(*) AS tf,
-         |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-         |  FROM (SELECT doc_id,
-         |               unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |        FROM documents)
-         |  GROUP BY doc_id, tok),
-         |votes AS (
-         |  SELECT doc_id, b.bit,
-         |         sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN tf ELSE -tf END) AS v
-         |  FROM tf, (SELECT unnest(generate_series(0, ${SimHashBits - 1})) AS bit) b
-         |  GROUP BY 1, 2)
-         |SELECT doc_id,
-         |       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
-         |            AS BIGINT) AS simhash
-         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin)
+      s"""WITH ${simhashOracleCtes("documents")}
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, bucketed by the
@@ -272,16 +285,74 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("block"))
       .withColumn("key", expr("shiftright(simhash, block * 16) & 65535L"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hamming computed per bucket hit and gated BEFORE the distinct: most
+    // candidates fail the ≤ maxDist gate, so the dedup shuffle carries only
+    // the few surviving (id, id, int) triples (score-before-dedup, as in
+    // minhashCandidatePairs / Similarity.lshTopK)
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
           col("a." + idCol) < col("b." + idCol))
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy("id_a", "id_b")
+  }
+
+  /** The SimHash near-dup PAIR stage surfaced as its own oracle query —
+    * [[simhashNearDupPairs]] was previously reachable only through specs.
+    * The oracle replays block bucketing, the bucket equi-join, and the
+    * XOR-popcount Hamming gate, so the full sketch→pairs path is
+    * hash-verified in isolation.
+    */
+  object SimHashPairs extends GraftQuery {
+    val name = "q_simhash_pairs"
+    val MaxDist = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      simhashNearDupPairs(
+        simhash(Graft.table(spark, sfDir, "documents"), "doc_id", "text"),
+        "doc_id", MaxDist)
+    val oracle = Some(
+      s"""WITH ${simhashOracleCtes("documents")},
+         |blocks AS (
+         |  SELECT doc_id, simhash, b.block,
+         |         (simhash >> (b.block * 16)) & 65535 AS key
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS block) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM blocks a JOIN blocks b
+         |    ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= $MaxDist
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  /** The MinHash candidate-pair + estimated-Jaccard stage surfaced as its
+    * own oracle query (the verify step behind [[MinHashLsh]], composed by
+    * [[graft.text.TextPipeline.CleanCorpus]]). The filter in BOTH engines
+    * is the same double comparison m/16 ≥ 0.5.
+    */
+  object MinHashPairs extends GraftQuery {
+    val name = "q_minhash_pairs"
+    val MinEstJaccard = 0.5
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      minhashCandidatePairs(Graft.table(spark, sfDir, "documents"), MinEstJaccard)
+    val oracle = Some(
+      s"""WITH ${minhashOracleCtes("documents")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS m
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(m AS DOUBLE) / $NumHashes.0 AS est_jaccard
+         |FROM est WHERE CAST(m AS DOUBLE) / $NumHashes.0 >= $MinEstJaccard
+         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
   // ------------------------------------------------------- Shingle Jaccard
@@ -380,5 +451,6 @@ object Dedup {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(ExactDedup, MinHashLsh, SimHash, ShingleJaccard, EmbedNearDup)
+    Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
+      ShingleJaccard, EmbedNearDup)
 }
