@@ -221,23 +221,19 @@ object Dedup {
     */
   val SimHashBits = 60
 
-  /** 60-bit SimHash from portable token hashes: per bit, sum ±1 votes over
-    * token OCCURRENCES, sign → bit (Σ_occurrences ±1 ≡ Σ_distinct-tokens
-    * ±tf, the classic tf-weighted definition). One pass through the typed
-    * [[graft.functions.Aggregators.SimHashAgg]]: partial state is 60
-    * counters per doc, vs the exploded relational form that pre-aggregated
-    * (doc, token) and then shuffled 60 (doc, bit, vote) rows per token —
-    * two extra shuffles whose width grew with vocabulary × bits.
+  /** 60-bit SimHash: per bit, sum ±1 votes over token OCCURRENCES, sign →
+    * bit (Σ_occurrences ±1 ≡ Σ_distinct-tokens ±tf, the classic
+    * tf-weighted definition). SimHash is a pure per-document function, so
+    * it computes scan-side through the fused native
+    * [[graft.plans.SimHashExpression]] — a projected column, NO explode,
+    * NO shuffle (the round-2 aggregator form shuffled one 60-counter
+    * buffer per document; [[graft.functions.Aggregators.SimHashAgg]]
+    * remains the right tool when the input is already exploded tokens,
+    * equivalence spec-verified).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val agg = org.apache.spark.sql.functions.udaf(
-      new graft.functions.Aggregators.SimHashAgg(SimHashBits),
-      org.apache.spark.sql.Encoders.scalaLong)
-    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), graft.functions.PortableHash.pHash60(col("tok")).as("h"))
-      .groupBy(idCol)
-      .agg(agg(col("h")).as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.SimHashExpression.simhash60(col(textCol), SimHashBits).as("simhash"))
 
   /** DuckDB CTE chain replaying the SimHash math over `src` (any relation
     * providing doc_id, text) — tf-weighted per-bit votes → sign → packed
