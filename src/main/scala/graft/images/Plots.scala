@@ -121,8 +121,41 @@ object Plots {
         Seq("red", "green", "blue", "cyan", "yellow", "magenta")))
   }
 
-  /** The reference's full emission list (`plots.py:53-60`), over the stat
-    * tree [[RunPipeline.run]] writes.
+  /** The static dashboard (`dash.html`): a flex grid of `<embed>` panels
+    * pointing at the same relative `plots/<type>/…` chart files the
+    * reference's dashboard embeds (`dash.html:55-78`) — regenerated with
+    * our own minimal markup, not copied. Panels whose chart was not
+    * emitted (class not in this run's set) are skipped.
+    */
+  def dashboard(outDir: String): Unit = {
+    val panels = Seq(
+      "plots/alphabet_count_avg/heatmap.html" ->
+        "Heatmap: average detections by landmark first letter × class",
+      "plots/alphabet_count_avg/person.html" ->
+        "Average people per photo by landmark first letter",
+      "plots/closest_primary/results.html" ->
+        "Closest primary color to each image's dominant color",
+      "plots/dogs_by_name_length/dog.html" ->
+        "Average dogs detected by landmark-name length band",
+      "plots/people_in_places_with_people/person.html" ->
+        "People: all photos vs landmarks named 'people'")
+      .filter { case (rel, _) => Files.exists(Paths.get(outDir, rel)) }
+    val divs = panels.map { case (rel, caption) =>
+      s"""<div class="panel"><embed type="text/html" src="./$rel"><p>${esc(caption)}</p></div>"""
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft dashboard</title>
+         |<style>body{margin:0;font:12px sans-serif}
+         |main{display:flex;flex-wrap:wrap;height:100vh}
+         |.panel{flex:1 1 45%;display:flex;flex-direction:column;margin:1em;text-align:center}
+         |embed{flex:1;width:100%}</style></head>
+         |<body><main>$divs</main></body></html>
+         |""".stripMargin
+    Files.writeString(Paths.get(outDir, "dash.html"), html)
+  }
+
+  /** The reference's full emission list (`plots.py:53-60` + `dash.html`),
+    * over the stat tree [[RunPipeline.run]] writes.
     */
   def writeAll(outDir: String, classes: Seq[Int],
       cities: Seq[String] = StatsPipeline.Cities): Unit = {
@@ -138,5 +171,6 @@ object Plots {
     heatmap(outDir, "alphabet_count_avg", "letter", ('A' to 'Z').map(_.toString),
       "avg_count", classes)
     heatmap(outDir, "avg_obj_per_city", "city", cities, "avg_detections", classes)
+    dashboard(outDir)
   }
 }

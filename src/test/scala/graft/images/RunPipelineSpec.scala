@@ -72,6 +72,11 @@ class RunPipelineSpec extends SparkSpec {
     // the heatmap carries the merged letter axis from the golden CSVs
     val hm = Files.readString(Paths.get(out, "plots", "alphabet_count", "heatmap.html"))
     assert(hm.contains("<th>A</th>") && hm.contains("person"))
+    // dashboard embeds only the panels this run's class set produced
+    val dash = Files.readString(Paths.get(out, "dash.html"))
+    assert(dash.contains("""src="./plots/alphabet_count_avg/person.html""""))
+    assert(dash.contains("""src="./plots/closest_primary/results.html""""))
+    assert(!dash.contains("dogs_by_name_length/dog.html")) // class 16 not in run
   }
 
   test("Plots.readStat fails loudly on a header drift (plots.py KeyError parity)") {
