@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *   rollup/                 per-landmark sums + averages (parquet)
   *   colors/                 per-image color features     (parquet)
   *   results_predictions/    stage-1 compat CSV (`;`)     [reference S3]
+  *   results_predictions_per_class/, results_dominant/,
+  *   results_dominant_count/ remaining reference CSV interchange files
   *   stats/<name>/<cls>.csv  golden-format stat files     [reference S5]
+  *   plots/<type>/<name>.html, dash.html  stage-4 chart + dashboard emission
   */
 object RunPipeline {
 
@@ -55,10 +58,29 @@ object RunPipeline {
     val rollup = Sources.checkpoint(
       ImagePipeline.perLandmarkRollup(preds, cfg.labels),
       s"${cfg.outDir}/rollup")
+    // compat CSV of the per-landmark rollup (reference
+    // `/results_predictions_per_class`, `pyspark_yolox.py:179-185`) — the
+    // file `pyspark_stats.py:22-24` reads; maps serialize to JSON strings
+    Sources.writeSemicolonCsv(
+      rollup.select(col("landmark_id"), col("image_count"),
+        to_json(col("predictions_sum")).as("predictions_sum"),
+        to_json(col("averages")).as("averages")),
+      s"${cfg.outDir}/results_predictions_per_class")
 
     // ---- stage 2: colors (pyspark_dominant.py) --------------------------
     val colors = Sources.checkpoint(
       ImagePipeline.colors(images).toDF(), s"${cfg.outDir}/colors")
+    // compat CSVs (reference `/results_dominant` + `/results_dominant_count`,
+    // `pyspark_dominant.py:66-71,87-92`): color triples as JSON arrays
+    Sources.writeSemicolonCsv(
+      colors.select(col("id"), to_json(col("averageColor")).as("average_color"),
+        to_json(col("dominantColor")).as("dominant_color")),
+      s"${cfg.outDir}/results_dominant")
+    Sources.writeSemicolonCsv(
+      StatsPipeline.colorHistogram(colors)
+        .select(col("dominant_color").cast("string").as("dominant_color"),
+          col("n").as("count")),
+      s"${cfg.outDir}/results_dominant_count")
     writeStat(StatsPipeline.colorHistogram(colors)
         .select(col("dominant_color").cast("string"), col("n")),
       ("dominant_color", "count"), cfg.outDir, "dominant_count", "results")

@@ -37,6 +37,18 @@ class RunPipelineSpec extends SparkSpec {
     val compat = graft.sources.Sources.readSemicolonCsv(spark, s"$out/results_predictions")
     assert(compat.columns.toSeq == Seq("id", "predictions"))
     assert(compat.count() == 12)
+    // the remaining reference interchange files, exact column sets
+    val perClass = graft.sources.Sources.readSemicolonCsv(
+      spark, s"$out/results_predictions_per_class")
+    assert(perClass.columns.toSeq ==
+      Seq("landmark_id", "image_count", "predictions_sum", "averages"))
+    assert(perClass.count() == 2)
+    val dominant = graft.sources.Sources.readSemicolonCsv(spark, s"$out/results_dominant")
+    assert(dominant.columns.toSeq == Seq("id", "average_color", "dominant_color"))
+    assert(dominant.count() == 12)
+    val domCount = graft.sources.Sources.readSemicolonCsv(
+      spark, s"$out/results_dominant_count")
+    assert(domCount.columns.toSeq == Seq("dominant_color", "count"))
     // golden stat files, reference byte format
     val alpha = Files.readString(Paths.get(out, "stats", "alphabet_count", "2.csv"))
     assert(alpha.startsWith("letter;count\n"))
