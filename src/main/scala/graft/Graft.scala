@@ -43,6 +43,26 @@ object Graft {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Fan a small scan out across the cluster before compute-dense per-row
+    * work (sketch hashing, fingerprinting — 100s of md5 calls per row).
+    *
+    * Why: parquet parallelism is bounded by ROW GROUPS, not split planning —
+    * a compacted single-row-group file scans as one non-empty task no
+    * matter how many byte-range splits the planner schedules, so the whole
+    * map side serializes onto one core (the reference hit the same with
+    * `binaryFiles` and forced `MIN_PARTITIONS=8`, `pyspark_yolox.py:
+    * 128-130`). The repartition is gated on the scan's statistics: inputs
+    * under one default row-group target (128 MB) are at risk and cost
+    * nearly nothing to shuffle; larger inputs already carry many row
+    * groups, so no shuffle is added at scale.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < 128L * 1024 * 1024)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+  }
+
   /** Nanos-since-epoch long column → TimestampType (micro precision).
     * Integer `div` — a double round-trip would lose sub-ms precision at
     * 2024-epoch magnitudes (~1.7e18 ns vs 2^53 mantissa).

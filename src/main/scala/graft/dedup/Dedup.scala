@@ -170,7 +170,7 @@ object Dedup {
     * other one.
     */
   def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Graft.fanOutSmallScan(docs).select(col("doc_id"),
         // native fused tokenize→shingle→distinct→hash: the composable
         // shingleHashes(shingles(...)) chain runs its higher-order lambdas
         // interpreted and was the residual hot path of the MinHash bench
@@ -232,7 +232,7 @@ object Dedup {
     * equivalence spec-verified).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
+    Graft.fanOutSmallScan(docs).select(col(idCol),
       graft.plans.SimHashExpression.simhash60(col(textCol), SimHashBits).as("simhash"))
 
   /** DuckDB CTE chain replaying the SimHash math over `src` (any relation

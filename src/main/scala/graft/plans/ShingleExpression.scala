@@ -62,12 +62,13 @@ object ShingleExpression {
   def hashes(text: UTF8String, n: Int): GenericArrayData = {
     val seen = grams(text, n)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16) // reused digest buffer — no alloc per shingle
     val out = new Array[Long](seen.size)
     var k = 0
     val it = seen.iterator()
     while (it.hasNext) {
-      md.reset()
-      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest(d, 0, 16)
       // first 7 hex chars == top 28 bits
       out(k) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
         ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)

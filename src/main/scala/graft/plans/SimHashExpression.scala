@@ -37,10 +37,11 @@ object SimHashExpression {
     val toks = Ws.split(s.substring(b, e), -1)
     val votes = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16) // reused digest buffer — no alloc per token
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest(d, 0, 16)
       // first 15 hex chars == top 60 bits of the digest
       val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
         ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |

@@ -28,11 +28,14 @@ object WinnowExpression {
     val ng = n - k + 1
     val hs = new Array[Long](ng)
     val md = java.security.MessageDigest.getInstance("MD5")
+    // digest into a reused buffer: one md5 per k-gram is the dominant cost
+    // of the whole fingerprint — a fresh 16-byte result array per call is
+    // ~1.5M allocations per 5k docs of pure GC pressure
+    val d = new Array[Byte](16)
     var i = 0
     while (i < ng) {
-      md.reset()
       md.update(bytes, i, k)
-      val d = md.digest()
+      md.digest(d, 0, 16)
       // first 7 hex chars == top 28 bits of the digest
       hs(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
         ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)

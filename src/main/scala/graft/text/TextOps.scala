@@ -279,8 +279,10 @@ object TextOps {
       // composable transform/slice form put ~1.4M interpreted lambda evals
       // per 5k docs on the hot path. Normalization strips non-printable-
       // ASCII, so byte slices == char slices by construction and the
-      // char-based oracle stays bit-identical on ANY input.
-      Graft.table(spark, sfDir, "documents")
+      // char-based oracle stays bit-identical on ANY input. One md5 per
+      // k-gram is ~1000× compute-per-byte — fan the scan out first
+      // ([[Graft.fanOutSmallScan]]).
+      Graft.fanOutSmallScan(Graft.table(spark, sfDir, "documents"))
         .select(col("doc_id"),
           regexp_replace(lower(trim(col("text"))), "[^ -~]", "")
             .cast("binary").as("t"))
