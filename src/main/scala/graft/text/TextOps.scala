@@ -378,7 +378,105 @@ object TextOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Within-document repetition: the fraction of word-3-gram OCCURRENCES
+    * that are repeats of an earlier 3-gram in the same document —
+    * 1 - distinct/total, the standard duplicate-n-gram-fraction rule of
+    * repetition-based corpus filtering. Docs too short for a single 3-gram
+    * score 0 (÷0→0, the engine-wide safe-divide semantics).
+    */
+  object RepetitionRatio extends GraftQuery {
+    val name = "q_repetition_ratio"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val total = greatest(size(tokens(col("text"))) - lit(2), lit(0))
+      // distinct 3-grams via the native fused shingle kernel (dedup is on
+      // the shingle STRINGS, same as the oracle's DISTINCT)
+      val distinctSh = size(graft.plans.ShingleExpression.shingle_hashes(col("text"), 3))
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), total.as("total"), distinctSh.as("distinct_sh"))
+        .select(col("doc_id"),
+          safeDiv((col("total") - col("distinct_sh")).cast("double"),
+            col("total").cast("double")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.i
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents) tsrc,
+        |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+        |sh AS (
+        |  SELECT t1.doc_id, count(DISTINCT t1.tok || ' ' || t2.tok || ' ' || t3.tok) AS ns
+        |  FROM toks t1
+        |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT doc_id, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) AS total
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |       CASE WHEN t.total = 0 THEN 0.0
+        |            ELSE CAST(t.total - coalesce(s.ns, 0) AS DOUBLE)
+        |                 / CAST(t.total AS DOUBLE) END AS rep_ratio
+        |FROM tot t LEFT JOIN sh s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin)
+  }
+
+  /** Composite rule-based corpus gate (the Gopher/MassiveText rule family):
+    * token-count bounds, mean-word-length bounds, stopword presence, and
+    * alphabetic-token ratio — each a pure column predicate; the query
+    * reports per-language doc counts, pass counts, and the pass rate.
+    * Every term is integer counts → one double division, so the rates are
+    * bit-deterministic cross-engine.
+    */
+  object GopherGates extends GraftQuery {
+    val name = "q_gopher_gates"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val chars = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val meanLen = chars.cast("double") / nTok.cast("double")
+      val alphaToks = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      val pass =
+        (nTok >= 5 && nTok <= 10000) &&
+          (meanLen >= lit(3.0) && meanLen <= lit(10.0)) &&
+          arrays_overlap(toks, array(stopwords.map(lit): _*)) &&
+          (alphaToks.cast("double") / nTok.cast("double") >= lit(0.8))
+      Graft.table(spark, sfDir, "documents")
+        .select(col("lang"), pass.as("pass"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pass"), 1)).as("n_pass"))
+        .select(col("lang"), col("n_docs"), col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs").cast("double")).as("pass_rate"))
+        .orderBy("lang")
+    }
+    val oracle = Some(
+      """WITH stats AS (
+        |  SELECT d.lang,
+        |         len(l) AS n_tok,
+        |         (SELECT sum(len(x.tok)) FROM unnest(l) x(tok)) AS chars,
+        |         (SELECT count(*) FROM unnest(l) x(tok)
+        |          WHERE regexp_matches(x.tok, '[a-zA-Z]')) AS alpha_toks,
+        |         list_has_any(l, ['the','a','of','and','to','in']) AS has_stop
+        |  FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents) d),
+        |gated AS (
+        |  SELECT lang,
+        |         (n_tok BETWEEN 5 AND 10000
+        |          AND CAST(chars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |          AND has_stop
+        |          AND CAST(alpha_toks AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8) AS pass
+        |  FROM stats)
+        |SELECT lang, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE pass) AS n_pass,
+        |       CAST(count(*) FILTER (WHERE pass) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE) AS pass_rate
+        |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
-      BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign)
+      BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign,
+      RepetitionRatio, GopherGates)
 }
