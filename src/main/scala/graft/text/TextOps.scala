@@ -475,8 +475,43 @@ object TextOps {
         |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Corpus-composition report per source: document and token volume plus
+    * the exact-duplicate rate (1 - distinct fingerprints / docs) — the
+    * health metrics a corpus-mixing run reads before weighting sources.
+    * Distinct counting is two-phase (group to (source, fp) first) — no
+    * mixed distinct aggregation, no Expand (ARCHITECTURE.md).
+    */
+  object SourceMix extends GraftQuery {
+    val name = "q_source_mix"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(col("source"), md5(lower(trim(col("text")))).as("fp"),
+          size(tokens(col("text"))).as("n_tok"))
+        .groupBy("source", "fp")
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("toks"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("toks")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+            .as("dup_ratio"),
+          col("total_tokens"))
+        .orderBy("source")
+    val oracle = Some(
+      """WITH per_fp AS (
+        |  SELECT source, md5(lower(trim(text))) AS fp, count(*) AS n,
+        |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       count(*) AS n_distinct,
+        |       1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_ratio,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens
+        |FROM per_fp GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
       BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign,
-      RepetitionRatio, GopherGates)
+      RepetitionRatio, GopherGates, SourceMix)
 }
