@@ -201,13 +201,15 @@ object Dedup {
     // computing it per bucket hit and filtering BEFORE the distinct means
     // the dedup shuffle carries (long, long, double) survivors only — not
     // two 16-long signatures per hit, and not the (majority) sub-threshold
-    // candidates. Same rows out; the zip per duplicate hit is 16 compares.
+    // candidates. Same rows out; the match count is a 16-compare native
+    // loop ([[graft.plans.VectorExpressions.count_eq]] — the zip_with/
+    // filter/size spelling ran its lambdas interpreted).
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          b => b)).cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+        (graft.plans.VectorExpressions.count_eq(col("a.sig"), col("b.sig"))
+          .cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .distinct()
       .orderBy("doc_a", "doc_b")

@@ -92,8 +92,48 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Count of positions where two array<long> columns agree — the MinHash
+    * estimated-Jaccard numerator. The composable spelling
+    * `size(filter(zip_with(a, b, eq), id))` allocates a boolean array and
+    * runs two interpreted lambdas per pair; this is the same count as a
+    * primitive loop in generated code.
+    */
+  case class CountEq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) acc += 1; i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $acc = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CountEq =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column API. */
   def quantize_vec(c: Column): Column = Bridge.column(QuantizeVec(Bridge.expression(c)))
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+  def count_eq(a: Column, b: Column): Column =
+    Bridge.column(CountEq(Bridge.expression(a), Bridge.expression(b)))
 }

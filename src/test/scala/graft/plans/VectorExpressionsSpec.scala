@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.{Graft, SparkSpec}
 import org.apache.spark.sql.functions._
-import VectorExpressions.{dot_long, quantize_vec}
+import VectorExpressions.{count_eq, dot_long, quantize_vec}
 
 /** The native expressions must be bit-equivalent to the composable SQL
   * formulation they replace (that formulation is what the DuckDB oracle
@@ -48,6 +48,22 @@ class VectorExpressionsSpec extends SparkSpec {
         folded.as("ref"))
       .filter(col("native") =!= col("ref")).count()
     assert(mism == 0)
+  }
+
+  test("count_eq ≡ size(filter(zip_with(eq))) on signature-like arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)), // 3 matches
+      (Seq(1L, 2L), Seq(1L, 2L)),                 // all match
+      (Seq(5L), Seq(6L)),                         // none
+      (Seq.empty[Long], Seq.empty[Long])          // empty
+    ).toDF("a", "b")
+    val got = df.select(count_eq(col("a"), col("b")).as("native"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          bb => bb)).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(got.map(_.getInt(0)).toSeq == Seq(3, 2, 0, 0))
   }
 
   test("expressions survive codegen and interpreted paths identically") {
