@@ -58,7 +58,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the dedup/pipeline queries persist intermediate frames (their
+      // self-joins need the barrier); release them OUTSIDE the timed
+      // region so entries don't accumulate across the 60+ query run and
+      // shrink execution memory for later queries
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

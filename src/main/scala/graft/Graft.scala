@@ -47,19 +47,32 @@ object Graft {
     * work (sketch hashing, fingerprinting — 100s of md5 calls per row).
     *
     * Why: parquet parallelism is bounded by ROW GROUPS, not split planning —
-    * a compacted single-row-group file scans as one non-empty task no
-    * matter how many byte-range splits the planner schedules, so the whole
-    * map side serializes onto one core (the reference hit the same with
-    * `binaryFiles` and forced `MIN_PARTITIONS=8`, `pyspark_yolox.py:
-    * 128-130`). The repartition is gated on the scan's statistics: inputs
-    * under one default row-group target (128 MB) are at risk and cost
-    * nearly nothing to shuffle; larger inputs already carry many row
-    * groups, so no shuffle is added at scale.
+    * a compacted file scans as one non-empty task per row group no matter
+    * how many byte-range splits the planner schedules, so the map side of
+    * a compacted corpus serializes onto a few cores (the reference hit the
+    * same with `binaryFiles` and forced `MIN_PARTITIONS=8`,
+    * `pyspark_yolox.py:128-130`).
+    *
+    * Gate: repartition while the input could not keep `defaultParallelism`
+    * cores busy for even one wave of row-group-sized partitions
+    * (`sizeInBytes < parallelism × maxPartitionBytes`) — shuffling at most
+    * one wave of data is bounded-cheap next to the md5-dense compute it
+    * parallelizes, and covers both the single-file case and a corpus
+    * compacted into a few large-row-group files. Inputs past that scale
+    * carry enough row groups to split naturally: no shuffle is added.
+    * (`sizeInBytes` is compressed bytes vs the uncompressed row-group
+    * target — the gate errs toward fanning out, which is the cheap side.)
     */
   def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = spark.conf
+      .getOption("spark.sql.files.maxPartitionBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(128L * 1024 * 1024)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < 128L * 1024 * 1024)
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if (bytes < BigInt(parallelism.toLong) * maxPartitionBytes)
+      df.repartition(parallelism)
     else df
   }
 

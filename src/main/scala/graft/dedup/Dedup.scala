@@ -192,6 +192,10 @@ object Dedup {
     // that is a whole extra pass. MEMORY_AND_DISK spills rather than
     // recomputes; the cached rows are (id, 16 longs, band, 32-char bucket),
     // orders of magnitude narrower than the documents they summarize.
+    // Cache lifecycle is caller-owned (the returned frame is lazy, so this
+    // function can't know when its consumer is done): sessions running
+    // many pipelines should `spark.catalog.clearCache()` (or unpersist via
+    // the catalog) between runs, as Bench/Verify do per query.
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(sequence(lit(0), lit(NumBands - 1))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"),

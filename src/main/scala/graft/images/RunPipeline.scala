@@ -76,13 +76,12 @@ object RunPipeline {
       colors.select(col("id"), to_json(col("averageColor")).as("average_color"),
         to_json(col("dominantColor")).as("dominant_color")),
       s"${cfg.outDir}/results_dominant")
+    val colorHist = StatsPipeline.colorHistogram(colors)
+      .select(col("dominant_color").cast("string").as("dominant_color"), col("n"))
     Sources.writeSemicolonCsv(
-      StatsPipeline.colorHistogram(colors)
-        .select(col("dominant_color").cast("string").as("dominant_color"),
-          col("n").as("count")),
+      colorHist.withColumnRenamed("n", "count"),
       s"${cfg.outDir}/results_dominant_count")
-    writeStat(StatsPipeline.colorHistogram(colors)
-        .select(col("dominant_color").cast("string"), col("n")),
+    writeStat(colorHist,
       ("dominant_color", "count"), cfg.outDir, "dominant_count", "results")
     writeStat(StatsPipeline.closestPrimaryHistogram(colors),
       ("primary_color", "count"), cfg.outDir, "closest_primary", "results")

@@ -22,24 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleExpression {
 
-  // RE2-equivalent whitespace (no \x0B), matching TextOps.WhitespaceClass
-  // and therefore every DuckDB oracle's `\s+`
-  private val Ws = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
-
-  /** Tokenize + n-gram + first-occurrence dedup, matching the composable
-    * `split(trim(text), "\\s+")` EXACTLY: SQL `trim` strips leading/trailing
-    * SPACES only (Java's `String.trim` would also strip \n/\t/controls and
-    * diverge from both engines), and the regex split keeps leading/trailing
-    * empty tokens like Spark's `split` (limit -1; Java's default limit 0
-    * drops trailing empties).
+  /** Tokenize ([[TextKernel.tokenize]] — the shared dialect-exact
+    * tokenizer) + n-gram + first-occurrence dedup, matching the composable
+    * `split(trim(text), "\\s+")` chain exactly.
     */
   private def grams(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
-    val s = text.toString
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    val toks = Ws.split(s.substring(b, e), -1)
+    val toks = TextKernel.tokenize(text)
     val seen = new java.util.LinkedHashSet[String]()
     if (toks.length < n) return seen
     var i = 0
@@ -69,9 +57,7 @@ object ShingleExpression {
     while (it.hasNext) {
       md.update(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest(d, 0, 16)
-      // first 7 hex chars == top 28 bits
-      out(k) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      out(k) = TextKernel.top28(d)
       k += 1
     }
     new GenericArrayData(out)

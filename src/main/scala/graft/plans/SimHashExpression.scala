@@ -22,19 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimHashExpression {
 
-  // RE2-equivalent whitespace (no \x0B), matching TextOps.WhitespaceClass
-  private val Ws = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
-
   def simhash(text: UTF8String, bits: Int): Long = {
-    val s = text.toString
-    // SQL trim semantics: spaces only (String.trim would strip controls)
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    // limit -1 keeps leading/trailing empty tokens, like Spark's split —
-    // an all-whitespace doc tokenizes to [""] and "" votes like any token
-    val toks = Ws.split(s.substring(b, e), -1)
+    // shared dialect-exact tokenizer — an all-whitespace doc tokenizes to
+    // [""] and "" votes like any token, matching the exploded form
+    val toks = TextKernel.tokenize(text)
     val votes = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = new Array[Byte](16) // reused digest buffer — no alloc per token
@@ -42,11 +33,7 @@ object SimHashExpression {
     while (i < toks.length) {
       md.update(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest(d, 0, 16)
-      // first 15 hex chars == top 60 bits of the digest
-      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
-        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
-        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      val h = TextKernel.top60(d)
       var bit = 0
       while (bit < bits) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1

@@ -36,9 +36,7 @@ object WinnowExpression {
     while (i < ng) {
       md.update(bytes, i, k)
       md.digest(d, 0, 16)
-      // first 7 hex chars == top 28 bits of the digest
-      hs(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      hs(i) = TextKernel.top28(d)
       i += 1
     }
     val nw = math.max(ng - w + 1, 1)
