@@ -295,26 +295,102 @@ object TextOps {
         .orderBy("doc_id")
     }
     val oracle = Some(
-      s"""WITH n AS (SELECT doc_id,
-         |                  regexp_replace(lower(trim(text)), '[^ -~]', '', 'g') AS t
-         |           FROM documents),
-         |g AS (
-         |  SELECT doc_id, s.i,
-         |         ('0x' || substr(md5(substr(t, s.i, $K)), 1, 7))::BIGINT AS h
-         |  FROM n, LATERAL (SELECT unnest(generate_series(1, length(t) - ${K - 1})) AS i) s
-         |  WHERE length(t) >= $K),
-         |ng AS (SELECT doc_id, max(i) AS ng FROM g GROUP BY 1),
-         |w AS (
-         |  SELECT g.doc_id, j.j, min(g.h) AS mh
-         |  FROM ng, LATERAL (SELECT unnest(generate_series(1, greatest(ng.ng - ${W - 1}, 1))) AS j) j,
-         |       g
-         |  WHERE g.doc_id = ng.doc_id AND g.i BETWEEN j.j AND j.j + ${W - 1}
-         |  GROUP BY 1, 2),
-         |fps AS (SELECT DISTINCT doc_id, mh FROM w)
+      s"""WITH ${winnowOracleCtes("documents", K, W)}
          |SELECT doc_id, count(*) AS n_fps,
          |       md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS digest
          |FROM fps GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** DuckDB CTE chain replaying the winnowing math over `src` (any
+    * relation providing doc_id, text) — normalize → k-gram 28-bit hashes →
+    * w-window minima → distinct fingerprints. The ONE source of truth for
+    * the replay SQL; exposes CTE `fps` (doc_id, mh).
+    */
+  def winnowOracleCtes(src: String, k: Int, w: Int): String =
+    s"""n AS (SELECT doc_id,
+       |             regexp_replace(lower(trim(text)), '[^ -~]', '', 'g') AS t
+       |      FROM $src),
+       |g AS (
+       |  SELECT doc_id, s.i,
+       |         ('0x' || substr(md5(substr(t, s.i, $k)), 1, 7))::BIGINT AS h
+       |  FROM n, LATERAL (SELECT unnest(generate_series(1, length(t) - ${k - 1})) AS i) s
+       |  WHERE length(t) >= $k),
+       |ng AS (SELECT doc_id, max(i) AS ng FROM g GROUP BY 1),
+       |w AS (
+       |  SELECT g.doc_id, j.j, min(g.h) AS mh
+       |  FROM ng, LATERAL (SELECT unnest(generate_series(1, greatest(ng.ng - ${w - 1}, 1))) AS j) j,
+       |       g
+       |  WHERE g.doc_id = ng.doc_id AND g.i BETWEEN j.j AND j.j + ${w - 1}
+       |  GROUP BY 1, 2),
+       |fps AS (SELECT DISTINCT doc_id, mh FROM w)""".stripMargin
+
+  /** Train/holdout contamination check — the decontamination pipeline op:
+    * a val/test document is flagged when it shares ANY winnowing
+    * fingerprint (selected substring minima, so a shared-substring proxy)
+    * with any train document, under the engine's own deterministic
+    * hash-split ([[SplitAssign]] thresholds). Per-split report: docs,
+    * contaminated docs, rate. The fingerprint overlap join is an equi-join
+    * on 28-bit ints — shuffle-on-small-keys at any corpus size.
+    */
+  object Contamination extends GraftQuery {
+    val name = "q_contamination"
+    /** Contamination gram length: LONGER than the plagiarism-grade 8-char
+      * grams of [[WinnowFingerprint]] — an 8-char window collides on any
+      * shared common word and saturates the metric at 1.0; 24 chars
+      * (~4 words, the spirit of the standard 13-token overlap rule scaled
+      * to char grams) flags genuinely shared passages only.
+      */
+    val K = 24
+    val W = 4
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val bucket = pmod(pHash60(col("doc_id").cast("string")), lit(100L))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      val docs = Graft.fanOutSmallScan(Graft.table(spark, sfDir, "documents"))
+        .select(col("doc_id"), split.as("split"),
+          regexp_replace(lower(trim(col("text"))), "[^ -~]", "")
+            .cast("binary").as("t"))
+      // persisted: three consumers (train fingerprint set, holdout probe,
+      // per-split totals) would each re-run the winnow kernel otherwise
+      val fps = docs.select(col("doc_id"), col("split"),
+          explode(graft.plans.WinnowExpression.winnow_fps(col("t"), K, W)).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trainFp = fps.filter(col("split") === "train").select("fp").distinct()
+      val contaminated = fps.filter(col("split") =!= "train")
+        .join(trainFp, Seq("fp"), "left_semi")
+        .select("doc_id").distinct()
+      docs.filter(col("split") =!= "train")
+        .join(contaminated.withColumn("c", lit(1)), Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), count(col("c")).as("n_contaminated"))
+        .select(col("split"), col("n_docs"), col("n_contaminated"),
+          (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+            .as("contamination_rate"))
+        .orderBy("split")
+    }
+    val oracle = Some(
+      s"""WITH ${winnowOracleCtes("documents", K, W)},
+         |sp AS (
+         |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |                      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+         |        FROM documents)),
+         |f AS (SELECT fps.doc_id, sp.split, fps.mh
+         |      FROM fps JOIN sp ON fps.doc_id = sp.doc_id),
+         |tfp AS (SELECT DISTINCT mh FROM f WHERE split = 'train'),
+         |cont AS (
+         |  SELECT DISTINCT f.doc_id FROM f JOIN tfp ON f.mh = tfp.mh
+         |  WHERE f.split <> 'train')
+         |SELECT sp.split, count(*) AS n_docs,
+         |       count(cont.doc_id) AS n_contaminated,
+         |       CAST(count(cont.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |         AS contamination_rate
+         |FROM sp LEFT JOIN cont ON sp.doc_id = cont.doc_id
+         |WHERE sp.split <> 'train'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** Blocked edit-distance near-dup: pairwise Levenshtein over distinct
@@ -513,5 +589,5 @@ object TextOps {
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
       BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign,
-      RepetitionRatio, GopherGates, SourceMix)
+      RepetitionRatio, GopherGates, SourceMix, Contamination)
 }
