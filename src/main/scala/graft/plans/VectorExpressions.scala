@@ -98,19 +98,21 @@ object VectorExpressions {
     * runs two interpreted lambdas per pair; this is the same count as a
     * primitive loop in generated code.
     */
+  /** Shared eval for [[CountEq]] (and its property tests). */
+  def countEqArrays(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) acc += 1; i += 1 }
+    acc
+  }
+
   case class CountEq(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
     override def nullIntolerant: Boolean = true
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var acc = 0
-      var i = 0
-      while (i < n) { if (x.getLong(i) == y.getLong(i)) acc += 1; i += 1 }
-      acc
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      countEqArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")

@@ -158,6 +158,33 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  // ---- scan-side SimHash expression -----------------------------------
+  private val genTok = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("simhashExpr.tokenOrderInvariant") = forAll(
+    Gen.listOfN(12, genTok)) { words =>
+    // SimHash votes per occurrence — permuting tokens must not change it
+    def sh(ws: Seq[String]) = graft.plans.SimHashExpression.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ws.mkString(" ")), 60)
+    sh(words) == sh(scala.util.Random.shuffle(words))
+  }
+
+  property("simhashExpr.inBitRange") = forAll(Gen.listOfN(6, genTok)) { words =>
+    val h = graft.plans.SimHashExpression.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(words.mkString(" ")), 60)
+    h >= 0L && h < (1L << 60)
+  }
+
+  property("countEq.boundsAndSelfIdentity") = forAll(
+    Gen.listOfN(16, Gen.long), Gen.listOfN(16, Gen.long)) { (xs, ys) =>
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(zs: Seq[Long]) = new GenericArrayData(zs.toArray)
+    val ab = VectorExpressions.countEqArrays(arr(xs), arr(ys))
+    val aa = VectorExpressions.countEqArrays(arr(xs), arr(xs))
+    val ba = VectorExpressions.countEqArrays(arr(ys), arr(xs))
+    ab >= 0 && ab <= 16 && aa == 16 && ab == ba // bounded, reflexive, symmetric
+  }
+
   // ---- average color bounds (M2) --------------------------------------
   property("averageColor.inRange") = forAll(
     Gen.choose(1, 8), Gen.choose(1, 8), Gen.listOfN(64, Gen.choose(0, 0xFFFFFF))) {
