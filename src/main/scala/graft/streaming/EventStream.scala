@@ -65,6 +65,21 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus cleaning: the quality gate + exact dedup of the
+    * batch [[graft.text.TextPipeline]] as a structured stream over
+    * (doc_id, text, ts) rows. The gate is a stateless filter (identical
+    * expression to the batch form); dedup keeps the FIRST document per
+    * content fingerprint within the watermark horizon — the streaming
+    * analogue of batch keep-min-id (state stores only 32-byte
+    * fingerprints inside the watermark, so memory is bounded; a duplicate
+    * arriving later than the watermark is by-contract not caught).
+    */
+  def cleanDocStream(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    docs.filter(size(graft.text.TextOps.tokens(col("text"))) >= minTokens)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Session windows (30-min inactivity gap) per user — Spark's native
     * merging session_window with a watermark, the streaming twin of the
     * batch lag-based [[graft.operators.AnalyticOps.Sessionize]]. A new

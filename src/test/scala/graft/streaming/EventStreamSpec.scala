@@ -46,6 +46,40 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("cleanDocStream gates short docs and dedups by content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", t),
+      (2L, "alpha beta gamma delta epsilon zeta", t),      // exact dup of 1
+      (3L, "  ALPHA beta gamma delta epsilon zeta ", t),    // dup after normalize
+      (4L, "too short", t),                                 // gated (< 5 tokens)
+      (5L, "a completely different document with many tokens", t)))
+    val q = EventStream.cleanDocStream(
+        stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("clean_docs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("clean_docs").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // ONE survivor per content fingerprint (which of 1/2/3 wins is
+    // partition-order-dependent in a stream), the short doc gated out
+    assert(kept.size == 2 && kept.contains(5L) &&
+      Set(1L, 2L, 3L).contains(kept.head))
+    // differential twin: the batch pipeline keeps the same CONTENT set
+    val batch = graft.text.TextPipeline.cleanCorpus(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "  ALPHA beta gamma delta epsilon zeta "),
+        (4L, "too short"),
+        (5L, "a completely different document with many tokens"))
+        .toDF("doc_id", "text"))
+    assert(batch.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 5L))
+  }
+
   test("session_window partitions events exactly like the lag-based sessionize") {
     import org.apache.spark.sql.expressions.Window
     // second-truncated timestamps = the batch query's integer-seconds basis
