@@ -62,8 +62,13 @@ object Bench {
       // the dedup/pipeline queries persist intermediate frames (their
       // self-joins need the barrier); release them OUTSIDE the timed
       // region so entries don't accumulate across the 60+ query run and
-      // shrink execution memory for later queries
+      // shrink execution memory for later queries. clearCache alone is
+      // non-blocking — follow with a blocking unpersist of any remaining
+      // cached RDDs so the removal can't bleed into the next query's
+      // timed window
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -79,6 +79,9 @@ object EventStream {
       .withColumn("fp", md5(lower(trim(col("text")))))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("fp")
+      // the fingerprint is an internal dedup key — the stream's output
+      // schema must match the batch pipeline's (drop-in twin contract)
+      .drop("fp")
 
   /** Session windows (30-min inactivity gap) per user — Spark's native
     * merging session_window with a watermark, the streaming twin of the

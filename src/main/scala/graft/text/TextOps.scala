@@ -352,8 +352,11 @@ object TextOps {
         .select(col("doc_id"), split.as("split"),
           regexp_replace(lower(trim(col("text"))), "[^ -~]", "")
             .cast("binary").as("t"))
-      // persisted: three consumers (train fingerprint set, holdout probe,
-      // per-split totals) would each re-run the winnow kernel otherwise
+      // persisted: TWO consumers (the train fingerprint set and the
+      // holdout probe) would each re-run the winnow kernel otherwise.
+      // The per-split totals below deliberately read `docs`, NOT fps —
+      // documents too short to produce a fingerprint must still count
+      // toward n_docs
       val fps = docs.select(col("doc_id"), col("split"),
           explode(graft.plans.WinnowExpression.winnow_fps(col("t"), K, W)).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -162,11 +162,13 @@ object EngineProperties extends Properties("graft") {
   private val genTok = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
 
   property("simhashExpr.tokenOrderInvariant") = forAll(
-    Gen.listOfN(12, genTok)) { words =>
-    // SimHash votes per occurrence — permuting tokens must not change it
+    Gen.listOfN(12, genTok), Gen.long) { (words, permSeed) =>
+    // SimHash votes per occurrence — permuting tokens must not change it.
+    // The permutation derives from a GENERATED seed so a failure replays
+    // from the ScalaCheck seed alone (global Random would not).
     def sh(ws: Seq[String]) = graft.plans.SimHashExpression.simhash(
       org.apache.spark.unsafe.types.UTF8String.fromString(ws.mkString(" ")), 60)
-    sh(words) == sh(scala.util.Random.shuffle(words))
+    sh(words) == sh(new scala.util.Random(permSeed).shuffle(words))
   }
 
   property("simhashExpr.inBitRange") = forAll(Gen.listOfN(6, genTok)) { words =>
