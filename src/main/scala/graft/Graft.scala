@@ -43,6 +43,19 @@ object Graft {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Every table of the engine's star-schema catalog. */
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Register the whole catalog as temp views, opening the plain
+    * `spark.sql(...)` surface over the same data every [[GraftQuery]]
+    * reads — the reference had no SQL at all; a migrating user gets ANSI
+    * SQL (plus every registered engine function) for free from Catalyst.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    TableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
   /** Fan a small scan out across the cluster before compute-dense per-row
     * work (sketch hashing, fingerprinting — 100s of md5 calls per row).
     *

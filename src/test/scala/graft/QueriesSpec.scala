@@ -14,6 +14,22 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("registerTables opens the spark.sql surface over the full catalog") {
+    graft.Graft.registerTables(spark, sf)
+    val joined = spark.sql(
+      """SELECT p.p_brand, count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(joined.count() > 0)
+    val docs = spark.sql(
+      "SELECT lang, count(*) AS n FROM documents GROUP BY 1")
+    assert(docs.count() > 0)
+    // every catalog table resolves
+    graft.Graft.TableNames.foreach { t =>
+      assert(spark.sql(s"SELECT * FROM $t LIMIT 1").columns.nonEmpty, t)
+    }
+  }
+
   test("entry() returns rows (t1 smoke shape)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
