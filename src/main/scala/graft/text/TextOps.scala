@@ -589,8 +589,52 @@ object TextOps {
         |FROM per_fp GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Sequence packing: assign documents to fixed token-budget packs — the
+    * batching step between a cleaned corpus and a trainer. The
+    * deterministic document-contiguous variant: docs ordered by (lang,
+    * doc_id), each assigned to `floor(preceding-token-sum / budget)` — a
+    * prefix-sum window, one shuffle, identical integer math in both
+    * engines. (True first-fit bin packing is inherently sequential state;
+    * the contiguous variant is the standard distributed approximation and
+    * what `flatMapGroupsWithState` would stream.) Report: per (lang, pack)
+    * doc count and token load.
+    */
+  object TokenPacking extends GraftQuery {
+    val name = "q_token_packing"
+    val Budget = 4096L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Graft.table(spark, sfDir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        // integer `div`, NOT `/`: Spark's `/` on longs is double division
+        // and DuckDB CASTs doubles to BIGINT by ROUNDING while Spark
+        // truncates — `div` / `//` keep both engines in exact integer math
+        .withColumn("pack_id", expr(s"(cum - n_tok) div $Budget"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tok,
+         |         CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - n_tok) // $Budget AS BIGINT) AS pack_id
+         |  FROM t)
+         |SELECT lang, pack_id, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
       BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign,
-      RepetitionRatio, GopherGates, SourceMix, Contamination)
+      RepetitionRatio, GopherGates, SourceMix, Contamination, TokenPacking)
 }
