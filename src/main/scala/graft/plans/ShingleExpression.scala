@@ -64,6 +64,7 @@ object ShingleExpression {
   }
 
   case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "shingle length must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(input: Any): Any =
@@ -92,6 +93,7 @@ object ShingleExpression {
   }
 
   case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, "shingle length must be positive")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(input: Any): Any =

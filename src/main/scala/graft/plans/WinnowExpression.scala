@@ -63,6 +63,7 @@ object WinnowExpression {
 
   case class WinnowFps(child: Expression, k: Int, w: Int)
       extends UnaryExpression {
+    require(k > 0 && w > 0, "winnow gram and window lengths must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(input: Any): Any =

@@ -28,14 +28,19 @@ class QueriesSpec extends SparkSpec {
     graft.Graft.TableNames.foreach { t =>
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").columns.nonEmpty, t)
     }
-    // the native kernels compose with the SQL surface
+    // the native kernels compose with the SQL surface — including the
+    // implicit input coercion (winnow_fps on a STRING column)
     graft.plans.GraftExtensions.register(spark)
     val sketch = spark.sql(
       """SELECT doc_id, simhash60(text, 60) AS sh,
         |       size(shingle_hashes(text, 3)) AS n_sh,
-        |       size(winnow_fps(cast(text AS binary), 8, 4)) AS n_fp
+        |       size(winnow_fps(text, 8, 4)) AS n_fp
         |FROM documents WHERE doc_id < 5""".stripMargin).collect()
     assert(sketch.nonEmpty && sketch.forall(_.getLong(1) >= 0L))
+    // malformed calls fail at analysis with the function name, not with a
+    // per-row ClassCastException at execution
+    val e = intercept[Exception](spark.sql("SELECT simhash60(text) FROM documents"))
+    assert(e.getMessage.contains("simhash60"))
   }
 
   test("entry() returns rows (t1 smoke shape)") {
