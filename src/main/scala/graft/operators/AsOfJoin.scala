@@ -66,7 +66,7 @@ object AsOfJoin {
     // the analyzer's DeduplicateRelations re-aliases the right child of a
     // custom node but cannot rewrite the node's own expressions — so mint
     // fresh right-side attributes ourselves before building the plan
-    val r = right.select(right.columns.map(c => right(c).as(c)): _*)
+    val r = right.select(right.columns.toIndexedSeq.map(c => right(c).as(c)): _*)
     val payloadExpr = Bridge.expression(r(payloadCol))
     val node = graft.plans.AsOfJoinPlan.AsOfJoinNode(
       Bridge.plan(left), Bridge.plan(r),
