@@ -357,6 +357,87 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** Connected components of an undirected pair graph by min-label
+    * propagation: every node starts labeled with its own id; each round
+    * every node takes the minimum label among itself and its neighbors;
+    * fixpoint ⇒ label = smallest id in the component. Converges within
+    * graph-diameter rounds (near-dup clusters are shallow — dups of one
+    * document chain through it), each round one equi-join + one aggregate;
+    * the convergence check is a count per round — the standard iterative
+    * shape (GraphX/GraphFrames CC does the same), NOT a driver collect of
+    * data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(lvl)
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-level near-dup dedup: MinHash candidate pairs (est-Jaccard ≥
+    * 0.5) → connected components → one row per CLUSTER (id = min doc_id,
+    * size) — the transitive semantics real dedup needs (A~B and B~C must
+    * collapse to ONE survivor even when A~C was never scored). The oracle
+    * replays the component computation with a recursive CTE over the same
+    * pair graph.
+    */
+  object DedupClusters extends GraftQuery {
+    val name = "q_dedup_clusters"
+    val MinEstJaccard = 0.5
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val pairs = minhashCandidatePairs(
+        Graft.table(spark, sfDir, "documents"), MinEstJaccard)
+      connectedComponents(pairs)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("cluster_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS m
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM est
+         |      WHERE CAST(m AS DOUBLE) / $NumHashes.0 >= $MinEstJaccard),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS id, least(src, min(dst)) AS label
+         |  FROM reach GROUP BY src)
+         |SELECT label AS cluster_id, count(*) AS cluster_size
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   // ------------------------------------------------------- Shingle Jaccard
 
   /** Word-3-gram Jaccard over a bounded candidate set — the exact
@@ -454,5 +535,5 @@ object Dedup {
 
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
-      ShingleJaccard, EmbedNearDup)
+      DedupClusters, ShingleJaccard, EmbedNearDup)
 }

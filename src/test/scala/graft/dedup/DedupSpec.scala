@@ -60,4 +60,20 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
     assert(r == Seq("a b c", "b c d", "c d e"))
   }
+
+  test("connectedComponents: chains, triangles and isolates get min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain — 1~2, 2~3, 3~4, transitive only),
+    // {10,11,12} (a triangle), {20,21} (one edge)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
 }
