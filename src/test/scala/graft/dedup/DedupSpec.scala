@@ -61,6 +61,42 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq("a b c", "b c d", "c d e"))
   }
 
+  test("connectedComponents ≡ union-find on random graphs (independent oracle)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 2 trials: each convergence loop runs several Spark jobs — enough to
+    // differentially pin the algorithm without dominating the suite
+    for (trial <- 1 to 2) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // plain-Scala union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min node id per component (what min-label
+        // propagation converges to)
+        val byRoot = nodes.groupBy(find)
+        val want = byRoot.values.flatMap { ns =>
+          val m = ns.min; ns.map(_ -> m)
+        }.toMap
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: $got vs $want")
+      }
+    }
+  }
+
   test("connectedComponents: chains, triangles and isolates get min-id labels") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — 1~2, 2~3, 3~4, transitive only),
