@@ -330,6 +330,23 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** CTE chain extending [[minhashOracleCtes]] with the LSH candidate-pair
+    * + signature-agreement stage — the ONE source of truth for the pair
+    * replay SQL (spliced by every oracle built on MinHash pairs). Exposes
+    * CTE `est` (doc_a, doc_b, m = number of agreeing minhashes).
+    */
+  def minhashPairOracleCtes(src: String): String =
+    s"""${minhashOracleCtes(src)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS m
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       |              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** The MinHash candidate-pair + estimated-Jaccard stage surfaced as its
     * own oracle query (the verify step behind [[MinHashLsh]], composed by
     * [[graft.text.TextPipeline.CleanCorpus]]). The filter in BOTH engines
@@ -341,16 +358,7 @@ object Dedup {
     def run(spark: SparkSession, sfDir: String): DataFrame =
       minhashCandidatePairs(Graft.table(spark, sfDir, "documents"), MinEstJaccard)
     val oracle = Some(
-      s"""WITH ${minhashOracleCtes("documents")},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bk a JOIN bk b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS m
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
-         |              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-         |  GROUP BY 1, 2)
+      s"""WITH ${minhashPairOracleCtes("documents")}
          |SELECT doc_a, doc_b,
          |       CAST(m AS DOUBLE) / $NumHashes.0 AS est_jaccard
          |FROM est WHERE CAST(m AS DOUBLE) / $NumHashes.0 >= $MinEstJaccard
@@ -367,31 +375,44 @@ object Dedup {
     * shape (GraphX/GraphFrames CC does the same), NOT a driver collect of
     * data.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** NOTE on cache lifecycle: the returned frame is backed by the final
+    * round's persisted labels — caller-owned, like every persisted barrier
+    * in this file (`spark.catalog.clearCache()` between runs; Bench/Verify
+    * do this per query). Throws if the label fixpoint is not reached
+    * within `maxIters` rounds — silently returning under-merged clusters
+    * would be a wrong answer, not a degraded one.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+    var cached = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .withColumn("old", col("label")).persist(lvl)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+      val nbrMin = edges.join(cached, edges("dst") === cached("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // carry the previous label alongside: the convergence check is then
+      // a filter+count on the cached frame, not a second per-round join
+      val next = cached.join(nbrMin, cached("id") === nbrMin("nid"), "left")
+        .select(cached("id").as("id"),
+          least(cached("label"), coalesce(col("nl"), cached("label"))).as("label"),
+          cached("label").as("old"))
         .persist(lvl)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
       iter += 1
     }
     edges.unpersist()
-    labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "(graph diameter exceeds the cap) — raise maxIters")
+    cached.select(col("id"), col("label"))
   }
 
   /** Cluster-level near-dup dedup: MinHash candidate pairs (est-Jaccard ≥
@@ -416,16 +437,7 @@ object Dedup {
         .orderBy("cluster_id")
     }
     val oracle = Some(
-      s"""WITH RECURSIVE ${minhashOracleCtes("documents")},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bk a JOIN bk b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS m
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
-         |              JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-         |  GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${minhashPairOracleCtes("documents")},
          |p AS (SELECT doc_a, doc_b FROM est
          |      WHERE CAST(m AS DOUBLE) / $NumHashes.0 >= $MinEstJaccard),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p

@@ -29,7 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   import org.apache.spark.sql.catalyst.expressions.Cast
-  import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+  import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType,
+    FloatType, LongType, StringType}
 
   /** Resolution-time validation: failures here surface during analysis
     * with the function name in the message, instead of a per-row
@@ -41,12 +42,19 @@ object GraftExtensions {
   }
 
   /** A scalar int parameter of a SQL-surface kernel call (gram length,
-    * bit width …) — must be a non-null foldable integer literal.
+    * bit width …) — must be a non-null foldable INTEGRAL literal in int
+    * range (a fractional or overflowing literal is rejected, never
+    * silently truncated: `shingle_hashes(text, 2.9)` is a bug, not
+    * 2-grams).
     */
   private def intArg(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn expects a literal integer argument")
     e.eval() match {
-      case n: Number => n.intValue()
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) =>
+        val l = n.asInstanceOf[Number].longValue()
+        require(l == l.toInt, s"$fn: integer argument $l out of int range")
+        l.toInt
       case null => throw new IllegalArgumentException(
         s"$fn: literal integer argument must not be NULL")
       case other => throw new IllegalArgumentException(
@@ -69,16 +77,22 @@ object GraftExtensions {
   private[plans] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("quantize_vec", classOf[VectorExpressions.QuantizeVec].getName,
       (cs: Seq[Expression]) =>
-        VectorExpressions.QuantizeVec(checkArity("quantize_vec", cs, 1).head)),
+        VectorExpressions.QuantizeVec(coerced(
+          checkArity("quantize_vec", cs, 1).head, ArrayType(FloatType)))),
     ("dot_long", classOf[VectorExpressions.DotLong].getName,
       (cs: Seq[Expression]) => {
+        // coerce elements to long: the kernels read 8-byte strides, so an
+        // uncast array<int>/array<double> would be read as garbage under
+        // codegen, not rejected
         checkArity("dot_long", cs, 2)
-        VectorExpressions.DotLong(cs(0), cs(1))
+        VectorExpressions.DotLong(
+          coerced(cs(0), ArrayType(LongType)), coerced(cs(1), ArrayType(LongType)))
       }),
     ("count_eq", classOf[VectorExpressions.CountEq].getName,
       (cs: Seq[Expression]) => {
         checkArity("count_eq", cs, 2)
-        VectorExpressions.CountEq(cs(0), cs(1))
+        VectorExpressions.CountEq(
+          coerced(cs(0), ArrayType(LongType)), coerced(cs(1), ArrayType(LongType)))
       }),
     ("shingle_hashes", classOf[ShingleExpression.ShingleHashes].getName,
       (cs: Seq[Expression]) => {
