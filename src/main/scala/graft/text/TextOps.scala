@@ -354,12 +354,18 @@ object TextOps {
             .cast("binary").as("t"))
       // persisted: TWO consumers (the train fingerprint set and the
       // holdout probe) would each re-run the winnow kernel otherwise.
+      // The cache barrier sits BEFORE the explode — one array row per doc
+      // in the columnar cache instead of one row per fingerprint (the
+      // explode is trivial to recompute from cached arrays; writing the
+      // exploded rows through the cache serde was the slower variant).
       // The per-split totals below deliberately read `docs`, NOT fps —
       // documents too short to produce a fingerprint must still count
       // toward n_docs
-      val fps = docs.select(col("doc_id"), col("split"),
-          explode(graft.plans.WinnowExpression.winnow_fps(col("t"), K, W)).as("fp"))
+      val fpArrays = docs.select(col("doc_id"), col("split"),
+          graft.plans.WinnowExpression.winnow_fps(col("t"), K, W).as("fparr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fps = fpArrays.select(col("doc_id"), col("split"),
+        explode(col("fparr")).as("fp"))
       val trainFp = fps.filter(col("split") === "train").select("fp").distinct()
       val contaminated = fps.filter(col("split") =!= "train")
         .join(trainFp, Seq("fp"), "left_semi")
