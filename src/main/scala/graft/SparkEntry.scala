@@ -19,10 +19,14 @@ object SparkEntry {
       operators.AnalyticOps.all ++
       operators.AsOfJoin.all ++
       Seq(operators.Salting.SaltedAgg) ++
+      operators.BehaviorOps.all ++
+      operators.LayoutOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
+      text.CorpusOps.all ++
       dedup.Dedup.all ++
       similarity.Similarity.all ++
+      similarity.VectorOps.all ++
       sources.SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import graft.functions.PortableHash.{pHash28, pHash60}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout / pruning operators — the data-organization side of a
+  * 100 TB engine: Bloom-filter membership pruning (the runtime-filter that
+  * turns a join into a scan-side drop) and Z-order clustering keys (the
+  * multi-dimensional sort that makes min/max file statistics selective on
+  * more than one column).
+  *
+  * Every hash is an md5 prefix ([[graft.functions.PortableHash]]) and every
+  * bit operation is spelled in the two engines' common operator subset, so
+  * both operators carry full DuckDB oracles — including the Bloom filter's
+  * exact false-positive count.
+  */
+object LayoutOps {
+
+  /** Bloom-filter membership pruning. Build: each supplier key sets k=3
+    * bits (derived from disjoint slices of one 60-bit md5 hash) in an
+    * m=4096-bit filter packed into 128 32-bit words — built with one
+    * explode + `bit_or` hash aggregate, 128 rows total. Probe: every
+    * distinct customer key looks up its 3 (word, mask) pairs against the
+    * broadcast filter; a key is a candidate iff all 3 bits are set. The
+    * query reports the filter's exact confusion counts (true members vs
+    * false positives) by comparing against the exact semi-join.
+    *
+    * Scale shape: the filter is O(m) bytes no matter how large the build
+    * side grows (the aggregate's partial state is the filter itself), the
+    * probe is a broadcast join against 128 rows followed by a count-3
+    * aggregate on the probe key — the exact plan a runtime-filter rewrite
+    * injects in front of a shuffle join to drop non-matching rows at the
+    * scan.
+    */
+  object BloomFilter extends GraftQuery {
+    val name = "q_bloom_filter"
+    private val Bits = 4096 // m: filter size in bits
+    private val WordBits = 32 // packed word width (sign-safe in both engines)
+
+    /** 3 disjoint 12-bit positions from one 60-bit hash. */
+    private def positions(h: Column): Column =
+      array(h % Bits,
+        expr(s"(h div $Bits) % $Bits"),
+        expr(s"(h div ${Bits * Bits}) % $Bits"))
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val words = Graft.table(spark, sfDir, "supplier")
+        .select(pHash60(concat(lit("bloom:"), col("s_suppkey").cast("string"))).as("h"))
+        .select(explode(positions(col("h"))).as("p"))
+        .select(expr(s"p div $WordBits").as("w"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("m"))
+        .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+
+      val probes = Graft.table(spark, sfDir, "customer")
+        .select(col("c_custkey")).distinct()
+      val probeBits = probes
+        .select(col("c_custkey"),
+          pHash60(concat(lit("bloom:"), col("c_custkey").cast("string"))).as("h"))
+        .select(col("c_custkey"), explode(positions(col("h"))).as("p"))
+        .select(col("c_custkey"), expr(s"p div $WordBits").as("w"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $WordBits AS INT))").as("m"))
+      val candidates = probeBits
+        .join(broadcast(words), Seq("w"))
+        .filter((col("bits").bitwiseAND(col("m"))) =!= 0)
+        .groupBy("c_custkey").agg(count(lit(1)).as("n_set"))
+        .filter(col("n_set") === 3)
+        .select("c_custkey")
+
+      val supplierKeys = Graft.table(spark, sfDir, "supplier").select("s_suppkey")
+      val trueMembers = candidates
+        .join(supplierKeys, col("c_custkey") === col("s_suppkey"), "left_semi")
+      val falsePos = candidates
+        .join(supplierKeys, col("c_custkey") === col("s_suppkey"), "left_anti")
+
+      probes.agg(count(lit(1)).as("n_probes"))
+        .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(trueMembers.agg(count(lit(1)).as("n_true_members")))
+        .crossJoin(falsePos.agg(count(lit(1)).as("n_false_pos")))
+    }
+    val oracle = Some(
+      s"""WITH build AS (
+         |  SELECT ('0x' || substr(md5('bloom:' || s_suppkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM supplier),
+         |pos AS (
+         |  SELECT unnest([h % $Bits, (h // $Bits) % $Bits,
+         |                 (h // ${Bits * Bits}) % $Bits]) AS p
+         |  FROM build),
+         |words AS (
+         |  SELECT p // $WordBits AS w,
+         |         bit_or(1::BIGINT << CAST(p % $WordBits AS INT)) AS bits
+         |  FROM pos GROUP BY 1),
+         |probes AS (SELECT DISTINCT c_custkey FROM customer),
+         |probebits AS (
+         |  SELECT c_custkey, p // $WordBits AS w,
+         |         1::BIGINT << CAST(p % $WordBits AS INT) AS m
+         |  FROM (SELECT c_custkey,
+         |               unnest([h % $Bits, (h // $Bits) % $Bits,
+         |                       (h // ${Bits * Bits}) % $Bits]) AS p
+         |        FROM (SELECT c_custkey,
+         |                     ('0x' || substr(md5('bloom:' || c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+         |              FROM probes))),
+         |candidates AS (
+         |  SELECT c_custkey FROM probebits JOIN words USING (w)
+         |  WHERE (bits & m) <> 0
+         |  GROUP BY 1 HAVING count(*) = 3),
+         |truemem AS (
+         |  SELECT c_custkey FROM candidates
+         |  WHERE c_custkey IN (SELECT s_suppkey FROM supplier)),
+         |falsepos AS (
+         |  SELECT c_custkey FROM candidates
+         |  WHERE c_custkey NOT IN (SELECT s_suppkey FROM supplier))
+         |SELECT (SELECT count(*) FROM probes) AS n_probes,
+         |       (SELECT count(*) FROM candidates) AS n_candidates,
+         |       (SELECT count(*) FROM truemem) AS n_true_members,
+         |       (SELECT count(*) FROM falsepos) AS n_false_pos""".stripMargin)
+  }
+
+  /** Z-order (Morton) clustering key: interleave the bits of two 8-bit
+    * dimensions into one 16-bit sort key, then report per-bucket occupancy
+    * and the bounding box of each bucket — small boxes are the property
+    * that makes min/max statistics selective on BOTH dimensions after a
+    * sort by `z`. The interleave is 16 shift-and-mask terms, generated
+    * once here for both engines (pure integer ops, bit-identical).
+    *
+    * At scale this key feeds `repartitionByRange(z)` + within-partition
+    * sort before a columnar write; the query itself verifies the key
+    * arithmetic and the locality property it buys.
+    */
+  object ZOrder extends GraftQuery {
+    val name = "q_zorder"
+    private val DimBits = 8
+
+    /** Sum of interleave terms with `x`/`y` spelled per-dialect. */
+    private def zTerms(shr: (String, Int) => String): String =
+      (0 until DimBits).flatMap { i =>
+        Seq(s"(${shr("x", i)} << ${2 * i})", s"(${shr("y", i)} << ${2 * i + 1})")
+      }.mkString(" + ")
+
+    // Spark: shiftleft/shiftright functions; DuckDB: << / >> operators.
+    private val zSpark: String = (0 until DimBits).flatMap { i =>
+      Seq(s"shiftleft(shiftright(x, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+    }.mkString(" + ")
+    private val zDuck: String = zTerms((c, i) => s"(($c >> $i) & 1)")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val pts = Graft.table(spark, sfDir, "part")
+        .select(col("p_size").cast("long").as("x"),
+          (pHash28(concat(lit("z:"), col("p_partkey").cast("string"))) % 256).as("y"))
+      pts.select(col("x"), col("y"), expr(zSpark).as("z"))
+        .select(col("x"), col("y"), col("z"), expr("z div 1024").as("zbucket"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("zbucket")
+    }
+    val oracle = Some(
+      s"""WITH pts AS (
+         |  SELECT CAST(p_size AS BIGINT) AS x,
+         |         ('0x' || substr(md5('z:' || p_partkey::VARCHAR), 1, 7))::BIGINT % 256 AS y
+         |  FROM part),
+         |z AS (SELECT x, y, $zDuck AS z FROM pts)
+         |SELECT z // 1024 AS zbucket, count(*) AS n,
+         |       min(z) AS min_z, max(z) AS max_z,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(BloomFilter, ZOrder)
+}

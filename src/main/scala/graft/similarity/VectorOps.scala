@@ -1,0 +1,155 @@
+package graft.similarity
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators beyond search itself: kNN label prediction
+  * (the evaluation loop of every embedding model) and int8 scalar
+  * quantization (the storage/serving compression step). Both are pure
+  * column expressions with full DuckDB oracles — the quantization math is
+  * floor-based (no `round`, whose half-way semantics differ per dialect)
+  * and every float enters the arithmetic through an exact float→double
+  * widening.
+  */
+object VectorOps {
+
+  /** kNN majority-vote label prediction over the exact cosine top-k
+    * ([[Similarity.bruteForceTopK]]): for each query vector, the predicted
+    * label is the most frequent label among its k nearest neighbors
+    * (ties → smaller label). The vote is a (query, label) hash aggregate
+    * over k rows per query — negligible next to the search itself, so the
+    * operator inherits the search's scale path (swap in LSH/IVF top-k for
+    * the brute-force baseline and the vote is unchanged).
+    */
+  object KnnLabel extends GraftQuery {
+    val name = "q_knn_label"
+    private val K = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 15)
+      val nbrs = Similarity.bruteForceTopK(queries, emb, K)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nbr_label")),
+          Seq("neighbor_id"))
+      val votes = nbrs.groupBy("query_id", "nbr_label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("nbr_label").asc)
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          Seq("query_id"))
+        .select(col("query_id"), col("true_label"),
+          col("nbr_label").as("pred_label"), col("votes"),
+          when(col("nbr_label") === col("true_label"), 1).otherwise(0)
+            .cast("int").as("correct"))
+        .orderBy("query_id")
+    }
+    val oracle = Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+         |           FROM embeddings WHERE vec_id < 15),
+         |pairs AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nbr_label,
+         |         q.qe, e.embedding AS ce
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |comp AS (
+         |  SELECT query_id, neighbor_id, nbr_label,
+         |         sum(qa * qb) AS dot, sum(qa * qa) AS na, sum(qb * qb) AS nb
+         |  FROM (SELECT query_id, neighbor_id, nbr_label,
+         |               CAST(round(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT) AS qa,
+         |               CAST(round(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT) AS qb
+         |        FROM (SELECT query_id, neighbor_id, nbr_label,
+         |                     unnest(qe) AS a, unnest(ce) AS b
+         |              FROM pairs))
+         |  GROUP BY 1, 2, 3),
+         |topk AS (
+         |  SELECT query_id, nbr_label
+         |  FROM (SELECT query_id, nbr_label,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY
+         |                 CAST(dot AS DOUBLE)
+         |                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |                 neighbor_id ASC) AS rank
+         |        FROM comp)
+         |  WHERE rank <= $K),
+         |votes AS (
+         |  SELECT query_id, nbr_label, count(*) AS votes
+         |  FROM topk GROUP BY 1, 2),
+         |best AS (
+         |  SELECT query_id, nbr_label, votes
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY votes DESC, nbr_label ASC) AS rn
+         |        FROM votes)
+         |  WHERE rn = 1)
+         |SELECT b.query_id, q.true_label, b.nbr_label AS pred_label, b.votes,
+         |       CAST(CASE WHEN b.nbr_label = q.true_label THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM best b JOIN q ON b.query_id = q.query_id
+         |ORDER BY b.query_id""".stripMargin)
+  }
+
+  /** Int8 scalar quantization of the embedding column: per-dimension global
+    * [min, max] → 256 uniform cells, code = floor((x-min) * 255 / (max-min))
+    * (so only the exact maximum lands in cell 255), midpoint dequantization,
+    * per-label reconstruction-error report. The per-dim stats are one tiny
+    * aggregate (dims × 2 doubles) broadcast back onto the scan — at 100 TB
+    * the stats pass and the encode pass are both embarrassingly parallel,
+    * and the codes pack 4× smaller than float32 before columnar encoding
+    * even sees them.
+    *
+    * The integer `q_checksum` pins the exact code assignment (a BIGINT sum
+    * is order-independent and exact); `max_abs_err` pins the dequantization
+    * arithmetic (max of identically-computed doubles).
+    */
+  object EmbedQuantize extends GraftQuery {
+    val name = "q_embed_quantize"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dims = Graft.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("d", "xf")))
+        .select(col("vec_id"), col("label"), col("d"),
+          col("xf").cast("double").as("x"))
+      val stats = dims.groupBy("d")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val coded = dims.join(broadcast(stats), Seq("d"))
+        .select(col("label"),
+          when(col("mx") > col("mn"),
+            floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+            .otherwise(lit(0L)).as("q"),
+          col("x"), col("mn"), col("mx"))
+        .select(col("label"), col("q"),
+          abs(col("x") - (col("mn") +
+            (col("q").cast("double") + lit(0.5)) *
+              ((col("mx") - col("mn")) / lit(255.0)))).as("err"))
+      coded.groupBy("label")
+        .agg(count(lit(1)).as("n_values"),
+          sum(col("q")).as("q_checksum"),
+          max(col("err")).as("max_abs_err"))
+        .orderBy("label")
+    }
+    val oracle = Some(
+      """WITH dims AS (
+        |  SELECT vec_id, label, d - 1 AS d, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label,
+        |               unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+        |coded AS (
+        |  SELECT label,
+        |         CASE WHEN mx > mn
+        |              THEN CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+        |              ELSE 0 END AS q,
+        |         x, mn, mx
+        |  FROM dims JOIN stats USING (d)),
+        |errs AS (
+        |  SELECT label, q,
+        |         abs(x - (mn + (CAST(q AS DOUBLE) + 0.5) * ((mx - mn) / 255.0))) AS err
+        |  FROM coded)
+        |SELECT label, count(*) AS n_values,
+        |       CAST(sum(q) AS BIGINT) AS q_checksum,
+        |       max(err) AS max_abs_err
+        |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize)
+}

@@ -105,5 +105,40 @@ object SourceQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(CsvRoundtrip, BinaryScan, JsonlRoundtrip)
+  /** ORC round-trip — the second columnar format Spark ships a native
+    * vectorized reader for (a reference user migrating a lake hits ORC
+    * next after parquet). Orders are written as ORC with zlib, re-read,
+    * and aggregated; the oracle runs on the original parquet, so matching
+    * hashes prove the ORC boundary preserves longs, doubles (exact bits —
+    * both formats store IEEE754 doubles losslessly) and strings for this
+    * schema. Timestamps are round-tripped as epoch integers: ORC timestamp
+    * semantics (local-time vs instant) differ per writer config, and an
+    * integer column is the portable representation at any scale.
+    */
+  object OrcRoundtrip extends GraftQuery {
+    val name = "q_orc_roundtrip"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = workDir("orc", sfDir) + "/orders"
+      val orders = Graft.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("o_epoch_day"))
+      orders.write.mode("overwrite").option("compression", "zlib").orc(dir)
+      val back = spark.read.schema(orders.schema).orc(dir)
+      back.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.SafeMath.exactSum(col("o_totalprice")).as("revenue"),
+          min(col("o_epoch_day")).as("first_day"),
+          max(col("o_epoch_day")).as("last_day"))
+        .orderBy("o_orderstatus")
+    }
+    val oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+        |       min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS first_day,
+        |       max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(CsvRoundtrip, BinaryScan, JsonlRoundtrip, OrcRoundtrip)
 }

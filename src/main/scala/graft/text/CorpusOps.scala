@@ -1,0 +1,139 @@
+package graft.text
+
+import graft.{Graft, GraftQuery}
+import graft.functions.PortableHash.pHash28
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for the training-data pipeline surface:
+  * domain mixing by deterministic sampling, vocabulary building, tf-idf
+  * term weighting. All pure column expressions over the shared tokenizer
+  * contract ([[TextOps.tokens]]), each with a full DuckDB oracle.
+  */
+object CorpusOps {
+
+  /** Stratified (per-source) deterministic sampling — the domain-mixing
+    * primitive of corpus construction: each source gets its own keep-rate,
+    * and membership is decided by a portable hash of the document id, so
+    * the sample is (a) reproducible run-to-run, (b) engine-independent,
+    * and (c) embarrassingly parallel — a scan-side filter with NO shuffle
+    * until the final per-source count. Retries and speculative tasks see
+    * the same sample (the hash is data-derived, not RNG-state-derived) —
+    * the property that makes hash-sampling the only sampling that survives
+    * a 1000-executor run.
+    *
+    * Rates are themselves hash-derived per source (20..79%) to exercise
+    * distinct strata without a config table; a production caller passes a
+    * rate map and broadcasts it.
+    */
+  object StratifiedSample extends GraftQuery {
+    val name = "q_stratified_sample"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val rate = pHash28(concat(lit("rate:"), col("source"))) % 60 + 20
+      val keep = pHash28(concat(lit("sample:"), col("doc_id").cast("string"))) % 100 < rate
+      docs.select(col("source"), rate.as("rate_pct"),
+          when(keep, 1L).otherwise(0L).as("kept"))
+        .groupBy("source", "rate_pct")
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT source,
+        |         ('0x' || substr(md5('rate:' || source), 1, 7))::BIGINT % 60 + 20 AS rate_pct,
+        |         CASE WHEN ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100
+        |                   < ('0x' || substr(md5('rate:' || source), 1, 7))::BIGINT % 60 + 20
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, rate_pct, count(*) AS n_total,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM d GROUP BY 1, 2 ORDER BY source""".stripMargin)
+  }
+
+  /** Vocabulary construction: corpus-wide token counts, a min-count floor,
+    * and contiguous ids assigned by (count desc, token asc) — the exact
+    * shape a tokenizer-training or embedding-table step consumes. One
+    * explode + one hash aggregate on the token (the shuffle carries one row
+    * per DISTINCT token after partial aggregation); the global rank is a
+    * single-partition window over vocab-sized data — fine at any corpus
+    * scale, because vocabularies are bounded (they grow with Heaps' law,
+    * not linearly in the corpus).
+    */
+  object Vocab extends GraftQuery {
+    val name = "q_vocab"
+    private val MinCount = 5
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val counts = Graft.table(spark, sfDir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= MinCount)
+      counts.select(
+          row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+            .cast("int").as("token_id"),
+          col("token"), col("n"))
+        .orderBy("token_id")
+    }
+    val oracle = Some(
+      s"""WITH counts AS (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |        FROM documents)
+         |  GROUP BY 1 HAVING count(*) >= $MinCount)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS token_id,
+         |       token, n
+         |FROM counts ORDER BY token_id""".stripMargin)
+  }
+
+  /** Tf-idf top term per document. The idf here is the RAW rational
+    * `N / df` rather than `ln(N / df)`: the ranking it induces per document
+    * is what the operator exists for, and division of identical integer
+    * operands is IEEE-exact in both engines, where `ln` differs in the last
+    * ulp between libms and would break the bit-for-bit oracle (see the
+    * determinism notes on [[graft.functions.PortableHash]]). Plan shape:
+    * one explode + (doc, token) hash aggregate for tf, one token-keyed
+    * aggregate for df, a broadcast scalar for N, and a per-doc top-1
+    * window — every shuffle is keyed on tokens or doc ids.
+    */
+  object TfIdf extends GraftQuery {
+    val name = "q_tfidf"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token AS top_term, tf, df, tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY tfidf DESC, token ASC) AS rn
+        |      FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(StratifiedSample, Vocab, TfIdf)
+}

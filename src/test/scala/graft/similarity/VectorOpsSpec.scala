@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of kNN label prediction and int8 quantization beyond the
+  * oracle hash-match.
+  */
+class VectorOpsSpec extends SparkSpec {
+
+  test("knn label: clustered fixture predicts the cluster's label") {
+    import spark.implicits._
+    // two tight clusters along orthogonal axes + 3 query points
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(4)(eps)
+      v(axis) = 1.0f
+      v
+    }
+    val rows =
+      (0 until 20).map(i => (i.toLong, vec(0, 0.01f * (i % 3)), 7)) ++
+        (20 until 40).map(i => (i.toLong, vec(1, 0.01f * (i % 3)), 9))
+    val dir = java.nio.file.Files.createTempDirectory("knn_spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.KnnLabel.run(spark, dir).collect()
+    // queries are vec_id < 15, all in cluster 0 → predicted 7, all correct
+    assert(out.length == 15)
+    assert(out.forall(_.getInt(2) == 7), "predicted label must be cluster label")
+    assert(out.forall(_.getInt(4) == 1))
+  }
+
+  test("quantization: codes stay in [0,255], error bounded by half a cell") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dims = emb.select(posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("d"), col("xf").cast("double").as("x"))
+    val stats = dims.groupBy("d")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    val widest = stats.agg(max(col("mx") - col("mn"))).head.getDouble(0)
+    val r = VectorOps.EmbedQuantize.run(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, checksum, maxErr) =
+        (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(checksum >= 0 && checksum <= 255L * n, "codes out of [0,255]")
+      // midpoint dequantization error ≤ half a cell of the widest dim
+      assert(maxErr <= widest / 255.0 / 2.0 + 1e-12,
+        s"reconstruction error $maxErr exceeds half-cell bound")
+    }
+  }
+}
