@@ -46,6 +46,35 @@ object Bench {
         .filter(col("m") >= 0).distinct()
         .write.format("noop").mode("overwrite").save()
       cached.unpersist()
+      // warm the engine's NATIVE kernels (winnow/shingle/minhash/simhash/
+      // lsh/vector-quantize): each is its own generated class, so the md5
+      // warmup above doesn't reach them — whichever query hit each kernel
+      // first absorbed its whole-stage-codegen + C2 compile otherwise
+      // (q_contamination measured 4.1s in-suite vs 1.4s warm, the gap
+      // being exactly this one-time cost)
+      import graft.plans.{WinnowExpression, ShingleExpression, SimHashExpression}
+      import graft.plans.VectorExpressions.{dot_long, quantize_vec}
+      val txt = n.select(col("n_nationkey").as("id"),
+        regexp_replace(lower(trim(col("n_name"))), "[^ -~]", "").as("s"),
+        array(lit(0.1f), lit(0.2f), lit(0.3f), lit(0.4f)).as("v"))
+        .withColumn("t", col("s").cast("binary"))
+      txt.select(col("id"),
+          size(WinnowExpression.winnow_fps(col("t"), 8, 4)).as("a"),
+          size(graft.dedup.Dedup.minhashSignature(
+            ShingleExpression.shingle_hashes(col("s"), 3))).as("b"),
+          SimHashExpression.simhash60(col("s"), graft.dedup.Dedup.SimHashBits).as("c"),
+          dot_long(quantize_vec(col("v")), quantize_vec(col("v"))).as("d"),
+          element_at(graft.similarity.Similarity.lshKeysNative(
+            quantize_vec(col("v")), 4), 1).as("e"))
+        .write.format("noop").mode("overwrite").save()
+      // warm the window-aggregation path with a decimal running sum (the
+      // frame-sliding decimal accumulator is its own codegen shape)
+      import org.apache.spark.sql.expressions.Window
+      n.select(col("n_nationkey").as("k"), col("n_regionkey").as("g"))
+        .withColumn("rs", sum(col("k").cast("decimal(27,6)")).over(
+          Window.partitionBy("g").orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .write.format("noop").mode("overwrite").save()
     }
     // Materialize through the `noop` sink, NOT `.count()`: under a global
     // count Catalyst legitimately prunes whatever nothing references —

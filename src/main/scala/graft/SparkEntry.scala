@@ -21,6 +21,7 @@ object SparkEntry {
       Seq(operators.Salting.SaltedAgg) ++
       operators.BehaviorOps.all ++
       operators.LayoutOps.all ++
+      operators.StatOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.CorpusOps.all ++

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical operators: positional quartiles, Pearson correlation, and
+  * z-score outlier detection. The moment-based ops (correlation, z-score)
+  * run on EXACT integer sums — `value` is a 2-decimal quantity, so
+  * `round(value*100)` is a lossless integer encoding, and the five moment
+  * sums are order-independent BIGINTs through the shuffle; only the final
+  * closed-form expression touches doubles, identically associated in both
+  * engines (the same strategy as [[graft.similarity.Similarity.dotExact]]).
+  * One hash aggregate per group — no window, no second pass over the fact.
+  */
+object StatOps {
+
+  /** Positional quartiles per market segment (extends the positional-median
+    * rule of [[AnalyticOps.MedianPrice]]): quartile k is the value at rank
+    * max(1, ((n+1)*k) div 4) under a total order — no interpolation, so
+    * both engines pick the same physical row. One window pass + one
+    * conditional aggregate.
+    */
+  object Quartiles extends GraftQuery {
+    val name = "q_quartiles"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+      val c = Graft.table(spark, sfDir, "customer")
+      val j = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_totalprice"), col("o_orderkey"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val ranked = j.select(col("segment"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("segment")).as("n"))
+      def atQuartile(k: Int) =
+        min(when(col("rn") === expr(s"greatest(1, ((n + 1) * $k) div 4)"),
+          col("o_totalprice")))
+      ranked.groupBy("segment")
+        .agg(atQuartile(1).as("q1"), atQuartile(2).as("median"),
+          atQuartile(3).as("q3"), max(col("n")).as("n"))
+        .orderBy("segment")
+    }
+    val oracle = Some(
+      """WITH ranked AS (
+        |  SELECT c_mktsegment AS segment, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT segment,
+        |       min(CASE WHEN rn = greatest(1, ((n + 1) * 1) // 4) THEN o_totalprice END) AS q1,
+        |       min(CASE WHEN rn = greatest(1, ((n + 1) * 2) // 4) THEN o_totalprice END) AS median,
+        |       min(CASE WHEN rn = greatest(1, ((n + 1) * 3) // 4) THEN o_totalprice END) AS q3,
+        |       CAST(max(n) AS BIGINT) AS n
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Per-event-type Pearson correlation between the event value and its
+    * JSON-props counter. Five exact BIGINT moment sums per group, then the
+    * closed form in doubles — a single map-side-combinable aggregate that
+    * scales as one shuffle of 6 longs per group.
+    */
+  object Correlation extends GraftQuery {
+    val name = "q_correlation"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+      val m = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      // all-double closed form: identical operand bits + identical
+      // association ⇒ bit-identical across engines (each IEEE op is
+      // correctly rounded, so determinism needs only same inputs/shape)
+      val nd = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      m.select(col("event_type"), col("n"),
+          ((nd * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(nd * d("sxx") - d("sx") * d("sx")) *
+              sqrt(nd * d("syy") - d("sy") * d("sy")))).as("pearson_r"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS x,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS pearson_r
+        |FROM m ORDER BY event_type""".stripMargin)
+  }
+
+  /** Z-score outlier counts per event type: rows with |x - mean| > 3σ under
+    * the population σ derived from the same exact moment sums. Two passes
+    * (moments, then the flag filter) but the second pass joins a 5-row
+    * broadcast — at scale this is the standard "compute stats, broadcast
+    * back onto the scan" shape, and the comparison is between identically
+    * computed doubles, so the counts are deterministic.
+    * |x-μ| > 3σ ⇔ (n·x − Sx)² > 9·(n·Sxx − Sx²) in exact integer terms —
+    * but n·x·n overflows 64-bit at event-table scale, so the comparison
+    * runs in doubles, identically associated on both sides.
+    */
+  object ZScoreOutliers extends GraftQuery {
+    val name = "q_zscore_outliers"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      val m = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+            .divide(col("n").cast("double")).as("nsigma"))
+      // nsigma = sqrt(n*Sxx - Sx^2)/n = population σ; flag |x-mean| > 3σ
+      ev.join(broadcast(m), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("x").cast("double") - col("mean")) >
+            lit(3.0) * col("nsigma"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+        |         sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+        |              - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |           / CAST(count(*) AS DOUBLE) AS nsigma
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN abs(CAST(x AS DOUBLE) - mean) > 3.0 * nsigma
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(Quartiles, Correlation, ZScoreOutliers)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Statistical-operator semantics beyond the oracle hash-match. */
+class StatOpsSpec extends SparkSpec {
+
+  test("quartiles are ordered and drawn from the data") {
+    val rows = StatOps.Quartiles.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val prices = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0)).toSet
+    rows.foreach { r =>
+      val (q1, m, q3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(q1 <= m && m <= q3, s"quartiles out of order: $r")
+      assert(prices(q1) && prices(m) && prices(q3),
+        "positional quartiles must be actual data values (no interpolation)")
+    }
+  }
+
+  test("correlation is in [-1,1]; perfectly linear data gives r=1") {
+    val rows = StatOps.Correlation.run(spark, sf).collect()
+    rows.foreach { r =>
+      val p = r.getDouble(2)
+      assert(!p.isNaN && p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"r out of range: $r")
+    }
+    // closed form on a hand-built y = 2x line
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lin = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)).toDF("x", "y")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))).as("r"))
+      .head.getDouble(0)
+    assert(math.abs(lin - 1.0) < 1e-12)
+  }
+
+  test("z-score outliers: a planted extreme value is flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 values at ~10.00 plus one at 10000.00 — the plant is >3σ out
+    val ev = ((1 to 100).map(i => (i.toLong, "t", 10.0 + (i % 7) * 0.01)) :+
+      (101L, "t", 10000.0))
+      .map { case (id, t, v) => (id, id * 1000000000L, id, t, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("zscore_spec").toString
+    // write ts as long nanos (the operator reads it via Graft.table, which
+    // only needs the column to exist; value/event_type are what matter)
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatOps.ZScoreOutliers.run(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 101L)
+    assert(out.head.getLong(2) == 1L, s"planted outlier not flagged: ${out.head}")
+  }
+}
