@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Graft, GraftQuery}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event stream — the funnel / cohort
@@ -19,90 +20,123 @@ object BehaviorOps {
   /** Ordered conversion funnel view → click → purchase. A user counts for a
     * stage only if the stage event happens STRICTLY AFTER their entry into
     * the previous stage and within the conversion window (min-timestamp
-    * semantics, the standard "ordered windowed funnel"). Each stage is one
-    * filtered aggregate joined to the previous stage's frame — at scale,
-    * three hash aggregations co-partitioned on `user_id`, each strictly
-    * smaller than the last; the final counts are three single-row
-    * aggregates unioned together.
+    * semantics, the standard "ordered windowed funnel").
+    *
+    * Single-pass formulation: ONE scan of events, ONE sort-shuffle on
+    * `user_id`, three CHAINED conditional running-mins over the same window
+    * frame (Spark plans them as one sort + stacked Window operators) —
+    * versus the naive per-stage filter-aggregate-join chain, which scans
+    * the event table twice per stage. Equivalence: the prefix-min of
+    * qualifying stage-k times at any row equals the global min whenever it
+    * can affect the strict `sec > prev` comparison (a prefix min only
+    * shrinks toward the global min, and rows before the global min fail
+    * the strict inequality anyway).
     */
   object Funnel extends GraftQuery {
     val name = "q_funnel"
-    private val stages = Seq("view", "click", "purchase")
     private val WindowSec = 86400L // 24h stage-to-stage conversion window
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ev = Graft.table(spark, sfDir, "events")
-        .select(col("user_id"), col("event_type"),
+        .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts div 1000000000").as("sec"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .filter(col("sec") > col("v_sec") && col("sec") <= col("v_sec") + WindowSec)
-        .groupBy("user_id").agg(min(col("sec")).as("c_sec"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .filter(col("sec") > col("c_sec") && col("sec") <= col("c_sec") + WindowSec)
-        .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
-      val stageCounts = Seq(v, c, p).zip(stages).zipWithIndex.map {
-        case ((df, stage), i) =>
-          df.agg(count(lit(1)).as("n_users"))
-            .select(lit(i + 1).cast("int").as("stage_ord"),
-              lit(stage).as("stage"), col("n_users"))
-      }
-      stageCounts.reduce(_.unionAll(_)).orderBy("stage_ord")
+      val staged = ev
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("sec"))).over(w))
+        .withColumn("qc",
+          min(when(col("event_type") === "click" && col("fv").isNotNull &&
+            col("sec") > col("fv") && col("sec") <= col("fv") + WindowSec,
+            col("sec"))).over(w))
+        .withColumn("qp",
+          min(when(col("event_type") === "purchase" && col("qc").isNotNull &&
+            col("sec") > col("qc") && col("sec") <= col("qc") + WindowSec,
+            col("sec"))).over(w))
+      val perUser = staged.groupBy("user_id")
+        .agg(min(col("fv")).as("v_sec"), min(col("qc")).as("c_sec"),
+          min(col("qp")).as("p_sec"))
+      perUser
+        .agg(count(col("v_sec")).as("nv"), count(col("c_sec")).as("nc"),
+          count(col("p_sec")).as("np"))
+        .selectExpr("stack(3, 1, 'view', nv, 2, 'click', nc, " +
+          "3, 'purchase', np) AS (stage_ord, stage, n_users)")
+        .select(col("stage_ord").cast("int"), col("stage"), col("n_users"))
+        .orderBy("stage_ord")
     }
     val oracle = Some(
       s"""WITH ev AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS sec
         |  FROM events),
-        |v AS (SELECT user_id, min(sec) AS v_sec FROM ev
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(e.sec) AS c_sec
-        |      FROM ev e JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.sec > v.v_sec
-        |        AND e.sec <= v.v_sec + $WindowSec GROUP BY 1),
-        |p AS (SELECT e.user_id, min(e.sec) AS p_sec
-        |      FROM ev e JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.sec > c.c_sec
-        |        AND e.sec <= c.c_sec + $WindowSec GROUP BY 1)
-        |SELECT CAST(1 AS INT) AS stage_ord, 'view' AS stage, count(*) AS n_users FROM v
+        |staged AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |         min(CASE WHEN event_type = 'view' THEN sec END) OVER w AS fv
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |staged2 AS (
+        |  SELECT user_id, event_id, event_type, sec, fv,
+        |         min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+        |                       AND sec > fv AND sec <= fv + $WindowSec
+        |                  THEN sec END) OVER w AS qc
+        |  FROM staged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |staged3 AS (
+        |  SELECT user_id, fv, qc,
+        |         min(CASE WHEN event_type = 'purchase' AND qc IS NOT NULL
+        |                       AND sec > qc AND sec <= qc + $WindowSec
+        |                  THEN sec END) OVER w AS qp
+        |  FROM staged2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per_user AS (
+        |  SELECT user_id, min(fv) AS v_sec, min(qc) AS c_sec, min(qp) AS p_sec
+        |  FROM staged3 GROUP BY 1),
+        |counts AS (
+        |  SELECT count(v_sec) AS nv, count(c_sec) AS nc, count(p_sec) AS np
+        |  FROM per_user)
+        |SELECT CAST(1 AS INT) AS stage_ord, 'view' AS stage, nv AS n_users FROM counts
         |UNION ALL
-        |SELECT CAST(2 AS INT), 'click', count(*) FROM c
+        |SELECT CAST(2 AS INT), 'click', nc FROM counts
         |UNION ALL
-        |SELECT CAST(3 AS INT), 'purchase', count(*) FROM p
+        |SELECT CAST(3 AS INT), 'purchase', np FROM counts
         |ORDER BY stage_ord""".stripMargin)
   }
 
   /** Cohort retention: users grouped by first-activity day (the cohort),
     * counted as retained on each later day they were active, out to 7 days.
     * Day buckets are integer epoch days, so cohort and offset are exact in
-    * both engines. Plan shape: one aggregate for first-activity, one
-    * distinct over (user, day), one co-partitioned equi-join on `user_id`,
-    * one final hash aggregate — each shuffle keyed on small integers.
+    * both engines. Plan shape: ONE scan — distinct over (user, day), then
+    * the cohort day as a partition-min window over the already-shuffled
+    * user grouping (no second scan, no join), then the final small-key
+    * hash aggregate.
     */
   object Retention extends GraftQuery {
     val name = "q_retention"
     private val MaxOffset = 7
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ev = Graft.table(spark, sfDir, "events")
+      val active = Graft.table(spark, sfDir, "events")
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
-      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      val active = ev.distinct()
-      active.join(cohort, Seq("user_id"))
-        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
-          col("user_id"))
+        .distinct()
+      active
+        .select(col("user_id"), col("day"),
+          min(col("day")).over(Window.partitionBy("user_id")).as("cohort_day"))
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .filter(col("day_offset") <= MaxOffset)
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_day", "day_offset")
     }
     val oracle = Some(
-      s"""WITH ev AS (
-         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
-         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
-         |active AS (SELECT DISTINCT user_id, day FROM ev)
+      s"""WITH active AS (
+         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+         |  FROM events),
+         |w AS (
+         |  SELECT day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+         |  FROM active)
          |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
-         |FROM active JOIN cohort USING (user_id)
+         |FROM w
          |WHERE day - cohort_day <= $MaxOffset
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
