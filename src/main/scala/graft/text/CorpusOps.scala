@@ -100,9 +100,14 @@ object CorpusOps {
     val name = "q_tfidf"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val docs = Graft.table(spark, sfDir, "documents")
+      // persisted: tf feeds both the score join and the df aggregate —
+      // unpersisted, the df branch re-runs the explode + (doc, token)
+      // aggregate over the whole corpus (released per query by
+      // Bench/Verify, the same barrier contract as the dedup self-joins)
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
