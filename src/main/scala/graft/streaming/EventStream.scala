@@ -55,6 +55,58 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel progress state: epoch-second entry times per stage,
+    * -1 = stage not reached.
+    */
+  final case class FunnelState(vSec: Long, cSec: Long, pSec: Long)
+  final case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming funnel: the keyed-state twin of
+    * [[graft.operators.BehaviorOps.Funnel]] — per-user stage machine
+    * (view → click → purchase, strict order, per-stage conversion window)
+    * in `flatMapGroupsWithState`, emitting the user's current stage on
+    * every update. State is three longs per user — bounded however long
+    * the stream runs.
+    *
+    * Contract: exact under per-user in-timestamp-order delivery (events
+    * within a micro-batch are sorted here; cross-batch stragglers that
+    * arrive after a later stage already fired are not retroactively
+    * reprocessed — the standard streaming-funnel trade; the batch twin is
+    * the backfill correction path, same Kappa contract as the rest of this
+    * module).
+    */
+  def funnelStages(events: Dataset[Event],
+      windowSec: Long = 86400L): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          // total (sec, event_id) order inside the batch — same tie rule
+          // as the batch twin's window sort
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            e.event_type match {
+              case "view" if s.vSec < 0 =>
+                s = s.copy(vSec = sec)
+              case "click" if s.vSec >= 0 && s.cSec < 0 &&
+                  sec > s.vSec && sec <= s.vSec + windowSec =>
+                s = s.copy(cSec = sec)
+              case "purchase" if s.cSec >= 0 && s.pSec < 0 &&
+                  sec > s.cSec && sec <= s.cSec + windowSec =>
+                s = s.copy(pSec = sec)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage =
+            if (s.pSec >= 0) 3 else if (s.cSec >= 0) 2
+            else if (s.vSec >= 0) 1 else 0
+          Iterator.single(FunnelProgress(uid, stage))
+      }
+  }
+
   /** Streaming exact dedup: drop repeated event_ids within the watermark
     * horizon — the streaming twin of [[graft.dedup.Dedup.ExactDedup]]
     * (state stores only ids inside the watermark, so memory is bounded;

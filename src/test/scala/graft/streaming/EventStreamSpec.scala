@@ -142,4 +142,26 @@ class EventStreamSpec extends SparkSpec {
     assert(out.contains((7L, 2L, 3.0)))
     assert(out.contains((9L, 1L, 5.0)))
   }
+
+  test("streaming funnel stages match the batch funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    val stream = MemoryStream[EventStream.Event]
+    stream.addData(batch.collect().toSeq) // one micro-batch, in-order per user after sort
+    val q = EventStream.funnelStages(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // last update per user is the final stage (single batch → one row each)
+    val stages = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamCounts = (1 to 3).map(k => stages.values.count(_ >= k).toLong)
+    val batchCounts = graft.operators.BehaviorOps.Funnel.run(spark, sf)
+      .orderBy("stage_ord").collect().map(_.getLong(2)).toSeq
+    assert(streamCounts == batchCounts,
+      s"stream $streamCounts vs batch $batchCounts")
+    assert(streamCounts.head > 0)
+  }
 }
