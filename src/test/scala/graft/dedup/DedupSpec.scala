@@ -90,9 +90,17 @@ class DedupSpec extends SparkSpec {
         val want = byRoot.values.flatMap { ns =>
           val m = ns.min; ns.map(_ -> m)
         }.toMap
-        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        // force the DISTRIBUTED path (threshold 0): the small-graph fast
+        // path IS union-find, so differentially testing it against this
+        // reference would be circular
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+            smallGraphThreshold = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == want, s"trial $trial: $got vs $want")
+        // and the gated fast path must agree with the distributed path
+        val fast = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(fast == got, s"trial $trial fast-path mismatch")
       }
     }
   }
