@@ -152,5 +152,40 @@ object StatOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(Quartiles, Correlation, ZScoreOutliers)
+  /** Equal-width numeric histogram of order prices: 20 bins over the
+    * global [min, max], bin edges derived from one tiny stats aggregate
+    * broadcast back onto the scan (the 1-D sibling of
+    * [[graft.similarity.VectorOps.EmbedQuantize]]'s cell math — floor-based
+    * so both engines bin identically; the exact max closes into the last
+    * bin). Two scans are inherent to data-derived edges; with KNOWN edges
+    * it is one scan-side expression.
+    */
+  object NumericHist extends GraftQuery {
+    val name = "q_numeric_hist"
+    private val Bins = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders").select(col("o_totalprice").as("x"))
+      val stats = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      o.crossJoin(broadcast(stats))
+        .select(least(floor((col("x") - col("mn")) * Bins / (col("mx") - col("mn"))),
+          lit(Bins - 1L)).as("bin"),
+          col("mn"), col("mx"), col("x"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .orderBy("bin")
+    }
+    val oracle = Some(
+      s"""WITH stats AS (
+         |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+         |binned AS (
+         |  SELECT least(CAST(floor((o_totalprice - mn) * $Bins / (mx - mn)) AS BIGINT),
+         |               ${Bins - 1}) AS bin,
+         |         o_totalprice AS x
+         |  FROM orders CROSS JOIN stats)
+         |SELECT bin, count(*) AS n, min(x) AS lo, max(x) AS hi
+         |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist)
 }
