@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Both operators run on integer epoch math (`ts div 1e9` seconds,
   * `div 86400` days) so every comparison and bucket is bit-identical to the
-  * DuckDB oracle. Both are sequences of hash aggregations / equi-joins on
-  * `user_id` — co-partitioned shuffles that scale linearly; no windows over
-  * the full event table, no driver-side state.
+  * DuckDB oracle. Both cost one scan plus user-keyed shuffles: the funnel
+  * is one sort-shuffle feeding chained running-min windows, retention is a
+  * distinct plus a per-user min window — no joins, no driver-side state.
   */
 object BehaviorOps {
 
@@ -107,21 +107,24 @@ object BehaviorOps {
   /** Cohort retention: users grouped by first-activity day (the cohort),
     * counted as retained on each later day they were active, out to 7 days.
     * Day buckets are integer epoch days, so cohort and offset are exact in
-    * both engines. Plan shape: ONE scan — distinct over (user, day), then
-    * the cohort day as a partition-min window over the already-shuffled
-    * user grouping (no second scan, no join), then the final small-key
-    * hash aggregate.
+    * both engines. Plan shape: ONE scan and ONE user-keyed data shuffle —
+    * the per-user distinct-day set is a `collect_set` aggregate (map-side
+    * combinable; its state is bounded by the retention horizon's day
+    * count, not by event volume), the cohort day is `array_min` of that
+    * set, and the explode back to (cohort, offset) rows feeds the final
+    * small-key hash aggregate. A (user, day)-distinct + per-user window
+    * formulation costs a second exchange — HashPartitioning(user, day)
+    * does not satisfy the window's user-only clustering.
     */
   object Retention extends GraftQuery {
     val name = "q_retention"
     private val MaxOffset = 7
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val active = Graft.table(spark, sfDir, "events")
+      Graft.table(spark, sfDir, "events")
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
-        .distinct()
-      active
-        .select(col("user_id"), col("day"),
-          min(col("day")).over(Window.partitionBy("user_id")).as("cohort_day"))
+        .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+        .select(array_min(col("days")).as("cohort_day"),
+          explode(col("days")).as("day"))
         .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .filter(col("day_offset") <= MaxOffset)
         .groupBy("cohort_day", "day_offset")

@@ -65,10 +65,15 @@ object StatOps {
   object Correlation extends GraftQuery {
     val name = "q_correlation"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // pairwise-complete observations: rows whose props lack a numeric
+      // '$.k' must not enter ANY moment — count(*) would otherwise include
+      // rows that sum(y)/sum(x*y) skip, silently skewing r (and the oracle,
+      // sharing the flaw, would not catch it)
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("x"),
           get_json_object(col("props"), "$.k").cast("long").as("y"))
+        .filter(col("y").isNotNull)
       val m = ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
@@ -88,8 +93,9 @@ object StatOps {
       """WITH ev AS (
         |  SELECT event_type,
         |         CAST(round(value * 100) AS BIGINT) AS x,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
-        |  FROM events),
+        |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |  FROM events
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
         |m AS (
         |  SELECT event_type, count(*) AS n,
         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
@@ -169,7 +175,7 @@ object StatOps {
       o.crossJoin(broadcast(stats))
         .select(least(floor((col("x") - col("mn")) * Bins / (col("mx") - col("mn"))),
           lit(Bins - 1L)).as("bin"),
-          col("mn"), col("mx"), col("x"))
+          col("x"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("lo"), max(col("x")).as("hi"))

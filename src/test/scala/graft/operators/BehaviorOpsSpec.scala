@@ -20,31 +20,27 @@ class BehaviorOpsSpec extends SparkSpec {
 
   test("funnel requires strict order within the window") {
     import spark.implicits._
+    // drive the REAL operator through a fixture events table:
     // u1 converts fully; u2 clicks BEFORE viewing (no conversion);
-    // u3 clicks after the 24h window (no conversion)
+    // u3 clicks after the 24h window (no conversion); u4 clicks AT the
+    // same second as its first view (strict '>' must reject it)
     val sec = (h: Long) => h * 3600L * 1000000000L // hours → nanos
-    val ev = Seq(
-      (1L, "view", sec(0)), (1L, "click", sec(1)), (1L, "purchase", sec(2)),
-      (2L, "click", sec(0)), (2L, "view", sec(1)), (2L, "purchase", sec(2)),
-      (3L, "view", sec(0)), (3L, "click", sec(30)), (3L, "purchase", sec(31)))
-      .toDF("user_id", "event_type", "ts")
-    ev.createOrReplaceTempView("spec_events")
-    // replicate the operator's stage chain on the fixture
-    import org.apache.spark.sql.functions._
-    val e = ev.select(col("user_id"), col("event_type"),
-      expr("ts div 1000000000").as("sec"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
-    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
-      .filter(col("sec") > col("v_sec") && col("sec") <= col("v_sec") + 86400L)
-      .groupBy("user_id").agg(min(col("sec")).as("c_sec"))
-    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
-      .filter(col("sec") > col("c_sec") && col("sec") <= col("c_sec") + 86400L)
-      .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
-    assert(v.count() == 3)
-    // u2's click precedes its first view; u3's click is outside 24h
-    assert(c.select("user_id").collect().map(_.getLong(0)).toSet == Set(1L))
-    assert(p.select("user_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val rows = Seq(
+      (1L, "view", sec(0)), (2L, "click", sec(1)), (3L, "purchase", sec(2)),
+      (4L, "click", sec(0)), (5L, "view", sec(1)), (6L, "purchase", sec(2)),
+      (7L, "view", sec(0)), (8L, "click", sec(30)), (9L, "purchase", sec(31)),
+      (10L, "view", sec(5)), (11L, "click", sec(5)))
+      .zipWithIndex.map { case ((eid, t, ts), i) =>
+        (eid, ts, Seq(1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 3L, 4L, 4L)(i), t, 0.0, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("funnel_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.Funnel.run(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // views: u1, u2, u3, u4; qualifying clicks: u1 only (u2 pre-view,
+    // u3 out of window, u4 same-second); purchases: u1 only
+    assert(out == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L), s"$out")
   }
 
   test("retention: every cohort has an offset-0 row counting its full size") {
