@@ -482,19 +482,82 @@ object Dedup {
     }
     val oracle = Some(
       s"""WITH RECURSIVE ${minhashPairOracleCtes("documents")},
-         |p AS (SELECT doc_a, doc_b FROM est
-         |      WHERE CAST(m AS DOUBLE) / $NumHashes.0 >= $MinEstJaccard),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |          UNION SELECT doc_b, doc_a FROM p),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |labels AS (
-         |  SELECT src AS id, least(src, min(dst)) AS label
-         |  FROM reach GROUP BY src)
+         |${componentOracleCtes(MinEstJaccard)}
          |SELECT label AS cluster_id, count(*) AS cluster_size
          |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Recursive-CTE replay of [[connectedComponents]] over the est-Jaccard
+    * pair graph (shared by [[DedupClusters]] and
+    * [[ClusterRepresentative]]); expects the `est` CTE from
+    * [[minhashPairOracleCtes]] in scope and must run under
+    * `WITH RECURSIVE`.
+    */
+  def componentOracleCtes(threshold: Double): String =
+    s"""p AS (SELECT doc_a, doc_b FROM est
+       |      WHERE CAST(m AS DOUBLE) / $NumHashes.0 >= $threshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS label
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Cluster curation policy: which document SURVIVES a near-dup cluster.
+    * Keep-min-id ([[DedupClusters]]) is the cheap default; this operator
+    * implements the production policy — keep the highest-QUALITY member
+    * (ties → smaller id), reporting each cluster's representative next to
+    * its size. Composition: the same pair graph + components, a quality
+    * score per member ([[graft.text.TextOps.qualityExpr]] — the one shared
+    * expression shape), and a per-cluster argmax window. Only documents in
+    * clusters are scored after the semi-join — at corpus scale the cluster
+    * membership is orders of magnitude smaller than the corpus, so the
+    * quality pass is bounded by the dedup output, not the input.
+    */
+  object ClusterRepresentative extends GraftQuery {
+    val name = "q_cluster_representative"
+    val MinEstJaccard = 0.5
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Graft.table(spark, sfDir, "documents")
+      val pairs = minhashCandidatePairs(docs, MinEstJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = connectedComponents(pairs)
+      val members = docs
+        .join(labels, docs("doc_id") === labels("id"))
+        .select(col("label"), col("doc_id"),
+          graft.text.TextOps.qualityExpr(
+            graft.text.TextOps.tokens(col("text"))).as("quality"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      members
+        .select(col("label"), col("doc_id"), col("quality"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"))
+        .filter(col("rn") === 1)
+        .select(col("label").as("cluster_id"), col("doc_id").as("rep_doc"),
+          col("quality").as("rep_quality"), col("cluster_size"))
+        .orderBy("cluster_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE ${minhashPairOracleCtes("documents")},
+         |${componentOracleCtes(MinEstJaccard)},
+         |members AS (
+         |  SELECT l.label, d.doc_id,
+         |         ${graft.text.TextOps.qualitySql("string_split_regex(trim(d.text), '\\s+')")} AS quality
+         |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+         |sel AS (
+         |  SELECT label, doc_id, quality,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY label) AS cluster_size
+         |  FROM members)
+         |SELECT label AS cluster_id, doc_id AS rep_doc,
+         |       quality AS rep_quality, CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
   }
 
   // ------------------------------------------------------- Shingle Jaccard
@@ -594,5 +657,5 @@ object Dedup {
 
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
-      DedupClusters, ShingleJaccard, EmbedNearDup)
+      DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup)
 }

@@ -140,5 +140,44 @@ object CorpusOps {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(StratifiedSample, Vocab, TfIdf)
+  /** Quality-based curation: the top-3 documents per source by the
+    * engine's composite quality score ([[TextOps.qualityExpr]]) — the
+    * "select the best k per domain" step between scoring and mixing in a
+    * curation pipeline. Per-group top-k runs as WindowGroupLimit (each
+    * partition pre-prunes to its own top-3 before the shuffle), so the
+    * exchange carries ≤ 3 rows per (source, partition).
+    */
+  object QualityTopKPerSource extends GraftQuery {
+    val name = "q_quality_topk_per_source"
+    private val K = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val tok = TextOps.tokens(col("text"))
+      val scored = Graft.table(spark, sfDir, "documents")
+        .select(col("source"), col("doc_id"), TextOps.qualityExpr(tok).as("quality"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("quality"))
+        .orderBy("source", "rank")
+    }
+    val oracle = Some(
+      s"""WITH scored AS (
+         |  SELECT source, doc_id,
+         |         ${TextOps.qualitySql("toks")} AS quality
+         |  FROM (SELECT source, doc_id,
+         |               string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents))
+         |SELECT source,
+         |       CAST(row_number() OVER (PARTITION BY source
+         |                               ORDER BY quality DESC, doc_id ASC) AS INT) AS rank,
+         |       doc_id, quality
+         |FROM scored
+         |QUALIFY rank <= $K
+         |ORDER BY source, rank""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource)
 }

@@ -52,6 +52,31 @@ object TextOps {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Stopword ratio of a token-array column (÷0→0 like every safe ratio
+    * in the engine). Shared by [[QualityScore]] and the cluster-curation
+    * query in [[graft.dedup.Dedup]] — ONE copy of the expression shape so
+    * the scores stay bit-identical wherever quality is consumed.
+    */
+  def stopRatioExpr(tok: Column): Column =
+    safeDiv(size(filter(tok, t => t.isin(stopwords.map(lit): _*))).cast("double"),
+      size(tok).cast("double"))
+
+  /** Composite quality of a token-array column: stopword ratio + length
+    * saturation, equally weighted.
+    */
+  def qualityExpr(tok: Column): Column =
+    stopRatioExpr(tok) * lit(0.5) +
+      (least(size(tok).cast("double"), lit(100.0)) / lit(100.0)) * lit(0.5)
+
+  /** DuckDB replay of [[qualityExpr]] over a SQL token-list expression. */
+  def qualitySql(toks: String): String =
+    s"""(CASE WHEN len($toks) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter($toks, t -> t IN ($stopListSql))) AS DOUBLE)
+       |           / CAST(len($toks) AS DOUBLE) END) * 0.5
+       |+ (least(CAST(len($toks) AS DOUBLE), 100.0) / 100.0) * 0.5""".stripMargin
+
+  private[graft] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
+
   /** Heuristic quality score: stopword ratio + length saturation. Every term
     * is an identical IEEE expression in both engines (integer counts →
     * double divisions), so scores are bit-deterministic.
@@ -60,18 +85,14 @@ object TextOps {
     val name = "q_quality_score"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val tok = tokens(col("text"))
-      val nTok = size(tok).cast("double")
-      val nStop = size(filter(tok, t => t.isin(stopwords.map(lit): _*))).cast("double")
-      val stopRatio = safeDiv(nStop, nTok)
-      val lenScore = least(nTok, lit(100.0)) / lit(100.0)
       Graft.table(spark, sfDir, "documents")
         .select(col("doc_id"),
-          nTok.cast("long").as("n_tokens"),
-          stopRatio.as("stop_ratio"),
-          (stopRatio * lit(0.5) + lenScore * lit(0.5)).as("quality"))
+          size(tok).cast("long").as("n_tokens"),
+          stopRatioExpr(tok).as("stop_ratio"),
+          qualityExpr(tok).as("quality"))
         .orderBy("doc_id")
     }
-    private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    private val stopList = stopListSql
     val oracle = Some(
       s"""SELECT doc_id,
          |       len(toks) AS n_tokens,

@@ -105,6 +105,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster representative is the highest-quality member of every cluster") {
+    import org.apache.spark.sql.functions._
+    val reps = Dedup.ClusterRepresentative.run(spark, sf).collect()
+    val clusters = Dedup.DedupClusters.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same clustering: identical cluster ids and sizes as keep-min-id view
+    assert(reps.map(r => r.getLong(0) -> r.getLong(3)).toMap == clusters)
+    // each representative's quality equals the max quality in its cluster,
+    // recomputed independently from labels + the shared quality expression
+    val pairs = Dedup.minhashCandidatePairs(
+      graft.Graft.table(spark, sf, "documents"), 0.5).persist()
+    val labels = Dedup.connectedComponents(pairs)
+    val best = graft.Graft.table(spark, sf, "documents")
+      .join(labels, col("doc_id") === col("id"))
+      .select(col("label"), graft.text.TextOps.qualityExpr(
+        graft.text.TextOps.tokens(col("text"))).as("q"))
+      .groupBy("label").agg(max(col("q")).as("qmax"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    reps.foreach { r =>
+      assert(r.getDouble(2) == best(r.getLong(0)),
+        s"cluster ${r.getLong(0)}: rep quality ${r.getDouble(2)} != max ${best(r.getLong(0))}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("connectedComponents: chains, triangles and isolates get min-id labels") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — 1~2, 2~3, 3~4, transitive only),

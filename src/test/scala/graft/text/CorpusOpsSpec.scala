@@ -53,6 +53,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(v.forall(_.getLong(2) >= 5), "min-count floor violated")
   }
 
+  test("quality top-k per source: k rows per source, ordered, true maxima") {
+    val rows = CorpusOps.QualityTopKPerSource.run(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    // every source yields exactly 3 ranked rows in quality-desc order
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"$src ranks")
+      val qs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b }, s"$src order")
+    }
+    // the rank-1 quality per source is the true source maximum,
+    // recomputed independently with a plain max aggregate
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val trueMax = docs.select(col("source"),
+        graft.text.TextOps.qualityExpr(
+          graft.text.TextOps.tokens(col("text"))).as("q"))
+      .groupBy("source").agg(max(col("q")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    bySource.foreach { case (src, rs) =>
+      val top = rs.find(_.getInt(1) == 1).get.getDouble(3)
+      assert(top == trueMax(src), s"$src: top $top != max ${trueMax(src)}")
+    }
+  }
+
   test("tf-idf prefers a rare term over a common one at equal tf") {
     import spark.implicits._
     val docs = Seq(
