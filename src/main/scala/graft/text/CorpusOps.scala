@@ -178,6 +178,52 @@ object CorpusOps {
          |ORDER BY source, rank""".stripMargin)
   }
 
+  /** Per-document rarity score: the mean scaled inverse document frequency
+    * of the document's token occurrences — a rare-token-density signal (the
+    * log-free cousin of mean token IDF; high = unusual vocabulary, low =
+    * boilerplate). Each occurrence contributes the INTEGER
+    * `(N * 1e6) div df` — integer division keeps every partial sum an
+    * exact BIGINT through the shuffle, so the final mean is one double
+    * division of identical operands in both engines (a double-summed IDF
+    * would depend on accumulation order). Plan: occurrence explode →
+    * token-keyed join against the df aggregate → per-doc sum — two
+    * token/doc-keyed shuffles, nothing wider than (doc_id, token) in
+    * flight.
+    */
+  object RarityScore extends GraftQuery {
+    val name = "q_rarity_score"
+    private val Scale = 1000000L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val occ = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val df = occ.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      occ.join(df, Seq("token")).crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr(s"(n_docs * $Scale) div df")).as("ridf_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("ridf_sum").cast("double") / col("n_tokens").cast("double"))
+            .as("rarity"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |df AS (
+         |  SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM occ) GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(CAST(sum((n_docs * $Scale) // df) AS BIGINT) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS rarity
+         |FROM occ JOIN df USING (token) CROSS JOIN n
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource)
+    Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore)
 }

@@ -76,6 +76,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("rarity: all-unique-vocab doc scores max, all-shared-vocab doc scores min") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared shared", "en", "s", 0L),
+      (2L, "shared unique1 unique2", "en", "s", 0L),
+      (3L, "shared other3 other4", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("rarity_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusOps.RarityScore.run(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // 'shared' appears in all 3 docs (ridf = 3e6/3 = 1e6); unique tokens
+    // score 3e6. doc 1 = 1e6; docs 2,3 = (1e6 + 3e6 + 3e6)/3
+    assert(r(1L) == 1000000.0)
+    assert(r(2L) == (1000000.0 + 3000000.0 + 3000000.0) / 3.0)
+    assert(r(2L) == r(3L) && r(2L) > r(1L))
+  }
+
   test("tf-idf prefers a rare term over a common one at equal tf") {
     import spark.implicits._
     val docs = Seq(
