@@ -22,6 +22,7 @@ object SparkEntry {
       operators.BehaviorOps.all ++
       operators.LayoutOps.all ++
       operators.StatOps.all ++
+      operators.SketchOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.CorpusOps.all ++

@@ -144,5 +144,55 @@ object BehaviorOps {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(Funnel, Retention)
+  /** SCD-2 interval build: collapse each user's event stream into versioned
+    * validity intervals of their current event_type — the
+    * slowly-changing-dimension shape every warehouse load pipeline emits
+    * (state, valid_from, valid_to, open row has NULL valid_to).
+    *
+    * Plan shape: ONE sort-shuffle on `user_id` serves all three window
+    * passes — `lag` to drop consecutive duplicates, then `row_number` +
+    * `lead` over the filtered rows (a filter preserves the child's
+    * distribution and sort order, so Catalyst plans no second exchange or
+    * sort). Integer epoch seconds keep every boundary bit-identical to the
+    * oracle.
+    */
+  object Scd2 extends GraftQuery {
+    val name = "q_scd2"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("version"),
+          col("sec").as("valid_from"),
+          lead(col("sec"), 1).over(w).as("valid_to"))
+        .orderBy("user_id", "version")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, sec
+        |  FROM (
+        |    SELECT user_id, event_id, event_type, sec,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY sec, event_id) AS prev_type
+        |    FROM ev)
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       sec AS valid_from,
+        |       lead(sec) OVER w AS valid_to
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |ORDER BY user_id, version""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(Funnel, Retention, Scd2)
 }

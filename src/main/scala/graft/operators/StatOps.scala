@@ -193,5 +193,43 @@ object StatOps {
          |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist)
+  /** Equal-population deciles of document length (`ntile(10)` over a total
+    * order) — the balanced-bucket twin of [[NumericHist]]'s equal-width
+    * bins: per decile, population and value span. Used to pick corpus
+    * length cutoffs from the distribution rather than fixed thresholds.
+    *
+    * Scale note: `ntile` over an unpartitioned window is a single-task
+    * sort — correct but serial, kept because exact positional deciles ARE
+    * a global order statement (same stance as the exact positional median,
+    * [[AnalyticOps.MedianPrice]]). The output side is already tiny (10
+    * rows); at 100 TB the documented alternative is `approxQuantile` edges
+    * + the [[NumericHist]] binning shape, trading exactness for one
+    * scan-side pass.
+    */
+  object LengthDeciles extends GraftQuery {
+    val name = "q_length_deciles"
+    private val Buckets = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+      Graft.table(spark, sfDir, "documents")
+        .select(col("n_chars"), ntile(Buckets).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("decile")
+    }
+    val oracle = Some(
+      s"""WITH ranked AS (
+         |  SELECT n_chars,
+         |         CAST(ntile($Buckets) OVER (ORDER BY n_chars, doc_id) AS INT)
+         |           AS decile
+         |  FROM documents)
+         |SELECT decile, count(*) AS n_docs,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles)
 }

@@ -93,6 +93,42 @@ object WindowOps {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Hopping (sliding) window aggregate — 6-hour windows advancing every
+    * 3 hours, so each event lands in exactly size/slide = 2 windows. Spark's
+    * `window(ts, size, slide)` plans this as a generator (one output row per
+    * covering window) feeding a plain hash aggregate: the fan-out factor is
+    * the constant size/slide, NOT data-dependent, and the shuffle key stays
+    * (window_start, event_type) — small-key, map-side combinable, the same
+    * scale shape as the tumbling twin. The oracle replays the window set
+    * arithmetically: the covering starts of epoch-second e are
+    * `(e div slide - j) * slide` for j in [0, size/slide).
+    */
+  object HoppingWindow extends GraftQuery {
+    val name = "q_hopping_window"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "events")
+        .groupBy(
+          window(Graft.tsFromNanos("ts"), "6 hours", "3 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
+        |  FROM events),
+        |hop AS (
+        |  SELECT ((sec // 10800) - j) * 10800 AS start_sec, event_type, value
+        |  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS j))
+        |SELECT strftime(make_timestamp(start_sec * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM hop GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** Analytic-function pack — lead, ntile, first_value over one totally
     * ordered per-customer window (the ranking/navigation family beyond
     * row_number/lag used elsewhere). Bounded to 3 customers' order
@@ -125,5 +161,5 @@ object WindowOps {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(RunningSum, TopNPerGroup, TumblingWindow, WindowPack)
+    Seq(RunningSum, TopNPerGroup, TumblingWindow, HoppingWindow, WindowPack)
 }

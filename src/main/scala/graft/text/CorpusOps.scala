@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Graft, GraftQuery}
-import graft.functions.PortableHash.pHash28
+import graft.functions.PortableHash.{pHash28, pHash60}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -224,6 +224,73 @@ object CorpusOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Dictionary term scrubbing — the redaction/blocklist-removal step of a
+    * corpus-cleaning pipeline (PII patterns, banned terms): replace every
+    * whole-word occurrence of a blocklist term with a placeholder and
+    * report the per-document redaction count. One compiled alternation
+    * regex evaluated scan-side — no shuffle at all until the final
+    * order-by; at 100 TB this is the cheapest kind of operator there is
+    * (embarrassingly parallel, pushdown-friendly, output ≤ input). The
+    * word-boundary alternation uses only syntax Java regex and RE2 agree
+    * on (`\b`, non-capturing group, literal alternatives), so the oracle
+    * replays it exactly.
+    */
+  object TermScrub extends GraftQuery {
+    val name = "q_term_scrub"
+    private val Blocklist = Seq("spark", "stream", "vector")
+    private val Pattern = "\\b(?:" + Blocklist.mkString("|") + ")\\b"
+    private val Mask = "<redacted>"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(Pattern), lit(0)))
+            .cast("long").as("n_redacted"),
+          regexp_replace(col("text"), Pattern, Mask).as("scrubbed"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$Pattern')) AS BIGINT)
+         |         AS n_redacted,
+         |       regexp_replace(text, '$Pattern', '$Mask', 'g') AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Per-source document cap — the quantity-based twin of
+    * [[QualityTopKPerSource]]: keep at most K documents per source chosen
+    * by portable hash order, i.e. a uniform, reproducible, rank-based
+    * sample that caps any one domain's contribution to the training mix
+    * regardless of its raw size. Same retry-idempotence argument as
+    * [[StratifiedSample]] (membership is data-derived), but rank-based:
+    * the cap is EXACTLY K, not a rate, which is what mixing recipes
+    * specify. Plan: one source-keyed shuffle; WindowGroupLimit pushes the
+    * rank filter below the exchange, so each map task forwards at most K
+    * rows per source it sees.
+    */
+  object CappedSample extends GraftQuery {
+    val name = "q_capped_sample"
+    private val K = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val w = Window.partitionBy("source")
+        .orderBy(pHash60(concat(lit("cap:"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      docs.select(col("source"), col("doc_id"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= K)
+        .orderBy("source", "rk")
+    }
+    val oracle = Some(
+      s"""SELECT source, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+         |                    doc_id) AS INT) AS rk
+         |  FROM documents)
+         |WHERE rk <= $K ORDER BY source, rk""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore)
+    Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
+      TermScrub, CappedSample)
 }

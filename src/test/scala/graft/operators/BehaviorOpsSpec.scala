@@ -58,4 +58,42 @@ class BehaviorOpsSpec extends SparkSpec {
     }
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 7))
   }
+
+  test("scd2 collapses consecutive duplicates into contiguous versioned intervals") {
+    import spark.implicits._
+    // u1: A A B A  → 3 intervals (the repeat A at t2 merges into [t1,t3))
+    // u2: single event → one open interval
+    val sec = (s: Long) => s * 1000000000L
+    val ev = Seq(
+      (1L, sec(10), 1L, "view"), (2L, sec(20), 1L, "view"),
+      (3L, sec(30), 1L, "click"), (4L, sec(40), 1L, "view"),
+      (5L, sec(15), 2L, "purchase"))
+      .map { case (eid, ts, uid, t) => (eid, ts, uid, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("scd2_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.Scd2.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "view", 1, 10L, 30L),
+      (1L, "click", 2, 30L, 40L),
+      (1L, "view", 3, 40L, -1L),
+      (2L, "purchase", 1, 15L, -1L)), out.mkString(", "))
+  }
+
+  test("scd2 intervals tile each user's history: contiguous, versions sequential") {
+    val rows = BehaviorOps.Scd2.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (uid, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length), s"user $uid versions")
+      sorted.zip(sorted.tail).foreach { case ((_, t1, _, _, to1), (_, t2, _, from2, _)) =>
+        assert(to1 == from2, s"user $uid gap: $to1 vs $from2")
+        assert(t1 != t2, s"user $uid adjacent intervals share type $t1")
+      }
+      assert(sorted.last._5 == Long.MaxValue, s"user $uid last interval not open")
+    }
+  }
 }

@@ -55,4 +55,20 @@ class StatOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == 101L)
     assert(out.head.getLong(2) == 1L, s"planted outlier not flagged: ${out.head}")
   }
+
+  test("length deciles are balanced, exhaustive, and monotone in span") {
+    val rows = StatOps.LengthDeciles.run(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), "one row per decile")
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1, s"ntile imbalance: ${counts.mkString(",")}")
+    val total = graft.Graft.table(spark, sf, "documents").count()
+    assert(counts.sum == total)
+    // spans are ordered and non-overlapping-except-boundaries: the min of
+    // decile k+1 is >= the max of decile k (ties can straddle a boundary)
+    val spans = rows.map(r => (r.getLong(2), r.getLong(3)))
+    spans.foreach { case (lo, hi) => assert(lo <= hi) }
+    spans.zip(spans.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(lo2 >= hi, s"deciles out of order: $hi then $lo2")
+    }
+  }
 }

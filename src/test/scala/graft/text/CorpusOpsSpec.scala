@@ -112,4 +112,38 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 2: only common
     assert(top(2L) == "common")
   }
+
+  test("term scrub removes every whole-word blocklist hit, counts them, and" +
+    " leaves substrings alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark is spark but sparkly stays", "en", "s", 0L),
+      (2L, "no hits here", "en", "s", 0L),
+      (3L, "vector stream vector", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("scrub_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.TermScrub.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (2L, "<redacted> is <redacted> but sparkly stays"),
+      s"${out(1L)}") // word boundary: 'sparkly' untouched
+    assert(out(2L) == (0L, "no hits here"))
+    assert(out(3L) == (3L, "<redacted> <redacted> <redacted>"))
+  }
+
+  test("capped sample keeps at most K per source, deterministically") {
+    val k = 20
+    val a = CorpusOps.CappedSample.run(spark, sf).collect()
+    val b = CorpusOps.CappedSample.run(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "hash-ranked cap must be run-to-run identical")
+    val bySource = a.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= k, s"source $src over cap: ${rows.length}")
+      // ranks are contiguous 1..n and doc_ids within a source are distinct
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"source $src ranks not contiguous")
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    }
+  }
 }
