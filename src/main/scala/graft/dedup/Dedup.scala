@@ -655,7 +655,62 @@ object Dedup {
         |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Incremental ingest dedup — the ONLINE twin of [[ExactDedup]]: a new
+    * batch arrives against an already-ingested base corpus, and only the
+    * batch documents whose content fingerprint is absent from the base are
+    * admitted. The batch split here is a deterministic hash slice (20%
+    * "incoming"), standing in for the arrival boundary a production run
+    * gets from its ingest log.
+    *
+    * Scale shape: the base side reduces to DISTINCT 32-byte fingerprints
+    * before the join — the shuffle carries fingerprints, never text, and
+    * the incoming batch (typically orders of magnitude smaller than the
+    * base) probes it with one left join; per-source admission counts are
+    * the final small-key aggregate. The narrow fingerprint frame is
+    * persisted because both sides of the split derive from it (one text
+    * scan + md5 pass total, not two).
+    */
+  object IncrementalDedup extends GraftQuery {
+    val name = "q_incremental_dedup"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash28
+      val fps = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text")))).as("fp"),
+          (pHash28(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0)
+            .as("incoming"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseFps = fps.filter(!col("incoming"))
+        .select(col("fp")).distinct()
+        .withColumn("hit", lit(1L))
+      fps.filter(col("incoming"))
+        .join(baseFps, Seq("fp"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_dup_vs_base"))
+        .select(col("source"), col("n_incoming"), col("n_dup_vs_base"),
+          (col("n_incoming") - col("n_dup_vs_base")).as("n_new"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |         ('0x' || substr(md5('inc:' || doc_id::VARCHAR), 1, 7))::BIGINT
+        |           % 5 = 0 AS incoming
+        |  FROM documents),
+        |base AS (SELECT DISTINCT fp FROM d WHERE NOT incoming),
+        |inc AS (
+        |  SELECT d.source,
+        |         CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS dup
+        |  FROM d LEFT JOIN base b USING (fp) WHERE incoming)
+        |SELECT source, count(*) AS n_incoming,
+        |       CAST(sum(dup) AS BIGINT) AS n_dup_vs_base,
+        |       count(*) - CAST(sum(dup) AS BIGINT) AS n_new
+        |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
-      DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup)
+      DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
+      IncrementalDedup)
 }

@@ -20,13 +20,18 @@ object SketchOps {
   /** Count-Min sketch over document tokens, evaluated against truth.
     *
     * Build: every token occurrence increments `Depth` cells
-    * (row r, col = hash_r(token) mod Width) — expressed as a constant
-    * `Depth`-way generator over the token stream feeding ONE
-    * (r, c)-keyed hash aggregate. Probe: the exact top-`TopK` tokens are
-    * looked up in the sketch (est = min over rows of the addressed cells);
-    * the result reports estimate next to truth, so the oracle certifies
-    * both the cell math and the one-sided error (`cms_n >= exact_n` by
-    * construction; the spec asserts it, the query exposes `overcount`).
+    * (row r, col = hash_r(token) mod Width). Rather than fanning the raw
+    * occurrence stream out `Depth`-fold, the corpus is tokenized ONCE into
+    * per-token exact counts (the map-side-combined aggregate the shuffle
+    * carries anyway), and the sketch cells sum those counts — the
+    * generator fan-out runs over the DISTINCT vocabulary, orders of
+    * magnitude smaller than the corpus; the (token, count) frame is
+    * persisted because cells and probes both consume it. Probe: the exact
+    * top-`TopK` tokens are looked up in the sketch (est = min over rows
+    * of the addressed cells); the result reports estimate next to truth,
+    * so the oracle certifies both the cell math and the one-sided error
+    * (`cms_n >= exact_n` by construction; the spec asserts it, the query
+    * exposes `overcount`).
     *
     * Hashes are md5-slice ([[graft.functions.PortableHash]]) so DuckDB
     * replays the exact cell grid. Width 512 / depth 3 at the test corpus
@@ -39,20 +44,24 @@ object SketchOps {
     private val Width = 512
     private val TopK = 10
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val toks = Graft.table(spark, sfDir, "documents")
+      val exact = Graft.table(spark, sfDir, "documents")
         .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact_n"))
+        // vocab-sized barrier: cells and probes both consume it (released
+        // by the caller via clearCache, as with every persisted barrier)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rows = array((0 until Depth).map(lit): _*)
-      val cells = toks
-        .select(col("token"), explode(rows).as("r"))
-        .select(col("r"),
-          (pHash28(concat(col("r").cast("string"), lit(":"), col("token"))) % Width).as("c"))
-        .groupBy("r", "c").agg(count(lit(1)).as("cell_n"))
-      val probes = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      val cell = (pHash28(concat(col("r").cast("string"), lit(":"),
+        col("token"))) % Width).as("c")
+      val cells = exact
+        .select(col("token"), col("exact_n"), explode(rows).as("r"))
+        .select(col("r"), cell, col("exact_n"))
+        .groupBy("r", "c").agg(sum(col("exact_n")).as("cell_n"))
+      val probes = exact
         .orderBy(col("exact_n").desc, col("token").asc)
         .limit(TopK)
         .select(col("token"), col("exact_n"), explode(rows).as("r"))
-        .select(col("token"), col("exact_n"), col("r"),
-          (pHash28(concat(col("r").cast("string"), lit(":"), col("token"))) % Width).as("c"))
+        .select(col("token"), col("exact_n"), col("r"), cell)
       probes.join(cells, Seq("r", "c"))
         .groupBy("token", "exact_n")
         .agg(min(col("cell_n")).as("cms_n"))

@@ -111,49 +111,86 @@ object TextOps {
     * dim, argmax votes per doc with alphabetical tie-break, 'und' when no
     * marker hits. Relational formulation — identical in both engines.
     */
+  /** Shared language-ID kernel: per-doc (pred_lang, votes) from the
+    * marker-vote argmax — consumed by [[LangId]] (per-doc report) and
+    * [[LangConfusion]] (label-vs-prediction matrix).
+    */
+  private[text] def langPredictions(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val markers = langMarkers.toDF("marker", "cand_lang")
+    val votes = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("votes").desc, col("cand_lang").asc)
+    val best = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("votes"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+  }
+
+  private val markerValues = langMarkers
+    .map { case (m, l) => s"('$m', '$l')" }.mkString(", ")
+
+  /** The language-ID CTE chain both oracles share: `pred` ends as
+    * (doc_id, lang, pred_lang, votes).
+    */
+  private val langPredSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id, cand_lang, count(*) AS votes
+       |  FROM toks JOIN (VALUES $markerValues) m(marker, cand_lang) ON tok = marker
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, cand_lang, votes,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY votes DESC, cand_lang ASC) AS rn
+       |  FROM votes),
+       |pred AS (
+       |  SELECT d.doc_id, d.lang,
+       |         coalesce(b.cand_lang, 'und') AS pred_lang,
+       |         coalesce(b.votes, 0) AS votes
+       |  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |    ON d.doc_id = b.doc_id)""".stripMargin
+
   object LangId extends GraftQuery {
     val name = "q_lang_id"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val docs = Graft.table(spark, sfDir, "documents")
-      val markers = langMarkers.toDF("marker", "cand_lang")
-      val votes = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .join(broadcast(markers), col("tok") === col("marker"))
-        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("votes"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("votes").desc, col("cand_lang").asc)
-      val best = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("cand_lang"), col("votes"))
-      docs.select(col("doc_id"))
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
-          coalesce(col("votes"), lit(0L)).as("votes"))
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      langPredictions(Graft.table(spark, sfDir, "documents"))
         .orderBy("doc_id")
-    }
-    private val markerValues = langMarkers
-      .map { case (m, l) => s"('$m', '$l')" }.mkString(", ")
     val oracle = Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |  FROM documents),
-         |votes AS (
-         |  SELECT doc_id, cand_lang, count(*) AS votes
-         |  FROM toks JOIN (VALUES $markerValues) m(marker, cand_lang) ON tok = marker
-         |  GROUP BY 1, 2),
-         |best AS (
-         |  SELECT doc_id, cand_lang, votes,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY votes DESC, cand_lang ASC) AS rn
-         |  FROM votes)
-         |SELECT d.doc_id,
-         |       coalesce(b.cand_lang, 'und') AS pred_lang,
-         |       coalesce(b.votes, 0) AS votes
-         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-         |  ON d.doc_id = b.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+      s"""$langPredSql
+         |SELECT doc_id, pred_lang, votes FROM pred ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Label-vs-prediction confusion matrix for the language classifier —
+    * the evaluation twin of [[LangId]]: how often does the n-gram
+    * heuristic agree with the corpus's `lang` metadata, and where does it
+    * bleed. One extra small-key aggregate on top of the prediction kernel;
+    * the output is |langs|² rows regardless of corpus size.
+    */
+  object LangConfusion extends GraftQuery {
+    val name = "q_lang_confusion"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(langPredictions(docs), Seq("doc_id"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }
+    val oracle = Some(
+      s"""$langPredSql
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key
@@ -660,8 +697,81 @@ object TextOps {
          |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Token-pair association (lift): for adjacent token pairs,
+    * `lift = P(ab) / (P(a)·P(b)) = co_n · N / (a_n · b_n)` — the
+    * collocation detector (PMI without the log, so the score is a single
+    * IEEE division of two EXACT integer products and replays bit-for-bit
+    * in the oracle; log-lift would rank identically since log is
+    * monotone). Top pairs by lift under a minimum-support floor.
+    *
+    * Plan shape: raw bigrams come from a scan-side `zip_with` of the
+    * token array against its own tail (no positional self-join on the
+    * Spark side — the oracle uses one, proving the zip formulation
+    * equivalent); then two vocabulary-keyed equi-joins attach unigram
+    * counts. All shuffles carry (token, count) pairs, never text.
+    *
+    * Scale note: `co_n * N` sits in BIGINT; past ~2^63/N-count corpora
+    * the product must widen to DECIMAL(38,0) — exactness, not range, is
+    * the portable contract.
+    */
+  object TokenLift extends GraftQuery {
+    val name = "q_token_lift"
+    private val MinCo = 3
+    private val TopK = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val toks = tokens(col("text"))
+      val uni = docs.select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = docs.select(size(toks).cast("long").as("nt"))
+        .agg(sum(col("nt")).as("total"))
+      val big = docs
+        .filter(size(toks) >= 2)
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("co_n"))
+        .filter(col("co_n") >= MinCo)
+        .select(split(col("bigram"), " ").getItem(0).as("token_a"),
+          split(col("bigram"), " ").getItem(1).as("token_b"), col("co_n"))
+      big
+        .join(uni.select(col("tok").as("token_a"), col("n").as("a_n")), Seq("token_a"))
+        .join(uni.select(col("tok").as("token_b"), col("n").as("b_n")), Seq("token_b"))
+        .crossJoin(broadcast(total))
+        .select(col("token_a"), col("token_b"), col("co_n"), col("a_n"), col("b_n"),
+          ((col("co_n") * col("total")).cast("double") /
+            (col("a_n") * col("b_n")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("token_a").asc, col("token_b").asc)
+        .limit(TopK)
+    }
+    val oracle = Some(
+      s"""WITH tl AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, t.tok, t.i
+         |  FROM tl, LATERAL (SELECT unnest(l) AS tok,
+         |                           generate_subscripts(l, 1) AS i) t),
+         |uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |big AS (
+         |  SELECT t1.tok AS token_a, t2.tok AS token_b, count(*) AS co_n
+         |  FROM toks t1 JOIN toks t2
+         |    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinCo)
+         |SELECT token_a, token_b, co_n, ua.n AS a_n, ub.n AS b_n,
+         |       CAST(co_n * total AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS lift
+         |FROM big
+         |JOIN uni ua ON token_a = ua.tok
+         |JOIN uni ub ON token_b = ub.tok
+         |CROSS JOIN tot
+         |ORDER BY lift DESC, token_a, token_b LIMIT $TopK""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(TokenCount, QualityScore, LangId, Fingerprint, TokenJaccard,
-      BigramStats, BpeTokens, WinnowFingerprint, EditDistance, SplitAssign,
-      RepetitionRatio, GopherGates, SourceMix, Contamination, TokenPacking)
+    Seq(TokenCount, QualityScore, LangId, LangConfusion, Fingerprint,
+      TokenJaccard, BigramStats, TokenLift, BpeTokens, WinnowFingerprint,
+      EditDistance, SplitAssign, RepetitionRatio, GopherGates, SourceMix,
+      Contamination, TokenPacking)
 }

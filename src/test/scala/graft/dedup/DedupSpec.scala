@@ -145,4 +145,37 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("incremental dedup: batch docs duplicating the base are rejected," +
+    " fresh ones admitted") {
+    import spark.implicits._
+    import graft.functions.PortableHash.md5Hex
+    // recompute the operator's deterministic 20% batch split so the fixture
+    // can plant a known duplicate across the boundary
+    def isIncoming(id: Long): Boolean =
+      java.lang.Long.parseLong(md5Hex(s"inc:$id").take(7), 16) % 5 == 0
+    val ids = (0L until 40L)
+    val incoming = ids.filter(isIncoming)
+    val base = ids.filterNot(isIncoming)
+    assert(incoming.nonEmpty && base.nonEmpty)
+    val dupId = incoming.head // gets the same text as a base doc
+    val docs = ids.map { id =>
+      val text = if (id == dupId) s"shared text ${base.head}"
+                 else s"unique text $id"
+      (id, if (id == base.head) s"shared text ${base.head}" else text,
+        "en", s"src${id % 2}", 0L)
+    }.map { case (id, t, l, s, n) => (id, t, l, s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("incdedup_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.IncrementalDedup.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    spark.catalog.clearCache()
+    val totalIncoming = out.values.map(_._1).sum
+    val totalDup = out.values.map(_._2).sum
+    assert(totalIncoming == incoming.length)
+    assert(totalDup == 1L, s"exactly the planted dup: $out")
+    out.values.foreach { case (n, d, fresh) => assert(fresh == n - d) }
+  }
 }
