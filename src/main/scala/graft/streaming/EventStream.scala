@@ -36,6 +36,22 @@ object EventStream {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping twin of [[windowedCounts]] (and of the batch
+    * `WindowOps.HoppingWindow`): overlapping size/slide windows, same
+    * watermark bound. State grows by the constant factor size/slide —
+    * each event updates that many window panes — and expires on the same
+    * watermark schedule; nothing else changes versus tumbling.
+    */
+  def hoppingCounts(events: DataFrame, size: String = "6 hours",
+      slide: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.SafeMath.exactSum(col("value")).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Custom state: per-user running session summary via
     * `flatMapGroupsWithState` — the engine's template for arbitrary
     * keyed-state operators (counts here; dedup-seen-sets or rate limits in

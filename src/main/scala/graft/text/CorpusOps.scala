@@ -290,7 +290,46 @@ object CorpusOps {
          |WHERE rk <= $K ORDER BY source, rk""".stripMargin)
   }
 
+  /** Deterministic per-epoch training order: each epoch defines a full
+    * reshuffle of the corpus as `sort by hash("ep<e>:" + doc_id)` — a
+    * different but REPRODUCIBLE permutation per epoch (loader restarts and
+    * stragglers see the same order; no RNG state to checkpoint). The query
+    * surfaces the head of each epoch's order; materializing a full epoch
+    * at scale is `repartitionByRange(key).sortWithinPartitions(key)` on
+    * the same key — a distributed total order, no single-task sort. The
+    * head itself needs no global sort either: the per-epoch rank filter is
+    * WindowGroupLimit-pruned map-side before one tiny exchange.
+    */
+  object EpochShuffle extends GraftQuery {
+    val name = "q_epoch_shuffle"
+    private val Epochs = 2
+    private val Head = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val epochs = array((0 until Epochs).map(lit): _*)
+      val key = pHash60(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("epoch").orderBy(key.asc, col("doc_id").asc)
+      Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(epochs).as("epoch"))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= Head)
+        .select(col("epoch"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "pos")
+    }
+    val oracle = Some(
+      s"""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+         |r AS (
+         |  SELECT epoch, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY epoch ORDER BY
+         |           ('0x' || substr(md5('ep' || epoch::VARCHAR || ':'
+         |                               || doc_id::VARCHAR), 1, 15))::BIGINT,
+         |           doc_id) AS INT) AS pos
+         |  FROM documents CROSS JOIN e)
+         |SELECT epoch, pos, doc_id FROM r
+         |WHERE pos <= $Head ORDER BY epoch, pos""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, CappedSample)
+      TermScrub, CappedSample, EpochShuffle)
 }

@@ -769,9 +769,51 @@ object TextOps {
          |ORDER BY lift DESC, token_a, token_b LIMIT $TopK""".stripMargin)
   }
 
+  /** Cross-source passage-overlap matrix — [[Contamination]] generalized
+    * from one train/holdout boundary to EVERY source pair: how many
+    * contamination-grade winnow fingerprints (24-char grams, same contract
+    * as q_contamination) each pair of sources shares. The scale shape is
+    * the set-intersection-without-pairs trick: group fingerprints once
+    * (`collect_set(source)` — state bounded by the SOURCE COUNT, not the
+    * corpus), keep only fingerprints seen in ≥2 sources, and expand the
+    * per-fingerprint source set into pairs — the pair generator runs over
+    * the tiny multi-source remainder, never a corpus self-join.
+    */
+  object SourceOverlap extends GraftQuery {
+    val name = "q_source_overlap"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val K = Contamination.K
+      val W = Contamination.W
+      val docs = Graft.fanOutSmallScan(Graft.table(spark, sfDir, "documents"))
+        .select(col("source"),
+          regexp_replace(lower(trim(col("text"))), "[^ -~]", "")
+            .cast("binary").as("t"))
+      val fps = docs
+        .select(col("source"),
+          explode(graft.plans.WinnowExpression.winnow_fps(col("t"), K, W)).as("fp"))
+        .distinct()
+      fps.groupBy("fp").agg(collect_set(col("source")).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(col("fp"), explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("fp"), col("src_a"), explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .orderBy("src_a", "src_b")
+    }
+    val oracle = Some(
+      s"""WITH ${winnowOracleCtes("documents", Contamination.K, Contamination.W)},
+         |sfp AS (
+         |  SELECT DISTINCT d.source, fps.mh
+         |  FROM fps JOIN documents d ON fps.doc_id = d.doc_id)
+         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_fps
+         |FROM sfp a JOIN sfp b ON a.mh = b.mh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TokenCount, QualityScore, LangId, LangConfusion, Fingerprint,
       TokenJaccard, BigramStats, TokenLift, BpeTokens, WinnowFingerprint,
       EditDistance, SplitAssign, RepetitionRatio, GopherGates, SourceMix,
-      Contamination, TokenPacking)
+      Contamination, SourceOverlap, TokenPacking)
 }

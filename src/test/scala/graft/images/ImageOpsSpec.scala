@@ -25,6 +25,25 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(decode(Array.emptyByteArray).isEmpty)
   }
 
+  test("imageDims reads PNG/JPEG/GIF/BMP headers without pixel decode") {
+    val img = new java.awt.image.BufferedImage(
+      37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cases = Seq("png" -> "png", "jpg" -> "jpeg", "gif" -> "gif", "bmp" -> "bmp")
+    cases.foreach { case (writerFmt, expect) =>
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, writerFmt, baos),
+        s"no JVM writer for $writerFmt")
+      val dims = imageDims(baos.toByteArray)
+      assert(dims.contains((37, 23, expect)), s"$writerFmt → $dims")
+    }
+    assert(imageDims(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(imageDims(Array.emptyByteArray).isEmpty)
+    // truncated PNG header: signature present, IHDR cut off
+    val png = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b); b.toByteArray }
+    assert(imageDims(png.take(20)).isEmpty)
+  }
+
   test("averageColor of a solid image is exact (M2)") {
     assert(averageColor(solid(16, 16, 40, 120, 250)) == ((40, 120, 250)))
   }

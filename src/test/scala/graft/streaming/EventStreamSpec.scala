@@ -29,6 +29,32 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("hoppingCounts over a file stream matches the batch hopping agg") {
+    import spark.implicits._
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    val rows = batch.collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    stream.addData(rows)
+    val q = EventStream.hoppingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))
+    val streamed = spark.table("hop_out")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(key).toSet
+    val batched = EventStream.hoppingCounts(batch.toDF())
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(key).toSet
+    assert(streamed == batched)
+    // overlap factor: every event is in size/slide = 2 windows
+    val total = spark.table("hop_out").agg(sum(col("n"))).head.getLong(0)
+    assert(total == 2 * rows.length,
+      s"expected 2x assignment, got $total for ${rows.length}")
+  }
+
   test("dedupedStream drops duplicate event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
