@@ -129,6 +129,43 @@ object WindowOps {
         |FROM hop GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Trailing 7-day revenue — a RANGE frame (value-based window bounds,
+    * the family the row-frame queries don't cover): per calendar day, the
+    * sum over days [d−6, d]. The range window runs over the DAILY
+    * AGGREGATE, whose size is bounded by the calendar, not the fact
+    * table — the fact-table shuffle is the plain (day)-keyed hash
+    * aggregate; the single-partition window after it touches ~2.4k rows
+    * regardless of scale (partition by year — or supplier, region, any
+    * dimension — to parallelize if the day domain ever grows). Integer
+    * epoch days + decimal daily sums keep both engines bit-identical.
+    */
+  object Rolling7d extends GraftQuery {
+    val name = "q_rolling_7d"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val daily = Graft.table(spark, sfDir, "orders")
+        .select(
+          datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .as("day"),
+          col("o_totalprice"))
+        .groupBy("day")
+        .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("rev"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("day"), col("rev").cast("double").as("day_rev"),
+          sum(col("rev")).over(w).cast("double").as("rev_7d"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS day_rev,
+        |       CAST(sum(rev) OVER (ORDER BY day
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS rev_7d
+        |FROM daily ORDER BY day""".stripMargin)
+  }
+
   /** Analytic-function pack — lead, ntile, first_value over one totally
     * ordered per-customer window (the ranking/navigation family beyond
     * row_number/lag used elsewhere). Bounded to 3 customers' order
@@ -161,5 +198,6 @@ object WindowOps {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(RunningSum, TopNPerGroup, TumblingWindow, HoppingWindow, WindowPack)
+    Seq(RunningSum, TopNPerGroup, TumblingWindow, HoppingWindow, Rolling7d,
+      WindowPack)
 }

@@ -329,7 +329,43 @@ object CorpusOps {
          |WHERE pos <= $Head ORDER BY epoch, pos""".stripMargin)
   }
 
+  /** Overlapping character chunking — the retrieval/embedding prep step:
+    * each document explodes into fixed-size chunks advancing by a stride
+    * (overlap = size − stride), the unit an embedding model or RAG index
+    * consumes. Pure scan-side generator: `sequence` over the chunk count
+    * derived from the doc's own length, substring per chunk — no shuffle,
+    * output ~len/stride rows per doc. Chunks are reported as
+    * (start, length, md5) rather than raw text so the result stays narrow;
+    * a production caller keeps the text column instead.
+    */
+  object ChunkDocs extends GraftQuery {
+    val name = "q_chunk_docs"
+    private val Size = 200
+    private val Stride = 150
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            floor((length(col("text")) - 1) / Stride).cast("long"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * Stride).as("chunk_start"),
+          expr(s"length(substring(text, chunk_id * $Stride + 1, $Size))")
+            .as("chunk_len"),
+          expr(s"md5(cast(substring(text, chunk_id * $Stride + 1, $Size) as binary))")
+            .as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    val oracle = Some(
+      s"""SELECT doc_id, i AS chunk_id, i * $Stride AS chunk_start,
+         |       len(substr(text, i * $Stride + 1, $Size)) AS chunk_len,
+         |       md5(substr(text, i * $Stride + 1, $Size)) AS chunk_fp
+         |FROM documents,
+         |     LATERAL (SELECT unnest(range(((len(text) - 1) // $Stride) + 1)) AS i) g
+         |WHERE len(text) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, CappedSample, EpochShuffle)
+      TermScrub, CappedSample, EpochShuffle, ChunkDocs)
 }

@@ -24,4 +24,25 @@ class WindowOpsSpec extends SparkSpec {
     val keys = rows.map(r => (r.getString(0), r.getString(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("rolling 7d: a flat one-per-day revenue ramps to 7 and plateaus") {
+    import spark.implicits._
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    val orders = (0 until 10).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(day0.plusDays(d).atStartOfDay), 1.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("roll_spec").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = WindowOps.Rolling7d.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case ((_, dayRev, rev7), i) =>
+      assert(dayRev == 1.0)
+      assert(rev7 == math.min(i + 1, 7).toDouble,
+        s"day $i trailing sum $rev7")
+    }
+    // days are consecutive epoch days
+    val days = out.map(_._1)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+  }
 }

@@ -131,6 +131,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == (3L, "<redacted> <redacted> <redacted>"))
   }
 
+  test("chunking tiles each document: 200-char chunks on a 150 stride") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 350, "en", "s", 350L),  // chunks at 0,150,300 → 200,200,50
+      (2L, "y" * 100, "en", "s", 100L),  // one short chunk
+      (3L, "z" * 150, "en", "s", 150L))  // exactly one stride → one chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.ChunkDocs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 200), (1L, 1L, 150L, 200), (1L, 2L, 300L, 50),
+      (2L, 0L, 0L, 100),
+      (3L, 0L, 0L, 150)), out.mkString(", "))
+    // coverage: last chunk ends exactly at the doc length
+    Seq(1L -> 350L, 2L -> 100L, 3L -> 150L).foreach { case (id, len) =>
+      val last = out.filter(_._1 == id).maxBy(_._2)
+      assert(last._3 + last._4 == len, s"doc $id not tiled to its end")
+    }
+  }
+
   test("capped sample keeps at most K per source, deterministically") {
     val k = 20
     val a = CorpusOps.CappedSample.run(spark, sf).collect()
