@@ -23,6 +23,8 @@ object SparkEntry {
       operators.LayoutOps.all ++
       operators.StatOps.all ++
       operators.SketchOps.all ++
+      operators.WarehouseOps.all ++
+      text.IndexOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.CorpusOps.all ++

@@ -1,0 +1,375 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import graft.functions.SafeMath.{exactAvg, exactSum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-shaped analytic queries — the multi-way star-join workloads a
+  * 100 TB deployment actually runs (TPC-H flavors over the same star
+  * schema: pricing summary, shipping priority, regional volume, returned
+  * customers) plus GROUPING SETS and robust-statistics (median/MAD)
+  * outlier flagging.
+  *
+  * Scale stances shared by every query here:
+  *   - fact-side filters sit directly on the parquet scan (pushdown +
+  *     pruning verified in PLANS.md);
+  *   - dimension joins (`region`/`nation`/`supplier`, filtered
+  *     `customer`) broadcast — the only repartition-exchanges left are the
+  *     fact-table aggregations themselves;
+  *   - every money aggregate goes through [[graft.functions.SafeMath]]
+  *     decimal summation so results are accumulation-order-independent
+  *     (the property that makes the DuckDB hash oracle, AQE re-planning
+  *     and speculative re-execution all agree bit-for-bit).
+  */
+object WarehouseOps {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private val RevenueSql =
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)"
+
+  /** TPC-H Q1 flavor — the canonical scan-heavy aggregate: one pass over
+    * lineitem behind a pushed ship-date filter, grouped to a 6-row result.
+    * Pure map-side-combine shape: the exchange carries 6 groups × the
+    * partial decimal sums, nothing else, at any scale.
+    */
+  object PricingSummary extends GraftQuery {
+    val name = "q_pricing_summary"
+    private val Cutoff = "2001-09-01"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") <= lit(Cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(revenue).as("sum_disc_price"),
+          exactSum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_extendedprice")).as("avg_price"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    val oracle = Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+         |       $RevenueSql AS sum_disc_price,
+         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+         |                     AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+         |         / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+         |         / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+         |       CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE)
+         |         / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$Cutoff'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** TPC-H Q3 flavor — shipping priority: segment-filtered customers ⋈
+    * date-filtered orders ⋈ date-filtered lineitem, top-10 orders by
+    * revenue. The filtered customer key set broadcasts (a segment is ~1/5
+    * of a dimension table); lineitem aggregates on its own join key, so
+    * the single wide exchange is the per-order revenue rollup. The top-10
+    * is rank-pruned before the final single-partition sort.
+    */
+  object ShippingPriority extends GraftQuery {
+    val name = "q_shipping_priority"
+    private val Date = "1998-01-01"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val cust = Graft.table(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Graft.table(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < lit(Date).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Graft.table(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") > lit(Date).cast("timestamp"))
+        .select(col("l_orderkey"), revenue.as("rev"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exactSum(col("rev")).as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority").as("priority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }
+    val oracle = Some(
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |       o_orderpriority AS priority,
+         |       CAST(sum(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |         l_extendedprice * (1 - l_discount) AS rev
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '$Date'
+         |    AND l_shipdate > TIMESTAMP '$Date')
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q5 flavor — local-supplier volume in one region: the 6-table
+    * star join (region→nation→customer→orders→lineitem→supplier) with the
+    * "supplier in the customer's nation" equi-condition. Every dimension
+    * chain broadcasts (region×nation prunes customers to one region;
+    * supplier is the small side of its join), so the only repartition
+    * exchanges are orders⋈lineitem on the order key and the final 5-row
+    * nation rollup — the textbook 100 TB star-join shape.
+    */
+  object RegionalVolume extends GraftQuery {
+    val name = "q_regional_volume"
+    private val Region = "ASIA"
+    private val From = "1996-01-01"
+    private val Until = "1998-01-01"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val nat = Graft.table(spark, sfDir, "nation")
+        .join(broadcast(Graft.table(spark, sfDir, "region")
+            .filter(col("r_name") === Region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Graft.table(spark, sfDir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val ord = Graft.table(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit(From).cast("timestamp") &&
+          col("o_orderdate") < lit(Until).cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val supp = Graft.table(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(exactSum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }
+    val oracle = Some(
+      s"""SELECT n_name,
+         |       $RevenueSql AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = '$Region'
+         |  AND o_orderdate >= TIMESTAMP '$From'
+         |  AND o_orderdate <  TIMESTAMP '$Until'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** TPC-H Q10 flavor — returned-item report: customers ranked by revenue
+    * they returned. lineitem('R') ⋈ orders aggregates on the order key,
+    * then rolls up per customer; customer + nation broadcast onto the
+    * 20-row final. Demonstrates the join→agg→join-dim→top-k pipeline with
+    * the dimension attach AFTER the heavy rollup (attach-late: the wide
+    * shuffle never carries names).
+    */
+  object ReturnedCustomers extends GraftQuery {
+    val name = "q_returned_customers"
+    private val From = "1997-01-01"
+    private val Until = "1998-01-01"
+    private val K = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ord = Graft.table(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit(From).cast("timestamp") &&
+          col("o_orderdate") < lit(Until).cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val returned = Graft.table(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revenue.as("rev"))
+      val perCust = returned
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(exactSum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      val cust = Graft.table(spark, sfDir, "customer")
+        .join(broadcast(Graft.table(spark, sfDir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+      perCust.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue"), col("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""SELECT c_custkey, c_name, n_name,
+         |       CAST(sum(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+         |       count(*) AS n_items
+         |FROM (
+         |  SELECT o_custkey, l_extendedprice * (1 - l_discount) AS rev
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '$From'
+         |    AND o_orderdate <  TIMESTAMP '$Until')
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT $K""".stripMargin)
+  }
+
+  /** GROUPING SETS — the irregular-rollup shape (rollup and cube are the
+    * regular specializations, both already covered): per-status totals,
+    * per-priority totals, and the grand total in ONE pass over orders.
+    * Spark expands the sets into a single Expand + hash aggregate — the
+    * fact table is still scanned once.
+    */
+  object GroupingSetsAgg extends GraftQuery {
+    val name = "q_grouping_sets"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(ALL)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(ALL)")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("status", "priority")
+    val oracle = Some(
+      """SELECT coalesce(o_orderstatus, '(ALL)') AS status,
+        |       coalesce(o_orderpriority, '(ALL)') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Robust outlier flagging via median/MAD — the heavy-tail-safe twin of
+    * the 3σ z-score query: per order-status, the positional median of
+    * o_totalprice, the median absolute deviation around it, and the count
+    * of points beyond 3×MAD. Exact positional medians (same stance as
+    * `q_median_price`: rank = (n+1) div 2), so the oracle replays
+    * bit-for-bit — deviations are single IEEE subtractions of
+    * bit-identical doubles. Plan: two status-keyed sorts (value order,
+    * then deviation order) + two broadcast joins of the 3-row stats —
+    * exact medians cannot skip the per-group sort, and the scale
+    * alternative (`percentile_approx`) is documented in PLANS.md.
+    */
+  object MadOutliers extends GraftQuery {
+    val name = "q_mad_outliers"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+        .select(col("o_orderstatus").as("status"), col("o_totalprice"),
+          col("o_orderkey"))
+      val wVal = Window.partitionBy("status")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val med = o
+        .select(col("status"), col("o_totalprice"),
+          row_number().over(wVal).as("rn"),
+          count(lit(1)).over(Window.partitionBy("status")).as("n"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("status").as("m_status"), col("o_totalprice").as("med"),
+          col("n"))
+      val dev = o.join(broadcast(med), col("status") === col("m_status"))
+        .select(col("status"), col("o_orderkey"),
+          abs(col("o_totalprice") - col("med")).as("dev"),
+          col("med"), col("n"))
+      val wDev = Window.partitionBy("status")
+        .orderBy(col("dev").asc, col("o_orderkey").asc)
+      val mad = dev
+        .select(col("status"), col("dev"), row_number().over(wDev).as("rn"),
+          col("n"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("status").as("d_status"), col("dev").as("mad"))
+      dev.join(broadcast(mad), col("status") === col("d_status"))
+        .groupBy("status")
+        .agg(max(col("n")).as("n"), max(col("med")).as("median_price"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("status")
+    }
+    val oracle = Some(
+      """WITH o AS (
+        |  SELECT o_orderstatus AS status, o_totalprice, o_orderkey
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT status, o_totalprice,
+        |         row_number() OVER (PARTITION BY status
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |         count(*) OVER (PARTITION BY status) AS n
+        |  FROM o),
+        |med AS (
+        |  SELECT status AS m_status, o_totalprice AS med, n
+        |  FROM ranked WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT status, o_orderkey, abs(o_totalprice - med) AS dev, med, n
+        |  FROM o JOIN med ON status = m_status),
+        |dranked AS (
+        |  SELECT status, dev,
+        |         row_number() OVER (PARTITION BY status
+        |                            ORDER BY dev ASC, o_orderkey ASC) AS rn,
+        |         n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT status AS d_status, dev AS mad
+        |  FROM dranked WHERE rn = (n + 1) // 2)
+        |SELECT status, max(n) AS n, max(med) AS median_price,
+        |       max(mad) AS mad,
+        |       CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM dev JOIN mad ON status = d_status
+        |GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  /** Corpus mixture planning — the integer arithmetic of "rebalance k
+    * sources toward a uniform target": per-source doc counts, the uniform
+    * per-source target (total div k), the achievable keep under the cap,
+    * and the deficit a mixing recipe would have to fill by upsampling.
+    * Pure BIGINT math (no rates, no doubles) so the plan is exact and
+    * engine-independent; one source-keyed aggregate + one broadcast of the
+    * 1-row totals.
+    */
+  object MixtureWeights extends GraftQuery {
+    val name = "q_mixture_weights"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val per = Graft.table(spark, sfDir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("k_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("total"), col("k_sources"),
+          expr("total div k_sources").as("target_n"),
+          least(col("n_docs"), expr("total div k_sources")).as("planned_keep"),
+          greatest(lit(0L), expr("total div k_sources") - col("n_docs"))
+            .as("deficit"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |         count(*) AS k_sources FROM per)
+        |SELECT source, n_docs, total, k_sources,
+        |       total // k_sources AS target_n,
+        |       least(n_docs, total // k_sources) AS planned_keep,
+        |       greatest(0, total // k_sources - n_docs) AS deficit
+        |FROM per CROSS JOIN tot
+        |ORDER BY source""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
+      GroupingSetsAgg, MadOutliers, MixtureWeights)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Warehouse-pack semantics beyond the oracle hash-match: internal
+  * consistency of the star-join aggregates against independently computed
+  * driver-side ground truth at sf0.001.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+
+  test("pricing summary: partitions the filtered fact table exactly") {
+    val rows = WarehouseOps.PricingSummary.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val filtered = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+    assert(rows.map(_.getLong(9)).sum == filtered.count(),
+      "per-group count_order must sum to the filtered row count")
+    rows.foreach { r =>
+      val (base, disc, charge) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(disc <= base, "discounted price cannot exceed base price")
+      assert(charge >= disc, "charge adds tax on top of the discounted price")
+    }
+  }
+
+  test("shipping priority: top-10, revenue-descending, honest revenue") {
+    val rows = WarehouseOps.ShippingPriority.run(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b },
+      "must be sorted by revenue descending")
+    // spot-check the top order's revenue against a direct recompute
+    val top = rows.head
+    val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") === top.getLong(0) &&
+        col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .agg(graft.functions.SafeMath.exactSum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .head.getDouble(0)
+    assert(top.getDouble(3) == expect, "top revenue must recompute exactly")
+  }
+
+  test("regional volume: only nations of the chosen region appear") {
+    val rows = WarehouseOps.RegionalVolume.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val asia = spark.read.parquet(s"$sf/nation.parquet")
+      .join(spark.read.parquet(s"$sf/region.parquet")
+          .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(asia(r.getString(0)), s"non-ASIA nation in result: $r")
+      assert(r.getDouble(1) > 0.0 && r.getLong(2) > 0L)
+    }
+  }
+
+  test("returned customers: every item counted is a returned item") {
+    val rows = WarehouseOps.ReturnedCustomers.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val totalReturned = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(rows.map(_.getLong(4)).sum <= totalReturned,
+      "top-20 item counts cannot exceed the full returned-item count")
+  }
+
+  test("grouping sets: each set partitions the table; grand total present") {
+    val rows = WarehouseOps.GroupingSetsAgg.run(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    val byStatus = rows.filter(r =>
+      r.getString(0) != "(ALL)" && r.getString(1) == "(ALL)")
+    val byPriority = rows.filter(r =>
+      r.getString(0) == "(ALL)" && r.getString(1) != "(ALL)")
+    val grand = rows.filter(r =>
+      r.getString(0) == "(ALL)" && r.getString(1) == "(ALL)")
+    assert(byStatus.map(_.getLong(2)).sum == total)
+    assert(byPriority.map(_.getLong(2)).sum == total)
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+  }
+
+  test("MAD outliers: stats match a driver-side exact recompute") {
+    val rows = WarehouseOps.MadOutliers.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderstatus", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { r =>
+      val status = r.getString(0)
+      val xs = data.filter(_._1 == status).sortBy(t => (t._2, t._3)).map(_._2)
+      val med = xs((xs.length + 1) / 2 - 1)
+      assert(r.getDouble(2) == med, s"median mismatch for $status")
+      val devs = data.filter(_._1 == status)
+        .map(t => (math.abs(t._2 - med), t._3)).sortBy(identity).map(_._1)
+      val mad = devs((devs.length + 1) / 2 - 1)
+      assert(r.getDouble(3) == mad, s"MAD mismatch for $status")
+      val nOut = devs.count(_ > 3.0 * mad)
+      assert(r.getLong(4) == nOut, s"outlier count mismatch for $status")
+      assert(r.getLong(1) == xs.length)
+    }
+  }
+
+  test("mixture weights: integer plan is exact and capped") {
+    val rows = WarehouseOps.MixtureWeights.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, tot, k, target, keep, deficit) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(tot == total, "every row must carry the same grand total")
+      assert(target == tot / k)
+      assert(keep == math.min(n, target))
+      assert(deficit == math.max(0L, target - n))
+    }
+  }
+}

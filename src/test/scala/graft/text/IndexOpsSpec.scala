@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Inverted-index / lexicon-scoring semantics beyond the oracle. */
+class IndexOpsSpec extends SparkSpec {
+
+  test("postings: heads are sorted, bounded, and df-consistent") {
+    val rows = IndexOps.Postings.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val head = r.getString(2).split(",").filter(_.nonEmpty).map(_.toLong)
+      assert(head.length == math.min(df, 8L),
+        s"head must carry min(df, 8) ids: $r")
+      assert(head.sameElements(head.sorted), s"head must be sorted: $r")
+      assert(head.distinct.length == head.length, s"head must be distinct: $r")
+    }
+    // df of one sampled token matches a direct distinct-doc count
+    val sample = rows.head
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") === sample.getString(0))
+      .select("doc_id").distinct().count()
+    assert(sample.getLong(1) == expect)
+  }
+
+  test("mean token rank: bounded by the vocabulary and exactly divided") {
+    val rows = IndexOps.MeanTokenRank.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct().count()
+    rows.foreach { r =>
+      val (n, sum, mean) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(mean >= 1.0 && mean <= vocab.toDouble,
+        s"mean rank outside [1, vocab]: $r")
+      assert(mean == sum.toDouble / n.toDouble, "single exact IEEE division")
+    }
+  }
+
+  test("mean token rank: common-word documents score lower") {
+    // rank 1 is the most frequent token; a doc of only that token would
+    // score exactly 1 — check the real corpus orders sensibly: the doc
+    // minimizing mean rank must contain the top-ranked token.
+    val occ = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val top = occ.groupBy("token").count()
+      .orderBy(col("count").desc, col("token").asc)
+      .head.getString(0)
+    val best = IndexOps.MeanTokenRank.run(spark, sf)
+      .orderBy(col("mean_rank").asc, col("doc_id").asc).head.getLong(0)
+    val tokensOfBest = occ.filter(col("doc_id") === best)
+      .select("token").collect().map(_.getString(0)).toSet
+    assert(tokensOfBest.contains(top))
+  }
+}
