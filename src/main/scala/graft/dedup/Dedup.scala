@@ -709,8 +709,107 @@ object Dedup {
         |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Prefix-filtering set-similarity join (the PPJoin/AllPairs candidate
+    * rule): all document pairs with 3-gram-shingle-set Jaccard ≥ 0.6,
+    * found WITHOUT an all-shared-elements self-join. Each doc's distinct
+    * shingles are ranked by global rarity (document frequency asc, shingle
+    * asc); a doc of m shingles keeps only its first `m − ⌈0.6·m⌉ + 1`
+    * rarest as its prefix, and candidate pairs must share a PREFIX
+    * element — complete for the threshold (if |A∩B|/|A∪B| ≥ t, the two
+    * rarity-ordered sets cannot avoid colliding inside their prefixes) and
+    * sub-quadratic in practice because prefixes hold only rare shingles,
+    * whose postings lists are short. ⌈0.6·m⌉ is `(6m+9) div 10` — pure
+    * integer math. Shingles, not unigram tokens, are the set elements: on
+    * a bounded vocabulary token SETS saturate (most docs contain most
+    * words, Jaccard → 1 corpus-wide), while the 3-gram space stays
+    * discriminative — the same representation the MinHash chain estimates,
+    * making this the EXACT counterpart LSH recall is measured against.
+    *
+    * Verification joins the candidate ids back to per-doc sorted shingle
+    * arrays and filters on `10·|∩| ≥ 6·|∪|` (exact integers; the reported
+    * jaccard is one IEEE division). The oracle replays the SEMANTICS — the
+    * full shared-shingle pair join with the same threshold — so the green
+    * row proves the prefix filter lost nothing.
+    *
+    * Scale shape: the shingle-df aggregate broadcasts onto the shingle
+    * stream; prefix selection is a doc-keyed window; the candidate join
+    * shuffles (prefix-shingle, doc_id) pairs only; the verify join carries
+    * shingle arrays for candidate pairs only. No corpus self-join exists
+    * in the plan.
+    */
+  object PrefixJoin extends GraftQuery {
+    val name = "q_prefix_join"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      // persisted barriers (caller-owned, same lifecycle stance as
+      // minhashCandidatePairs): docToks has THREE consumers (the df/prefix
+      // chain and both sides of the verify join) and prefixes feeds both
+      // sides of the candidate self-join — without the barriers each
+      // consumer re-shingles the corpus.
+      val docToks = docs.select(col("doc_id"),
+          array_sort(graft.plans.ShingleExpression
+            .shingle_strings(col("text"), 3)).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = docToks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+      val prefixes = toks.join(broadcast(df), "tok")
+        .select(col("doc_id"), col("tok"),
+          row_number().over(wDoc).as("pos"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")).as("m"))
+        .filter(col("pos") <= col("m") - expr("(6 * m + 9) div 10") + 1)
+        .select(col("doc_id"), col("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = prefixes.as("a")
+        .join(prefixes.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+          "doc_a")
+        .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
+          (size(col("ta")) + size(col("tb"))
+            - size(array_intersect(col("ta"), col("tb")))).cast("long")
+            .as("n_union"))
+        .filter(col("n_inter") * 10 >= col("n_union") * 6)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+    val oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |t AS (
+        |  SELECT DISTINCT doc_id,
+        |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+        |  FROM toks,
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g),
+        |s AS (SELECT doc_id, count(*) AS m FROM t GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |       sa.m + sb.m - n_inter AS n_union,
+        |       CAST(n_inter AS DOUBLE)
+        |         / CAST(sa.m + sb.m - n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON i.doc_a = sa.doc_id
+        |       JOIN s sb ON i.doc_b = sb.doc_id
+        |WHERE n_inter * 10 >= (sa.m + sb.m - n_inter) * 6
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
-      IncrementalDedup)
+      IncrementalDedup, PrefixJoin)
 }

@@ -277,7 +277,48 @@ object AnalyticOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** 2-D skyline (Pareto frontier): the (price, size) points of `part` not
+    * strictly dominated by any other point (dominates = ≤ on both axes,
+    * < on at least one) — the "cheapest for its size class" query.
+    *
+    * Scale shape: the fact table first reduces to DISTINCT (price, size)
+    * pairs with counts (a plain hash aggregate — the only pass over the
+    * data), and the frontier test runs on that reduced set as ONE sorted
+    * prefix-min pass: after sorting by (price asc, size asc), a point is
+    * on the frontier iff its size is strictly below the running min of all
+    * earlier points — O(d log d) on d distinct pairs versus the O(d²)
+    * NOT-EXISTS self-join the oracle replays. The prefix-min runs in a
+    * single-partition window (fine: d ≪ n; for d beyond one partition the
+    * same recurrence range-partitions by price with per-partition mins
+    * broadcast, the classic distributed-skyline refinement).
+    */
+  object Skyline extends GraftQuery {
+    val name = "q_skyline"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val pts = Graft.table(spark, sfDir, "part")
+        .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val prev = Window.orderBy(col("price").asc, col("size").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("best_prev", min(col("size")).over(prev))
+        .filter(col("best_prev").isNull || col("size") < col("best_prev"))
+        .select(col("price"), col("size"), col("n_parts"))
+        .orderBy("price", "size")
+    }
+    val oracle = Some(
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price, size, n_parts
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.price <= p.price AND q.size <= p.size
+        |    AND (q.price < p.price OR q.size < p.size))
+        |ORDER BY price, size""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct,
-      RangeJoin, DateParts, ArrayAgg)
+      RangeJoin, DateParts, ArrayAgg, Skyline)
 }

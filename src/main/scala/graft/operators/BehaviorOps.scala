@@ -194,5 +194,182 @@ object BehaviorOps {
         |ORDER BY user_id, version""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(Funnel, Retention, Scd2)
+  /** First-order Markov transition matrix over each user's event stream:
+    * count of (prev_type → next_type) steps plus the row-normalized
+    * transition probability. The counts are exact BIGINTs; the probability
+    * is ONE IEEE division of two exact integers, so it hash-matches the
+    * oracle bit-for-bit.
+    *
+    * Plan shape: one scan, one user-keyed sort-shuffle for the `lag`, then
+    * a hash aggregate whose key space is |event_type|² (25 here) — the
+    * second window (row totals) runs over that tiny aggregate, not the
+    * event stream, so at 100 TB the only data-sized exchange is the lag
+    * sort.
+    */
+  object Transitions extends GraftQuery {
+    val name = "q_transitions"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+      ev.select(col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"))
+            .as("p"))
+        .orderBy("prev_type", "next_type")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY sec, event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM ev),
+        |c AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Top-K most common session paths: the ordered event-type sequence of
+    * each gap-based session (same 30-minute rule as `q_sessionize`),
+    * counted across all sessions. The path build is ONE aggregate over the
+    * session rows — `collect_list(struct(sec, event_id, type))` then an
+    * in-memory `array_sort` + `transform` + `concat_ws` on the grouped
+    * state — NOT a second window pass over the stream, so the event data
+    * crosses exactly one user-keyed shuffle (the session-id windows) plus
+    * one (user, session)-keyed aggregate that AQE coalesces; the final
+    * top-K is a TakeOrdered over path counts (no global sort of paths).
+    * Per-session state is bounded by session length, the same bound the
+    * streaming twin's keyed state carries.
+    */
+  object SessionPath extends GraftQuery {
+    val name = "q_session_path"
+    private val GapSeconds = 1800L
+    private val K = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+      val flagged = ev.select(col("user_id"), col("event_id"),
+        col("event_type"), col("sec"),
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > GapSeconds, 1L)
+          .otherwise(lit(0L)).as("new_sess"))
+      val sessions = flagged.select(col("user_id"), col("event_id"),
+        col("event_type"), col("sec"),
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("sess_id"))
+      sessions.groupBy("user_id", "sess_id")
+        .agg(concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("sec"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ns(ts) // 1000000000 AS sec
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, event_type, sec,
+         |         CASE WHEN sec - lag(sec, 1) OVER w > $GapSeconds
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         |sessions AS (
+         |  SELECT user_id, event_id, event_type, sec,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM flagged),
+         |paths AS (
+         |  SELECT user_id, sess_id,
+         |         string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+         |  FROM sessions GROUP BY 1, 2)
+         |SELECT path, count(*) AS n_sessions
+         |FROM paths GROUP BY 1
+         |ORDER BY n_sessions DESC, path ASC
+         |LIMIT $K""".stripMargin)
+  }
+
+  /** A/B experiment readout over a deterministic hash split (the same
+    * portable md5 bucketing as `q_split_assign`, so variant membership is
+    * reproducible across runs AND engines): per variant, distinct users,
+    * distinct purchasers, conversion rate, exact purchase revenue, and
+    * revenue per user. Counts are exact; the two rates are single IEEE
+    * divisions; revenue goes through the decimal-exact sum.
+    *
+    * Plan shape: one scan; the distinct-user counts expand to a two-level
+    * aggregate on (variant, user) — the natural key the data already
+    * groups by — then a 2-row final. No joins.
+    */
+  object AbCompare extends GraftQuery {
+    val name = "q_ab_compare"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val variant =
+        when(pmod(pHash60(col("user_id").cast("string")), lit(2L)) === 0L, "A")
+          .otherwise("B")
+      val isPurchase = col("event_type") === "purchase"
+      Graft.table(spark, sfDir, "events")
+        .select(variant.as("variant"), col("user_id"), col("event_type"),
+          col("value"))
+        .groupBy("variant")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(isPurchase, col("user_id"))).as("n_purchasers"),
+          graft.functions.SafeMath
+            .exactSum(when(isPurchase, col("value")).otherwise(lit(0.0)))
+            .as("purchase_value"))
+        .select(col("variant"), col("n_users"), col("n_purchasers"),
+          (col("n_purchasers").cast("double") / col("n_users").cast("double"))
+            .as("cvr"),
+          col("purchase_value"),
+          (col("purchase_value") / col("n_users").cast("double"))
+            .as("value_per_user"))
+        .orderBy("variant")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+        |                   % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |         user_id, event_type, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT variant,
+        |         count(DISTINCT user_id) AS n_users,
+        |         count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                             THEN user_id END) AS n_purchasers,
+        |         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |                            ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+        |           AS purchase_value
+        |  FROM ev GROUP BY 1)
+        |SELECT variant, n_users, n_purchasers,
+        |       CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS cvr,
+        |       purchase_value,
+        |       purchase_value / CAST(n_users AS DOUBLE) AS value_per_user
+        |FROM agg ORDER BY variant""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare)
 }

@@ -230,6 +230,63 @@ object StatOps {
          |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Single-pass column profiler over `orders` — the null-count /
+    * distinct-count / numeric-range report every ingestion pipeline runs
+    * before trusting a new drop of data. All metrics come from ONE
+    * `groupBy().agg(...)`: Catalyst plans the six exact `countDistinct`s
+    * as a single Expand (×6 row multiplication) feeding one scan — the
+    * standard multi-distinct shape — and the per-column rows are unpivoted
+    * from the 1-row aggregate with `stack`, driver-free. Numeric min/max
+    * are passthrough casts (no arithmetic), so every value hash-matches;
+    * non-numeric columns report NULL ranges rather than risking
+    * engine-specific string/timestamp formatting.
+    *
+    * At 100 TB the exact-distinct Expand is the honest cost of exact
+    * cardinalities; the documented scale alternative is swapping
+    * `countDistinct` for `approx_count_distinct` (one pass, no Expand) —
+    * same query shape, sketch-valued column.
+    */
+  object Profile extends GraftQuery {
+    val name = "q_profile"
+    private val Numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    private val NonNumeric = Seq("o_orderstatus", "o_orderpriority")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val cols = Numeric ++ NonNumeric
+      val aggs = cols.flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")) ++
+          (if (Numeric.contains(c))
+            Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))
+          else Seq.empty)
+      }
+      val one = Graft.table(spark, sfDir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map { c =>
+        val range =
+          if (Numeric.contains(c)) s"mn_$c, mx_$c"
+          else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        s"'$c', nn_$c, nd_$c, $range"
+      }.mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_num, max_num)")
+        .orderBy("column_name")
+    }
+    val oracle = Some {
+      val rows = (Numeric.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) - count($c) AS n_nulls,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_num,
+           |       CAST(max($c) AS DOUBLE) AS max_num FROM orders""".stripMargin
+      } ++ NonNumeric.map { c =>
+        s"""SELECT '$c', count(*) - count($c), count(DISTINCT $c),
+           |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"$rows\nORDER BY column_name"
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles)
+    Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles,
+      Profile)
 }

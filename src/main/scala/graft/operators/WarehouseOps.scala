@@ -369,7 +369,49 @@ object WarehouseOps {
         |ORDER BY source""".stripMargin)
   }
 
+  /** CDC compaction / last-write-wins snapshot (the SCD-1 companion to
+    * [[graft.operators.BehaviorOps.Scd2]]): the latest event per
+    * (user_id, event_type) key, totally ordered by (sec, event_id) so
+    * same-second writers resolve deterministically. This is the MERGE
+    * "upsert → current state" materialization every warehouse maintains.
+    *
+    * Plan shape: one key-partitioned window with `row_number() = 1` —
+    * Spark's WindowGroupLimit pushes the rank-1 filter below the exchange
+    * (partial top-1 per key per map partition), so the shuffle carries at
+    * most one row per (key, map-partition): the same partial-reduction
+    * shape a MERGE-on-read compaction job needs at 100 TB. Values pass
+    * through untouched (no arithmetic) — hashes match trivially.
+    */
+  object LatestSnapshot extends GraftQuery {
+    val name = "q_latest_snapshot"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("sec").desc, col("event_id").desc)
+      Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), expr("ts div 1000000000").as("sec"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("sec").as("last_sec"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"))
+        .orderBy("user_id", "event_type")
+    }
+    val oracle = Some(
+      """SELECT user_id, event_type, sec AS last_sec,
+        |       event_id AS last_event_id, value AS last_value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         epoch_ns(ts) // 1000000000 AS sec,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_ns(ts) // 1000000000 DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
-      GroupingSetsAgg, MadOutliers, MixtureWeights)
+      GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot)
 }

@@ -197,7 +197,34 @@ object WindowOps {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** Relative-standing ranks: `percent_rank` and `cume_dist` of every
+    * part's price within its brand. Both are pure rank arithmetic —
+    * (rank−1)/(n−1) and rank_with_ties/n — single IEEE divisions of exact
+    * integers, so ties and values hash-match the oracle exactly. One
+    * brand-keyed sort-shuffle; the output is row-per-input (the
+    * feature-engineering shape: rank features joined back to the entity),
+    * not an aggregate.
+    */
+  object PercentileRank extends GraftQuery {
+    val name = "q_percentile_rank"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").asc)
+      Graft.table(spark, sfDir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("p_brand", "p_partkey")
+    }
+    val oracle = Some(
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC)
+        |ORDER BY p_brand, p_partkey""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(RunningSum, TopNPerGroup, TumblingWindow, HoppingWindow, Rolling7d,
-      WindowPack)
+      WindowPack, PercentileRank)
 }

@@ -123,6 +123,39 @@ object EventStream {
       }
   }
 
+  final case class SnapshotKey(user_id: Long, event_type: String)
+  final case class SnapshotRow(user_id: Long, event_type: String,
+      last_sec: Long, last_event_id: Long, last_value: Double)
+
+  /** Streaming CDC snapshot: the keyed-state twin of
+    * [[graft.operators.WarehouseOps.LatestSnapshot]] — per
+    * (user_id, event_type) key, keep the latest write under the same total
+    * order (sec, then event_id) and emit the key's current row on every
+    * update. This is a continuously-maintained MERGE target: state is ONE
+    * fixed-size row per live key (bounded by key cardinality, not stream
+    * length), and because last-write-wins is a commutative/idempotent
+    * policy under the total order, out-of-order and replayed events
+    * converge to the same snapshot the batch query computes — no
+    * watermark-loss caveat, unlike the funnel twin.
+    */
+  def latestSnapshot(events: Dataset[Event]): Dataset[SnapshotRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => SnapshotKey(e.user_id, e.event_type))
+      .flatMapGroupsWithState[SnapshotRow, SnapshotRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: SnapshotKey, batch: Iterator[Event], state: GroupState[SnapshotRow]) =>
+          var s = state.getOption.orNull
+          batch.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (s == null || sec > s.last_sec ||
+              (sec == s.last_sec && e.event_id > s.last_event_id))
+              s = SnapshotRow(key.user_id, key.event_type, sec, e.event_id, e.value)
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Streaming exact dedup: drop repeated event_ids within the watermark
     * horizon — the streaming twin of [[graft.dedup.Dedup.ExactDedup]]
     * (state stores only ids inside the watermark, so memory is bounded;

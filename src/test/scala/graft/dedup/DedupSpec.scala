@@ -178,4 +178,31 @@ class DedupSpec extends SparkSpec {
     assert(totalDup == 1L, s"exactly the planted dup: $out")
     out.values.foreach { case (n, d, fresh) => assert(fresh == n - d) }
   }
+
+  test("prefix join equals the brute-force Jaccard ≥ 0.6 pair set (no candidate lost)") {
+    // the completeness guarantee of prefix filtering, checked differentially:
+    // the operator's sub-quadratic candidate generation must reproduce the
+    // all-pairs answer exactly (on 3-gram shingle sets, the operator's
+    // representation)
+    val docs = graft.Graft.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").toSeq.sliding(3)
+          .filter(_.length == 3).map(_.mkString(" ")).toSet)
+    val expected = (for {
+      (a, ta) <- docs
+      (b, tb) <- docs
+      if a < b
+      inter = (ta & tb).size
+      union = ta.size + tb.size - inter
+      if union > 0 && inter * 10 >= union * 6
+    } yield (a, b, inter.toLong, union.toLong)).toSet
+    val out = Dedup.PrefixJoin.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(out.length == out.distinct.length, "no duplicate pairs")
+    assert(out.toSet == expected,
+      s"missing=${(expected -- out.toSet).take(5)} extra=${(out.toSet -- expected).take(5)}")
+    assert(expected.nonEmpty, "fixture data should contain near-dup pairs")
+  }
 }

@@ -82,6 +82,65 @@ class BehaviorOpsSpec extends SparkSpec {
       (2L, "purchase", 1, 15L, -1L)), out.mkString(", "))
   }
 
+  test("transitions: counts match a hand-built chain and rows normalize to 1") {
+    import spark.implicits._
+    // u1: a→b→c ; u2: a→a  ⇒ (a,b,1), (b,c,1), (a,a,1); P(a→b)=P(a→a)=0.5
+    val sec = (s: Long) => s * 1000000000L
+    val ev = Seq(
+      (1L, sec(10), 1L, "a"), (2L, sec(20), 1L, "b"), (3L, sec(30), 1L, "c"),
+      (4L, sec(10), 2L, "a"), (5L, sec(20), 2L, "a"))
+      .map { case (eid, ts, uid, t) => (eid, ts, uid, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("trans_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.Transitions.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "c", 1L, 1.0)),
+      out.mkString(", "))
+  }
+
+  test("transitions on the catalog: probabilities sum to 1 per source state") {
+    val rows = BehaviorOps.Transitions.run(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$prev row sums to $total")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("session path: ordered within session, split at the gap, ranked by count") {
+    import spark.implicits._
+    val sec = (s: Long) => s * 1000000000L
+    // u1: a,b,c tight then (gap > 1800s) a  ⇒ sessions "a>b>c", "a"
+    // u2: a,b,c tight                       ⇒ session  "a>b>c"
+    val ev = Seq(
+      (1L, sec(0), 1L, "a"), (2L, sec(100), 1L, "b"), (3L, sec(200), 1L, "c"),
+      (4L, sec(9000), 1L, "a"),
+      (5L, sec(0), 2L, "a"), (6L, sec(50), 2L, "b"), (7L, sec(60), 2L, "c"))
+      .map { case (eid, ts, uid, t) => (eid, ts, uid, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("path_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.SessionPath.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b>c", 2L), ("a", 1L)), out.mkString(", "))
+  }
+
+  test("ab compare: exactly two variants, consistent internal arithmetic") {
+    val rows = BehaviorOps.AbCompare.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    rows.foreach { r =>
+      val (users, purchasers) = (r.getLong(1), r.getLong(2))
+      assert(purchasers <= users && users > 0)
+      assert(r.getDouble(3) == purchasers.toDouble / users.toDouble)
+      assert(r.getDouble(5) == r.getDouble(4) / users.toDouble)
+    }
+    // hash split is deterministic: a second run lands identically
+    val again = BehaviorOps.AbCompare.run(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("scd2 intervals tile each user's history: contiguous, versions sequential") {
     val rows = BehaviorOps.Scd2.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2),

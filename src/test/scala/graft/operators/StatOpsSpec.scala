@@ -71,4 +71,26 @@ class StatOpsSpec extends SparkSpec {
       assert(lo2 >= hi, s"deciles out of order: $hi then $lo2")
     }
   }
+
+  test("profile: nulls, distincts, and numeric ranges on a crafted table") {
+    import spark.implicits._
+    val orders = Seq(
+      (Some(1L), Some(10L), Some(5.0), Some("O"), None: Option[String]),
+      (Some(2L), Some(10L), None: Option[Double], Some("F"), Some("1-URGENT")),
+      (Some(3L), None: Option[Long], Some(7.5), Some("O"), Some("1-URGENT")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("profile_spec").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = StatOps.Profile.run(spark, dir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toMap
+    assert(out("o_orderkey") == ((0L, 3L, Some(1.0), Some(3.0))))
+    assert(out("o_custkey") == ((1L, 1L, Some(10.0), Some(10.0))))
+    assert(out("o_totalprice") == ((1L, 2L, Some(5.0), Some(7.5))))
+    assert(out("o_orderstatus") == ((0L, 2L, None, None)))
+    assert(out("o_orderpriority") == ((1L, 1L, None, None)))
+  }
 }

@@ -117,4 +117,35 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(deficit == math.max(0L, target - n))
     }
   }
+
+  test("latest snapshot: last write wins, same-second ties resolve by event id") {
+    import spark.implicits._
+    val sec = (s: Long) => s * 1000000000L
+    // u1/view: two writes → the later one; u1/click: same-second writes →
+    // the higher event_id; u2/purchase: single write passes through
+    val ev = Seq(
+      (1L, sec(10), 1L, "view", 1.0), (2L, sec(20), 1L, "view", 2.0),
+      (3L, sec(30), 1L, "click", 3.0), (4L, sec(30), 1L, "click", 4.0),
+      (5L, sec(15), 2L, "purchase", 5.0))
+      .map { case (eid, ts, uid, t, v) => (eid, ts, uid, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("snap_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = WarehouseOps.LatestSnapshot.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      (1L, "view") -> ((20L, 2L, 2.0)),
+      (1L, "click") -> ((30L, 4L, 4.0)),
+      (2L, "purchase") -> ((15L, 5L, 5.0))), out.mkString(", "))
+  }
+
+  test("latest snapshot on the catalog: one row per live (user, type) key") {
+    val rows = WarehouseOps.LatestSnapshot.run(spark, sf).collect()
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "key uniqueness")
+    val expected = graft.Graft.table(spark, sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.length == expected)
+  }
 }

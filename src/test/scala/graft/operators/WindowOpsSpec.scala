@@ -45,4 +45,35 @@ class WindowOpsSpec extends SparkSpec {
     val days = out.map(_._1)
     assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
   }
+
+  test("percentile rank: tie semantics and closed-form values") {
+    import spark.implicits._
+    // one brand, prices 1,2,2,4: percent_rank = (rank-1)/(n-1), ties share
+    // rank with gaps; cume_dist = rows_at_or_below / n
+    val part = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 4.0))
+      .map { case (k, p) => (k, "B1", p) }
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("prank_spec").toString
+    part.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = WindowOps.PercentileRank.run(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((0.0, 0.25)))
+    assert(out(2L) == ((1.0 / 3.0, 0.75)))
+    assert(out(3L) == ((1.0 / 3.0, 0.75)))
+    assert(out(4L) == ((1.0, 1.0)))
+  }
+
+  test("percentile rank on the catalog: bounds and monotonicity per brand") {
+    val rows = WindowOps.PercentileRank.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (brand, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 == 0.0, s"$brand: min price must rank 0")
+      assert(sorted.last._4 == 1.0, s"$brand: cume_dist must reach 1")
+      sorted.zip(sorted.tail).foreach { case ((_, p1, r1, c1), (_, p2, r2, c2)) =>
+        assert(r1 <= r2 && c1 <= c2, s"$brand: rank not monotone in price")
+        if (p1 == p2) assert(r1 == r2 && c1 == c2, s"$brand: tie split ranks")
+      }
+    }
+  }
 }

@@ -190,4 +190,30 @@ class EventStreamSpec extends SparkSpec {
       s"stream $streamCounts vs batch $batchCounts")
     assert(streamCounts.head > 0)
   }
+
+  test("streaming latest snapshot converges to the batch snapshot, even out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    val stream = MemoryStream[EventStream.Event]
+    // adversarial delivery order: REVERSED by timestamp — last-write-wins
+    // must still converge because the policy compares the total order, not
+    // arrival order (the no-watermark-caveat claim in the scaladoc)
+    stream.addData(batch.collect().sortBy(e => (-e.ts.getTime, -e.event_id)).toSeq)
+    val q = EventStream.latestSnapshot(stream.toDS())
+      .writeStream.format("memory").queryName("snap_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // single micro-batch → exactly one emitted row per key, already final
+    val streamed = spark.table("snap_out")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val batchRows = graft.operators.WarehouseOps.LatestSnapshot.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(streamed == batchRows,
+      s"sizes ${streamed.size} vs ${batchRows.size}; " +
+        s"sample diff=${(batchRows.toSet -- streamed.toSet).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }
