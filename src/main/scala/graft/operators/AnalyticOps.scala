@@ -318,7 +318,36 @@ object AnalyticOps {
         |ORDER BY price, size""".stripMargin)
   }
 
+  /** Seasonal activity profile: the day-of-week × hour-of-day event matrix
+    * (the load-shape heatmap every ops/analytics dashboard carries, and the
+    * time-intelligence complement to [[DateParts]]' calendar rollup). Both
+    * axes are pure integer epoch arithmetic — dow = (day + 4) mod 7 with
+    * 0 = Sunday (1970-01-01 was a Thursday), hour = in-day seconds div
+    * 3600 — so bucket membership is bit-identical cross-engine with no
+    * timezone/locale surface at all. One scan, one ≤168-key hash
+    * aggregate: pure map-side combine at any scale.
+    */
+  object SeasonalProfile extends GraftQuery {
+    val name = "q_seasonal_profile"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "events")
+        .select(expr("ts div 1000000000").as("sec"), col("value"))
+        .select(expr("((sec div 86400) + 4) % 7").as("dow"),
+          expr("(sec % 86400) div 3600").as("hour"), col("value"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("total_value"))
+        .orderBy("dow", "hour")
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS sec, value FROM events)
+        |SELECT ((sec // 86400) + 4) % 7 AS dow,
+        |       (sec % 86400) // 3600 AS hour,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct,
-      RangeJoin, DateParts, ArrayAgg, Skyline)
+      RangeJoin, DateParts, ArrayAgg, Skyline, SeasonalProfile)
 }

@@ -156,6 +156,35 @@ object EventStream {
       }
   }
 
+  final case class LastEvent(sec: Long, event_id: Long, event_type: String)
+  final case class TransitionPair(prev_type: String, next_type: String)
+
+  /** Streaming Markov transitions: the keyed-state twin of
+    * [[graft.operators.BehaviorOps.Transitions]] — per user, remember only
+    * the LAST event (one fixed-size row of state per user) and emit a
+    * (prev → next) pair for every subsequent event. The downstream count
+    * aggregate is Spark's ordinary streaming agg; this operator's job is
+    * just the stateful pairing. Same delivery contract as the funnel twin:
+    * exact under per-user in-order delivery (in-batch events are sorted by
+    * the same (sec, event_id) total order the batch twin's window uses).
+    */
+  def transitionStream(events: Dataset[Event]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[TransitionPair]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (last != null) out += TransitionPair(last.event_type, e.event_type)
+            last = LastEvent(e.ts.getTime / 1000, e.event_id, e.event_type)
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup: drop repeated event_ids within the watermark
     * horizon — the streaming twin of [[graft.dedup.Dedup.ExactDedup]]
     * (state stores only ids inside the watermark, so memory is bounded;

@@ -115,5 +115,108 @@ object IndexOps {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(Postings, MeanTokenRank)
+  /** BM25 retrieval over the inverted-index family: top-10 documents for a
+    * fixed 3-term query, scored with Okapi BM25 (k1 = 1.2, b = 0.75) under
+    * the LOG-FREE rational idf `(N − df + 0.5)/(df + 0.5)` — the same
+    * monotone-idf stance as `q_tfidf`, which is what lets every score
+    * hash-match DuckDB bit-for-bit (the floating-point score is a FIXED
+    * expression tree of exact integers — identical literals, identical
+    * association on both engines — never a float reduction over rows: the
+    * per-term contributions are summed as `(c1 + c2) + c3`, not
+    * `sum()` over an unordered term set).
+    *
+    * Scale shape: the term filter sits on the token explode (only query
+    * terms survive the scan side), tf is a doc-keyed conditional
+    * aggregate, and the corpus stats (N, avgdl, per-term df) are ONE
+    * 1-row aggregate broadcast onto the matches; top-10 is a
+    * TakeOrdered. Nothing token-keyed ever shuffles except the three
+    * query terms' postings.
+    */
+  object Bm25 extends GraftQuery {
+    val name = "q_bm25"
+    private val T1 = "spark"; private val T2 = "vector"; private val T3 = "dup"
+    private val K = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docsDl = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      val occ = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(T1, T2, T3))
+      val tf = occ.groupBy("doc_id").agg(
+        count(when(col("tok") === T1, 1)).as("tf1"),
+        count(when(col("tok") === T2, 1)).as("tf2"),
+        count(when(col("tok") === T3, 1)).as("tf3"))
+      val stats = docsDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val dfs = occ.agg(
+        countDistinct(when(col("tok") === T1, col("doc_id"))).as("df1"),
+        countDistinct(when(col("tok") === T2, col("doc_id"))).as("df2"),
+        countDistinct(when(col("tok") === T3, col("doc_id"))).as("df3"))
+      def idf(dfc: org.apache.spark.sql.Column) =
+        ((col("n_docs") - dfc).cast("double") + lit(0.5)) /
+          (dfc.cast("double") + lit(0.5))
+      def contrib(tfc: org.apache.spark.sql.Column, idfc: org.apache.spark.sql.Column) =
+        idfc * ((tfc.cast("double") * lit(2.2)) /
+          (tfc.cast("double") + lit(1.2) * col("norm")))
+      tf.join(docsDl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(dfs))
+        .withColumn("avgdl",
+          col("total_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("norm",
+          lit(0.25) + (lit(0.75) * col("dl").cast("double")) / col("avgdl"))
+        .select(col("doc_id"),
+          (contrib(col("tf1"), idf(col("df1"))) +
+            contrib(col("tf2"), idf(col("df2"))) +
+            contrib(col("tf3"), idf(col("df3")))).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH dls AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |    FROM documents)
+         |  WHERE tok IN ('$T1', '$T2', '$T3')),
+         |tf AS (
+         |  SELECT doc_id,
+         |         count(CASE WHEN tok = '$T1' THEN 1 END) AS tf1,
+         |         count(CASE WHEN tok = '$T2' THEN 1 END) AS tf2,
+         |         count(CASE WHEN tok = '$T3' THEN 1 END) AS tf3
+         |  FROM occ GROUP BY 1),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+         |  FROM dls),
+         |dfs AS (
+         |  SELECT count(DISTINCT CASE WHEN tok = '$T1' THEN doc_id END) AS df1,
+         |         count(DISTINCT CASE WHEN tok = '$T2' THEN doc_id END) AS df2,
+         |         count(DISTINCT CASE WHEN tok = '$T3' THEN doc_id END) AS df3
+         |  FROM occ),
+         |scored AS (
+         |  SELECT doc_id,
+         |         (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+         |           * ((CAST(tf1 AS DOUBLE) * 2.2)
+         |              / (CAST(tf1 AS DOUBLE) + 1.2 * norm))
+         |         + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+         |           * ((CAST(tf2 AS DOUBLE) * 2.2)
+         |              / (CAST(tf2 AS DOUBLE) + 1.2 * norm))
+         |         + (CAST(n_docs - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)
+         |           * ((CAST(tf3 AS DOUBLE) * 2.2)
+         |              / (CAST(tf3 AS DOUBLE) + 1.2 * norm)) AS score
+         |  FROM (
+         |    SELECT tf.doc_id, tf1, tf2, tf3, df1, df2, df3, n_docs,
+         |           0.25 + (0.75 * CAST(dl AS DOUBLE))
+         |             / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS norm
+         |    FROM tf JOIN dls ON tf.doc_id = dls.doc_id
+         |    CROSS JOIN stats CROSS JOIN dfs))
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT $K""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(Postings, MeanTokenRank, Bm25)
 }

@@ -44,4 +44,32 @@ class AnalyticOpsSpec extends SparkSpec {
       s"missing=${(expected -- out).take(5)} extra=${(out -- expected).take(5)}")
     assert(out.nonEmpty)
   }
+
+  test("seasonal profile: known epoch instants land in the right cells") {
+    import spark.implicits._
+    // 1970-01-01 (a Thursday, dow 4) 00:30 and 23:59; +3 days → Sunday (0)
+    val ev = Seq(
+      (1L, 1800L * 1000000000L, 1L, "view", 1.0),
+      (2L, 86340L * 1000000000L, 1L, "view", 2.0),
+      (3L, (3L * 86400L + 7200L) * 1000000000L, 2L, "click", 3.0))
+      .map { case (eid, ts, uid, t, v) => (eid, ts, uid, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("season_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticOps.SeasonalProfile.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (4L, 0L) -> ((1L, 1.0)), (4L, 23L) -> ((1L, 2.0)),
+      (0L, 2L) -> ((1L, 3.0))), out.mkString(", "))
+  }
+
+  test("seasonal profile covers every event exactly once on the catalog") {
+    val rows = AnalyticOps.SeasonalProfile.run(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.Graft.table(spark, sf, "events").count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+  }
 }

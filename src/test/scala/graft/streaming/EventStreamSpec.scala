@@ -216,4 +216,24 @@ class EventStreamSpec extends SparkSpec {
         s"sample diff=${(batchRows.toSet -- streamed.toSet).take(3)}")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming transition pairs aggregate to the batch transition counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    val stream = MemoryStream[EventStream.Event]
+    stream.addData(batch.collect().toSeq)
+    val q = EventStream.transitionStream(stream.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("trans_out")
+      .groupBy("prev_type", "next_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchCounts = graft.operators.BehaviorOps.Transitions.run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batchCounts,
+      s"stream ${streamed.size} pairs vs batch ${batchCounts.size}")
+    assert(streamed.values.sum > 0)
+  }
 }

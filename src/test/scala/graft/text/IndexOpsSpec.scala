@@ -55,4 +55,33 @@ class IndexOpsSpec extends SparkSpec {
       .select("token").collect().map(_.getString(0)).toSet
     assert(tokensOfBest.contains(top))
   }
+
+  test("bm25 matches a driver-side recompute of the exact formula") {
+    // mirror the operator's fixed expression tree in plain Scala doubles —
+    // same literals, same association — and require bit-equality
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = docs.length.toLong
+    val totalDl = docs.map(_._2.length.toLong).sum
+    val avgdl = totalDl.toDouble / n.toDouble
+    val terms = Seq("spark", "vector", "dup")
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toLong)
+    val expected = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val norm = 0.25 + (0.75 * dl.toDouble) / avgdl
+      val score = terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toLong
+        val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        idf * ((tf.toDouble * 2.2) / (tf.toDouble + 1.2 * norm))
+      }.reduceLeft(_ + _)
+      (id, score)
+    }.filter { case (id, _) => docs.find(_._1 == id).get._2.exists(terms.contains) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val out = IndexOps.Bm25.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == expected.toSeq,
+      s"got ${out.take(3).mkString(",")} want ${expected.take(3).mkString(",")}")
+    assert(out.nonEmpty && out.head._2 > 0.0)
+  }
 }
