@@ -739,8 +739,38 @@ object Dedup {
     */
   object PrefixJoin extends GraftQuery {
     val name = "q_prefix_join"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val docs = Graft.table(spark, sfDir, "documents")
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      prefixJoinPairs(Graft.table(spark, sfDir, "documents"))
+        .orderBy("doc_a", "doc_b")
+    val oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |t AS (
+        |  SELECT DISTINCT doc_id,
+        |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+        |  FROM toks,
+        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g),
+        |s AS (SELECT doc_id, count(*) AS m FROM t GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |       sa.m + sb.m - n_inter AS n_union,
+        |       CAST(n_inter AS DOUBLE)
+        |         / CAST(sa.m + sb.m - n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON i.doc_a = sa.doc_id
+        |       JOIN s sb ON i.doc_b = sb.doc_id
+        |WHERE n_inter * 10 >= (sa.m + sb.m - n_inter) * 6
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  /** The exact pair set behind [[PrefixJoin]] (unordered): every document
+    * pair with 3-gram-shingle Jaccard ≥ 0.6, computed by the prefix-filter
+    * algorithm. Also the GROUND TRUTH side of [[MinhashRecall]].
+    */
+  def prefixJoinPairs(docs: DataFrame): DataFrame = {
       // persisted barriers (caller-owned, same lifecycle stance as
       // minhashCandidatePairs): docToks has THREE consumers (the df/prefix
       // chain and both sides of the verify join) and prefixes feeds both
@@ -795,34 +825,82 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
           (col("n_inter").cast("double") / col("n_union").cast("double"))
             .as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+  }
+
+  /** Sketch-quality evaluation: precision/recall of the MinHash-LSH
+    * candidate stage (est-Jaccard ≥ 0.5 gate, the `q_minhash_pairs`
+    * pipeline) against the EXACT shingle-Jaccard ≥ 0.6 pair set computed
+    * by [[prefixJoinPairs]] — "did the sketch find the real near-dups?",
+    * the closing-the-loop measurement a production dedup pipeline runs on
+    * samples before trusting the sketch at full scale. Counts are exact;
+    * precision/recall are single IEEE divisions, so the whole evaluation
+    * hash-matches the oracle (which replays BOTH chains — the portable
+    * minhash math and the exact pair join — in one SQL statement).
+    *
+    * Plan shape: both sides are the already-audited sub-quadratic
+    * pipelines; the comparison is a full outer join on (doc_a, doc_b)
+    * pair keys followed by a 1-row aggregate.
+    */
+  object MinhashRecall extends GraftQuery {
+    val name = "q_minhash_recall"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val truth = prefixJoinPairs(docs)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_t"))
+      val pred = minhashCandidatePairs(docs, 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_p"))
+      truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("is_t")).as("n_truth"),
+          count(col("is_p")).as("n_pred"),
+          count(when(col("is_t").isNotNull && col("is_p").isNotNull, 1))
+            .as("n_hit"))
+        .select(col("n_truth"), col("n_pred"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_pred").cast("double"))
+            .as("precision"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
     }
     val oracle = Some(
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
-        |  FROM documents),
-        |t AS (
-        |  SELECT DISTINCT doc_id,
-        |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
-        |  FROM toks,
-        |       LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g),
-        |s AS (SELECT doc_id, count(*) AS m FROM t GROUP BY 1),
-        |i AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_inter,
-        |       sa.m + sb.m - n_inter AS n_union,
-        |       CAST(n_inter AS DOUBLE)
-        |         / CAST(sa.m + sb.m - n_inter AS DOUBLE) AS jaccard
-        |FROM i JOIN s sa ON i.doc_a = sa.doc_id
-        |       JOIN s sb ON i.doc_b = sb.doc_id
-        |WHERE n_inter * 10 >= (sa.m + sb.m - n_inter) * 6
-        |ORDER BY doc_a, doc_b""".stripMargin)
+      s"""WITH ${minhashOracleCtes("documents")},
+         |sz AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
+         |ip AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT da, db
+         |  FROM ip JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |  WHERE ni * 10 >= (sa.m + sb.m - ni) * 6),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.da, c.db,
+         |         sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS matches
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
+         |              JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT da, db FROM est
+         |  WHERE CAST(matches AS DOUBLE) / ${NumHashes.toDouble} >= 0.5),
+         |j AS (
+         |  SELECT t.da AS tda, p.da AS pda
+         |  FROM truth t FULL OUTER JOIN pred p ON t.da = p.da AND t.db = p.db)
+         |SELECT count(tda) AS n_truth, count(pda) AS n_pred,
+         |       count(CASE WHEN tda IS NOT NULL AND pda IS NOT NULL
+         |                  THEN 1 END) AS n_hit,
+         |       CAST(count(CASE WHEN tda IS NOT NULL AND pda IS NOT NULL
+         |                       THEN 1 END) AS DOUBLE)
+         |         / CAST(count(pda) AS DOUBLE) AS precision,
+         |       CAST(count(CASE WHEN tda IS NOT NULL AND pda IS NOT NULL
+         |                       THEN 1 END) AS DOUBLE)
+         |         / CAST(count(tda) AS DOUBLE) AS recall
+         |FROM j""".stripMargin)
   }
 
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
-      IncrementalDedup, PrefixJoin)
+      IncrementalDedup, PrefixJoin, MinhashRecall)
 }
