@@ -263,6 +263,107 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin)
   }
 
+  /** ANN-quality evaluation: per-query recall@10 of the sign-LSH index
+    * ([[lshTopK]]) against the exact cosine top-10 ([[bruteForceTopK]]) —
+    * the embedding-side twin of `q_minhash_recall`, and the measurement
+    * that decides the tables × planes trade before an index is trusted at
+    * scale. Hits are exact counts (both result sets are deterministic down
+    * to tie order); recall is one IEEE division. The oracle replays BOTH
+    * chains — sharing the quantized-component and norm CTEs — in one SQL
+    * statement.
+    *
+    * Plan shape: the exact side is the audited bounded-query broadcast
+    * (50 queries), the LSH side the audited bucket equi-join; the
+    * evaluation is a left join on (query, neighbor) + a 50-key aggregate.
+    * At production scale the exact side runs on a SAMPLE of queries —
+    * which is precisely this query's shape.
+    */
+  object AnnRecall extends GraftQuery {
+    val name = "q_ann_recall"
+    private val K = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val exact = bruteForceTopK(queries, emb, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = lshTopK(queries, emb, 64, K)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+        .orderBy("query_id")
+    }
+    val oracle = Some(
+      s"""WITH planes AS (
+         |  SELECT t.t, p.p, i.i,
+         |         CASE WHEN ('0x' || substr(md5(t.t::VARCHAR || '_' ||
+         |                      p.p::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::INT
+         |                   % 2 = 1
+         |              THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT unnest(generate_series(0, ${NumTables - 1})) AS t) t,
+         |       (SELECT unnest(generate_series(0, ${PlanesPerTable - 1})) AS p) p,
+         |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+         |q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |exact_comp AS (
+         |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         |         sum(qa.q * qb.q) AS dot
+         |  FROM q qa JOIN q qb ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 50
+         |  GROUP BY 1, 2),
+         |exactk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+         |                      neighbor_id ASC) AS rank
+         |    FROM exact_comp JOIN norms na ON query_id = na.vec_id
+         |                    JOIN norms nb ON neighbor_id = nb.vec_id)
+         |  WHERE rank <= $K),
+         |dots AS (
+         |  SELECT q.vec_id, pl.t, pl.p, sum(q.q * pl.w) AS d
+         |  FROM q JOIN planes pl ON q.i = pl.i + 1
+         |  GROUP BY 1, 2, 3),
+         |keys AS (
+         |  SELECT vec_id,
+         |         t * ${1 << PlanesPerTable}
+         |         + CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS key
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS neighbor_id
+         |  FROM keys kq JOIN keys kc ON kq.key = kc.key
+         |  WHERE kq.vec_id < 50 AND kc.vec_id <> kq.vec_id),
+         |lsh_comp AS (
+         |  SELECT c.query_id, c.neighbor_id, sum(qa.q * qb.q) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.query_id
+         |              JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |lshk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+         |                      neighbor_id ASC) AS rank
+         |    FROM lsh_comp JOIN norms na ON query_id = na.vec_id
+         |                  JOIN norms nb ON neighbor_id = nb.vec_id)
+         |  WHERE rank <= $K)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       count(l.neighbor_id) AS n_hit,
+         |       CAST(count(l.neighbor_id) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exactk e LEFT JOIN lshk l
+         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Per-label embedding centroids — the vector-aggregation shape (class
     * centroids feed semantic dedup and IVF coarse quantizers). posexplode →
     * groupBy(label, dim) → exact integer sum → one double divide; the
@@ -292,5 +393,5 @@ object Similarity {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(CosineTopK, LshTopK, LabelCentroid, Ivf.SampledIvfTopK)
+    Seq(CosineTopK, LshTopK, LabelCentroid, Ivf.SampledIvfTopK, AnnRecall)
 }

@@ -51,4 +51,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(b1 == b2)
   }
+
+  test("ann recall rows agree with a direct set comparison per query") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val approx = Similarity.lshTopK(q, emb, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = Similarity.AnnRecall.run(spark, sf).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (qid, nExact, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val hits = exact(qid).intersect(approx.getOrElse(qid, Set.empty)).size
+      assert(nExact == exact(qid).size && nHit == hits,
+        s"query $qid: ($nExact,$nHit) vs (${exact(qid).size},$hits)")
+      assert(r.getDouble(3) == nHit.toDouble / nExact.toDouble)
+    }
+    // the 8×4 layout is sized for ≈0.7 mean recall on these embeddings
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
 }
