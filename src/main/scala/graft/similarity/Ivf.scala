@@ -100,8 +100,14 @@ object Ivf {
     val NProbe = 2
     val QueryMax = 30
     val K = 3
-    def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-      val prep = graft.Graft.table(spark, sfDir, "embeddings")
+    def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+      sampledTopK(graft.Graft.table(spark, sfDir, "embeddings"), K)
+
+    /** The sampled-centroid IVF top-k pipeline, parameterized by k (shared
+      * by this query and [[IvfRecall]]).
+      */
+    def sampledTopK(emb: DataFrame, k: Int): DataFrame = {
+      val prep = emb
         .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
         .select(col("vec_id"), col("q"),
           dot_long(col("q"), col("q")).as("qq_self"))
@@ -130,7 +136,7 @@ object Ivf {
           (dot_long(col("qq2"), col("cq2")).cast("double") /
             (col("qn") * col("cn"))).as("cosine"))
         .withColumn("rank", row_number().over(byCos))
-        .filter(col("rank") <= K)
+        .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy("query_id", "rank")
     }
@@ -175,5 +181,97 @@ object Ivf {
          |       neighbor_id, cosine
          |FROM scored QUALIFY rank <= $K
          |ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** IVF-quality evaluation: per-query recall@10 of the sampled-centroid
+    * IVF index against the exact cosine top-10 — completing the trio of
+    * oracle-verified index evaluations (`q_minhash_recall` for the text
+    * sketch, `q_ann_recall` for sign-LSH, this for IVF). Same evaluation
+    * shape: exact side left-joined with the approximate side, hits
+    * counted per query, one IEEE division for the recall. The nProbe=2
+    * of 8 cells bound is what recall pays for the 4× candidate-set
+    * reduction — exactly the trade this query measures.
+    */
+  object IvfRecall extends graft.GraftQuery {
+    val name = "q_ivf_recall"
+    private val K = 10
+    def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+      val emb = graft.Graft.table(spark, sfDir, "embeddings")
+      val queries = emb.filter(col("vec_id") < SampledIvfTopK.QueryMax)
+      val exact = Similarity.bruteForceTopK(queries, emb, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SampledIvfTopK.sampledTopK(emb, K)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+        .orderBy("query_id")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |exact_comp AS (
+         |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         |         sum(qa.q * qb.q) AS dot
+         |  FROM q qa JOIN q qb ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < ${SampledIvfTopK.QueryMax}
+         |  GROUP BY 1, 2),
+         |exactk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+         |                      neighbor_id ASC) AS rank
+         |    FROM exact_comp JOIN norms na ON query_id = na.vec_id
+         |                    JOIN norms nb ON neighbor_id = nb.vec_id)
+         |  WHERE rank <= $K),
+         |cent AS (SELECT vec_id AS cell, i, q FROM q
+         |         WHERE vec_id < ${SampledIvfTopK.NCells}),
+         |dists AS (
+         |  SELECT q.vec_id, c.cell, sum((q.q - c.q) * (q.q - c.q)) AS dist
+         |  FROM q JOIN cent c ON q.i = c.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY dist, cell) AS rn
+         |  FROM dists),
+         |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell FROM ranked
+         |           WHERE vec_id < ${SampledIvfTopK.QueryMax}
+         |             AND rn <= ${SampledIvfTopK.NProbe}),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |ivf_comp AS (
+         |  SELECT c.query_id, c.neighbor_id, sum(qa.q * qb.q) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.query_id
+         |              JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |ivfk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+         |                      neighbor_id ASC) AS rank
+         |    FROM ivf_comp JOIN norms na ON query_id = na.vec_id
+         |                  JOIN norms nb ON neighbor_id = nb.vec_id)
+         |  WHERE rank <= $K)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       count(l.neighbor_id) AS n_hit,
+         |       CAST(count(l.neighbor_id) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exactk e LEFT JOIN ivfk l
+         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -393,5 +393,6 @@ object Similarity {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(CosineTopK, LshTopK, LabelCentroid, Ivf.SampledIvfTopK, AnnRecall)
+    Seq(CosineTopK, LshTopK, LabelCentroid, Ivf.SampledIvfTopK, AnnRecall,
+      Ivf.IvfRecall)
 }

@@ -33,4 +33,28 @@ class IvfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b)
   }
+
+  test("ivf recall rows agree with a direct set comparison per query") {
+    val emb = Graft.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < Ivf.SampledIvfTopK.QueryMax)
+    val exact = Similarity.bruteForceTopK(q, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val approx = Ivf.SampledIvfTopK.sampledTopK(emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = Ivf.IvfRecall.run(spark, sf).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (qid, nExact, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val hits = exact(qid).intersect(approx.getOrElse(qid, Set.empty)).size
+      assert(nExact == exact(qid).size && nHit == hits,
+        s"query $qid: ($nExact,$nHit) vs (${exact(qid).size},$hits)")
+      assert(r.getDouble(3) == nHit.toDouble / nExact.toDouble)
+    }
+    // nProbe=2 of 8 sampled cells trades recall for a 4× candidate cut;
+    // it should still find a substantial share of true neighbors
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.3, s"mean recall $mean")
+  }
 }
