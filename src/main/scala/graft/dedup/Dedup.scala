@@ -899,8 +899,83 @@ object Dedup {
          |FROM j""".stripMargin)
   }
 
+  /** SimHash-quality evaluation against the same exact shingle-Jaccard
+    * ≥ 0.6 truth set as [[MinhashRecall]] — the fourth and last
+    * approximate family's scorecard. SimHash Hamming ≤ 3 proxies
+    * tf-vector COSINE, not set Jaccard, so unlike the MinHash stage it is
+    * NOT tuned to this truth set: the measured precision/recall is the
+    * honest cross-proxy disagreement a pipeline owner needs before
+    * substituting one sketch for the other. Same evaluation shape (full
+    * outer join on pair keys + a 1-row aggregate); the oracle replays the
+    * exact pair chain AND the full SimHash block-bucket chain in one
+    * statement.
+    */
+  object SimhashRecall extends GraftQuery {
+    val name = "q_simhash_recall"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val truth = prefixJoinPairs(docs)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_t"))
+      val pred = simhashNearDupPairs(simhash(docs, "doc_id", "text"),
+          "doc_id", SimHashPairs.MaxDist)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          lit(1L).as("is_p"))
+      truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("is_t")).as("n_truth"),
+          count(col("is_p")).as("n_pred"),
+          count(when(col("is_t").isNotNull && col("is_p").isNotNull, 1))
+            .as("n_hit"))
+        .select(col("n_truth"), col("n_pred"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_pred").cast("double"))
+            .as("precision"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    }
+    val oracle = Some(
+      s"""WITH jtoks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+         |  FROM documents),
+         |jt AS (
+         |  SELECT DISTINCT doc_id,
+         |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tok
+         |  FROM jtoks,
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g),
+         |js AS (SELECT doc_id, count(*) AS m FROM jt GROUP BY 1),
+         |jp AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+         |  FROM jt a JOIN jt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT da, db
+         |  FROM jp JOIN js sa ON da = sa.doc_id JOIN js sb ON db = sb.doc_id
+         |  WHERE ni * 10 >= (sa.m + sb.m - ni) * 6),
+         |${simhashOracleCtes("documents")},
+         |blocks AS (
+         |  SELECT doc_id, simhash, b.block,
+         |         (simhash >> (b.block * 16)) & 65535 AS key
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS block) b),
+         |pred AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM blocks a JOIN blocks b
+         |    ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${SimHashPairs.MaxDist}),
+         |j AS (
+         |  SELECT t.da AS tda, p.da AS pda
+         |  FROM truth t FULL OUTER JOIN pred p ON t.da = p.da AND t.db = p.db)
+         |SELECT count(tda) AS n_truth, count(pda) AS n_pred,
+         |       count(CASE WHEN tda IS NOT NULL AND pda IS NOT NULL
+         |                  THEN 1 END) AS n_hit,
+         |       CAST(count(CASE WHEN tda IS NOT NULL AND pda IS NOT NULL
+         |                       THEN 1 END) AS DOUBLE)
+         |         / CAST(count(pda) AS DOUBLE) AS precision,
+         |       CAST(count(CASE WHEN tda IS NOT NULL AND pda IS NOT NULL
+         |                       THEN 1 END) AS DOUBLE)
+         |         / CAST(count(tda) AS DOUBLE) AS recall
+         |FROM j""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
-      IncrementalDedup, PrefixJoin, MinhashRecall)
+      IncrementalDedup, PrefixJoin, MinhashRecall, SimhashRecall)
 }

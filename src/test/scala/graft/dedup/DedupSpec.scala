@@ -225,4 +225,22 @@ class DedupSpec extends SparkSpec {
     // J=0.6 — on the planted corpus the sketch should not miss badly
     assert(row.getDouble(4) >= 0.8, s"recall ${row.getDouble(4)}")
   }
+
+  test("simhash recall metrics agree with a direct set comparison of the two stages") {
+    val docs = graft.Graft.table(spark, sf, "documents")
+    val truth = Dedup.prefixJoinPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = Dedup.simhashNearDupPairs(
+        Dedup.simhash(docs, "doc_id", "text"), "doc_id", Dedup.SimHashPairs.MaxDist)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = Dedup.SimhashRecall.run(spark, sf).collect().head
+    spark.catalog.clearCache()
+    val (nT, nP, nH) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nT == truth.size && nP == pred.size && nH == (truth & pred).size,
+      s"($nT,$nP,$nH) vs (${truth.size},${pred.size},${(truth & pred).size})")
+    assert(row.getDouble(3) == nH.toDouble / nP.toDouble)
+    assert(row.getDouble(4) == nH.toDouble / nT.toDouble)
+  }
 }
