@@ -18,7 +18,7 @@ object SparkEntry {
       operators.WindowOps.all ++
       operators.AnalyticOps.all ++
       operators.AsOfJoin.all ++
-      Seq(operators.Salting.SaltedAgg) ++
+      Seq(operators.Salting.SaltedAgg, operators.Salting.KeySkew) ++
       operators.BehaviorOps.all ++
       operators.LayoutOps.all ++
       operators.StatOps.all ++

@@ -53,4 +53,49 @@ object Salting {
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** Join-key skew diagnostic — the measurement that DECIDES when the
+    * salting/AQE machinery above is needed: for a prospective shuffle key
+    * (event user_id here), the top-10 heaviest keys with their exact row
+    * share, plus the uniform-share baseline (1/distinct-keys) each row
+    * carries for comparison. A key whose share is many multiples of the
+    * uniform share is the task that will straggle.
+    *
+    * One scan → key-count aggregate; the totals broadcast back onto the
+    * 10-row top-k (TakeOrdered), so the diagnostic costs one map-side-
+    * combinable pass regardless of table size — cheap enough to run
+    * routinely before expensive joins, which is its entire point.
+    */
+  object KeySkew extends GraftQuery {
+    val name = "q_key_skew"
+    private val K = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val per = Graft.table(spark, sfDir, "events")
+        .groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("n")).as("total_rows"),
+        count(lit(1)).as("n_keys"))
+      per.crossJoin(broadcast(tot))
+        .select(col("key"), col("n"), col("total_rows"), col("n_keys"),
+          (col("n").cast("double") / col("total_rows").cast("double"))
+            .as("share"),
+          (col("n").cast("double") * col("n_keys").cast("double") /
+            col("total_rows").cast("double")).as("x_uniform"))
+        .orderBy(col("n").desc, col("key").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH per AS (
+         |  SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         |         count(*) AS n_keys FROM per)
+         |SELECT key, n, total_rows, n_keys,
+         |       CAST(n AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+         |       CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         |         / CAST(total_rows AS DOUBLE) AS x_uniform
+         |FROM per CROSS JOIN tot
+         |ORDER BY n DESC, key ASC
+         |LIMIT $K""".stripMargin)
+  }
 }

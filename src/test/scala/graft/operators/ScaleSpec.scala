@@ -112,4 +112,26 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("key skew report flags a planted hot key with the right multiples") {
+    import spark.implicits._
+    // 100 rows on key 1, one row each on keys 2..21: share(1) = 100/120,
+    // x_uniform(1) = share × 21 keys
+    val ev = ((1 to 100).map(i => (i.toLong, 1L)) ++
+      (2 to 21).map(k => (100L + k, k.toLong)))
+      .map { case (eid, uid) => (eid, eid * 1000000000L, uid, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("skew_spec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Salting.KeySkew.run(spark, dir).collect()
+    assert(rows.length == 10)
+    val top = rows.head
+    assert(top.getLong(0) == 1L && top.getLong(1) == 100L)
+    assert(top.getLong(2) == 120L && top.getLong(3) == 21L)
+    assert(top.getDouble(4) == 100.0 / 120.0)
+    assert(top.getDouble(5) == 100.0 * 21.0 / 120.0)
+    // remaining reported keys are the singleton tail, ordered by key
+    rows.tail.foreach(r => assert(r.getLong(1) == 1L))
+    assert(rows.tail.map(_.getLong(0)).toSeq == (2L to 10L))
+  }
 }
