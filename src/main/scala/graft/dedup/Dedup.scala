@@ -861,8 +861,11 @@ object Dedup {
             .as("recall"))
     }
     val oracle = Some(
-      s"""WITH ${minhashOracleCtes("documents")},
-         |sz AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY 1),
+      // splices the factored pair-replay chain (minhashPairOracleCtes →
+      // CTEs cand/est) rather than restating it — one source of truth for
+      // the sketch SQL, per the chain's own contract
+      s"""WITH ${minhashPairOracleCtes("documents")},
+         |sz AS (SELECT doc_id, count(*) AS m2 FROM sh GROUP BY 1),
          |ip AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -870,20 +873,10 @@ object Dedup {
          |truth AS (
          |  SELECT da, db
          |  FROM ip JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-         |  WHERE ni * 10 >= (sa.m + sb.m - ni) * 6),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-         |   AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT c.da, c.db,
-         |         sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS matches
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
-         |              JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
-         |  GROUP BY 1, 2),
+         |  WHERE ni * 10 >= (sa.m2 + sb.m2 - ni) * 6),
          |pred AS (
-         |  SELECT da, db FROM est
-         |  WHERE CAST(matches AS DOUBLE) / ${NumHashes.toDouble} >= 0.5),
+         |  SELECT doc_a AS da, doc_b AS db FROM est
+         |  WHERE CAST(m AS DOUBLE) / ${NumHashes.toDouble} >= 0.5),
          |j AS (
          |  SELECT t.da AS tda, p.da AS pda
          |  FROM truth t FULL OUTER JOIN pred p ON t.da = p.da AND t.db = p.db)

@@ -411,7 +411,67 @@ object WarehouseOps {
         |ORDER BY user_id, event_type""".stripMargin)
   }
 
+  /** Snapshot diff — the CDC derivation every warehouse load emits when
+    * only full snapshots are available: classify each key across two
+    * corpus versions as added / removed / modified / unchanged by FULL
+    * OUTER join on the key and content-fingerprint comparison. The two
+    * versions are carved deterministically from the documents table by
+    * the portable md5 bucket (b=2 docs exist only in v2 → added; b=0
+    * docs only in v1 → removed; b=1 docs get revised text in v2 →
+    * modified), so the classification — and the md5 fingerprints that
+    * decide "modified" — replay exactly in the oracle.
+    *
+    * Scale shape: one scan feeds both version frames (the bucket carve
+    * is scan-side); the diff is ONE full outer join on the key whose
+    * shuffle carries (id, 32-byte fingerprint) pairs, never text bodies —
+    * the q_contamination argument applied to snapshot reconciliation —
+    * and the report is a 4-key aggregate.
+    */
+  object SnapshotDiff extends GraftQuery {
+    val name = "q_snapshot_diff"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val b = pmod(pHash60(col("doc_id").cast("string")), lit(10L))
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), b.as("b"))
+      val v1 = docs.filter(col("b") =!= 2)
+        .select(col("doc_id"), md5(col("text")).as("fp1"))
+      val v2 = docs.filter(col("b") =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("b") === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    }
+    val oracle = Some(
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS b
+        |  FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, md5(text) AS fp1 FROM docs WHERE b <> 2),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN b = 1 THEN text || ' rev2' ELSE text END) AS fp2
+        |  FROM docs WHERE b <> 0)
+        |SELECT CASE WHEN fp1 IS NULL THEN 'added'
+        |            WHEN fp2 IS NULL THEN 'removed'
+        |            WHEN fp1 <> fp2 THEN 'modified'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n_docs
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
-      GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot)
+      GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot,
+      SnapshotDiff)
 }

@@ -140,6 +140,24 @@ class WarehouseOpsSpec extends SparkSpec {
       (2L, "purchase") -> ((15L, 5L, 5.0))), out.mkString(", "))
   }
 
+  test("snapshot diff partitions the corpus by md5 bucket exactly") {
+    import org.apache.spark.sql.functions._
+    val out = WarehouseOps.SnapshotDiff.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buckets = graft.Graft.table(spark, sf, "documents")
+      .select(pmod(graft.functions.PortableHash.pHash60(col("doc_id").cast("string")),
+        lit(10L)).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("added", 0L) == buckets.getOrElse(2L, 0L))
+    assert(out.getOrElse("removed", 0L) == buckets.getOrElse(0L, 0L))
+    // modified = bucket-1 docs whose revision actually changes the hash
+    // (always, ' rev2' is appended) — minus nothing
+    assert(out.getOrElse("modified", 0L) == buckets.getOrElse(1L, 0L))
+    val total = graft.Graft.table(spark, sf, "documents").count()
+    assert(out.values.sum == total, s"$out vs total $total")
+  }
+
   test("latest snapshot on the catalog: one row per live (user, type) key") {
     val rows = WarehouseOps.LatestSnapshot.run(spark, sf).collect()
     val keys = rows.map(r => (r.getLong(0), r.getString(1)))
