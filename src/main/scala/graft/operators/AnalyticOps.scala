@@ -78,47 +78,67 @@ object AnalyticOps {
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  /** Gap-based sessionization: a new session starts when a user is idle
-    * > 30 minutes. lag → gap flag → cumulative session id → per-session
-    * rollup. Timestamps handled in epoch seconds (identical integer math in
-    * both engines). The batch twin of streaming state sessionization.
+  /** Gap-sessionization idle threshold (seconds). */
+  private[graft] val GapSeconds = 1800L
+
+  /** Shared gap-sessionization frame: every event with its assigned
+    * session id — a new session starts when a user is idle >
+    * [[GapSeconds]]. lag → gap flag → cumulative session id, one
+    * user-keyed sort total. Timestamps handled in epoch seconds
+    * (identical integer math in both engines); the cumulative sum is
+    * ordered by (sec, event_id) so same-second events are assigned
+    * deterministically. Consumed by [[Sessionize]] (per-session rollup)
+    * and [[graft.operators.AsOfJoin.IntervalJoin]] (session intervals).
+    */
+  private[graft] def sessionFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Graft.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        // ts is nanos-as-long; integer div — a double round-trip drifts
+        expr("ts div 1000000000").as("sec"), col("value"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val flagged = ev.select(col("user_id"), col("event_id"), col("sec"), col("value"),
+      when(col("sec") - lag(col("sec"), 1).over(byUser) > GapSeconds, 1L)
+        .otherwise(lit(0L)).as("new_sess"))
+    flagged.select(col("user_id"), col("event_id"), col("sec"), col("value"),
+      sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sess_id"))
+  }
+
+  /** The oracle-side twin of [[sessionFrame]]: CTEs `ev → flagged →
+    * sessions` ending with (user_id, event_id, sec, value, sess_id) —
+    * spliced by every session-derived oracle so the derivation has ONE
+    * source of truth on each engine.
+    */
+  private[graft] def sessionOracleCtes: String =
+    s"""ev AS (
+       |  SELECT user_id, event_id,
+       |         epoch_ns(ts) // 1000000000 AS sec, value
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, sec, value,
+       |         CASE WHEN sec - lag(sec, 1) OVER w > $GapSeconds
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |sessions AS (
+       |  SELECT user_id, event_id, sec, value,
+       |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+       |  FROM flagged)""".stripMargin
+
+  /** Gap-based sessionization rollup over [[sessionFrame]] — the batch
+    * twin of streaming state sessionization.
     */
   object Sessionize extends GraftQuery {
     val name = "q_sessionize"
-    private val GapSeconds = 1800L
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ev = Graft.table(spark, sfDir, "events")
-        .select(col("user_id"), col("event_id"),
-          // ts is nanos-as-long; integer div — a double round-trip drifts
-          expr("ts div 1000000000").as("sec"), col("value"))
-      val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
-      val flagged = ev.select(col("user_id"), col("event_id"), col("sec"), col("value"),
-        when(col("sec") - lag(col("sec"), 1).over(byUser) > GapSeconds, 1L)
-          .otherwise(lit(0L)).as("new_sess"))
-      val sessions = flagged.select(col("user_id"), col("sec"), col("value"),
-        sum(col("new_sess")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("sess_id"))
-      sessions.groupBy("user_id", "sess_id")
+      sessionFrame(spark, sfDir).groupBy("user_id", "sess_id")
         .agg(count(lit(1)).as("n_events"),
           (max(col("sec")) - min(col("sec"))).as("duration_sec"),
           exactSum(col("value")).as("total_value"))
         .orderBy("user_id", "sess_id")
     }
     val oracle = Some(
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id,
-         |         epoch_ns(ts) // 1000000000 AS sec, value
-         |  FROM events),
-         |flagged AS (
-         |  SELECT user_id, sec, value,
-         |         CASE WHEN sec - lag(sec, 1) OVER w > $GapSeconds
-         |              THEN 1 ELSE 0 END AS new_sess
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
-         |sessions AS (
-         |  SELECT user_id, sec, value,
-         |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-         |  FROM flagged)
+      s"""WITH $sessionOracleCtes
          |SELECT user_id, sess_id, count(*) AS n_events,
          |       CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec,
          |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value

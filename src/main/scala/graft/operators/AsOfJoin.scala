@@ -186,5 +186,71 @@ object AsOfJoin {
         |FROM gaps""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(PurchaseAttribution, AttributionRate)
+  /** Interval-overlap join — the second "operator Spark lacks" in the
+    * temporal-join family (as-of = point→interval; this = interval↔
+    * interval). Concurrent-session detection: every pair of sessions from
+    * DIFFERENT users whose [start, end] second ranges overlap.
+    *
+    * Scale shape (the textbook bucketed interval join): each interval
+    * explodes to the fixed-size time buckets it covers (fan-out =
+    * duration/[[IntervalJoin.BucketSeconds]] + 1, bounded because
+    * gap-sessions are short by construction), candidates meet in a plain
+    * bucket EQUI-join — never an inequality cross-join — and the exact
+    * overlap predicate runs as a join residual. Each overlapping pair is
+    * emitted EXACTLY once without any dedup shuffle: a pair is accepted
+    * only in the bucket containing max(start_a, start_b), which both
+    * intervals cover iff they overlap. The session-interval frame is
+    * persisted once and self-joined.
+    */
+  object IntervalJoin extends GraftQuery {
+    val name = "q_interval_join"
+    /** Bucket width ≈ 14× the mean gap-session duration in the synthetic
+      * events; at any scale the width should track the p99 interval
+      * length so per-interval fan-out stays O(1).
+      */
+    private val BucketSeconds = 600L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // persisted: both sides of the self-join read the interval frame;
+      // unpersisted, the second side re-runs the sessionization window
+      // over the full events table (released per query by Bench/Verify)
+      val iv = AnalyticOps.sessionFrame(spark, sfDir)
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("sec")).as("s"), max(col("sec")).as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def side(tag: String) = iv.select(
+        col("user_id").as(s"user_$tag"), col("sess_id").as(s"sess_$tag"),
+        col("s").as(s"s_$tag"), col("e").as(s"e_$tag"))
+      val a = side("a").withColumn("bucket_a",
+        explode(sequence(expr(s"s_a div $BucketSeconds"), expr(s"e_a div $BucketSeconds"))))
+      val b = side("b").withColumn("bucket_b",
+        explode(sequence(expr(s"s_b div $BucketSeconds"), expr(s"e_b div $BucketSeconds"))))
+      a.join(b,
+          col("bucket_a") === col("bucket_b") &&
+            col("user_a") < col("user_b") &&
+            col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+            // exactly-once emission: only the bucket holding the later start
+            col("bucket_a") === expr(s"greatest(s_a, s_b) div $BucketSeconds"))
+        .select(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+          greatest(col("s_a"), col("s_b")).as("overlap_start"),
+          least(col("e_a"), col("e_b")).as("overlap_end"),
+          (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+            .as("overlap_sec"))
+        .orderBy("user_a", "sess_a", "user_b", "sess_b")
+    }
+    val oracle = Some(
+      s"""WITH ${AnalyticOps.sessionOracleCtes},
+         |iv AS (
+         |  SELECT user_id, sess_id, min(sec) AS s, max(sec) AS e
+         |  FROM sessions GROUP BY 1, 2)
+         |SELECT a.user_id AS user_a, a.sess_id AS sess_a,
+         |       b.user_id AS user_b, b.sess_id AS sess_b,
+         |       greatest(a.s, b.s) AS overlap_start,
+         |       least(a.e, b.e) AS overlap_end,
+         |       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_sec
+         |FROM iv a JOIN iv b
+         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(PurchaseAttribution, AttributionRate, IntervalJoin)
 }

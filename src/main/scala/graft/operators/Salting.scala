@@ -70,9 +70,14 @@ object Salting {
     val name = "q_key_skew"
     private val K = 10
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // persisted barrier (caller-owned lifecycle, as everywhere): the
+      // key-count aggregate has two consumers (the totals and the top-k)
+      // and is orders of magnitude narrower than the fact table —
+      // without it each consumer re-scans the events table
       val per = Graft.table(spark, sfDir, "events")
         .groupBy(col("user_id").as("key"))
         .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = per.agg(sum(col("n")).as("total_rows"),
         count(lit(1)).as("n_keys"))
       per.crossJoin(broadcast(tot))

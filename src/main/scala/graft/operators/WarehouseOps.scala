@@ -343,8 +343,11 @@ object WarehouseOps {
   object MixtureWeights extends GraftQuery {
     val name = "q_mixture_weights"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // persisted barrier: the per-source aggregate feeds both the totals
+      // and the report — without it each consumer re-scans documents
       val per = Graft.table(spark, sfDir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = per.agg(sum(col("n_docs")).as("total"),
         count(lit(1)).as("k_sources"))
       per.crossJoin(broadcast(tot))
@@ -432,14 +435,19 @@ object WarehouseOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import graft.functions.PortableHash.pHash60
       val b = pmod(pHash60(col("doc_id").cast("string")), lit(10L))
-      val docs = Graft.table(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text"), b.as("b"))
-      val v1 = docs.filter(col("b") =!= 2)
-        .select(col("doc_id"), md5(col("text")).as("fp1"))
-      val v2 = docs.filter(col("b") =!= 0)
+      // ONE text scan: both versions' fingerprints are computed up front
+      // and the persisted barrier carries (id, bucket, 2 × 32-byte fp) —
+      // never text — into the two version filters (without it each
+      // version side would re-scan and re-hash the corpus)
+      val pre = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), b.as("b"), md5(col("text")).as("fp"),
+          md5(concat(col("text"), lit(" rev2"))).as("fp_rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v1 = pre.filter(col("b") =!= 2)
+        .select(col("doc_id"), col("fp").as("fp1"))
+      val v2 = pre.filter(col("b") =!= 0)
         .select(col("doc_id"),
-          md5(when(col("b") === 1, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text"))).as("fp2"))
+          when(col("b") === 1, col("fp_rev")).otherwise(col("fp")).as("fp2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select(
           when(col("fp1").isNull, "added")

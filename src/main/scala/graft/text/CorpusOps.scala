@@ -365,7 +365,73 @@ object CorpusOps {
          |ORDER BY doc_id, chunk_id""".stripMargin)
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring op that catches a changed crawl mix / filter regression
+    * between training epochs. The two "snapshots" are carved by the
+    * portable md5 doc bucket (so the whole comparison replays in the
+    * oracle); per token, a chi-square homogeneity statistic ranks the
+    * most-drifted tokens.
+    *
+    * Determinism: counts are exact BIGINTs off ONE tokenize pass
+    * (token-keyed, map-side combinable); the cross product
+    * d = n1·N2 − n2·N1 stays in integer arithmetic (|d| < 2^32 at bench
+    * scale — a production caller at 100 TB upgrades the products to
+    * DECIMAL(38,0)), and the statistic
+    * χ² = (N1+N2)·d² / (N1·N2·(n1+n2)) is then a FIXED double expression
+    * tree — identical literals and association on both engines, so every
+    * score hash-matches bit-for-bit. Scale shape: one scan, one
+    * vocab-sized aggregate, 1-row totals broadcast, TakeOrdered top-k.
+    */
+  object DistDrift extends GraftQuery {
+    val name = "q_dist_drift"
+    private val K = 25
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val half = pmod(pHash60(col("doc_id").cast("string")), lit(2L))
+      val occ = Graft.table(spark, sfDir, "documents")
+        .select(half.as("h"), explode(TextOps.tokens(col("text"))).as("token"))
+      // persisted: the vocab-sized per-token frame feeds the 1-row totals
+      // AND the scored output (released per query by Bench/Verify)
+      val per = occ.groupBy("token").agg(
+          count(when(col("h") === 0, 1)).as("n1"),
+          count(when(col("h") === 1, 1)).as("n2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = per.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      val d = (col("n1") * col("t2") - col("n2") * col("t1")).cast("double")
+      val chi2 = ((col("t1") + col("t2")).cast("double") * (d * d)) /
+        ((col("t1").cast("double") * col("t2").cast("double")) *
+          (col("n1") + col("n2")).cast("double"))
+      per.crossJoin(broadcast(tot))
+        .select(col("token"), col("n1"), col("n2"), chi2.as("chi2"))
+        .orderBy(col("chi2").desc, col("token").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH occ AS (
+         |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2 AS h,
+         |         unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |per AS (
+         |  SELECT token,
+         |         count(CASE WHEN h = 0 THEN 1 END) AS n1,
+         |         count(CASE WHEN h = 1 THEN 1 END) AS n2
+         |  FROM occ GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+         |  FROM per),
+         |scored AS (
+         |  SELECT token, n1, n2,
+         |         (CAST(t1 + t2 AS DOUBLE)
+         |            * (CAST(n1 * t2 - n2 * t1 AS DOUBLE)
+         |               * CAST(n1 * t2 - n2 * t1 AS DOUBLE)))
+         |           / ((CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE))
+         |              * CAST(n1 + n2 AS DOUBLE)) AS chi2
+         |  FROM per CROSS JOIN tot)
+         |SELECT token, n1, n2, chi2 FROM scored
+         |ORDER BY chi2 DESC, token ASC
+         |LIMIT $K""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, CappedSample, EpochShuffle, ChunkDocs)
+      TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift)
 }

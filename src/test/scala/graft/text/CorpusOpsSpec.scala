@@ -168,4 +168,43 @@ class CorpusOpsSpec extends SparkSpec {
       assert(rows.map(_.getLong(1)).distinct.length == rows.length)
     }
   }
+
+  test("dist drift: a half-exclusive token tops the chi-square ranking, " +
+    "scores bit-match the fixed expression tree") {
+    import spark.implicits._
+    // mirror the engine's portable md5 split driver-side to craft the halves
+    def half(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    val ids = 0L until 12L
+    val (h0, h1) = (ids.filter(half(_) == 0), ids.filter(half(_) == 1))
+    assert(h0.nonEmpty && h1.nonEmpty, s"degenerate split: $h0 / $h1")
+    val docs = ids.map { id =>
+      val t = if (half(id) == 0) "aaa common common" else "bbb common"
+      (id, t)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("drift_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.DistDrift.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // expected counts: aaa only in half 0, bbb only in half 1, common in both
+    val (t1, t2) = (3L * h0.length, 2L * h1.length)
+    def chi2(n1: Long, n2: Long): Double = {
+      val d = (n1 * t2 - n2 * t1).toDouble
+      ((t1 + t2).toDouble * (d * d)) /
+        ((t1.toDouble * t2.toDouble) * (n1 + n2).toDouble)
+    }
+    val expected = Seq(
+      ("aaa", h0.length.toLong, 0L),
+      ("bbb", 0L, h1.length.toLong),
+      ("common", 2L * h0.length, h1.length.toLong))
+      .map { case (t, n1, n2) => (t, n1, n2, chi2(n1, n2)) }
+      .sortBy { case (t, _, _, c) => (-c, t) }
+    assert(out.toSeq == expected, s"got ${out.toSeq} want $expected")
+    // the half-exclusive tokens out-drift the shared one
+    assert(out.take(2).map(_._1).toSet == Set("aaa", "bbb"))
+  }
 }

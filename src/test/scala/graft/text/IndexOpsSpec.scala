@@ -84,4 +84,45 @@ class IndexOpsSpec extends SparkSpec {
       s"got ${out.take(3).mkString(",")} want ${expected.take(3).mkString(",")}")
     assert(out.nonEmpty && out.head._2 > 0.0)
   }
+
+  test("rrf fusion matches a driver-side recompute of both rankings") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = docs.length.toLong
+    val totalDl = docs.map(_._2.length.toLong).sum
+    val avgdl = totalDl.toDouble / n.toDouble
+    val terms = Seq("spark", "vector", "dup")
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toLong)
+    val cands = docs.filter(_._2.exists(terms.contains))
+    val scored = cands.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val norm = 0.25 + (0.75 * dl.toDouble) / avgdl
+      val bm25 = terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toLong
+        val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        idf * ((tf.toDouble * 2.2) / (tf.toDouble + 1.2 * norm))
+      }.reduceLeft(_ + _)
+      val tfidf = terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toLong
+        tf.toDouble * (n.toDouble / df.toDouble)
+      }.reduceLeft(_ + _)
+      (id, bm25, tfidf)
+    }
+    def ranks(key: ((Long, Double, Double)) => Double): Map[Long, Long] =
+      scored.sortBy(t => (-key(t), t._1)).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1).toLong }.toMap
+    val (rb, rt) = (ranks(_._2), ranks(_._3))
+    val expected = scored.map { t =>
+      val (ra, rr) = (rb(t._1), rt(t._1))
+      (t._1, ra, rr,
+        1.0 / (60.0 + ra.toDouble) + 1.0 / (60.0 + rr.toDouble))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    val out = IndexOps.RrfFusion.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == expected.toSeq,
+      s"got ${out.take(3).mkString(",")} want ${expected.take(3).mkString(",")}")
+    // both a high-bm25 and a high-tfidf doc contribute: fused ranks differ
+    assert(out.nonEmpty && out.head._4 <= 2.0 / 61.0 + 1e-12)
+  }
 }
