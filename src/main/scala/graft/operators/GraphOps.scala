@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs. The iterative-computation
+  * pattern (persist per round, fixed lineage depth) complements the
+  * connected-components loop in [[graft.dedup.Dedup]].
+  */
+object GraphOps {
+
+  /** PageRank over the token co-occurrence graph: nodes are the corpus
+    * vocabulary, directed edges the DISTINCT adjacent-token bigrams —
+    * "which words sit at the hubs of the corpus' phrase structure". The
+    * canonical iterative-join workload, exercised the way a 1000-executor
+    * run would do it: edges/nodes persisted once, each iteration ONE
+    * token-keyed join + aggregate (vocab-sized shuffles — never
+    * corpus-sized), ranks re-persisted per round to pin lineage depth.
+    *
+    * Determinism: ranks are FIXED-POINT BIGINTs (units of 1e-12) and every
+    * per-edge contribution is the truncating integer division
+    * `(85·rank) div (100·deg)` — sums of integers are order-independent,
+    * so after any number of iterations the ranks are bit-identical on any
+    * engine, which is what lets a 5-round PageRank hash-match a DuckDB
+    * replay (the oracle unrolls the rounds as CTEs). The damping base
+    * `(15·SCALE) div (100·N)` uses the same integer stance. Nodes without
+    * out-edges simply absorb rank (teleport-base only — the mass leak is
+    * the documented stance, identical on both engines).
+    */
+  object PageRank extends GraftQuery {
+    val name = "q_pagerank"
+    private val Scale = 1000000000000L // 1e-12 rank units
+    private val Iters = 5
+    private val K = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      // corpus-distinct directed bigram edges, via the fused
+      // tokenize→bigram kernel (same dialect contract as q_bigram_stats)
+      val edges = docs
+        .select(explode(
+          graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
+        .distinct()
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy("w1").agg(count(lit(1)).as("deg"))
+      val nodes = docs
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // N is a driver scalar (one count over the persisted vocab) — the
+      // per-iteration literals derive from it with the same Long division
+      // the oracle's BIGINT `//` performs
+      val n = nodes.count()
+      val base = (15L * Scale) / (100L * n)
+      var r = nodes.select(col("t"), lit(Scale / n).as("rank"))
+      for (_ <- 1 to Iters) {
+        val inflow = r.withColumnRenamed("t", "w1")
+          .join(edges, "w1").join(deg, "w1")
+          .select(col("w2").as("t"),
+            expr("(85 * `rank`) div (100 * deg)").as("c"))
+          .groupBy("t").agg(sum(col("c")).as("inflow"))
+        r = nodes.join(inflow, Seq("t"), "left")
+          .select(col("t"),
+            (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      r.select(col("t").as("token"), col("rank").as("rank_units"),
+          (col("rank").cast("double") / lit(1.0e12)).as("pagerank"))
+        .orderBy(col("rank_units").desc, col("token").asc)
+        .limit(K)
+    }
+    val oracle = {
+      val rounds = (1 to Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT nodes.t,
+           |         (${15L * Scale} // (100 * n)) + coalesce(f.inflow, 0) AS rank
+           |  FROM nodes CROSS JOIN n
+           |  LEFT JOIN (
+           |    SELECT e.w2 AS t,
+           |           CAST(sum((85 * r.rank) // (100 * d.deg)) AS BIGINT) AS inflow
+           |    FROM r${k - 1} r
+           |    JOIN edges e ON r.t = e.w1
+           |    JOIN deg d ON e.w1 = d.w1
+           |    GROUP BY 1) f ON nodes.t = f.t)""".stripMargin
+      }.mkString(",\n")
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, t.tok, t.i
+           |  FROM (SELECT doc_id,
+           |               string_split_regex(trim(text), '\\s+') AS l FROM documents) d,
+           |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+           |edges AS (
+           |  SELECT DISTINCT t1.tok AS w1, t2.tok AS w2
+           |  FROM toks t1 JOIN toks t2
+           |    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+           |deg AS (SELECT w1, count(*) AS deg FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT tok AS t FROM toks),
+           |n AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT t, $Scale // n AS rank FROM nodes CROSS JOIN n),
+           |$rounds
+           |SELECT t AS token, rank AS rank_units,
+           |       CAST(rank AS DOUBLE) / 1e12 AS pagerank
+           |FROM r$Iters
+           |ORDER BY rank_units DESC, token ASC
+           |LIMIT $K""".stripMargin)
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(PageRank)
+}

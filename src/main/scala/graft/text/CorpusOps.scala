@@ -431,7 +431,48 @@ object CorpusOps {
          |LIMIT $K""".stripMargin)
   }
 
+  /** Per-source lexical diversity as Simpson/Gini impurity
+    * 1 − Σ p², the log-free stand-in for token entropy (same stance as
+    * the rational idf): low diversity flags boilerplate-heavy or
+    * template-generated sources before they dominate a training mix.
+    * Exact: Σ n² is a BIGINT through every shuffle and the single final
+    * division is the only floating-point op. Scale shape: one scan, a
+    * (source, token) aggregate then a source aggregate — both map-side
+    * combinable.
+    */
+  object TokenGini extends GraftQuery {
+    val name = "q_token_gini"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n"))
+        .groupBy("source").agg(
+          sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("n") * col("n")).as("sumsq"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("sumsq").cast("double") /
+            (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+            .as("gini"))
+        .orderBy("source")
+    val oracle = Some(
+      """WITH per AS (
+        |  SELECT source, token, count(*) AS n
+        |  FROM (SELECT source,
+        |               unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct, CAST(sum(n * n) AS BIGINT) AS sumsq
+        |  FROM per GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct,
+        |       1.0 - CAST(sumsq AS DOUBLE)
+        |         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini
+        |FROM agg ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift)
+      TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini)
 }

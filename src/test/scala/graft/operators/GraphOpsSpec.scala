@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PageRank semantics beyond the oracle hash-match: the fixed-point
+  * integer iteration must agree with a driver-side recompute on a crafted
+  * graph (including a dangling node), and hold its ordering/consistency
+  * invariants on the catalog.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private val S = 1000000000000L
+
+  test("pagerank: crafted graph with a dangling node matches a driver-side " +
+    "recompute of the integer fixed-point iteration") {
+    import spark.implicits._
+    // edges a→b, a→c, b→c (deg a=2, b=1); c is dangling (absorbs rank)
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pr_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = GraphOps.PageRank.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+    val deg = edges.groupBy(_._1).map { case (w, es) => w -> es.length.toLong }
+    val nodes = Seq("a", "b", "c")
+    val n = nodes.length.toLong
+    val base = (15L * S) / (100L * n)
+    var rank = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 5) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => (85L * rank(u)) / (100L * deg(u)) }.sum
+      }
+      rank = nodes.map(v => v -> (base + inflow.getOrElse(v, 0L))).toMap
+    }
+    val expected = rank.toSeq
+      .map { case (t, r) => (t, r, r.toDouble / 1.0e12) }
+      .sortBy { case (t, r, _) => (-r, t) }
+    assert(out.toSeq == expected, s"got ${out.toSeq} want $expected")
+    // dangling c absorbs mass: total stays under SCALE (leak + truncation)
+    assert(rank.values.sum <= S)
+    // c collects from two predecessors — it must out-rank its feeders
+    assert(out.head._1 == "c")
+  }
+
+  test("pagerank on the catalog: ordered, consistent, above teleport base") {
+    val out = GraphOps.PageRank.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    out.foreach { case (_, units, pr) =>
+      assert(pr == units.toDouble / 1.0e12)
+      assert(units > 0L)
+    }
+  }
+}

@@ -207,4 +207,20 @@ class CorpusOpsSpec extends SparkSpec {
     // the half-exclusive tokens out-drift the shared one
     assert(out.take(2).map(_._1).toSet == Set("aaa", "bbb"))
   }
+
+  test("token gini: closed-form values — 0 for a one-token source, " +
+    "1 - k/n² for uniform") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x", "s1"), (2L, "x x", "s1"),       // 4×x → gini 0
+      (3L, "a b", "s2"), (4L, "c d", "s2"))       // uniform 4 → 1 - 4/16
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("gini_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.TokenGini.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("s1", 4L, 1L, 0.0),
+      ("s2", 4L, 4L, 1.0 - 4.0 / 16.0)), out.mkString(", "))
+  }
 }
