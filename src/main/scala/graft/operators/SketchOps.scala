@@ -95,5 +95,62 @@ object SketchOps {
          |ORDER BY exact_n DESC, token""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(CountMin)
+  /** KMV sketch MERGE — the property that makes sketches distributed:
+    * per-stratum sketches built independently (one per event_type, the way
+    * 1000 executors or 1000 daily partitions would each build their own)
+    * and then merged — the global k-min of the UNION OF SKETCHES, never
+    * the union of raw sets. The merge law (k smallest of the union of
+    * per-stratum k-smallest = k smallest overall, since any global k-min
+    * survives its own stratum's top-k) is exactly what the oracle proves:
+    * it computes the one-shot global sketch, and the hash-match certifies
+    * the merged path equal to it bit-for-bit. Estimator and hash are the
+    * q_approx_distinct machinery ([[graft.functions.Aggregators
+    * .KmvPortable]]); the merge input is ≤ K × |strata| longs.
+    */
+  object KmvMerge extends GraftQuery {
+    val name = "q_kmv_merge"
+    private val K = 256
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.expressions.Window
+      val ev = Graft.table(spark, sfDir, "events")
+      // per-stratum sketch: k smallest distinct user hashes per event_type
+      // (WindowGroupLimit pre-prunes to k per map partition)
+      val perStratum = ev
+        .select(col("event_type"), pHash60(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("h").asc)))
+        .filter(col("rn") <= K)
+      val kmvUdaf = udaf(
+        new graft.functions.Aggregators.KmvPortable(K), Encoders.scalaLong)
+      val merged = perStratum.select(col("h"))
+        .agg(kmvUdaf(col("h")).as("kmv_estimate"))
+      val exact = ev.agg(
+        countDistinct(col("event_type")).as("n_strata"),
+        countDistinct(col("user_id")).as("exact_users"))
+      exact.crossJoin(broadcast(merged))
+        .select(col("n_strata"), col("exact_users"), col("kmv_estimate"))
+    }
+    val oracle = Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |topk AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+         |kmv AS (
+         |  SELECT max(h) AS hk, count(*) AS n FROM topk WHERE rn <= $K),
+         |ex AS (
+         |  SELECT count(DISTINCT event_type) AS n_strata,
+         |         count(DISTINCT user_id) AS exact_users
+         |  FROM events)
+         |SELECT n_strata, exact_users,
+         |       CASE WHEN n < $K THEN CAST(n AS DOUBLE)
+         |            ELSE ${K - 1}.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+         |       END AS kmv_estimate
+         |FROM ex CROSS JOIN kmv""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(CountMin, KmvMerge)
 }

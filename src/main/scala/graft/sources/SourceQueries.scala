@@ -139,6 +139,38 @@ object SourceQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Hive-style partitioned layout — THE 100 TB table primitive: write
+    * documents partitioned by source (`.../source=<v>/part-*.parquet`),
+    * read back with a partition filter, and aggregate only the surviving
+    * partitions. The oracle replays the filter on the original table —
+    * the hash match proves the partition column round-trips losslessly
+    * through the directory encoding (it leaves the data files entirely)
+    * and the pruned read returns exactly the filtered set. The spec
+    * asserts the plan-level guarantee (PartitionFilters pruning, nothing
+    * read from excluded directories); scan-side the filter never touches
+    * row data at all.
+    */
+  object PartitionedRoundtrip extends GraftQuery {
+    val name = "q_partitioned_roundtrip"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dir = workDir("hivepart", sfDir) + "/documents"
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+      val back = spark.read.parquet(dir)
+        .filter(col("source").isin("src1", "src2"))
+      back.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "lang")
+    }
+    val oracle = Some(
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE source IN ('src1', 'src2')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(CsvRoundtrip, BinaryScan, JsonlRoundtrip, OrcRoundtrip)
+    Seq(CsvRoundtrip, BinaryScan, JsonlRoundtrip, OrcRoundtrip,
+      PartitionedRoundtrip)
 }

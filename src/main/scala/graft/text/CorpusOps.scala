@@ -472,7 +472,68 @@ object CorpusOps {
         |FROM agg ORDER BY source""".stripMargin)
   }
 
+  /** Weighted (probability-proportional-to-size) systematic sampling:
+    * select ~K documents with inclusion probability ∝ n_chars — the
+    * size-weighted pick a token-budgeted corpus draw needs (a doc twice
+    * as long is twice as likely; docs longer than the step are taken
+    * with multiplicity, the classic PPS semantics). A document is
+    * selected once per step-multiple its cumulative-weight interval
+    * crosses: copies = cum div step − (cum−w) div step. All integer
+    * math — deterministic, retry-idempotent, engine-exact.
+    *
+    * Scale shape — the distributed TWO-PHASE PREFIX SUM, not a global
+    * window: per-bucket weight sums (doc_id div B buckets) → bucket
+    * offsets via a window over the SMALL bucket frame (n/B rows) →
+    * offsets broadcast back → within-bucket cumulative sums, windowed
+    * per bucket. No corpus-sized single partition anywhere; the oracle
+    * replays the plain sequential cumsum, proving the two-phase
+    * decomposition exact.
+    */
+  object PpsSample extends GraftQuery {
+    val name = "q_pps_sample"
+    private val K = 100L
+    private val B = 1000L // docs per prefix-sum bucket
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val tot = docs.agg(sum(col("n_chars")).as("w_total"))
+      val buck = docs.groupBy(expr(s"doc_id div $B").as("bkt"))
+        .agg(sum(col("n_chars")).as("bw"))
+      val bOff = buck.withColumn("b_off",
+        coalesce(sum(col("bw")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "b_off")
+      val inBucket = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("bkt", expr(s"doc_id div $B"))
+        .join(broadcast(bOff), "bkt")
+        .withColumn("cum", col("b_off") + sum(col("n_chars")).over(inBucket))
+        .crossJoin(broadcast(tot))
+        .withColumn("step", expr(s"w_total div $K"))
+        .select(col("doc_id"), col("n_chars"), col("cum"),
+          expr("(cum div step) - ((cum - n_chars) div step)").as("copies"))
+        .filter(col("copies") > 0)
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH tot AS (
+         |  SELECT CAST(sum(n_chars) AS BIGINT) // $K AS step FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(sum(n_chars) OVER (ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS cum
+         |  FROM documents)
+         |SELECT doc_id, n_chars, cum,
+         |       (cum // step) - ((cum - n_chars) // step) AS copies
+         |FROM cum CROSS JOIN tot
+         |WHERE (cum // step) - ((cum - n_chars) // step) > 0
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini)
+      TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
+      PpsSample)
 }

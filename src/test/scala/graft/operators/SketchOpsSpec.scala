@@ -38,4 +38,51 @@ class SketchOpsSpec extends SparkSpec {
     val exact = out.map(_.getLong(1))
     assert(exact.zip(exact.tail).forall { case (a, b) => a >= b })
   }
+
+  test("kmv merge law: merged per-stratum sketches equal the one-shot " +
+    "global sketch, cross-stratum duplicates collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    // users 0..599 spread over 3 strata, users 0..99 present in ALL of
+    // them (their hashes enter three per-stratum sketches; the merge must
+    // count each once)
+    val rows = (for {
+      (t, lo, hi) <- Seq(("a", 0L, 400L), ("b", 0L, 300L), ("c", 0L, 600L))
+      u <- lo until hi
+    } yield (u * 7L, u * 1000000000L, u, t, 1.0, "{}")).zipWithIndex
+      .map { case ((_, ts, u, t, v, p), i) => (i.toLong, ts, u, t, v, p) }
+    val dir = java.nio.file.Files.createTempDirectory("kmv_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SketchOps.KmvMerge.run(spark, dir).collect()
+    assert(out.length == 1)
+    val (nStrata, exactUsers, est) =
+      (out.head.getLong(0), out.head.getLong(1), out.head.getDouble(2))
+    assert(nStrata == 3L && exactUsers == 600L)
+    // one-shot global sketch over the raw user set, same aggregator
+    val kmvUdaf = udaf(
+      new graft.functions.Aggregators.KmvPortable(256), Encoders.scalaLong)
+    val direct = graft.Graft.table(spark, dir, "events")
+      .select(graft.functions.PortableHash.pHash60(
+        col("user_id").cast("string")).as("h"))
+      .distinct().agg(kmvUdaf(col("h"))).collect().head.getDouble(0)
+    assert(est == direct, s"merged $est != direct $direct")
+    // 600 distinct > k=256 ⇒ the estimator path (not exact-count) ran,
+    // and it lands within the sketch's ~3-sigma band
+    assert(math.abs(est - exactUsers) / exactUsers < 0.25, s"est $est")
+  }
+
+  test("kmv merge on the catalog matches the one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    val est = SketchOps.KmvMerge.run(spark, sf).collect().head.getDouble(2)
+    val kmvUdaf = udaf(
+      new graft.functions.Aggregators.KmvPortable(256), Encoders.scalaLong)
+    val direct = graft.Graft.table(spark, sf, "events")
+      .select(graft.functions.PortableHash.pHash60(
+        col("user_id").cast("string")).as("h"))
+      .distinct().agg(kmvUdaf(col("h"))).collect().head.getDouble(0)
+    assert(est == direct)
+  }
 }

@@ -223,4 +223,44 @@ class CorpusOpsSpec extends SparkSpec {
       ("s1", 4L, 1L, 0.0),
       ("s2", 4L, 4L, 1.0 - 4.0 / 16.0)), out.mkString(", "))
   }
+
+  private def ppsExpected(weights: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+    // sequential PPS reference: plain cumsum in doc_id order
+    val step = weights.map(_._2).sum / 100L
+    var cum = 0L
+    weights.sortBy(_._1).flatMap { case (id, w) =>
+      val prev = cum; cum += w
+      val copies = cum / step - prev / step
+      if (copies > 0) Some((id, w, cum, copies)) else None
+    }
+  }
+
+  test("pps sample: a giant doc draws proportionally many copies; " +
+    "two-phase prefix sum equals the sequential cumsum") {
+    import spark.implicits._
+    // ids straddle a prefix-sum bucket boundary on purpose (B = 1000)
+    val weights = ((0L until 9L).map(i => (i * 250L, 10L)) :+ (2500L, 460L))
+    val docs = weights.toDF("doc_id", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("pps_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.PpsSample.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ppsExpected(weights)
+    assert(out.toSeq == expected, s"got ${out.toSeq} want $expected")
+    // total multiplicity telescopes to W div step
+    val w = weights.map(_._2).sum
+    assert(out.map(_._4).sum == w / (w / 100L))
+    // the giant doc dominates the draw
+    assert(out.maxBy(_._4)._1 == 2500L)
+  }
+
+  test("pps sample on the catalog matches the sequential reference") {
+    val weights = graft.Graft.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val out = CorpusOps.PpsSample.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == ppsExpected(weights))
+    assert(out.nonEmpty)
+  }
 }
