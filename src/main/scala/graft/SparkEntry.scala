@@ -19,6 +19,7 @@ object SparkEntry {
       operators.AnalyticOps.all ++
       operators.AsOfJoin.all ++
       Seq(operators.Salting.SaltedAgg, operators.Salting.KeySkew) ++
+      operators.AuditOps.all ++
       operators.GraphOps.all ++
       operators.BehaviorOps.all ++
       operators.LayoutOps.all ++

@@ -171,5 +171,114 @@ object LayoutOps {
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(BloomFilter, ZOrder)
+  /** Zone-map (min/max file statistics) pruning simulation: chunk the
+    * orders table into simulated 250-row files under TWO physical
+    * layouts — `natural` (insertion order: chunk by o_orderkey) and
+    * `sorted` (chunk by date rank) — compute each chunk's min/max
+    * o_orderdate zone map, and mark whether a 6-month date predicate
+    * could skip the chunk. The side-by-side is the point: on the natural
+    * layout every zone spans the full date range (kept ≈ all), on the
+    * sorted layout kept ≈ selectivity — the quantitative argument for
+    * sorting/clustering before a columnar write.
+    *
+    * Scale shape: zone maps are a per-chunk aggregate (metadata-sized
+    * output, 2 longs + 2 dates per file); the sorted layout's global
+    * rank is the same exact-total-order stance as `q_length_deciles` —
+    * at scale the write path is `repartitionByRange(date)` + local sort,
+    * which produces the same chunk boundaries without a single-partition
+    * window.
+    */
+  object ZoneMapPrune extends GraftQuery {
+    val name = "q_zonemap_prune"
+    private val ChunkRows = 250
+    private val Lo = "1999-01-01"
+    private val Hi = "1999-07-01" // predicate: Lo <= d < Hi
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val orders = Graft.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      val natural = orders
+        .select(lit("natural").as("layout"),
+          expr(s"o_orderkey div $ChunkRows").as("chunk"), col("d"))
+      val sorted = orders
+        .select(col("d"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("d"), col("o_orderkey"))) - 1).as("rn"))
+        .select(lit("sorted").as("layout"),
+          expr(s"rn div $ChunkRows").as("chunk"), col("d"))
+      natural.unionAll(sorted)
+        .groupBy("layout", "chunk")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .withColumn("kept",
+          (col("min_d") < lit(Hi).cast("date") &&
+            col("max_d") >= lit(Lo).cast("date")).cast("int"))
+        .orderBy("layout", "chunk")
+    }
+    val oracle = Some(
+      s"""WITH o AS (
+         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+         |chunks AS (
+         |  SELECT 'natural' AS layout, o_orderkey // $ChunkRows AS chunk, d FROM o
+         |  UNION ALL
+         |  SELECT 'sorted',
+         |         (row_number() OVER (ORDER BY d, o_orderkey) - 1) // $ChunkRows, d
+         |  FROM o)
+         |SELECT layout, chunk, count(*) AS n_rows,
+         |       min(d) AS min_d, max(d) AS max_d,
+         |       CAST(min(d) < DATE '$Hi' AND max(d) >= DATE '$Lo' AS INT) AS kept
+         |FROM chunks GROUP BY layout, chunk ORDER BY layout, chunk""".stripMargin)
+  }
+
+  /** Small-file compaction planning: roll per-file byte sizes (simulated
+    * files = 20-document groups of the corpus) into sequential output
+    * bins of a target size via an exclusive running sum — the plan a
+    * table-maintenance job executes to rewrite many small files into few
+    * target-sized ones. Emits per-bin file count, byte total, and the
+    * contiguous file range (contiguity = the property that keeps the
+    * rewrite a sequential read).
+    *
+    * Scale shape: the planning frame is per-FILE metadata (1 row per
+    * ~100 MB file ⇒ ~1M rows at 100 TB), so the single ordered window
+    * is driver-safe; the two-phase distributed prefix sum proven exact
+    * by `q_pps_sample` is the drop-in if the file count ever outgrows
+    * one partition.
+    */
+  object CompactionPlan extends GraftQuery {
+    val name = "q_compaction_plan"
+    private val DocsPerFile = 20
+    private val TargetBytes = 16384L
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val files = Graft.table(spark, sfDir, "documents")
+        .groupBy(expr(s"doc_id div $DocsPerFile").as("file_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("file_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $TargetBytes"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+        .orderBy("bin")
+    }
+    val oracle = Some(
+      s"""WITH files AS (
+         |  SELECT doc_id // $DocsPerFile AS file_id, count(*) AS n_docs,
+         |         sum(n_chars) AS bytes
+         |  FROM documents GROUP BY 1),
+         |planned AS (
+         |  SELECT file_id, bytes,
+         |         COALESCE(sum(bytes) OVER (ORDER BY file_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           // $TargetBytes AS bin
+         |  FROM files)
+         |SELECT bin, count(*) AS n_files, sum(bytes) AS total_bytes,
+         |       min(file_id) AS first_file, max(file_id) AS last_file
+         |FROM planned GROUP BY bin ORDER BY bin""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(BloomFilter, ZOrder, ZoneMapPrune, CompactionPlan)
 }

@@ -51,4 +51,51 @@ class LayoutOpsSpec extends SparkSpec {
       assert(r.getLong(7) - r.getLong(6) <= 31, s"y span too wide: $r")
     }
   }
+
+  test("zone maps: sorted layout prunes, natural layout cannot; chunks partition the table") {
+    val rows = LayoutOps.ZoneMapPrune.run(spark, sf).collect()
+    val byLayout = rows.groupBy(_.getAs[String]("layout"))
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    for ((_, chunks) <- byLayout)
+      assert(chunks.map(_.getAs[Long]("n_rows")).sum == total)
+    def keptFrac(l: String) = {
+      val c = byLayout(l)
+      c.count(_.getAs[Int]("kept") == 1).toDouble / c.length
+    }
+    // random insertion order ⇒ every natural zone spans the predicate range
+    assert(keptFrac("natural") == 1.0, "natural layout unexpectedly prunable")
+    // date-sorted ⇒ kept fraction collapses toward the predicate selectivity
+    assert(keptFrac("sorted") < 0.5,
+      s"sorted layout kept ${keptFrac("sorted")} — zone maps not selective")
+    // sorted zones are disjoint in date (true clustering, boundaries aside):
+    // each chunk's min must be >= the previous chunk's min
+    val sortedZones = byLayout("sorted").sortBy(_.getAs[Long]("chunk"))
+    val mins = sortedZones.map(_.getAs[java.sql.Date]("min_d").toLocalDate)
+    assert(mins.zip(mins.tail).forall { case (a, b) => !b.isBefore(a) })
+  }
+
+  test("compaction plan: bins are contiguous, conserve bytes, and respect the greedy rule") {
+    import org.apache.spark.sql.functions._
+    val bins = LayoutOps.CompactionPlan.run(spark, sf).collect()
+    val files = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(expr("doc_id div 20").as("f")).agg(sum("n_chars").as("b"))
+      .collect().map(r => r.getAs[Long]("f") -> r.getAs[Long]("b")).toMap
+    // conservation: every file lands in exactly one bin
+    assert(bins.map(_.getAs[Long]("n_files")).sum == files.size.toLong)
+    assert(bins.map(_.getAs[Long]("total_bytes")).sum == files.values.sum)
+    // contiguity: file ranges tile without overlap in bin order
+    val ranges = bins.sortBy(_.getAs[Long]("bin"))
+      .map(r => (r.getAs[Long]("first_file"), r.getAs[Long]("last_file")))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(lo2 == hi + 1, s"gap/overlap between bins at $hi -> $lo2")
+    }
+    // greedy rule: bin id = exclusive running sum div target
+    var cum = 0L
+    val expect = files.toSeq.sortBy(_._1).map { case (f, b) =>
+      val bin = cum / 16384L; cum += b; f -> bin
+    }.toMap
+    val gotBins = bins.map(r => r.getAs[Long]("bin")).toSet
+    assert(gotBins == expect.values.toSet)
+  }
 }
