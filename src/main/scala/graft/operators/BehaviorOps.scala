@@ -370,6 +370,65 @@ object BehaviorOps {
         |FROM agg ORDER BY variant""".stripMargin)
   }
 
+  /** Time-to-conversion: per user, the lag from their FIRST view to the
+    * first purchase strictly after it, bucketed into an hourly histogram —
+    * the "how long does conversion take" readout that sits beside the
+    * funnel's "how many convert".
+    *
+    * Same single-pass shape (and the same prefix-min equivalence argument)
+    * as [[Funnel]]: one scan, one sort-shuffle on `user_id`, one running
+    * conditional min, then a user-keyed aggregate. A purchase qualifies
+    * when `sec > prefix_fv`; since the prefix min only shrinks toward the
+    * per-user global first-view and any view with a smaller sec sorts
+    * earlier, the qualifying set equals "purchases after the global first
+    * view". All lag math is integer epoch seconds — buckets are exact in
+    * both engines.
+    */
+  object ConversionLag extends GraftQuery {
+    val name = "q_conversion_lag"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+      val staged = ev.withColumn("fv",
+        min(when(col("event_type") === "view", col("sec"))).over(w))
+      val perUser = staged.groupBy("user_id")
+        .agg(min(col("fv")).as("v_sec"),
+          min(when(col("event_type") === "purchase" && col("fv").isNotNull &&
+            col("sec") > col("fv"), col("sec"))).as("p_sec"))
+        .filter(col("p_sec").isNotNull)
+        .select((col("p_sec") - col("v_sec")).as("lag_sec"))
+      perUser
+        .groupBy(expr("lag_sec div 3600").as("lag_hours"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_sec")).as("min_lag"), max(col("lag_sec")).as("max_lag"))
+        .orderBy("lag_hours")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |staged AS (
+        |  SELECT user_id, event_type, sec,
+        |         min(CASE WHEN event_type = 'view' THEN sec END) OVER w AS fv
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per_user AS (
+        |  SELECT user_id, min(fv) AS v_sec,
+        |         min(CASE WHEN event_type = 'purchase' AND fv IS NOT NULL
+        |                       AND sec > fv THEN sec END) AS p_sec
+        |  FROM staged GROUP BY 1)
+        |SELECT (p_sec - v_sec) // 3600 AS lag_hours, count(*) AS n_users,
+        |       min(p_sec - v_sec) AS min_lag, max(p_sec - v_sec) AS max_lag
+        |FROM per_user WHERE p_sec IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare)
+    Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
+      ConversionLag)
 }

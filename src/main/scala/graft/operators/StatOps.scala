@@ -286,7 +286,71 @@ object StatOps {
     }
   }
 
+  /** Time-series spike detection over hourly event volume: each hour is
+    * scored against the trailing 24 OBSERVED hour buckets (mean + 3σ rule)
+    * — the ingest-monitoring alarm that catches a crawler stampede or a
+    * dropped feed between training snapshots.
+    *
+    * The 3σ test runs ENTIRELY in integer arithmetic: with s = Σn and
+    * q = Σn² over the 24 trailing buckets, σ² = (24q − s²)/576 and
+    * d = 24n − s, so z > 3 ⇔ d > 0 ∧ d² > 9·(24q − s²) — both sides of
+    * the inequality multiplied by the exact positive 576, hence the integer
+    * comparison is lossless. The reported
+    * z itself is the fixed tree d / sqrt(24q − s²) — one IEEE divide and
+    * sqrt, bit-identical cross-engine; NULL while the trailing window is
+    * degenerate (σ = 0).
+    *
+    * Scale shape: one scan folds events into hour buckets via a map-side-
+    * combinable count; the single unpartitioned window then sorts TIME
+    * BUCKETS, not events — a frame whose row count is the corpus's time
+    * span in hours (a year is 8.8k rows), safely single-partition at any
+    * data volume.
+    */
+  object EventSpike extends GraftQuery {
+    val name = "q_event_spike"
+    private val Trail = 24
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val hourly = Graft.table(spark, sfDir, "events")
+        .select(expr("ts div 3600000000000").as("hour"))
+        .groupBy("hour").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("hour").rowsBetween(-Trail, -1)
+      val d = lit(Trail) * col("n") - col("s")
+      val varNum = lit(Trail) * col("q") - col("s") * col("s") // 576·σ²
+      hourly
+        .withColumn("n_trail", count(lit(1)).over(w))
+        .withColumn("s", sum(col("n")).over(w))
+        .withColumn("q", sum(col("n") * col("n")).over(w))
+        .filter(col("n_trail") === Trail)
+        .select(col("hour"), col("n"), col("s").as("trail_sum"),
+          when(varNum > 0, d.cast("double") / sqrt(varNum.cast("double")))
+            .as("z"),
+          (d > 0 && d * d > lit(9) * varNum).cast("int").as("spike"))
+        .orderBy("hour")
+    }
+    val oracle = Some(
+      s"""WITH hourly AS (
+         |  SELECT epoch_ns(ts) // 3600000000000 AS hour, count(*) AS n
+         |  FROM events GROUP BY 1),
+         |trail AS (
+         |  SELECT hour, n,
+         |         count(*) OVER w AS n_trail,
+         |         sum(n) OVER w AS s,
+         |         sum(n * n) OVER w AS q
+         |  FROM hourly
+         |  WINDOW w AS (ORDER BY hour ROWS BETWEEN $Trail PRECEDING
+         |               AND 1 PRECEDING))
+         |SELECT hour, n, s AS trail_sum,
+         |       CASE WHEN $Trail * q - s * s > 0
+         |            THEN CAST($Trail * n - s AS DOUBLE) /
+         |                 sqrt(CAST($Trail * q - s * s AS DOUBLE)) END AS z,
+         |       CAST($Trail * n - s > 0 AND
+         |            ($Trail * n - s) * ($Trail * n - s) >
+         |            9 * ($Trail * q - s * s) AS INT) AS spike
+         |FROM trail WHERE n_trail = $Trail
+         |ORDER BY hour""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles,
-      Profile)
+      Profile, EventSpike)
 }

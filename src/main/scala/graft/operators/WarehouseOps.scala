@@ -478,8 +478,76 @@ object WarehouseOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** MERGE / upsert — applying a CDC change batch (inserts + updates +
+    * deletes) to a keyed base snapshot in one pass: the `MERGE INTO`
+    * semantics every warehouse load runs, completing the CDC family
+    * ([[SnapshotDiff]] classifies the difference; this APPLIES it).
+    * The base snapshot and the change batch are carved deterministically
+    * from `orders` by the portable md5 key bucket (buckets 0–7 = base;
+    * 6/7 = update/delete of existing rows, 8/9 = inserts of new keys), so
+    * the whole merge replays in the oracle; updates double the price — an
+    * exact power-of-two scaling, bit-identical cross-engine.
+    *
+    * Plan shape: ONE scan computes bucket + both sides behind a persisted
+    * barrier (without it each side of the merge re-scans the table); the
+    * merge itself is a single full-outer equi-join on the BIGINT key —
+    * shuffle on key only, the distributed-upsert shape that holds at any
+    * fact size. Delete rows are dropped by a post-join filter; every
+    * surviving row reports its provenance (`kept`/`update`/`insert`).
+    */
+  object MergeUpsert extends GraftQuery {
+    val name = "q_merge_upsert"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val b = pmod(pHash60(col("o_orderkey").cast("string")), lit(10L))
+      val pre = Graft.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          b.as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = pre.filter(col("b") < 8)
+        .select(col("o_orderkey"), col("o_custkey").as("b_cust"),
+          col("o_totalprice").as("b_price"))
+      val changes = pre.filter(col("b") >= 6)
+        .select(col("o_orderkey"),
+          when(col("b") >= 8, "insert").when(col("b") === 6, "update")
+            .otherwise("delete").as("op"),
+          col("o_custkey").as("c_cust"),
+          (col("o_totalprice") * 2).as("new_price"))
+      base.join(changes, Seq("o_orderkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(col("o_orderkey"),
+          coalesce(col("c_cust"), col("b_cust")).as("o_custkey"),
+          when(col("op").isNotNull, col("new_price")).otherwise(col("b_price"))
+            .as("o_totalprice"),
+          coalesce(col("op"), lit("kept")).as("status"))
+        .orderBy("o_orderkey")
+    }
+    val oracle = Some(
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 10 AS b
+        |  FROM orders),
+        |base AS (
+        |  SELECT o_orderkey, o_custkey AS b_cust, o_totalprice AS b_price
+        |  FROM pre WHERE b < 8),
+        |changes AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN b >= 8 THEN 'insert' WHEN b = 6 THEN 'update'
+        |              ELSE 'delete' END AS op,
+        |         o_custkey AS c_cust, o_totalprice * 2 AS new_price
+        |  FROM pre WHERE b >= 6)
+        |SELECT o_orderkey,
+        |       coalesce(c_cust, b_cust) AS o_custkey,
+        |       CASE WHEN op IS NOT NULL THEN new_price ELSE b_price END
+        |         AS o_totalprice,
+        |       coalesce(op, 'kept') AS status
+        |FROM base FULL OUTER JOIN changes USING (o_orderkey)
+        |WHERE op IS NULL OR op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
       GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot,
-      SnapshotDiff)
+      SnapshotDiff, MergeUpsert)
 }

@@ -532,8 +532,74 @@ object CorpusOps {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Cross-document boilerplate detection — the C4/CCNet curation rule
+    * that strips repeated passages (nav bars, license headers, templated
+    * footers) a page-level dedup never sees: split every document into
+    * non-overlapping [[Chunk]]-token chunks, fingerprint each, and flag a
+    * chunk as boilerplate when its EXACT text recurs in ≥ [[MinDocs]]
+    * distinct documents. Reported per source as a boilerplate ratio — the
+    * contamination dial a corpus curator watches per domain.
+    *
+    * Scale shape: chunking is scan-side (one explode over index ranges, no
+    * shuffle); the chunk frame is persisted because TWO consumers read it
+    * (the per-fingerprint document-frequency aggregate and the flag join)
+    * — the same barrier contract as the tf-idf tf frame. Both the
+    * aggregate and the join shuffle 32-byte fingerprints, never chunk
+    * text; the final rollup is source-keyed (tiny). `countDistinct` state
+    * per fingerprint is bounded by that chunk's true document frequency —
+    * the skew ceiling is "how many docs share one passage", which is
+    * exactly the quantity being measured, and a pathological mega-passage
+    * (every doc shares a disclaimer) salts naturally by its own
+    * fingerprint spread at the partial-aggregate level.
+    */
+  object Boilerplate extends GraftQuery {
+    val name = "q_boilerplate"
+    private val Chunk = 10  // tokens per non-overlapping chunk
+    private val MinDocs = 2 // recurring in ≥ 2 docs ⇒ boilerplate
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val chunks = Graft.table(spark, sfDir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), col("toks"),
+          explode(sequence(lit(0L),
+            expr(s"(size(toks) - 1) div $Chunk").cast("long"))).as("ci"))
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("ci") * Chunk + 1).cast("int"), lit(Chunk)))
+            .cast("binary")).as("chunk_fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = chunks.groupBy("chunk_fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunks.join(dfreq, Seq("chunk_fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("n_docs") >= MinDocs, 1)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_chunks").cast("double"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |chunks AS (
+         |  SELECT doc_id, source,
+         |         md5(array_to_string(t[i*$Chunk+1 : i*$Chunk+$Chunk], ' ')) AS chunk_fp
+         |  FROM toks, LATERAL (SELECT unnest(range((len(t)-1)//$Chunk + 1)) AS i) g),
+         |dfreq AS (
+         |  SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs
+         |  FROM chunks GROUP BY 1)
+         |SELECT source, count(*) AS n_chunks,
+         |       count(CASE WHEN n_docs >= $MinDocs THEN 1 END) AS n_boiler,
+         |       CAST(count(CASE WHEN n_docs >= $MinDocs THEN 1 END) AS DOUBLE) /
+         |       CAST(count(*) AS DOUBLE) AS boiler_ratio
+         |FROM chunks JOIN dfreq USING (chunk_fp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
-      PpsSample)
+      PpsSample, Boilerplate)
 }

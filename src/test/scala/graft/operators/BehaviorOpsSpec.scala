@@ -155,4 +155,29 @@ class BehaviorOpsSpec extends SparkSpec {
       assert(sorted.last._5 == Long.MaxValue, s"user $uid last interval not open")
     }
   }
+
+  test("conversion lag: first view → first later purchase; pre-view and " +
+    "purchase-less users excluded") {
+    import spark.implicits._
+    val sec = (h: Long) => h * 3600L * 1000000000L // hours → nanos
+    // u1: view@0h, purchase@2h (lag 2h); u2: purchase@0h BEFORE view@1h
+    // (excluded — no purchase after the view); u3: views only (excluded);
+    // u4: view@0h, purchases@5h and 9h (first wins: lag 5h)
+    val rows = Seq(
+      (1L, 1L, "view", sec(0)), (2L, 1L, "purchase", sec(2)),
+      (3L, 2L, "purchase", sec(0)), (4L, 2L, "view", sec(1)),
+      (5L, 3L, "view", sec(0)),
+      (6L, 4L, "view", sec(0)), (7L, 4L, "purchase", sec(5)),
+      (8L, 4L, "purchase", sec(9)))
+      .map { case (eid, uid, t, ts) => (eid, ts, uid, t, 0.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("convlag_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.ConversionLag.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // buckets: 2h lag → bucket 2 (u1), 5h lag → bucket 5 (u4)
+    assert(out == Map(2L -> ((1L, 7200L, 7200L)), 5L -> ((1L, 18000L, 18000L))),
+      s"$out")
+  }
 }

@@ -93,4 +93,40 @@ class StatOpsSpec extends SparkSpec {
     assert(out("o_orderstatus") == ((0L, 2L, None, None)))
     assert(out("o_orderpriority") == ((1L, 1L, None, None)))
   }
+
+  test("event spike: a planted traffic burst is flagged against its " +
+    "trailing 24h; steady hours are not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 hours: hours 0..28 alternate 10/12 events, hour 29 bursts to 100.
+    // Warm-up rows (first 24 hours) carry no verdict; steady hours after
+    // the warm-up must not flag; the burst must.
+    val perHour = (0 to 29).map(h => h -> (if (h == 29) 100 else 10 + 2 * (h % 2)))
+    val rows = perHour.flatMap { case (h, n) =>
+      (0 until n).map(i =>
+        ((h * 1000L + i), h * 3600L * 1000000000L + i * 1000000L, 1L, "view",
+          0.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("spike_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatOps.EventSpike.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4))).toMap
+    assert(out.keySet == (24 to 29).map(_.toLong).toSet,
+      s"verdicts only after a full trailing window: ${out.keySet}")
+    (24 to 28).foreach(h => assert(out(h.toLong)._2 == 0, s"steady hour $h flagged"))
+    assert(out(29L) == ((100L, 1)), s"burst not flagged: ${out(29L)}")
+    // degenerate σ=0 window: constant traffic everywhere → z NULL, no flag
+    val flat = (0 to 25).flatMap(h => (0 until 5).map(i =>
+      ((h * 100L + i), h * 3600L * 1000000000L + i * 1000000L, 1L, "view", 0.0, "{}")))
+    val dir2 = java.nio.file.Files.createTempDirectory("spike_flat").toString
+    flat.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val flatOut = StatOps.EventSpike.run(spark, dir2).collect()
+    assert(flatOut.nonEmpty)
+    flatOut.foreach { r =>
+      assert(r.isNullAt(3), s"σ=0 hour must report NULL z: $r")
+      assert(r.getInt(4) == 0, s"σ=0 hour flagged: $r")
+    }
+  }
 }

@@ -166,4 +166,31 @@ class WarehouseOpsSpec extends SparkSpec {
       .select("user_id", "event_type").distinct().count()
     assert(rows.length == expected)
   }
+
+  test("merge upsert: result keys = base − deletes + inserts; updates " +
+    "double the price; kept rows untouched") {
+    import graft.functions.PortableHash.md5Hex
+    val orig = graft.Graft.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bucket = (k: Long) =>
+      java.lang.Long.parseLong(md5Hex(k.toString).take(15), 16) % 10
+    val out = WarehouseOps.MergeUpsert.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val keys = out.map(_._1)
+    assert(keys.distinct.length == keys.length, "merge output key uniqueness")
+    val expectedKeys = orig.keySet.filter(k => bucket(k) != 7)
+    assert(keys.toSet == expectedKeys, "deletes removed, inserts present")
+    out.foreach { case (k, price, status) =>
+      val expectedStatus = bucket(k) match {
+        case 6 => "update"
+        case 8 | 9 => "insert"
+        case _ => "kept"
+      }
+      assert(status == expectedStatus, s"key $k bucket ${bucket(k)}: $status")
+      val expectedPrice =
+        if (status == "kept") orig(k) else orig(k) * 2
+      assert(price == expectedPrice, s"key $k price $price != $expectedPrice")
+    }
+  }
 }

@@ -263,4 +263,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == ppsExpected(weights))
     assert(out.nonEmpty)
   }
+
+  test("boilerplate: an exact shared 10-token chunk is flagged in every " +
+    "doc carrying it; unique text is not") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact chunk
+    val docs = Seq(
+      // d1/d2 on srcA: boilerplate chunk + unique tails (each doc = 2 chunks)
+      (1L, s"$boiler ${(1 to 10).map(i => s"a$i").mkString(" ")}", "en", "srcA", 0L),
+      (2L, s"$boiler ${(1 to 10).map(i => s"b$i").mkString(" ")}", "en", "srcA", 0L),
+      // d3 on srcB: fully unique, 2 chunks
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "), "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("boiler_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.Boilerplate.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // srcA: 4 chunks, 2 of them (the shared nav block, once per doc) flagged
+    assert(out("srcA") == ((4L, 2L, 0.5)), s"${out("srcA")}")
+    assert(out("srcB") == ((2L, 0L, 0.0)), s"${out("srcB")}")
+  }
 }
