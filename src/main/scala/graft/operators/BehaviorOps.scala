@@ -428,7 +428,49 @@ object BehaviorOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Daily/weekly active users — the growth curve every event pipeline
+    * reports: per observed day, the exact distinct-user count that day
+    * (DAU) and over the trailing 7 days (WAU).
+    *
+    * The sliding distinct is NOT a window function (distinct doesn't
+    * decompose over frames): each (user, day) activity row instead emits
+    * its 7 future target days and WAU(d) is a plain `countDistinct` per
+    * target day — turning "distinct over a sliding range" into a
+    * constant-factor fan-out + hash aggregate, both map-side combinable
+    * and key-partitioned. The (user, day) frame is persisted: DAU and WAU
+    * both consume it. Integer epoch days keep every bucket exact.
+    */
+  object ActiveUsers extends GraftQuery {
+    val name = "q_active_users"
+    private val WindowDays = 7
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ud = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (WindowDays - 1))).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      // inner join restricts to OBSERVED days (offset 0 guarantees every
+      // dau day has a wau row; fabricated future days drop out)
+      dau.join(wau, Seq("day")).orderBy("day")
+    }
+    val oracle = Some(
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+         |  FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         |wau AS (
+         |  SELECT day + o AS day, count(DISTINCT user_id) AS wau
+         |  FROM ud, LATERAL (SELECT unnest(range($WindowDays)) AS o) g
+         |  GROUP BY 1)
+         |SELECT day, dau, wau
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
-      ConversionLag)
+      ConversionLag, ActiveUsers)
 }

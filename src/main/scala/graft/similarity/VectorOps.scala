@@ -151,5 +151,76 @@ object VectorOps {
         |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize)
+  /** Product quantization (PQ) — the vector-compression standard for
+    * billion-scale ANN serving (the "PQ" in IVF-PQ): the 64-dim embedding
+    * splits into [[M]] subspaces of 8 dims; each subvector is coded as the
+    * id of its nearest centroid in a per-subspace [[K]]-entry codebook, so
+    * a vector stores as M bytes instead of 64 floats. Completes the
+    * compression family next to scalar int8 ([[EmbedQuantize]]).
+    *
+    * Codebooks are SAMPLED (the first K vectors' subvectors — the same
+    * deterministic-codebook stance as [[Ivf.SampledIvfTopK]]; a k-means
+    * refinement would be float-iteration-dependent and un-replayable).
+    * Distances are exact BIGINTs over the engine's quantized integer grid
+    * ([[graft.plans.VectorExpressions.quantize_vec]]), so every code and
+    * the reported per-subspace distortion hash-match the oracle.
+    *
+    * Scale shape: the codebook is M·K subvectors — broadcast against the
+    * candidate scan; assignment is scan-side (explode M rows per vector,
+    * broadcast join on subspace, partial top-1 below any exchange via
+    * WindowGroupLimit). No shuffle touches raw vectors.
+    */
+  object PqCodes extends GraftQuery {
+    val name = "q_pq_codes"
+    private val M = 8 // subspaces
+    private val Sub = 8 // dims per subspace
+    private val K = 16 // centroids per codebook
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.plans.VectorExpressions.quantize_vec
+      val prep = Graft.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
+      val subs = prep
+        .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
+          col("q"))
+        .select(col("vec_id"), col("s"),
+          slice(col("q"), col("s") * Sub + 1, lit(Sub)).as("sub"))
+      val cent = subs.filter(col("vec_id") < K)
+        .select(col("s"), col("vec_id").cast("int").as("code"),
+          col("sub").as("csub"))
+      val dist = aggregate(
+        zip_with(col("sub"), col("csub"), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, x) => acc + x)
+      val byDist = Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist").asc, col("code").asc)
+      subs.join(broadcast(cent), Seq("s"))
+        .select(col("vec_id"), col("s"), col("code"), dist.as("dist"))
+        .withColumn("rn", row_number().over(byDist))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s").as("subspace"), col("code"),
+          col("dist").as("distortion"))
+        .orderBy("vec_id", "subspace")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id, (i - 1) // $Sub AS s, (i - 1) % $Sub AS p,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |cent AS (
+         |  SELECT s, p, CAST(vec_id AS INT) AS code, q AS cq
+         |  FROM q WHERE vec_id < $K),
+         |dists AS (
+         |  SELECT q.vec_id, q.s, c.code,
+         |         sum((q.q - c.cq) * (q.q - c.cq)) AS dist
+         |  FROM q JOIN cent c ON q.s = c.s AND q.p = c.p
+         |  GROUP BY 1, 2, 3)
+         |SELECT vec_id, s AS subspace, code, dist AS distortion
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |                                   ORDER BY dist, code) AS rn
+         |      FROM dists)
+         |WHERE rn = 1
+         |ORDER BY vec_id, subspace""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes)
 }

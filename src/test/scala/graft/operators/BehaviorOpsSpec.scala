@@ -180,4 +180,28 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(out == Map(2L -> ((1L, 7200L, 7200L)), 5L -> ((1L, 18000L, 18000L))),
       s"$out")
   }
+
+  test("active users: wau is the trailing-7-day distinct union; only " +
+    "observed days appear") {
+    import spark.implicits._
+    val day = (d: Long) => d * 86400L * 1000000000L
+    // u1 active day 0; u2 active days 3 and 10; u3 active day 3
+    val rows = Seq(
+      (1L, 1L, day(0)), (2L, 2L, day(3)), (3L, 3L, day(3)),
+      (4L, 2L, day(10)))
+      .map { case (eid, uid, ts) => (eid, ts, uid, "view", 0.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("active_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.ActiveUsers.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // day 0: dau 1 (u1), wau 1; day 3: dau 2 (u2,u3), wau 3 (day 0 u1
+    // still inside the 7-day window); day 10: dau 1, wau 1 (day 3 aged out)
+    assert(out == Map(0L -> ((1L, 1L)), 3L -> ((2L, 3L)), 10L -> ((1L, 1L))),
+      s"$out")
+    // catalog invariants: wau ≥ dau everywhere, both positive
+    val cat = BehaviorOps.ActiveUsers.run(spark, sf).collect()
+    assert(cat.nonEmpty)
+    cat.foreach(r => assert(r.getLong(2) >= r.getLong(1) && r.getLong(1) > 0))
+  }
 }

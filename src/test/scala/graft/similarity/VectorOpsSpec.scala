@@ -47,4 +47,21 @@ class VectorOpsSpec extends SparkSpec {
         s"reconstruction error $maxErr exceeds half-cell bound")
     }
   }
+
+  test("pq codes: codebook vectors code to themselves at zero distortion; " +
+    "every vector gets one code per subspace") {
+    val rows = VectorOps.PqCodes.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == nVecs * 8, "one code per (vector, subspace)")
+    rows.foreach { case (vid, s, code, dist) =>
+      assert(s >= 0 && s < 8 && code >= 0 && code < 16, s"($vid,$s,$code)")
+      assert(dist >= 0, s"negative distortion at ($vid,$s)")
+    }
+    // a codebook vector's nearest centroid in every subspace is itself
+    rows.filter(_._1 < 16).foreach { case (vid, s, code, dist) =>
+      assert(code == vid && dist == 0L,
+        s"codebook vec $vid subspace $s coded as $code dist $dist")
+    }
+  }
 }
