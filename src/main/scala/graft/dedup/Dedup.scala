@@ -967,8 +967,93 @@ object Dedup {
          |FROM j""".stripMargin)
   }
 
+  /** Embedding near-dup at SCALE — the LSH-bucketed pair generator that
+    * [[EmbedNearDup]]'s doc promises: candidate pairs form only inside
+    * sign-LSH buckets (an equi-join on small int keys, the same 8×4 index
+    * as `q_lsh_topk`), then exact quantized cosine verifies each
+    * candidate. No id bound, no cross join — this is the all-pairs
+    * semantic-dedup plan that survives a 1000-executor corpus, with the
+    * usual LSH trade (a pair hashing into no shared bucket is missed;
+    * `q_ann_recall` quantifies that rate for this exact index layout).
+    *
+    * The keyed frame (quantize + norm + 8 bucket keys per vector) is
+    * persisted: BOTH sides of the bucket self-join read it — unpersisted,
+    * each side would recompute the full quantize+hash pass (the
+    * minhash-self-join lesson, applied here from day one). The verify
+    * filter runs BEFORE pair dedup so the dedup exchange carries only
+    * above-threshold (id, id, cosine) triples.
+    */
+  object EmbedNearDupLsh extends GraftQuery {
+    val name = "q_embed_neardup_lsh"
+    import graft.plans.VectorExpressions.{dot_long, quantize_vec}
+    import graft.similarity.Similarity
+    private val Threshold = 0.3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val keyed = Graft.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"),
+          sqrt(dot_long(col("q"), col("q")).cast("double")).as("nrm"),
+          explode(Similarity.lshKeysNative(col("q"), 64)).as("key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = keyed.select(col("key"), col("vec_id").as("id_a"),
+        col("q").as("qa"), col("nrm").as("na"))
+      val b = keyed.select(col("key"), col("vec_id").as("id_b"),
+        col("q").as("qb"), col("nrm").as("nb"))
+      a.join(b, Seq("key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot_long(col("qa"), col("qb")).cast("double") /
+            (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= Threshold)
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }
+    val oracle = Some(
+      s"""WITH planes AS (
+         |  SELECT t.t, p.p, i.i,
+         |         CASE WHEN ('0x' || substr(md5(t.t::VARCHAR || '_' ||
+         |                      p.p::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::INT
+         |                   % 2 = 1
+         |              THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT unnest(generate_series(0, ${Similarity.NumTables - 1})) AS t) t,
+         |       (SELECT unnest(generate_series(0, ${Similarity.PlanesPerTable - 1})) AS p) p,
+         |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+         |q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |dots AS (
+         |  SELECT q.vec_id, pl.t, pl.p, sum(q.q * pl.w) AS d
+         |  FROM q JOIN planes pl ON q.i = pl.i + 1
+         |  GROUP BY 1, 2, 3),
+         |keys AS (
+         |  SELECT vec_id,
+         |         t * ${1 << Similarity.PlanesPerTable}
+         |         + CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS key
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+         |  FROM keys ka JOIN keys kb ON ka.key = kb.key
+         |  WHERE ka.vec_id < kb.vec_id),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |comp AS (
+         |  SELECT c.id_a, c.id_b, sum(qa.q * qb.q) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.id_a
+         |              JOIN q qb ON qb.vec_id = c.id_b AND qb.i = qa.i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+         |FROM comp JOIN norms na ON id_a = na.vec_id
+         |          JOIN norms nb ON id_b = nb.vec_id
+         |WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= $Threshold
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
-      IncrementalDedup, PrefixJoin, MinhashRecall, SimhashRecall)
+      EmbedNearDupLsh, IncrementalDedup, PrefixJoin, MinhashRecall,
+      SimhashRecall)
 }

@@ -598,8 +598,72 @@ object CorpusOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Distinctive terms per source (c-TF-IDF / class-based tf-idf): for
+    * each source, the tokens whose in-source rate most exceeds their
+    * corpus-wide rate — the cluster-labeling readout that tells a curator
+    * WHAT a domain contributes to the mix (the interpretability twin of
+    * [[TokenGini]]'s how-diverse score).
+    *
+    * The ratio (n_st/N_s)/(n_t/N) = (n_st·N)/(n_t·N_s) is ONE double
+    * division of two exact BIGINT products — deterministic cross-engine;
+    * a min-count floor keeps noise tokens out of the ranking. Plan: one
+    * tokenize pass into the persisted (source, token) frame; the global
+    * token counts, per-source totals and corpus total all derive from it
+    * (token-keyed aggregate + two broadcast-back frames), so the corpus
+    * text is scanned once. Per-source top-3 via row_number.
+    */
+  object SourceTerms extends GraftQuery {
+    val name = "q_source_terms"
+    private val MinCount = 5
+    private val K = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val st = Graft.table(spark, sfDir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n_st"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gt = st.groupBy("token").agg(sum(col("n_st")).as("n_t"))
+      val ns = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+      val tot = st.agg(sum(col("n_st")).as("n_tot"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("ratio").desc, col("token").asc)
+      st.join(gt, Seq("token")).join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_st") >= MinCount)
+        .select(col("source"), col("token"), col("n_st"),
+          ((col("n_st") * col("n_tot")).cast("double") /
+            (col("n_t") * col("n_s")).cast("double")).as("ratio"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("source"), col("rank"), col("token"), col("n_st"),
+          col("ratio"))
+        .orderBy("source", "rank")
+    }
+    val oracle = Some(
+      s"""WITH st AS (
+         |  SELECT source, token, count(*) AS n_st
+         |  FROM (SELECT source,
+         |               unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |gt AS (SELECT token, sum(n_st) AS n_t FROM st GROUP BY 1),
+         |ns AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+         |tot AS (SELECT sum(n_st) AS n_tot FROM st),
+         |scored AS (
+         |  SELECT source, token, n_st,
+         |         CAST(n_st * n_tot AS DOUBLE) / CAST(n_t * n_s AS DOUBLE)
+         |           AS ratio
+         |  FROM st JOIN gt USING (token) JOIN ns USING (source) CROSS JOIN tot
+         |  WHERE n_st >= $MinCount)
+         |SELECT source, rank, token, n_st, ratio
+         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |                       ORDER BY ratio DESC, token ASC) AS INT) AS rank
+         |      FROM scored)
+         |WHERE rank <= $K
+         |ORDER BY source, rank""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
-      PpsSample, Boilerplate)
+      PpsSample, Boilerplate, SourceTerms)
 }

@@ -243,4 +243,39 @@ class DedupSpec extends SparkSpec {
     assert(row.getDouble(3) == nH.toDouble / nP.toDouble)
     assert(row.getDouble(4) == nH.toDouble / nT.toDouble)
   }
+
+  test("embed neardup lsh: perfect precision vs a driver-side brute force; " +
+    "recall within the index's design band") {
+    val vecs = graft.Graft.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1000000.0)).toArray)
+      .toMap
+    // exact truth set with the operator's own arithmetic (integer dot,
+    // one IEEE division)
+    def cosine(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var aa = 0L; var bb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+    }
+    val ids = vecs.keys.toArray.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if cosine(vecs(ids(i)), vecs(ids(j))) >= 0.3
+    } yield (ids(i), ids(j))).toSet
+    val out = Dedup.EmbedNearDupLsh.run(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(out.map(_._1).distinct.length == out.length, "pair dedup")
+    out.foreach { case ((a, b), cos) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(truth((a, b)), s"reported pair ($a,$b) below threshold")
+      assert(cos == cosine(vecs(a), vecs(b)), s"cosine mismatch at ($a,$b)")
+    }
+    // sign-LSH at cosine 0.3 with 8 tables x 4 planes: expected pair
+    // recall ~0.6; assert a conservative floor (misses are the documented
+    // LSH trade, quantified per-layout by q_ann_recall)
+    val recall = out.length.toDouble / truth.size
+    assert(truth.nonEmpty && recall >= 0.4, s"recall $recall over ${truth.size}")
+  }
 }

@@ -284,4 +284,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("srcA") == ((4L, 2L, 0.5)), s"${out("srcA")}")
     assert(out("srcB") == ((2L, 0L, 0.0)), s"${out("srcB")}")
   }
+
+  test("source terms: a source-exclusive token outranks shared vocabulary") {
+    import spark.implicits._
+    // srcX says 'quantum' (its exclusive term) among shared filler; srcY
+    // only shares the filler. Floor is 5 occurrences.
+    val filler = (1 to 30).map(_ => "the data").mkString(" ")
+    val docs = Seq(
+      (1L, s"${(1 to 8).map(_ => "quantum").mkString(" ")} $filler", "en", "srcX", 0L),
+      (2L, filler, "en", "srcY", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("terms_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.SourceTerms.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(4)))
+    val srcX = out.filter(_._1 == "srcX")
+    assert(srcX.head._3 == "quantum", s"top srcX term: ${srcX.head}")
+    // exclusive term's ratio strictly exceeds every shared term's
+    assert(srcX.tail.forall(_._4 < srcX.head._4))
+    // ranks contiguous from 1 within each source
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // catalog run: every source reports exactly K rows
+    val cat = CorpusOps.SourceTerms.run(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(cat.nonEmpty && cat.groupBy(_.getString(0)).values.forall(_.length == 3))
+  }
 }
