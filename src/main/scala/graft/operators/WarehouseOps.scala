@@ -546,8 +546,92 @@ object WarehouseOps {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q18 flavor ("large volume customers"): orders whose total
+    * lineitem quantity exceeds a threshold, joined back to order + customer
+    * detail. The distinctive plan shape — an AGGREGATE-DERIVED filter on
+    * the fact table (SQL's HAVING-subquery-in-IN) — is one orderkey
+    * aggregate whose survivors then equi-join `orders` (already key-sized)
+    * and broadcast-join the customer dimension. Quantities sum through
+    * [[graft.functions.SafeMath.exactSum]]'s decimal path: order-
+    * independent, hash-exact.
+    */
+  object LargeOrders extends GraftQuery {
+    val name = "q_large_orders"
+    private val MinQty = 200.0
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val big = Graft.table(spark, sfDir, "lineitem")
+        .groupBy("l_orderkey").agg(exactSum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > MinQty)
+      val o = Graft.table(spark, sfDir, "orders")
+      val c = Graft.table(spark, sfDir, "customer")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty"))
+        .orderBy("o_orderkey")
+    }
+    val oracle = Some(
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |         CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+         |           AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+         |         > $MinQty)
+         |SELECT c_name, o_orderkey, o_totalprice, sum_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |         JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** TPC-H Q22 flavor ("global sales opportunity"): high-balance customers
+    * with no RECENT orders — per nation, how many such dormant accounts
+    * and their total balance. Two classic shapes in one plan: an anti
+    * join against the date-filtered fact (the date predicate pushes to
+    * the parquet scan, so the anti side builds from a pruned key set) and
+    * a scalar-subquery threshold (the 1-row exact average broadcast back
+    * onto the customer scan). Balances aggregate decimal-exact.
+    */
+  object DormantCustomers extends GraftQuery {
+    val name = "q_dormant_customers"
+    private val Cutoff = "1998-01-01"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val cust = Graft.table(spark, sfDir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(exactAvg(col("c_acctbal")).as("avg_bal"))
+      val recent = Graft.table(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$Cutoff'"))
+        .select(col("o_custkey").as("c_custkey"))
+      val n = Graft.table(spark, sfDir, "nation")
+      cust.join(recent, Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), exactSum(col("c_acctbal")).as("total_bal"))
+        .orderBy("n_name")
+    }
+    val oracle = Some(
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+        |         / CAST(count(c_acctbal) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0),
+        |dormant AS (
+        |  SELECT c.* FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
+        |SELECT n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+        |         AS total_bal
+        |FROM dormant, avg_bal
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > avg_bal
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
       GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot,
-      SnapshotDiff, MergeUpsert)
+      SnapshotDiff, MergeUpsert, LargeOrders, DormantCustomers)
 }

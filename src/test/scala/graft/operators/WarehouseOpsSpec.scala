@@ -193,4 +193,47 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(price == expectedPrice, s"key $k price $price != $expectedPrice")
     }
   }
+
+  test("large orders: exactly the orders above the quantity threshold, " +
+    "with the true quantity sum") {
+    import org.apache.spark.sql.functions._
+    val truth = graft.Graft.table(spark, sf, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = WarehouseOps.LargeOrders.run(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val expected = truth.filter(_._2 > 200.0)
+    assert(out.length == expected.size, s"${out.length} vs ${expected.size}")
+    out.foreach { case (ok, sq) =>
+      assert(expected.get(ok).contains(sq), s"order $ok sum $sq") }
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+  }
+
+  test("dormant customers: only above-average balances with no recent " +
+    "orders are counted, grouped under their nation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dormant_spec").toString
+    // balances: avg of positives = (100+200+300+400)/4 = 250
+    // c1 bal 400 no orders at all → dormant, above avg → counted
+    // c2 bal 300 only an OLD order  → dormant, above avg → counted
+    // c3 bal 200 no recent orders   → dormant but below avg → dropped
+    // c4 bal 100 has a recent order → not dormant → dropped
+    Seq((1L, "c1", 0L, 400.0, "A"), (2L, "c2", 0L, 300.0, "A"),
+      (3L, "c3", 1L, 200.0, "B"), (4L, "c4", 1L, 100.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val old = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    val recent = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    Seq((10L, 2L, "O", 1.0, old, "x"), (11L, 4L, "O", 1.0, recent, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((0L, "ALPHA", 0L), (1L, "BETA", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    val out = WarehouseOps.DormantCustomers.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("ALPHA", 2L, 700.0)), s"${out.toSeq}")
+  }
 }
