@@ -49,20 +49,28 @@ object SourceQueries {
     * pixel-level semantics are oracle'd by ScalaTest instead
     * (ImageOpsSpec/ImagePipelineSpec).
     */
+  /** Create (once per scale factor) the deterministic 4-level PNG shard
+    * tree both binary-source queries scan. Returns the tree root.
+    */
+  private def ensureImageTree(sfDir: String): String = {
+    val root = workDir("img", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
+        Files.createDirectories(dir)
+        val img = ImageOps.Image(16, 16,
+          Array.fill(256)(((i * 10) << 16) | ((255 - i * 10) << 8) | i))
+        Files.write(dir.resolve(f"img$i%03d.png"), ImageOps.encodePng(img))
+      }
+    }
+    root
+  }
+
   object BinaryScan extends GraftQuery {
     val name = "q_binary_scan"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import graft.images.ImagePipeline
-      val root = workDir("img", sfDir)
-      if (!Files.exists(Paths.get(root, "0"))) {
-        for (i <- 0 until 24) {
-          val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
-          Files.createDirectories(dir)
-          val img = ImageOps.Image(16, 16,
-            Array.fill(256)(((i * 10) << 16) | ((255 - i * 10) << 8) | i))
-          Files.write(dir.resolve(f"img$i%03d.png"), ImageOps.encodePng(img))
-        }
-      }
+      val root = ensureImageTree(sfDir)
       val images = ImagePipeline.scanImages(spark, root, "*.png")
       // scalar columns only: the driver's comparator sorts result values,
       // and array cells are unsortable/unhashable on the pandas side
@@ -170,7 +178,48 @@ object SourceQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** S1's metadata pass WITH an oracle — the one binary-source operator a
+    * second engine can replay: image dimensions and byte sizes parsed from
+    * the PNG IHDR header by pure byte arithmetic (width = bytes 17–20
+    * big-endian, height = 21–24), over the same sharded tree
+    * [[BinaryScan]] scans. Spark reads the `binaryFile` source and slices
+    * `content`; the oracle reads the SAME FILES via DuckDB `read_blob` and
+    * slices identically — closing the round-1 `no_oracle` gap for the
+    * binary path at the header level (pixel decoding stays spec-verified:
+    * IDAT is zlib territory no SQL engine replays).
+    *
+    * The oracle's glob is pinned to the driver's sf0.01 verify dir (oracle
+    * SQL is static text; the correctness gate only runs at sf0.01, and the
+    * Spark side materializes the tree before the oracle reads it). At
+    * corpus scale this is the no-decode metadata pass that sizes/filters
+    * a 100 TB image set without touching pixel data.
+    */
+  object ImageDims extends GraftQuery {
+    val name = "q_image_dims"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val root = ensureImageTree(sfDir)
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+          regexp_extract(col("path"), "img(\\d+)\\.png", 1).cast("long").as("img_id"),
+          conv(hex(expr("substring(content, 17, 4)")), 16, 10).cast("long").as("width"),
+          conv(hex(expr("substring(content, 21, 4)")), 16, 10).cast("long").as("height"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .orderBy("img_id")
+    }
+    val oracle = Some(
+      """SELECT CAST(regexp_extract(filename, 'img(\d+)\.png', 1) AS BIGINT)
+        |         AS img_id,
+        |       ('0x' || substring(hex(content), 33, 8))::BIGINT AS width,
+        |       ('0x' || substring(hex(content), 41, 8))::BIGINT AS height,
+        |       CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')
+        |ORDER BY img_id""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(CsvRoundtrip, BinaryScan, JsonlRoundtrip, OrcRoundtrip,
+    Seq(CsvRoundtrip, BinaryScan, ImageDims, JsonlRoundtrip, OrcRoundtrip,
       PartitionedRoundtrip)
 }

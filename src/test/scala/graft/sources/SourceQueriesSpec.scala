@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Source/sink semantics not visible to the oracle hash-match: the
   * partitioned layout's PLAN guarantee — the source filter must prune at
@@ -37,5 +38,26 @@ class SourceQueriesSpec extends SparkSpec {
     val expected = graft.Graft.table(spark, sf, "documents")
       .filter(col("source").isin("src1", "src2")).count()
     assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("image dims: SQL header arithmetic agrees with the driver-side " +
+    "parser on every file in the tree") {
+    val rows = SourceQueries.ImageDims.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 24)
+    assert(rows.map(_._1).toSeq == (0L until 24L), "one row per image, ordered")
+    // differential: re-parse each file with ImageOps.imageDims
+    val safe = sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_img_$safe")
+    rows.foreach { case (id, w, h, nBytes) =>
+      assert(w == 16 && h == 16, s"img $id dims ${w}x$h")
+      val file = java.nio.file.Files.walk(root).iterator().asScala
+        .find(_.getFileName.toString == f"img$id%03d.png").get
+      val bytes = java.nio.file.Files.readAllBytes(file)
+      assert(bytes.length.toLong == nBytes, s"img $id size")
+      val parsed = graft.images.ImageOps.imageDims(bytes)
+      assert(parsed.contains((w.toInt, h.toInt, "png")), s"img $id: $parsed")
+    }
   }
 }
