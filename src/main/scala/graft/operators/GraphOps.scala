@@ -108,5 +108,72 @@ object GraphOps {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(PageRank)
+  /** Triangle counting over the undirected token co-occurrence graph —
+    * the second classic distributed-graph workload beside the iterative
+    * joins ([[PageRank]], the dedup connected components): per token, how
+    * many closed triangles it participates in (clustering-structure
+    * density around each vocabulary hub).
+    *
+    * The standard two-join formulation with the standard safeguard:
+    * edges are canonicalized to a < b, wedges enumerate ONLY ascending
+    * paths a < b < c (each triangle is built exactly once — no /3
+    * correction, no double counting), and the closing edge check is a
+    * LEFT SEMI join. Scale shape: the edge set is VOCAB-sized (distinct
+    * bigrams), persisted once and read three times; both joins shuffle
+    * edge keys, never corpus rows. At web scale the same plan runs with
+    * degree-ordered canonicalization (order by degree, then id) to bound
+    * wedge fan-out on hub nodes — id order here keeps the oracle exact.
+    */
+  object Triangles extends GraftQuery {
+    val name = "q_triangles"
+    private val K = 15
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val bi = Graft.table(spark, sfDir, "documents")
+        .select(explode(
+          graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("u"),
+          split(col("g"), " ").getItem(1).as("v"))
+      val und = bi
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") < col("b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wedges = und.as("x")
+        .join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      val tris = wedges
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("token").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.tok, t.i
+         |  FROM (SELECT doc_id,
+         |               string_split_regex(trim(text), '\\s+') AS l FROM documents) d,
+         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+         |bi AS (
+         |  SELECT DISTINCT t1.tok AS u, t2.tok AS v
+         |  FROM toks t1 JOIN toks t2
+         |    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+         |und AS (
+         |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         |  FROM bi WHERE least(u, v) < greatest(u, v)),
+         |tris AS (
+         |  SELECT x.a, x.b, y.b AS c
+         |  FROM und x JOIN und y ON x.b = y.a
+         |  WHERE EXISTS (SELECT 1 FROM und z WHERE z.a = x.a AND z.b = y.b)),
+         |exploded AS (
+         |  SELECT a AS token FROM tris
+         |  UNION ALL SELECT b FROM tris
+         |  UNION ALL SELECT c FROM tris)
+         |SELECT token, count(*) AS n_triangles
+         |FROM exploded GROUP BY 1
+         |ORDER BY n_triangles DESC, token ASC
+         |LIMIT $K""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(PageRank, Triangles)
 }

@@ -54,4 +54,28 @@ class GraphOpsSpec extends SparkSpec {
       assert(units > 0L)
     }
   }
+
+  test("triangles: a planted 4-clique and a pendant node count exactly") {
+    import spark.implicits._
+    // doc1 walks a 4-clique a-b-c-d (every pair an edge); doc2 hangs
+    // pendant "e" off "a" (e closes no triangle). K4 has 4 triangles,
+    // each vertex in C(3,2)=3 of them.
+    val docs = Seq(
+      (1L, "a b c d a c b d", "en", "s", 0L), // edges ab bc cd ac acb...
+      (2L, "a e", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tri_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // bigrams of doc1: ab bc cd da ac cb bd → undirected: ab bc cd ad ac bd
+    // = all 6 K4 edges; doc2 adds ae
+    val out = GraphOps.Triangles.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), s"$out")
+    // catalog: per-token counts are positive and descending
+    val cat = GraphOps.Triangles.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(cat.nonEmpty && cat.forall(_._2 > 0))
+    assert(cat.map(_._2).toSeq == cat.map(_._2).sortBy(-_).toSeq)
+  }
 }
