@@ -18,7 +18,8 @@ object SparkEntry {
       operators.WindowOps.all ++
       operators.AnalyticOps.all ++
       operators.AsOfJoin.all ++
-      Seq(operators.Salting.SaltedAgg, operators.Salting.KeySkew) ++
+      Seq(operators.Salting.SaltedAgg, operators.Salting.KeySkew,
+        operators.Salting.SaltedJoin) ++
       operators.AuditOps.all ++
       operators.GraphOps.all ++
       operators.BehaviorOps.all ++

@@ -103,4 +103,55 @@ object Salting {
          |ORDER BY n DESC, key ASC
          |LIMIT $K""".stripMargin)
   }
+
+  /** The salted JOIN — [[SaltedAgg]]'s sibling for the join side: when one
+    * join key carries most of the fact rows, the standard rewrite salts
+    * the fact side (deterministic value-hash, retry-idempotent) and
+    * REPLICATES each dim row across all salts, turning one straggler
+    * partition into `salts` even ones. AQE's skew splitting does this
+    * adaptively for sort-merge joins; the explicit rewrite is the form
+    * that also covers aggregating-after-join and pre-AQE engines, and —
+    * run here over the most skewed key in the testdata (3 return flags ×
+    * 600k rows at sf0.1) — it is HASH-PROVEN result-identical to the
+    * plain join, which the oracle states directly as the unsalted query.
+    *
+    * The dim is hash-derived per key (a fee-rate lookup), replicated
+    * `salts`× by a scan-side explode — dim replication cost is
+    * |dim|·salts rows, the deliberate trade against the hot partition.
+    * Each weighted element is ONE IEEE product, summed decimal-exact.
+    */
+  object SaltedJoin extends GraftQuery {
+    val name = "q_salted_join"
+    private val Salts = 32
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash28
+      val fact = Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_returnflag").as("key"), col("l_extendedprice").as("v"),
+          pmod(hash(col("l_extendedprice")), lit(Salts)).as("salt"))
+      val dim = Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_returnflag").as("key")).distinct()
+        .select(col("key"),
+          (pHash28(concat(lit("rate:"), col("key"))) % 50 + 1).as("rate"))
+        .select(col("key"), col("rate"),
+          explode(sequence(lit(0), lit(Salts - 1))).as("salt"))
+      fact.join(dim, Seq("key", "salt"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"),
+          sum((col("v") * col("rate")).cast("decimal(27,6)")).cast("double")
+            .as("weighted_total"))
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy("l_returnflag")
+    }
+    val oracle = Some(
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag AS key,
+        |         ('0x' || substr(md5('rate:' || l_returnflag), 1, 7))::BIGINT
+        |           % 50 + 1 AS rate
+        |  FROM lineitem)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l.l_extendedprice * d.rate AS DECIMAL(27,6)))
+        |            AS DOUBLE) AS weighted_total
+        |FROM lineitem l JOIN dim d ON l.l_returnflag = d.key
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

@@ -134,4 +134,24 @@ class ScaleSpec extends SparkSpec {
     rows.tail.foreach(r => assert(r.getLong(1) == 1L))
     assert(rows.tail.map(_.getLong(0)).toSeq == (2L to 10L))
   }
+
+  test("salted join ≡ plain join: every fact row matched exactly once") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash.pHash28
+    val out = Salting.SaltedJoin.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val li = graft.Graft.table(spark, sf, "lineitem")
+    val dim = li.select(col("l_returnflag").as("key")).distinct()
+      .select(col("key"),
+        (pHash28(concat(lit("rate:"), col("key"))) % 50 + 1).as("rate"))
+    val plain = li.join(dim, li("l_returnflag") === dim("key"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * col("rate")).cast("decimal(27,6)"))
+          .cast("double").as("wt"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == plain.toSeq, s"salted ${out.toSeq} vs plain ${plain.toSeq}")
+    assert(out.map(_._2).sum == li.count(), "each fact row joined exactly once")
+  }
 }
