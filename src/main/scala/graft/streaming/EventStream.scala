@@ -123,6 +123,44 @@ object EventStream {
       }
   }
 
+  final case class LagState(vSec: Long, pSec: Long)
+  final case class ConversionLagRow(user_id: Long, lag_sec: Long)
+
+  /** Streaming time-to-conversion: the keyed-state twin of
+    * [[graft.operators.BehaviorOps.ConversionLag]] — per user, latch the
+    * first view, then emit ONE lag row the moment the first strictly-later
+    * purchase lands. State is two longs per user; a converted user's key
+    * never emits again (the batch `min(p_sec)` semantics, incrementally).
+    *
+    * Same delivery contract as [[funnelStages]]: exact under per-user
+    * in-timestamp-order delivery (in-batch events are sorted; a straggler
+    * view older than the latched one is not retroactively applied — the
+    * batch twin is the backfill correction path).
+    */
+  def conversionLags(events: Dataset[Event]): Dataset[ConversionLagRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LagState, ConversionLagRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LagState]) =>
+          var s = state.getOption.getOrElse(LagState(-1L, -1L))
+          var emit: Option[ConversionLagRow] = None
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            e.event_type match {
+              case "view" if s.vSec < 0 =>
+                s = s.copy(vSec = sec)
+              case "purchase" if s.vSec >= 0 && s.pSec < 0 && sec > s.vSec =>
+                s = s.copy(pSec = sec)
+                emit = Some(ConversionLagRow(uid, sec - s.vSec))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          emit.iterator
+      }
+  }
+
   final case class SnapshotKey(user_id: Long, event_type: String)
   final case class SnapshotRow(user_id: Long, event_type: String,
       last_sec: Long, last_event_id: Long, last_value: Double)

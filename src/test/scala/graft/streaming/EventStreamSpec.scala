@@ -191,6 +191,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamCounts.head > 0)
   }
 
+  test("streaming conversion lags bucket to the batch lag histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    val stream = MemoryStream[EventStream.Event]
+    stream.addData(batch.collect().toSeq)
+    val q = EventStream.conversionLags(stream.toDS())
+      .writeStream.format("memory").queryName("lag_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val lags = spark.table("lag_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(lags.map(_._1).distinct.length == lags.length,
+      "at most one conversion emitted per user")
+    val streamHist = lags.map(_._2).groupBy(_ / 3600)
+      .map { case (b, ls) => b -> (ls.length.toLong, ls.min, ls.max) }
+    val batchHist = graft.operators.BehaviorOps.ConversionLag.run(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamHist == batchHist, s"stream $streamHist vs batch $batchHist")
+    assert(streamHist.nonEmpty)
+  }
+
   test("streaming latest snapshot converges to the batch snapshot, even out of order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
