@@ -594,7 +594,7 @@ object WarehouseOps {
     */
   object DormantCustomers extends GraftQuery {
     val name = "q_dormant_customers"
-    private val Cutoff = "1998-01-01"
+    private val Cutoff = "2000-01-01"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val cust = Graft.table(spark, sfDir, "customer")
       val avgBal = cust.filter(col("c_acctbal") > 0)
@@ -620,7 +620,7 @@ object WarehouseOps {
         |  SELECT c.* FROM customer c
         |  WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                    WHERE o.o_custkey = c.c_custkey
-        |                      AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
+        |                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
         |SELECT n_name, count(*) AS n_cust,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
         |         AS total_bal
