@@ -33,27 +33,44 @@ object GraphOps {
     private val Scale = 1000000000000L // 1e-12 rank units
     private val Iters = 5
     private val K = 20
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val docs = Graft.table(spark, sfDir, "documents")
-      // corpus-distinct directed bigram edges, via the fused
-      // tokenize→bigram kernel (same dialect contract as q_bigram_stats)
-      val edges = docs
-        .select(explode(
-          graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
-        .distinct()
-        .select(split(col("g"), " ").getItem(0).as("w1"),
-          split(col("g"), " ").getItem(1).as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = edges.groupBy("w1").agg(count(lit(1)).as("deg"))
-      val nodes = docs
-        .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    /** Fixed-point integer ranks per node, gated by MEASURED graph size
+      * (the [[graft.dedup.Dedup.connectedComponents]] stance applied to
+      * the second iterative-graph operator): a vocab-bounded token graph
+      * is a few hundred edges, where each distributed round's fixed
+      * plan+codegen+job cost (~0.8 s) is 1000× the arithmetic — below the
+      * threshold the five rounds run as a driver loop over the SAME
+      * truncating-div integer recurrence, bit-identical by construction
+      * (both paths sum the same integers; GraphOpsSpec forces the
+      * distributed path and asserts equality). Webscale graphs take the
+      * distributed loop unchanged.
+      */
+    def pagerankRanks(edges: DataFrame, nodes: DataFrame,
+        smallGraphThreshold: Long = 100000L): DataFrame = {
+      val spark = edges.sparkSession
       // N is a driver scalar (one count over the persisted vocab) — the
       // per-iteration literals derive from it with the same Long division
       // the oracle's BIGINT `//` performs
       val n = nodes.count()
       val base = (15L * Scale) / (100L * n)
+      if (edges.count() <= smallGraphThreshold) {
+        import spark.implicits._
+        val es = edges.select("w1", "w2").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val ns = nodes.select("t").collect().map(_.getString(0))
+        val deg = es.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+        var rank = ns.map(_ -> Scale / n).toMap
+        for (_ <- 1 to Iters) {
+          val inflow = scala.collection.mutable.Map[String, Long]()
+            .withDefaultValue(0L)
+          es.foreach { case (a, b) =>
+            inflow(b) += (85L * rank(a)) / (100L * deg(a))
+          }
+          rank = ns.map(t => t -> (base + inflow(t))).toMap
+        }
+        return ns.map(t => (t, rank(t))).toSeq.toDF("t", "rank")
+      }
+      val deg = edges.groupBy("w1").agg(count(lit(1)).as("deg"))
       var r = nodes.select(col("t"), lit(Scale / n).as("rank"))
       for (_ <- 1 to Iters) {
         val inflow = r.withColumnRenamed("t", "w1")
@@ -66,7 +83,26 @@ object GraphOps {
             (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-      r.select(col("t").as("token"), col("rank").as("rank_units"),
+      r
+    }
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      // corpus-distinct directed bigram edges, via the fused
+      // tokenize→bigram kernel (same dialect contract as q_bigram_stats)
+      val edges = docs
+        .select(explode(
+          graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
+        .distinct()
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = docs
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pagerankRanks(edges, nodes)
+        .select(col("t").as("token"), col("rank").as("rank_units"),
           (col("rank").cast("double") / lit(1.0e12)).as("pagerank"))
         .orderBy(col("rank_units").desc, col("token").asc)
         .limit(K)

@@ -44,6 +44,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.head._1 == "c")
   }
 
+  test("pagerank: the forced-distributed path agrees with the gated " +
+    "driver loop on the catalog graph") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Graft.table(spark, sf, "documents")
+    def graph() = {
+      val edges = docs.select(explode(
+          graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
+        .distinct()
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = docs.select(explode(
+          graft.text.TextOps.tokens(col("text"))).as("t")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (edges, nodes)
+    }
+    val (e1, n1) = graph()
+    val gated = GraphOps.PageRank.pagerankRanks(e1, n1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (e2, n2) = graph()
+    val distributed = GraphOps.PageRank
+      .pagerankRanks(e2, n2, smallGraphThreshold = 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(gated.nonEmpty && gated == distributed,
+      s"paths diverge; sample=${(distributed.toSet -- gated.toSet).take(3)}")
+  }
+
   test("pagerank on the catalog: ordered, consistent, above teleport base") {
     val out = GraphOps.PageRank.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
