@@ -48,6 +48,50 @@ object WindowOps {
          |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_revenue""".stripMargin)
   }
 
+  /** GLOBAL exact running total WITHOUT a global window: the naive
+    * `sum() OVER (ORDER BY key)` with no partition moves every row to one
+    * partition — the formulation that dies first at 100 TB. This operator
+    * computes the identical result with the distributed two-phase prefix
+    * sum (the `q_pps_sample` decomposition applied to decimal money):
+    * per-bucket decimal sums → exclusive offsets via a window over the
+    * BUCKET frame (rows = table/B — the one deliberately-tiny
+    * single-partition spot) → within-bucket windows under
+    * HashPartitioning(bkt). The oracle IS the naive global cumsum, so the
+    * green hash proves the decomposition exact — decimal addition is
+    * associative, which is the whole trick.
+    */
+  object RunningTotalDist extends GraftQuery {
+    val name = "q_running_total_dist"
+    private val B = 10000L // orders per prefix-sum bucket
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bOff = o.groupBy(expr(s"o_orderkey div $B").as("bkt"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("bw"))
+        .withColumn("b_off",
+          coalesce(sum(col("bw")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0).cast(DecimalType(27, 6))))
+        .select("bkt", "b_off")
+      val inB = Window.partitionBy("bkt").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("bkt", expr(s"o_orderkey div $B"))
+        .join(broadcast(bOff), "bkt")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("b_off") +
+            sum(col("o_totalprice").cast(DecimalType(27, 6))).over(inB))
+            .cast("double").as("running_total"))
+        .orderBy("o_orderkey")
+    }
+    val oracle = Some(
+      """SELECT o_orderkey, o_totalprice,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+        |            OVER (ORDER BY o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Ranking window — top-3 orders per customer by price. */
   object TopNPerGroup extends GraftQuery {
     val name = "q_topn_per_group"
@@ -225,6 +269,6 @@ object WindowOps {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(RunningSum, TopNPerGroup, TumblingWindow, HoppingWindow, Rolling7d,
-      WindowPack, PercentileRank)
+    Seq(RunningSum, RunningTotalDist, TopNPerGroup, TumblingWindow,
+      HoppingWindow, Rolling7d, WindowPack, PercentileRank)
 }

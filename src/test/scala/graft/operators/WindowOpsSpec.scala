@@ -76,4 +76,24 @@ class WindowOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("distributed running total ≡ the naive global window cumsum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val out = WindowOps.RunningTotalDist.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val naive = graft.Graft.table(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(27, 6)))
+          .over(Window.orderBy("o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("rt"))
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == naive.toSeq,
+      s"decomposition diverges from the naive cumsum at " +
+        s"${out.zip(naive).find { case (a, b) => a != b }}")
+    assert(out.nonEmpty)
+  }
 }
