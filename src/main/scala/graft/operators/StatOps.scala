@@ -350,7 +350,113 @@ object StatOps {
          |ORDER BY hour""".stripMargin)
   }
 
+  /** Histogram-based approximate quantiles WITH their exact error — the
+    * mergeable-quantile sketch completing the family (KMV = distinct,
+    * Count-Min = frequency, Bloom = membership; this = rank): a fixed
+    * [[Bins]]-bin equi-width histogram per event type estimates p50/p95
+    * as the lower edge of the first bin whose cumulative count reaches
+    * the positional rank, with the EXACT positional quantile computed
+    * beside it and the absolute error reported. The histogram is the
+    * scale path (its partial state is a vector add — the merge law — and
+    * the (type, bin) frame is map-side combinable at any volume); the
+    * exact side is the evaluation baseline, the same
+    * bounded-truth-beside-the-sketch shape as `q_countmin` and the
+    * recall queries.
+    *
+    * Everything is INTEGER: values are lossless cents, bin =
+    * ((x−mn)·B) div (mx−mn+1), ranks are the positional
+    * max(1, ((n+1)·p) div 100) rule shared with [[Quartiles]], and the
+    * estimate mn + (bin·w) div B stays in cents — hash-exact cross-engine
+    * with no float anywhere.
+    */
+  object HistQuantile extends GraftQuery {
+    val name = "q_hist_quantile"
+    private val Bins = 128L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      val stats = ev.groupBy("event_type")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("mn"), (col("mx") - col("mn") + 1).as("w"),
+          greatest(lit(1L), expr("((n + 1) * 50) div 100")).as("r50"),
+          greatest(lit(1L), expr("((n + 1) * 95) div 100")).as("r95"))
+      val binned = ev.join(broadcast(stats), Seq("event_type"))
+      val hist = binned
+        .groupBy(col("event_type"), expr(s"((x - mn) * $Bins) div w").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val est = hist.withColumn("cum", sum(col("c")).over(cumW))
+        .join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= col("r50"), col("bin"))).as("b50"),
+          min(when(col("cum") >= col("r95"), col("bin"))).as("b95"))
+        .join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"),
+          (col("mn") + expr(s"(b50 * w) div $Bins")).as("est_p50"),
+          (col("mn") + expr(s"(b95 * w) div $Bins")).as("est_p95"))
+      val rnW = Window.partitionBy("event_type")
+        .orderBy(col("x").asc, col("event_id").asc)
+      val exact = binned.withColumn("rn", row_number().over(rnW))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === col("r50"), col("x"))).as("exact_p50"),
+          min(when(col("rn") === col("r95"), col("x"))).as("exact_p95"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("exact_p50"), col("est_p50"),
+          abs(col("est_p50") - col("exact_p50")).as("err_p50"),
+          col("exact_p95"), col("est_p95"),
+          abs(col("est_p95") - col("exact_p95")).as("err_p95"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id,
+         |         CAST(round(value * 100) AS BIGINT) AS x
+         |  FROM events),
+         |stats AS (
+         |  SELECT event_type, min(x) AS mn, max(x) - min(x) + 1 AS w,
+         |         greatest(1, ((count(*) + 1) * 50) // 100) AS r50,
+         |         greatest(1, ((count(*) + 1) * 95) // 100) AS r95
+         |  FROM ev GROUP BY 1),
+         |binned AS (
+         |  SELECT ev.*, mn, w, r50, r95, ((x - mn) * $Bins) // w AS bin
+         |  FROM ev JOIN stats USING (event_type)),
+         |hist AS (
+         |  SELECT event_type, bin, count(*) AS c
+         |  FROM binned GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, bin,
+         |         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |est AS (
+         |  SELECT c.event_type,
+         |         s.mn + (min(CASE WHEN cum >= r50 THEN bin END) * s.w) // $Bins
+         |           AS est_p50,
+         |         s.mn + (min(CASE WHEN cum >= r95 THEN bin END) * s.w) // $Bins
+         |           AS est_p95
+         |  FROM cum c JOIN stats s USING (event_type)
+         |  GROUP BY 1, s.mn, s.w),
+         |exact AS (
+         |  SELECT event_type,
+         |         min(CASE WHEN rn = r50 THEN x END) AS exact_p50,
+         |         min(CASE WHEN rn = r95 THEN x END) AS exact_p95
+         |  FROM (SELECT event_type, x, r50, r95,
+         |               row_number() OVER (PARTITION BY event_type
+         |                                  ORDER BY x, event_id) AS rn
+         |        FROM binned)
+         |  GROUP BY 1)
+         |SELECT event_type, exact_p50, est_p50,
+         |       abs(est_p50 - exact_p50) AS err_p50,
+         |       exact_p95, est_p95, abs(est_p95 - exact_p95) AS err_p95
+         |FROM exact JOIN est USING (event_type)
+         |ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles,
-      Profile, EventSpike)
+      Profile, EventSpike, HistQuantile)
 }

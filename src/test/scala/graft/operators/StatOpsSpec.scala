@@ -129,4 +129,34 @@ class StatOpsSpec extends SparkSpec {
       assert(r.getInt(4) == 0, s"σ=0 hour flagged: $r")
     }
   }
+
+  test("hist quantile: error bounded by one bin width; exact on a " +
+    "one-value-per-bin fixture") {
+    import spark.implicits._
+    // 128 values at cents 0..127 with 128 bins → every bin holds exactly
+    // its own value, so the histogram estimate IS the exact quantile
+    val ev = (0 until 128).map(i =>
+      (i.toLong, i * 1000000000L, 1L, "t", i / 100.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("hq_spec").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatOps.HistQuantile.run(spark, dir).collect().head
+    assert(r.getLong(3) == 0L && r.getLong(6) == 0L,
+      s"one-value-per-bin fixture must estimate exactly: $r")
+    assert(r.getLong(1) == 63L && r.getLong(4) == 121L,
+      s"positional ranks: ${r}") // r50=((129*50)//100)=64 → x=63; r95=122 → x=121
+    // catalog: the estimate can never be off by more than one bin width
+    import org.apache.spark.sql.functions._
+    val widths = graft.Graft.table(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .groupBy("event_type")
+      .agg(((max(col("x")) - min(col("x")) + 1L) / 128L + 1L).as("bw"))
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    StatOps.HistQuantile.run(spark, sf).collect().foreach { row =>
+      val t = row.getString(0)
+      assert(row.getLong(3) <= widths(t) + 1 && row.getLong(6) <= widths(t) + 1,
+        s"$t error exceeds a bin width: $row vs ${widths(t)}")
+    }
+  }
 }
