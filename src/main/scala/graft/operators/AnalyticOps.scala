@@ -367,7 +367,87 @@ object AnalyticOps {
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Point-in-time forward fill (LOCF — last observation carried forward):
+    * at every event, the user's most recent purchase value at-or-before
+    * that moment. This is the leakage-free feature-engineering primitive
+    * (a training example may only see state from its own past) expressed
+    * as a window rather than an as-of join: `last(..., ignoreNulls)` over
+    * the per-user prefix frame — ONE sort-shuffle on user_id, no join,
+    * the formulation that wins when features and events live in the SAME
+    * stream (the as-of join [[AsOfJoin]] covers the two-stream case).
+    * The carried value is copied, never computed — no float arithmetic to
+    * diverge.
+    */
+  object LocfFeatures extends GraftQuery {
+    val name = "q_locf_features"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts div 1000000000").as("sec"))
+        .select(col("user_id"), col("event_id"), col("sec"), col("event_type"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy("user_id", "sec", "event_id")
+    }
+    val oracle = Some(
+      """SELECT user_id, event_id, sec, event_type,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_purchase_value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |             epoch_ns(ts) // 1000000000 AS sec
+        |      FROM events)
+        |ORDER BY user_id, sec, event_id""".stripMargin)
+  }
+
+  /** Burstiness (Fano factor) of hourly event volume per type —
+    * variance-to-mean of the per-hour counts: ~1 for Poisson-like
+    * arrivals, ≫1 for bursty feeds. The per-family companion to
+    * [[graft.operators.StatOps.EventSpike]]'s per-hour alarm: spike says
+    * WHEN, this says WHICH STREAM is structurally bursty. Observed
+    * buckets only (an absent hour is no sample, the documented stance).
+    * Fano = (n·Σc² − (Σc)²) / (n·Σc): exact BIGINT products into one
+    * IEEE division — hash-exact. Two stacked map-side-combinable
+    * aggregates; nothing bigger than (type, hour) crosses a shuffle.
+    */
+  object Burstiness extends GraftQuery {
+    val name = "q_burstiness"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("q"))
+        .select(col("event_type"), col("n_buckets"), col("n_events"),
+          ((col("n_buckets") * col("q") - col("n_events") * col("n_events"))
+            .cast("double") /
+            (col("n_buckets") * col("n_events")).cast("double")).as("fano"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_buckets,
+        |         CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, n_buckets, n_events,
+        |       CAST(n_buckets * q - n_events * n_events AS DOUBLE)
+        |         / CAST(n_buckets * n_events AS DOUBLE) AS fano
+        |FROM agg ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(OrdersByMonth, MedianPrice, RegexExtract, Sessionize, ApproxDistinct,
-      RangeJoin, DateParts, ArrayAgg, Skyline, SeasonalProfile)
+      RangeJoin, DateParts, ArrayAgg, Skyline, SeasonalProfile, LocfFeatures,
+      Burstiness)
 }

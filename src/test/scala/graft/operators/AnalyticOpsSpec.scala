@@ -72,4 +72,45 @@ class AnalyticOpsSpec extends SparkSpec {
       assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
     }
   }
+
+  test("locf: pre-purchase events carry null, later events carry the most " +
+    "recent purchase, a new purchase overrides") {
+    import spark.implicits._
+    val sec = (s: Long) => s * 1000000000L
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, sec(10)), (2L, 1L, "purchase", 5.5, sec(20)),
+      (3L, 1L, "click", 0.0, sec(30)), (4L, 1L, "purchase", 9.25, sec(40)),
+      (5L, 1L, "view", 0.0, sec(50)),
+      (6L, 2L, "view", 0.0, sec(10))) // u2 never purchases
+      .map { case (eid, uid, t, v, ts) => (eid, ts, uid, t, v, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("locf_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticOps.LocfFeatures.run(spark, dir).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(5.5), 3L -> Some(5.5),
+      4L -> Some(9.25), 5L -> Some(9.25), 6L -> None), s"$out")
+  }
+
+  test("burstiness: constant traffic scores 0, a planted burst scores the " +
+    "closed-form Fano factor") {
+    import spark.implicits._
+    val h = (hr: Long) => hr * 3600L * 1000000000L
+    // type "flat": 3 events in each of 2 hours → fano 0
+    // type "burst": 1 event then 5 events → n=2, s=6, q=26 → (52-36)/12 = 4/3
+    val rows =
+      (0 until 3).map(i => (100L + i, h(0) + i, 1L, "flat", 0.0, "{}")) ++
+      (0 until 3).map(i => (200L + i, h(1) + i, 1L, "flat", 0.0, "{}")) ++
+      Seq((300L, h(0) + 9L, 1L, "burst", 0.0, "{}")) ++
+      (0 until 5).map(i => (400L + i, h(1) + 20L + i, 1L, "burst", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("fano_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticOps.Burstiness.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("flat") == ((2L, 6L, 0.0)), s"${out("flat")}")
+    assert(out("burst") == ((2L, 6L, 16.0 / 12.0)), s"${out("burst")}")
+  }
 }
