@@ -470,7 +470,51 @@ object BehaviorOps {
          |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin)
   }
 
+  /** Cohort revenue (LTV curve): [[Retention]]'s revenue sibling — per
+    * first-activity-day cohort and day offset ≤ 7, the purchase count and
+    * decimal-exact revenue. Where retention answers "how many came back",
+    * this answers "what did each acquisition day earn as it aged" — the
+    * curve every growth model is fit against.
+    *
+    * One scan, one user-keyed shuffle: the cohort day is an unordered
+    * per-user window min (no sort needed), purchases filter AFTER the
+    * window so non-purchase events still anchor their user's cohort, and
+    * the final aggregate is (cohort, offset)-keyed — tiny. Integer epoch
+    * days; revenue through the decimal path.
+    */
+  object CohortRevenue extends GraftQuery {
+    val name = "q_cohort_revenue"
+    private val MaxOffset = 7
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.SafeMath.exactSum
+      val w = Window.partitionBy("user_id")
+      Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts div 86400000000000").as("day"))
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("day") - col("cohort_day") <= MaxOffset)
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_purchases"), exactSum(col("value")).as("revenue"))
+        .orderBy("cohort_day", "day_offset")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, value,
+         |         epoch_ns(ts) // 86400000000000 AS day
+         |  FROM events),
+         |coh AS (
+         |  SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day
+         |  FROM ev)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |       count(*) AS n_purchases,
+         |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+         |FROM coh
+         |WHERE event_type = 'purchase' AND day - cohort_day <= $MaxOffset
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
-      ConversionLag, ActiveUsers)
+      ConversionLag, ActiveUsers, CohortRevenue)
 }

@@ -662,8 +662,60 @@ object CorpusOps {
          |ORDER BY source, rank""".stripMargin)
   }
 
+  /** Per-document n-gram novelty — the information-content curation score
+    * between [[RarityScore]] (token-level rank rarity) and
+    * [[Boilerplate]] (chunk-level repetition): the fraction of a
+    * document's DISTINCT 3-token shingles that occur in no other
+    * document. High novelty = unique content worth keeping; near-zero =
+    * the document is assembled from passages the corpus already has.
+    *
+    * Scale shape: the distinct (doc, shingle-hash) frame is persisted
+    * (df aggregate + per-doc rollup both read it); shuffles carry 60-bit
+    * shingle hashes, never text. `df = 1` is counted per shingle then
+    * joined back — the same two-consumer barrier as tf-idf.
+    */
+  object NgramNovelty extends GraftQuery {
+    val name = "q_ngram_novelty"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ds = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(
+          graft.plans.ShingleExpression.shingle_strings(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), pHash60(col("sh")).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = ds.groupBy("h").agg(count(lit(1)).as("df"))
+      ds.join(df, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") === 1, 1)).as("n_unique"))
+        .withColumn("novelty",
+          col("n_unique").cast("double") / col("n_shingles").cast("double"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok, t.i
+        |  FROM (SELECT doc_id,
+        |               string_split_regex(trim(text), '\s+') AS l FROM documents) d,
+        |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+        |ds AS (
+        |  SELECT DISTINCT t1.doc_id,
+        |         ('0x' || substr(md5(t1.tok || ' ' || t2.tok || ' ' || t3.tok),
+        |                         1, 15))::BIGINT AS h
+        |  FROM toks t1
+        |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+        |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.i = t1.i + 2),
+        |df AS (SELECT h, count(*) AS df FROM ds GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+        |       CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM ds JOIN df USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
-      PpsSample, Boilerplate, SourceTerms)
+      PpsSample, Boilerplate, SourceTerms, NgramNovelty)
 }

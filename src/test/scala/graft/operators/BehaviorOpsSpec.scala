@@ -204,4 +204,25 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(cat.nonEmpty)
     cat.foreach(r => assert(r.getLong(2) >= r.getLong(1) && r.getLong(1) > 0))
   }
+
+  test("cohort revenue: purchases attribute to the first-activity cohort " +
+    "within the offset horizon") {
+    import spark.implicits._
+    val day = (d: Long) => d * 86400L * 1000000000L
+    // u1: views day 0 (cohort 0), buys 5.0 day 0, 7.0 day 3, 1.0 day 9
+    // (day 9 beyond the 7-day horizon); u2: first seen day 3, buys 2.0 day 3
+    val rows = Seq(
+      (1L, 1L, "view", 0.0, day(0)), (2L, 1L, "purchase", 5.0, day(0)),
+      (3L, 1L, "purchase", 7.0, day(3)), (4L, 1L, "purchase", 1.0, day(9)),
+      (5L, 2L, "purchase", 2.0, day(3)))
+      .map { case (eid, uid, t, v, ts) => (eid, ts, uid, t, v, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("cohort_rev_spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.CohortRevenue.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map((0L, 0L) -> ((1L, 5.0)), (0L, 3L) -> ((1L, 7.0)),
+      (3L, 0L) -> ((1L, 2.0))), s"$out")
+  }
 }

@@ -311,4 +311,22 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(cat.nonEmpty && cat.groupBy(_.getString(0)).values.forall(_.length == 3))
   }
+
+  test("ngram novelty: a unique doc scores 1.0, exact duplicates score 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "s", 0L),
+      (2L, "copy of the shared body text here", "en", "s", 0L),
+      (3L, "copy of the shared body text here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("novelty_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.NgramNovelty.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out(1L) == ((10L, 10L, 1.0)), s"${out(1L)}")
+    assert(out(2L) == ((5L, 0L, 0.0)) && out(3L) == ((5L, 0L, 0.0)),
+      s"${out(2L)} / ${out(3L)}")
+  }
 }
