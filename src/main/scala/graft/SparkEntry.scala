@@ -25,6 +25,7 @@ object SparkEntry {
       operators.BehaviorOps.all ++
       operators.LayoutOps.all ++
       operators.StatOps.all ++
+      operators.InferenceOps.all ++
       operators.SketchOps.all ++
       operators.WarehouseOps.all ++
       text.IndexOps.all ++

@@ -514,7 +514,133 @@ object BehaviorOps {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** RFM segmentation — the classic customer-value grid: per purchasing
+    * user, Recency (days since last purchase, anchored at the corpus' last
+    * purchase second so the result is reproducible), Frequency (purchase
+    * count) and Monetary (exact cent sum), each banded 1–3 by fixed
+    * thresholds; output is the segment grid with user counts and total
+    * value. Fixed thresholds, not data quantiles, keep the op one pass
+    * (quantile-banded RFM would chain [[StatOps.LengthDeciles]]' ntile in
+    * front) and make band edges audit-stable across reruns.
+    *
+    * One scan, one user-keyed aggregate (3 numbers per user), the 1-row
+    * anchor broadcast back, then a ≤27-row grid aggregate. All banding is
+    * integer; no floats anywhere.
+    */
+  object Rfm extends GraftQuery {
+    val name = "q_rfm"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perUser = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000000000").as("sec"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(max(col("sec")).as("last_sec"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("monetary"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val anchor = perUser.agg(max(col("last_sec")).as("now_sec"))
+      val scored = perUser.crossJoin(broadcast(anchor))
+        .withColumn("rec_days", expr("(now_sec - last_sec) div 86400"))
+        .withColumn("r_score",
+          when(col("rec_days") <= 3, 3).when(col("rec_days") <= 10, 2)
+            .otherwise(1))
+        .withColumn("f_score",
+          when(col("freq") >= 10, 3).when(col("freq") >= 3, 2).otherwise(1))
+        .withColumn("m_score",
+          when(col("monetary") >= 50000L, 3).when(col("monetary") >= 10000L, 2)
+            .otherwise(1))
+      scored
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"), sum(col("monetary")).as("monetary_cents"))
+        .select(
+          concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
+            lit("M"), col("m_score")).as("segment"),
+          col("n_users"), col("monetary_cents"))
+        .orderBy("segment")
+    }
+    val oracle = Some(
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_ns(ts) // 1000000000) AS last_sec,
+        |         count(*) AS freq,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |anchor AS (SELECT max(last_sec) AS now_sec FROM pu),
+        |scored AS (
+        |  SELECT monetary,
+        |         CASE WHEN (now_sec - last_sec) // 86400 <= 3 THEN 3
+        |              WHEN (now_sec - last_sec) // 86400 <= 10 THEN 2
+        |              ELSE 1 END AS r_score,
+        |         CASE WHEN freq >= 10 THEN 3 WHEN freq >= 3 THEN 2
+        |              ELSE 1 END AS f_score,
+        |         CASE WHEN monetary >= 50000 THEN 3 WHEN monetary >= 10000 THEN 2
+        |              ELSE 1 END AS m_score
+        |  FROM pu CROSS JOIN anchor)
+        |SELECT 'R' || r_score || 'F' || f_score || 'M' || m_score AS segment,
+        |       count(*) AS n_users,
+        |       CAST(sum(monetary) AS BIGINT) AS monetary_cents
+        |FROM scored GROUP BY r_score, f_score, m_score
+        |ORDER BY segment""".stripMargin)
+  }
+
+  /** Churn-label generation — the supervised-training labeler: users
+    * active in the first 20 days of the observation window are the label
+    * base; those with NO event in the remaining days are labeled churned.
+    * Reported as churn rate per early-engagement band, which is both the
+    * label QA readout (rates must fall with engagement) and the class
+    * balance a model trainer needs before sampling.
+    *
+    * One scan, one user-keyed conditional aggregate; the window cut comes
+    * from a 1-row min-day broadcast, so the labeling is fully determined
+    * by the data — rerunning on the same snapshot yields the same labels
+    * (no wall-clock anywhere).
+    */
+  object ChurnLabels extends GraftQuery {
+    val name = "q_churn_labels"
+    private val EarlyDays = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val cut = ev.agg(min(col("day")).as("d0"))
+      val perUser = ev.crossJoin(broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < col("d0") + EarlyDays, 1L).otherwise(0L))
+            .as("n_early"),
+          sum(when(col("day") >= col("d0") + EarlyDays, 1L).otherwise(0L))
+            .as("n_late"))
+        .filter(col("n_early") > 0)
+      val banded = perUser.withColumn("band",
+        when(col("n_early") >= 50, "3_heavy")
+          .when(col("n_early") >= 20, "2_medium").otherwise("1_light"))
+      banded.groupBy("band")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_late") === 0, 1L).otherwise(0L)).as("n_churned"))
+        .withColumn("churn_rate",
+          col("n_churned").cast("double") / col("n_users").cast("double"))
+        .orderBy("band")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+         |cut AS (SELECT min(day) AS d0 FROM ev),
+         |pu AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN day < d0 + $EarlyDays THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         |         CAST(sum(CASE WHEN day >= d0 + $EarlyDays THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         |  FROM ev CROSS JOIN cut GROUP BY 1),
+         |banded AS (
+         |  SELECT CASE WHEN n_early >= 50 THEN '3_heavy'
+         |              WHEN n_early >= 20 THEN '2_medium'
+         |              ELSE '1_light' END AS band, n_late
+         |  FROM pu WHERE n_early > 0)
+         |SELECT band, count(*) AS n_users,
+         |       CAST(sum(CASE WHEN n_late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+         |       CAST(sum(CASE WHEN n_late = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS churn_rate
+         |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
-      ConversionLag, ActiveUsers, CohortRevenue)
+      ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels)
 }

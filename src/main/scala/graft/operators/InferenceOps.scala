@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical inference & time-series diagnostics: OLS regression, serial
+  * autocorrelation, and the two-sample Kolmogorov–Smirnov test — the
+  * model-fitting / drift-testing tier above [[StatOps]]' descriptive moments
+  * (none of which the reference's image-stats pipeline has, SURVEY §2.9).
+  *
+  * Numeric stance (same as [[StatOps.Correlation]]): every sufficient
+  * statistic is an exact integer sum (BIGINT, or DECIMAL(38,0) where a
+  * square-sum can pass 2^63) — order-independent through every shuffle —
+  * and the closed-form expression over them is a FIXED double tree,
+  * identically associated in both engines, so results are bit-exact.
+  */
+object InferenceOps {
+
+  /** Ordinary-least-squares fit of line revenue on quantity, per return
+    * flag: slope / intercept / R² from the six moment sums in ONE
+    * map-side-combinable aggregate (a shuffle of 7 numbers per group —
+    * the same cost as a count at any scale).
+    *
+    * Overflow budget: x = quantity ∈ [1,50] and y = price cents < 2^24 keep
+    * Σxy under 2^63 beyond sf100, but Σy² reaches ~6·10^19 already at
+    * sf0.1 — that one sum runs as DECIMAL(38,0) (per-row y·y is still a
+    * safe BIGINT; only the accumulation widens). DuckDB's BIGINT sum
+    * auto-widens to HUGEINT, so both engines carry the exact value and the
+    * final correctly-rounded cast to double agrees bit-for-bit.
+    */
+  object LinReg extends GraftQuery {
+    val name = "q_linreg"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val li = Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      val m = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val nd = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val covN = nd * d("sxy") - d("sx") * d("sy") // n·cov, shared subtree
+      val varXN = nd * d("sxx") - d("sx") * d("sx") // n·var(x)
+      val varYN = nd * d("syy") - d("sy") * d("sy")
+      val slope = covN / varXN
+      m.select(col("l_returnflag"), col("n"),
+          slope.as("slope"),
+          ((d("sy") - slope * d("sx")) / nd).as("intercept"),
+          ((covN * covN) / (varXN * varYN)).as("r2"))
+        .orderBy("l_returnflag")
+    }
+    val oracle = Some(
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         sum(y * y) AS syy
+        |  FROM li GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |       covn / varxn AS slope,
+        |       (syd - (covn / varxn) * sxd) / CAST(n AS DOUBLE) AS intercept,
+        |       (covn * covn) / (varxn * varyn) AS r2
+        |FROM f ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Serial autocorrelation of the daily event-count series at lags 1 and
+    * 7 (day-over-day persistence and weekly seasonality) — the
+    * model-selection companion to [[StatOps.EventSpike]]'s alarm and
+    * [[BehaviorOps]]' burstiness. The series is first reduced to one row
+    * per day (a count aggregate — the only pass over the fact), so the
+    * lag self-joins and moment sums run on a DAYS-sized frame: persisting
+    * it costs nothing and stops the two lag branches re-scanning events.
+    * Pearson r over (c_d, c_{d+lag}) pairs from exact BIGINT moments.
+    */
+  object Autocorr extends GraftQuery {
+    val name = "q_autocorr"
+    private val Lags = Seq(1L, 7L)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val daily = Graft.table(spark, sfDir, "events")
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Lags.map { lag =>
+        daily.as("a").join(daily.as("b"), col("b.day") === col("a.day") + lag)
+          .select(lit(lag).as("lag"), col("a.c").as("x"), col("b.c").as("y"))
+      }.reduce(_.unionAll(_))
+      val m = pairs.groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n_pairs").cast("double")
+      def d(c: String) = col(c).cast("double")
+      m.select(col("lag"), col("n_pairs"),
+          ((nd * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(nd * d("sxx") - d("sx") * d("sx")) *
+              sqrt(nd * d("syy") - d("sy") * d("sy")))).as("autocorr_r"))
+        .orderBy("lag")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT v.lag, a.c AS x, b.c AS y
+        |  FROM (VALUES (1), (7)) v(lag)
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day + v.lag),
+        |m AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS autocorr_r
+        |FROM m ORDER BY lag""".stripMargin)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test on the order-price distribution
+    * between the two halves of the portable md5 key split — the
+    * CONTINUOUS-distribution drift test beside `q_dist_drift`'s
+    * categorical chi-square. D = max over distinct values of
+    * |F_A(v) − F_B(v)|, decided entirely in integers:
+    * |cumA·nB − cumB·nA| with ONE final division.
+    *
+    * Scale shape: prices collapse to one row per DISTINCT cent value
+    * (map-side combinable), and the ECDFs come from the two-phase
+    * distributed prefix sum of [[WindowOps.RunningTotalDist]] — per-bucket
+    * count sums, exclusive offsets over the BUCKET frame (the one
+    * deliberately-tiny single-partition spot), within-bucket windows under
+    * HashPartitioning. No corpus-sized global window anywhere; the oracle
+    * IS the naive global cumsum, so the green hash proves the
+    * decomposition exact. The 1-row group totals broadcast back.
+    * reject_05 applies the large-sample α=0.05 critical value
+    * 1.358·sqrt((nA+nB)/(nA·nB)) as a fixed double tree.
+    */
+  object KsTest extends GraftQuery {
+    val name = "q_ks_test"
+    private val VB = 1000000L // cents per ECDF prefix-sum bucket ($10k)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val t = Graft.table(spark, sfDir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+          when(pmod(pHash60(col("o_orderkey").cast("string")), lit(2L)) === 0L,
+            1L).otherwise(0L).as("g1"))
+      val perVal = t.groupBy("v")
+        .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bOff = perVal.groupBy(expr(s"v div $VB").as("bkt"))
+        .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+        .select(col("bkt"),
+          coalesce(sum(col("b1")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("off1"),
+          coalesce(sum(col("b2")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("off2"))
+      val inB = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perVal.withColumn("bkt", expr(s"v div $VB"))
+        .join(broadcast(bOff), "bkt")
+        .select(col("v"),
+          (col("off1") + sum(col("c1")).over(inB)).as("cum1"),
+          (col("off2") + sum(col("c2")).over(inB)).as("cum2"))
+      val tot = perVal.agg(sum(col("c1")).as("n_a"), sum(col("c2")).as("n_b"))
+      val d = cum.crossJoin(broadcast(tot))
+        .agg(max(abs(col("cum1") * col("n_b") - col("cum2") * col("n_a")))
+          .as("dnum"))
+      val nad = col("n_a").cast("double")
+      val nbd = col("n_b").cast("double")
+      val dStat = col("dnum").cast("double") / (nad * nbd)
+      d.crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"), dStat.as("d_stat"),
+          when(dStat > lit(1.358) * sqrt((nad + nbd) / (nad * nbd)), 1)
+            .otherwise(0).as("reject_05"))
+    }
+    val oracle = Some(
+      """WITH t AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |         CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |              THEN 1 ELSE 0 END AS g1
+        |  FROM orders),
+        |perval AS (
+        |  SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+        |         CAST(sum(1 - g1) AS BIGINT) AS c2
+        |  FROM t GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |         CAST(sum(c1) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |         CAST(sum(c2) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM perval),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+        |         CAST(sum(c2) AS BIGINT) AS n_b FROM perval),
+        |d AS (
+        |  SELECT CAST(max(abs(cum1 * n_b - cum2 * n_a)) AS BIGINT) AS dnum
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_a, n_b,
+        |       CAST(dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat,
+        |       CASE WHEN CAST(dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |                 > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |            THEN 1 ELSE 0 END AS reject_05
+        |FROM d CROSS JOIN tot""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest)
+}
