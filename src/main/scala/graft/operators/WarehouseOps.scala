@@ -630,8 +630,151 @@ object WarehouseOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * that makes nightly loads cheap: the fact is split at an ingest
+    * boundary (day 20 of the window, from a 1-row min-day broadcast) into
+    * a BASE aggregate and a DELTA aggregate, and the published view is
+    * their algebraic merge (counts add, sums add, min/max combine). The
+    * oracle recomputes the aggregate from the full fact in one shot, so
+    * the green hash CERTIFIES the merge law — the property that lets a
+    * 100 TB deployment maintain the view by scanning only the new
+    * partition (the same algebra [[SketchOps]]' KMV merge proves for
+    * sketches, here for the plain additive aggregates).
+    *
+    * Both partials are map-side-combinable aggregates over disjoint
+    * pushed-down scans; the merge is a union of two TYPE-sized frames.
+    */
+  object IncrAgg extends GraftQuery {
+    val name = "q_incr_agg"
+    private val BaseDays = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cut = ev.agg(min(col("day")).as("d0"))
+      val tagged = ev.crossJoin(broadcast(cut))
+        .withColumn("is_base", col("day") < col("d0") + BaseDays)
+      def partial(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      val base = partial(tagged.filter(col("is_base")))
+      val delta = partial(tagged.filter(!col("is_base")))
+      base.unionAll(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("total_cents"),
+          min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+        |       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** TPC-H Q14 flavor (promotion effect): per ship month, the share of
+    * revenue from PROMO-typed parts. One fact scan with the part
+    * dimension broadcast, conditional + total decimal revenue in the SAME
+    * aggregate (no second pass), one final IEEE division per month row.
+    */
+  object PromoShare extends GraftQuery {
+    val name = "q_promo_share"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val li = Graft.table(spark, sfDir, "lineitem")
+      val p = Graft.table(spark, sfDir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+          .as("month"))
+        .agg(
+          exactSum(when(col("p_type").startsWith("PROMO"), revenue)
+            .otherwise(lit(0.0))).as("promo_revenue"),
+          exactSum(revenue).as("total_revenue"))
+        .withColumn("promo_share_pct",
+          (lit(100.0) * col("promo_revenue")) / col("total_revenue"))
+        .orderBy("month")
+    }
+    val oracle = Some(
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+        |         CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
+        |                       ELSE CAST(0.0 AS DECIMAL(27,6)) END) AS DOUBLE)
+        |           AS promo_revenue,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+        |           AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT month, promo_revenue, total_revenue,
+        |       (100.0 * promo_revenue) / total_revenue AS promo_share_pct
+        |FROM m ORDER BY month""".stripMargin)
+  }
+
+  /** TPC-H Q4 flavor (order-priority checking): orders with at least one
+    * line shipped more than 60 days after the order date, counted per
+    * priority. The EXISTS subquery is a LEFT SEMI join with the date gap
+    * as a join residual — one pass over each table, no decorrelation
+    * machinery, no duplicate-then-distinct.
+    */
+  object OrderPriority extends GraftQuery {
+    val name = "q_order_priority"
+    private val LateDays = 60
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+      val li = Graft.table(spark, sfDir, "lineitem")
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }
+    val oracle = Some(
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders
+         |WHERE EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey
+         |    AND l_shipdate > o_orderdate + INTERVAL $LateDays DAY)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** TPC-H Q17 flavor (small-quantity-order revenue): revenue locked in
+    * lines whose quantity is below 20% of their part's average quantity.
+    * The correlated scalar subquery (per-part average) is a per-part
+    * aggregate joined back onto the fact, and because quantities are
+    * integral the threshold `q < 0.2·(Σq/n)` is decided EXACTLY as
+    * `5·q·n < Σq` — no float ever enters the predicate, so the row set
+    * (and the decimal revenue over it) is engine-exact.
+    */
+  object SmallQtyRevenue extends GraftQuery {
+    val name = "q_small_qty_revenue"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val li = Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("nq"))
+      li.join(perPart, "l_partkey")
+        .filter(lit(5L) * col("q") * col("nq") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          exactSum(col("l_extendedprice")).as("revenue"))
+    }
+    val oracle = Some(
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |         count(*) AS nq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN pp USING (l_partkey)
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * nq < sq""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
       GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot,
-      SnapshotDiff, MergeUpsert, LargeOrders, DormantCustomers)
+      SnapshotDiff, MergeUpsert, LargeOrders, DormantCustomers, IncrAgg,
+      PromoShare, OrderPriority, SmallQtyRevenue)
 }

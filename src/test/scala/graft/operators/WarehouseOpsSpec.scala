@@ -236,4 +236,87 @@ class WarehouseOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq(("ALPHA", 2L, 700.0)), s"${out.toSeq}")
   }
+
+  test("incremental aggregate merge equals the one-shot full aggregate") {
+    val merged = WarehouseOps.IncrAgg.run(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    val full = graft.Graft.table(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)), sum("c"), min("c"), max("c"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    assert(merged.toMap == full.toMap, "merge law must be exact")
+    assert(merged.map(_._1).toSeq == merged.map(_._1).sorted.toSeq)
+  }
+
+  test("promo share: crafted months give exact shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("promo_spec").toString
+    Seq((1L, "pa", "B1", "PROMO", 1, 1.0), (2L, "pb", "B1", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val jan = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val feb = java.sql.Timestamp.valueOf("2024-02-15 00:00:00")
+    // Jan: promo 100, other 300 → 25%; Feb: promo only → 100%
+    Seq((1L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", jan),
+      (2L, 2L, 1L, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", jan),
+      (3L, 1L, 1L, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", feb))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseOps.PromoShare.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("2024-01", 100.0, 400.0, 25.0),
+      ("2024-02", 50.0, 50.0, 100.0)), s"${out.toSeq}")
+  }
+
+  test("order priority: EXISTS counts each order once regardless of how " +
+    "many late lines it has") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prio_spec").toString
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-03-15 00:00:00") // +74d
+    val onTime = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    Seq((1L, 1L, "O", 1.0, d0, "1-URGENT"), (2L, 1L, "O", 1.0, d0, "1-URGENT"),
+      (3L, 1L, "O", 1.0, d0, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // order 1: TWO late lines (counted once); order 2: on time; order 3: late
+    Seq((1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+      (1L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+      (2L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", onTime),
+      (3L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseOps.OrderPriority.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("1-URGENT", 1L), ("2-HIGH", 1L)), s"${out.toSeq}")
+  }
+
+  test("small-qty revenue: integer threshold picks exactly the below-20% rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("smallqty_spec").toString
+    val d = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // part 1: qtys 1,10,10,10 → Σq=31, n=4; row q=1: 5·1·4=20 < 31 ✓
+    //   row q=10: 5·10·4=200 ≥ 31 ✗. part 2: single row (q=7: 35·1 ≥ 7 ✗)
+    Seq((1L, 1L, 1L, 1, 1.0, 111.0), (2L, 1L, 1L, 1, 10.0, 1.0),
+      (3L, 1L, 1L, 1, 10.0, 1.0), (4L, 1L, 1L, 1, 10.0, 1.0),
+      (5L, 2L, 1L, 1, 7.0, 999.0))
+      .map { case (ok, pk, sk, ln, q, ep) =>
+        (ok, pk, sk, ln, q, ep, 0.0, 0.0, "N", "O", d) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseOps.SmallQtyRevenue.run(spark, dir).collect().head
+    assert(out.getLong(0) == 1L && out.getDouble(1) == 111.0, s"$out")
+  }
 }
