@@ -160,20 +160,44 @@ object GraphOps {
     * degree-ordered canonicalization (order by degree, then id) to bound
     * wedge fan-out on hub nodes — id order here keeps the oracle exact.
     */
+  /** Canonicalized (a < b) distinct undirected edges of the token
+    * co-occurrence graph, persisted — the shared base of [[Triangles]],
+    * [[LinkPredict]] and [[DegreeDist]]. VOCAB²-bounded in rows (distinct
+    * token pairs), corpus-bounded in work: one fused shingle pass.
+    */
+  private[operators] def undirectedTokenEdges(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val bi = Graft.table(spark, sfDir, "documents")
+      .select(explode(
+        graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("u"),
+        split(col("g"), " ").getItem(1).as("v"))
+    bi.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The toks→bi→und CTE chain every token-graph oracle replays. */
+  private[operators] val UndEdgeCtes: String =
+    """toks AS (
+      |  SELECT doc_id, t.tok, t.i
+      |  FROM (SELECT doc_id,
+      |               string_split_regex(trim(text), '\s+') AS l FROM documents) d,
+      |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+      |bi AS (
+      |  SELECT DISTINCT t1.tok AS u, t2.tok AS v
+      |  FROM toks t1 JOIN toks t2
+      |    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+      |und AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |  FROM bi WHERE least(u, v) < greatest(u, v))""".stripMargin
+
   object Triangles extends GraftQuery {
     val name = "q_triangles"
     private val K = 15
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val bi = Graft.table(spark, sfDir, "documents")
-        .select(explode(
-          graft.plans.ShingleExpression.shingle_strings(col("text"), 2)).as("g"))
-        .select(split(col("g"), " ").getItem(0).as("u"),
-          split(col("g"), " ").getItem(1).as("v"))
-      val und = bi
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .filter(col("a") < col("b")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = undirectedTokenEdges(spark, sfDir)
       val wedges = und.as("x")
         .join(und.as("y"), col("x.b") === col("y.a"))
         .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
@@ -211,5 +235,68 @@ object GraphOps {
          |LIMIT $K""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(PageRank, Triangles)
+  /** Common-neighbor link prediction — the simplest link predictor that
+    * works: for token pairs NOT currently co-occurring, count shared
+    * neighbors in the co-occurrence graph and keep the top 10. The wedge
+    * enumeration is the [[Triangles]] join run once over the doubled
+    * adjacency (each unordered candidate pair produced once via the
+    * `u < v` canonicalization, each shared neighbor counted once), and
+    * "not an edge" is a LEFT ANTI join against the same persisted edge
+    * set. Vocab-sized keys throughout; the corpus is touched once.
+    */
+  object LinkPredict extends GraftQuery {
+    val name = "q_link_predict"
+    private val K = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val und = undirectedTokenEdges(spark, sfDir)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      val cand = adj.as("e1")
+        .join(adj.as("e2"), col("e1.v") === col("e2.u"))
+        .filter(col("e1.u") < col("e2.v"))
+        .groupBy(col("e1.u").as("a"), col("e2.v").as("b"))
+        .agg(count(lit(1)).as("n_common"))
+      cand.join(und, Seq("a", "b"), "left_anti")
+        .orderBy(col("n_common").desc, col("a").asc, col("b").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH $UndEdgeCtes,
+         |adj AS (
+         |  SELECT a AS u, b AS v FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |cand AS (
+         |  SELECT e1.u AS a, e2.v AS b, count(*) AS n_common
+         |  FROM adj e1 JOIN adj e2 ON e1.v = e2.u
+         |  WHERE e1.u < e2.v GROUP BY 1, 2)
+         |SELECT a, b, n_common FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cand.a AND und.b = cand.b)
+         |ORDER BY n_common DESC, a ASC, b ASC LIMIT $K""".stripMargin)
+  }
+
+  /** Degree distribution of the token co-occurrence graph — the one-line
+    * structural profile (hub detection, power-law check) every graph
+    * pipeline starts with. Degrees from the doubled adjacency, then a
+    * degree-keyed histogram; both aggregates are vocab-sized.
+    */
+  object DegreeDist extends GraftQuery {
+    val name = "q_degree_dist"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val und = undirectedTokenEdges(spark, sfDir)
+      und.select(explode(array(col("a"), col("b"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_tokens"))
+        .orderBy("degree")
+    }
+    val oracle = Some(
+      s"""WITH $UndEdgeCtes,
+         |deg AS (
+         |  SELECT token, count(*) AS degree FROM (
+         |    SELECT a AS token FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1)
+         |SELECT degree, count(*) AS n_tokens
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(PageRank, Triangles, LinkPredict, DegreeDist)
 }

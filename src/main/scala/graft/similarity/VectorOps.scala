@@ -222,5 +222,86 @@ object VectorOps {
          |ORDER BY vec_id, subspace""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes)
+  /** Dimension-truncation recall — the Matryoshka-style ablation every
+    * embedding deployment runs before shipping shorter vectors: recall@10
+    * of exact cosine over the FIRST 16 of 64 dims against exact cosine
+    * over all dims. Complements the index evaluations (`q_ann_recall` /
+    * `q_ivf_recall` / `q_simhash_recall`): those measure what the INDEX
+    * loses, this measures what the REPRESENTATION loses — the two
+    * independent knobs of a vector-search cost budget. Both sides reuse
+    * [[Similarity.bruteForceTopK]] (truncation is a `slice` on the float
+    * array before quantization), so the comparison is exact-vs-exact with
+    * identical tie-breaking.
+    */
+  object TruncRecall extends GraftQuery {
+    val name = "q_trunc_recall"
+    private val K = 10
+    private val Dims = 16
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, Dims).as("embedding"))
+      val exact = Similarity.bruteForceTopK(queries, emb, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val truncated = Similarity.bruteForceTopK(trunc(queries), trunc(emb), K)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(truncated, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+        .orderBy("query_id")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |tnorms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |           FROM q WHERE i <= $Dims GROUP BY 1),
+         |exact_comp AS (
+         |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         |         sum(qa.q * qb.q) AS dot
+         |  FROM q qa JOIN q qb ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 50
+         |  GROUP BY 1, 2),
+         |exactk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+         |                      neighbor_id ASC) AS rank
+         |    FROM exact_comp JOIN norms na ON query_id = na.vec_id
+         |                    JOIN norms nb ON neighbor_id = nb.vec_id)
+         |  WHERE rank <= $K),
+         |trunc_comp AS (
+         |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         |         sum(qa.q * qb.q) AS dot
+         |  FROM q qa JOIN q qb ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 50 AND qa.i <= $Dims AND qb.i <= $Dims
+         |  GROUP BY 1, 2),
+         |trunck AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+         |                      neighbor_id ASC) AS rank
+         |    FROM trunc_comp JOIN tnorms na ON query_id = na.vec_id
+         |                    JOIN tnorms nb ON neighbor_id = nb.vec_id)
+         |  WHERE rank <= $K)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       count(t.neighbor_id) AS n_hit,
+         |       CAST(count(t.neighbor_id) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exactk e LEFT JOIN trunck t
+         |  ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes, TruncRecall)
 }

@@ -320,5 +320,49 @@ object IndexOps {
          |LIMIT $K""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(Postings, MeanTokenRank, Bm25, RrfFusion)
+  /** Exact phrase search over the POSITIONAL index — the retrieval
+    * primitive [[Postings]]' document-level index can't answer (bag-of-words
+    * loses adjacency). Token occurrences carry their 1-based position
+    * (matching DuckDB's `generate_subscripts`); a phrase match is an
+    * equi-join of the two term-posting slices on (doc, pos+1). Scale shape:
+    * the scan explodes once, both join sides are pre-filtered to the
+    * phrase's terms (token-selective — the same reason positional indexes
+    * work), and the join key is (doc_id, pos): no windows, no regex over
+    * the raw text, no full-corpus self-join.
+    */
+  object PhraseSearch extends GraftQuery {
+    val name = "q_phrase_search"
+    private val W1 = "fast"
+    private val W2 = "hash"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val occ = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+      val t1 = occ.filter(col("token") === W1)
+        .select(col("doc_id"), col("pos"))
+      val t2 = occ.filter(col("token") === W2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.tok, t.i
+         |  FROM (SELECT doc_id,
+         |               string_split_regex(trim(text), '\\s+') AS l FROM documents) d,
+         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+         |m AS (
+         |  SELECT t1.doc_id, t1.i AS pos
+         |  FROM toks t1 JOIN toks t2
+         |    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+         |  WHERE t1.tok = '$W1' AND t2.tok = '$W2')
+         |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(Postings, MeanTokenRank, Bm25, RrfFusion,
+    PhraseSearch)
 }

@@ -106,4 +106,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(cat.nonEmpty && cat.forall(_._2 > 0))
     assert(cat.map(_._2).toSeq == cat.map(_._2).sortBy(-_).toSeq)
   }
+
+  test("link prediction: a path graph predicts its endpoints; clique " +
+    "pairs are suppressed as existing edges") {
+    import spark.implicits._
+    // doc1: path p-q-r-s (edges pq qr rs). Non-edges with common
+    // neighbors: (p,r) via q, (q,s) via r — one common neighbor each.
+    // doc2: triangle x-y-z — all pairs are edges, nothing predicted.
+    val docs = Seq(
+      (1L, "p q r s", "en", "s", 0L),
+      (2L, "x y z x y", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("lp_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = GraphOps.LinkPredict.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(out.toSet == Set(("p", "r", 1L), ("q", "s", 1L)), s"${out.toSeq}")
+    // predicted pairs on the catalog are never existing edges
+    val und = GraphOps.undirectedTokenEdges(spark, sf)
+    val edges = und.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val cat = GraphOps.LinkPredict.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    spark.catalog.clearCache()
+    assert(cat.forall(p => !edges.contains(p)), "a predicted pair is an edge")
+  }
+
+  test("degree distribution: histogram weights sum to the token count and " +
+    "degree mass equals 2|E|") {
+    import spark.implicits._
+    // star: center c with leaves l1..l3 → degrees: c=3, leaves=1
+    val docs = Seq((1L, "l1 c l2 c l3 c", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dd_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = GraphOps.DegreeDist.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(out == Map(1L -> 3L, 3L -> 1L), s"$out")
+    // catalog invariants: Σ(degree·n_tokens) = 2|E|, Σ n_tokens = |V|
+    val und = GraphOps.undirectedTokenEdges(spark, sf)
+    val nEdges = und.count()
+    val nTokens = und.select("a").union(und.select("b")).distinct().count()
+    val cat = GraphOps.DegreeDist.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(cat.map { case (d, n) => d * n }.sum == 2 * nEdges)
+    assert(cat.map(_._2).sum == nTokens)
+  }
 }

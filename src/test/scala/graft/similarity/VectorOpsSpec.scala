@@ -64,4 +64,32 @@ class VectorOpsSpec extends SparkSpec {
         s"codebook vec $vid subspace $s coded as $code dist $dist")
     }
   }
+
+  test("trunc recall: perfect when the tail dims carry no information") {
+    import spark.implicits._
+    // information only in dims 1..16; dims 17..64 identically zero →
+    // truncated cosine == full cosine → recall exactly 1.0 for all queries
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map { i =>
+      val v = Array.tabulate(64)(d => if (d < 16) rnd.nextFloat() - 0.5f else 0.0f)
+      (i, v, (i % 4).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("trunc_spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.TruncRecall.run(spark, dir).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      assert(r.getLong(1) == 10L, s"n_exact: $r")
+      assert(r.getDouble(3) == 1.0, s"recall must be exactly 1: $r")
+    }
+    // catalog: recall is a valid fraction with full denominators
+    val cat = VectorOps.TruncRecall.run(spark, sf).collect()
+    assert(cat.nonEmpty)
+    cat.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rc = r.getDouble(3)
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+  }
 }

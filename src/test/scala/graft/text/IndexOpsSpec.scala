@@ -125,4 +125,19 @@ class IndexOpsSpec extends SparkSpec {
     // both a high-bm25 and a high-tfidf doc contribute: fused ranks differ
     assert(out.nonEmpty && out.head._4 <= 2.0 / 61.0 + 1e-12)
   }
+
+  test("phrase search: adjacency only, repeats counted, 1-based positions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("phrase_spec").toString
+    Seq(
+      (1L, "fast hash x fast hash", "en", "s", 0L), // matches at pos 1 and 4
+      (2L, "fast x hash", "en", "s", 0L), // terms present, never adjacent
+      (3L, "hash fast", "en", "s", 0L), // reversed order is no match
+      (4L, "x fast hash", "en", "s", 0L)) // one match at pos 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = IndexOps.PhraseSearch.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (4L, 1L, 2L)), s"${out.toSeq}")
+  }
 }
