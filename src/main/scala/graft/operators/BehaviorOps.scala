@@ -640,7 +640,117 @@ object BehaviorOps {
          |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Inter-event gap histogram — the distribution behind every session-gap
+    * and burstiness constant: per-user consecutive gaps, banded into fixed
+    * human-scale buckets (<1m, <5m, <30m — the sessionize threshold —
+    * <2h, <1d, ≥1d). The empirical basis for `q_sessionize`'s 30-minute
+    * cut and [[graft.streaming.EventStream]]'s timeout choices. One
+    * user-keyed sort-shuffle for the lag, integer seconds end-to-end,
+    * band shares as single divisions of exact counts (1-row total
+    * broadcast).
+    */
+  object GapHist extends GraftQuery {
+    val name = "q_gap_hist"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val gaps = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val banded = gaps.withColumn("band",
+        when(col("gap") < 60, "1_under_1m")
+          .when(col("gap") < 300, "2_under_5m")
+          .when(col("gap") < 1800, "3_under_30m")
+          .when(col("gap") < 7200, "4_under_2h")
+          .when(col("gap") < 86400, "5_under_1d")
+          .otherwise("6_over_1d"))
+        .groupBy("band").agg(count(lit(1)).as("n_gaps"))
+      val total = banded.agg(sum(col("n_gaps")).as("tot"))
+      banded.crossJoin(broadcast(total))
+        .select(col("band"), col("n_gaps"),
+          (col("n_gaps").cast("double") / col("tot").cast("double")).as("share"))
+        .orderBy("band")
+    }
+    val oracle = Some(
+      """WITH gaps AS (
+        |  SELECT sec - lag(sec) OVER (PARTITION BY user_id
+        |           ORDER BY sec ASC, event_id ASC) AS gap
+        |  FROM (SELECT user_id, event_id,
+        |               epoch_ns(ts) // 1000000000 AS sec FROM events)),
+        |banded AS (
+        |  SELECT CASE WHEN gap < 60 THEN '1_under_1m'
+        |              WHEN gap < 300 THEN '2_under_5m'
+        |              WHEN gap < 1800 THEN '3_under_30m'
+        |              WHEN gap < 7200 THEN '4_under_2h'
+        |              WHEN gap < 86400 THEN '5_under_1d'
+        |              ELSE '6_over_1d' END AS band
+        |  FROM gaps WHERE gap IS NOT NULL),
+        |counts AS (SELECT band, count(*) AS n_gaps FROM banded GROUP BY 1),
+        |total AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS tot FROM counts)
+        |SELECT band, n_gaps,
+        |       CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM counts CROSS JOIN total ORDER BY band""".stripMargin)
+  }
+
+  /** Activity concentration (power users): the exact positional p99 of
+    * per-user event counts, who clears it, and what share of all events
+    * they generate — the Pareto readout behind rate-limit and skew
+    * decisions (the USER-side twin of `q_key_skew`'s join-key view).
+    * The rank window runs over the USERS-sized count frame (events
+    * collapse first — the only corpus-sized shuffle is the per-user
+    * aggregate); threshold and totals broadcast back as 1-row frames.
+    */
+  object PowerUsers extends GraftQuery {
+    val name = "q_power_users"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perUser = Graft.table(spark, sfDir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = perUser.select(col("n"),
+        row_number().over(Window.orderBy(col("n").asc, col("user_id").asc))
+          .as("rk"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("u"))
+      // positional p99: the count at rank ceil(0.99·U) = (99·U + 99) div 100
+      val thr = ranked
+        .filter(col("rk") === expr("(99 * u + 99) div 100"))
+        .select(col("n").as("p99_threshold"))
+      perUser.crossJoin(broadcast(thr))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n") >= col("p99_threshold"), 1L).otherwise(0L))
+            .as("n_power"),
+          sum(col("n")).as("events_total"),
+          sum(when(col("n") >= col("p99_threshold"), col("n")).otherwise(0L))
+            .as("events_power"),
+          max(col("p99_threshold")).as("p99_threshold"))
+        .select(col("n_users"), col("n_power"), col("p99_threshold"),
+          col("events_total"), col("events_power"),
+          (col("events_power").cast("double") /
+            col("events_total").cast("double")).as("power_share"))
+    }
+    val oracle = Some(
+      """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS rk,
+        |         count(*) OVER () AS u
+        |  FROM pu),
+        |thr AS (SELECT n AS p99_threshold FROM ranked
+        |        WHERE rk = (99 * u + 99) // 100)
+        |SELECT count(*) AS n_users,
+        |       CAST(sum(CASE WHEN n >= p99_threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_power,
+        |       max(p99_threshold) AS p99_threshold,
+        |       CAST(sum(n) AS BIGINT) AS events_total,
+        |       CAST(sum(CASE WHEN n >= p99_threshold THEN n ELSE 0 END) AS BIGINT)
+        |         AS events_power,
+        |       CAST(sum(CASE WHEN n >= p99_threshold THEN n ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(n) AS DOUBLE) AS power_share
+        |FROM pu CROSS JOIN thr""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
-      ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels)
+      ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels, GapHist,
+      PowerUsers)
 }

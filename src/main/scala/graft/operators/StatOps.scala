@@ -456,7 +456,54 @@ object StatOps {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** Weighted median — the quantity-weighted median line price per return
+    * flag: the smallest value v whose cumulative weight reaches half the
+    * total, decided entirely in integers (2·cumw ≥ W — quantities are
+    * integral, so no float ever enters the pick). Prices collapse to one
+    * row per DISTINCT (flag, cents) first — which both shrinks the sort
+    * and makes the answer independent of tie order among equal values
+    * (the trap `(l_orderkey, l_linenumber)` non-uniqueness sets for
+    * row-level rank formulations). The cumulative window runs per flag
+    * over the distinct-value frame; totals ride the same window
+    * (unbounded sum), so the op is one aggregate + one window pass.
+    */
+  object WeightedMedian extends GraftQuery {
+    val name = "q_weighted_median"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perVal = Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wv"))
+      val cumW = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy("l_returnflag")
+      perVal
+        .withColumn("cumw", sum(col("wv")).over(cumW))
+        .withColumn("tot", sum(col("wv")).over(totW))
+        .groupBy("l_returnflag")
+        .agg(max(col("tot")).as("total_weight"),
+          min(when(lit(2L) * col("cumw") >= col("tot"), col("v")))
+            .as("wmedian_cents"))
+        .orderBy("l_returnflag")
+    }
+    val oracle = Some(
+      """WITH perval AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v,
+        |         CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+        |         CAST(sum(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM perval)
+        |SELECT l_returnflag, max(tot) AS total_weight,
+        |       min(CASE WHEN 2 * cumw >= tot THEN v END) AS wmedian_cents
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles,
-      Profile, EventSpike, HistQuantile)
+      Profile, EventSpike, HistQuantile, WeightedMedian)
 }

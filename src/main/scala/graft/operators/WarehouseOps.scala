@@ -772,9 +772,50 @@ object WarehouseOps {
         |WHERE 5 * CAST(l_quantity AS BIGINT) * nq < sq""".stripMargin)
   }
 
+  /** TPC-H Q7 flavor (volume shipping): the cross-border trade matrix —
+    * revenue between DIFFERENT supplier and customer nations. The shape
+    * this adds to the star-join family: the SAME dimension (nation) joined
+    * twice under different roles, which Catalyst must alias apart. Both
+    * nation dims and supplier broadcast; the one real shuffle is
+    * lineitem⋈orders on orderkey; customer joins post-shuffle (broadcast
+    * at catalog scale, AQE's call beyond).
+    */
+  object NationTrade extends GraftQuery {
+    val name = "q_nation_trade"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val li = Graft.table(spark, sfDir, "lineitem")
+      val o = Graft.table(spark, sfDir, "orders")
+      val s = Graft.table(spark, sfDir, "supplier")
+      val c = Graft.table(spark, sfDir, "customer")
+      val n = Graft.table(spark, sfDir, "nation")
+      val sn = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val cn = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(count(lit(1)).as("n_lines"), exactSum(revenue).as("revenue"))
+        .orderBy("supp_nation", "cust_nation")
+    }
+    val oracle = Some(
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |       count(*) AS n_lines, $RevenueSql AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name <> cn.n_name
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(PricingSummary, ShippingPriority, RegionalVolume, ReturnedCustomers,
       GroupingSetsAgg, MadOutliers, MixtureWeights, LatestSnapshot,
       SnapshotDiff, MergeUpsert, LargeOrders, DormantCustomers, IncrAgg,
-      PromoShare, OrderPriority, SmallQtyRevenue)
+      PromoShare, OrderPriority, SmallQtyRevenue, NationTrade)
 }

@@ -303,5 +303,59 @@ object VectorOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes, TruncRecall)
+  /** Per-label cluster inertia — the k-means objective as an evaluation
+    * metric: mean squared distance of each label's vectors to their own
+    * centroid, WITHOUT ever materializing the centroid or a per-row
+    * distance. The identity Σ‖x−μ‖² = Σ‖x‖² − (Σ_d (Σx_d)²)/n turns the
+    * whole metric into per-(label,dim) integer sums: one posexplode
+    * aggregate (the [[Similarity.LabelCentroid]] shuffle shape — (label,
+    * dim, long) triples), one label-level rollup in DECIMAL(38,0) (the
+    * squares pass 2^63), one fixed double tree. No float accumulates
+    * anywhere, so the tightness/overlap readout is engine-exact.
+    */
+  object LabelInertia extends GraftQuery {
+    val name = "q_label_inertia"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.plans.VectorExpressions.quantize_vec
+      val byDim = Graft.table(spark, sfDir, "embeddings")
+        .select(col("label"), posexplode(quantize_vec(col("embedding"))))
+        .select(col("label"), col("pos").as("dim"), col("col").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("cnt"), sum(col("q")).as("sq"),
+          sum((col("q") * col("q")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sqq"))
+      // widen BEFORE the square: Σq reaches ~1e15 at 1e9 vectors, so the
+      // long×long product would wrap; decimal×long stays exact
+      val perLabel = byDim.groupBy("label")
+        .agg(max(col("cnt")).as("n_vecs"), sum(col("sqq")).as("a"),
+          sum(col("sq").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+            * col("sq")).as("b"))
+      val nd = col("n_vecs").cast("double")
+      perLabel.select(col("label"), col("n_vecs"),
+          (((nd * col("a").cast("double") - col("b").cast("double")) /
+            (nd * nd)) / lit(1e12)).as("inertia"))
+        .orderBy("label")
+    }
+    val oracle = Some(
+      """WITH q AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings),
+        |bydim AS (
+        |  SELECT label, dim, count(*) AS cnt,
+        |         CAST(sum(q) AS BIGINT) AS sq, sum(q * q) AS sqq
+        |  FROM q GROUP BY 1, 2),
+        |perlabel AS (
+        |  SELECT label, max(cnt) AS n_vecs, sum(sqq) AS a,
+        |         sum(CAST(sq AS HUGEINT) * sq) AS b
+        |  FROM bydim GROUP BY 1)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |       ((CAST(n_vecs AS DOUBLE) * CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |        / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE))) / 1e12
+        |         AS inertia
+        |FROM perlabel ORDER BY label""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes, TruncRecall,
+    LabelInertia)
 }

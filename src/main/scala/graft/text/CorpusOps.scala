@@ -714,8 +714,59 @@ object CorpusOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Zipf curve — the rank-frequency head of the corpus vocabulary: top-20
+    * tokens with their corpus share and cumulative share. The lexical
+    * concentration profile (how much of the corpus the head covers) that
+    * flags both boilerplate-heavy crawls (head too fat) and tokenizer
+    * breakage (head too thin), without the log-log slope fit whose `ln`
+    * would break the bit oracle. Shares are single IEEE divisions of exact
+    * BIGINTs; the cumulative sum runs over the RANKED-HEAD frame, and the
+    * rank window runs over the vocab-sized count aggregate — the same
+    * stance as [[Vocab]] (at web scale: rank via top-k partial limits, not
+    * a global sort of the tail).
+    */
+  object ZipfCurve extends GraftQuery {
+    val name = "q_zipf_curve"
+    private val K = 20
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val counts = Graft.table(spark, sfDir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = counts.agg(sum(col("n")).as("tot"))
+      val head = counts
+        .select(row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+          .cast("int").as("rank"), col("token"), col("n"))
+        .filter(col("rank") <= K)
+      head.crossJoin(broadcast(total))
+        .select(col("rank"), col("token"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("share"),
+          (sum(col("n")).over(Window.orderBy("rank")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("tot").cast("double")).as("cum_share"))
+        .orderBy("rank")
+    }
+    val oracle = Some(
+      s"""WITH counts AS (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |        FROM documents)
+         |  GROUP BY 1),
+         |total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+         |head AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+         |         token, n
+         |  FROM counts QUALIFY rank <= $K)
+         |SELECT rank, token, n,
+         |       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+         |       CAST(sum(n) OVER (ORDER BY rank
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |         / CAST(tot AS DOUBLE) AS cum_share
+         |FROM head CROSS JOIN total ORDER BY rank""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
-      PpsSample, Boilerplate, SourceTerms, NgramNovelty)
+      PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve)
 }

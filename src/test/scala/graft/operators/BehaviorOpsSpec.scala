@@ -225,4 +225,38 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> ((1L, 5.0)), (0L, 3L) -> ((1L, 7.0)),
       (3L, 0L) -> ((1L, 2.0))), s"$out")
   }
+  test("gap histogram: crafted gaps land in their bands; shares sum to 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gap_spec").toString
+    // one user, events at 0s, 30s, +4m, +1h, +3d → gaps 30, 240, 3600, 259200
+    val secs = Seq(0L, 30L, 270L, 3870L, 263070L)
+    secs.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s * 1000000000L, 1L, "view", 1.0, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.GapHist.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("1_under_1m" -> 1L, "2_under_5m" -> 1L,
+      "4_under_2h" -> 1L, "6_over_1d" -> 1L), s"$out")
+    val shares = BehaviorOps.GapHist.run(spark, sf).collect().map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
+  test("power users: distinct planted counts give the exact p99 cut") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("power_spec").toString
+    // users 1..100 with i events each: p99 rank = 99 → threshold 99,
+    // power set = {99, 100}: 199 of 5050 events
+    val rows = for { u <- 1 to 100; i <- 1 to u }
+      yield ((u * 1000 + i).toLong, (u * 1000 + i) * 1000000000L, u.toLong,
+        "view", 1.0, """{"k": 1}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = BehaviorOps.PowerUsers.run(spark, dir).collect().head
+    spark.catalog.clearCache()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((100L, 2L, 99L, 5050L, 199L)), s"$r")
+    assert(math.abs(r.getDouble(5) - 199.0 / 5050.0) < 1e-15)
+  }
+
 }

@@ -159,4 +159,24 @@ class StatOpsSpec extends SparkSpec {
         s"$t error exceeds a bin width: $row vs ${widths(t)}")
     }
   }
+  test("weighted median: weight mass, not row count, decides the pick") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wmed_spec").toString
+    val d = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // flag A: one heavy cheap row (w=9) vs many expensive rows (w=2 total)
+    //   → median at the cheap value despite being 1 row of 3
+    // flag B: symmetric weights → lower-median rule picks the smaller value
+    Seq(("A", 1.0, 9.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
+      ("B", 1.0, 1.0), ("B", 2.0, 1.0))
+      .zipWithIndex.map { case ((f, p, q), i) =>
+        (i.toLong, i.toLong, i.toLong, 1, q, p, 0.0, 0.0, f, "O", d) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = StatOps.WeightedMedian.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", 11L, 100L), ("B", 2L, 100L)), s"${out.toSeq}")
+  }
+
 }

@@ -319,4 +319,35 @@ class WarehouseOpsSpec extends SparkSpec {
     val out = WarehouseOps.SmallQtyRevenue.run(spark, dir).collect().head
     assert(out.getLong(0) == 1L && out.getDouble(1) == 111.0, s"$out")
   }
+
+  test("nation trade: same-nation flows are excluded, cross flows exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trade_spec").toString
+    val d = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((0L, "ALPHA", 0L), (1L, "BETA", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 0, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "c_alpha", 0, 0.0, "M"), (2L, "c_beta", 1, 0.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, "O", 1.0, d, "x"), (11L, 2L, "O", 1.0, d, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // order 10 → same-nation customer (dropped); order 11 → cross (kept):
+    // revenue 200·(1−0.1) + 50·(1−0) = 230
+    Seq((10L, 1L, 1L, 1, 1.0, 999.0, 0.0), (11L, 1L, 1L, 1, 1.0, 200.0, 0.1),
+      (11L, 1L, 1L, 2, 1.0, 50.0, 0.0))
+      .map { case (ok, pk, sk, ln, q, ep, disc) =>
+        (ok, pk, sk, ln, q, ep, disc, 0.0, "N", "O", d) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = WarehouseOps.NationTrade.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("ALPHA", "BETA", 2L, 230.0)), s"${out.toSeq}")
+  }
 }

@@ -92,4 +92,26 @@ class VectorOpsSpec extends SparkSpec {
       assert(rc >= 0.0 && rc <= 1.0)
     }
   }
+
+  test("label inertia: identical vectors score 0; a symmetric pair scores d^2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inertia_spec").toString
+    def vec(x: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(0) = x; v
+    }
+    // label 0: three identical vectors → inertia exactly 0
+    // label 1: ±0.5 in dim 0 → centroid 0, mean squared distance 0.25
+    val rows = Seq((0L, vec(0.25f), 0), (1L, vec(0.25f), 0), (2L, vec(0.25f), 0),
+      (3L, vec(0.5f), 1), (4L, vec(-0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.LabelInertia.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 2)
+    assert(out(0) == ((0, 3L, 0.0)), s"${out(0)}")
+    assert(out(1)._2 == 2L && math.abs(out(1)._3 - 0.25) < 1e-12, s"${out(1)}")
+    // catalog: inertia is nonnegative for every label
+    val cat = VectorOps.LabelInertia.run(spark, sf).collect()
+    assert(cat.nonEmpty && cat.forall(_.getDouble(2) >= 0.0))
+  }
 }

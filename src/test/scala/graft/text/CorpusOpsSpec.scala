@@ -329,4 +329,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((5L, 0L, 0.0)) && out(3L) == ((5L, 0L, 0.0)),
       s"${out(2L)} / ${out(3L)}")
   }
+  test("zipf curve: crafted counts give exact ranks, shares, cumulative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zipf_spec").toString
+    // counts: aa=4, bb=3, cc=2, dd=1 → total 10
+    Seq((1L, "aa aa bb cc", "en", "s", 0L), (2L, "aa aa bb bb cc dd", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.ZipfCurve.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    spark.catalog.clearCache()
+    assert(out.toSeq == Seq((1, "aa", 4L, 0.4, 0.4), (2, "bb", 3L, 0.3, 0.7),
+      (3, "cc", 2L, 0.2, 0.9), (4, "dd", 1L, 0.1, 1.0)), s"${out.toSeq}")
+    // catalog: cumulative share is monotone and bounded
+    val cat = CorpusOps.ZipfCurve.run(spark, sf).collect().map(_.getDouble(4))
+    spark.catalog.clearCache()
+    assert(cat.zip(cat.drop(1)).forall { case (a, b) => a <= b })
+    assert(cat.last <= 1.0 + 1e-12)
+  }
+
 }
