@@ -3,6 +3,7 @@ package graft.dedup
 import graft.{Graft, GraftQuery}
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data-pipeline surface:
@@ -1051,9 +1052,65 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Dedup coverage curve — the YIELD curve of a dedup pass: as the corpus
+    * is consumed in ingest order (doc_id), how fast does the distinct set
+    * grow and the duplicate rate climb? The number that sizes every
+    * "do we keep crawling this source" decision. A document is NEW iff it
+    * owns its fingerprint's minimum doc_id ([[ExactDedup]]'s keep rule);
+    * buckets are integer tenths of the id range from a 1-row broadcast
+    * (no global rank window); the cumulative sums run over the 10-row
+    * bucket frame. Everything but the two final divisions is exact
+    * integer arithmetic.
+    */
+  object CoverageCurve extends GraftQuery {
+    val name = "q_coverage_curve"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      val firsts = docs.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1L).as("is_new"))
+      val hi = docs.agg((max(col("doc_id")) + 1).as("n_ids"))
+      val perBucket = docs.join(firsts, Seq("doc_id"), "left")
+        .crossJoin(broadcast(hi))
+        .groupBy(expr("least(9, (10 * doc_id) div n_ids)").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_new"), lit(0L))).as("n_new"))
+      val cum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket
+        .select(col("bucket"), col("n_docs"), col("n_new"),
+          sum(col("n_docs")).over(cum).as("cum_docs"),
+          sum(col("n_new")).over(cum).as("cum_distinct"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("cum_distinct").cast("double") /
+            col("cum_docs").cast("double"))
+        .orderBy("bucket")
+    }
+    val oracle = Some(
+      """WITH docs AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |firsts AS (
+        |  SELECT min(doc_id) AS doc_id, 1 AS is_new FROM docs GROUP BY fp),
+        |hi AS (SELECT max(doc_id) + 1 AS n_ids FROM docs),
+        |perbucket AS (
+        |  SELECT least(9, (10 * doc_id) // n_ids) AS bucket,
+        |         count(*) AS n_docs,
+        |         CAST(sum(coalesce(is_new, 0)) AS BIGINT) AS n_new
+        |  FROM docs LEFT JOIN firsts USING (doc_id) CROSS JOIN hi
+        |  GROUP BY 1)
+        |SELECT bucket, n_docs, n_new,
+        |       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+        |       CAST(sum(n_new) OVER w AS BIGINT) AS cum_distinct,
+        |       1.0 - CAST(sum(n_new) OVER w AS DOUBLE)
+        |             / CAST(sum(n_docs) OVER w AS DOUBLE) AS dup_rate
+        |FROM perbucket
+        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
       EmbedNearDupLsh, IncrementalDedup, PrefixJoin, MinhashRecall,
-      SimhashRecall)
+      SimhashRecall, CoverageCurve)
 }

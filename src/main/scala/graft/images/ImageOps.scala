@@ -125,6 +125,33 @@ object ImageOps {
     Image(tw, th, out)
   }
 
+  /** Perceptual difference hash (dHash-64): area-resize to 9×8, integer
+    * BT.601 luminance (77/150/29 fixed-point, >>8), bit (y,x) set iff
+    * gray(x,y) > gray(x+1,y). Near-identical pixels (recompression, light
+    * noise, small crops) agree within a few bits, so Hamming distance on
+    * the hash is the standard image near-dup predicate — the PIXEL-level
+    * sibling of the text SimHash. Integer-only end to end: bit-identical
+    * on every JVM, so the hash can serve as a shuffle/join key.
+    */
+  def dHash(img: Image): Long = {
+    val s = resizeArea(img, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val p = s.pixels(y * 9 + x)
+      (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (gray(x, y) > gray(x + 1, y)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** Bilinear resize, the semantics of `cv2.INTER_LINEAR` — the
     * interpolation the reference's detector preproc uses
     * (`yolox.zip!yolox/data/data_augment.py:149-153`), distinct from the

@@ -80,6 +80,41 @@ object ImagePipeline {
     }
   }
 
+  /** Image near-duplicate pairs by perceptual hash — the MULTIMODAL dedup
+    * path (the pixel sibling of the text MinHash/SimHash chains): dHash
+    * per image, then the SimHash block trick — a 64-bit hash splits into
+    * four 16-bit blocks, and any pair within Hamming distance ≤ 3 shares
+    * at least one identical block (pigeonhole, 4 blocks > 3 flips) — so
+    * candidates come from an EQUI-join on (block index, block value),
+    * never an all-pairs comparison, and the exact `bit_count(xor)` verify
+    * runs on candidates only. Input: (img_id long, content binary);
+    * decode-failed payloads drop out (corrupt files are data). The only
+    * bytes that ever shuffle are (id, 64-bit hash) pairs.
+    */
+  def imageNearDupPairs(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block bucketing guarantees recall only to 3")
+    val dhashUdf = udf((bytes: Array[Byte]) =>
+      ImageOps.decode(bytes).map(ImageOps.dHash))
+    val hashed = images
+      .select(col("img_id"), dhashUdf(col("content")).as("h"))
+      .filter(col("h").isNotNull)
+    val blocks = hashed.select(col("img_id"), col("h"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("bval", expr("(h >> (16 * blk)) & 65535"))
+    val cand = blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("id_a"), col("y.img_id").as("id_b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Stage 3 — per-landmark rollup (J2/A4/A5, `pyspark_yolox.py:151-176`):
     * join the image→landmark dim, explode histograms, one grouped aggregate,
     * re-assemble sorted-entry maps. Replaces the reference's

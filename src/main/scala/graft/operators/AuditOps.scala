@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Graft, GraftQuery}
 import graft.functions.PortableHash.pHash28
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-integrity audits — the checks a warehouse load or a training-data
@@ -91,5 +92,97 @@ object AuditOps {
         |FROM edges GROUP BY relation ORDER BY relation""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(OrphanAudit)
+  /** Order-independent table checksum — the migration-validation primitive:
+    * a single fingerprint over every row of `orders` that two engines (or
+    * two copies, or before/after a rewrite) can compare without moving the
+    * data. Row fingerprint = portable md5-60 of a canonical string encoding
+    * (money as integer cents, timestamps formatted — doubles never
+    * stringified, their engine-specific rendering would break the
+    * portability this op exists for); table checksum = DECIMAL(38,0) sum
+    * of row fingerprints, order-independent by construction, so partial
+    * aggregation, AQE and any partitioning all produce the identical
+    * value. Emitted as a string (DuckDB's HUGEINT and Spark's decimal
+    * then compare equal byte-for-byte).
+    */
+  object TableChecksum extends GraftQuery {
+    val name = "q_table_checksum"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority"))
+      Graft.table(spark, sfDir, "orders")
+        .select(pHash60(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string").as("checksum"))
+    }
+    val oracle = Some(
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(('0x' || substr(md5(
+        |         o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+        |         || CAST(round(o_totalprice * 100) AS BIGINT) || '|'
+        |         || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|'
+        |         || o_orderpriority), 1, 15))::BIGINT) AS VARCHAR) AS checksum
+        |FROM orders""".stripMargin)
+  }
+
+  /** Key-contiguity audit — missing-range detection over a supposedly
+    * dense surrogate key. The synthetic keys ARE dense, so (exactly like
+    * [[OrphanAudit]]'s degraded parent) the audit runs against a
+    * deterministically DEGRADED key set (every key whose md5-60 ≡ 0
+    * mod 97 is dropped) and must recover those holes as (gap_start,
+    * gap_end) ranges — proving the detection path with a
+    * fixture-independent oracle.
+    *
+    * Scale shape: the two-phase bucket decomposition a third time —
+    * within-bucket gaps from a lag window under HashPartitioning(bkt),
+    * cross-boundary gaps from a lag over the BUCKET-sized min/max frame;
+    * no global window over the keys. Top-10 widest gaps reported.
+    */
+  object IdGapAudit extends GraftQuery {
+    val name = "q_id_gap_audit"
+    private val B = 1000L
+    private val K = 10
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val keys = Graft.table(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("k"))
+        .filter(pmod(pHash60(col("k").cast("string")), lit(97L)) =!= 0L)
+        .withColumn("bkt", expr(s"k div $B"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inB = Window.partitionBy("bkt").orderBy("k")
+      val inner = keys
+        .withColumn("nxt", lead(col("k"), 1).over(inB))
+        .filter(col("nxt") > col("k") + 1)
+        .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+      val bounds = keys.groupBy("bkt")
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      val cross = bounds
+        .withColumn("nxt_mn", lead(col("mn"), 1).over(Window.orderBy("bkt")))
+        .filter(col("nxt_mn") > col("mx") + 1)
+        .select((col("mx") + 1).as("gap_start"), (col("nxt_mn") - 1).as("gap_end"))
+      inner.unionAll(cross)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+        .orderBy(col("n_missing").desc, col("gap_start").asc)
+        .limit(K)
+    }
+    val oracle = Some(
+      s"""WITH keys AS (
+         |  SELECT o_orderkey AS k FROM orders
+         |  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         |        % 97 <> 0),
+         |gaps AS (
+         |  SELECT k + 1 AS gap_start, nxt - 1 AS gap_end
+         |  FROM (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM keys)
+         |  WHERE nxt > k + 1)
+         |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing
+         |FROM gaps
+         |ORDER BY n_missing DESC, gap_start ASC LIMIT $K""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(OrphanAudit, TableChecksum, IdGapAudit)
 }

@@ -278,4 +278,31 @@ class DedupSpec extends SparkSpec {
     val recall = out.length.toDouble / truth.size
     assert(truth.nonEmpty && recall >= 0.4, s"recall $recall over ${truth.size}")
   }
+  test("coverage curve: planted duplicate halves give a 0.5 closing dup rate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cov_spec").toString
+    // ids 0..9; 5..9 repeat the texts of 0..4 → one doc per bucket,
+    // all new in buckets 0-4, all duplicate in 5-9
+    (0L until 10L).map(i => (i, s"text number ${i % 5}", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.CoverageCurve.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length == 10)
+    assert(out.map(_._1).toSeq == (0L until 10L))
+    out.foreach { case (b, nd, nn, _, _, _) =>
+      assert(nd == 1L && nn == (if (b < 5) 1L else 0L), s"bucket $b: $nd/$nn")
+    }
+    assert(out.last == ((9L, 1L, 0L, 10L, 5L, 0.5)), s"${out.last}")
+    // catalog: dup rate is monotone-nondecreasing only if no bucket is
+    // fresher than all before it — not guaranteed; instead check bounds
+    val cat = Dedup.CoverageCurve.run(spark, sf).collect()
+    assert(cat.nonEmpty)
+    cat.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
 }

@@ -35,4 +35,55 @@ class AuditOpsSpec extends SparkSpec {
     assert(orphans > 0L && orphans < n,
       s"degraded edge: $orphans orphans of $n rows")
   }
+  test("table checksum matches a driver-side recompute and ignores row order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cksum_spec").toString
+    val d = java.sql.Timestamp.valueOf("2024-03-05 12:00:00")
+    val rows = Seq((3L, 30L, "O", 12.34, d, "1-URGENT"),
+      (1L, 10L, "F", 0.01, d, "2-HIGH"), (2L, 20L, "O", 99.99, d, "3-LOW"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = AuditOps.TableChecksum.run(spark, dir).collect().head
+    val expected = rows.map { case (ok, ck, st, p, _, pr) =>
+      val canon = s"$ok|$ck|$st|${math.round(p * 100)}|2024-03-05 12:00:00|$pr"
+      BigInt(graft.functions.PortableHash.md5Hex(canon).take(15), 16)
+    }.sum
+    assert(out.getLong(0) == 3L)
+    assert(out.getString(1) == expected.toString, s"$out vs $expected")
+    // order independence: a reversed copy checksums identically
+    val dir2 = java.nio.file.Files.createTempDirectory("cksum_spec2").toString
+    rows.reverse.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .repartition(3)
+      .write.parquet(s"$dir2/orders.parquet")
+    val out2 = AuditOps.TableChecksum.run(spark, dir2).collect().head
+    assert(out2.getString(1) == out.getString(1))
+  }
+
+  test("id gap audit recovers the degraded keys as exact ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gapaudit_spec").toString
+    val d = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val keys = (0L until 3000L)
+    keys.map(k => (k, k, "O", 1.0, d, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // driver-side replay of the degradation + gap rule
+    def p60(s: String) =
+      BigInt(graft.functions.PortableHash.md5Hex(s).take(15), 16)
+    val kept = keys.filter(k => p60(k.toString) % 97 != 0).toArray
+    val expected = kept.zip(kept.tail).collect {
+      case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1)
+    }.sortBy { case (s, _, n) => (-n, s) }.take(10)
+    assert(expected.nonEmpty, "fixture must actually drop keys")
+    val out = AuditOps.IdGapAudit.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(out.toSeq == expected.toSeq, s"got ${out.toSeq} want ${expected.toSeq}")
+  }
+
 }
