@@ -749,8 +749,59 @@ object BehaviorOps {
         |FROM pu CROSS JOIN thr""".stripMargin)
   }
 
+  /** Week-over-week trend — the period-comparison readout every BI layer
+    * ships: per event type, event count and exact revenue cents for the
+    * trailing 7 days vs the 7 days before, with the percent change as one
+    * fixed double tree. The window anchors at the data's own max day
+    * (1-row broadcast), so the result is snapshot-reproducible. ONE
+    * conditional aggregate over a date-pruned scan — both periods in the
+    * same pass, no self-join of aggregates.
+    */
+  object WowChange extends GraftQuery {
+    val name = "q_wow_change"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val anchor = ev.agg(max(col("day")).as("dmax"))
+      val cur = col("day") > col("dmax") - 7
+      val prev = col("day") > col("dmax") - 14 && col("day") <= col("dmax") - 7
+      ev.crossJoin(broadcast(anchor))
+        .filter(col("day") > col("dmax") - 14)
+        .groupBy("event_type")
+        .agg(
+          sum(when(cur, 1L).otherwise(0L)).as("n_cur"),
+          sum(when(prev, 1L).otherwise(0L)).as("n_prev"),
+          sum(when(cur, col("cents")).otherwise(0L)).as("rev_cur"),
+          sum(when(prev, col("cents")).otherwise(0L)).as("rev_prev"))
+        .withColumn("rev_change_pct",
+          (lit(100.0) * (col("rev_cur") - col("rev_prev")).cast("double")) /
+            col("rev_prev").cast("double"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |anchor AS (SELECT max(day) AS dmax FROM ev),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN day > dmax - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |         CAST(sum(CASE WHEN day > dmax - 14 AND day <= dmax - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+        |         CAST(sum(CASE WHEN day > dmax - 7 THEN cents ELSE 0 END) AS BIGINT) AS rev_cur,
+        |         CAST(sum(CASE WHEN day > dmax - 14 AND day <= dmax - 7 THEN cents ELSE 0 END) AS BIGINT) AS rev_prev
+        |  FROM ev CROSS JOIN anchor
+        |  WHERE day > dmax - 14
+        |  GROUP BY 1)
+        |SELECT event_type, n_cur, n_prev, rev_cur, rev_prev,
+        |       (100.0 * CAST(rev_cur - rev_prev AS DOUBLE))
+        |         / CAST(rev_prev AS DOUBLE) AS rev_change_pct
+        |FROM agg ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
       ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels, GapHist,
-      PowerUsers)
+      PowerUsers, WowChange)
 }

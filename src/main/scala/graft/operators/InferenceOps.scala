@@ -237,5 +237,54 @@ object InferenceOps {
         |FROM d CROSS JOIN tot""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest)
+  /** Maximum drawdown of the cumulative daily purchase-revenue series —
+    * the worst peak-to-trough fall, the risk statistic that summarizes a
+    * monotone-hoped curve in one number. Like [[Autocorr]], the fact
+    * reduces to a DAYS-sized frame first (one aggregate pass); cumulative
+    * sum, running max and the argmax of the gap are windows over that tiny
+    * frame. The trough day of the MAXIMUM drawdown is picked by struct
+    * ordering (dd desc, day asc) in a single aggregate — deterministic
+    * under ties. Cents integers end-to-end.
+    */
+  object Drawdown extends GraftQuery {
+    val name = "q_drawdown"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val daily = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      val cumW = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("cum", sum(col("rev")).over(cumW))
+        .withColumn("peak", max(col("cum")).over(cumW))
+        .withColumn("dd", col("peak") - col("cum"))
+      dd.agg(max(struct(col("dd"), (-col("day")).as("negday"))).as("m"),
+          count(lit(1)).as("n_days"))
+        .select(col("n_days"), col("m.dd").as("max_drawdown_cents"),
+          (-col("m.negday")).as("trough_day"))
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |curve AS (
+        |  SELECT day,
+        |         CAST(max(sum_cum) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - sum_cum AS dd
+        |  FROM (SELECT day,
+        |               CAST(sum(rev) OVER (ORDER BY day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |                 AS sum_cum
+        |        FROM daily))
+        |SELECT count(*) AS n_days,
+        |       max(dd) AS max_drawdown_cents,
+        |       min(CASE WHEN dd = (SELECT max(dd) FROM curve) THEN day END)
+        |         AS trough_day
+        |FROM curve""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest, Drawdown)
 }

@@ -268,7 +268,61 @@ object WindowOps {
         |ORDER BY p_brand, p_partkey""".stripMargin)
   }
 
+  /** OHLC resampling — the time-series downsample every monitoring and
+    * finance pipeline runs: per event type and 6-hour bar, the opening,
+    * highest, lowest and closing value. Open/close are decided by a
+    * total order ((sec, event_id) — unique), expressed as a single
+    * `min(struct(...))`/`max(struct(...))` inside the SAME hash aggregate
+    * as the extremes: structs order lexicographically, so the aggregate
+    * state is one struct per bound and the whole op is one
+    * map-side-combinable pass — no rank window over the fact, no second
+    * scan. Cents integers end-to-end; the streaming twin is
+    * [[graft.streaming.EventStream.ohlcBars]].
+    */
+  object OhlcBars extends GraftQuery {
+    val name = "q_ohlc_bars"
+    private val BarSec = 21600L // 6-hour bars
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("ts div 1000000000").as("sec"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("bar_start", expr(s"(sec div $BarSec) * $BarSec"))
+      ev.groupBy("event_type", "bar_start")
+        .agg(
+          min(struct(col("sec"), col("event_id"), col("cents"))).as("o"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max(struct(col("sec"), col("event_id"), col("cents"))).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("bar_start"),
+          col("o.cents").as("open"), col("high"), col("low"),
+          col("c.cents").as("close"), col("n"))
+        .orderBy("event_type", "bar_start")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id,
+         |         epoch_ns(ts) // 1000000000 AS sec,
+         |         CAST(round(value * 100) AS BIGINT) AS cents,
+         |         (epoch_ns(ts) // 1000000000 // $BarSec) * $BarSec AS bar_start
+         |  FROM events),
+         |ranked AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY event_type, bar_start
+         |                            ORDER BY sec ASC, event_id ASC) AS ra,
+         |         row_number() OVER (PARTITION BY event_type, bar_start
+         |                            ORDER BY sec DESC, event_id DESC) AS rd
+         |  FROM ev)
+         |SELECT event_type, bar_start,
+         |       min(CASE WHEN ra = 1 THEN cents END) AS open,
+         |       max(cents) AS high, min(cents) AS low,
+         |       min(CASE WHEN rd = 1 THEN cents END) AS close,
+         |       count(*) AS n
+         |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(RunningSum, RunningTotalDist, TopNPerGroup, TumblingWindow,
-      HoppingWindow, Rolling7d, WindowPack, PercentileRank)
+      HoppingWindow, Rolling7d, WindowPack, PercentileRank, OhlcBars)
 }

@@ -52,6 +52,28 @@ object EventStream {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming OHLC bars: the windowed-aggregation twin of the batch
+    * `WindowOps.OhlcBars`. Open/close are min/max over
+    * (sec, event_id, cents) structs — associative and commutative, so the
+    * aggregate merges correctly across micro-batches regardless of arrival
+    * order (the same property that makes it ONE hash aggregate in batch).
+    * State per open window: two structs + two longs + a count.
+    */
+  def ohlcBars(events: DataFrame, bar: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(window(col("ts"), bar).as("w"), col("event_type"))
+      .agg(
+        min(struct(col("sec"), col("event_id"), col("cents"))).as("o"),
+        max(col("cents")).as("high"), min(col("cents")).as("low"),
+        max(struct(col("sec"), col("event_id"), col("cents"))).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col("o.cents").as("open"), col("high"), col("low"),
+        col("c.cents").as("close"), col("n"))
+
   /** Custom state: per-user running session summary via
     * `flatMapGroupsWithState` — the engine's template for arbitrary
     * keyed-state operators (counts here; dedup-seen-sets or rate limits in

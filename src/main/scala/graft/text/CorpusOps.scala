@@ -765,8 +765,78 @@ object CorpusOps {
          |FROM head CROSS JOIN total ORDER BY rank""".stripMargin)
   }
 
+  /** Bigram language-model readout — next-token prediction for the 5 most
+    * frequent head words: each head's top-3 continuations with exact
+    * conditional probability n(w1,w2)/n(w1,·). The smallest useful LM, and
+    * the interpretability readout of the bigram statistics the engine
+    * already keeps (lift, transitions): what WOULD a 2-gram model predict?
+    * One tokenize pass feeds both the positional bigram aggregate and the
+    * head-word rank; the per-head top-3 is the WindowGroupLimit shape;
+    * the conditional total rides the same aggregate (a window over the
+    * head's continuation rows, vocab-bounded). Probabilities are single
+    * IEEE divisions of exact BIGINTs.
+    */
+  object NextToken extends GraftQuery {
+    val name = "q_next_token"
+    private val Heads = 5
+    private val K = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // positional bigrams WITH multiplicity (the zip_with construction of
+      // q_token_lift) — shingle_strings would dedup per document and skew
+      // the conditional probabilities
+      val toks = TextOps.tokens(col("text"))
+      val bi = Graft.table(spark, sfDir, "documents")
+        .filter(size(toks) >= 2)
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val headWords = bi.groupBy("w1").agg(sum(col("n")).as("n_head"))
+        .select(col("w1"), col("n_head"),
+          row_number().over(Window.orderBy(col("n_head").desc, col("w1").asc))
+            .as("head_rank"))
+        .filter(col("head_rank") <= Heads)
+      val ranked = bi.join(broadcast(headWords), "w1")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("n").desc, col("w2").asc)))
+        .filter(col("rk") <= K)
+      ranked.select(col("w1"), col("head_rank"), col("rk").cast("int").as("rk"),
+          col("w2"), col("n"),
+          (col("n").cast("double") / col("n_head").cast("double")).as("prob"))
+        .orderBy("head_rank", "rk")
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.tok, t.i
+         |  FROM (SELECT doc_id,
+         |               string_split_regex(trim(text), '\\s+') AS l FROM documents) d,
+         |       LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS i) t),
+         |bi AS (
+         |  SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS n
+         |  FROM toks t1 JOIN toks t2
+         |    ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+         |  GROUP BY 1, 2),
+         |heads AS (
+         |  SELECT w1, CAST(sum(n) AS BIGINT) AS n_head,
+         |         row_number() OVER (ORDER BY sum(n) DESC, w1 ASC) AS head_rank
+         |  FROM bi GROUP BY 1 QUALIFY head_rank <= $Heads),
+         |ranked AS (
+         |  SELECT bi.w1, head_rank, n_head, w2, n,
+         |         row_number() OVER (PARTITION BY bi.w1
+         |                            ORDER BY n DESC, w2 ASC) AS rk
+         |  FROM bi JOIN heads USING (w1))
+         |SELECT w1, head_rank, CAST(rk AS INT) AS rk, w2, n,
+         |       CAST(n AS DOUBLE) / CAST(n_head AS DOUBLE) AS prob
+         |FROM ranked WHERE rk <= $K
+         |ORDER BY head_rank, rk""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
-      PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve)
+      PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken)
 }

@@ -259,4 +259,27 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 199.0 / 5050.0) < 1e-15)
   }
 
+  test("wow change: crafted weeks give the exact percent change") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wow_spec").toString
+    val day = 86400L
+    // anchor day 20. current week = days 14..20, previous = 7..13.
+    // prev revenue 400, current 500 → +25%; day 6 must be excluded
+    val rows = Seq(
+      (1L, 6 * day, 1L, "purchase", 999.0), // outside both windows
+      (2L, 8 * day, 1L, "purchase", 4.00),
+      (3L, 15 * day, 1L, "purchase", 2.00),
+      (4L, 20 * day, 1L, "purchase", 3.00))
+    rows.map { case (id, s, u, t, v) =>
+      (id, s * 1000000000L, u, t, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.WowChange.run(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 500L, 400L)), s"$r")
+    assert(math.abs(r.getDouble(5) - 25.0) < 1e-12)
+  }
+
 }

@@ -89,4 +89,21 @@ class InferenceOpsSpec extends SparkSpec {
     assert(out.getInt(3) == 1, s"disjoint distributions must reject: $out")
     assert(out.getLong(0) + out.getLong(1) == 400L)
   }
+  test("drawdown: a planted peak-fall-recover curve gives the exact trough") {
+    val dir = java.nio.file.Files.createTempDirectory("dd_spec").toString
+    import spark.implicits._
+    // daily revenue: +100, +50, -120 (day2), -20 (day3), +200
+    // cum: 100, 150, 30, 10, 210; peak: 100, 150, 150, 150, 210
+    // dd:  0, 0, 120, 140, 0 → max 140 at day 3
+    val revs = Seq(100L, 50L, -120L, -20L, 200L)
+    val rows = revs.zipWithIndex.map { case (cents, d) =>
+      (d.toLong, d.toLong * 86400L * 1000000000L, 1L, "purchase",
+        cents.toDouble / 100.0, """{"k": 1}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = InferenceOps.Drawdown.run(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 140L, 3L)), s"$r")
+  }
+
 }

@@ -96,4 +96,27 @@ class WindowOpsSpec extends SparkSpec {
         s"${out.zip(naive).find { case (a, b) => a != b }}")
     assert(out.nonEmpty)
   }
+  test("ohlc bars: open/close by time with event-id tie-break, one pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ohlc_spec").toString
+    // one 6h bar: open decided by event_id among same-second ties,
+    // high/low from interior rows, close at the last second
+    Seq(
+      (2L, 100L, "p", 5.00), // same sec as event 1 — higher id loses open
+      (1L, 100L, "p", 3.00), // open = 300
+      (3L, 200L, "p", 9.99), // high = 999
+      (4L, 300L, "p", 0.01), // low = 1
+      (5L, 400L, "p", 7.00)) // close = 700
+      .map { case (id, sec, t, v) =>
+        (id, sec * 1000000000L, 1L, t, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = WindowOps.OhlcBars.run(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (("p", 0L, 300L, 999L, 1L, 700L, 5L)), s"$r")
+  }
+
 }

@@ -29,6 +29,34 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming OHLC bars match the batch query even on reversed input") {
+    import spark.implicits._
+    val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]
+    // reversed arrival order: open/close must still be decided by event
+    // time, proving the struct-min/max merge is order-independent
+    val rows = batch.collect().toSeq.reverse
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStream.Event]
+    stream.addData(rows)
+    val q = EventStream.ohlcBars(stream.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ohlc_out")
+      .select(unix_timestamp(col("bar_start")).as("bar_start"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val batched = graft.operators.WindowOps.OhlcBars.run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamed == batched)
+    assert(streamed.nonEmpty)
+  }
+
   test("hoppingCounts over a file stream matches the batch hopping agg") {
     import spark.implicits._
     val batch = EventStream.batchEvents(spark, sf).as[EventStream.Event]

@@ -349,4 +349,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cat.last <= 1.0 + 1e-12)
   }
 
+  test("next token: crafted bigrams give exact conditional probabilities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nexttok_spec").toString
+    // "go" heads 4 bigrams: go home ×2, go away ×1, go now ×1
+    Seq((1L, "go home go home go away go now", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.NextToken.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3), r.getLong(4),
+        r.getDouble(5)))
+    spark.catalog.clearCache()
+    // heads by count: go(4), home(3: "home go" x2... recount) — just assert
+    // the go row block is exact
+    val go = out.filter(_._1 == "go")
+    assert(go.toSeq == Seq(("go", 1, "home", 2L, 0.5),
+      ("go", 2, "away", 1L, 0.25), ("go", 3, "now", 1L, 0.25)), s"${go.toSeq}")
+  }
+
 }
