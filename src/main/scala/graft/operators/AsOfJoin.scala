@@ -252,5 +252,138 @@ object AsOfJoin {
          |ORDER BY 1, 2, 3, 4""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(PurchaseAttribution, AttributionRate, IntervalJoin)
+  /** Forward as-of: for each left row, the EARLIEST right payload with
+    * `right.time >= left.time` per key — the mirror of [[asofBackward]]
+    * (same union + single window sort; the frame looks forward and left
+    * rows sort before same-instant right rows so ties match). The
+    * time-to-next-event direction backward as-of can't answer.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+      key: String, time: String, tiebreak: String,
+      rightPayload: Column): DataFrame = {
+    val rAligned = right.select(col(key), col(time), col(tiebreak),
+      rightPayload.cast("string").as("_rp"), lit(1).as("_tag"))
+    val lAligned = left.select(col(key), col(time), col(tiebreak),
+      lit(null).cast("string").as("_rp"), lit(0).as("_tag"))
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("_tag").asc, col(tiebreak).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = rAligned.unionAll(lAligned)
+      .withColumn("_asof", first(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .select(col(key), col(time), col(tiebreak), col("_asof"))
+    left.join(matched, Seq(key, time, tiebreak), "inner")
+  }
+
+  /** Click → next purchase (forward as-of over the event stream): for each
+    * click, the user's first purchase at-or-after it and the seconds until
+    * it — the "time to convert from THIS touch" view ([[PurchaseAttribution]]
+    * is the purchase-anchored mirror). Clicks with no later purchase keep a
+    * NULL next id (they are data — the unconverted tail).
+    */
+  object NextPurchase extends GraftQuery {
+    val name = "q_asof_forward"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val joined = asofForward(clicks, purchases,
+        key = "user_id", time = "ts", tiebreak = "event_id",
+        rightPayload = concat_ws(":", col("event_id"), col("ts")))
+      joined
+        .select(col("event_id").as("click_id"), col("user_id"),
+          split(col("_asof"), ":").getItem(0).cast("long")
+            .as("next_purchase_id"),
+          expr("(CAST(split(_asof, ':')[1] AS BIGINT) - ts) div 1000000000")
+            .as("secs_to_purchase"))
+        .orderBy("click_id")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type FROM events),
+        |tagged AS (
+        |  SELECT user_id, t, event_id, 1 AS tag,
+        |         CAST(event_id AS VARCHAR) || ':' || CAST(t AS VARCHAR) AS rp
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, t, event_id, 0 AS tag, NULL AS rp
+        |  FROM ev WHERE event_type = 'click'),
+        |matched AS (
+        |  SELECT user_id, t, event_id, tag,
+        |         first_value(rp IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY t ASC, tag ASC, event_id ASC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM tagged)
+        |SELECT event_id AS click_id, user_id,
+        |       CAST(string_split(nxt, ':')[1] AS BIGINT) AS next_purchase_id,
+        |       (CAST(string_split(nxt, ':')[2] AS BIGINT) - t) // 1000000000
+        |         AS secs_to_purchase
+        |FROM matched WHERE tag = 0
+        |ORDER BY click_id""".stripMargin)
+  }
+
+  /** Last-touch revenue attribution — the marketing rollup: each
+    * purchase's cents credited to the LAST non-purchase event type within
+    * the preceding 24 hours ('direct' when there is none). One union +
+    * one window sort (the [[asofBackward]] shape inline): TWO
+    * `last(..., ignoreNulls)` calls over the same ordering necessarily
+    * pick the same carrying row (their null-sets are identical), so the
+    * channel and its timestamp stay consistent without packing a struct.
+    */
+  object LastTouch extends GraftQuery {
+    val name = "q_last_touch"
+    private val WindowSec = 86400L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("is_p", col("event_type") === "purchase")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(!col("is_p"), col("event_type"))
+      val touchSec = when(!col("is_p"), col("sec"))
+      val attributed = ev
+        .withColumn("t_chan", last(touch, ignoreNulls = true).over(w))
+        .withColumn("t_sec", last(touchSec, ignoreNulls = true).over(w))
+        .filter(col("is_p"))
+        .withColumn("channel",
+          when(col("t_sec").isNotNull &&
+            col("sec") - col("t_sec") <= WindowSec, col("t_chan"))
+            .otherwise("direct"))
+      attributed.groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+        .orderBy("channel")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ns(ts) // 1000000000 AS sec,
+         |         CAST(round(value * 100) AS BIGINT) AS cents,
+         |         event_type = 'purchase' AS is_p
+         |  FROM events),
+         |carried AS (
+         |  SELECT *,
+         |         last_value(CASE WHEN NOT is_p THEN event_type END IGNORE NULLS)
+         |           OVER w AS t_chan,
+         |         last_value(CASE WHEN NOT is_p THEN sec END IGNORE NULLS)
+         |           OVER w AS t_sec
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id
+         |               ORDER BY sec ASC, is_p ASC, event_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |attributed AS (
+         |  SELECT CASE WHEN t_sec IS NOT NULL AND sec - t_sec <= $WindowSec
+         |              THEN t_chan ELSE 'direct' END AS channel, cents
+         |  FROM carried WHERE is_p)
+         |SELECT channel, count(*) AS n_purchases,
+         |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+         |FROM attributed GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(PurchaseAttribution, AttributionRate,
+    IntervalJoin, NextPurchase, LastTouch)
 }

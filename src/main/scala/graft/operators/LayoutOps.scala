@@ -280,5 +280,49 @@ object LayoutOps {
          |FROM planned GROUP BY bin ORDER BY bin""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(BloomFilter, ZOrder, ZoneMapPrune, CompactionPlan)
+  /** Bucketed co-located join — the layout rewrite that deletes the join
+    * shuffle: both sides written `bucketBy(8, custkey)` into managed
+    * tables, re-read, and joined with broadcast disabled, so the planner
+    * must use the bucket co-location (ScaleSpec asserts the no-Exchange
+    * plan; this query makes the RESULT oracle-checked: the oracle is the
+    * plain join on the raw parquet, so the green hash proves layout
+    * changes nothing). Same identity-proof stance as `q_salted_join` and
+    * `q_partitioned_roundtrip` — the three physical-layout rewrites each
+    * certified against their logical originals.
+    */
+  object BucketedJoin extends GraftQuery {
+    val name = "q_bucketed_join"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+      val c = Graft.table(spark, sfDir, "customer")
+      o.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("graft_bjoin_orders")
+      c.write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("graft_bjoin_customer")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        spark.table("graft_bjoin_orders")
+          .join(spark.table("graft_bjoin_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            graft.functions.SafeMath.exactSum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+          // materialize before the threshold is restored — the plan must
+          // bind under the no-broadcast setting
+          .localCheckpoint(eager = true)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+    val oracle = Some(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(BloomFilter, ZOrder, ZoneMapPrune,
+    CompactionPlan, BucketedJoin)
 }

@@ -152,5 +152,73 @@ object SketchOps {
          |FROM ex CROSS JOIN kmv""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(CountMin, KmvMerge)
+  /** Join-cardinality estimation from Count-Min sketches — the sketch
+    * algebra an optimizer's stats layer runs: |A ⋈_k B| estimated as the
+    * minimum over depths of the sketch-row inner product
+    * Σ_c cmsA[r][c]·cmsB[r][c], reported beside the exact
+    * Σ_k cntA(k)·cntB(k). The estimate is one-sided (≥ exact: every true
+    * product appears in its cell's product, plus collision cross-terms),
+    * which the query exposes as `overcount` and the spec pins. Each side's
+    * sketch is depth×width cells built from its per-key count frame —
+    * mergeable, bounded state no matter how large the key space — and the
+    * inner product is a (depth, cell) equi-join of two tiny grids. The
+    * exact side joins the two count frames (key-sized, the stats job a
+    * warehouse runs offline).
+    */
+  object JoinSizeEst extends GraftQuery {
+    val name = "q_join_size_est"
+    private val Depth = 3
+    private val Width = 512
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val rows = array((0 until Depth).map(lit): _*)
+      def cell = (pHash28(concat(col("r").cast("string"), lit(":"),
+        col("k").cast("string"))) % Width).as("c")
+      def counts(df: DataFrame, key: String) =
+        df.select(col(key).as("k")).groupBy("k")
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def sketch(cnts: DataFrame) = cnts
+        .select(col("k"), col("n"), explode(rows).as("r"))
+        .select(col("r"), cell, col("n"))
+        .groupBy("r", "c").agg(sum(col("n")).as("cell_n"))
+      val ca = counts(Graft.table(spark, sfDir, "orders"), "o_orderkey")
+      val cb = counts(Graft.table(spark, sfDir, "lineitem"), "l_orderkey")
+      val est = sketch(ca).as("a")
+        .join(sketch(cb).as("b"), Seq("r", "c"))
+        .groupBy("r")
+        .agg(sum(col("a.cell_n") * col("b.cell_n")).as("ip"))
+        .agg(min(col("ip")).as("cms_est"))
+      val exactJ = ca.as("ca").join(cb.as("cb"), "k")
+        .agg(sum(col("ca.n") * col("cb.n")).as("exact_n"))
+      exactJ.crossJoin(est)
+        .select(col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+    }
+    val oracle = Some(
+      s"""WITH ca AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+         |cb AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+         |rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+         |sa AS (
+         |  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 7))::BIGINT
+         |           % $Width AS c,
+         |         CAST(sum(n) AS BIGINT) AS cell_n
+         |  FROM ca CROSS JOIN rows_ GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 7))::BIGINT
+         |           % $Width AS c,
+         |         CAST(sum(n) AS BIGINT) AS cell_n
+         |  FROM cb CROSS JOIN rows_ GROUP BY 1, 2),
+         |est AS (
+         |  SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM (
+         |    SELECT sa.r, CAST(sum(sa.cell_n * sb.cell_n) AS BIGINT) AS ip
+         |    FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c
+         |    GROUP BY 1)),
+         |ex AS (
+         |  SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS exact_n
+         |  FROM ca JOIN cb USING (k))
+         |SELECT exact_n, cms_est, cms_est - exact_n AS overcount
+         |FROM ex CROSS JOIN est""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(CountMin, KmvMerge, JoinSizeEst)
 }

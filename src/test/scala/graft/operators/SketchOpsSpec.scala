@@ -85,4 +85,16 @@ class SketchOpsSpec extends SparkSpec {
       .distinct().agg(kmvUdaf(col("h"))).collect().head.getDouble(0)
     assert(est == direct)
   }
+  test("join-size estimate: one-sided and anchored to the true join count") {
+    val r = SketchOps.JoinSizeEst.run(spark, sf).collect().head
+    spark.catalog.clearCache()
+    val actual = graft.Graft.table(spark, sf, "orders").as("o")
+      .join(graft.Graft.table(spark, sf, "lineitem").as("l"),
+        org.apache.spark.sql.functions.col("o.o_orderkey") ===
+          org.apache.spark.sql.functions.col("l.l_orderkey"))
+      .count()
+    assert(r.getLong(0) == actual, s"exact_n must equal the real join size: $r")
+    assert(r.getLong(2) >= 0L, s"CMS estimate must never undercount: $r")
+  }
+
 }

@@ -59,4 +59,50 @@ class AsOfJoinNativeSpec extends SparkSpec {
       .select(col("_asof")).collect()
     assert(allNull.forall(_.isNullAt(0)))
   }
+  test("forward as-of: earliest at-or-after match, unconverted stay null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("asoffwd_spec").toString
+    val sec = 1000000000L
+    // user 1: click@10 → purchases @5 (before, ignored) and @20 → secs 10
+    // user 1: click@20 → same-instant purchase @20 matches → secs 0
+    // user 2: click@10, no purchase → NULL
+    Seq(
+      (1L, 10 * sec, 1L, "click", 1.0), (2L, 20 * sec, 1L, "click", 1.0),
+      (3L, 5 * sec, 1L, "purchase", 1.0), (4L, 20 * sec, 1L, "purchase", 1.0),
+      (5L, 10 * sec, 2L, "click", 1.0))
+      .map { case (id, ts, u, t, v) => (id, ts, u, t, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.AsOfJoin.NextPurchase.run(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some(4L), Some(10L)), (2L, Some(4L), Some(0L)),
+      (5L, None, None)), s"${out.toSeq}")
+  }
+
+  test("last-touch attribution: window gate, direct bucket, exact cents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lasttouch_spec").toString
+    val sec = 1000000000L
+    val day = 86400L
+    // u1: view@10, click@20, purchase@30 → click (latest touch)
+    // u2: view@0, purchase@(0+2d) → stale touch → direct
+    // u3: purchase@5 with no touches → direct
+    Seq(
+      (1L, 10 * sec, 1L, "view", 0.0), (2L, 20 * sec, 1L, "click", 0.0),
+      (3L, 30 * sec, 1L, "purchase", 2.50),
+      (4L, 0L, 2L, "view", 0.0), (5L, 2 * day * sec, 2L, "purchase", 1.00),
+      (6L, 5 * sec, 3L, "purchase", 4.00))
+      .map { case (id, ts, u, t, v) => (id, ts, u, t, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.AsOfJoin.LastTouch.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("click", 1L, 250L), ("direct", 2L, 500L)),
+      s"${out.toSeq}")
+  }
+
 }
