@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Graft, GraftQuery}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -286,5 +286,89 @@ object InferenceOps {
         |FROM curve""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest, Drawdown)
+  /** Bootstrap confidence interval for the mean purchase value — the
+    * resampling machinery done scale-right: the Poissonized bootstrap
+    * (each row enters replica r with weight k ~ Poisson(1), the standard
+    * large-n approximation of multinomial resampling) with weights drawn
+    * DETERMINISTICALLY from the portable 28-bit hash of (replica, event):
+    * k is the bucket of u·2²⁸ under the fixed integer CDF thresholds
+    * below, so both engines draw the identical resample. One scan with a
+    * constant B-fold fan-out into B weighted-moment sums (map-side
+    * combinable — the shuffle carries B rows), means as single divisions,
+    * and the CI as positional order statistics over the B-row frame.
+    */
+  object BootstrapCi extends GraftQuery {
+    val name = "q_bootstrap_ci"
+    private val B = 32
+    // floor(cdf(k) * 2^28) for Poisson(1), k = 0..5 (tail collapses to 6)
+    private val Cdf = Seq(98751885L, 197503771L, 246879713L, 263338361L,
+      267453023L, 268275955L)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash28
+      val ev = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val point = ev.agg(
+        (sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+          .as("point_mean"))
+      val reps = ev
+        .select(col("event_id"), col("cents"),
+          explode(array((0 until B).map(lit): _*)).as("r"))
+        .withColumn("u", pHash28(concat(col("r").cast("string"), lit(":"),
+          col("event_id").cast("string"))))
+        .withColumn("w",
+          Cdf.zipWithIndex.foldRight(lit(Cdf.length): Column) {
+            case ((thr, k), els) => when(col("u") < thr, k).otherwise(els)
+          }.cast("long"))
+      val means = reps.groupBy("r")
+        .agg((sum(col("w") * col("cents")).cast("double") /
+          sum(col("w")).cast("double")).as("mean_r"))
+      val ranked = means.select(col("mean_r"),
+        row_number().over(Window.orderBy(col("mean_r").asc)).as("rk"))
+      ranked.agg(
+          min(when(col("rk") === math.ceil(0.05 * B).toInt, col("mean_r")))
+            .as("ci_lo"),
+          min(when(col("rk") === math.ceil(0.95 * B).toInt, col("mean_r")))
+            .as("ci_hi"),
+          count(lit(1)).as("n_replicas"))
+        .crossJoin(broadcast(point))
+        .select(col("point_mean"), col("ci_lo"), col("ci_hi"), col("n_replicas"))
+    }
+    val oracle = Some {
+      val caseArms = Cdf.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |point AS (
+         |  SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |           AS point_mean FROM ev),
+         |reps AS (
+         |  SELECT r.r, cents,
+         |         ('0x' || substr(md5(r.r::VARCHAR || ':' || event_id::VARCHAR), 1, 7))::BIGINT AS u
+         |  FROM ev CROSS JOIN (SELECT unnest(range($B)) AS r) r),
+         |weighted AS (
+         |  SELECT r, cents,
+         |         CAST(CASE $caseArms ELSE ${Cdf.length} END AS BIGINT) AS w
+         |  FROM reps),
+         |means AS (
+         |  SELECT r, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |           AS mean_r
+         |  FROM weighted GROUP BY 1),
+         |ranked AS (
+         |  SELECT mean_r, row_number() OVER (ORDER BY mean_r ASC) AS rk
+         |  FROM means)
+         |SELECT point_mean,
+         |       min(CASE WHEN rk = ${math.ceil(0.05 * B).toInt} THEN mean_r END) AS ci_lo,
+         |       min(CASE WHEN rk = ${math.ceil(0.95 * B).toInt} THEN mean_r END) AS ci_hi,
+         |       count(*) AS n_replicas
+         |FROM ranked CROSS JOIN point
+         |GROUP BY point_mean""".stripMargin
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest, Drawdown,
+    BootstrapCi)
 }

@@ -295,9 +295,20 @@ object LayoutOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val o = Graft.table(spark, sfDir, "orders")
       val c = Graft.table(spark, sfDir, "customer")
-      o.write.mode("overwrite").bucketBy(8, "o_custkey")
+      // the derby metastore is per-JVM but the warehouse DIRECTORY is not:
+      // a table written by a previous session leaves its location behind
+      // with no catalog entry, and saveAsTable refuses the orphan — drop
+      // both the entry and the location before writing
+      Seq("graft_bjoin_orders", "graft_bjoin_customer").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      o.write.bucketBy(8, "o_custkey")
         .sortBy("o_custkey").saveAsTable("graft_bjoin_orders")
-      c.write.mode("overwrite").bucketBy(8, "c_custkey")
+      c.write.bucketBy(8, "c_custkey")
         .sortBy("c_custkey").saveAsTable("graft_bjoin_customer")
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

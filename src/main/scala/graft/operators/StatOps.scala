@@ -503,7 +503,71 @@ object StatOps {
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** SQL-standard interpolated percentiles (PERCENTILE_CONT semantics)
+    * per market segment — the continuous complement of [[Quartiles]]'
+    * positional rule. The fractional position (n−1)·p splits EXACTLY in
+    * integers (pos100 = (n−1)·k for p = k/100: row index pos100 div 100,
+    * fraction pos100 mod 100), so row selection is engine-exact and only
+    * the final fixed tree ((100−f)·lo + f·hi)/100 touches doubles. One
+    * rank window per segment + one conditional aggregate for all four
+    * percentiles.
+    */
+  object PercentileCont extends GraftQuery {
+    val name = "q_percentile_cont"
+    private val Ps = Seq(25, 50, 75, 90)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val o = Graft.table(spark, sfDir, "orders")
+        .join(Graft.table(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+          col("o_orderkey"))
+      val ranked = o.select(col("segment"), col("v"),
+        row_number().over(Window.partitionBy("segment")
+          .orderBy(col("v").asc, col("o_orderkey").asc)).as("rn"),
+        count(lit(1)).over(Window.partitionBy("segment")).as("n"))
+      val withP = ranked.select(col("segment"), col("v"), col("rn"), col("n"),
+        explode(array(Ps.map(p => lit(p.toLong)): _*)).as("p"))
+      val lo = expr("((n - 1) * p) div 100 + 1") // 1-based lower rank
+      val f = expr("((n - 1) * p) % 100")
+      withP.groupBy("segment", "p")
+        .agg(
+          min(when(col("rn") === lo, col("v"))).as("vlo"),
+          min(when(col("rn") === lo + 1, col("v"))).as("vhi"),
+          max(f).as("f"))
+        .select(col("segment"), col("p"),
+          (((lit(100L) - col("f")) * col("vlo").cast("double") +
+            col("f") * coalesce(col("vhi"), col("vlo")).cast("double")) /
+            lit(100.0)).as("pct_cents"))
+        .orderBy("segment", "p")
+    }
+    val oracle = Some(
+      s"""WITH j AS (
+         |  SELECT c_mktsegment AS segment,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |ranked AS (
+         |  SELECT segment, v,
+         |         row_number() OVER (PARTITION BY segment
+         |                            ORDER BY v ASC, o_orderkey ASC) AS rn,
+         |         count(*) OVER (PARTITION BY segment) AS n
+         |  FROM j),
+         |withp AS (
+         |  SELECT * FROM ranked
+         |  CROSS JOIN (SELECT CAST(unnest([${Ps.mkString(", ")}]) AS BIGINT) AS p)),
+         |agg AS (
+         |  SELECT segment, p,
+         |         min(CASE WHEN rn = ((n - 1) * p) // 100 + 1 THEN v END) AS vlo,
+         |         min(CASE WHEN rn = ((n - 1) * p) // 100 + 2 THEN v END) AS vhi,
+         |         max(((n - 1) * p) % 100) AS f
+         |  FROM withp GROUP BY 1, 2)
+         |SELECT segment, p,
+         |       ((100 - f) * CAST(vlo AS DOUBLE)
+         |        + f * CAST(coalesce(vhi, vlo) AS DOUBLE)) / 100.0 AS pct_cents
+         |FROM agg ORDER BY segment, p""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Quartiles, Correlation, ZScoreOutliers, NumericHist, LengthDeciles,
-      Profile, EventSpike, HistQuantile, WeightedMedian)
+      Profile, EventSpike, HistQuantile, WeightedMedian, PercentileCont)
 }

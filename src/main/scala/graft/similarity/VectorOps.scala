@@ -356,6 +356,51 @@ object VectorOps {
         |FROM perlabel ORDER BY label""".stripMargin)
   }
 
+  /** Cross-modal join — text statistics per embedding cluster: documents
+    * and their embeddings are separate tables keyed doc_id = vec_id (the
+    * usual layout: vectors in a vector store, text in the corpus store);
+    * per label, how many member docs, their exact character mass, mean
+    * length and mean token count. The readout that tells you WHAT each
+    * embedding cluster is (short boilerplate? long articles?) — the first
+    * debugging query after any clustering. One key equi-join (neither
+    * side broadcast-assumed at scale), exact BIGINT sums, single
+    * divisions.
+    */
+  object TextEmbedJoin extends GraftQuery {
+    val name = "q_text_embed_join"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val emb = Graft.table(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label"))
+      docs.join(emb, "doc_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_toks")).as("total_toks"))
+        .select(col("label"), col("n_docs"), col("total_chars"),
+          (col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"),
+          (col("total_toks").cast("double") / col("n_docs").cast("double"))
+            .as("mean_toks"))
+        .orderBy("label")
+    }
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_toks
+        |  FROM documents),
+        |j AS (
+        |  SELECT label, n_chars, n_toks
+        |  FROM d JOIN embeddings ON doc_id = vec_id)
+        |SELECT label, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+        |       CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_toks
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes, TruncRecall,
-    LabelInertia)
+    LabelInertia, TextEmbedJoin)
 }

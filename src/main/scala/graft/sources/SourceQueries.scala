@@ -219,7 +219,53 @@ object SourceQueries {
         |ORDER BY img_id""".stripMargin)
   }
 
+  /** Parquet schema evolution — the append-only reality of a long-lived
+    * dataset: an old writer produced (doc_id, text), a newer one added
+    * `lang`, and readers must see the union schema with nulls where the
+    * old files are silent. The corpus splits deterministically by the
+    * portable md5 of doc_id (old/new writer cohorts), lands as two
+    * parquet generations, and is read back with `mergeSchema` — the
+    * aggregate proves total row retention and exactly the old cohort
+    * null. At scale this is why schema-on-read beats rewrite-on-evolve:
+    * the query plans against the merged schema without touching old
+    * files' data pages beyond the projected columns.
+    */
+  object SchemaEvolution extends GraftQuery {
+    val name = "q_schema_evolution"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val dir = workDir("schemaevo", sfDir) + "/documents"
+      val docs = Graft.table(spark, sfDir, "documents")
+        .withColumn("cohort", pmod(pHash60(col("doc_id").cast("string")), lit(2L)))
+      docs.filter(col("cohort") === 0L)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$dir/gen=v1")
+      docs.filter(col("cohort") === 1L)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/gen=v2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      merged.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_old_cohort"),
+        sum(when(col("lang").isNotNull, 1L).otherwise(0L)).as("n_new_cohort"),
+        countDistinct(col("lang")).as("n_langs"))
+    }
+    val oracle = Some(
+      """WITH cohorts AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |           AS cohort
+        |  FROM documents)
+        |SELECT count(*) AS n_total,
+        |       CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_old_cohort,
+        |       CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_new_cohort,
+        |       count(DISTINCT CASE WHEN cohort = 1 THEN lang END) AS n_langs
+        |FROM cohorts""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, ImageDims, JsonlRoundtrip, OrcRoundtrip,
-      PartitionedRoundtrip)
+      PartitionedRoundtrip, SchemaEvolution)
 }

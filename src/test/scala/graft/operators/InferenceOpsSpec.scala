@@ -106,4 +106,22 @@ class InferenceOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 140L, 3L)), s"$r")
   }
 
+  test("bootstrap CI: ordered, bracketed by the data range, deterministic") {
+    val r1 = InferenceOps.BootstrapCi.run(spark, sf).collect().head
+    spark.catalog.clearCache()
+    val r2 = InferenceOps.BootstrapCi.run(spark, sf).collect().head
+    spark.catalog.clearCache()
+    assert(r1 == r2, "resamples are hash-derived — reruns must be identical")
+    val (lo, hi) = (r1.getDouble(1), r1.getDouble(2))
+    assert(lo <= hi)
+    assert(r1.getLong(3) == 32L)
+    import org.apache.spark.sql.functions._
+    val mm = graft.Graft.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(min(expr("round(value * 100)")), max(expr("round(value * 100)")))
+      .head
+    assert(lo >= mm.getDouble(0) && hi <= mm.getDouble(1),
+      "replica means live inside the data range")
+  }
+
 }

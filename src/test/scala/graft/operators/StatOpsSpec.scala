@@ -179,4 +179,24 @@ class StatOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", 11L, 100L), ("B", 2L, 100L)), s"${out.toSeq}")
   }
 
+  test("percentile_cont: hand-computed interpolation on a 5-value segment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcont_spec").toString
+    val d = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, "cA", 0, 0.0, "M")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // prices 10..50 dollars → cents 1000..5000
+    (1L to 5L).map(i => (i, 1L, "O", i * 10.0, d, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = StatOps.PercentileCont.run(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // n=5: pos100(p) = 4p. p25→(2,f0)=2000; p50→3000; p75→4000;
+    // p90→pos 360: lo rank 4 (4000), f 60 → 4000·0.4 + 5000·0.6 = 4600
+    assert(out == Map(25L -> 2000.0, 50L -> 3000.0, 75L -> 4000.0,
+      90L -> 4600.0), s"$out")
+  }
+
 }

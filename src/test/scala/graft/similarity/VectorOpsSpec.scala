@@ -114,4 +114,22 @@ class VectorOpsSpec extends SparkSpec {
     val cat = VectorOps.LabelInertia.run(spark, sf).collect()
     assert(cat.nonEmpty && cat.forall(_.getDouble(2) >= 0.0))
   }
+  test("text-embed join: per-cluster text stats on a crafted pairing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tej_spec").toString
+    Seq((1L, "a b", "en", "s", 10L), (2L, "c d e f", "en", "s", 30L),
+      (3L, "g", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def vec = Array.fill(4)(0.5f)
+    Seq((1L, vec, 0), (2L, vec, 0), (3L, vec, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.TextEmbedJoin.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((0, 2L, 40L, 20.0, 3.0), (1, 1L, 5L, 5.0, 1.0)),
+      s"${out.toSeq}")
+  }
+
 }
