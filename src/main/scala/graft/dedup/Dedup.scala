@@ -1108,9 +1108,36 @@ object Dedup {
         |ORDER BY bucket""".stripMargin)
   }
 
+  /** Duplicate-cluster size histogram — the SHAPE of the duplication:
+    * [[ExactDedup]] answers "how many copies of each doc"; this rolls that
+    * into "how many families of each size" plus the rows each size class
+    * would delete. A corpus with a fat tail of 2-copies needs different
+    * handling (near-dup chasing) than one with a few 1000-copy boilerplate
+    * families (blocklist the families). Two stacked tiny aggregates over
+    * the fingerprint frame; deletable = (size−1)·families, exact.
+    */
+  object DupSizeHist extends GraftQuery {
+    val name = "q_dup_size_hist"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      Graft.table(spark, sfDir, "documents")
+        .select(md5(lower(trim(col("text")))).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_families"))
+        .select(col("sz").as("family_size"), col("n_families"),
+          ((col("sz") - 1) * col("n_families")).as("n_deletable"))
+        .orderBy("family_size")
+    val oracle = Some(
+      """WITH fams AS (
+        |  SELECT md5(lower(trim(text))) AS fp, count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz AS family_size, count(*) AS n_families,
+        |       (sz - 1) * count(*) AS n_deletable
+        |FROM fams GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
       EmbedNearDupLsh, IncrementalDedup, PrefixJoin, MinhashRecall,
-      SimhashRecall, CoverageCurve)
+      SimhashRecall, CoverageCurve, DupSizeHist)
 }

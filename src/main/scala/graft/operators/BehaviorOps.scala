@@ -800,8 +800,71 @@ object BehaviorOps {
         |FROM agg ORDER BY event_type""".stripMargin)
   }
 
+  /** Audience overlap — the Jaccard matrix of user sets per event-type
+    * pair ("do clickers also purchase?"). One user-keyed aggregate
+    * produces each user's 5-flag row; ONE second aggregate computes
+    * intersection and union counts for ALL 10 unordered pairs
+    * simultaneously (conditional sums — no per-pair self-joins of user
+    * sets, no distinct-set materialization); a stack unpivots the 10
+    * pairs. Exact integer counts, one division per pair.
+    */
+  object AudienceOverlap extends GraftQuery {
+    val name = "q_audience_overlap"
+    private val Types = Seq("click", "error", "purchase", "signup", "view")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val flagCols = Types.map(t =>
+        max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f_$t"))
+      val flags = Graft.table(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(flagCols.head, flagCols.tail: _*)
+      val pairs = for {
+        i <- Types.indices; j <- Types.indices if i < j
+      } yield (Types(i), Types(j))
+      val aggs = pairs.flatMap { case (a, b) =>
+        Seq(
+          sum(when(col(s"f_$a") === 1L && col(s"f_$b") === 1L, 1L)
+            .otherwise(0L)).as(s"i_${a}_$b"),
+          sum(when(col(s"f_$a") === 1L || col(s"f_$b") === 1L, 1L)
+            .otherwise(0L)).as(s"u_${a}_$b"))
+      }
+      val wide = flags.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = pairs.map { case (a, b) =>
+        s"'$a', '$b', i_${a}_$b, u_${a}_$b"
+      }.mkString(", ")
+      wide.selectExpr(s"stack(${pairs.size}, $stackArgs) " +
+          "AS (type_a, type_b, n_both, n_either)")
+        .withColumn("jaccard",
+          when(col("n_either") > 0,
+            col("n_both").cast("double") / col("n_either").cast("double")))
+        .orderBy("type_a", "type_b")
+    }
+    val oracle = Some {
+      val flagCols = Types.map(t =>
+        s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f_$t")
+        .mkString(", ")
+      val pairs = for {
+        i <- Types.indices; j <- Types.indices if i < j
+      } yield (Types(i), Types(j))
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS type_a, '$b' AS type_b,
+           |  CAST(sum(CASE WHEN f_$a = 1 AND f_$b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           |  CAST(sum(CASE WHEN f_$a = 1 OR f_$b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_either
+           |FROM flags""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH flags AS (
+         |  SELECT user_id, $flagCols FROM events GROUP BY 1),
+         |pairs AS (
+         |$arms)
+         |SELECT type_a, type_b, n_both, n_either,
+         |       CASE WHEN n_either > 0
+         |            THEN CAST(n_both AS DOUBLE) / CAST(n_either AS DOUBLE)
+         |            END AS jaccard
+         |FROM pairs ORDER BY type_a, type_b""".stripMargin
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
       ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels, GapHist,
-      PowerUsers, WowChange)
+      PowerUsers, WowChange, AudienceOverlap)
 }

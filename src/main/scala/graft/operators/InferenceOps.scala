@@ -369,6 +369,63 @@ object InferenceOps {
     }
   }
 
+  /** Rolling 7-day median of daily revenue — the robust trend line
+    * (medians shrug off the spike days that wreck a rolling mean). Same
+    * frame discipline as [[Drawdown]]: the fact collapses to days first;
+    * then each day fans out to the ≤7 future windows it participates in
+    * (the constant-fan-out trick of `q_active_users` — a rolling rank
+    * window would re-sort per row; this is one explode + one positional
+    * pick per window), and the per-window median is the positional rule
+    * over ≤7 values. Integer cents; only days with a FULL 7-day history
+    * emit.
+    */
+  object RollingMedian extends GraftQuery {
+    val name = "q_rolling_median"
+    private val W = 7
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val daily = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val fanned = daily
+        .select(col("rev"), explode(sequence(col("day"),
+          col("day") + (W - 1))).as("win_end"))
+      val ranked = fanned
+        .withColumn("rn", row_number().over(Window.partitionBy("win_end")
+          .orderBy(col("rev").asc)))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("win_end")))
+      ranked
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .crossJoin(broadcast(span))
+        // full windows only: the first W-1 days and fabricated future ends drop
+        .filter(col("win_end") >= col("d0") + (W - 1) &&
+          col("win_end") <= col("d1"))
+        .select(col("win_end").as("day"), col("cnt").as("n_days"),
+          col("rev").as("rolling_median_cents"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      s"""WITH daily AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |fanned AS (
+         |  SELECT rev, day + o AS win_end
+         |  FROM daily, LATERAL (SELECT unnest(range($W)) AS o) g),
+         |ranked AS (
+         |  SELECT win_end, rev,
+         |         row_number() OVER (PARTITION BY win_end ORDER BY rev ASC) AS rn,
+         |         count(*) OVER (PARTITION BY win_end) AS cnt
+         |  FROM fanned)
+         |SELECT win_end AS day, cnt AS n_days, rev AS rolling_median_cents
+         |FROM ranked CROSS JOIN span
+         |WHERE rn = (cnt + 1) // 2 AND win_end >= d0 + ${W - 1} AND win_end <= d1
+         |ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest, Drawdown,
-    BootstrapCi)
+    BootstrapCi, RollingMedian)
 }

@@ -265,7 +265,50 @@ object SourceQueries {
         |FROM cohorts""".stripMargin)
   }
 
+  /** Compression-codec roundtrip — the storage-tuning primitive: the same
+    * corpus written under snappy (decode-speed default) and zstd (ratio
+    * default), both read back and reduced to the order-independent
+    * portable checksum of `q_table_checksum`. Two identical checksum rows
+    * = both codecs are lossless under the same reader — the invariant a
+    * codec migration at 100 TB is gated on (sizes are version-dependent
+    * and deliberately NOT part of the contract).
+    */
+  object CodecRoundtrip extends GraftQuery {
+    val name = "q_codec_roundtrip"
+    private val Codecs = Seq("snappy", "zstd")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val base = workDir("codec", sfDir)
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val frames = Codecs.map { c =>
+        val dir = s"$base/docs_$c"
+        docs.write.mode("overwrite").option("compression", c).parquet(dir)
+        spark.read.parquet(dir)
+          .select(pHash60(concat_ws("|", col("doc_id"), md5(col("text"))))
+            .as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("string").as("checksum"))
+          .select(lit(c).as("codec"), col("n_rows"), col("checksum"))
+      }
+      frames.reduce(_.unionAll(_)).orderBy("codec")
+    }
+    val oracle = Some {
+      val codecVals = Codecs.map(c => s"('$c')").mkString(", ")
+      s"""WITH cksum AS (
+         |  SELECT count(*) AS n_rows,
+         |         CAST(sum(('0x' || substr(md5(
+         |           doc_id || '|' || md5(text)), 1, 15))::BIGINT) AS VARCHAR)
+         |           AS checksum
+         |  FROM documents)
+         |SELECT codec, n_rows, checksum
+         |FROM (VALUES $codecVals) v(codec) CROSS JOIN cksum
+         |ORDER BY codec""".stripMargin
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, ImageDims, JsonlRoundtrip, OrcRoundtrip,
-      PartitionedRoundtrip, SchemaEvolution)
+      PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip)
 }

@@ -835,8 +835,50 @@ object CorpusOps {
          |ORDER BY head_rank, rk""".stripMargin)
   }
 
+  /** Tokenizer vocabulary coverage — the OOV audit run before freezing any
+    * vocabulary: with [[Vocab]]'s min-count rule defining in-vocab, what
+    * fraction of each source's token OCCURRENCES falls outside it? High
+    * OOV on a source means the vocab under-serves it (and its texts will
+    * fragment under the downstream tokenizer). One tokenize pass feeds
+    * both the count aggregate (vocab derivation, broadcast back) and the
+    * per-source occurrence rollup; the rate is one division of exact
+    * counts.
+    */
+  object VocabCoverage extends GraftQuery {
+    val name = "q_vocab_coverage"
+    private val MinCount = 5
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val occ = Graft.table(spark, sfDir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = occ.groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= MinCount).select(col("token"), lit(1L).as("in_vocab"))
+      occ.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_occ"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_occ").cast("double"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH occ AS (
+         |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT token FROM occ GROUP BY 1 HAVING count(*) >= $MinCount)
+         |SELECT source, count(*) AS n_occ,
+         |       CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_oov,
+         |       CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM occ LEFT JOIN vocab USING (token)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
-      PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken)
+      PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken,
+      VocabCoverage)
 }

@@ -305,4 +305,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dup size histogram: planted families land in their size classes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dupsz_spec").toString
+    // family of 3 ("aaa"), family of 2 ("bbb"), two singletons
+    Seq((1L, "aaa"), (2L, "aaa"), (3L, "aaa"), (4L, "bbb"), (5L, "bbb"),
+      (6L, "ccc"), (7L, "ddd"))
+      .map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.DupSizeHist.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 1L, 2L)),
+      s"${out.toSeq}")
+  }
+
 }

@@ -282,4 +282,25 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 25.0) < 1e-12)
   }
 
+  test("audience overlap: crafted users give exact jaccard per pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("overlap_spec").toString
+    // u1: click+view; u2: click; u3: view; u4: purchase
+    // click∩view={u1}, click∪view={u1,u2,u3} → 1/3
+    // click∩purchase=∅, union={u1,u2,u4} → 0
+    val rows = Seq((1L, "click"), (1L, "view"), (2L, "click"), (3L, "view"),
+      (4L, "purchase"))
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, i.toLong * 1000000000L, u, t, 1.0, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.AudienceOverlap.run(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("click", "view")) == ((1L, 3L)), s"$out")
+    assert(out(("click", "purchase")) == ((0L, 3L)), s"$out")
+    assert(out(("purchase", "view")) == ((0L, 3L)), s"$out")
+    assert(out.size == 10, "all 10 unordered pairs present")
+  }
+
 }

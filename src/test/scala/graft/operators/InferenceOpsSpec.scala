@@ -124,4 +124,22 @@ class InferenceOpsSpec extends SparkSpec {
       "replica means live inside the data range")
   }
 
+  test("rolling median: hand-computed windows, full-history gating") {
+    val dir = java.nio.file.Files.createTempDirectory("rollmed_spec").toString
+    import spark.implicits._
+    // 9 days of revenue 1..9 dollars → daily cents 100..900.
+    // window ending day 6 = days 0..6 → median 400; day 7 → 500; day 8 → 600
+    val rows = (0 until 9).map { d =>
+      (d.toLong, d.toLong * 86400L * 1000000000L, 1L, "purchase",
+        (d + 1).toDouble, """{"k": 1}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = InferenceOps.RollingMedian.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(out.toSeq == Seq((6L, 7L, 400L), (7L, 7L, 500L), (8L, 7L, 600L)),
+      s"${out.toSeq}")
+  }
+
 }

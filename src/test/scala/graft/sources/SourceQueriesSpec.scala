@@ -60,4 +60,13 @@ class SourceQueriesSpec extends SparkSpec {
       assert(parsed.contains((w.toInt, h.toInt, "png")), s"img $id: $parsed")
     }
   }
+  test("codec roundtrip: snappy and zstd checksums agree") {
+    val out = SourceQueries.CodecRoundtrip.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 2)
+    assert(out.map(_._1).toSeq == Seq("snappy", "zstd"))
+    assert(out(0)._2 == out(1)._2 && out(0)._3 == out(1)._3,
+      s"codecs must be lossless: ${out.toSeq}")
+  }
+
 }

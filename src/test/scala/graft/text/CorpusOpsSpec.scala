@@ -367,4 +367,21 @@ class CorpusOpsSpec extends SparkSpec {
       ("go", 2, "away", 1L, 0.25), ("go", 3, "now", 1L, 0.25)), s"${go.toSeq}")
   }
 
+  test("vocab coverage: rare tokens count as OOV occurrences per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("oov_spec").toString
+    // "common" appears 6x (in-vocab at min-count 5); rare tokens once each.
+    // srcA: 4 common + 1 rare → oov 1/5; srcB: 2 common + 3 rare → 3/5
+    Seq(
+      (1L, "common common common common rare1", "en", "srcA", 0L),
+      (2L, "common common rare2 rare3 rare4", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.VocabCoverage.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(out.toSeq == Seq(("srcA", 5L, 1L, 0.2), ("srcB", 5L, 3L, 0.6)),
+      s"${out.toSeq}")
+  }
+
 }
