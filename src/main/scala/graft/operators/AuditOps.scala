@@ -184,5 +184,55 @@ object AuditOps {
          |ORDER BY n_missing DESC, gap_start ASC LIMIT $K""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(OrphanAudit, TableChecksum, IdGapAudit)
+  /** Right-to-be-forgotten purge, proven complete — the compliance
+    * operation every event store must support: given a deletion list
+    * (here the deterministic md5 cohort standing in for the legal list),
+    * drop every event of every listed user and PROVE the result clean.
+    * One broadcast anti join (the deletion list is small by nature);
+    * the readout reports, per event type, rows before / after / deleted
+    * AND the residual count of listed users still present after the
+    * purge — the column that must be zero, reported from the purged
+    * frame itself rather than asserted off-line.
+    */
+  object GdprPurge extends GraftQuery {
+    val name = "q_gdpr_purge"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("event_type"), col("user_id"))
+      val listed = pmod(pHash60(col("user_id").cast("string")), lit(13L)) === 0L
+      val before = ev.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      val purged = ev.filter(!listed)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(listed, 1L).otherwise(0L)).as("n_residual"))
+      before.join(purged, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+          coalesce(col("n_residual"), lit(0L)).as("n_residual"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 13 = 0 AS listed
+        |  FROM events),
+        |before AS (SELECT event_type, count(*) AS n_before FROM ev GROUP BY 1),
+        |purged AS (
+        |  SELECT event_type, count(*) AS n_after,
+        |         CAST(sum(CASE WHEN listed THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_residual
+        |  FROM ev WHERE NOT listed GROUP BY 1)
+        |SELECT event_type, n_before,
+        |       coalesce(n_after, 0) AS n_after,
+        |       n_before - coalesce(n_after, 0) AS n_deleted,
+        |       coalesce(n_residual, 0) AS n_residual
+        |FROM before LEFT JOIN purged USING (event_type)
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(OrphanAudit, TableChecksum, IdGapAudit,
+    GdprPurge)
 }

@@ -863,8 +863,55 @@ object BehaviorOps {
     }
   }
 
+  /** Revenue Gini coefficient — the single-number inequality readout
+    * behind [[PowerUsers]]' threshold view: how concentrated is purchase
+    * revenue across purchasers? Computed by the rank formula
+    * G = Σ(2i−n−1)·x_i / (n·Σx) over ascending per-user revenue — and the
+    * formula is TIE-ORDER-IMMUNE (equal x share a fixed set of ranks
+    * whose coefficient sum doesn't depend on their internal order), so
+    * the row_number tie-break affects nothing. Events collapse to the
+    * users frame first; the rank window runs there; the weighted sum
+    * accumulates in DECIMAL(38,0) (rank×cents×users passes 2^63 at
+    * production scale); ONE division at the end.
+    */
+  object RevenueGini extends GraftQuery {
+    val name = "q_revenue_gini"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perUser = Graft.table(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      val ranked = perUser.select(col("x"),
+        row_number().over(Window.orderBy(col("x").asc, col("user_id").asc))
+          .cast("long").as("i"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("n"))
+      ranked.agg(
+          sum(((lit(2L) * col("i") - col("n") - 1) * col("x"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"),
+          max(col("n")).as("n_users"),
+          sum(col("x")).as("total_cents"))
+        .select(col("n_users"), col("total_cents"),
+          (col("num").cast("double") /
+            (col("n_users").cast("double") * col("total_cents").cast("double")))
+            .as("gini"))
+    }
+    val oracle = Some(
+      """WITH pu AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ranked AS (
+        |  SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i,
+        |         count(*) OVER () AS n
+        |  FROM pu)
+        |SELECT CAST(max(n) AS BIGINT) AS n_users,
+        |       CAST(sum(x) AS BIGINT) AS total_cents,
+        |       CAST(sum((2 * i - n - 1) * x) AS DOUBLE)
+        |         / (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS gini
+        |FROM ranked""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
       ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels, GapHist,
-      PowerUsers, WowChange, AudienceOverlap)
+      PowerUsers, WowChange, AudienceOverlap, RevenueGini)
 }

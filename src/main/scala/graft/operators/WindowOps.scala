@@ -322,7 +322,43 @@ object WindowOps {
          |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Dense-rank top-k WITH ties — the rank semantic [[TopNPerGroup]]'s
+    * row_number deliberately avoids: the top 3 revenue DAYS per event
+    * type, where every day tied on a kept rank is kept (dense_rank has
+    * no tie-break, so equal revenues share a rank and all emit). The
+    * output is a complete, deterministic set without inventing an order
+    * among ties — the correct semantic for leaderboards where dropping a
+    * tied row is a lie. Days frame first, so the rank window is tiny.
+    */
+  object DenseTopK extends GraftQuery {
+    val name = "q_dense_topk"
+    private val K = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val daily = Graft.table(spark, sfDir, "events")
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      daily
+        .withColumn("rk", dense_rank().over(
+          Window.partitionBy("event_type").orderBy(col("rev").desc)))
+        .filter(col("rk") <= K)
+        .select(col("event_type"), col("rk").cast("int").as("rk"), col("day"),
+          col("rev"))
+        .orderBy("event_type", "rk", "day")
+    }
+    val oracle = Some(
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, CAST(rk AS INT) AS rk, day, rev FROM (
+         |  SELECT *, dense_rank() OVER (PARTITION BY event_type
+         |                               ORDER BY rev DESC) AS rk
+         |  FROM daily)
+         |WHERE rk <= $K ORDER BY event_type, rk, day""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(RunningSum, RunningTotalDist, TopNPerGroup, TumblingWindow,
-      HoppingWindow, Rolling7d, WindowPack, PercentileRank, OhlcBars)
+      HoppingWindow, Rolling7d, WindowPack, PercentileRank, OhlcBars,
+      DenseTopK)
 }

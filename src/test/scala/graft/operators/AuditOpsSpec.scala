@@ -86,4 +86,23 @@ class AuditOpsSpec extends SparkSpec {
     assert(out.toSeq == expected.toSeq, s"got ${out.toSeq} want ${expected.toSeq}")
   }
 
+  test("gdpr purge: residual is zero and deleted counts match the list") {
+    import org.apache.spark.sql.functions._
+    val out = AuditOps.GdprPurge.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) == 0L, s"listed user survived the purge: $r")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"conservation: $r")
+    }
+    // the deletion list is nonempty at this scale — the purge is exercised
+    assert(out.map(_.getLong(3)).sum > 0L, "fixture must actually delete rows")
+    // driver-side replay of the deletion rule
+    def p60(s: String) =
+      BigInt(graft.functions.PortableHash.md5Hex(s).take(15), 16)
+    val expected = graft.Graft.table(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+      .count(u => p60(u.toString) % 13 == 0)
+    assert(out.map(_.getLong(3)).sum == expected.toLong)
+  }
+
 }

@@ -303,4 +303,28 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(out.size == 10, "all 10 unordered pairs present")
   }
 
+  test("revenue gini: equal users score 0; concentration matches closed form") {
+    import spark.implicits._
+    def write(dir: String, cents: Seq[Long]): Unit =
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong, i.toLong * 1000000000L, i.toLong, "purchase",
+          c.toDouble / 100.0, """{"k": 1}""") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d1 = java.nio.file.Files.createTempDirectory("gini_eq").toString
+    write(d1, Seq(250L, 250L, 250L, 250L))
+    val r1 = BehaviorOps.RevenueGini.run(spark, d1).collect().head
+    assert(r1.getLong(0) == 4L && r1.getDouble(2) == 0.0, s"$r1")
+    val d2 = java.nio.file.Files.createTempDirectory("gini_conc").toString
+    val xs = Seq(100L, 100L, 100L, 500L)
+    write(d2, xs)
+    // closed form: sorted asc, G = sum((2i-n-1)x)/(n*sum x)
+    val n = xs.length
+    val num = xs.sorted.zipWithIndex
+      .map { case (x, i0) => (2L * (i0 + 1) - n - 1) * x }.sum
+    val expected = num.toDouble / (n.toDouble * xs.sum.toDouble)
+    val r2 = BehaviorOps.RevenueGini.run(spark, d2).collect().head
+    assert(math.abs(r2.getDouble(2) - expected) < 1e-15, s"$r2 vs $expected")
+  }
+
 }

@@ -119,4 +119,21 @@ class WindowOpsSpec extends SparkSpec {
       (("p", 0L, 300L, 999L, 1L, 700L, 5L)), s"$r")
   }
 
+  test("dense top-k keeps every tied day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dense_spec").toString
+    val day = 86400L
+    // days 0,1 tie at 500; day 2 at 300; day 3 at 100; day 4 at 50
+    // dense ranks: 1,1,2,3 → K=3 keeps days 0,1,2,3 and drops day 4
+    val rows = Seq((0, 5.00), (1, 5.00), (2, 3.00), (3, 1.00), (4, 0.50))
+    rows.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, d.toLong * day * 1000000000L, 1L, "view", v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = WindowOps.DenseTopK.run(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 0L, 500L), (1, 1L, 500L), (2, 2L, 300L),
+      (3, 3L, 100L)), s"${out.toSeq}")
+  }
+
 }
