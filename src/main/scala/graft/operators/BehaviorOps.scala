@@ -910,8 +910,114 @@ object BehaviorOps {
         |FROM ranked""".stripMargin)
   }
 
+  /** Gains table (decile lift) — the model-eval readout applied to the
+    * simplest score there is: rank users by activity, decile them, and ask
+    * how much likelier each decile is to purchase than average. The shape
+    * every uplift/propensity evaluation uses; swap the score column for a
+    * model output and nothing else changes. ntile runs over the USERS
+    * frame under a total order (activity desc, user_id asc); rate and
+    * lift are fixed double trees over exact counts with the 1-row global
+    * rate broadcast.
+    */
+  object GainsTable extends GraftQuery {
+    val name = "q_gains_table"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perUser = Graft.table(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("buyer"))
+      val decile = perUser.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
+      val global = perUser.agg(
+        (sum(col("buyer")).cast("double") / count(lit(1)).cast("double"))
+          .as("global_rate"))
+      decile.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum(col("buyer")).as("n_buyers"))
+        .crossJoin(broadcast(global))
+        .select(col("decile").cast("int").as("decile"), col("n_users"),
+          col("n_buyers"),
+          (col("n_buyers").cast("double") / col("n_users").cast("double"))
+            .as("buy_rate"),
+          ((col("n_buyers").cast("double") / col("n_users").cast("double")) /
+            col("global_rate")).as("lift"))
+        .orderBy("decile")
+    }
+    val oracle = Some(
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buyer
+        |  FROM events GROUP BY 1),
+        |global AS (
+        |  SELECT CAST(sum(buyer) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS global_rate FROM pu),
+        |dec AS (
+        |  SELECT buyer, ntile(10) OVER (ORDER BY n_events DESC, user_id ASC)
+        |           AS decile
+        |  FROM pu)
+        |SELECT CAST(decile AS INT) AS decile, count(*) AS n_users,
+        |       CAST(sum(buyer) AS BIGINT) AS n_buyers,
+        |       CAST(sum(buyer) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS buy_rate,
+        |       (CAST(sum(buyer) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |         / global_rate AS lift
+        |FROM dec CROSS JOIN global
+        |GROUP BY decile, global_rate ORDER BY decile""".stripMargin)
+  }
+
+  /** Time-in-state rollup — how long the user base collectively spends in
+    * each activity state: every event opens a state (its type) that lasts
+    * until the user's next event, the final state closing at the corpus'
+    * last second. The duration view of [[Transitions]]' count view (and
+    * [[Scd2]]'s intervals aggregated instead of listed). One user-keyed
+    * sort for the lead, integer seconds, shares as single divisions
+    * against the broadcast grand total.
+    */
+  object StateDuration extends GraftQuery {
+    val name = "q_state_duration"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("event_id").asc)
+      val gmax = ev.agg(max(col("sec")).as("end_sec"))
+      val durs = ev
+        .withColumn("nxt", lead(col("sec"), 1).over(w))
+        .crossJoin(broadcast(gmax))
+        .select(col("event_type"),
+          (coalesce(col("nxt"), col("end_sec")) - col("sec")).as("dur"))
+      val perType = durs.groupBy("event_type")
+        .agg(sum(col("dur")).as("total_secs"))
+      val tot = perType.agg(sum(col("total_secs")).as("grand"))
+      perType.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("total_secs"),
+          (col("total_secs").cast("double") / col("grand").cast("double"))
+            .as("share"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |gmax AS (SELECT max(sec) AS end_sec FROM ev),
+        |durs AS (
+        |  SELECT event_type,
+        |         coalesce(lead(sec) OVER (PARTITION BY user_id
+        |           ORDER BY sec ASC, event_id ASC), end_sec) - sec AS dur
+        |  FROM ev CROSS JOIN gmax),
+        |pertype AS (
+        |  SELECT event_type, CAST(sum(dur) AS BIGINT) AS total_secs
+        |  FROM durs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(total_secs) AS BIGINT) AS grand FROM pertype)
+        |SELECT event_type, total_secs,
+        |       CAST(total_secs AS DOUBLE) / CAST(grand AS DOUBLE) AS share
+        |FROM pertype CROSS JOIN tot ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
       ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels, GapHist,
-      PowerUsers, WowChange, AudienceOverlap, RevenueGini)
+      PowerUsers, WowChange, AudienceOverlap, RevenueGini, GainsTable,
+      StateDuration)
 }

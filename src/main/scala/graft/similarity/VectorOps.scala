@@ -401,6 +401,88 @@ object VectorOps {
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** kNN confusion matrix — [[KnnLabel]]'s per-query verdicts rolled into
+    * the (true, predicted) grid over a wider query population: which
+    * labels the embedding space confuses with which, the readout that
+    * tells you WHERE the representation is weak (beside `q_lang_confusion`
+    * for the text kernel). Same vote chain, labels-squared output, exact
+    * counts with per-true-row shares.
+    */
+  object KnnConfusion extends GraftQuery {
+    val name = "q_knn_confusion"
+    private val K = 10
+    private val NQueries = 100
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val queries = emb.filter(col("vec_id") < NQueries)
+      val nbrs = Similarity.bruteForceTopK(queries, emb, K)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nbr_label")), Seq("neighbor_id"))
+      val votes = nbrs.groupBy("query_id", "nbr_label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("nbr_label").asc)
+      val preds = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+      val cells = preds.groupBy(col("true_label"),
+          col("nbr_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = cells.groupBy("true_label").agg(sum(col("n")).as("row_n"))
+      cells.join(rowTot, "true_label")
+        .select(col("true_label"), col("pred_label"), col("n"),
+          (col("n").cast("double") / col("row_n").cast("double")).as("row_share"))
+        .orderBy("true_label", "pred_label")
+    }
+    val oracle = Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+         |           FROM embeddings WHERE vec_id < $NQueries),
+         |pairs AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nbr_label,
+         |         q.qe, e.embedding AS ce
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |comp AS (
+         |  SELECT query_id, neighbor_id, nbr_label,
+         |         sum(qa * qb) AS dot, sum(qa * qa) AS na, sum(qb * qb) AS nb
+         |  FROM (SELECT query_id, neighbor_id, nbr_label,
+         |               CAST(round(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT) AS qa,
+         |               CAST(round(CAST(b AS DOUBLE) * 1000000.0) AS BIGINT) AS qb
+         |        FROM (SELECT query_id, neighbor_id, nbr_label,
+         |                     unnest(qe) AS a, unnest(ce) AS b
+         |              FROM pairs))
+         |  GROUP BY 1, 2, 3),
+         |topk AS (
+         |  SELECT query_id, nbr_label
+         |  FROM (SELECT query_id, nbr_label,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY
+         |                 CAST(dot AS DOUBLE)
+         |                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+         |                 neighbor_id ASC) AS rank
+         |        FROM comp)
+         |  WHERE rank <= $K),
+         |votes AS (
+         |  SELECT query_id, nbr_label, count(*) AS votes
+         |  FROM topk GROUP BY 1, 2),
+         |best AS (
+         |  SELECT query_id, nbr_label
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY votes DESC, nbr_label ASC) AS rn
+         |        FROM votes)
+         |  WHERE rn = 1),
+         |cells AS (
+         |  SELECT q.true_label, b.nbr_label AS pred_label, count(*) AS n
+         |  FROM best b JOIN q ON b.query_id = q.query_id
+         |  GROUP BY 1, 2),
+         |rowtot AS (
+         |  SELECT true_label, CAST(sum(n) AS BIGINT) AS row_n
+         |  FROM cells GROUP BY 1)
+         |SELECT true_label, pred_label, n,
+         |       CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS row_share
+         |FROM cells JOIN rowtot USING (true_label)
+         |ORDER BY true_label, pred_label""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes, TruncRecall,
-    LabelInertia, TextEmbedJoin)
+    LabelInertia, TextEmbedJoin, KnnConfusion)
 }

@@ -327,4 +327,36 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(2) - expected) < 1e-15, s"$r2 vs $expected")
   }
 
+  test("gains table: deciles partition users; lift is rate over global") {
+    val out = BehaviorOps.GainsTable.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val users = graft.Graft.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_._2).sum == users, "deciles must partition the users")
+    val (gb, gu) = (out.map(_._3).sum, out.map(_._2).sum)
+    val global = gb.toDouble / gu.toDouble
+    out.foreach { case (_, nu, nb, rate, lift) =>
+      assert(nb <= nu)
+      assert(math.abs(rate - nb.toDouble / nu.toDouble) < 1e-15)
+      assert(math.abs(lift - rate / global) < 1e-12)
+    }
+  }
+
+  test("state duration: crafted stream gives exact durations and shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("statedur_spec").toString
+    // u1: view@0 (10s) → click@10 (20s, closes at gmax=30)
+    // u2: view@20 (10s to gmax)
+    Seq((1L, 0L, 1L, "view"), (2L, 10L, 1L, "click"), (3L, 20L, 2L, "view"),
+      (4L, 30L, 3L, "error"))
+      .map { case (id, s, u, t) => (id, s * 1000000000L, u, t, 1.0, """{"k":1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.StateDuration.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // view: 10 (u1) + 10 (u2→gmax 30) = 20; click: 20 (10→30); error: 0
+    assert(out == Map("view" -> 20L, "click" -> 20L, "error" -> 0L), s"$out")
+  }
+
 }

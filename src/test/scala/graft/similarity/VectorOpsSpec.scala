@@ -132,4 +132,27 @@ class VectorOpsSpec extends SparkSpec {
       s"${out.toSeq}")
   }
 
+  test("knn confusion: diagonal dominates on separated clusters; rows sum to 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knnconf_spec").toString
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(4)(eps); v(axis) = 1.0f; v
+    }
+    // two well-separated clusters → confusion matrix is purely diagonal
+    val rows =
+      (0 until 60).map(i => (i.toLong, vec(0, 0.01f * (i % 3)), 1)) ++
+        (60 until 120).map(i => (i.toLong, vec(1, 0.01f * (i % 3)), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.KnnConfusion.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, 1, 60L, 1.0), (2, 2, 40L, 1.0)), s"${out.toSeq}")
+    // catalog: row shares sum to 1 per true label
+    val cat = VectorOps.KnnConfusion.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(3)))
+    cat.groupBy(_._1).foreach { case (_, xs) =>
+      assert(math.abs(xs.map(_._2).sum - 1.0) < 1e-12)
+    }
+  }
+
 }
