@@ -34,8 +34,14 @@ object BehaviorOps {
     */
   object Funnel extends GraftQuery {
     val name = "q_funnel"
-    private val WindowSec = 86400L // 24h stage-to-stage conversion window
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
+    private[operators] val WindowSec = 86400L // 24h stage-to-stage window
+
+    /** The per-user stage frame (user_id, v_sec, c_sec, p_sec) — factored
+      * so variant cuts ([[FunnelVariant]]) reuse the exact same funnel
+      * semantics and plan (one scan, one user sort, chained prefix-mins).
+      */
+    private[operators] def perUserStages(spark: SparkSession,
+        sfDir: String): DataFrame = {
       val w = Window.partitionBy("user_id")
         .orderBy(col("sec").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -53,9 +59,13 @@ object BehaviorOps {
           min(when(col("event_type") === "purchase" && col("qc").isNotNull &&
             col("sec") > col("qc") && col("sec") <= col("qc") + WindowSec,
             col("sec"))).over(w))
-      val perUser = staged.groupBy("user_id")
+      staged.groupBy("user_id")
         .agg(min(col("fv")).as("v_sec"), min(col("qc")).as("c_sec"),
           min(col("qp")).as("p_sec"))
+    }
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perUser = perUserStages(spark, sfDir)
       perUser
         .agg(count(col("v_sec")).as("nv"), count(col("c_sec")).as("nc"),
           count(col("p_sec")).as("np"))
@@ -1015,9 +1025,121 @@ object BehaviorOps {
         |FROM pertype CROSS JOIN tot ORDER BY event_type""".stripMargin)
   }
 
+  /** Funnel × experiment: [[Funnel]]'s stage counts split by the portable
+    * md5 A/B variant ([[AbCompare]]'s split) — the table an experiment
+    * readout actually ships: WHERE in the funnel did the treatment move
+    * users? Reuses the factored per-user stage frame verbatim (same scan,
+    * same sort, same prefix-min semantics; the variant is a projection),
+    * so q_funnel and this query cannot drift apart.
+    */
+  object FunnelVariant extends GraftQuery {
+    val name = "q_funnel_variant"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val variant =
+        when(pmod(pHash60(col("user_id").cast("string")), lit(2L)) === 0L, "A")
+          .otherwise("B")
+      Funnel.perUserStages(spark, sfDir)
+        .withColumn("variant", variant)
+        .groupBy("variant")
+        .agg(count(col("v_sec")).as("nv"), count(col("c_sec")).as("nc"),
+          count(col("p_sec")).as("np"))
+        .selectExpr("variant", "stack(3, 1, 'view', nv, 2, 'click', nc, " +
+          "3, 'purchase', np) AS (stage_ord, stage, n_users)")
+        .select(col("variant"), col("stage_ord").cast("int"), col("stage"),
+          col("n_users"))
+        .orderBy("variant", "stage_ord")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ns(ts) // 1000000000 AS sec
+         |  FROM events),
+         |staged AS (
+         |  SELECT user_id, event_id, event_type, sec,
+         |         min(CASE WHEN event_type = 'view' THEN sec END) OVER w AS fv
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |staged2 AS (
+         |  SELECT user_id, event_id, event_type, sec, fv,
+         |         min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+         |                       AND sec > fv AND sec <= fv + ${Funnel.WindowSec}
+         |                  THEN sec END) OVER w AS qc
+         |  FROM staged
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |staged3 AS (
+         |  SELECT user_id, fv, qc,
+         |         min(CASE WHEN event_type = 'purchase' AND qc IS NOT NULL
+         |                       AND sec > qc AND sec <= qc + ${Funnel.WindowSec}
+         |                  THEN sec END) OVER w AS qp
+         |  FROM staged2
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |per_user AS (
+         |  SELECT user_id,
+         |         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+         |              THEN 'A' ELSE 'B' END AS variant,
+         |         min(fv) AS v_sec, min(qc) AS c_sec, min(qp) AS p_sec
+         |  FROM staged3 GROUP BY 1),
+         |counts AS (
+         |  SELECT variant, count(v_sec) AS nv, count(c_sec) AS nc,
+         |         count(p_sec) AS np
+         |  FROM per_user GROUP BY 1)
+         |SELECT variant, CAST(1 AS INT) AS stage_ord, 'view' AS stage,
+         |       nv AS n_users FROM counts
+         |UNION ALL SELECT variant, CAST(2 AS INT), 'click', nc FROM counts
+         |UNION ALL SELECT variant, CAST(3 AS INT), 'purchase', np FROM counts
+         |ORDER BY variant, stage_ord""".stripMargin)
+  }
+
+  /** New-vs-returning split — the first growth chart every event product
+    * draws: per day, events and users split by whether the user's FIRST
+    * day is that day. The cohort day is an unordered per-user window min
+    * (one user-keyed shuffle); everything after is a day-keyed
+    * conditional aggregate. Streaming twin:
+    * [[graft.streaming.EventStream.newVsReturning]].
+    */
+  object NewVsReturning extends GraftQuery {
+    val name = "q_new_vs_returning"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val w = Window.partitionBy("user_id")
+      Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .withColumn("first_day", min(col("day")).over(w))
+        .groupBy("day")
+        .agg(
+          sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+            .as("n_events_new"),
+          sum(when(col("first_day") < col("day"), 1L).otherwise(0L))
+            .as("n_events_returning"),
+          countDistinct(when(col("first_day") === col("day"), col("user_id")))
+            .as("n_users_new"),
+          countDistinct(when(col("first_day") < col("day"), col("user_id")))
+            .as("n_users_returning"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |tagged AS (
+        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM ev)
+        |SELECT day,
+        |       CAST(sum(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_events_new,
+        |       CAST(sum(CASE WHEN first_day < day THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_events_returning,
+        |       count(DISTINCT CASE WHEN first_day = day THEN user_id END)
+        |         AS n_users_new,
+        |       count(DISTINCT CASE WHEN first_day < day THEN user_id END)
+        |         AS n_users_returning
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(Funnel, Retention, Scd2, Transitions, SessionPath, AbCompare,
       ConversionLag, ActiveUsers, CohortRevenue, Rfm, ChurnLabels, GapHist,
       PowerUsers, WowChange, AudienceOverlap, RevenueGini, GainsTable,
-      StateDuration)
+      StateDuration, FunnelVariant, NewVsReturning)
 }

@@ -483,6 +483,79 @@ object VectorOps {
          |ORDER BY true_label, pred_label""".stripMargin)
   }
 
+  /** Embedding outliers — vectors far from their OWN label's centroid
+    * (mislabeled or genuinely anomalous members, the per-vector drill-down
+    * of [[LabelInertia]]'s aggregate). Everything stays exact and
+    * centroid-free: the n²-scaled squared distance of vector x to its
+    * label centroid is Σ_d (n·q_d − S_d)², and 3σ against the label's
+    * mean squared distance is d²·n² > 9·(n·A − B) — a pure
+    * integer/decimal comparison with NO division, NO sqrt, NO float
+    * anywhere in the flag. Per-label (dim, sum) stats broadcast back onto
+    * one posexplode pass; deviations widen to decimal before squaring.
+    */
+  object EmbedOutliers extends GraftQuery {
+    val name = "q_embed_outliers"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.plans.VectorExpressions.quantize_vec
+      import org.apache.spark.sql.types.DecimalType
+      val q = Graft.table(spark, sfDir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          posexplode(quantize_vec(col("embedding"))))
+        .select(col("label"), col("vec_id"), col("pos").as("dim"),
+          col("col").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dimStats = q.groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum((col("q") * col("q")).cast(DecimalType(38, 0))).as("sqq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // D2(x) = Σ_d (n·q − S_d)² = n²·d²(x); mean_x d² = (n·A − B)/n²,
+      // so the 3σ-of-mean flag d² > 9·mean is EXACTLY D2 > 9·(n·A − B)
+      val labelStats = dimStats.groupBy("label")
+        .agg(max(col("n")).as("n"), sum(col("sqq")).as("a"),
+          sum(col("s").cast(DecimalType(19, 0)) * col("s")).as("b"))
+        .select(col("label"), col("n"),
+          (lit(9).cast(DecimalType(38, 0)) *
+            (col("n").cast(DecimalType(19, 0)) * col("a") - col("b")))
+            .as("thr"))
+      val perVec = q.join(dimStats.select("label", "dim", "n", "s"),
+          Seq("label", "dim"))
+        .select(col("label"), col("vec_id"),
+          ((col("n") * col("q") - col("s")).cast(DecimalType(19, 0)) *
+            (col("n") * col("q") - col("s"))).as("dev2"))
+        .groupBy("label", "vec_id")
+        .agg(sum(col("dev2")).as("d2n2"))
+      perVec.join(broadcast(labelStats), "label")
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          sum(when(col("d2n2") > col("thr"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("label")
+    }
+    val oracle = Some(
+      """WITH q AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings),
+        |dimstats AS (
+        |  SELECT label, dim, count(*) AS n,
+        |         CAST(sum(q) AS BIGINT) AS s, sum(q * q) AS sqq
+        |  FROM q GROUP BY 1, 2),
+        |labelstats AS (
+        |  SELECT label, max(n) AS n,
+        |         9 * (max(n) * sum(sqq) - sum(CAST(s AS HUGEINT) * s)) AS thr
+        |  FROM dimstats GROUP BY 1),
+        |pervec AS (
+        |  SELECT q.label, vec_id,
+        |         sum(CAST(n * q.q - s AS HUGEINT) * (n * q.q - s)) AS d2n2
+        |  FROM q JOIN dimstats ON q.label = dimstats.label AND q.dim = dimstats.dim
+        |  GROUP BY 1, 2)
+        |SELECT p.label, CAST(max(l.n) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN d2n2 > thr THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM pervec p JOIN labelstats l ON p.label = l.label
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(KnnLabel, EmbedQuantize, PqCodes, TruncRecall,
-    LabelInertia, TextEmbedJoin, KnnConfusion)
+    LabelInertia, TextEmbedJoin, KnnConfusion, EmbedOutliers)
 }

@@ -359,4 +359,36 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(out == Map("view" -> 20L, "click" -> 20L, "error" -> 0L), s"$out")
   }
 
+  test("funnel variant: A+B counts reassemble the unsplit funnel") {
+    val split = BehaviorOps.FunnelVariant.run(spark, sf).collect()
+      .map(r => ((r.getInt(1), r.getString(2)), r.getLong(3)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val whole = BehaviorOps.Funnel.run(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    assert(split == whole, s"$split vs $whole")
+    // per-variant monotonicity: view >= click >= purchase
+    BehaviorOps.FunnelVariant.run(spark, sf).collect()
+      .groupBy(_.getString(0)).foreach { case (_, rows) =>
+        val byStage = rows.map(r => r.getInt(1) -> r.getLong(3)).toMap
+        assert(byStage(1) >= byStage(2) && byStage(2) >= byStage(3))
+      }
+  }
+
+  test("new vs returning: first-day users are new, later days split exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nvr_spec").toString
+    val day = 86400L
+    // u1: day0 (2 events), day1 (1); u2: day1 (1) → day0 all new;
+    // day1: 1 returning event (u1), 1 new event + user (u2)
+    Seq((1L, 0L, 1L), (2L, 10L, 1L), (3L, day, 1L), (4L, day + 5, 2L))
+      .map { case (id, s, u) => (id, s * 1000000000L, u, "view", 1.0, """{"k":1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = BehaviorOps.NewVsReturning.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 2L, 0L, 1L, 0L), (1L, 1L, 1L, 1L, 1L)),
+      s"${out.toSeq}")
+  }
+
 }

@@ -155,4 +155,23 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("embed outliers: a planted far point is flagged, tight members are not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embout_spec").toString
+    def vec(x: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(0) = x; v
+    }
+    // label 0: ten at the origin + one far point → exactly 1 outlier
+    // label 1: all identical → d2 = 0, threshold 0, no outliers
+    val rows = (0L until 10L).map(i => (i, vec(0.0f), 0)) ++
+      Seq((10L, vec(2.0f), 0)) ++
+      (11L until 15L).map(i => (i, vec(0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.EmbedOutliers.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(out.toSeq == Seq((0, 11L, 1L), (1, 4L, 0L)), s"${out.toSeq}")
+  }
+
 }
