@@ -384,6 +384,88 @@ object AsOfJoin {
          |FROM attributed GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** First-touch vs last-touch attribution, side by side — the comparison
+    * that decides a marketing-measurement methodology: both carries ride
+    * the SAME single window sort ([[LastTouch]]'s ordering), first-touch
+    * as the running FIRST non-purchase within the window, last-touch as
+    * the running LAST, each 24h-gated against its own touch time. One
+    * union-free pass, one sort, a channel×2 rollup unpivoted to
+    * (channel, model, revenue) rows.
+    */
+  object AttributionCompare extends GraftQuery {
+    val name = "q_attribution_compare"
+    private val WindowSec = 86400L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = Graft.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000").as("sec"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("is_p", col("event_type") === "purchase")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec").asc, col("is_p").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(!col("is_p"), col("event_type"))
+      val touchSec = when(!col("is_p"), col("sec"))
+      val carried = ev
+        .withColumn("lt_chan", last(touch, ignoreNulls = true).over(w))
+        .withColumn("lt_sec", last(touchSec, ignoreNulls = true).over(w))
+        .withColumn("ft_chan", first(touch, ignoreNulls = true).over(w))
+        .withColumn("ft_sec", first(touchSec, ignoreNulls = true).over(w))
+        .filter(col("is_p"))
+      def gated(chan: Column, sec: Column) =
+        when(sec.isNotNull && col("sec") - sec <= WindowSec, chan)
+          .otherwise("direct")
+      val attributed = carried
+        .withColumn("last_chan", gated(col("lt_chan"), col("lt_sec")))
+        .withColumn("first_chan", gated(col("ft_chan"), col("ft_sec")))
+      val byLast = attributed.groupBy(col("last_chan").as("channel"))
+        .agg(sum(col("cents")).as("rev"))
+        .select(col("channel"), lit("last_touch").as("model"), col("rev"))
+      val byFirst = attributed.groupBy(col("first_chan").as("channel"))
+        .agg(sum(col("cents")).as("rev"))
+        .select(col("channel"), lit("first_touch").as("model"), col("rev"))
+      byFirst.unionAll(byLast)
+        .select(col("channel"), col("model"), col("rev").as("revenue_cents"))
+        .orderBy("channel", "model")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type,
+         |         epoch_ns(ts) // 1000000000 AS sec,
+         |         CAST(round(value * 100) AS BIGINT) AS cents,
+         |         event_type = 'purchase' AS is_p
+         |  FROM events),
+         |carried AS (
+         |  SELECT *,
+         |         last_value(CASE WHEN NOT is_p THEN event_type END IGNORE NULLS)
+         |           OVER w AS lt_chan,
+         |         last_value(CASE WHEN NOT is_p THEN sec END IGNORE NULLS)
+         |           OVER w AS lt_sec,
+         |         first_value(CASE WHEN NOT is_p THEN event_type END IGNORE NULLS)
+         |           OVER w AS ft_chan,
+         |         first_value(CASE WHEN NOT is_p THEN sec END IGNORE NULLS)
+         |           OVER w AS ft_sec
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id
+         |               ORDER BY sec ASC, is_p ASC, event_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |attributed AS (
+         |  SELECT cents,
+         |         CASE WHEN lt_sec IS NOT NULL AND sec - lt_sec <= $WindowSec
+         |              THEN lt_chan ELSE 'direct' END AS last_chan,
+         |         CASE WHEN ft_sec IS NOT NULL AND sec - ft_sec <= $WindowSec
+         |              THEN ft_chan ELSE 'direct' END AS first_chan
+         |  FROM carried WHERE is_p)
+         |SELECT channel, model, revenue_cents FROM (
+         |  SELECT first_chan AS channel, 'first_touch' AS model,
+         |         CAST(sum(cents) AS BIGINT) AS revenue_cents
+         |  FROM attributed GROUP BY 1
+         |  UNION ALL
+         |  SELECT last_chan, 'last_touch', CAST(sum(cents) AS BIGINT)
+         |  FROM attributed GROUP BY 1)
+         |ORDER BY channel, model""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(PurchaseAttribution, AttributionRate,
-    IntervalJoin, NextPurchase, LastTouch)
+    IntervalJoin, NextPurchase, LastTouch, AttributionCompare)
 }

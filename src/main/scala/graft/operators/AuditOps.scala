@@ -233,6 +233,35 @@ object AuditOps {
         |ORDER BY event_type""".stripMargin)
   }
 
+  /** Join-fanout histogram — how many lineitems each order actually has:
+    * the distribution that drives join cost models and flags both
+    * degenerate parents (fanout 0 — headers with no lines) and blowup
+    * keys. Left join from orders keeps the zero class honest; two stacked
+    * small aggregates after the per-key count.
+    */
+  object FanoutHist extends GraftQuery {
+    val name = "q_fanout_hist"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val perOrder = Graft.table(spark, sfDir, "orders").select("o_orderkey")
+        .join(Graft.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), lit(1L).as("one")),
+          Seq("o_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(sum(coalesce(col("one"), lit(0L))).as("fanout"))
+      perOrder.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+        .orderBy("fanout")
+    }
+    val oracle = Some(
+      """WITH per_order AS (
+        |  SELECT o_orderkey,
+        |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS fanout
+        |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1)
+        |SELECT fanout, count(*) AS n_orders
+        |FROM per_order GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(OrphanAudit, TableChecksum, IdGapAudit,
-    GdprPurge)
+    GdprPurge, FanoutHist)
 }

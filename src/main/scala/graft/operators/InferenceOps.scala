@@ -426,6 +426,94 @@ object InferenceOps {
          |ORDER BY day""".stripMargin)
   }
 
+  /** Pairwise correlation matrix of the lineitem numeric columns —
+    * the profiling step before any feature selection, generalizing
+    * [[graft.operators.StatOps.Correlation]]'s single pair to all 6 pairs
+    * of 4 columns in ONE aggregate: every Σx, Σx² and Σxy moment rides
+    * the same map-side-combinable pass (14 sums total), and each pair's r
+    * is the usual fixed double tree. Cents/units are lossless integer
+    * encodings; the two square sums that can pass 2^63 run as
+    * DECIMAL(38,0).
+    */
+  object CorrMatrix extends GraftQuery {
+    val name = "q_corr_matrix"
+    private val Cols = Seq("qty", "price", "disc", "tax")
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+          expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax"))
+      def wide(c: String) = c == "price" // the only column whose squares wrap
+      def mom(c: String) =
+        if (wide(c)) sum((col(c) * col(c)).cast(DecimalType(38, 0))).as(s"s_${c}_$c")
+        else sum(col(c) * col(c)).as(s"s_${c}_$c")
+      def cross(a: String, b: String) =
+        if (wide(a) || wide(b))
+          sum((col(a) * col(b)).cast(DecimalType(38, 0))).as(s"s_${a}_$b")
+        else sum(col(a) * col(b)).as(s"s_${a}_$b")
+      val pairs = for {
+        i <- Cols.indices; j <- Cols.indices if i < j
+      } yield (Cols(i), Cols(j))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        Cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        Cols.map(mom) ++ pairs.map { case (a, b) => cross(a, b) }
+      val m = li.agg(aggs.head, aggs.tail: _*)
+      val nd = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val rows = pairs.map { case (a, b) =>
+        val varA = nd * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")
+        val varB = nd * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b")
+        // zero-variance columns have no defined correlation: NULL, not a
+        // divide-by-zero (ANSI) or NaN (IEEE) — and the guard compares the
+        // same doubles both engines compute
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          when(varA > 0 && varB > 0,
+            (nd * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+              (sqrt(varA) * sqrt(varB))).as("pearson_r"))
+      }
+      m.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
+        .orderBy("col_a", "col_b")
+    }
+    val oracle = Some {
+      val pairs = for {
+        i <- Cols.indices; j <- Cols.indices if i < j
+      } yield (Cols(i), Cols(j))
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  CASE WHEN (CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE)
+           |             - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
+           |        AND (CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE)
+           |             - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0
+           |       THEN (CAST(n AS DOUBLE) * CAST(s_${a}_$b AS DOUBLE)
+           |             - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |            / (sqrt(CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE)
+           |                    - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |               * sqrt(CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE)
+           |                      - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+           |       END AS pearson_r
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH li AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+         |         CAST(round(l_discount * 100) AS BIGINT) AS disc,
+         |         CAST(round(l_tax * 100) AS BIGINT) AS tax
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |         ${Cols.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c").mkString(", ")},
+         |         ${Cols.map(c => s"sum($c * $c) AS s_${c}_$c").mkString(", ")},
+         |         ${pairs.map { case (a, b) => s"sum($a * $b) AS s_${a}_$b" }.mkString(", ")}
+         |  FROM li)
+         |SELECT col_a, col_b, pearson_r FROM (
+         |$arms)
+         |ORDER BY col_a, col_b""".stripMargin
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(LinReg, Autocorr, KsTest, Drawdown,
-    BootstrapCi, RollingMedian)
+    BootstrapCi, RollingMedian, CorrMatrix)
 }

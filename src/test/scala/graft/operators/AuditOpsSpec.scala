@@ -105,4 +105,14 @@ class AuditOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum == expected.toLong)
   }
 
+  test("fanout histogram: classes partition orders and mass equals lineitems") {
+    val out = AuditOps.FanoutHist.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orders = graft.Graft.table(spark, sf, "orders").count()
+    val lines = graft.Graft.table(spark, sf, "lineitem").count()
+    assert(out.map(_._2).sum == orders, "histogram partitions the orders")
+    assert(out.map { case (f, n) => f * n }.sum == lines,
+      "fanout mass must equal the lineitem count")
+  }
+
 }

@@ -142,4 +142,20 @@ class InferenceOpsSpec extends SparkSpec {
       s"${out.toSeq}")
   }
 
+  test("corr matrix: bounded everywhere; a planted linear pair scores 1") {
+    val cat = InferenceOps.CorrMatrix.run(spark, sf).collect()
+    assert(cat.length == 6)
+    cat.foreach { r =>
+      val p = r.getDouble(2)
+      assert(!p.isNaN && p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12, s"$r")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cmx_spec").toString
+    // price = 2·qty exactly → r(qty, price) = 1
+    writeLineitem(dir, (1L to 10L).map(q => ("A", q, 2.0 * q)))
+    val out = InferenceOps.CorrMatrix.run(spark, dir).collect()
+      .filter(!_.isNullAt(2)) // zero-variance pairs (constant disc/tax) are NULL
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(math.abs(out(("qty", "price")) - 1.0) < 1e-12, s"$out")
+  }
+
 }

@@ -105,4 +105,27 @@ class AsOfJoinNativeSpec extends SparkSpec {
       s"${out.toSeq}")
   }
 
+  test("attribution compare: models disagree per channel, agree in total") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attrcmp_spec").toString
+    val sec = 1000000000L
+    // u1: view@10 → click@20 → purchase@30 ($2):
+    //   first touch = view, last touch = click
+    Seq((1L, 10 * sec, 1L, "view", 0.0), (2L, 20 * sec, 1L, "click", 0.0),
+      (3L, 30 * sec, 1L, "purchase", 2.00))
+      .map { case (id, ts, u, t, v) => (id, ts, u, t, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.AsOfJoin.AttributionCompare.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(("view", "first_touch", 200L),
+      ("click", "last_touch", 200L)), s"${out.toSeq}")
+    // catalog: both models distribute the SAME total revenue
+    val cat = graft.operators.AsOfJoin.AttributionCompare.run(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val byModel = cat.groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sum }
+    assert(byModel("first_touch") == byModel("last_touch"),
+      s"attribution must conserve revenue: $byModel")
+  }
+
 }
