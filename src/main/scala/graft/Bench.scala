@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -92,10 +93,18 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // A failed query must NOT bench as a fast no-op (round 4 counted 35
+    // analysis-error queries at ~0.1s each and the total looked healthy).
+    // Record every failure by name and surface the list in the JSON line.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // the dedup/pipeline queries persist intermediate frames (their
       // self-joins need the barrier); release them OUTSIDE the timed
@@ -118,7 +127,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // field order matters twice over: the driver detects the line by its
+    // `{"metric"` head, while the harness tail-captures the END of stdout
+    // — so the failure report rides at the very end (it survives
+    // truncation of the long per-query map), and bench_full.json keeps
+    // the complete line either way.
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","n_queries":${results.size},""" +
+      s""""n_failed":${failed.size},"failed":$failedJson}"""
+    println(line)
+    // The stdout line gets tail-captured by the harness and has historically
+    // truncated past ~83 entries — persist the complete artifact to a file
+    // so every per-query timing survives for round-over-round diffs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
+    // Exit 0 even on failures: the driver must still ingest the JSON line
+    // (and grade the queries that DID run); `n_failed`/`failed` carry the
+    // loud signal. The registry smoke spec is what turns failures red.
   }
 }

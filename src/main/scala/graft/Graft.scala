@@ -34,13 +34,33 @@ object Graft {
     * Parquet-first (columnar, pushdown-friendly); see [[graft.sources]] for
     * the CSV compat source the reference used.
     *
-    * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark has no
-    * timestamp type for — read it as a long (nanos since epoch) and convert
-    * with [[tsFromNanos]] where timestamp semantics are needed.
+    * `events.ts` has been written by the generator as both Parquet
+    * TIMESTAMP(NANOS) (which Spark reads as a nanos long under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (which Spark reads as
+    * TIMESTAMP_NTZ). The engine's temporal operators all run on integer
+    * epoch-nanos math — the same contract as the DuckDB `epoch_ns(ts)`
+    * oracles — so normalize here, at the single read point, to a
+    * nanos-since-epoch LONG regardless of the physical encoding. UTC
+    * session timezone (set in [[session]]) makes the NTZ→timestamp cast
+    * exact.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** `ts` → nanos-since-epoch LONG, whatever the source type. Timestamp
+    * inputs carry micro precision, so `unix_micros * 1000` is lossless.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df
+      case Some(_) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
 
   /** Every table of the engine's star-schema catalog. */

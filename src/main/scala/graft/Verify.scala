@@ -18,12 +18,14 @@ object Verify {
     // Optional local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b dumps just
     // those queries (the driver never sets it, so its runs stay complete).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name -> String.valueOf(e.getMessage).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release the persisted barriers some queries create (see Bench)
@@ -44,6 +46,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest: a query that throws must leave a loud, durable
+    // trace (round 4's 35 analysis errors vanished silently — the driver
+    // just never saw those names). Exit 0 so the driver still compares
+    // every query that did dump.
+    val failJson = failed
+      .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -1075,7 +1075,8 @@ object Dedup {
         .groupBy(expr("least(9, (10 * doc_id) div n_ids)").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(coalesce(col("is_new"), lit(0L))).as("n_new"))
-      val cum = Window.orderBy("bucket")
+      // 10-bucket frame — single-partition by design (lit(0) = audited)
+      val cum = Window.partitionBy(graft.operators.Dist.boundedOne(col("bucket"))).orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perBucket
         .select(col("bucket"), col("n_docs"), col("n_new"),

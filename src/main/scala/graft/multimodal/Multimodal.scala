@@ -41,12 +41,15 @@ object Multimodal {
     def features(row: MediaRow): Seq[MediaFeatures]
   }
 
-  /** Real image path + STUBBED audio/video paths.
+  /** Real image + WAV-audio paths, STUBBED compressed-audio/video paths.
     *
-    * Audio/video "decode" is a deterministic fake (hash-derived features of
-    * the payload bytes) standing in for a codec this container doesn't
-    * have — the schema, batching, and partition flow are exactly what a
-    * real decoder would use.
+    * Images decode via [[graft.images.ImageOps]]; RIFF PCM audio decodes
+    * via [[WavCodec]] into real spectral band energies (pure JVM, no
+    * native codec). Compressed audio (mp3/flac) and video "decode" remain
+    * deterministic fakes (hash-derived features of the payload bytes)
+    * standing in for codecs this container doesn't have — the schema,
+    * batching, and partition flow are exactly what a real decoder would
+    * use.
     */
   final class DefaultDecoder(frameStride: Int = 16) extends MediaDecoder {
     def features(row: MediaRow): Seq[MediaFeatures] = row.modality match {
@@ -57,9 +60,17 @@ object Multimodal {
             Array(r / 255f, g / 255f, b / 255f, img.width.toFloat, img.height.toFloat))
         }
       case "audio" =>
-        // ??? — real impl: PCM decode + mel-band energies. Deterministic fake:
-        Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
-          fakeFeature(row.content, 5)))
+        WavCodec.decode(row.content) match {
+          case Some(wav) =>
+            // real path: 5 relative band energies; (width, height) carry
+            // (sampleRate, channels) — the audio twin of image dims
+            Seq(MediaFeatures(row.asset_id, "audio", 0,
+              wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav)))
+          case None =>
+            // ??? — compressed codec (mp3/flac) absent: deterministic fake
+            Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
+              fakeFeature(row.content, 5)))
+        }
       case "video" =>
         // ??? — real impl: container demux + per-frame decode. Deterministic
         // fake: one "frame" per frameStride KiB of payload.

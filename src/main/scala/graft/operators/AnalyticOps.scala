@@ -307,10 +307,12 @@ object AnalyticOps {
     * prefix-min pass: after sorting by (price asc, size asc), a point is
     * on the frontier iff its size is strictly below the running min of all
     * earlier points — O(d log d) on d distinct pairs versus the O(d²)
-    * NOT-EXISTS self-join the oracle replays. The prefix-min runs in a
-    * single-partition window (fine: d ≪ n; for d beyond one partition the
-    * same recurrence range-partitions by price with per-partition mins
-    * broadcast, the classic distributed-skyline refinement).
+    * NOT-EXISTS self-join the oracle replays. The prefix-min is
+    * distributed the classic way: bucket by price band, per-band mins
+    * prefix-combined over the band-sized frame, broadcast back, and the
+    * within-band prefix-min runs under HashPartitioning(band) — min is
+    * associative, so the decomposition is exact (same law as the
+    * two-phase prefix SUM of [[WindowOps.RunningTotalDist]]).
     */
   object Skyline extends GraftQuery {
     val name = "q_skyline"
@@ -318,9 +320,21 @@ object AnalyticOps {
       val pts = Graft.table(spark, sfDir, "part")
         .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
         .agg(count(lit(1)).as("n_parts"))
-      val prev = Window.orderBy(col("price").asc, col("size").asc)
+        .withColumn("band", expr("CAST(floor(price / 100) AS BIGINT)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-band mins → exclusive prefix-min over the band frame (bounded:
+      // price-range/100 rows; lit(0) marks the audited single partition)
+      val bandMins = pts.groupBy("band").agg(min(col("size")).as("bmin"))
+        .withColumn("prev_bmin", min(col("bmin")).over(
+          Window.partitionBy(Dist.boundedOne(col("band"))).orderBy("band")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("band", "prev_bmin")
+      val inBand = Window.partitionBy("band")
+        .orderBy(col("price").asc, col("size").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      pts.withColumn("best_prev", min(col("size")).over(prev))
+      pts.join(broadcast(bandMins), "band")
+        .withColumn("best_prev",
+          least(col("prev_bmin"), min(col("size")).over(inBand)))
         .filter(col("best_prev").isNull || col("size") < col("best_prev"))
         .select(col("price"), col("size"), col("n_parts"))
         .orderBy("price", "size")

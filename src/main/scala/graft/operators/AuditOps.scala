@@ -161,7 +161,8 @@ object AuditOps {
       val bounds = keys.groupBy("bkt")
         .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
       val cross = bounds
-        .withColumn("nxt_mn", lead(col("mn"), 1).over(Window.orderBy("bkt")))
+        .withColumn("nxt_mn", lead(col("mn"), 1).over(
+          Window.partitionBy(Dist.boundedOne(col("bkt"))).orderBy("bkt"))) // bucket frame: n/B rows
         .filter(col("nxt_mn") > col("mx") + 1)
         .select((col("mx") + 1).as("gap_start"), (col("nxt_mn") - 1).as("gap_end"))
       inner.unionAll(cross)

@@ -718,10 +718,12 @@ object BehaviorOps {
       val perUser = Graft.table(spark, sfDir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ranked = perUser.select(col("n"),
-        row_number().over(Window.orderBy(col("n").asc, col("user_id").asc))
-          .as("rk"),
-        count(lit(1)).over(Window.partitionBy(lit(1))).as("u"))
+      // distributed rank (range-partition two-phase, [[Dist]]) + a 1-row
+      // broadcast total — no users-sized single-partition window
+      val totalU = perUser.agg(count(lit(1)).as("u"))
+      val ranked = Dist
+        .globalRowNumber(perUser, "rk", col("n").asc, col("user_id").asc)
+        .crossJoin(broadcast(totalU))
       // positional p99: the count at rank ceil(0.99·U) = (99·U + 99) div 100
       val thr = ranked
         .filter(col("rk") === expr("(99 * u + 99) div 100"))
@@ -891,10 +893,12 @@ object BehaviorOps {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
-      val ranked = perUser.select(col("x"),
-        row_number().over(Window.orderBy(col("x").asc, col("user_id").asc))
-          .cast("long").as("i"),
-        count(lit(1)).over(Window.partitionBy(lit(1))).as("n"))
+      // distributed rank + broadcast total (no buyers-sized single task)
+      val totalN = perUser.agg(count(lit(1)).as("n"))
+      val ranked = Dist
+        .globalRowNumber(perUser, "i", col("x").asc, col("user_id").asc)
+        .crossJoin(broadcast(totalN))
+        .select(col("x"), col("i"), col("n"))
       ranked.agg(
           sum(((lit(2L) * col("i") - col("n") - 1) * col("x"))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"),
@@ -937,8 +941,8 @@ object BehaviorOps {
         .agg(count(lit(1)).as("n_events"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("buyer"))
-      val decile = perUser.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
+      val decile = Dist.globalNtile(perUser, 10, "decile",
+        col("n_events").desc, col("user_id").asc)
       val global = perUser.agg(
         (sum(col("buyer")).cast("double") / count(lit(1)).cast("double"))
           .as("global_rate"))

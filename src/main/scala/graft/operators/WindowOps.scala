@@ -68,9 +68,11 @@ object WindowOps {
         .select(col("o_orderkey"), col("o_totalprice"))
       val bOff = o.groupBy(expr(s"o_orderkey div $B").as("bkt"))
         .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("bw"))
+        // bucket-offset frame: n/B rows, single-partition by design
         .withColumn("b_off",
           coalesce(sum(col("bw")).over(
-            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            Window.partitionBy(Dist.boundedOne(col("bkt"))).orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0).cast(DecimalType(27, 6))))
         .select("bkt", "b_off")
       val inB = Window.partitionBy("bkt").orderBy("o_orderkey")
@@ -193,7 +195,8 @@ object WindowOps {
           col("o_totalprice"))
         .groupBy("day")
         .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("rev"))
-      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      // day-bucket frame (time-span bounded), single-partition by design
+      val w = Window.partitionBy(Dist.boundedOne(col("day"))).orderBy("day").rangeBetween(-6, 0)
       daily.select(col("day"), col("rev").cast("double").as("day_rev"),
           sum(col("rev")).over(w).cast("double").as("rev_7d"))
         .orderBy("day")

@@ -214,7 +214,8 @@ object VectorOps {
          |         sum((q.q - c.cq) * (q.q - c.cq)) AS dist
          |  FROM q JOIN cent c ON q.s = c.s AND q.p = c.p
          |  GROUP BY 1, 2, 3)
-         |SELECT vec_id, s AS subspace, code, dist AS distortion
+         |SELECT vec_id, s AS subspace, code,
+         |       CAST(dist AS BIGINT) AS distortion
          |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
          |                                   ORDER BY dist, code) AS rn
          |      FROM dists)

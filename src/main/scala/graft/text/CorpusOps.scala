@@ -69,10 +69,9 @@ object CorpusOps {
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .filter(col("n") >= MinCount)
-      counts.select(
-          row_number().over(Window.orderBy(col("n").desc, col("token").asc))
-            .cast("int").as("token_id"),
-          col("token"), col("n"))
+      graft.operators.Dist
+        .globalRowNumber(counts, "id_l", col("n").desc, col("token").asc)
+        .select(col("id_l").cast("int").as("token_id"), col("token"), col("n"))
         .orderBy("token_id")
     }
     val oracle = Some(
@@ -499,9 +498,12 @@ object CorpusOps {
       val tot = docs.agg(sum(col("n_chars")).as("w_total"))
       val buck = docs.groupBy(expr(s"doc_id div $B").as("bkt"))
         .agg(sum(col("n_chars")).as("bw"))
+      // bucket-offset frame: n/B rows, single-partition BY DESIGN — the
+      // lit(0) partition key marks the audited bound (see ScaleSpec)
       val bOff = buck.withColumn("b_off",
         coalesce(sum(col("bw")).over(
-          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(graft.operators.Dist.boundedOne(col("bkt"))).orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
         .select("bkt", "b_off")
       val inBucket = Window.partitionBy("bkt").orderBy("doc_id")
@@ -734,14 +736,17 @@ object CorpusOps {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = counts.agg(sum(col("n")).as("tot"))
-      val head = counts
-        .select(row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+      // top-K via TakeOrderedAndProject (distributed partial limits) —
+      // never a global rank window over the vocab; the rank + running sum
+      // then run over the K-row head (lit(0) = bounded by design)
+      val head = counts.orderBy(col("n").desc, col("token").asc).limit(K)
+        .select(row_number().over(Window.partitionBy(graft.operators.Dist.boundedOne(col("n")))
+            .orderBy(col("n").desc, col("token").asc))
           .cast("int").as("rank"), col("token"), col("n"))
-        .filter(col("rank") <= K)
       head.crossJoin(broadcast(total))
         .select(col("rank"), col("token"), col("n"),
           (col("n").cast("double") / col("tot").cast("double")).as("share"),
-          (sum(col("n")).over(Window.orderBy("rank")
+          (sum(col("n")).over(Window.partitionBy(graft.operators.Dist.boundedOne(col("rank"))).orderBy("rank")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double") / col("tot").cast("double")).as("cum_share"))
         .orderBy("rank")
@@ -795,11 +800,12 @@ object CorpusOps {
           split(col("g"), " ").getItem(1).as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // top-Heads via distributed limit, rank over the Heads-row frame
       val headWords = bi.groupBy("w1").agg(sum(col("n")).as("n_head"))
+        .orderBy(col("n_head").desc, col("w1").asc).limit(Heads)
         .select(col("w1"), col("n_head"),
-          row_number().over(Window.orderBy(col("n_head").desc, col("w1").asc))
-            .as("head_rank"))
-        .filter(col("head_rank") <= Heads)
+          row_number().over(Window.partitionBy(graft.operators.Dist.boundedOne(col("n_head")))
+            .orderBy(col("n_head").desc, col("w1").asc)).as("head_rank"))
       val ranked = bi.join(broadcast(headWords), "w1")
         .withColumn("rk", row_number().over(
           Window.partitionBy("w1").orderBy(col("n").desc, col("w2").asc)))

