@@ -35,29 +35,93 @@ object Plots {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** Shared page chrome: recessive text tokens, a floating tooltip layer,
+    * and the hover wiring every chart reuses (elements carrying
+    * `data-tip` get a cursor-tracking tooltip — the interactivity the
+    * reference got from Plotly, here dependency-free).
+    */
   private def page(title: String, body: String): String =
     s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>${esc(title)}</title>
-       |<style>body{font:13px sans-serif}table{border-collapse:collapse}
-       |td,th{padding:2px 8px;text-align:left}
-       |.bar{display:inline-block;height:10px;background:#636efa;vertical-align:middle}
-       |</style></head><body><h3>${esc(title)}</h3>$body</body></html>
+       |<style>body{font:13px sans-serif;color:#1f2430;background:#fcfcfb;margin:12px}
+       |h3{font-size:14px;font-weight:600}
+       |table{border-collapse:collapse}td,th{padding:2px 8px;text-align:left}
+       |.grid line{stroke:#e8e8e4}.axis text{fill:#7a7f8a;font-size:11px}
+       |[data-tip]{cursor:default}
+       |svg .b:hover{filter:brightness(0.82)}
+       |td[data-tip]:hover{outline:2px solid #1f2430;outline-offset:-2px}
+       |#tip{position:fixed;pointer-events:none;display:none;background:#1f2430;
+       |color:#fcfcfb;padding:3px 8px;border-radius:4px;font-size:12px;z-index:9}
+       |details{margin-top:10px}summary{color:#7a7f8a;cursor:pointer}
+       |</style></head><body><h3>${esc(title)}</h3>$body
+       |<div id="tip"></div><script>
+       |var tip=document.getElementById('tip');
+       |document.addEventListener('mousemove',function(e){
+       | var t=e.target.closest('[data-tip]');
+       | if(!t){tip.style.display='none';return;}
+       | tip.textContent=t.getAttribute('data-tip');tip.style.display='block';
+       | tip.style.left=(e.clientX+12)+'px';tip.style.top=(e.clientY+12)+'px';});
+       |</script></body></html>
        |""".stripMargin
 
-  /** One horizontal-bar chart (`px.bar`, `plots.py:23`). */
+  private def fmtV(v: Double): String =
+    if (v == v.floor && v.abs < 1e15) v.toLong.toString else f"$v%.4g"
+
+  /** Accessibility fallback: the chart's data as a plain table. */
+  private def dataTable(rows: Seq[(String, Double)]): String =
+    rows.map { case (k, v) => s"<tr><td>${esc(k)}</td><td>${fmtV(v)}</td></tr>" }
+      .mkString("<details><summary>data table</summary><table>", "\n", "</table></details>")
+
+  /** One bar chart (`px.bar`, `plots.py:23`) as inline SVG: recessive
+    * gridlines, 2px gaps between bars, rounded data-ends anchored to the
+    * baseline, and a per-bar hover tooltip. Single series — the title
+    * names it, so no legend; a data table rides along for accessibility.
+    */
   def barHtml(title: String, rows: Seq[(String, Double)],
       colors: Seq[String] = Nil): String = {
+    val W = 640; val H = 300
+    val mL = 48; val mR = 8; val mT = 8; val mB = 48
+    val pw = W - mL - mR; val ph = H - mT - mB
     val max = math.max(rows.map(_._2).maxOption.getOrElse(0.0), Double.MinPositiveValue)
-    val trs = rows.zipWithIndex.map { case ((k, v), i) =>
-      val w = math.max((v / max * 300).round, 1L)
+    val n = math.max(rows.size, 1)
+    val band = pw.toDouble / n
+    val bw = math.max(band - 2, 1.0) // 2px surface gap between bars
+    val ticks = (0 to 4).map(i => max * i / 4)
+    val grid = ticks.map { t =>
+      val y = mT + ph - t / max * ph
+      f"""<line x1="$mL" y1="$y%.1f" x2="${W - mR}" y2="$y%.1f"/>"""
+    }.mkString
+    val yLabels = ticks.map { t =>
+      val y = mT + ph - t / max * ph
+      f"""<text x="${mL - 6}" y="${y + 4}%.1f" text-anchor="end">${esc(fmtV(t))}</text>"""
+    }.mkString
+    val xEvery = math.max(1, n / 16) // thin labels when crowded
+    val xLabels = rows.zipWithIndex.collect {
+      case ((k, _), i) if i % xEvery == 0 =>
+        val x = mL + band * i + band / 2
+        f"""<text x="$x%.1f" y="${mT + ph + 16}" text-anchor="middle">${esc(k)}</text>"""
+    }.mkString
+    val bars = rows.zipWithIndex.map { case ((k, v), i) =>
+      val x = mL + band * i + (band - bw) / 2
+      val h = math.max(v / max * ph, 1.0)
+      val y = mT + ph - h
+      val r = math.min(4.0, math.min(bw / 2, h)) // rounded data-end, flat baseline
       val c = if (colors.nonEmpty) colors(i % colors.length) else "#636efa"
-      s"""<tr><td>${esc(k)}</td><td><span class="bar" style="width:${w}px;background:$c"></span> $v</td></tr>"""
+      f"""<path class="b" data-tip="${esc(k)}: ${esc(fmtV(v))}" fill="$c" d="M$x%.1f ${mT + ph}
+         |V${y + r}%.1f Q$x%.1f $y%.1f ${x + r}%.1f $y%.1f H${x + bw - r}%.1f
+         |Q${x + bw}%.1f $y%.1f ${x + bw}%.1f ${y + r}%.1f V${mT + ph} Z"/>""".stripMargin
+        .replace("\n", " ")
     }.mkString("\n")
-    page(title, s"<table>$trs</table>")
+    page(title,
+      s"""<svg width="$W" height="$H" role="img" aria-label="${esc(title)}">
+         |<g class="grid">$grid</g><g class="axis">$yLabels$xLabels</g>$bars</svg>
+         |${dataTable(rows)}""".stripMargin)
   }
 
-  /** The transposed heatmap table (`px.imshow` of the merged/transposed
-    * frame, `plots.py:30-40`): rows = classes, columns = index values,
-    * cells shaded by value.
+  /** The transposed heatmap (`px.imshow` with `text_auto=True`,
+    * `plots.py:30-40`): rows = classes, columns = index values. A
+    * sequential single-hue ramp (light→dark) carries magnitude, every
+    * cell keeps its printed value (ink flips to light past mid-ramp),
+    * and hover outlines the cell with a row × column × value tooltip.
     */
   def heatmapHtml(title: String, colNames: Seq[String],
       rows: Seq[(String, Seq[Double])]): String = {
@@ -65,9 +129,12 @@ object Plots {
     val max = math.max(all.maxOption.getOrElse(0.0), Double.MinPositiveValue)
     val head = (s"<tr><th></th>" +: colNames.map(c => s"<th>${esc(c)}</th>")).mkString + "</tr>"
     val body = rows.map { case (name, vs) =>
-      val tds = vs.map { v =>
+      val tds = vs.zip(colNames).map { case (v, cn) =>
         val a = math.min(v / max, 1.0)
-        f"""<td style="background:rgba(99,110,250,$a%.3f)">$v%.4g</td>"""
+        val ink = if (a > 0.55) "#fcfcfb" else "#1f2430"
+        f"""<td data-tip="${esc(name)} × ${esc(cn)}: ${esc(fmtV(v))}"
+           | style="background:rgba(99,110,250,$a%.3f);color:$ink">${esc(fmtV(v))}</td>"""
+          .stripMargin.replace("\n", "")
       }.mkString
       s"<tr><th>${esc(name)}</th>$tds</tr>"
     }.mkString("\n")

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * transforms (the Scala analog of pandas-UDF batch plumbing).
   *
   * The Spark-side plumbing — schema, partition amortization, batch shape —
-  * is real and tested. Actual audio/video codecs are NOT in this
-  * environment, so those decoders are deterministic stubs behind the
-  * [[MediaDecoder]] seam (clearly marked); images decode for real via
-  * [[graft.images.ImageOps]]. Swapping a production decoder in changes one
-  * constructor, not the pipeline.
+  * is real and tested, and so are the pure-JVM decode paths: images via
+  * [[graft.images.ImageOps]] (ImageIO), RIFF PCM audio via [[WavCodec]],
+  * MJPEG-AVI video via [[AviCodec]]. Only inter-frame video codecs and
+  * compressed audio (absent from this environment) remain deterministic
+  * stubs behind the [[MediaDecoder]] seam (clearly marked). Swapping a
+  * production decoder in changes one constructor, not the pipeline.
   */
 object Multimodal {
 
@@ -52,6 +53,8 @@ object Multimodal {
     * use.
     */
   final class DefaultDecoder(frameStride: Int = 16) extends MediaDecoder {
+    private val MaxFrames = 32 // per-clip frame-sample cap (bounded output)
+
     def features(row: MediaRow): Seq[MediaFeatures] = row.modality match {
       case "image" =>
         ImageOps.decode(row.content).toSeq.map { img =>
@@ -72,12 +75,30 @@ object Multimodal {
               fakeFeature(row.content, 5)))
         }
       case "video" =>
-        // ??? — real impl: container demux + per-frame decode. Deterministic
-        // fake: one "frame" per frameStride KiB of payload.
-        val nFrames = math.max(1, row.content.length / (frameStride * 1024))
-        (0 until nFrames).map(i =>
-          MediaFeatures(row.asset_id, "video", i, 0, 0,
-            fakeFeature(row.content, 5, salt = i)))
+        AviCodec.frames(row.content) match {
+          case Some(payloads) if payloads.nonEmpty =>
+            // real path: MJPEG-AVI — every frame is a JPEG ImageIO reads;
+            // sample up to MaxFrames evenly across the clip
+            val stride = math.max(1, payloads.length / MaxFrames)
+            payloads.zipWithIndex
+              .collect { case (p, i) if i % stride == 0 => p -> i }
+              .take(MaxFrames)
+              .flatMap { case (p, i) =>
+                ImageOps.decode(p).map { img =>
+                  val (r, g, b) = ImageOps.averageColor(img)
+                  MediaFeatures(row.asset_id, "video", i, img.width, img.height,
+                    Array(r / 255f, g / 255f, b / 255f,
+                      img.width.toFloat, img.height.toFloat))
+                }
+              }
+          case _ =>
+            // ??? — inter-frame codec (H.264/VP9) absent: deterministic
+            // fake, one "frame" per frameStride KiB of payload
+            val nFrames = math.max(1, row.content.length / (frameStride * 1024))
+            (0 until nFrames).map(i =>
+              MediaFeatures(row.asset_id, "video", i, 0, 0,
+                fakeFeature(row.content, 5, salt = i)))
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown modality: $other")
     }

@@ -40,31 +40,43 @@ object Dist {
   def boundedOne(anchor: Column): Column = pmod(anchor, lit(1))
 
   /** Exact global `row_number()` (1-based, LONG) under `order`, written to
-    * column `out`, without a data-sized single-partition sort. Persists an
-    * intermediate (two consumers); callers run under the harness's
-    * per-query `clearCache`.
+    * column `out`, without a data-sized single-partition sort. `order`
+    * must be a TOTAL order (include a unique tiebreak) — the same
+    * requirement a deterministic `row_number` has anyway.
+    *
+    * Shape: ONE range shuffle + local sort, then
+    * `monotonically_increasing_id` reads off (partitionId << 33 |
+    * in-partition index) directly — no second exchange for a
+    * `partitionBy(_pid)` window. Partition offsets come from a
+    * `parts`-row aggregate (map-side combined) prefix-summed under a
+    * [[boundedOne]] marker and broadcast back. Equal range keys land in
+    * one partition and the local sort finishes the total order, so the
+    * global numbering is exact; `repartitionByRange` samples with a
+    * fixed seed, so reruns are deterministic. Persists the sorted frame
+    * (two consumers); callers run under the harness's per-query
+    * `clearCache`.
     */
   def globalRowNumber(df: DataFrame, out: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(32)
     val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-partition counts → exclusive prefix offsets; the frame is at most
-    // `parts` rows, single-partition by design ([[boundedOne]] marks it —
-    // the whole point is that it is tiny).
-    val offs = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val pid = shiftright(col("_mid"), 33)
+    val local = col("_mid").bitwiseAND(lit((1L << 33) - 1))
+    val offs = ranged.select(pid.as("_pid")).groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(sum(col("_cnt")).over(
         Window.partitionBy(boundedOne(col("_pid"))).orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_pid", "_off")
     ranged
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("_pid").orderBy(order: _*)).cast("long"))
+      .withColumn("_pid", pid)
       .join(broadcast(offs), "_pid")
-      .withColumn(out, col("_rn") + col("_off"))
-      .drop("_pid", "_rn", "_off")
+      .withColumn(out, col("_off") + local + lit(1L))
+      .drop("_pid", "_mid", "_off")
   }
 
   /** Exact `ntile(buckets)` under `order` as column `out` (INT), derived

@@ -66,6 +66,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(eLo.sum - 1f) < 1e-3 && math.abs(eHi.sum - 1f) < 1e-3)
   }
 
+  test("AviCodec: frame payloads roundtrip through a minimal RIFF AVI") {
+    val f1 = Array[Byte](1, 2, 3)
+    val f2 = Array[Byte](4, 5, 6, 7)
+    val avi = AviCodec.synthesize(Seq(f1, f2))
+    val back = AviCodec.frames(avi).get
+    assert(back.length == 2)
+    assert(back(0).sameElements(f1) && back(1).sameElements(f2))
+    assert(AviCodec.frames(Array.fill[Byte](64)(9)).isEmpty) // non-AVI
+  }
+
+  test("extractFeatures runs the REAL frame-decode path for MJPEG-AVI") {
+    import spark.implicits._
+    val frames = Seq(0xFF0000, 0x00FF00, 0x0000FF).map { c =>
+      ImageOps.encodePng(ImageOps.Image(8, 6, Array.fill(48)(c)))
+    }
+    val avi = AviCodec.synthesize(frames)
+    val media = Seq(Multimodal.MediaRow("clip.avi", "video", "application/avi",
+      avi, Map.empty[String, String])).toDS()
+    val fs = Multimodal.extractFeatures(media).collect().sortBy(_.frame_index)
+    assert(fs.length == 3 && fs.forall(f => f.width == 8 && f.height == 6))
+    // per-frame average color survives the real decode exactly (PNG)
+    assert(fs(0).feature(0) == 1.0f && fs(1).feature(1) == 1.0f &&
+      fs(2).feature(2) == 1.0f)
+  }
+
   test("extractFeatures runs the REAL spectral path for a decodable WAV") {
     import spark.implicits._
     val bytes = WavCodec.synthesize(8000, Seq(1000.0 -> 0.6), 1.0)
