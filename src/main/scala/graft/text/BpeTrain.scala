@@ -1,0 +1,116 @@
+package graft.text
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TRAINER — the tokenizer-construction step every LLM
+  * data pipeline runs before token counting means anything (the engine's
+  * `q_bpe_tokens` / `q_vocab` consume a vocabulary; this builds one).
+  *
+  * Classic Sennrich-style BPE on the word-frequency dictionary: words
+  * split to character symbols; each round counts frequency-weighted
+  * ADJACENT symbol pairs across the dictionary, merges the most frequent
+  * pair everywhere (greedy left-to-right, the standard semantics), and
+  * records it. The learned merge list IS the tokenizer.
+  *
+  * Scale shape: training runs on the word-frequency DICTIONARY, not the
+  * corpus — the standard trick (frequencies weight the pair counts, so
+  * the corpus contributes only through the one token-count aggregate,
+  * identical to `q_vocab`'s shuffle). The dictionary is capped at
+  * [[MaxWords]] head words via a distributed TakeOrdered, so every
+  * per-round frame is bounded; each round is one map-side-combinable
+  * pair-count aggregate plus a 1-row argmax collect — the same
+  * driver-gate stance as PageRank's small-graph gate, [[Merges]] rounds
+  * deep. The merge rewrite is a scan-side `aggregate` fold (greedy
+  * left-to-right in one pass), no shuffle.
+  *
+  * No DuckDB oracle — the training loop is iterative (the driver records
+  * the weaker rows-only check); exactness is instead proven by
+  * BpeTrainSpec's differential against an independent plain-Scala BPE
+  * implementation on the same dictionary.
+  */
+object BpeTrain {
+
+  /** One learned merge: rank order, the pair, the merged symbol, and the
+    * frequency-weighted pair count that won the round.
+    */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  private[text] val Merges = 8
+  private[text] val MaxWords = 2000
+
+  /** The word-frequency dictionary BPE trains on: lowercase alpha runs,
+    * top [[MaxWords]] by (count desc, word asc) — deterministic,
+    * TakeOrdered-distributed, bounded.
+    */
+  private[text] def wordDict(spark: SparkSession, sfDir: String): DataFrame =
+    Graft.table(spark, sfDir, "documents")
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(MaxWords)
+
+  /** Greedy left-to-right single-pair merge as a scan-side fold: walk the
+    * symbol array once, gluing `left`+`right` whenever the accumulator's
+    * last element is `left` and the next symbol is `right`. CaseWhen
+    * branches evaluate lazily, so the last-element probe never runs on an
+    * empty accumulator (ANSI-safe).
+    */
+  private[text] def mergePair(sym: Column, left: String, right: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, size(acc)) === lit(left) && x === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Run the trainer, returning the learned merges in rank order. */
+  def train(spark: SparkSession, sfDir: String,
+      rounds: Int = Merges): Seq[Merge] = {
+    var seqs = wordDict(spark, sfDir)
+      .select(col("n"), split(col("w"), "").as("sym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pairs = seqs
+        .select(col("n"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("p"))
+        .groupBy("p").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1)
+        .collect() // 1-row argmax — the documented per-round driver gate
+      if (pairs.isEmpty) done = true
+      else {
+        val parts = pairs(0).getString(0).split(" ", 2)
+        val left = parts(0); val right = parts(1)
+        val cnt = pairs(0).getLong(1)
+        learned += Merge(r, left, right, left + right, cnt)
+        val next = seqs
+          .withColumn("sym", mergePair(col("sym"), left, right))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        seqs.unpersist()
+        seqs = next
+      }
+      r += 1
+    }
+    seqs.unpersist()
+    learned.toSeq
+  }
+
+  object BpeMerges extends GraftQuery {
+    val name = "q_bpe_merges"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      train(spark, sfDir).toDF()
+        .select(col("rank"), col("left"), col("right"), col("merged"),
+          col("pair_count"))
+        .orderBy("rank")
+    }
+    val oracle = None
+  }
+}

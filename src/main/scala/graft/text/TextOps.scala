@@ -815,5 +815,5 @@ object TextOps {
     Seq(TokenCount, QualityScore, LangId, LangConfusion, Fingerprint,
       TokenJaccard, BigramStats, TokenLift, BpeTokens, WinnowFingerprint,
       EditDistance, SplitAssign, RepetitionRatio, GopherGates, SourceMix,
-      Contamination, SourceOverlap, TokenPacking)
+      Contamination, SourceOverlap, TokenPacking, BpeTrain.BpeMerges)
 }
