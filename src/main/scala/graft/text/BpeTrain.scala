@@ -113,4 +113,80 @@ object BpeTrain {
     }
     val oracle = None
   }
+
+  /** BPE APPLICATION with a frozen merge table — the inference half of
+    * the tokenizer (train once, apply forever): per source, how many
+    * tokens the corpus becomes and the chars-per-token compression.
+    *
+    * The trick that makes application ORACLE-CHECKABLE where training is
+    * not: a word spells as bracket-wrapped symbols (`"(h)(e)(l)(l)(o)"`),
+    * and one merge is one literal `replace("(a)(b)", "(ab)")` — both
+    * Spark and DuckDB scan left-to-right non-overlapping, which IS
+    * greedy BPE order. The brackets give every symbol its OWN open and
+    * close boundary, so a match consumes no neighbor's delimiter
+    * (back-to-back pairs `(a)(b)(a)(b)` both merge in one pass) and a
+    * pair can never match a symbol's prefix (`(a)(b)` ∤ `(a)(bc)`) —
+    * differentially proven against [[mergePair]]'s fold in BpeTrainSpec.
+    * The merge table is a fixed constant (a frozen tokenizer, the
+    * deployment artifact `train` produces), so the whole query is
+    * deterministic, scan-side string work + one grouped aggregate — no
+    * iteration, no driver gate, exact integers until one final division.
+    */
+  object BpeApply extends GraftQuery {
+    val name = "q_bpe_apply"
+    /** Frozen merge list (rank order): common English digraph merges. */
+    private[text] val FrozenMerges: Seq[(String, String)] = Seq(
+      "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
+
+    /** `"(h)(e)(l)(l)(o)"` → merges applied → token count of the word
+      * (= count of `(`).
+      */
+    private[text] def tokensAfterMerges(word: Column): Column = {
+      val wrapped =
+        concat(lit("("), array_join(split(word, ""), ")("), lit(")"))
+      val merged = FrozenMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+        regexp_replace(s,
+          java.util.regex.Pattern.quote(s"($a)($b)"), s"($a$b)")
+      }
+      length(merged) - length(regexp_replace(merged, "\\(", ""))
+    }
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val words = Graft.table(spark, sfDir, "documents")
+        .select(col("source"), explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      words
+        .select(col("source"), length(col("w")).as("chars"),
+          tokensAfterMerges(col("w")).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("chars")).cast("long").as("n_chars"),
+          sum(col("toks")).cast("long").as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("source")
+    }
+
+    private val replaceChain = FrozenMerges.foldLeft(
+      "'(' || array_to_string(string_split(w, ''), ')(') || ')'") {
+      case (s, (a, b)) => s"replace($s, '($a)($b)', '($a$b)')"
+    }
+    val oracle = Some(
+      s"""WITH words AS (
+         |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents),
+         |m AS (SELECT source, w, $replaceChain AS s FROM words),
+         |t AS (
+         |  SELECT source, length(w) AS chars,
+         |         length(s) - length(replace(s, '(', '')) AS toks
+         |  FROM m)
+         |SELECT source, count(*) AS n_words,
+         |       CAST(sum(chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |       CAST(CAST(sum(chars) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(sum(toks) AS BIGINT) AS DOUBLE) AS chars_per_token
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

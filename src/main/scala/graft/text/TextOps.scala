@@ -815,5 +815,6 @@ object TextOps {
     Seq(TokenCount, QualityScore, LangId, LangConfusion, Fingerprint,
       TokenJaccard, BigramStats, TokenLift, BpeTokens, WinnowFingerprint,
       EditDistance, SplitAssign, RepetitionRatio, GopherGates, SourceMix,
-      Contamination, SourceOverlap, TokenPacking, BpeTrain.BpeMerges)
+      Contamination, SourceOverlap, TokenPacking, BpeTrain.BpeMerges,
+      BpeTrain.BpeApply)
 }

@@ -65,6 +65,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(merged(2) == List("a", "b", "a", "b", "a"))
   }
 
+  test("replace-chain application ≡ the greedy fold, merge by merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every tricky shape: back-to-back pairs, overlap, created-symbol reuse
+    val words = Seq("that", "then", "inn", "aaa", "thethe", "banana", "x")
+    val df = words.toDF("w")
+    // fold side: apply FrozenMerges sequentially via mergePair
+    val foldTok = BpeTrain.BpeApply.FrozenMerges.foldLeft(split(col("w"), "")) {
+      case (sym, (a, b)) => BpeTrain.mergePair(sym, a, b)
+    }
+    val got = df.select(col("w"), size(foldTok).as("n_fold"),
+        BpeTrain.BpeApply.tokensAfterMerges(col("w")).as("n_chain"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), r.getString(0)))
+  }
+
   test("q_bpe_merges output: dense ranks, positive counts, merged = left+right") {
     val rows = graft.SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= BpeTrain.Merges)
