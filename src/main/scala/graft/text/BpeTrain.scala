@@ -145,11 +145,14 @@ object BpeTrain {
     private[text] def tokensAfterMerges(word: Column): Column = {
       val wrapped =
         concat(lit("("), array_join(split(word, ""), ")("), lit(")"))
+      // literal StringReplace (codegen'd scan of the short symbol string),
+      // not regexp — 8 chained replaces sit in the row-scan hot path
+      def rep(s: Column, find: String, to: String): Column =
+        call_function("replace", s, lit(find), lit(to))
       val merged = FrozenMerges.foldLeft(wrapped) { case (s, (a, b)) =>
-        regexp_replace(s,
-          java.util.regex.Pattern.quote(s"($a)($b)"), s"($a$b)")
+        rep(s, s"($a)($b)", s"($a$b)")
       }
-      length(merged) - length(regexp_replace(merged, "\\(", ""))
+      length(merged) - length(rep(merged, "(", ""))
     }
 
     def run(spark: SparkSession, sfDir: String): DataFrame = {
