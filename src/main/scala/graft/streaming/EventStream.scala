@@ -321,4 +321,20 @@ object EventStream {
     Graft.table(spark, sfDir, "events")
       .select(col("event_id"), Graft.tsFromNanos("ts").as("ts"),
         col("user_id"), col("event_type"), col("value"))
+
+  /** Exactly-once-on-replay `foreachBatch` sink: each micro-batch lands in
+    * its own `_batch_id=N` partition under DYNAMIC partition overwrite, so
+    * a replayed batch (checkpoint recovery re-delivers the last epoch with
+    * the SAME batchId — Spark's foreachBatch contract) overwrites its own
+    * partition instead of appending duplicates. This is the standard
+    * idempotent streaming→warehouse landing pattern; at scale each batch
+    * writes only its partition, and downstream readers see every event
+    * exactly once however many times the writer restarted.
+    */
+  def idempotentBatchSink(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(outDir)
 }

@@ -288,4 +288,25 @@ class EventStreamSpec extends SparkSpec {
       s"stream ${streamed.size} pairs vs batch ${batchCounts.size}")
     assert(streamed.values.sum > 0)
   }
+
+  test("idempotentBatchSink: replaying a batchId leaves no duplicates") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val sink = EventStream.idempotentBatchSink(out) _
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    // checkpoint-recovery contract: the last epoch is re-delivered with
+    // the SAME batchId — the sink must overwrite, not append
+    sink(b1, 1L)
+    sink(b1, 1L)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // and a replay with MORE data in the same epoch wins wholesale
+    sink(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 1L)
+    assert(spark.read.parquet(out).count() == 4)
+  }
 }
