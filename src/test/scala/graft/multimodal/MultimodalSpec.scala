@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(eLo.sum - 1f) < 1e-3 && math.abs(eHi.sum - 1f) < 1e-3)
   }
 
+  test("decoders are TOTAL on arbitrary bytes: never throw, refuse cleanly") {
+    // a corpus-scale decoder sees every malformed payload eventually —
+    // fuzz with deterministic pseudo-random bytes, truncations of valid
+    // containers, and adversarial header fragments
+    val rnd = new scala.util.Random(42)
+    val wav = WavCodec.synthesize(8000, Seq(500.0 -> 0.5), 0.1)
+    val avi = AviCodec.synthesize(Seq(Array[Byte](1, 2, 3)))
+    val cases: Seq[Array[Byte]] =
+      (0 until 200).map(_ => Array.fill(rnd.nextInt(256))(rnd.nextInt.toByte)) ++
+        (0 until wav.length by 7).map(n => wav.take(n)) ++
+        (0 until avi.length).map(n => avi.take(n)) ++
+        Seq("RIFF".getBytes, "RIFFxxxxWAVE".getBytes, "RIFFxxxxAVI ".getBytes,
+          Array.emptyByteArray)
+    cases.foreach { bytes =>
+      WavCodec.decode(bytes)       // Option result, must not throw
+      AviCodec.frames(bytes)       // Option result, must not throw
+    }
+    // corrupted chunk length inside a valid container: refuse, don't read OOB
+    val evil = avi.clone()
+    evil(16) = 0x7F.toByte; evil(17) = 0x7F.toByte // huge LIST size
+    AviCodec.frames(evil)
+    val evilWav = wav.clone()
+    evilWav(40) = 0xFF.toByte; evilWav(41) = 0x7F.toByte // huge data size
+    WavCodec.decode(evilWav)
+  }
+
   test("AviCodec: frame payloads roundtrip through a minimal RIFF AVI") {
     val f1 = Array[Byte](1, 2, 3)
     val f2 = Array[Byte](4, 5, 6, 7)
