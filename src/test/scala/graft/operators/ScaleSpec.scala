@@ -155,6 +155,27 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(_._2).sum == li.count(), "each fact row joined exactly once")
   }
 
+  test("column pruning reaches the scan: metadata-only queries never read text") {
+    // documents.text dominates the table's bytes; a query that only needs
+    // (doc_id, n_chars, source) must not scan it — at 100 TB that IS the
+    // difference between a metadata pass and a full-corpus read. Same for
+    // orders: the id-gap audit reads exactly one column.
+    val cases = Seq(
+      "q_length_deciles" -> "text",
+      "q_compaction_plan" -> "text",
+      "q_dup_size_hist" -> "embedding", // text needed (fingerprint); embeddings not
+      "q_id_gap_audit" -> "o_totalprice")
+    cases.foreach { case (name, mustNotRead) =>
+      val q = graft.SparkEntry.registry.find(_.name == name).get
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(scans.nonEmpty, s"$name: no scan found")
+      assert(!scans.exists(_.contains(mustNotRead)),
+        s"$name reads pruned-away column '$mustNotRead':\n${scans.mkString("\n")}")
+    }
+  }
+
   test("no partitionless Window in any registered query's plan") {
     // A Window with an EMPTY partitionSpec funnels the whole frame into a
     // single task silently. Policy: data-sized frames use the distributed
