@@ -89,35 +89,70 @@ object Bench {
     // driver runs, so the full registry is always what gets judged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.registry
+        .filter(q => only.forall(_(q.name)))
+        .map(q => q.name -> ((s: SparkSession, d: String) => q.run(s, d)))
+    // Noise-robust protocol: N interleaved repetitions (A,B,C,A,B,C — not
+    // A,A,A, so a host-contention burst contaminates at most one rep of
+    // each query), reported time = per-query MIN across reps. A fixed
+    // CPU-bound probe runs once per rep; `spread` = max/min of the probe
+    // times, so a contaminated run is self-evident from the artifact
+    // (this host swings ±2-3× between runs — single-shot numbers cannot
+    // adjudicate a 2× gate).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // discard one probe run first: its codegen/JIT is one-time cost that
+    // would otherwise inflate the first rep and fake a high spread
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      // pmod keeps the running sum < 2e13 (ANSI long-overflow-safe); the
+      // cost is the 20M xxhash64 calls, which is the point of the probe
+      spark.range(20L * 1000 * 1000)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id")),
+            org.apache.spark.sql.functions.lit(1000003L))))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
     // A failed query must NOT bench as a fast no-op (round 4 counted 35
     // analysis-error queries at ~0.1s each and the total looked healthy).
     // Record every failure by name and surface the list in the JSON line.
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
-          String.valueOf(e.getMessage).take(200))
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    probe() // warmup run, discarded (codegen + JIT for the probe itself)
+    for (_ <- 1 to math.max(reps, 1)) {
+      probeTimes += probe()
+      selected.foreach { case (name, fn) =>
+        if (!failed(name)) { // a failure is deterministic; don't re-throw it N times
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200))
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // the dedup/pipeline queries persist intermediate frames (their
+          // self-joins need the barrier); release them OUTSIDE the timed
+          // region so entries don't accumulate across the 60+ query run and
+          // shrink execution memory for later queries. clearCache alone is
+          // non-blocking — follow with a blocking unpersist of any remaining
+          // cached RDDs so the removal can't bleed into the next query's
+          // timed window
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          if (best.get(name).forall(dt < _)) best(name) = dt
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // the dedup/pipeline queries persist intermediate frames (their
-      // self-joins need the barrier); release them OUTSIDE the timed
-      // region so entries don't accumulate across the 60+ query run and
-      // shrink execution memory for later queries. clearCache alone is
-      // non-blocking — follow with a blocking unpersist of any remaining
-      // cached RDDs so the removal can't bleed into the next query's
-      // timed window
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      name -> dt
     }
+    val results = best
+    val spread =
+      if (probeTimes.nonEmpty && probeTimes.min > 0) probeTimes.max / probeTimes.min
+      else 0.0
     // Print timings rounded to milliseconds. The full-precision line for 70
     // queries runs past 3 kB, which overflowed the harness's output-tail
     // capture in round 3 (BENCH_r03.json parsed=null — the head of the JSON
@@ -135,6 +170,7 @@ object Bench {
     // the complete line either way.
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","n_queries":${results.size},""" +
+      s""""reps":$reps,"spread":${fmt(spread)},""" +
       s""""n_failed":${failed.size},"failed":$failedJson}"""
     println(line)
     // The stdout line gets tail-captured by the harness and has historically

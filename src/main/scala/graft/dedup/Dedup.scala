@@ -781,16 +781,26 @@ object Dedup {
           array_sort(graft.plans.ShingleExpression
             .shingle_strings(col("text"), 3)).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // shingle_strings is DISTINCT by construction, so the set size m is
+      // just size(toks) — carried through the explode instead of a second
+      // count().over(partitionBy(doc_id)) window, which cost an extra
+      // WindowExec pass over the full shingle stream (the r5 regression:
+      // two windows over (doc_id) where one suffices)
       val toks = docToks
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("m"),
+          explode(col("toks")).as("tok"))
       val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+      // the self-join below needs only EQUALITY on the prefix shingle, so
+      // carry a 64-bit hash instead of the 3-gram string: narrower persisted
+      // rows, narrower shuffle, long==long compare. A hash collision can
+      // only ADD a candidate pair (same string ⇒ same hash, so no pair is
+      // lost) and the exact array_intersect verify removes it — recall is
+      // untouched, which is the PPJoin completeness contract.
       val prefixes = toks.join(broadcast(df), "tok")
-        .select(col("doc_id"), col("tok"),
-          row_number().over(wDoc).as("pos"),
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id")).as("m"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("tk"), col("m"),
+          row_number().over(wDoc).as("pos"))
         .filter(col("pos") <= col("m") - expr("(6 * m + 9) div 10") + 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the two classic PPJoin prunes ride the candidate join as pure
@@ -804,7 +814,7 @@ object Dedup {
       //   collision rows may be pruned (they were duplicates anyway).
       val cands = prefixes.as("a")
         .join(prefixes.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id") &&
             col("a.m") * 10 >= col("b.m") * 6 &&
             col("b.m") * 10 >= col("a.m") * 6 &&
             expr("1 + least(a.m - a.pos, b.m - b.pos) >= " +

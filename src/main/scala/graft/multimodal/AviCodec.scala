@@ -29,7 +29,9 @@ object AviCodec {
       while (pos + 8 <= until) {
         val id = fourcc(bytes, pos)
         val len = le32(bytes, pos + 4)
-        if (len < 0 || pos + 8 + len > until) return
+        // Compare in Long: a crafted length near 2^31 would wrap the Int
+        // sum negative and slip past the bound (decoders must be TOTAL).
+        if (len < 0 || pos.toLong + 8 + len > until) return
         if (id == "LIST") {
           // LIST payload starts with its own 4-byte type (movi, hdrl, …)
           walk(pos + 12, pos + 8 + len)

@@ -26,13 +26,19 @@ object Multimodal {
       content: Array[Byte],       // opaque payload — never parsed by Spark itself
       meta: Map[String, String])  // typed-ish sidecar (dims, duration, source)
 
-  /** Extracted features, one row per asset (or per sampled frame). */
+  /** Extracted features, one row per asset (or per sampled frame).
+    * `feature_real = false` marks a deterministic stand-in produced where
+    * this environment has no codec (mp3/flac, inter-frame video) — a
+    * downstream consumer can filter or fail on fakes instead of silently
+    * training on them.
+    */
   final case class MediaFeatures(
       asset_id: String,
       modality: String,
       frame_index: Int,           // 0 for whole-asset features
       width: Int, height: Int,
-      feature: Array[Float])      // small fixed-width vector
+      feature: Array[Float],      // small fixed-width vector
+      feature_real: Boolean)
 
   /** Decoder seam: one instance per partition (model/codec load amortized,
     * same pattern as [[graft.images.Detection.Detector]]).
@@ -42,25 +48,35 @@ object Multimodal {
     def features(row: MediaRow): Seq[MediaFeatures]
   }
 
-  /** Real image + WAV-audio paths, STUBBED compressed-audio/video paths.
+  /** Real image + WAV-audio + MJPEG-AVI paths, STUBBED compressed-codec
+    * paths.
     *
     * Images decode via [[graft.images.ImageOps]]; RIFF PCM audio decodes
     * via [[WavCodec]] into real spectral band energies (pure JVM, no
-    * native codec). Compressed audio (mp3/flac) and video "decode" remain
-    * deterministic fakes (hash-derived features of the payload bytes)
-    * standing in for codecs this container doesn't have — the schema,
-    * batching, and partition flow are exactly what a real decoder would
-    * use.
+    * native codec). Compressed audio (mp3/flac) and inter-frame video
+    * "decode" remain deterministic fakes (hash-derived features of the
+    * payload bytes) standing in for codecs this container doesn't have —
+    * the schema, batching, and partition flow are exactly what a real
+    * decoder would use. Fake rows carry `feature_real = false`; with
+    * `strict = true` the fake paths throw instead, so a pipeline can
+    * never silently train on stand-in numbers.
     */
-  final class DefaultDecoder(frameStride: Int = 16) extends MediaDecoder {
+  final class DefaultDecoder(frameStride: Int = 16, strict: Boolean = false)
+      extends MediaDecoder {
     private val MaxFrames = 32 // per-clip frame-sample cap (bounded output)
+
+    private def noCodec(row: MediaRow, what: String): Unit =
+      if (strict) throw new UnsupportedOperationException(
+        s"strict mode: no $what codec for asset ${row.asset_id} " +
+          s"(${row.mime}); refusing to emit fake features")
 
     def features(row: MediaRow): Seq[MediaFeatures] = row.modality match {
       case "image" =>
         ImageOps.decode(row.content).toSeq.map { img =>
           val (r, g, b) = ImageOps.averageColor(img)
           MediaFeatures(row.asset_id, "image", 0, img.width, img.height,
-            Array(r / 255f, g / 255f, b / 255f, img.width.toFloat, img.height.toFloat))
+            Array(r / 255f, g / 255f, b / 255f, img.width.toFloat, img.height.toFloat),
+            feature_real = true)
         }
       case "audio" =>
         WavCodec.decode(row.content) match {
@@ -68,18 +84,22 @@ object Multimodal {
             // real path: 5 relative band energies; (width, height) carry
             // (sampleRate, channels) — the audio twin of image dims
             Seq(MediaFeatures(row.asset_id, "audio", 0,
-              wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav)))
+              wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav),
+              feature_real = true))
           case None =>
             // ??? — compressed codec (mp3/flac) absent: deterministic fake
+            noCodec(row, "compressed-audio")
             Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
-              fakeFeature(row.content, 5)))
+              fakeFeature(row.content, 5), feature_real = false))
         }
       case "video" =>
         AviCodec.frames(row.content) match {
           case Some(payloads) if payloads.nonEmpty =>
             // real path: MJPEG-AVI — every frame is a JPEG ImageIO reads;
-            // sample up to MaxFrames evenly across the clip
-            val stride = math.max(1, payloads.length / MaxFrames)
+            // sample ≤ MaxFrames evenly across the WHOLE clip (ceiling
+            // stride: length/MaxFrames keeps only the first MaxFrames
+            // frames of a 33..63-frame clip and drops the tail)
+            val stride = (payloads.length + MaxFrames - 1) / MaxFrames
             payloads.zipWithIndex
               .collect { case (p, i) if i % stride == 0 => p -> i }
               .take(MaxFrames)
@@ -88,16 +108,18 @@ object Multimodal {
                   val (r, g, b) = ImageOps.averageColor(img)
                   MediaFeatures(row.asset_id, "video", i, img.width, img.height,
                     Array(r / 255f, g / 255f, b / 255f,
-                      img.width.toFloat, img.height.toFloat))
+                      img.width.toFloat, img.height.toFloat),
+                    feature_real = true)
                 }
               }
           case _ =>
             // ??? — inter-frame codec (H.264/VP9) absent: deterministic
             // fake, one "frame" per frameStride KiB of payload
+            noCodec(row, "inter-frame-video")
             val nFrames = math.max(1, row.content.length / (frameStride * 1024))
             (0 until nFrames).map(i =>
               MediaFeatures(row.asset_id, "video", i, 0, 0,
-                fakeFeature(row.content, 5, salt = i)))
+                fakeFeature(row.content, 5, salt = i), feature_real = false))
         }
       case other =>
         throw new IllegalArgumentException(s"unknown modality: $other")
@@ -125,6 +147,13 @@ object Multimodal {
       rows.flatMap(dec.features)
     }
   }
+
+  /** Strict variant: payloads this environment has no real codec for
+    * (mp3/flac, inter-frame video) FAIL the job instead of yielding
+    * deterministic fakes — the only safe default for training pipelines.
+    */
+  def extractFeaturesStrict(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    extractFeatures(media, () => new DefaultDecoder(strict = true))
 
   /** Wrap a binaryFile scan into MediaRows, inferring modality from the
     * extension — the ingestion edge of the multimodal pipeline.

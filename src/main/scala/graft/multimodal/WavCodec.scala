@@ -33,7 +33,9 @@ object WavCodec {
     while (pos + 8 <= bytes.length && (dataOff < 0 || fmtCode == 0)) {
       val id = new String(bytes.slice(pos, pos + 4), "US-ASCII")
       val len = le32(bytes, pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length) return None
+      // Compare in Long: a crafted length near 2^31 would wrap the Int
+      // sum negative and slip past the bound (decoders must be TOTAL).
+      if (len < 0 || pos.toLong + 8 + len > bytes.length) return None
       id match {
         case "fmt " if len >= 16 =>
           fmtCode = le16(bytes, pos + 8)

@@ -35,9 +35,13 @@ object Dist {
     * simplified away once a Project collapse exposes it — the WindowExec
     * then runs partitionless (warns "No Partition Defined"),
     * indistinguishable from an UNAUDITED global window. `anchor` must be
-    * a non-null numeric column of the frame (use the bucket/rank key).
+    * a numeric column of the frame (use the bucket/rank key); a null
+    * anchor is coalesced to 0 so nullable anchors cannot silently split
+    * the single-partition-by-design frame into a null partition plus
+    * partition 0 and corrupt prefix computations.
     */
-  def boundedOne(anchor: Column): Column = pmod(anchor, lit(1))
+  def boundedOne(anchor: Column): Column =
+    coalesce(pmod(anchor, lit(1)), lit(0))
 
   /** Exact global `row_number()` (1-based, LONG) under `order`, written to
     * column `out`, without a data-sized single-partition sort. `order`
@@ -86,16 +90,21 @@ object Dist {
   def globalNtile(df: DataFrame, buckets: Int, out: String, order: Column*): DataFrame = {
     val rn = globalRowNumber(df, "_gnt_rn", order: _*)
     val tot = rn.agg(count(lit(1)).as("_gnt_n"))
+    // All arithmetic stays in LONG (`div`, not double divide-then-cast):
+    // double division loses exactness past 2^53, undercutting the
+    // bit-identical-at-any-corpus-size claim for extreme row counts.
+    // `when` branches evaluate lazily, so the `div _gnt_small` branch is
+    // never reached with _gnt_small = 0 (that needs r > n).
     rn.crossJoin(broadcast(tot))
-      .withColumn(out, {
-        val n = col("_gnt_n"); val r = col("_gnt_rn"); val k = lit(buckets.toLong)
-        val small = n.divide(k).cast("long") // n div k (n, k ≥ 0)
-        val big = small + lit(1L)
-        val nBig = n.mod(k)
-        when(r <= big * nBig, (r - 1).divide(big).cast("long") + 1)
-          .otherwise(nBig + (r - big * nBig - 1).divide(small).cast("long") + 1)
-          .cast("int")
-      })
-      .drop("_gnt_rn", "_gnt_n")
+      .withColumn("_gnt_small", expr(s"_gnt_n div ${buckets}L"))
+      .withColumn("_gnt_big", col("_gnt_small") + lit(1L))
+      .withColumn("_gnt_nbig", col("_gnt_n").mod(lit(buckets.toLong)))
+      .withColumn(out,
+        when(col("_gnt_rn") <= col("_gnt_big") * col("_gnt_nbig"),
+          expr("(_gnt_rn - 1L) div _gnt_big") + lit(1L))
+          .otherwise(col("_gnt_nbig") +
+            expr("(_gnt_rn - _gnt_big * _gnt_nbig - 1L) div _gnt_small") + lit(1L))
+          .cast("int"))
+      .drop("_gnt_rn", "_gnt_n", "_gnt_small", "_gnt_big", "_gnt_nbig")
   }
 }

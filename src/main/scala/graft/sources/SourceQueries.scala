@@ -43,12 +43,6 @@ object SourceQueries {
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  /** S1 — binary scan over a deterministic synthetic image tree (4-level
-    * sharding like the reference's landmark layout), decoded and reduced to
-    * per-image average color. Rows-only check (no image data in testdata);
-    * pixel-level semantics are oracle'd by ScalaTest instead
-    * (ImageOpsSpec/ImagePipelineSpec).
-    */
   /** Create (once per scale factor) the deterministic 4-level PNG shard
     * tree both binary-source queries scan. Returns the tree root.
     */
@@ -66,23 +60,81 @@ object SourceQueries {
     root
   }
 
+  /** S1 — binary scan over a deterministic synthetic image tree (4-level
+    * sharding like the reference's landmark layout), decoded and reduced to
+    * per-image average color, dominant-color closest primary, and byte
+    * metadata — ONE pass over the scan, the real decode path
+    * ([[ImageOps.decode]]/averageColor/dominantColor/closestPrimary, M1–O1).
+    *
+    * Fully oracle-checked (closing the last `no_oracle` row): the fixture
+    * images are SOLID colors whose fill is a pure function of the filename
+    * index (r = 10·i, g = 255 − 10·i, b = i), so the oracle can replay the
+    * expected decode output independently — average of a solid image is its
+    * fill, dominant likewise, and the closest-primary argmin is six
+    * constant squared distances — while `read_blob` over the SAME files
+    * proves byte identity (n_bytes + 8-byte hex prefix). A hash match
+    * therefore verifies the whole PNG decode chain end-to-end, not just
+    * header metadata (that's [[ImageDims]]). Pixel-level decode on
+    * non-solid images stays spec-verified (ImageOpsSpec) — IDAT zlib is
+    * territory no SQL engine replays.
+    */
   object BinaryScan extends GraftQuery {
     val name = "q_binary_scan"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import graft.images.ImagePipeline
+      import spark.implicits._
       val root = ensureImageTree(sfDir)
-      val images = ImagePipeline.scanImages(spark, root, "*.png")
-      // scalar columns only: the driver's comparator sorts result values,
-      // and array cells are unsortable/unhashable on the pandas side
-      ImagePipeline.colors(images).toDF()
-        .select(col("id"),
-          col("averageColor")(0).as("avg_c0"),
-          col("averageColor")(1).as("avg_c1"),
-          col("averageColor")(2).as("avg_c2"),
-          col("closestPrimary"))
-        .orderBy("id")
+      val idRe = "img(\\d+)\\.png".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            ImageOps.decode(content).map { img =>
+              val avg = ImageOps.averageColor(img)
+              val dom = ImageOps.dominantColor(img)
+              val cp = ImageOps.closestPrimary(dom, ImageOps.Primaries)
+              val id = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (id, avg._1.toLong, avg._2.toLong, avg._3.toLong, cp.toLong,
+                content.length.toLong,
+                content.take(8).map(b => f"$b%02X").mkString)
+            }
+          }
+        }
+        .toDF("img_id", "avg_c0", "avg_c1", "avg_c2", "closest_primary",
+          "n_bytes", "head_hex")
+        .orderBy("img_id")
     }
-    val oracle = None // binary source: no DuckDB-side image decoding
+    // Same pinned-glob stance as q_image_dims: oracle SQL is static text
+    // and the correctness gate runs at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'img(\d+)\.png', 1) AS BIGINT)
+        |           AS img_id,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')),
+        |c AS (
+        |  SELECT img_id, n_bytes, head_hex,
+        |         img_id * 10 AS r, 255 - img_id * 10 AS g, img_id AS b
+        |  FROM f),
+        |d AS (
+        |  SELECT img_id, r, g, b, n_bytes, head_hex,
+        |         [ (r-255)*(r-255) + g*g + b*b,
+        |           r*r + (g-255)*(g-255) + b*b,
+        |           r*r + g*g + (b-255)*(b-255),
+        |           r*r + (g-255)*(g-255) + (b-255)*(b-255),
+        |           (r-255)*(r-255) + (g-255)*(g-255) + b*b,
+        |           (r-255)*(r-255) + g*g + (b-255)*(b-255) ] AS dists
+        |  FROM c)
+        |SELECT img_id, r AS avg_c0, g AS avg_c1, b AS avg_c2,
+        |       CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT)
+        |         AS closest_primary,
+        |       n_bytes, head_hex
+        |FROM d ORDER BY img_id""".stripMargin)
   }
 
   /** JSON-lines round-trip — the de-facto interchange format for LLM

@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   * deep. The merge rewrite is a scan-side `aggregate` fold (greedy
   * left-to-right in one pass), no shuffle.
   *
-  * No DuckDB oracle — the training loop is iterative (the driver records
-  * the weaker rows-only check); exactness is instead proven by
-  * BpeTrainSpec's differential against an independent plain-Scala BPE
-  * implementation on the same dictionary.
+  * ORACLE-CHECKED despite being iterative: the trainer runs a FIXED
+  * number of rounds ([[Merges]]), so the oracle unrolls them as CTEs —
+  * the same stance as the PageRank oracle. Each round is (pair-count →
+  * 1-row argmax → greedy merge), and every piece has an exact SQL twin:
+  * pair enumeration is `syms[i], syms[i+1]` over the bracket-wrapped
+  * symbol string (identical to the zip_with slices here), the argmax is
+  * `ORDER BY cnt DESC, p ASC LIMIT 1` (the same total order), and the
+  * greedy left-to-right merge is the literal `replace('(a)(b)','(ab)')`
+  * trick differentially proven ≡ [[mergePair]] in BpeTrainSpec. Belt and
+  * braces: the spec ALSO differentials the trainer against an independent
+  * plain-Scala BPE on the same dictionary.
   */
 object BpeTrain {
 
@@ -111,7 +118,45 @@ object BpeTrain {
           col("pair_count"))
         .orderBy("rank")
     }
-    val oracle = None
+
+    /** One training round as three CTEs: weighted adjacent-pair counts
+      * over the bracket-string dictionary, the (cnt desc, pair asc)
+      * argmax, and the greedy merge via literal replace.
+      */
+    private def roundCtes(k: Int): String = {
+      val prev = s"seq${k - 1}"
+      s"""p$k AS (
+         |  SELECT syms[i] || ' ' || syms[i+1] AS p, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS syms
+         |        FROM $prev),
+         |       unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1),
+         |w$k AS (SELECT p, cnt FROM p$k ORDER BY cnt DESC, p ASC LIMIT 1),
+         |seq$k AS (
+         |  SELECT n, replace(s,
+         |    '(' || split_part(p, ' ', 1) || ')(' || split_part(p, ' ', 2) || ')',
+         |    '(' || replace(p, ' ', '') || ')') AS s
+         |  FROM $prev, w$k)""".stripMargin
+    }
+
+    val oracle = Some {
+      val head =
+        s"""dict AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           |    FROM documents)
+           |  GROUP BY w ORDER BY n DESC, w ASC LIMIT $MaxWords),
+           |seq0 AS (
+           |  SELECT n, '(' || array_to_string(string_split(w, ''), ')(') || ')' AS s
+           |  FROM dict)""".stripMargin
+      val rounds = (1 to Merges).map(roundCtes).mkString(",\n")
+      val unions = (1 to Merges).map { k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank, split_part(p, ' ', 1) AS "left",
+           |       split_part(p, ' ', 2) AS "right", replace(p, ' ', '') AS merged,
+           |       cnt AS pair_count FROM w$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $head,\n$rounds\n$unions\nORDER BY rank"
+    }
   }
 
   /** BPE APPLICATION with a frozen merge table — the inference half of

@@ -33,6 +33,8 @@ class MultimodalSpec extends SparkSpec {
     assert(img.head.feature(1) == 1.0f) // pure green → g channel 1.0
     val audio = feats.filter(_.modality == "audio")
     assert(audio.length == 1 && audio.head.feature.length == 5)
+    // fake-codec rows are flagged; the real image decode is not
+    assert(img.head.feature_real && !audio.head.feature_real)
     // 48 KiB video at 16 KiB stride → 3 sampled frames with distinct indices
     val video = feats.filter(_.modality == "video").sortBy(_.frame_index)
     assert(video.map(_.frame_index).toSeq == Seq(0, 1, 2))
@@ -90,6 +92,56 @@ class MultimodalSpec extends SparkSpec {
     val evilWav = wav.clone()
     evilWav(40) = 0xFF.toByte; evilWav(41) = 0x7F.toByte // huge data size
     WavCodec.decode(evilWav)
+    // near-2^31 chunk length: `pos + 8 + len` wraps negative in Int and
+    // would slip past the bound check — all 4 length bytes set
+    def put32(b: Array[Byte], o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    val ovAvi = avi.clone(); put32(ovAvi, 16, 0x7FFFFFF0)
+    assert(AviCodec.frames(ovAvi).exists(_.isEmpty)) // refuses the chunk, no throw
+    val ovAvi2 = avi.clone(); put32(ovAvi2, 28, 0x7FFFFFF0) // frame chunk len
+    AviCodec.frames(ovAvi2)
+    val ovWav = wav.clone(); put32(ovWav, 40, 0x7FFFFFF0) // data chunk len
+    assert(WavCodec.decode(ovWav).isEmpty)
+    val ovWav2 = wav.clone(); put32(ovWav2, 16, 0x7FFFFFF0) // fmt chunk len
+    assert(WavCodec.decode(ovWav2).isEmpty)
+  }
+
+  test("strict mode fails loudly on fake-codec payloads, passes real ones") {
+    import spark.implicits._
+    val mp3ish = Multimodal.MediaRow("song.mp3", "audio", "application/mp3",
+      Array.fill[Byte](512)(9), Map.empty[String, String])
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesStrict(Seq(mp3ish).toDS()).collect()
+    }
+    assert(ex.getMessage.contains("strict mode") ||
+      Option(ex.getCause).exists(_.getMessage.contains("strict mode")))
+    // real WAV path is unchanged under strict
+    val wavRow = Multimodal.MediaRow("tone.wav", "audio", "application/wav",
+      WavCodec.synthesize(8000, Seq(500.0 -> 0.5), 0.2), Map.empty[String, String])
+    val ok = Multimodal.extractFeaturesStrict(Seq(wavRow).toDS()).collect()
+    assert(ok.length == 1 && ok.head.feature_real)
+    // and so is the real MJPEG-AVI path
+    val avi = AviCodec.synthesize(Seq(ImageOps.encodePng(
+      ImageOps.Image(4, 4, Array.fill(16)(0xFF0000)))))
+    val aviRow = Multimodal.MediaRow("c.avi", "video", "application/avi",
+      avi, Map.empty[String, String])
+    val vf = Multimodal.extractFeaturesStrict(Seq(aviRow).toDS()).collect()
+    assert(vf.length == 1 && vf.head.feature_real)
+  }
+
+  test("video frame sampling spreads across the whole clip (ceiling stride)") {
+    import spark.implicits._
+    // 40 frames > MaxFrames=32: floor stride would keep frames 0..31 and
+    // drop the tail; ceiling stride (2) samples 0,2,4,...,38 — 20 frames
+    // covering the full clip
+    val png = ImageOps.encodePng(ImageOps.Image(2, 2, Array.fill(4)(0x00FF00)))
+    val avi = AviCodec.synthesize(Seq.fill(40)(png))
+    val media = Seq(Multimodal.MediaRow("long.avi", "video", "application/avi",
+      avi, Map.empty[String, String])).toDS()
+    val idx = Multimodal.extractFeatures(media).collect()
+      .map(_.frame_index).sorted.toSeq
+    assert(idx.size <= 32, s"cap violated: ${idx.size}")
+    assert(idx == (0 until 40 by 2), idx)
   }
 
   test("AviCodec: frame payloads roundtrip through a minimal RIFF AVI") {
