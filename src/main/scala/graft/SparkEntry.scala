@@ -35,7 +35,8 @@ object SparkEntry {
       dedup.Dedup.all ++
       similarity.Similarity.all ++
       similarity.VectorOps.all ++
-      sources.SourceQueries.all
+      sources.SourceQueries.all ++
+      streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,225 @@
+package graft.streaming
+
+import graft.{Graft, GraftQuery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-visible registrations for the Structured Streaming twins
+  * (SURVEY §2.9): each wraps an [[EventStream]] operator in a real
+  * streaming execution — file source → `Trigger.AvailableNow` → memory
+  * sink — over the same events parquet the batch queries read, then
+  * returns the sink table (batch-side ordered/aggregated) so the driver's
+  * DuckDB oracle can replay it. This is the missing driver-contract
+  * surface for the streaming tier: the twins were differential-spec-only
+  * before; now the same correctness gate that checks every batch operator
+  * checks the streaming executions too.
+  *
+  * Determinism stance: only operators whose FINAL output is independent
+  * of micro-batch slicing are registered — Complete-mode windowed
+  * aggregations (final state is the full aggregate whatever the batch
+  * boundaries), an Append-mode stream-stream inner join (the match set is
+  * batch-boundary-independent; we aggregate it), and watermark dedup over
+  * unique ids. Update-mode keyed-state operators (funnel, sessions state
+  * machine) stay differential-spec-only — their per-update emission
+  * sequence genuinely depends on batch slicing, which is why the batch
+  * twin is the backfill/correction path in the Kappa contract.
+  */
+object StreamQueries {
+
+  /** Streaming read of the events table, normalized to the shape of
+    * [[EventStream.batchEvents]] (the file source needs an explicit
+    * schema — at 100 TB schema inference is a full extra scan; here it is
+    * one parquet-footer metadata read).
+    */
+  private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    // The file streaming source only accepts a DIRECTORY (its listing
+    // model is "files arriving in a dir"); the testdata table is a single
+    // file, so stage it into a per-sf landing dir once via hard link
+    // (instant, no data copy; falls back to copy across filesystems).
+    // This mirrors production: streams consume a landing directory.
+    val src = java.nio.file.Paths.get(path)
+    val streamDir = {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val d = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_stream_$safe")
+      java.nio.file.Files.createDirectories(d)
+      val dst = d.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(dst)) {
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      d.toString
+    }
+    val schema = spark.read.parquet(path).schema
+    Graft.normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir))
+      .select(col("event_id"), Graft.tsFromNanos("ts").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Execute a streaming frame to completion against a memory sink and
+    * return the materialized result table.
+    */
+  private def runToMemory(spark: SparkSession, name: String, df: DataFrame,
+      mode: String): DataFrame = {
+    spark.catalog.dropTempView(name) // re-runs in one session replace it
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming tumbling-window counts ([[EventStream.windowedCounts]]) —
+    * Complete mode, so the final memory table is the full aggregate and
+    * the batch twin's oracle (`q_tumbling_window`) applies verbatim.
+    */
+  object StreamTumbling extends GraftQuery {
+    val name = "q_stream_tumbling"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      runToMemory(spark, "graft_stream_tumbling",
+        EventStream.windowedCounts(streamEvents(spark, sfDir)), "complete")
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    val oracle = Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Streaming hopping-window counts ([[EventStream.hoppingCounts]],
+    * 6h/3h like the batch `q_hopping_window`) — Complete mode; the oracle
+    * replays the covering-window arithmetic exactly as the batch twin's.
+    */
+  object StreamHopping extends GraftQuery {
+    val name = "q_stream_hopping"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      runToMemory(spark, "graft_stream_hopping",
+        EventStream.hoppingCounts(streamEvents(spark, sfDir)), "complete")
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    val oracle = Some(
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events),
+        |cov AS (
+        |  SELECT event_type, value,
+        |         (sec // 10800 - j) * 10800 AS win_sec
+        |  FROM e, (SELECT unnest([0, 1]) AS j) js
+        |  WHERE (sec // 10800 - j) * 10800 + 21600 > sec
+        |    AND (sec // 10800 - j) * 10800 <= sec)
+        |SELECT strftime(to_timestamp(win_sec), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM cov GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Streaming session windows ([[EventStream.sessionWindowed]], 30-min
+    * gap) — Complete mode. Spark's merging `session_window` opens
+    * `[ts, ts+gap)` per event and merges overlaps, so a new session
+    * starts exactly when the inter-event gap is ≥ 30 min; the oracle
+    * replays that as gaps-and-islands in MICROsecond integers (the
+    * precision `tsFromNanos` carries), and `sess_end` = last event + gap.
+    */
+  object StreamSessions extends GraftQuery {
+    val name = "q_stream_sessions"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      runToMemory(spark, "graft_stream_sessions",
+        EventStream.sessionWindowed(streamEvents(spark, sfDir)), "complete")
+        .select(col("user_id"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          unix_micros(col("sess_end")).as("sess_end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "sess_start_us")
+    val oracle = Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tm, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, tm, value,
+        |         CASE WHEN tm - lag(tm) OVER w >= 1800000000
+        |              OR lag(tm) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm)),
+        |g AS (
+        |  SELECT user_id, tm, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tm
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(tm) AS sess_start_us,
+        |       max(tm) + 1800000000 AS sess_end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin)
+  }
+
+  /** Streaming stream-stream interval join
+    * ([[EventStream.purchaseClickJoin]]): clicks within the hour before a
+    * purchase, both sides watermarked. Append mode — an inner join's
+    * match set is independent of micro-batch slicing; the memory table is
+    * aggregated per user so the registered output is bounded and ordered.
+    */
+  object StreamPurchaseClick extends GraftQuery {
+    val name = "q_stream_purchase_click"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ev = streamEvents(spark, sfDir)
+      val joined = EventStream.purchaseClickJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      runToMemory(spark, "graft_stream_pcj", joined, "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          graft.functions.SafeMath.exactSum(col("value")).as("click_value"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_ns(ts) // 1000 AS tm
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, tm AS p_tm FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tm AS c_tm, value FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.user_id, count(*) AS n_pairs,
+        |       count(DISTINCT purchase_id) AS n_purchases,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS click_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c_tm >= p_tm - 3600000000 AND c_tm < p_tm
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Streaming watermark dedup ([[EventStream.dedupedStream]]) — Append
+    * mode over `dropDuplicatesWithinWatermark(event_id)`; the aggregate
+    * proves full retention (ids are unique, so dedup must pass everything
+    * through exactly once — the idempotence half of the contract; the
+    * duplicate-collapsing half is differential-spec territory because
+    * WHICH replica survives is arrival-order-dependent).
+    */
+  object StreamDedup extends GraftQuery {
+    val name = "q_stream_dedup"
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      runToMemory(spark, "graft_stream_dedup",
+        EventStream.dedupedStream(streamEvents(spark, sfDir)), "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          graft.functions.SafeMath.exactSum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    val oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT event_id) AS n_ids,
+        |       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(StreamTumbling, StreamHopping,
+    StreamSessions, StreamPurchaseClick, StreamDedup)
+}
