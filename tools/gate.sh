@@ -1,0 +1,79 @@
+#!/usr/bin/env bash
+# One-command round gate: Verify -> DuckDB compare -> type audit -> Bench
+# -> sbt test, ending in ONE JSON line on stdout that the round-close doc
+# copies verbatim (kills the remembered-numbers class of prose drift:
+# r4 stale gates, r5 "299 tests" vs the actual 280).
+#
+# Usage: tools/gate.sh [sf_verify_dir] [sf_bench_dir] [out_json]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+SF_VERIFY="${1:-/root/testdata/sf0.01}"
+SF_BENCH="${2:-/root/testdata/sf0.1}"
+OUT="${3:-/tmp/gate_result.json}"
+VOUT=/tmp/gate_verify_out
+BENCH_OUT=/tmp/gate_bench.json
+CPUS="${SPARK_GRAFT_CPUS:-8}"
+
+step() { echo "[gate] $*" >&2; }
+
+step "1/5 Verify @ $SF_VERIFY"
+rm -rf "$VOUT"
+SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SF_VERIFY $VOUT" \
+  > /tmp/gate_verify.log 2>&1
+VERIFY_RC=$?
+FAILED_JSON=$(cat "$VOUT/failed.json" 2>/dev/null || echo '{"unreadable":true}')
+
+step "2/5 DuckDB compare"
+CMP=$(python3 tools/compare.py "$SF_VERIFY" "$VOUT" 2>&1 | tail -1)
+# e.g. "213 ok, 0 failed"
+CMP_OK=$(echo "$CMP" | sed -n 's/^\([0-9]*\) ok.*/\1/p')
+CMP_FAIL=$(echo "$CMP" | sed -n 's/.* \([0-9]*\) failed.*/\1/p')
+
+step "3/5 oracle type audit"
+TYPES=$(python3 tools/compare.py --types "$SF_VERIFY" "$VOUT" 2>&1 | tail -1)
+TYPES_FLAGGED=$(echo "$TYPES" | sed -n 's/^\([0-9]*\) oracles flagged.*/\1/p')
+
+step "4/5 Bench @ $SF_BENCH (reps from SPARK_GRAFT_BENCH_REPS or 3)"
+SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
+  SPARK_GRAFT_BENCH_OUT=$BENCH_OUT sbt -batch "runMain graft.Bench" \
+  > /tmp/gate_bench.log 2>&1
+BENCH_RC=$?
+BENCH_LINE=$(cat "$BENCH_OUT" 2>/dev/null || echo '{}')
+
+step "5/5 sbt test"
+sbt -batch test > /tmp/gate_test.log 2>&1
+TEST_RC=$?
+TEST_LINE=$(grep -E "Tests: succeeded" /tmp/gate_test.log | tail -1 | sed 's/\[info\] //')
+T_OK=$(echo "$TEST_LINE" | sed -n 's/.*succeeded \([0-9]*\).*/\1/p')
+T_FAIL=$(echo "$TEST_LINE" | sed -n 's/.*failed \([0-9]*\).*/\1/p')
+T_CANCEL=$(echo "$TEST_LINE" | sed -n 's/.*canceled \([0-9]*\).*/\1/p')
+
+python3 - "$OUT" <<EOF
+import json, sys
+bench = json.loads('''$BENCH_LINE''' or '{}')
+gate = {
+  "verify_rc": $VERIFY_RC,
+  "verify_failed": json.loads('''$FAILED_JSON'''),
+  "oracle_ok": int("${CMP_OK:-0}" or 0),
+  "oracle_failed": int("${CMP_FAIL:-999}" or 999),
+  "oracle_types_flagged": int("${TYPES_FLAGGED:-999}" or 999),
+  "bench_rc": $BENCH_RC,
+  "bench_total_sec": bench.get("value"),
+  "bench_n_queries": bench.get("n_queries"),
+  "bench_n_failed": bench.get("n_failed"),
+  "bench_reps": bench.get("reps"),
+  "bench_spread": bench.get("spread"),
+  "tests_succeeded": int("${T_OK:-0}" or 0),
+  "tests_failed": int("${T_FAIL:-999}" or 999),
+  "tests_canceled": int("${T_CANCEL:-0}" or 0),
+  "sbt_test_rc": $TEST_RC,
+}
+gate["green"] = (gate["verify_rc"] == 0 and gate["oracle_failed"] == 0
+  and gate["oracle_types_flagged"] == 0 and not gate["verify_failed"]
+  and gate["bench_rc"] == 0 and gate["bench_n_failed"] == 0
+  and gate["tests_failed"] == 0 and gate["sbt_test_rc"] == 0)
+line = json.dumps(gate)
+open(sys.argv[1], "w").write(line + "\n")
+print(line)
+EOF
