@@ -33,8 +33,10 @@ object SparkEntry {
       text.TextPipeline.all ++
       text.CorpusOps.all ++
       dedup.Dedup.all ++
+      dedup.SubstringDedup.all ++
       similarity.Similarity.all ++
       similarity.VectorOps.all ++
+      similarity.KMeansOps.all ++
       sources.SourceQueries.all ++
       streaming.StreamQueries.all
 

@@ -1,0 +1,93 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts for the k-means / SemDeDup family. The oracle (CTE-unrolled
+  * Lloyd's rounds) is the cross-engine check; these tests pin the
+  * engine-side invariants that make that oracle meaningful.
+  */
+class KMeansOpsSpec extends SparkSpec {
+
+  test("q_kmeans_embed: total assignment, clusters from the seed set, deterministic") {
+    val a = KMeansOps.KMeansEmbed.run(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a.length == n, "every vector is assigned exactly once")
+    val clusters = a.map(_.getInt(1)).distinct
+    assert(clusters.forall(c => c >= 0 && c < KMeansOps.K),
+      "cluster ids come from the vec_id<K seed set")
+    val b = KMeansOps.KMeansEmbed.run(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getInt(1))).toSeq,
+      "re-running the bounded-round loop is bit-identical")
+    spark.catalog.clearCache()
+  }
+
+  test("kmeans structure: assignments total per round, cluster count never grows") {
+    // Clusters can only vanish (lose all members), never split, so the
+    // live-cluster count is non-increasing in the round number.
+    val e = KMeansOps.quantized(spark, sf).persist()
+    try {
+      val n = e.count()
+      val liveClusters = (1 to KMeansOps.Rounds).map { r =>
+        val rows = KMeansOps.fit(e, KMeansOps.K, r)
+          .groupBy("cluster").agg(count(lit(1)).as("cnt")).collect()
+        assert(rows.map(_.getLong(1)).sum == n,
+          s"round $r assigns every vector exactly once")
+        rows.length
+      }
+      assert(liveClusters.head <= KMeansOps.K)
+      assert(liveClusters.sliding(2).forall {
+        case Seq(a, b) => b <= a
+        case _ => true
+      })
+    } finally e.unpersist(blocking = false)
+  }
+
+  test("q_semdedup: pairs are within-cluster, ordered, above threshold") {
+    val assigned = {
+      val e = KMeansOps.quantized(spark, sf).persist()
+      try KMeansOps.fit(e, KMeansOps.K, KMeansOps.Rounds)
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally e.unpersist(blocking = false)
+    }
+    val pairs = KMeansOps.SemDedup.run(spark, sf).collect()
+    pairs.foreach { r =>
+      val (cl, a, b, cos) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, "pair ids are ordered (no mirror duplicates)")
+      assert(assigned(a) == cl && assigned(b) == cl, "pair shares its cluster")
+      assert(cos >= KMeansOps.Tau && cos <= 1.0 + 1e-12)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q_semdedup_prune: per-cluster accounting is consistent with the pairs") {
+    val pairs = KMeansOps.SemDedup.run(spark, sf).collect()
+    val droppedByCluster = pairs.groupBy(_.getInt(0))
+      .map { case (cl, rs) => cl -> rs.map(_.getLong(2)).distinct.length }
+    val prune = KMeansOps.SemDedupPrune.run(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(prune.map(_.getLong(1)).sum == n, "cluster sizes partition the corpus")
+    prune.foreach { r =>
+      val (cl, size, dropped, kept) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dropped == droppedByCluster.getOrElse(cl, 0).toLong)
+      assert(kept == size - dropped && kept >= 1,
+        "keep-smallest-id always keeps at least the smallest member")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q_semdedup_recall: caught is a subset of truth; recall in (0,1]") {
+    val r = KMeansOps.SemDedupRecall.run(spark, sf).collect().head
+    val (nTrue, nCaught, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nCaught <= nTrue,
+      "within-cluster pairs are a subset of the all-pairs truth")
+    if (nTrue > 0) {
+      assert(recall == nCaught.toDouble / nTrue.toDouble)
+      assert(recall > 0.0 && recall <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+}
