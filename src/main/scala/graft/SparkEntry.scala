@@ -29,6 +29,7 @@ object SparkEntry {
       operators.SketchOps.all ++
       operators.WarehouseOps.all ++
       text.IndexOps.all ++
+      text.LmOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.CorpusOps.all ++
@@ -37,6 +38,7 @@ object SparkEntry {
       similarity.Similarity.all ++
       similarity.VectorOps.all ++
       similarity.KMeansOps.all ++
+      similarity.RandProj.all ++
       sources.SourceQueries.all ++
       streaming.StreamQueries.all
 

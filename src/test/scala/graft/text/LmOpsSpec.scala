@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_lm_surprisal: bits are positive and bounded by log2 of corpus size") {
+    val out = LmOps.BigramSurprisal.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val bits = r.getAs[Long]("bits_total")
+      val mean = r.getAs[Double]("mean_bits")
+      assert(n > 0 && bits >= 0)
+      // add-one smoothing caps surprisal at log2(c1 + V) < 63 bits
+      assert(mean >= 0 && mean < 63, s"implausible mean_bits $mean")
+      assert(math.abs(mean - bits.toDouble / n.toDouble) == 0.0)
+    }
+  }
+
+  test("LM scores repeated boilerplate lower than unseen text (held-out scoring)") {
+    // train on a corpus where "a b" dominates; score two held-out docs:
+    // one made of the dominant bigram, one of rare-but-seen bigrams.
+    val train = Seq(
+      (1L, Seq.fill(50)("a b").mkString(" ")),
+      (2L, "c d e f g h")
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b a b a b"), // typical
+      (11L, "c d e f g h") // each bigram seen once
+    ).toDF("doc_id", "text")
+    val vocab = train.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val res = LmOps.surprisal(
+        LmOps.bigramOccurrences(score),
+        LmOps.bigramOccurrences(train), vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_bits"))
+      .toMap
+    assert(res(10L) < res(11L),
+      s"typical doc should score fewer bits: ${res(10L)} vs ${res(11L)}")
+  }
+
+  test("integer floor-log2 identity: length(bin(a div b)) - 1 == floor(log2(a/b))") {
+    // the determinism trick the operator rests on — floor∘log2 commutes
+    // with integer division for a >= b
+    for (a <- 1L to 200L; b <- 1L to a) {
+      val viaDiv = 63 - java.lang.Long.numberOfLeadingZeros(a / b)
+      // exact floor(log2(a/b)): the k with 2^k * b <= a < 2^(k+1) * b,
+      // found in pure integer arithmetic (double log2 misrounds near
+      // powers of two, which is the whole reason the operator avoids it)
+      val exact = (0 to 62).find(k => (b << k) <= a && a < (b << (k + 1))).get
+      assert(viaDiv == exact, s"a=$a b=$b: $viaDiv != $exact")
+    }
+  }
+}
