@@ -30,6 +30,7 @@ object SparkEntry {
       operators.WarehouseOps.all ++
       text.IndexOps.all ++
       text.LmOps.all ++
+      text.DsirOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.CorpusOps.all ++
@@ -39,6 +40,7 @@ object SparkEntry {
       similarity.VectorOps.all ++
       similarity.KMeansOps.all ++
       similarity.RandProj.all ++
+      similarity.MmrOps.all ++
       sources.SourceQueries.all ++
       streaming.StreamQueries.all
 
