@@ -60,12 +60,15 @@ object SubstringDedup {
       // is read twice (dup-set build + position mark-back) but NOT
       // persisted: it is corpus_chars rows × ~32 B — a barrier here would
       // materialize ~30× the corpus, while recomputing it is one more
-      // substring explode over the base scan (nearly free). The opposite
-      // call from the minhash/prefix-join barriers, where the recompute
-      // is a hash-dense kernel chain worth storing.
+      // gram explode over the base scan. The explode runs the native
+      // char_grams kernel (one byte-offset walk, zero-copy slices) — the
+      // composable transform/substring chain evaluated its lambda
+      // interpreted per element and re-walked the string per gram, and
+      // was the operator's dominant cost (4.1 s of the 7.8 s sf0.1
+      // bench; spec-proven identical).
       val sh = docs
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))")))
+        .select(col("doc_id"), posexplode(
+          graft.plans.CharGramsExpression.char_grams(col("text"), L)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("s"))
       val dup = sh.groupBy("s")
         .agg(countDistinct(col("doc_id")).as("nd"))
