@@ -392,7 +392,88 @@ object Similarity {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Triplet mining for contrastive training: for each query vector, the
+    * nearest SAME-label item (the positive) and the nearest
+    * DIFFERENT-label item (the hardest negative), with the triplet margin
+    * pos_sim − neg_sim — negative margin ⇒ the hardest negative is closer
+    * than the best positive, exactly the triplets a metric-learning run
+    * wants surfaced. Exact over the bounded query set (the verify tier,
+    * like [[CosineTopK]]); at production scale the candidate set comes
+    * from the LSH/IVF index and this ranking runs per bucket. Queries
+    * whose label has no other member drop out (no positive exists) — an
+    * inner join in both engines.
+    */
+  object HardNegatives extends GraftQuery {
+    val name = "q_hard_negatives"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          quantize_vec(col("embedding")).as("qq"))
+        .withColumn("qn", sqrt(dot_long(col("qq"), col("qq")).cast("double")))
+      val c = emb
+        .select(col("vec_id").as("neighbor_id"), col("label").as("c_label"),
+          quantize_vec(col("embedding")).as("cq"))
+        .withColumn("cn", sqrt(dot_long(col("cq"), col("cq")).cast("double")))
+      val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("neighbor_id"), col("c_label"),
+          (dot_long(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+            .as("cosine"))
+      val byCos = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val pos = scored.filter(col("c_label") === col("q_label"))
+        .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"),
+          col("cosine").as("pos_sim"))
+      val neg = scored.filter(col("c_label") =!= col("q_label"))
+        .withColumn("rn", row_number().over(byCos)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"),
+          col("cosine").as("neg_sim"))
+      pos.join(neg, Seq("query_id"))
+        .select(col("query_id"), col("pos_id"), col("pos_sim"),
+          col("neg_id"), col("neg_sim"),
+          (col("pos_sim") - col("neg_sim")).as("margin"))
+        .orderBy("query_id")
+    }
+    val oracle = Some(
+      """WITH q AS (
+        |  SELECT vec_id, label, i,
+        |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+        |          FROM q GROUP BY 1),
+        |labels AS (SELECT DISTINCT vec_id, label FROM q),
+        |comp AS (
+        |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+        |         sum(qa.q * qb.q) AS dot
+        |  FROM q qa JOIN q qb ON qb.i = qa.i AND qb.vec_id <> qa.vec_id
+        |  WHERE qa.vec_id < 30
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, la.label AS q_label, lb.label AS c_label,
+        |         CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+        |  FROM comp JOIN norms na ON query_id = na.vec_id
+        |            JOIN norms nb ON neighbor_id = nb.vec_id
+        |            JOIN labels la ON query_id = la.vec_id
+        |            JOIN labels lb ON neighbor_id = lb.vec_id),
+        |pos AS (
+        |  SELECT query_id, neighbor_id AS pos_id, cosine AS pos_sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |    FROM scored WHERE c_label = q_label) WHERE rn = 1),
+        |neg AS (
+        |  SELECT query_id, neighbor_id AS neg_id, cosine AS neg_sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |    FROM scored WHERE c_label <> q_label) WHERE rn = 1)
+        |SELECT query_id, pos_id, pos_sim, neg_id, neg_sim,
+        |       pos_sim - neg_sim AS margin
+        |FROM pos JOIN neg USING (query_id)
+        |ORDER BY query_id""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CosineTopK, LshTopK, LabelCentroid, Ivf.SampledIvfTopK, AnnRecall,
-      Ivf.IvfRecall)
+      Ivf.IvfRecall, HardNegatives)
 }

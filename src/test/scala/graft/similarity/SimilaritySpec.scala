@@ -74,4 +74,22 @@ class SimilaritySpec extends SparkSpec {
     val mean = rows.map(_.getDouble(3)).sum / rows.length
     assert(mean >= 0.5, s"mean recall $mean")
   }
+
+  test("q_hard_negatives: positives share the query label, negatives do not, margin is exact") {
+    val labels = graft.Graft.table(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = Similarity.HardNegatives.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(labels(r.getAs[Long]("pos_id")) == labels(q))
+      assert(labels(r.getAs[Long]("neg_id")) != labels(q))
+      assert(r.getAs[Double]("margin") ==
+        r.getAs[Double]("pos_sim") - r.getAs[Double]("neg_sim"))
+      // the mined triplet is informative only if both sims are real cosines
+      assert(math.abs(r.getAs[Double]("pos_sim")) <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("neg_sim")) <= 1.0 + 1e-9)
+    }
+  }
 }
