@@ -27,7 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object CharGramsExpression {
 
   def charGrams(text: UTF8String, l: Int): GenericArrayData = {
-    val bytes = text.getBytes // one defensive copy, shared by every slice
+    // getBytes copies unless the string exactly spans its backing array
+    // (offset 0, length == array.length). Buffer-backed strings from
+    // UnsafeRows / columnar vectors sit at interior offsets, so they are
+    // copied here and the emitted slices reference this call's private
+    // array — never a buffer the scan will overwrite. In the full-span
+    // case the array is owned by an immutable UTF8String, equally safe.
+    val bytes = text.getBytes
     val nBytes = bytes.length
     val offs = new Array[Int](nBytes + 1) // char index -> byte offset
     var i = 0
