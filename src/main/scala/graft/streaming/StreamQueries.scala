@@ -47,11 +47,26 @@ object StreamQueries {
         System.getProperty("java.io.tmpdir"), s"graft_stream_$safe")
       java.nio.file.Files.createDirectories(d)
       val dst = d.resolve("events.parquet")
+      // Refresh when the SOURCE file was replaced since staging: the
+      // testdata generator rewrites events.parquet between rounds with a
+      // new inode, and a stale hard link would silently keep serving the
+      // old bytes (the streaming tier would then diverge from the batch
+      // oracle — the exact failure class of round 4's events.ts drop).
+      // Same-inode links share size+mtime, so any mismatch means replaced.
+      val stale = java.nio.file.Files.exists(dst) &&
+        (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+          java.nio.file.Files.getLastModifiedTime(dst) !=
+            java.nio.file.Files.getLastModifiedTime(src))
+      if (stale) java.nio.file.Files.delete(dst)
       if (!java.nio.file.Files.exists(dst)) {
         try java.nio.file.Files.createLink(dst, src)
         catch { case _: Exception =>
           java.nio.file.Files.copy(src, dst,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // a copy gets its own mtime; align it so the staleness check
+          // stays meaningful on filesystems without hard links
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.Files.getLastModifiedTime(src))
         }
       }
       d.toString
