@@ -2,7 +2,7 @@ package graft.text
 
 import graft.{Graft, GraftQuery}
 import graft.functions.PortableHash.{pHash28, pHash60}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -882,9 +882,85 @@ object CorpusOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Batch-padding efficiency — the "smart batching" ablation every
+    * training loader runs: fixed-size batches pad every sequence to the
+    * batch max, so the token waste depends on the BATCHING ORDER. Two
+    * deterministic strategies compared on identical batches of
+    * [[BatchPadding.BatchSize]]: `shuffled` (the reproducible
+    * hash-permutation order of `q_epoch_shuffle` — what a naive loader
+    * does) and `length` (length-sorted batching — near-uniform batches,
+    * minimal padding). Output is one accounting row per strategy; the
+    * fill-rate gap IS the readout (length-bucketed loaders exist because
+    * that gap is torched compute).
+    *
+    * Scale shape: token counting is scan-side; each strategy is one
+    * [[graft.operators.Dist.globalRowNumber]] (range shuffle + broadcast
+    * offsets — the distributed total order, no partitionless window) and
+    * one batch-keyed aggregate. The oracle replays both orders with plain
+    * `row_number` (single-node SQL has no scale constraint).
+    */
+  object BatchPadding extends GraftQuery {
+    val name = "q_batch_padding"
+    private val BatchSize = 32
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      def strategy(tag: String, order: Column*): DataFrame =
+        graft.operators.Dist.globalRowNumber(docs, "rn", order: _*)
+          .withColumn("b", expr(s"(rn - 1) div $BatchSize"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("mx"),
+            sum(col("n_tok")).as("real_tok"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("real_tok")).as("real_tokens"),
+            sum(col("n_docs") * col("mx")).as("padded_tokens"))
+          .select(lit(tag).as("strategy"), col("n_batches"),
+            col("real_tokens").cast("long").as("real_tokens"),
+            col("padded_tokens").cast("long").as("padded_tokens"),
+            (col("padded_tokens") - col("real_tokens")).cast("long").as("waste"),
+            (col("real_tokens").cast("double") /
+              col("padded_tokens").cast("double")).as("fill_rate"))
+      val shuffled = strategy("shuffled",
+        pHash60(concat(lit("bat:"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+      val byLen = strategy("length", col("n_tok").asc, col("doc_id").asc)
+      shuffled.unionAll(byLen).orderBy("strategy")
+    }
+    val oracle = Some(
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT n_tok,
+         |         row_number() OVER (ORDER BY
+         |           ('0x' || substr(md5('bat:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+         |           doc_id) AS rn_shuf,
+         |         row_number() OVER (ORDER BY n_tok, doc_id) AS rn_len
+         |  FROM d),
+         |per AS (
+         |  SELECT 'shuffled' AS strategy, (rn_shuf - 1) // $BatchSize AS b,
+         |         n_tok FROM ranked
+         |  UNION ALL
+         |  SELECT 'length' AS strategy, (rn_len - 1) // $BatchSize AS b,
+         |         n_tok FROM ranked),
+         |batches AS (
+         |  SELECT strategy, b, count(*) AS n_docs, max(n_tok) AS mx,
+         |         sum(n_tok) AS real_tok
+         |  FROM per GROUP BY 1, 2)
+         |SELECT strategy, count(*) AS n_batches,
+         |       CAST(sum(real_tok) AS BIGINT) AS real_tokens,
+         |       CAST(sum(n_docs * mx) AS BIGINT) AS padded_tokens,
+         |       CAST(sum(n_docs * mx) - sum(real_tok) AS BIGINT) AS waste,
+         |       CAST(CAST(sum(real_tok) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(sum(n_docs * mx) AS BIGINT) AS DOUBLE) AS fill_rate
+         |FROM batches GROUP BY 1 ORDER BY strategy""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
       TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
       PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken,
-      VocabCoverage)
+      VocabCoverage, BatchPadding)
 }

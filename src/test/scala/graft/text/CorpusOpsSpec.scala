@@ -384,4 +384,23 @@ class CorpusOpsSpec extends SparkSpec {
       s"${out.toSeq}")
   }
 
+  test("q_batch_padding: length-sorted batching never wastes more than shuffled") {
+    val rows = CorpusOps.BatchPadding.run(spark, sf).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        ((r.getAs[Long]("real_tokens"), r.getAs[Long]("padded_tokens"),
+          r.getAs[Long]("waste"), r.getAs[Double]("fill_rate")))).toMap
+    spark.catalog.clearCache()
+    assert(rows.keySet == Set("shuffled", "length"))
+    val (realS, padS, wasteS, fillS) = rows("shuffled")
+    val (realL, padL, wasteL, fillL) = rows("length")
+    // both strategies batch the same corpus: identical real-token totals
+    assert(realS == realL)
+    // accounting identity and bounds
+    assert(wasteS == padS - realS && wasteL == padL - realL)
+    assert(fillS > 0 && fillS <= 1.0 && fillL > 0 && fillL <= 1.0)
+    // length-sorting minimizes the max-per-batch spread, so it can never
+    // pad more than the hash-shuffled order on the same batch size
+    assert(wasteL <= wasteS, s"length waste $wasteL > shuffled $wasteS")
+  }
+
 }
