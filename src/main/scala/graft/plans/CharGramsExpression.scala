@@ -11,11 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** All overlapping L-character windows of a string, as `array<string>` —
   * the positional char-shingle kernel of `q_substring_dupes`.
   *
-  * Semantically identical to
+  * For `length(text) >= L`, semantically identical to
   * `transform(sequence(1, length(text) - L + 1), i -> substring(text, i, L))`
   * (array index k holds the gram starting at 1-based character k+1; char =
   * code point, like `substring` and DuckDB's `substr`), but evaluated as
-  * one primitive loop inside whole-stage codegen. The composable chain
+  * one primitive loop inside whole-stage codegen. BELOW L the two
+  * DIVERGE: `sequence(1, n)` with n <= 0 DESCENDS (1, 0, -1, …), so the
+  * chain emits garbage grams from negative substring positions, while
+  * `char_grams` returns the empty array — the semantics a caller wants.
+  * (`SubstringDedup` pre-filters `length >= L`, so it sits in the
+  * identical regime either way.) The composable chain
   * runs its lambda INTERPRETED per element (higher-order functions have no
   * codegen), and each `substring(text, i, L)` call re-walks the string's
   * bytes from the start to find code point i — O(chars²) per document on

@@ -52,19 +52,47 @@ object StreamQueries {
       // new inode, and a stale hard link would silently keep serving the
       // old bytes (the streaming tier would then diverge from the batch
       // oracle — the exact failure class of round 4's events.ts drop).
-      // Same-inode links share size+mtime, so any mismatch means replaced.
-      val stale = java.nio.file.Files.exists(dst) &&
-        (java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+      // Freshness is INODE IDENTITY (`Files.isSameFile`), not size+mtime:
+      // a generator that restores timestamps (or a coarse-mtime fs) can
+      // replace the source while preserving both, which the old check
+      // silently accepted. Probe whether hard links work between src and
+      // d first; only the cross-filesystem COPY fallback — where no
+      // shared inode can exist — falls back to size+mtime (weaker,
+      // documented as such).
+      val linkable = try {
+        val probe = d.resolve(".linkprobe")
+        java.nio.file.Files.deleteIfExists(probe)
+        java.nio.file.Files.createLink(probe, src)
+        java.nio.file.Files.delete(probe)
+        true
+      } catch { case _: Exception => false }
+      val stale = java.nio.file.Files.exists(dst) && {
+        if (linkable) !java.nio.file.Files.isSameFile(dst, src)
+        else java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
           java.nio.file.Files.getLastModifiedTime(dst) !=
-            java.nio.file.Files.getLastModifiedTime(src))
+            java.nio.file.Files.getLastModifiedTime(src)
+      }
       if (stale) java.nio.file.Files.delete(dst)
       if (!java.nio.file.Files.exists(dst)) {
-        try java.nio.file.Files.createLink(dst, src)
-        catch { case _: Exception =>
+        if (linkable) {
+          // retry once: if the source is swapped between the link call and
+          // the identity re-check, re-stage against the new inode (the
+          // stat-then-link race the size+mtime version left open)
+          var attempts = 0
+          var done = false
+          while (!done && attempts < 2) {
+            attempts += 1
+            try java.nio.file.Files.createLink(dst, src)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            done = java.nio.file.Files.isSameFile(dst, src)
+            if (!done) java.nio.file.Files.delete(dst)
+          }
+        }
+        if (!java.nio.file.Files.exists(dst)) {
           java.nio.file.Files.copy(src, dst,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // a copy gets its own mtime; align it so the staleness check
-          // stays meaningful on filesystems without hard links
+          // a copy gets its own mtime; align it so the fallback staleness
+          // check stays meaningful on filesystems without hard links
           java.nio.file.Files.setLastModifiedTime(dst,
             java.nio.file.Files.getLastModifiedTime(src))
         }

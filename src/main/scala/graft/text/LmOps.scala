@@ -51,17 +51,29 @@ object LmOps {
     * frame and score another (held-out scoring); the registered query
     * trains and scores on the same corpus, which is the dedup-adjacent
     * "find the atypical documents" readout.
+    *
+    * Held-out contract: bigrams UNSEEN in training are exactly what
+    * add-one smoothing prices, so the model joins are LEFT joins with
+    * zero-count fallbacks — an unseen pair under a seen context scores
+    * `floor(log2((c1 + V) / 1))`, and an unseen context scores
+    * `floor(log2((0 + V) / 1))` = the uniform 1/V event. Inner joins here
+    * would silently drop precisely those events and deflate
+    * n_bigrams/bits_total (the train == score registered query never hits
+    * this branch: every scored bigram is a trained bigram, so the left
+    * joins degenerate to inner and the oracle is unchanged).
     */
   def surprisal(scoreOcc: DataFrame, trainOcc: DataFrame, vocabSize: DataFrame): DataFrame = {
     val big = trainOcc.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = trainOcc.groupBy("w1").agg(count(lit(1)).as("c1"))
     // two token-keyed shuffle joins (the tf-idf shape); the vocab size is a
-    // broadcast scalar. c12 <= c1 guarantees the div argument >= 1.
-    scoreOcc.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+    // broadcast scalar. c12 <= c1 (c12 null => c1 may be null too, both
+    // coalesce to 0) guarantees the div argument >= 1 for V >= 1.
+    scoreOcc.join(big, Seq("w1", "w2"), "left").join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr("CAST(length(bin((c1 + v) div (c12 + 1))) - 1 AS BIGINT)"))
+        sum(expr("CAST(length(bin((coalesce(c1, 0L) + v) div " +
+          "(coalesce(c12, 0L) + 1))) - 1 AS BIGINT)"))
           .as("bits_total"))
       .select(col("doc_id"), col("n_bigrams"), col("bits_total"),
         (col("bits_total").cast("double") / col("n_bigrams").cast("double"))

@@ -16,8 +16,11 @@ class CharGramsExpressionSpec extends SparkSpec {
       .select(col("doc_id"),
         CharGramsExpression.char_grams(col("text"), 20).as("a"),
         composable(20).as("b"))
-      .filter(length(col("text")) >= 20) // chain yields empty seq below L too,
-      .filter(not(col("a") === col("b"))) // but compare only the meaningful rows
+      // the identity holds only for length >= L: below L the chain's
+      // sequence(1, n<=0) DESCENDS and emits garbage grams from negative
+      // substring positions, while char_grams returns the empty array
+      .filter(length(col("text")) >= 20)
+      .filter(not(col("a") === col("b")))
       .count()
     assert(n == 0)
   }

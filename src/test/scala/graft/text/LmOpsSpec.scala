@@ -42,6 +42,30 @@ class LmOpsSpec extends SparkSpec {
       s"typical doc should score fewer bits: ${res(10L)} vs ${res(11L)}")
   }
 
+  test("held-out scoring prices UNSEEN bigrams instead of dropping them") {
+    // train vocabulary {a,b,c,d}, V = 4. Score a doc whose bigrams are:
+    //   "a b"  — seen (c12 = 1, c1 = 2: occurrences "a b" and "a c")
+    //   "b z"  — unseen pair, seen context b (c1 = 1)  -> (1+4) div 1 -> 2 bits
+    //   "z q"  — unseen context entirely (c1 = 0)      -> (0+4) div 1 -> 2 bits
+    // An inner-join formulation would keep only "a b" (n_bigrams = 1);
+    // the add-one contract counts all 3.
+    val train = Seq((1L, "a b a c d")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b z q")).toDF("doc_id", "text")
+    val vocab = train.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val res = LmOps.surprisal(
+        LmOps.bigramOccurrences(score),
+        LmOps.bigramOccurrences(train), vocab)
+      .collect()
+    assert(res.length == 1)
+    val r = res.head
+    assert(r.getAs[Long]("n_bigrams") == 3L,
+      s"unseen bigrams must be scored, not dropped: ${r.mkString(",")}")
+    // "a b": floor(log2((2+4) div (1+1))) = floor(log2(3)) = 1 bit;
+    // "b z" and "z q": 2 bits each (see above) -> total 5
+    assert(r.getAs[Long]("bits_total") == 5L, r.mkString(","))
+  }
+
   test("integer floor-log2 identity: length(bin(a div b)) - 1 == floor(log2(a/b))") {
     // the determinism trick the operator rests on — floor∘log2 commutes
     // with integer division for a >= b
