@@ -107,6 +107,17 @@ object StreamQueries {
 
   /** Execute a streaming frame to completion against a memory sink and
     * return the materialized result table.
+    *
+    * DRIVER-MATERIALIZATION BOUNDARY (the same contract every bounded
+    * `collect()` in this repo documents): the memory sink collects the
+    * streaming result on the DRIVER, so each registration states its sink
+    * cardinality in its scaladoc and StreamQueriesSpec asserts the exact
+    * expected sink size per query — a new registration without a declared
+    * bound fails the spec. The memory sink is the TEST HARNESS; the
+    * production path for anything unbounded is the idempotent
+    * `foreachBatch` landing sink ([[runToLanding]] /
+    * [[EventStream.idempotentBatchSink]]), which the `*_final`
+    * registrations exercise end-to-end under the same hash gate.
     */
   private def runToMemory(spark: SparkSession, name: String, df: DataFrame,
       mode: String): DataFrame = {
@@ -117,9 +128,61 @@ object StreamQueries {
     spark.table(name)
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.delete(q))
+      finally walk.close()
+    }
+
+  /** Landing dir for a `*_final` registration — fixed per (tag, sf) so
+    * re-runs are deterministic; the caller wipes it before each start.
+    */
+  private[streaming] def landingDir(tag: String, sfDir: String): java.nio.file.Path = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_land_${tag}_$safe")
+  }
+
+  /** Execute a streaming frame to completion through the PRODUCTION sink —
+    * [[EventStream.idempotentBatchSink]] under `Trigger.AvailableNow` —
+    * and return the landed table. Nothing materializes on the driver: each
+    * micro-batch writes its own `_batch_id` partition (replay-idempotent),
+    * and the returned frame is a plain parquet scan of the landing dir.
+    * Landing + checkpoint dirs are wiped first so every run (bench reps
+    * included) is a full, self-contained streaming execution.
+    */
+  private def runToLanding(spark: SparkSession, tag: String, sfDir: String,
+      df: DataFrame, mode: String): DataFrame = {
+    val land = landingDir(tag, sfDir)
+    val ckpt = java.nio.file.Paths.get(land.toString + "_ckpt")
+    deleteRecursively(land)
+    deleteRecursively(ckpt)
+    val q = df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(EventStream.idempotentBatchSink(land.toString) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(land.toString)
+  }
+
+  /** The typed event stream the keyed-state (`flatMapGroupsWithState`)
+    * operators consume.
+    */
+  private def typedStream(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Dataset[EventStream.Event] = {
+    import spark.implicits._
+    streamEvents(spark, sfDir).as[EventStream.Event]
+  }
+
   /** Streaming tumbling-window counts ([[EventStream.windowedCounts]]) —
     * Complete mode, so the final memory table is the full aggregate and
     * the batch twin's oracle (`q_tumbling_window`) applies verbatim.
+    * Memory-sink bound: the sink table IS the aggregate — exactly one
+    * row per (hour window × event_type); no raw rows reach the driver.
     */
   object StreamTumbling extends GraftQuery {
     val name = "q_stream_tumbling"
@@ -139,6 +202,9 @@ object StreamQueries {
   /** Streaming hopping-window counts ([[EventStream.hoppingCounts]],
     * 6h/3h like the batch `q_hopping_window`) — Complete mode; the oracle
     * replays the covering-window arithmetic exactly as the batch twin's.
+    * Memory-sink bound: one row per (3h-slide window pane × event_type)
+    * — each event feeds 2 panes, so the sink is ~2× the tumbling sink and
+    * still aggregate-sized.
     */
   object StreamHopping extends GraftQuery {
     val name = "q_stream_hopping"
@@ -171,6 +237,8 @@ object StreamQueries {
     * starts exactly when the inter-event gap is ≥ 30 min; the oracle
     * replays that as gaps-and-islands in MICROsecond integers (the
     * precision `tsFromNanos` carries), and `sess_end` = last event + gap.
+    * Memory-sink bound: one row per merged (user, session) — the
+    * session count of the corpus, never per-event rows.
     */
   object StreamSessions extends GraftQuery {
     val name = "q_stream_sessions"
@@ -207,6 +275,10 @@ object StreamQueries {
     * purchase, both sides watermarked. Append mode — an inner join's
     * match set is independent of micro-batch slicing; the memory table is
     * aggregated per user so the registered output is bounded and ordered.
+    * Memory-sink bound: the Append sink holds the RAW match rows (one
+    * per qualifying purchase–click pair) before the batch-side aggregate
+    * — fine at test scale, and exactly the shape the production
+    * foreachBatch landing path (the *_final registrations) exists for.
     */
   object StreamPurchaseClick extends GraftQuery {
     val name = "q_stream_purchase_click"
@@ -245,6 +317,9 @@ object StreamQueries {
     * through exactly once — the idempotence half of the contract; the
     * duplicate-collapsing half is differential-spec territory because
     * WHICH replica survives is arrival-order-dependent).
+    * Memory-sink bound: one row per unique event_id — the full deduped
+    * stream (ids are unique here, so sink rows = input rows). Test
+    * harness only; production lands via the foreachBatch sink.
     */
   object StreamDedup extends GraftQuery {
     val name = "q_stream_dedup"
@@ -263,6 +338,88 @@ object StreamQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Streaming funnel FINAL state ([[EventStream.funnelStages]], the
+    * Update-mode keyed-state twin of the batch `q_funnel`) — registered
+    * via the PRODUCTION landing path: the per-update `FunnelProgress`
+    * emissions land in the idempotent `foreachBatch` sink, and the final
+    * per-user stage is recovered as `max(stage)` over the landed rows.
+    * The stage machine only moves FORWARD (each stage time latches once),
+    * so max(stage) equals the final keyed state under ANY micro-batch
+    * slicing — the emission SEQUENCE stays slicing-dependent (and
+    * differential-spec-only), but the registered readout is not, given
+    * the module's per-user in-timestamp-order delivery contract (all
+    * in-batch events are sorted; the single-file AvailableNow source
+    * delivers one batch). The cumulative stage counts then replay the
+    * batch twin's oracle VERBATIM (shared text — they cannot drift).
+    *
+    * Nothing materializes on the driver: the landing sink is distributed
+    * parquet, and the registered output is 3 rows.
+    */
+  object StreamFunnelFinal extends GraftQuery {
+    val name = "q_stream_funnel_final"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val landed = runToLanding(spark, "funnel", sfDir,
+        EventStream.funnelStages(typedStream(spark, sfDir)).toDF(), "update")
+      landed.groupBy("user_id").agg(max(col("stage")).as("stage"))
+        .agg(sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("nv"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("np"))
+        .selectExpr("stack(3, 1, 'view', nv, 2, 'click', nc, " +
+          "3, 'purchase', np) AS (stage_ord, stage, n_users)")
+        .select(col("stage_ord").cast("int"), col("stage"), col("n_users"))
+        .orderBy("stage_ord")
+    }
+    // the batch twin's oracle, shared verbatim: identical output contract
+    val oracle = graft.operators.BehaviorOps.Funnel.oracle
+  }
+
+  /** Streaming CDC snapshot FINAL state ([[EventStream.latestSnapshot]],
+    * the keyed-state twin of the batch `q_latest_snapshot`) through the
+    * landing sink. Last-write-wins under the (sec, event_id) total order
+    * is commutative and idempotent, so the per-key argmax over the landed
+    * per-batch emissions equals the final keyed state under ANY slicing —
+    * no delivery-order caveat at all (unlike the funnel). The argmax is
+    * `max(struct(last_sec, last_event_id, last_value))`: (sec, event_id)
+    * is unique, so last_value never decides a tie. Oracle shared verbatim
+    * with the batch twin.
+    */
+  object StreamSnapshotFinal extends GraftQuery {
+    val name = "q_stream_snapshot_final"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val landed = runToLanding(spark, "snapshot", sfDir,
+        EventStream.latestSnapshot(typedStream(spark, sfDir)).toDF(), "update")
+      landed.groupBy("user_id", "event_type")
+        .agg(max(struct(col("last_sec"), col("last_event_id"),
+          col("last_value"))).as("m"))
+        .select(col("user_id"), col("event_type"), col("m.last_sec"),
+          col("m.last_event_id"), col("m.last_value"))
+        .orderBy("user_id", "event_type")
+    }
+    val oracle = graft.operators.WarehouseOps.LatestSnapshot.oracle
+  }
+
+  /** Streaming time-to-conversion FINAL output
+    * ([[EventStream.conversionLags]], keyed-state twin of the batch
+    * `q_conversion_lag`) through the landing sink. A user's key emits at
+    * most ONE lag row ever (p_sec latches), so the landed set IS the final
+    * per-user answer under the module's in-order delivery contract; the
+    * registered readout is the batch twin's hourly histogram, oracle
+    * shared verbatim.
+    */
+  object StreamConversionLagFinal extends GraftQuery {
+    val name = "q_stream_conversion_lag_final"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val landed = runToLanding(spark, "convlag", sfDir,
+        EventStream.conversionLags(typedStream(spark, sfDir)).toDF(), "update")
+      landed.groupBy(expr("lag_sec div 3600").as("lag_hours"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lag_sec")).as("min_lag"), max(col("lag_sec")).as("max_lag"))
+        .orderBy("lag_hours")
+    }
+    val oracle = graft.operators.BehaviorOps.ConversionLag.oracle
+  }
+
   val all: Seq[GraftQuery] = Seq(StreamTumbling, StreamHopping,
-    StreamSessions, StreamPurchaseClick, StreamDedup)
+    StreamSessions, StreamPurchaseClick, StreamDedup,
+    StreamFunnelFinal, StreamSnapshotFinal, StreamConversionLagFinal)
 }

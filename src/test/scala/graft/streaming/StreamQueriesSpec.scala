@@ -60,6 +60,74 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("q_stream_funnel_final ≡ batch funnel (landed max(stage) recovers final state)") {
+    val streamed = rows(StreamQueries.StreamFunnelFinal.run(spark, sf))
+    val batch = rows(graft.operators.BehaviorOps.Funnel.run(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q_stream_snapshot_final ≡ batch latest snapshot (per-key argmax over landed emissions)") {
+    val streamed = rows(StreamQueries.StreamSnapshotFinal.run(spark, sf))
+    val batch = rows(graft.operators.WarehouseOps.LatestSnapshot.run(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q_stream_conversion_lag_final ≡ batch conversion-lag histogram") {
+    val streamed = rows(StreamQueries.StreamConversionLagFinal.run(spark, sf))
+    val batch = rows(graft.operators.BehaviorOps.ConversionLag.run(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  /** The driver-materialization contract of StreamQueries.runToMemory's
+    * scaladoc, machine-checked: every registered streaming query declares
+    * its expected sink cardinality here (memory table for the harness
+    * sinks, landing parquet for the production foreachBatch sinks), the
+    * sink is measured after a real run, and a NEW stream registration
+    * without a declared bound fails the keySet equality. Aggregate sinks
+    * must hold exactly the aggregate's group count — never raw rows.
+    */
+  test("every registered stream sink matches its documented cardinality bound") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStream.batchEvents(spark, sf)
+    def memRows(t: String): Long = spark.table(t).count()
+    def landRows(tag: String): Long = spark.read.parquet(
+      StreamQueries.landingDir(tag, sf).toString).count()
+    val expected: Map[String, (() => Long, () => Long)] = Map(
+      // Complete-mode sinks ARE the aggregate: rows == group count
+      "q_stream_tumbling" -> ((() => memRows("graft_stream_tumbling"),
+        () => EventStream.windowedCounts(ev).count())),
+      "q_stream_hopping" -> ((() => memRows("graft_stream_hopping"),
+        () => EventStream.hoppingCounts(ev).count())),
+      "q_stream_sessions" -> ((() => memRows("graft_stream_sessions"),
+        () => EventStream.sessionWindowed(ev).count())),
+      // Append-mode harness sinks: raw match rows / unique events —
+      // bounded at test scale, production path = foreachBatch landing
+      "q_stream_purchase_click" -> ((() => memRows("graft_stream_pcj"),
+        () => EventStream.purchaseClickJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click")).count())),
+      "q_stream_dedup" -> ((() => memRows("graft_stream_dedup"),
+        () => ev.count())),
+      // foreachBatch landing sinks: one emission per (batch, live key);
+      // the single-file AvailableNow source delivers one batch, so the
+      // landed set is exactly one row per key (convlag: per CONVERTED key)
+      "q_stream_funnel_final" -> ((() => landRows("funnel"),
+        () => ev.select("user_id").distinct().count())),
+      "q_stream_snapshot_final" -> ((() => landRows("snapshot"),
+        () => ev.select("user_id", "event_type").distinct().count())),
+      "q_stream_conversion_lag_final" -> ((() => landRows("convlag"),
+        () => graft.operators.BehaviorOps.ConversionLag.run(spark, sf)
+          .agg(sum(col("n_users"))).collect()(0).getLong(0))))
+    assert(StreamQueries.all.map(_.name).toSet == expected.keySet,
+      "new stream registrations must declare a sink bound in this spec")
+    for (q <- StreamQueries.all) {
+      q.run(spark, sf).count() // real streaming execution fills the sink
+      val (actual, exp) = expected(q.name)
+      val (a, e) = (actual(), exp())
+      assert(a == e, s"${q.name}: sink holds $a rows, documented bound is $e")
+    }
+  }
+
   test("q_stream_dedup retains every unique event exactly once") {
     import org.apache.spark.sql.functions._
     val streamed = rows(StreamQueries.StreamDedup.run(spark, sf))
