@@ -137,6 +137,116 @@ object SourceQueries {
         |FROM d ORDER BY img_id""".stripMargin)
   }
 
+  /** Create (once per scale factor) the TWO-TONE PNG tree: 16×16 images
+    * whose left 10 columns are color A(i) = (10i, 255−10i, i) and right 6
+    * columns are B(i) = (5i, 100, 200−5i) — an asymmetric split, so
+    * average (the 160:96 pixel-weighted mix) differs from dominant (the
+    * larger region, exactly A). Same 4-level sharding as [[ensureImageTree]].
+    */
+  private def ensureTwoToneTree(sfDir: String): String = {
+    val root = workDir("img2", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
+        Files.createDirectories(dir)
+        val a = ((i * 10) << 16) | ((255 - i * 10) << 8) | i
+        val b = ((i * 5) << 16) | (100 << 8) | (200 - i * 5)
+        val px = Array.tabulate(256)(p => if (p % 16 < 10) a else b)
+        Files.write(dir.resolve(f"img$i%03d.png"),
+          ImageOps.encodePng(ImageOps.Image(16, 16, px)))
+      }
+    }
+    root
+  }
+
+  /** The decode oracle beyond solid fills (VERDICT r6 item 5): two-tone
+    * fixtures where average ≠ dominant, so the hash gate now verifies the
+    * NON-TRIVIAL k-means path end-to-end, not just the degenerate
+    * single-color case. Closed forms the oracle replays:
+    *   - average: floor((160·A + 96·B) / 256) per channel (integer
+    *     truncation in [[ImageOps.averageColor]] == DuckDB `//`);
+    *   - dominant: exactly A — [[ImageOps.dominantColor]] seeds centers at
+    *     the top-frequency distinct colors, so for a 2-color image the
+    *     centers ARE {A, B} (distance-0 assignments, converged after one
+    *     round, integer centroid means are exact in float) and the
+    *     biggest-cluster argmax picks the 160-pixel A region;
+    *   - closest primary of BOTH (they differ — the avg mixes toward B).
+    * `read_blob` byte identity (n_bytes + head) again pins the files.
+    */
+  object BinaryTwoTone extends GraftQuery {
+    val name = "q_binary_twotone"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureTwoToneTree(sfDir)
+      val idRe = "img(\\d+)\\.png".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            ImageOps.decode(content).map { img =>
+              val avg = ImageOps.averageColor(img)
+              val dom = ImageOps.dominantColor(img)
+              val id = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (id, avg._1.toLong, avg._2.toLong, avg._3.toLong,
+                dom._1.toLong, dom._2.toLong, dom._3.toLong,
+                ImageOps.closestPrimary(avg, ImageOps.Primaries).toLong,
+                ImageOps.closestPrimary(dom, ImageOps.Primaries).toLong,
+                content.length.toLong)
+            }
+          }
+        }
+        .toDF("img_id", "avg_c0", "avg_c1", "avg_c2",
+          "dom_c0", "dom_c1", "dom_c2", "cp_avg", "cp_dom", "n_bytes")
+        .orderBy("img_id")
+    }
+    // Same pinned-glob stance as q_binary_scan: static oracle text, gate
+    // runs at sf0.01 only. dv/da = the six squared primary distances of
+    // the average / dominant color (argmin = first min, like the Scala).
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'img(\d+)\.png', 1) AS BIGINT)
+        |           AS i,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |  FROM read_blob('/tmp/graft_img2__root_testdata_sf0.01/**/*.png')),
+        |c AS (
+        |  SELECT i AS img_id, n_bytes,
+        |         i * 10 AS ar, 255 - i * 10 AS ag, i AS ab,
+        |         i * 5 AS br, 100 AS bg, 200 - i * 5 AS bb
+        |  FROM f),
+        |m AS (
+        |  SELECT img_id, n_bytes, ar, ag, ab,
+        |         (160 * ar + 96 * br) // 256 AS vr,
+        |         (160 * ag + 96 * bg) // 256 AS vg,
+        |         (160 * ab + 96 * bb) // 256 AS vb
+        |  FROM c),
+        |d AS (
+        |  SELECT img_id, n_bytes, ar, ag, ab, vr, vg, vb,
+        |         [ (vr-255)*(vr-255) + vg*vg + vb*vb,
+        |           vr*vr + (vg-255)*(vg-255) + vb*vb,
+        |           vr*vr + vg*vg + (vb-255)*(vb-255),
+        |           vr*vr + (vg-255)*(vg-255) + (vb-255)*(vb-255),
+        |           (vr-255)*(vr-255) + (vg-255)*(vg-255) + vb*vb,
+        |           (vr-255)*(vr-255) + vg*vg + (vb-255)*(vb-255) ] AS dv,
+        |         [ (ar-255)*(ar-255) + ag*ag + ab*ab,
+        |           ar*ar + (ag-255)*(ag-255) + ab*ab,
+        |           ar*ar + ag*ag + (ab-255)*(ab-255),
+        |           ar*ar + (ag-255)*(ag-255) + (ab-255)*(ab-255),
+        |           (ar-255)*(ar-255) + (ag-255)*(ag-255) + ab*ab,
+        |           (ar-255)*(ar-255) + ag*ag + (ab-255)*(ab-255) ] AS da
+        |  FROM m)
+        |SELECT img_id, vr AS avg_c0, vg AS avg_c1, vb AS avg_c2,
+        |       ar AS dom_c0, ag AS dom_c1, ab AS dom_c2,
+        |       CAST(list_position(dv, list_min(dv)) - 1 AS BIGINT) AS cp_avg,
+        |       CAST(list_position(da, list_min(da)) - 1 AS BIGINT) AS cp_dom,
+        |       n_bytes
+        |FROM d ORDER BY img_id""".stripMargin)
+  }
+
   /** JSON-lines round-trip — the de-facto interchange format for LLM
     * training corpora. Documents are written as JSONL, re-read with an
     * explicit schema (no sampling/inference pass — at 100 TB schema
@@ -361,6 +471,6 @@ object SourceQueries {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(CsvRoundtrip, BinaryScan, ImageDims, JsonlRoundtrip, OrcRoundtrip,
-      PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip)
+    Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
+      OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip)
 }
