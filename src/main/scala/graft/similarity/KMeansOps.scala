@@ -318,6 +318,81 @@ object KMeansOps {
          |  ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin)
   }
 
+  /** Anchor-sample size for the PRODUCTION recall tier — fixed so the
+    * oracle text is static.
+    */
+  val AnchorCount = 64
+
+  /** Recall of the cluster-bucketed candidate generator measured on a
+    * FIXED hash-selected anchor sample — the production form of
+    * [[SemDedupRecall]], closing the round-6 `weak` flag: the exact
+    * all-pairs truth tier is quadratic at corpus scale, while this truth
+    * side is O(sample × corpus) — the 64 anchors (smallest portable md5
+    * of vec_id, tie-broken by vec_id: a deterministic uniform sample)
+    * broadcast against one scan of the corpus. Every production recall
+    * eval runs this shape: recall over a fixed query subset, not over all
+    * pairs. Truth = anchor-touching pairs with exact cosine ≥ τ
+    * (normalized to id_a < id_b, DISTINCT because both endpoints can be
+    * anchors); caught = the SemDeDup within-cluster pairs. The anchor
+    * selection is a TakeOrdered(64) — top-k, not a sort of the corpus —
+    * and the anchor frame is the documented bounded broadcast
+    * (64 × (dim+2) values).
+    */
+  object SemDedupRecallSampled extends GraftQuery {
+    val name = "q_semdedup_recall_sampled"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash60
+      val e = quantized(spark, sfDir).persist()
+      val caught = clusterPairs(fit(e, K, Rounds))
+        .select(col("id_a"), col("id_b"))
+      val withNorm = e.withColumn("nrm", sqrt(col("nq2").cast("double")))
+      val anchors = withNorm
+        .select(col("vec_id").as("aid"), col("q").as("qa"), col("nrm").as("na"))
+        .orderBy(pHash60(col("aid").cast("string")), col("aid"))
+        .limit(AnchorCount)
+      val truth = withNorm
+        .select(col("vec_id").as("bid"), col("q").as("qb"), col("nrm").as("nb"))
+        .crossJoin(broadcast(anchors))
+        .filter(col("aid") =!= col("bid"))
+        .select(least(col("aid"), col("bid")).as("id_a"),
+          greatest(col("aid"), col("bid")).as("id_b"),
+          (dot_long(col("qa"), col("qb")).cast("double") /
+            (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= lit(Tau))
+        .select(col("id_a"), col("id_b")).distinct()
+      truth.join(caught.withColumn("hit", lit(1)),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"),
+          (count(col("hit")).cast("double") /
+            count(lit(1)).cast("double")).as("recall"))
+    }
+    val oracle = Some(
+      s"""WITH ${kmeansCtes(K, Rounds)},
+         |${pairsCtes(Rounds)},
+         |scat AS (SELECT id_a, id_b FROM scored WHERE cosine >= $Tau),
+         |anch AS (
+         |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qq) t
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+         |           vec_id
+         |  LIMIT $AnchorCount),
+         |tdots AS (
+         |  SELECT qa.vec_id AS aid, qb.vec_id AS bid,
+         |         CAST(sum(qa.qv * qb.qv) AS DOUBLE) AS dot
+         |  FROM qq qa JOIN anch an ON qa.vec_id = an.vec_id
+         |  JOIN qq qb ON qa.pos = qb.pos AND qa.vec_id <> qb.vec_id
+         |  GROUP BY 1, 2),
+         |struth AS (
+         |  SELECT DISTINCT least(aid, bid) AS id_a, greatest(aid, bid) AS id_b
+         |  FROM tdots JOIN norms na ON aid = na.vec_id
+         |             JOIN norms nb ON bid = nb.vec_id
+         |  WHERE dot / (na.nrm * nb.nrm) >= $Tau)
+         |SELECT count(*) AS n_true, count(c.id_a) AS n_caught,
+         |       CAST(count(c.id_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM struth t LEFT JOIN scat c
+         |  ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(KMeansEmbed, SemDedup, SemDedupPrune, SemDedupRecall)
+    Seq(KMeansEmbed, SemDedup, SemDedupPrune, SemDedupRecall,
+      SemDedupRecallSampled)
 }

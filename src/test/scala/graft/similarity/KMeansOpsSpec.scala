@@ -90,4 +90,32 @@ class KMeansOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q_semdedup_recall_sampled: anchor truth ⊆ full truth; bounded sample") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash.pHash60
+    val r = KMeansOps.SemDedupRecallSampled.run(spark, sf).collect().head
+    val (nTrue, nCaught, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    spark.catalog.clearCache()
+    assert(nCaught <= nTrue)
+    if (nTrue > 0) {
+      assert(recall == nCaught.toDouble / nTrue.toDouble)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the sampled truth is the anchor-touching restriction of the full
+    // truth: every sampled-true pair must appear in the exact all-pairs
+    // truth count (full n_true >= sampled n_true), and the anchor set is
+    // exactly AnchorCount rows (or the whole corpus if smaller)
+    val full = KMeansOps.SemDedupRecall.run(spark, sf).collect().head
+    spark.catalog.clearCache()
+    assert(nTrue <= full.getLong(0),
+      s"sampled truth $nTrue exceeds full truth ${full.getLong(0)}")
+    val nVecs = graft.Graft.table(spark, sf, "embeddings").count()
+    val nAnchors = math.min(KMeansOps.AnchorCount.toLong, nVecs)
+    val anchors = graft.Graft.table(spark, sf, "embeddings")
+      .select(col("vec_id"))
+      .orderBy(pHash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(KMeansOps.AnchorCount)
+    assert(anchors.count() == nAnchors)
+  }
 }
