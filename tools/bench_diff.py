@@ -22,6 +22,27 @@ def load(path):
     return d["queries"]
 
 
+def stats(old_path, new_path):
+    """Machine-readable summary for the gate JSON (gate.sh --json mode):
+    median/worst/best per-query ratio over the common queries."""
+    old, new = load(old_path), load(new_path)
+    common = sorted(set(old) & set(new))
+    if not common:
+        return {"prev": old_path, "n_common": 0}
+    rats = sorted(((new[q] / max(old[q], 1e-9), q) for q in common),
+                  reverse=True)
+    med = statistics.median(r for r, _ in rats)
+    return {
+        "prev": old_path,
+        "n_common": len(common),
+        "median_ratio_vs_prev": round(med, 3),
+        "worst_ratio": round(rats[0][0], 3),
+        "worst_query": rats[0][1],
+        "best_ratio": round(rats[-1][0], 3),
+        "best_query": rats[-1][1],
+    }
+
+
 def main(old_path, new_path, top=10):
     old, new = load(old_path), load(new_path)
     common = sorted(set(old) & set(new))
@@ -50,4 +71,8 @@ if __name__ == "__main__":
     top = 10
     if "--top" in sys.argv:
         top = int(sys.argv[sys.argv.index("--top") + 1])
+        args = [a for a in args if a != str(top)]
+    if "--json" in sys.argv:
+        print(json.dumps(stats(args[0], args[1])))
+        sys.exit(0)
     sys.exit(main(args[0], args[1], top))

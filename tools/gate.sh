@@ -40,6 +40,15 @@ SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
   > /tmp/gate_bench.log 2>&1
 BENCH_RC=$?
 BENCH_LINE=$(cat "$BENCH_OUT" 2>/dev/null || echo '{}')
+# like-for-like round-over-round diff vs the latest same-config round
+# artifact (BENCH_r0N_local_w$CPUS.json) — lands in the gate JSON so the
+# median/worst ratios are artifact-derived, never remembered prose
+PREV_BENCH="${GATE_PREV_BENCH:-$(ls BENCH_r*_local_w${CPUS}.json 2>/dev/null | sort | tail -1)}"
+if [ -n "$PREV_BENCH" ] && [ -f "$PREV_BENCH" ]; then
+  BENCH_DIFF=$(python3 tools/bench_diff.py --json "$PREV_BENCH" "$BENCH_OUT" 2>/dev/null || echo '{}')
+else
+  BENCH_DIFF='{}'
+fi
 
 step "5/5 sbt test"
 sbt -batch test > /tmp/gate_test.log 2>&1
@@ -64,6 +73,7 @@ gate = {
   "bench_n_failed": bench.get("n_failed"),
   "bench_reps": bench.get("reps"),
   "bench_spread": bench.get("spread"),
+  "bench_diff": json.loads('''$BENCH_DIFF''' or '{}'),
   "tests_succeeded": int("${T_OK:-0}" or 0),
   "tests_failed": int("${T_FAIL:-999}" or 999),
   "tests_canceled": int("${T_CANCEL:-0}" or 0),
