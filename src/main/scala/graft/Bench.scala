@@ -4,9 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the core count (the local harness's
+    // stand-in for "partitions scale with the cluster") but can be pinned
+    // independently: on a real cluster partitions scale with INPUT SIZE,
+    // so scaling experiments need partitions-vs-data decoupled from
+    // parallelism-vs-data (e.g. sf1 at w8 with 64 partitions answers
+    // whether a super-linear ratio is per-reducer state growth or plan
+    // shape).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
