@@ -1,10 +1,11 @@
 package graft.multimodal
 
-/** Pure-JVM MJPEG-AVI demux — the one video container whose frames decode
-  * without a native codec (each frame is a plain JPEG, which ImageIO
-  * reads). Completes the real-multimodal set: images (ImageIO), audio
-  * (RIFF PCM via [[WavCodec]]), video (RIFF AVI + JPEG frames here);
-  * inter-frame codecs (H.264…) remain behind the documented fake.
+/** Pure-JVM RIFF-AVI demux. Two codecs decode without a native library:
+  * MJPEG (each frame is a plain JPEG, which ImageIO reads) and ZMBV
+  * (inter-frame, via [[ZmbvCodec]]). Completes the real-multimodal set:
+  * images (ImageIO), audio (RIFF PCM via [[WavCodec]], FLAC via
+  * [[FlacCodec]]), video here; non-AVI containers and codecs (H.264 in
+  * mp4…) remain behind the documented fake.
   */
 object AviCodec {
 
@@ -50,18 +51,88 @@ object AviCodec {
     * MJPEG) into a minimal RIFF AVI with a bare `movi` LIST — enough
     * structure for [[frames]] and for players that scan `movi`.
     */
-  def synthesize(framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+  def synthesize(framePayloads: Seq[Array[Byte]]): Array[Byte] =
+    synthesize(framePayloads, handler = null, width = 0, height = 0)
+
+  /** Full variant: also writes the standard `hdrl` LIST (`avih` + one
+    * `vids` stream's `strh`/`strf`) carrying the codec fourcc and the
+    * frame dimensions — which codecs like ZMBV need from the container
+    * (their frame payloads carry no size). `handler = null` keeps the
+    * original header-less shape.
+    */
+  def synthesize(framePayloads: Seq[Array[Byte]], handler: String,
+      width: Int, height: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit =
       (0 until 4).foreach(b => bos.write((v >> (8 * b)) & 0xFF))
     def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val hdrlPayload = if (handler == null) 0 else {
+      4 + (8 + 56) + // avih
+        (8 + 4 + (8 + 56) + (8 + 40)) // LIST strl { strh, strf(BITMAPINFOHEADER) }
+    }
     val moviPayload = 4 + framePayloads.map(f => 8 + f.length + (f.length & 1)).sum
-    cc("RIFF"); w32(4 + 8 + moviPayload); cc("AVI ")
+    val hdrlChunk = if (hdrlPayload == 0) 0 else 8 + hdrlPayload
+    cc("RIFF"); w32(4 + hdrlChunk + 8 + moviPayload); cc("AVI ")
+    if (handler != null) {
+      cc("LIST"); w32(hdrlPayload); cc("hdrl")
+      cc("avih"); w32(56)
+      w32(40000) // usec/frame (25 fps — informational)
+      w32(0); w32(0); w32(0)
+      w32(framePayloads.length) // dwTotalFrames
+      w32(0); w32(1) // dwInitialFrames, dwStreams
+      w32(0)
+      w32(width); w32(height)
+      (0 until 4).foreach(_ => w32(0)) // reserved
+      cc("LIST"); w32(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("strh"); w32(56)
+      cc("vids"); cc(handler)
+      w32(0); w32(0); w32(0) // flags, prio+lang, initial frames
+      w32(1); w32(25) // scale, rate → 25 fps
+      w32(0); w32(framePayloads.length) // start, length
+      w32(0); w32(0); w32(0) // bufsize, quality, sample size
+      w32(0); w32((height << 16) | width) // rcFrame (informational)
+      cc("strf"); w32(40) // BITMAPINFOHEADER
+      w32(40); w32(width); w32(height)
+      w32(1 << 16) // planes=1, bitcount=0 (codec-defined)
+      cc(handler) // biCompression
+      w32(0); w32(0); w32(0); w32(0); w32(0)
+    }
     cc("LIST"); w32(moviPayload); cc("movi")
     framePayloads.foreach { f =>
       cc("00dc"); w32(f.length); bos.write(f)
       if ((f.length & 1) == 1) bos.write(0)
     }
     bos.toByteArray
+  }
+
+  /** Video stream info from the `hdrl` LIST: (handler fourcc from the
+    * first `vids` `strh`, width, height from `avih`). None when the
+    * container is not AVI or carries no header (e.g. the minimal MJPEG
+    * fixtures, whose frames are self-describing JPEGs).
+    */
+  def videoInfo(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+    var dims: Option[(Int, Int)] = None
+    var handler: Option[String] = None
+
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = fourcc(bytes, pos)
+        val len = le32(bytes, pos + 4)
+        if (len < 0 || pos.toLong + 8 + len > until) return
+        if (id == "LIST") walk(pos + 12, pos + 8 + len)
+        else if (id == "avih" && len >= 40)
+          dims = Some((le32(bytes, pos + 8 + 32), le32(bytes, pos + 8 + 36)))
+        else if (id == "strh" && len >= 8 && fourcc(bytes, pos + 8) == "vids" &&
+                 handler.isEmpty)
+          handler = Some(fourcc(bytes, pos + 12))
+        pos += 8 + len + (len & 1)
+      }
+    }
+
+    walk(12, bytes.length)
+    for { (w, h) <- dims; fcc <- handler } yield (fcc, w, h)
   }
 }

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partition amortization, batch shape —
   * is real and tested, and so are the pure-JVM decode paths: images via
   * [[graft.images.ImageOps]] (ImageIO), RIFF PCM audio via [[WavCodec]],
-  * MJPEG-AVI video via [[AviCodec]]. Only inter-frame video codecs and
-  * compressed audio (absent from this environment) remain deterministic
-  * stubs behind the [[MediaDecoder]] seam (clearly marked). Swapping a
-  * production decoder in changes one constructor, not the pipeline.
+  * FLAC audio via [[FlacCodec]] (a real compressed-codec decode, RFC 9639),
+  * MJPEG-AVI and inter-frame ZMBV-AVI video via [[AviCodec]] /
+  * [[ZmbvCodec]]. Only mp3 and non-AVI video containers (absent from this
+  * environment) remain deterministic stubs behind the [[MediaDecoder]]
+  * seam (clearly marked). Swapping a production decoder in changes one
+  * constructor, not the pipeline.
   */
 object Multimodal {
 
@@ -28,7 +30,7 @@ object Multimodal {
 
   /** Extracted features, one row per asset (or per sampled frame).
     * `feature_real = false` marks a deterministic stand-in produced where
-    * this environment has no codec (mp3/flac, inter-frame video) — a
+    * this environment has no codec (mp3, non-AVI video) — a
     * downstream consumer can filter or fail on fakes instead of silently
     * training on them.
     */
@@ -48,14 +50,16 @@ object Multimodal {
     def features(row: MediaRow): Seq[MediaFeatures]
   }
 
-  /** Real image + WAV-audio + MJPEG-AVI paths, STUBBED compressed-codec
-    * paths.
+  /** Real image + WAV/FLAC-audio + AVI-video paths, STUBBED paths for the
+    * codecs that genuinely need native libraries.
     *
     * Images decode via [[graft.images.ImageOps]]; RIFF PCM audio decodes
-    * via [[WavCodec]] into real spectral band energies (pure JVM, no
-    * native codec). Compressed audio (mp3/flac) and inter-frame video
-    * "decode" remain deterministic fakes (hash-derived features of the
-    * payload bytes) standing in for codecs this container doesn't have —
+    * via [[WavCodec]] and FLAC via [[FlacCodec]] into real spectral band
+    * energies; AVI video decodes via [[AviCodec]] + ImageIO (MJPEG) or
+    * [[ZmbvCodec]] (inter-frame) — all pure JVM, no native codec. mp3
+    * and non-AVI video "decode" remain deterministic fakes (hash-derived
+    * features of the payload bytes) standing in for codecs this
+    * container doesn't have —
     * the schema, batching, and partition flow are exactly what a real
     * decoder would use. Fake rows carry `feature_real = false`; with
     * `strict = true` the fake paths throw instead, so a pipeline can
@@ -79,21 +83,61 @@ object Multimodal {
             feature_real = true)
         }
       case "audio" =>
-        WavCodec.decode(row.content) match {
+        // real paths: RIFF PCM via WavCodec, FLAC via the pure-JVM
+        // FlacCodec (lossless integer decode → same spectral featurizer);
+        // both yield 5 relative band energies with (width, height)
+        // carrying (sampleRate, channels) — the audio twin of image dims
+        WavCodec.decode(row.content)
+          .orElse(FlacCodec.decode(row.content).map(FlacCodec.toWav)) match {
           case Some(wav) =>
-            // real path: 5 relative band energies; (width, height) carry
-            // (sampleRate, channels) — the audio twin of image dims
             Seq(MediaFeatures(row.asset_id, "audio", 0,
               wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav),
               feature_real = true))
           case None =>
-            // ??? — compressed codec (mp3/flac) absent: deterministic fake
+            // ??? — remaining compressed codec (mp3) absent: deterministic fake
             noCodec(row, "compressed-audio")
             Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
               fakeFeature(row.content, 5), feature_real = false))
         }
       case "video" =>
+        // ZMBV (inter-frame, lossless — [[ZmbvCodec]]) decodes for real
+        // when the AVI header names it; MJPEG decodes per-frame via
+        // ImageIO. Both are REAL paths; only non-AVI containers (H.264 in
+        // mp4…) fall through to the fake.
+        lazy val zmbv = AviCodec.videoInfo(row.content) match {
+          case Some(("ZMBV", w, h)) =>
+            AviCodec.frames(row.content)
+              .filter(_.nonEmpty)
+              .flatMap(ZmbvCodec.decode(w, h, _))
+          case _ => None
+        }
         AviCodec.frames(row.content) match {
+          case Some(payloads) if payloads.nonEmpty && zmbv.isDefined =>
+            // real path: decoded ZMBV frames — same avg-color feature
+            // shape as the MJPEG branch, sampled with the same stride
+            val frames = zmbv.get.frames
+            val stride = (frames.length + MaxFrames - 1) / MaxFrames
+            frames.zipWithIndex
+              .collect { case (f, i) if i % stride == 0 => f -> i }
+              .take(MaxFrames)
+              .map { case (f, i) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < f.height) {
+                  var x = 0
+                  while (x < f.width) {
+                    val (r, g, b) = f.rgb(x, y)
+                    sr += r; sg += g; sb += b
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (f.width.toLong * f.height).toFloat
+                MediaFeatures(row.asset_id, "video", i, f.width, f.height,
+                  Array(sr / n / 255f, sg / n / 255f, sb / n / 255f,
+                    f.width.toFloat, f.height.toFloat),
+                  feature_real = true)
+              }
           case Some(payloads) if payloads.nonEmpty =>
             // real path: MJPEG-AVI — every frame is a JPEG ImageIO reads;
             // sample ≤ MaxFrames evenly across the WHOLE clip (ceiling
@@ -113,8 +157,8 @@ object Multimodal {
                 }
               }
           case _ =>
-            // ??? — inter-frame codec (H.264/VP9) absent: deterministic
-            // fake, one "frame" per frameStride KiB of payload
+            // ??? — non-AVI inter-frame codec (H.264/VP9) absent:
+            // deterministic fake, one "frame" per frameStride KiB of payload
             noCodec(row, "inter-frame-video")
             val nFrames = math.max(1, row.content.length / (frameStride * 1024))
             (0 until nFrames).map(i =>
@@ -149,7 +193,7 @@ object Multimodal {
   }
 
   /** Strict variant: payloads this environment has no real codec for
-    * (mp3/flac, inter-frame video) FAIL the job instead of yielding
+    * (mp3, non-AVI video) FAIL the job instead of yielding
     * deterministic fakes — the only safe default for training pipelines.
     */
   def extractFeaturesStrict(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
@@ -167,7 +211,7 @@ object Multimodal {
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
           .when(ext.isin("wav", "mp3", "flac"), "audio")
-          .when(ext.isin("mp4", "mkv", "webm"), "video")
+          .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),
         concat(lit("application/"), ext).as("mime"),
         col("content"),

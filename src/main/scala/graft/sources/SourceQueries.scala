@@ -470,7 +470,223 @@ object SourceQueries {
     }
   }
 
+  /** Create (once per scale factor) the FLAC fixture tree: 24 mono 16-bit
+    * clips whose PCM is a pure function of the asset index —
+    * s(i, t) = ((37·i + 13·t) mod 65536) − 32768, n = 5000 + 171·i samples
+    * at rate 8000 + 100·i — encoded by [[graft.multimodal.FlacCodec]]
+    * (deterministic subset encoder: fixed predictors, Rice residuals,
+    * real CRC-8/16 framing). Multi-block with a short 16-bit-coded last
+    * block on every asset (n is never a multiple of 4096).
+    */
+  private def ensureFlacTree(sfDir: String): String = {
+    val root = workDir("flac", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
+        Files.createDirectories(dir)
+        val n = 5000 + 171 * i
+        val pcm = Array.tabulate(n)(t => ((i * 37 + t * 13) % 65536) - 32768)
+        Files.write(dir.resolve(f"a$i%03d.flac"),
+          graft.multimodal.FlacCodec.encode(8000 + 100 * i, Array(pcm)))
+      }
+    }
+    root
+  }
+
+  /** Compressed-audio decode under the hash gate: binary scan of the FLAC
+    * fixture tree, decoded by the pure-JVM [[graft.multimodal.FlacCodec]]
+    * (RFC 9639 — fixed-predictor reconstruction, Rice residuals, CRC-8/16
+    * validation; a REAL compressed codec, not a header peek), reduced to
+    * exact integer per-clip aggregates. FLAC is lossless integer coding,
+    * so the oracle replays the expected samples in CLOSED FORM from the
+    * filename index — a hash match proves decode(encode(pcm)) == pcm
+    * end-to-end through real files and a real binary source — while
+    * `read_blob` pins byte identity (n_bytes + 8-byte hex prefix), the
+    * same stance as `q_binary_scan`/`q_binary_twotone` for PNG. This
+    * closes the "compressed audio is a stand-in" gap: flac payloads now
+    * run a real decode (mp3 remains the documented fake+strict seam).
+    */
+  object FlacScan extends GraftQuery {
+    val name = "q_flac_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureFlacTree(sfDir)
+      val idRe = "a(\\d+)\\.flac".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.flac")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            graft.multimodal.FlacCodec.decode(content).map { pcm =>
+              val s = pcm.channels(0)
+              var sum = 0L
+              var mn = Int.MaxValue
+              var mx = Int.MinValue
+              s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+              val idx = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (idx, pcm.sampleRate.toLong, s.length.toLong, sum,
+                mn.toLong, mx.toLong, content.length.toLong,
+                content.take(8).map(b => f"$b%02X").mkString)
+            }
+          }
+        }
+        .toDF("asset_idx", "sample_rate", "n_samples", "sum_samples",
+          "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as q_binary_twotone: oracle SQL is static
+    // text and the correctness gate runs at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'a(\d+)\.flac', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_flac__root_testdata_sf0.01/**/*.flac')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         8000 + 100 * asset_idx AS sample_rate,
+        |         5000 + 171 * asset_idx AS n
+        |  FROM f),
+        |p AS (
+        |  SELECT asset_idx, ((asset_idx * 37 + t.t * 13) % 65536) - 32768 AS v
+        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_samples,
+        |         CAST(sum(v) AS BIGINT) AS sum_samples,
+        |         min(v) AS min_sample, max(v) AS max_sample
+        |  FROM p GROUP BY 1)
+        |SELECT s.asset_idx, s.sample_rate, a.n_samples, a.sum_samples,
+        |       a.min_sample, a.max_sample, s.n_bytes, s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
+  /** Create (once per scale factor) the ZMBV fixture tree: 24 .avi clips
+    * (8bpp palette, 24×18 — edge blocks on both axes) whose pixels are a
+    * pure function of the asset index: frame f's palette index at (x, y)
+    * is (i·11 + (x − 3f)·2 + y·5) mod 256 — a 3-px-per-frame horizontal
+    * scroll, so the encoder's motion search finds (−3, 0) and inter
+    * frames genuinely motion-compensate — with palette
+    * (j, (j·3 + i) mod 256, (j·7 + 2i) mod 256). 5–7 frames per clip,
+    * keyframe every 4 (a mid-stream zlib reset on every clip), encoded by
+    * [[graft.multimodal.ZmbvCodec]].
+    */
+  private def ensureZmbvTree(sfDir: String): String = {
+    val root = workDir("zmbv", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 24; val h = 18
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val pal = new Array[Byte](768)
+        for (j <- 0 until 256) {
+          pal(3 * j) = j.toByte
+          pal(3 * j + 1) = ((j * 3 + i) % 256).toByte
+          pal(3 * j + 2) = ((j * 7 + 2 * i) % 256).toByte
+        }
+        val frames = (0 until 5 + i % 3).map { f =>
+          val px = new Array[Byte](w * h)
+          for (y <- 0 until h; x <- 0 until w)
+            px(y * w + x) =
+              java.lang.Math.floorMod(i * 11 + (x - 3 * f) * 2 + y * 5, 256).toByte
+          (px, pal)
+        }
+        Files.write(dir.resolve(f"v$i%03d.avi"),
+          graft.multimodal.ZmbvCodec.encodeAvi(w, h,
+            graft.multimodal.ZmbvCodec.FmtPal8, frames, keyEvery = 4))
+      }
+    }
+    root
+  }
+
+  /** Inter-frame video decode under the hash gate: binary scan of the
+    * ZMBV fixture tree, demuxed by [[graft.multimodal.AviCodec]] (dims +
+    * codec fourcc from the real `hdrl` header) and decoded by the
+    * pure-JVM [[graft.multimodal.ZmbvCodec]] (per-block motion vectors
+    * into the previous frame, XOR residuals, palette deltas, one shared
+    * zlib context per GOP — a REAL inter-frame codec, not a header
+    * peek), reduced to exact integer per-frame RGB sums. ZMBV is
+    * lossless, so the oracle replays every decoded pixel in CLOSED FORM
+    * from the filename index — a hash match proves
+    * decode(encode(pixels)) == pixels through real files, a real
+    * container parse, and real motion compensation — while `read_blob`
+    * pins byte identity, the same stance as `q_flac_scan` for FLAC.
+    * This closes the "inter-frame video is a stand-in" gap for the AVI
+    * container (mp4/H.264 remains the documented fake+strict seam).
+    */
+  object ZmbvScan extends GraftQuery {
+    val name = "q_zmbv_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureZmbvTree(sfDir)
+      val idRe = "v(\\d+)\\.avi".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.{AviCodec, ZmbvCodec}
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val headHex = content.take(8).map(b => f"$b%02X").mkString
+          for {
+            (fcc, w, h) <- AviCodec.videoInfo(content).toSeq if fcc == "ZMBV"
+            payloads <- AviCodec.frames(content).toSeq
+            video <- ZmbvCodec.decode(w, h, payloads).toSeq
+            (frame, fi) <- video.frames.zipWithIndex
+          } yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            for (y <- 0 until frame.height; x <- 0 until frame.width) {
+              val (r, g, b) = frame.rgb(x, y)
+              sr += r; sg += g; sb += b
+            }
+            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
+              content.length.toLong, headHex)
+          }
+        }
+        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx", "frame_idx")
+    }
+    // Same pinned-glob stance as q_flac_scan: oracle SQL is static text
+    // and the correctness gate runs at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'v(\d+)\.avi', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_zmbv__root_testdata_sf0.01/**/*.avi')),
+        |fr AS (
+        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
+        |  FROM f, LATERAL unnest(range(0, 5 + asset_idx % 3)) t(f)),
+        |px AS (
+        |  SELECT asset_idx, frame_idx,
+        |         ((asset_idx * 11 + (x.x - 3 * frame_idx) * 2 + y.y * 5)
+        |            % 256 + 256) % 256 AS j
+        |  FROM fr, LATERAL unnest(range(0, 24)) x(x),
+        |       LATERAL unnest(range(0, 18)) y(y)),
+        |a AS (
+        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
+        |         CAST(sum(j) AS BIGINT) AS sum_r,
+        |         CAST(sum((j * 3 + asset_idx) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((j * 7 + 2 * asset_idx) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2)
+        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
+        |       a.sum_b, fr.n_bytes, fr.head_hex
+        |FROM fr JOIN a USING (asset_idx, frame_idx)
+        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
-      OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip)
+      OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
+      FlacScan, ZmbvScan)
 }
