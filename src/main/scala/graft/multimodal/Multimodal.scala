@@ -83,12 +83,20 @@ object Multimodal {
             feature_real = true)
         }
       case "audio" =>
-        // real paths: RIFF PCM via WavCodec, FLAC via the pure-JVM
-        // FlacCodec (lossless integer decode → same spectral featurizer);
-        // both yield 5 relative band energies with (width, height)
-        // carrying (sampleRate, channels) — the audio twin of image dims
+        // real paths: RIFF PCM via WavCodec; FLAC via the pure-JVM
+        // FlacCodec (lossless integer decode → same spectral featurizer),
+        // bare or carried in MP4 ([[Mp4Codec]], the Xiph fLaC-in-BMFF
+        // mapping); all yield 5 relative band energies with
+        // (width, height) carrying (sampleRate, channels) — the audio
+        // twin of image dims
         WavCodec.decode(row.content)
-          .orElse(FlacCodec.decode(row.content).map(FlacCodec.toWav)) match {
+          .orElse(FlacCodec.decode(row.content).map(FlacCodec.toWav))
+          .orElse(for {
+            tracks <- Mp4Codec.demux(row.content)
+            t <- tracks.find(t => t.kind == "soun" && t.fourcc == "fLaC")
+            stream <- Mp4Codec.flacStream(t)
+            pcm <- FlacCodec.decode(stream)
+          } yield FlacCodec.toWav(pcm)) match {
           case Some(wav) =>
             Seq(MediaFeatures(row.asset_id, "audio", 0,
               wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav),
@@ -157,13 +165,37 @@ object Multimodal {
                 }
               }
           case _ =>
-            // ??? — non-AVI inter-frame codec (H.264/VP9) absent:
-            // deterministic fake, one "frame" per frameStride KiB of payload
-            noCodec(row, "inter-frame-video")
-            val nFrames = math.max(1, row.content.length / (frameStride * 1024))
-            (0 until nFrames).map(i =>
-              MediaFeatures(row.asset_id, "video", i, 0, 0,
-                fakeFeature(row.content, 5, salt = i), feature_real = false))
+            // real path: MP4-carried MJPEG ([[Mp4Codec]] demux; samples
+            // are plain JPEGs ImageIO reads) — the BMFF twin of MJPEG-AVI
+            val mp4Jpegs = for {
+              tracks <- Mp4Codec.demux(row.content)
+              t <- tracks.find(t => t.kind == "vide" &&
+                (t.fourcc == "jpeg" || t.fourcc == "mjpg"))
+            } yield t.samples
+            mp4Jpegs match {
+              case Some(payloads) if payloads.nonEmpty =>
+                val stride = (payloads.length + MaxFrames - 1) / MaxFrames
+                payloads.zipWithIndex
+                  .collect { case (p, i) if i % stride == 0 => p -> i }
+                  .take(MaxFrames)
+                  .flatMap { case (p, i) =>
+                    ImageOps.decode(p).map { img =>
+                      val (r, g, b) = ImageOps.averageColor(img)
+                      MediaFeatures(row.asset_id, "video", i, img.width, img.height,
+                        Array(r / 255f, g / 255f, b / 255f,
+                          img.width.toFloat, img.height.toFloat),
+                        feature_real = true)
+                    }
+                  }
+              case _ =>
+                // ??? — compressed video codec (H.264/VP9) absent:
+                // deterministic fake, one "frame" per frameStride KiB of payload
+                noCodec(row, "compressed-video")
+                val nFrames = math.max(1, row.content.length / (frameStride * 1024))
+                (0 until nFrames).map(i =>
+                  MediaFeatures(row.asset_id, "video", i, 0, 0,
+                    fakeFeature(row.content, 5, salt = i), feature_real = false))
+            }
         }
       case other =>
         throw new IllegalArgumentException(s"unknown modality: $other")
@@ -210,7 +242,7 @@ object Multimodal {
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
-          .when(ext.isin("wav", "mp3", "flac"), "audio")
+          .when(ext.isin("wav", "mp3", "flac", "m4a"), "audio")
           .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),
         concat(lit("application/"), ext).as("mime"),

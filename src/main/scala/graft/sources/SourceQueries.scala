@@ -685,8 +685,113 @@ object SourceQueries {
         |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the FLAC-in-MP4 fixture tree: 24
+    * .m4a files whose PCM is a pure function of the asset index —
+    * s(i, t) = ((23·i + 7·t) mod 65536) − 32768, n = 4500 + 137·i
+    * samples at rate 16000 + 50·i — FLAC-encoded by
+    * [[graft.multimodal.FlacCodec]] and wrapped in ISO-BMFF by
+    * [[graft.multimodal.Mp4Codec.muxFlac]] (Xiph fLaC-in-BMFF mapping:
+    * one MP4 sample per FLAC frame). n is always > 4096 and never a
+    * multiple, so every file has ≥ 2 samples with a short last frame.
+    */
+  private def ensureMp4Tree(sfDir: String): String = {
+    val root = workDir("mp4", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val n = 4500 + 137 * i
+        val pcm = Array.tabulate(n)(t => ((i * 23 + t * 7) % 65536) - 32768)
+        val flac = graft.multimodal.FlacCodec.encode(16000 + 50 * i, Array(pcm))
+        Files.write(dir.resolve(f"m$i%03d.m4a"),
+          graft.multimodal.Mp4Codec.muxFlac(flac)
+            .getOrElse(sys.error(s"muxFlac refused asset $i")))
+      }
+    }
+    root
+  }
+
+  /** Container-format decode under the hash gate: binary scan of the
+    * FLAC-in-MP4 fixture tree, demuxed by the pure-JVM
+    * [[graft.multimodal.Mp4Codec]] (ISO-BMFF box walk → hdlr/stsd/stsz/
+    * stsc/stco sample tables → one MP4 sample per FLAC frame, per the
+    * public Xiph mapping), rebuilt into a native FLAC stream from the
+    * `dfLa` metadata and decoded by [[graft.multimodal.FlacCodec]].
+    * The oracle replays the samples in CLOSED FORM from the filename
+    * index — `n_frames` additionally pins the demuxer's sample split
+    * ((n + 4095) div 4096 frames per file) — and `read_blob` pins byte
+    * identity. A green row proves the whole container chain
+    * (mux(encode(pcm)) → binary scan → demux → decode == pcm): the
+    * "non-AVI container" seam is now closed for payloads this JVM can
+    * really decode (H.264/AAC/mp3 in MP4 remain the fake+strict seam).
+    */
+  object Mp4Scan extends GraftQuery {
+    val name = "q_mp4_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMp4Tree(sfDir)
+      val idRe = "m(\\d+)\\.m4a".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.m4a")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.{FlacCodec, Mp4Codec}
+          for {
+            tracks <- Mp4Codec.demux(content).toSeq
+            t <- tracks.find(t => t.kind == "soun" && t.fourcc == "fLaC").toSeq
+            stream <- Mp4Codec.flacStream(t).toSeq
+            pcm <- FlacCodec.decode(stream).toSeq
+          } yield {
+            val s = pcm.channels(0)
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+            val idx = idRe.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            (idx, t.sampleRate.toLong, t.samples.length.toLong, s.length.toLong,
+              sum, mn.toLong, mx.toLong, content.length.toLong,
+              content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "sample_rate", "n_frames", "n_samples",
+          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as q_flac_scan/q_zmbv_scan: static oracle
+    // text, correctness gate at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'm(\d+)\.m4a', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_mp4__root_testdata_sf0.01/**/*.m4a')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         16000 + 50 * asset_idx AS sample_rate,
+        |         4500 + 137 * asset_idx AS n
+        |  FROM f),
+        |p AS (
+        |  SELECT asset_idx, ((asset_idx * 23 + t.t * 7) % 65536) - 32768 AS v
+        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_samples,
+        |         CAST(sum(v) AS BIGINT) AS sum_samples,
+        |         min(v) AS min_sample, max(v) AS max_sample
+        |  FROM p GROUP BY 1)
+        |SELECT s.asset_idx, s.sample_rate, (s.n + 4095) // 4096 AS n_frames,
+        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
+        |       s.n_bytes, s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan)
+      FlacScan, ZmbvScan, Mp4Scan)
 }
