@@ -790,8 +790,102 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the unified media-catalog tree: every
+    * fixture tree of the multimodal tier copied under one root with
+    * tree-tagged names (both PNG trees reuse `imgNNN.png`, so a flat
+    * union would collide on asset_id): 24 solid PNGs (`s*.png`), 24
+    * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
+    * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`).
+    */
+  private def ensureMediaCatalog(sfDir: String): String = {
+    val root = workDir("media", sfDir)
+    if (!Files.exists(Paths.get(root, "done"))) {
+      val sources = Seq(
+        (ensureImageTree(sfDir), ".png", "s"),
+        (ensureTwoToneTree(sfDir), ".png", "t"),
+        (ensureFlacTree(sfDir), ".flac", "a"),
+        (ensureMp4Tree(sfDir), ".m4a", "m"),
+        (ensureZmbvTree(sfDir), ".avi", "v"))
+      sources.foreach { case (src, ext, tag) =>
+        val dir = Paths.get(root, tag)
+        Files.createDirectories(dir)
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(src)).iterator().asScala
+          .filter(p => p.toString.endsWith(ext))
+          .foreach { p =>
+            val dst = dir.resolve(tag + p.getFileName.toString)
+            if (!Files.exists(dst)) Files.copy(p, dst)
+          }
+      }
+      Files.createDirectories(Paths.get(root, "done"))
+    }
+    root
+  }
+
+  /** Capstone of the multimodal tier: ONE scan over every media fixture
+    * tree at once through the production ingestion edge —
+    * [[graft.multimodal.Multimodal.scanMedia]] (modality inferred from
+    * the extension) → [[graft.multimodal.Multimodal.extractFeatures]]
+    * (per-partition decoder construction; PNG via ImageIO, FLAC bare and
+    * in MP4 via [[graft.multimodal.FlacCodec]]/[[graft.multimodal.Mp4Codec]],
+    * ZMBV-AVI via [[graft.multimodal.ZmbvCodec]]) — reduced to per-
+    * modality integer invariants: asset/row counts, how many rows came
+    * from REAL decodes (all of them — the catalog holds no payload the
+    * engine fakes), and exact width/height sums. Every number is a
+    * closed form of the fixture definitions, so the oracle replays the
+    * whole catalog from `range()` arithmetic alone: a green row proves
+    * the modality router sends every file down its real decode path and
+    * each decoder reports the exact dims/rates the encoders wrote.
+    * (Byte identity and per-pixel/per-sample content are pinned by the
+    * per-tree queries `q_binary_scan`/`q_binary_twotone`/`q_flac_scan`/
+    * `q_mp4_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
+    * above them.)
+    */
+  object MediaCatalog extends GraftQuery {
+    val name = "q_media_catalog"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val root = ensureMediaCatalog(sfDir)
+      val media = graft.multimodal.Multimodal.scanMedia(spark, root)
+      val feats = graft.multimodal.Multimodal.extractFeatures(media)
+      feats.groupBy(col("modality"))
+        .agg(
+          countDistinct(col("asset_id")).as("n_assets"),
+          count(lit(1)).as("n_rows"),
+          sum(col("feature_real").cast("long")).as("n_real"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"))
+        .orderBy("modality")
+    }
+    // Closed forms: image = 48 16×16 PNGs (one feature row each); audio =
+    // 24 FLAC at rate 8000+100i plus 24 MP4-FLAC at 16000+50i (width
+    // carries the rate, height the channel count 1); video = 24 ZMBV
+    // clips of 5+(i mod 3) frames at 24×18 (one row per frame).
+    val oracle = Some(
+      """WITH fl AS (SELECT sum(8000 + 100 * i.i) AS w
+        |            FROM unnest(range(0, 24)) i(i)),
+        |mp AS (SELECT sum(16000 + 50 * i.i) AS w
+        |       FROM unnest(range(0, 24)) i(i)),
+        |vid AS (SELECT sum(5 + i.i % 3) AS fr
+        |        FROM unnest(range(0, 24)) i(i))
+        |SELECT * FROM (
+        |  SELECT 'audio' AS modality, CAST(48 AS BIGINT) AS n_assets,
+        |         CAST(48 AS BIGINT) AS n_rows, CAST(48 AS BIGINT) AS n_real,
+        |         CAST((SELECT w FROM fl) + (SELECT w FROM mp) AS BIGINT) AS sum_w,
+        |         CAST(48 AS BIGINT) AS sum_h
+        |  UNION ALL
+        |  SELECT 'image', CAST(48 AS BIGINT), CAST(48 AS BIGINT),
+        |         CAST(48 AS BIGINT), CAST(768 AS BIGINT), CAST(768 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'video', CAST(24 AS BIGINT),
+        |         CAST((SELECT fr FROM vid) AS BIGINT),
+        |         CAST((SELECT fr FROM vid) AS BIGINT),
+        |         CAST(24 * (SELECT fr FROM vid) AS BIGINT),
+        |         CAST(18 * (SELECT fr FROM vid) AS BIGINT))
+        |ORDER BY modality""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan)
+      FlacScan, ZmbvScan, Mp4Scan, MediaCatalog)
 }
