@@ -197,8 +197,14 @@ object Multimodal {
                     fakeFeature(row.content, 5, salt = i), feature_real = false))
             }
         }
-      case other =>
-        throw new IllegalArgumentException(s"unknown modality: $other")
+      case _ =>
+        // a stray non-media file (a README in the asset tree) must not
+        // kill a 100 TB ingest: permissive mode skips it — emitting no
+        // row at all, so nothing downstream can mistake it for data —
+        // while strict mode still fails loudly like every other payload
+        // the engine cannot really decode
+        noCodec(row, s"modality '${row.modality}'")
+        Seq.empty
     }
 
     private def fakeFeature(bytes: Array[Byte], n: Int, salt: Int = 0): Array[Float] = {

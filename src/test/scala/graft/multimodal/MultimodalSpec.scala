@@ -179,4 +179,21 @@ class MultimodalSpec extends SparkSpec {
     // 1 kHz at 8 kHz sr → band 1 of 5 over [0, 4 kHz)
     assert(f.feature.indexOf(f.feature.max) == 1, f.feature.toSeq)
   }
+
+  test("a stray non-media file skips in permissive mode (no row), fails in strict") {
+    import spark.implicits._
+    val stray = Multimodal.MediaRow("README.txt", "unknown", "application/txt",
+      "not media".getBytes, Map.empty[String, String])
+    val img = Multimodal.MediaRow("ok.png", "image", "application/png",
+      ImageOps.encodePng(ImageOps.Image(2, 2, Array.fill(4)(0x123456))),
+      Map.empty[String, String])
+    // permissive: the stray file contributes NOTHING — no fake row a
+    // downstream consumer could mistake for data — and the ingest lives
+    val feats = Multimodal.extractFeatures(Seq(stray, img).toDS()).collect()
+    assert(feats.map(_.asset_id).toSeq == Seq("ok.png"))
+    // strict: loud failure, same contract as any undecodable payload
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesStrict(Seq(stray).toDS()).collect()
+    }
+  }
 }
