@@ -38,6 +38,8 @@ object ShuffleAudit {
   private final class Agg {
     var shuffleWrite = 0L
     var shuffleRead = 0L
+    var recordsWritten = 0L
+    var recordsRead = 0L
     var diskSpill = 0L
     var memSpill = 0L
     var input = 0L
@@ -66,6 +68,8 @@ object ShuffleAudit {
       a.synchronized {
         a.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         a.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        a.recordsWritten += m.shuffleWriteMetrics.recordsWritten
+        a.recordsRead += m.shuffleReadMetrics.recordsRead
         a.diskSpill += m.diskBytesSpilled
         a.memSpill += m.memoryBytesSpilled
         a.input += m.inputMetrics.bytesRead
@@ -79,9 +83,17 @@ object ShuffleAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // On a real cluster map-task count scales with input splits, so
+    // keys-per-task (and with them the map-side combine ratio) stay
+    // constant as the corpus grows. local mode caps splits well below
+    // that; this knob restores split-proportionality for scaling
+    // experiments (e.g. 13421772 ≈ 128 MB / 10 for a 10x corpus).
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -116,6 +128,7 @@ object ShuffleAudit {
     import scala.jdk.CollectionConverters._
     val entries = listener.agg.asScala.toSeq.sortBy(_._1).map { case (name, a) =>
       s""""$name":{"sw":${a.shuffleWrite},"sr":${a.shuffleRead},""" +
+        s""""sw_rec":${a.recordsWritten},"sr_rec":${a.recordsRead},""" +
         s""""spill_disk":${a.diskSpill},"spill_mem":${a.memSpill},""" +
         s""""input":${a.input},"stages":${a.stages}}"""
     }

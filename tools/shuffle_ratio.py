@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Compare two ShuffleAudit artifacts (e.g. sf0.1 vs sf1): per-query
-shuffle-write growth, sorted by ratio. Bytes are plan-deterministic, so
-unlike wall-clock ratios these numbers adjudicate scaling claims
-directly: a linear plan on 10x data shuffles ~10x the bytes; anything
-far above that is the algorithm (pair blowup, widened state), not host
-noise.
+shuffle growth, sorted by ratio. Bytes are plan-deterministic, so unlike
+wall-clock ratios these numbers adjudicate scaling claims directly; when
+the artifacts carry record counts (sw_rec), the table shows BOTH — rows
+are the incompressible truth (byte ratios fold in shuffle-compression
+drift as key spaces widen), so rows adjudicate the plan and bytes the
+wire cost.
 
 Usage: python3 tools/shuffle_ratio.py small.json big.json [--json]
 """
@@ -18,44 +19,55 @@ def load(path):
         return json.load(f)["queries"]
 
 
+def ratio(a, b):
+    if a == 0 and b == 0:
+        return 1.0
+    if a == 0:
+        return float("inf")
+    return b / a
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--json"]
     as_json = "--json" in sys.argv
     small, big = load(args[0]), load(args[1])
     common = sorted(set(small) & set(big) - {"_unattributed"})
+    has_rec = all("sw_rec" in small[q] and "sw_rec" in big[q] for q in common)
     rows = []
     for q in common:
         s, b = small[q], big[q]
-        if s["sw"] == 0 and b["sw"] == 0:
-            ratio = 1.0  # shuffle-free at both scales — the best row there is
-        elif s["sw"] == 0:
-            ratio = float("inf")
-        else:
-            ratio = b["sw"] / s["sw"]
-        rows.append((ratio, q, s["sw"], b["sw"], b["spill_disk"] + b["spill_mem"]))
-    rows.sort(reverse=True)
-    ratios = [r for r, *_ in rows if r != float("inf")]
-    zero_shuffle = [q for r, q, s, b, _ in rows if s == 0 and b == 0]
-    spilled = [q for r, q, s, b, sp in rows if sp > 0]
+        r_bytes = ratio(s["sw"], b["sw"])
+        r_rec = ratio(s.get("sw_rec", 0), b.get("sw_rec", 0)) if has_rec else None
+        rows.append((r_rec if has_rec else r_bytes, r_bytes, q, s, b))
+    rows.sort(key=lambda r: -1e18 if r[0] == float("inf") else -r[0])
+    key_ratios = [r for r, *_ in rows if r != float("inf")]
+    spilled = [q for _, _, q, s, b in rows
+               if b["spill_disk"] + b["spill_mem"] > 0]
     if as_json:
         print(json.dumps({
             "n_common": len(common),
-            "median_sw_ratio": round(statistics.median(ratios), 2) if ratios else None,
-            "n_zero_shuffle": len(zero_shuffle),
+            "ranked_by": "sw_rec" if has_rec else "sw",
+            "median_ratio": round(statistics.median(key_ratios), 2) if key_ratios else None,
             "n_spilled_big": len(spilled),
             "top": [{"q": q, "ratio": None if r == float("inf") else round(r, 2),
-                     "sw_small": s, "sw_big": b} for r, q, s, b, _ in rows[:12]],
+                     "bytes_ratio": None if rb == float("inf") else round(rb, 2)}
+                    for r, rb, q, s, b in rows[:12]],
         }))
         return
-    print(f"{'ratio':>9}  {'small sw':>12}  {'big sw':>14}  query")
-    for r, q, s, b, sp in rows:
-        spill = "  SPILL" if sp else ""
+    unit = "rows" if has_rec else "bytes"
+    print(f"ranked by shuffle-write {unit} ratio")
+    hdr = f"{'ratio':>9}  {'bytes':>9}  {'small':>14}  {'big':>16}  query"
+    print(hdr)
+    for r, rb, q, s, b in rows:
+        sv = s["sw_rec"] if has_rec else s["sw"]
+        bv = b["sw_rec"] if has_rec else b["sw"]
+        spill = "  SPILL" if b["spill_disk"] + b["spill_mem"] > 0 else ""
         rs = "inf" if r == float("inf") else f"{r:.2f}x"
-        print(f"{rs:>9}  {s:>12,}  {b:>14,}  {q}{spill}")
-    if ratios:
-        print(f"\nmedian sw ratio: {statistics.median(ratios):.2f}x over "
-              f"{len(common)} queries; {len(zero_shuffle)} shuffle-free at both "
-              f"scales; {len(spilled)} spilled at the big scale")
+        rbs = "inf" if rb == float("inf") else f"{rb:.1f}x"
+        print(f"{rs:>9}  {rbs:>9}  {sv:>14,}  {bv:>16,}  {q}{spill}")
+    if key_ratios:
+        print(f"\nmedian sw {unit} ratio: {statistics.median(key_ratios):.2f}x over "
+              f"{len(common)} queries; {len(spilled)} spilled at the big scale")
 
 
 if __name__ == "__main__":
