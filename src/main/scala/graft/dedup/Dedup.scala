@@ -1062,6 +1062,107 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** [[EmbedNearDupLsh]] with the plane count ADAPTED to the corpus: the
+    * fixed-width variant's documented weakness is that bucket occupancy —
+    * and with it the candidate-pair volume — grows linearly with the
+    * corpus (pairs ~quadratically), which the round-7 shuffle audit
+    * MEASURED at 312× shuffled rows for 10× vectors. The production
+    * stance was always "planes ∝ log n"; this operator implements it:
+    * planes per table = the smallest p in [4, 24] with 2^p · 16 ≥ n
+    * (target mean occupancy 16 per table), chosen by EXACT integer
+    * arithmetic from a 1-row count (the documented bounded-collect
+    * pattern — same class as the k-means k·dim centroid fetch), so the
+    * oracle replays the choice from `count(*)` with the same shift
+    * formula, float-free. Each doubling of the corpus adds one plane and
+    * halves per-bucket occupancy back to target: candidate volume stays
+    * ~linear (measured sf0.1 → sf1 in PLANS.md "Shuffle-volume audit" —
+    * the adaptive follow-up). Precision/recall moves with p exactly as
+    * sign-LSH theory says; the recall tier (`q_ann_recall` etc.)
+    * measures that axis.
+    */
+  object EmbedNearDupLshAdaptive extends GraftQuery {
+    val name = "q_embed_neardup_lsh_adaptive"
+    import graft.plans.VectorExpressions.{dot_long, quantize_vec}
+    import graft.similarity.Similarity
+    private val Threshold = 0.3
+    private val TargetBucket = 16
+    /** Smallest p in [4, 24] with 2^p · TargetBucket ≥ n — integer-exact. */
+    def planesFor(n: Long): Int =
+      (4 to 24).find(p => (1L << p) * TargetBucket >= n).getOrElse(24)
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val emb = Graft.table(spark, sfDir, "embeddings")
+      val p = planesFor(emb.count()) // bounded: one count action, 1 row
+      val keyed = emb
+        .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"),
+          sqrt(dot_long(col("q"), col("q")).cast("double")).as("nrm"),
+          explode(Similarity.lshKeysNative(col("q"), 64,
+            Similarity.NumTables, p)).as("key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = keyed.select(col("key"), col("vec_id").as("id_a"),
+        col("q").as("qa"), col("nrm").as("na"))
+      val b = keyed.select(col("key"), col("vec_id").as("id_b"),
+        col("q").as("qb"), col("nrm").as("nb"))
+      a.join(b, Seq("key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dot_long(col("qa"), col("qb")).cast("double") /
+            (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= Threshold)
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }
+    val oracle = Some(
+      s"""WITH pp AS (
+         |  SELECT min(p.p) AS p
+         |  FROM (SELECT unnest(range(4, 25)) AS p) p
+         |  WHERE (CAST(1 AS BIGINT) << p.p) * $TargetBucket >=
+         |        (SELECT count(*) FROM embeddings)),
+         |planes AS (
+         |  SELECT t.t, p.p, i.i,
+         |         CASE WHEN ('0x' || substr(md5(t.t::VARCHAR || '_' ||
+         |                      p.p::VARCHAR || '_' || i.i::VARCHAR), 1, 1))::INT
+         |                   % 2 = 1
+         |              THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT unnest(generate_series(0, ${Similarity.NumTables - 1})) AS t) t,
+         |       (SELECT unnest(range(0, 25)) AS p) p,
+         |       (SELECT unnest(generate_series(0, 63)) AS i) i
+         |  WHERE p.p < (SELECT p FROM pp)),
+         |q AS (
+         |  SELECT vec_id, i,
+         |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |dots AS (
+         |  SELECT q.vec_id, pl.t, pl.p, sum(q.q * pl.w) AS d
+         |  FROM q JOIN planes pl ON q.i = pl.i + 1
+         |  GROUP BY 1, 2, 3),
+         |keys AS (
+         |  SELECT vec_id,
+         |         t * (CAST(1 AS BIGINT) << (SELECT p FROM pp))
+         |         + CAST(sum(CASE WHEN d >= 0
+         |                         THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+         |                AS BIGINT) AS key
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+         |  FROM keys ka JOIN keys kb ON ka.key = kb.key
+         |  WHERE ka.vec_id < kb.vec_id),
+         |norms AS (SELECT vec_id, sqrt(CAST(sum(q*q) AS DOUBLE)) AS nrm
+         |          FROM q GROUP BY 1),
+         |comp AS (
+         |  SELECT c.id_a, c.id_b, sum(qa.q * qb.q) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.id_a
+         |              JOIN q qb ON qb.vec_id = c.id_b AND qb.i = qa.i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+         |FROM comp JOIN norms na ON id_a = na.vec_id
+         |          JOIN norms nb ON id_b = nb.vec_id
+         |WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= $Threshold
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   /** Dedup coverage curve — the YIELD curve of a dedup pass: as the corpus
     * is consumed in ingest order (doc_id), how fast does the distinct set
     * grow and the duplicate rate climb? The number that sizes every
@@ -1149,6 +1250,6 @@ object Dedup {
   val all: Seq[GraftQuery] =
     Seq(ExactDedup, MinHashLsh, MinHashPairs, SimHash, SimHashPairs,
       DedupClusters, ClusterRepresentative, ShingleJaccard, EmbedNearDup,
-      EmbedNearDupLsh, IncrementalDedup, PrefixJoin, MinhashRecall,
-      SimhashRecall, CoverageCurve, DupSizeHist)
+      EmbedNearDupLsh, EmbedNearDupLshAdaptive, IncrementalDedup, PrefixJoin,
+      MinhashRecall, SimhashRecall, CoverageCurve, DupSizeHist)
 }

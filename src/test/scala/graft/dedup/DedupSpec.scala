@@ -278,6 +278,28 @@ class DedupSpec extends SparkSpec {
     val recall = out.length.toDouble / truth.size
     assert(truth.nonEmpty && recall >= 0.4, s"recall $recall over ${truth.size}")
   }
+
+  test("adaptive LSH: integer plane rule, candidates nest inside the fixed variant") {
+    import Dedup.EmbedNearDupLshAdaptive.planesFor
+    // smallest p in [4,24] with 2^p * 16 >= n — exact at the boundaries
+    assert(planesFor(1) == 4)
+    assert(planesFor(16L << 4) == 4)      // 256 fits 2^4 buckets exactly
+    assert(planesFor((16L << 4) + 1) == 5)
+    assert(planesFor(2000) == 7)          // the sf0.1 corpus
+    assert(planesFor(20000) == 11)        // the sf1 corpus
+    assert((4 to 23).forall(p => planesFor((16L << p)) <= planesFor((16L << p) + 1)))
+    // nested planes: an adaptive bucket key agrees on bits 0..p-1 ⊇ the
+    // fixed variant's bits 0..3, so every adaptive pair is a fixed pair —
+    // the adaptive operator only ever REFINES the fixed candidate set
+    val fixed = Dedup.EmbedNearDupLsh.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adaptive = Dedup.EmbedNearDupLshAdaptive.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(adaptive.nonEmpty, "adaptive found no pairs at spec scale")
+    assert(adaptive.forall(fixed), "adaptive emitted a pair the fixed variant lacks")
+  }
+
   test("coverage curve: planted duplicate halves give a 0.5 closing dup rate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cov_spec").toString
