@@ -149,7 +149,7 @@ object KMeansOps {
   /** Shared oracle text: quantize + k-means rounds unrolled as CTEs (the
     * `q_pagerank` pattern). Yields CTE list ending at `a<rounds>`.
     */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
+  private def kmeansCtes(kSql: String, rounds: Int): String = {
     def assignCte(a: String, c: String): String =
       s"""$a AS (
          |  SELECT vec_id, cluster FROM (
@@ -173,7 +173,7 @@ object KMeansOps {
          |         CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
          |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |               unnest(embedding) AS v FROM embeddings))""".stripMargin,
-      s"c0 AS (SELECT vec_id AS cluster, pos, qv AS cv FROM qq WHERE vec_id < $k)")
+      s"c0 AS (SELECT vec_id AS cluster, pos, qv AS cv FROM qq WHERE vec_id < $kSql)")
     for (r <- 1 to rounds) {
       ctes += assignCte(s"a$r", s"c${r - 1}")
       if (r < rounds) ctes += updateCte(s"c$r", s"a$r")
@@ -214,7 +214,7 @@ object KMeansOps {
         .orderBy("vec_id")
     }
     val oracle = Some(
-      s"""WITH ${kmeansCtes(K, Rounds)}
+      s"""WITH ${kmeansCtes(K.toString, Rounds)}
          |SELECT vec_id, CAST(cluster AS INT) AS cluster
          |FROM a$Rounds ORDER BY vec_id""".stripMargin)
   }
@@ -227,7 +227,7 @@ object KMeansOps {
       clusterPairs(fit(e, K, Rounds)).orderBy("id_a", "id_b")
     }
     val oracle = Some(
-      s"""WITH ${kmeansCtes(K, Rounds)},
+      s"""WITH ${kmeansCtes(K.toString, Rounds)},
          |${pairsCtes(Rounds)}
          |SELECT CAST(cluster AS INT) AS cluster, id_a, id_b, cosine
          |FROM scored WHERE cosine >= $Tau
@@ -256,7 +256,7 @@ object KMeansOps {
         .orderBy("cluster")
     }
     val oracle = Some(
-      s"""WITH ${kmeansCtes(K, Rounds)},
+      s"""WITH ${kmeansCtes(K.toString, Rounds)},
          |${pairsCtes(Rounds)},
          |dropped AS (SELECT cluster, count(DISTINCT id_b) AS n_dropped
          |            FROM scored WHERE cosine >= $Tau GROUP BY 1),
@@ -298,7 +298,7 @@ object KMeansOps {
             count(lit(1)).cast("double")).as("recall"))
     }
     val oracle = Some(
-      s"""WITH ${kmeansCtes(K, Rounds)},
+      s"""WITH ${kmeansCtes(K.toString, Rounds)},
          |${pairsCtes(Rounds)},
          |caught AS (SELECT id_a, id_b FROM scored WHERE cosine >= $Tau),
          |tdots AS (
@@ -367,7 +367,7 @@ object KMeansOps {
             count(lit(1)).cast("double")).as("recall"))
     }
     val oracle = Some(
-      s"""WITH ${kmeansCtes(K, Rounds)},
+      s"""WITH ${kmeansCtes(K.toString, Rounds)},
          |${pairsCtes(Rounds)},
          |scat AS (SELECT id_a, id_b FROM scored WHERE cosine >= $Tau),
          |anch AS (
@@ -392,7 +392,40 @@ object KMeansOps {
          |  ON t.id_a = c.id_a AND t.id_b = c.id_b""".stripMargin)
   }
 
+  /** [[SemDedup]] with the cluster count ADAPTED to the corpus — the
+    * paper's own stance (k grows with n so cluster sizes, and with them
+    * the within-cluster pair volume, stay constant), which the round-7
+    * shuffle audit measured the fixed-k harness variant violating (107×
+    * shuffled rows for 10× vectors ≈ the n²/k law with k fixed). Here
+    * k = ⌈n / 64⌉ from a 1-row count (bounded-collect pattern; target
+    * mean cluster size 64), so pair volume ≈ n·64/2 — linear. The
+    * oracle replays the choice as `(count(*) + 63) // 64` and feeds it
+    * into the SAME CTE-unrolled Lloyd's machinery (the k literal was
+    * the only k-specific text in it). Same τ, same exact integer
+    * arithmetic, same seeds-are-first-k rule.
+    */
+  object SemDedupAdaptive extends GraftQuery {
+    val name = "q_semdedup_adaptive"
+    val TargetCluster = 64
+    /** ⌈n / TargetCluster⌉, exact in integers. */
+    def kFor(n: Long): Int = ((n + TargetCluster - 1) / TargetCluster).toInt
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val e = quantized(spark, sfDir).persist()
+      val k = kFor(e.count()) // bounded: one count action, 1 row
+      clusterPairs(fit(e, k, Rounds)).orderBy("id_a", "id_b")
+    }
+    val oracle = Some(
+      s"""WITH kk AS (
+         |  SELECT (count(*) + ${TargetCluster - 1}) // $TargetCluster AS k
+         |  FROM embeddings),
+         |${kmeansCtes("(SELECT k FROM kk)", Rounds)},
+         |${pairsCtes(Rounds)}
+         |SELECT CAST(cluster AS INT) AS cluster, id_a, id_b, cosine
+         |FROM scored WHERE cosine >= $Tau
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(KMeansEmbed, SemDedup, SemDedupPrune, SemDedupRecall,
-      SemDedupRecallSampled)
+    Seq(KMeansEmbed, SemDedup, SemDedupAdaptive, SemDedupPrune,
+      SemDedupRecall, SemDedupRecallSampled)
 }

@@ -118,4 +118,25 @@ class KMeansOpsSpec extends SparkSpec {
       .limit(KMeansOps.AnchorCount)
     assert(anchors.count() == nAnchors)
   }
+
+  test("q_semdedup_adaptive: integer k rule; pairs within-cluster, ordered, above threshold") {
+    import KMeansOps.SemDedupAdaptive.kFor
+    // ⌈n/64⌉, exact at the boundaries
+    assert(kFor(1) == 1 && kFor(64) == 1 && kFor(65) == 2)
+    assert(kFor(2000) == 32)  // the sf0.1 corpus
+    assert(kFor(20000) == 313) // the sf1 corpus
+    assert((1L to 500L).forall(n => kFor(n) == ((n + 63) / 64).toInt))
+    val out = KMeansOps.SemDedupAdaptive.run(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty, "no pairs at spec scale")
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pair order")
+      assert(r.getDouble(3) >= KMeansOps.Tau, "below threshold")
+    }
+    // one cluster per pair row — both ids were assigned to that cluster,
+    // so a (cluster, id) may never appear under two clusters
+    val byId = out.flatMap(r => Seq(r.getLong(1) -> r.getInt(0), r.getLong(2) -> r.getInt(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(byId.values.forall(_ == 1), "an id paired under two clusters")
+  }
 }
