@@ -19,6 +19,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("win_out")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val streamed = spark.table("win_out")
       .select(col("win_start"), col("event_type"), col("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
@@ -42,6 +43,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ohlc_out")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val streamed = spark.table("ohlc_out")
       .select(unix_timestamp(col("bar_start")).as("bar_start"),
         col("event_type"), col("open"), col("high"), col("low"),
@@ -68,6 +70,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("hop_out")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     def key(r: org.apache.spark.sql.Row) =
       (r.getTimestamp(0), r.getString(1), r.getLong(2))
     val streamed = spark.table("hop_out")
@@ -96,6 +99,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L))
   }
@@ -116,6 +120,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("clean_docs")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val kept = spark.table("clean_docs").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     // ONE survivor per content fingerprint (which of 1/2/3 wins is
@@ -173,6 +178,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ssj_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val out = spark.table("ssj_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
     assert(out.toSeq == Seq((7L, 100L, 1.0)))
@@ -191,6 +197,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val out = spark.table("sess_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.contains((7L, 2L, 3.0)))
@@ -207,6 +214,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("funnel_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     // last update per user is the final stage (single batch → one row each)
     val stages = spark.table("funnel_out")
       .groupBy("user_id").agg(max("stage").as("stage"))
@@ -229,6 +237,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("lag_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val lags = spark.table("lag_out").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(lags.map(_._1).distinct.length == lags.length,
@@ -256,6 +265,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("snap_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     // single micro-batch → exactly one emitted row per key, already final
     val streamed = spark.table("snap_out")
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
@@ -279,6 +289,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("trans_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
+    q.stop()
     val streamed = spark.table("trans_out")
       .groupBy("prev_type", "next_type").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
