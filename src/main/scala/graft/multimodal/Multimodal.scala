@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partition amortization, batch shape —
   * is real and tested, and so are the pure-JVM decode paths: images via
   * [[graft.images.ImageOps]] (ImageIO), RIFF PCM audio via [[WavCodec]],
-  * FLAC audio via [[FlacCodec]] (a real compressed-codec decode, RFC 9639),
-  * MJPEG-AVI and inter-frame ZMBV-AVI video via [[AviCodec]] /
-  * [[ZmbvCodec]]. Only mp3 and non-AVI video containers (absent from this
-  * environment) remain deterministic stubs behind the [[MediaDecoder]]
-  * seam (clearly marked). Swapping a production decoder in changes one
-  * constructor, not the pipeline.
+  * IMA ADPCM + G.711 µ/A-law WAV via [[AdpcmCodec]], FLAC audio via
+  * [[FlacCodec]] (a real compressed-codec decode, RFC 9639), MJPEG-AVI
+  * and inter-frame ZMBV-AVI video via [[AviCodec]] / [[ZmbvCodec]],
+  * FLAC/MJPEG in MP4 via [[Mp4Codec]]. Only perceptual codecs that need
+  * native DSP libraries in practice (mp3/AAC audio, H.264/VP9 video)
+  * remain deterministic stubs behind the [[MediaDecoder]] seam (clearly
+  * marked). Swapping a production decoder in changes one constructor,
+  * not the pipeline.
   */
 object Multimodal {
 
@@ -54,12 +56,13 @@ object Multimodal {
     * codecs that genuinely need native libraries.
     *
     * Images decode via [[graft.images.ImageOps]]; RIFF PCM audio decodes
-    * via [[WavCodec]] and FLAC via [[FlacCodec]] into real spectral band
-    * energies; AVI video decodes via [[AviCodec]] + ImageIO (MJPEG) or
-    * [[ZmbvCodec]] (inter-frame) — all pure JVM, no native codec. mp3
-    * and non-AVI video "decode" remain deterministic fakes (hash-derived
-    * features of the payload bytes) standing in for codecs this
-    * container doesn't have —
+    * via [[WavCodec]], IMA ADPCM and G.711 via [[AdpcmCodec]], and FLAC
+    * via [[FlacCodec]] into real spectral band energies; AVI video
+    * decodes via [[AviCodec]] + ImageIO (MJPEG) or [[ZmbvCodec]]
+    * (inter-frame) — all pure JVM, no native codec. Only mp3/AAC audio
+    * and H.264/VP9 video "decode" remain deterministic fakes
+    * (hash-derived features of the payload bytes) standing in for codecs
+    * this container doesn't have —
     * the schema, batching, and partition flow are exactly what a real
     * decoder would use. Fake rows carry `feature_real = false`; with
     * `strict = true` the fake paths throw instead, so a pipeline can
@@ -90,6 +93,7 @@ object Multimodal {
         // (width, height) carrying (sampleRate, channels) — the audio
         // twin of image dims
         WavCodec.decode(row.content)
+          .orElse(AdpcmCodec.decode(row.content)) // IMA ADPCM / G.711 µ/A-law WAV
           .orElse(FlacCodec.decode(row.content).map(FlacCodec.toWav))
           .orElse(for {
             tracks <- Mp4Codec.demux(row.content)
@@ -102,7 +106,7 @@ object Multimodal {
               wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav),
               feature_real = true))
           case None =>
-            // ??? — remaining compressed codec (mp3) absent: deterministic fake
+            // ??? — remaining perceptual codecs (mp3/AAC) absent: deterministic fake
             noCodec(row, "compressed-audio")
             Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
               fakeFeature(row.content, 5), feature_real = false))

@@ -790,22 +790,324 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the IMA ADPCM fixture tree: 24 mono
+    * WAV files (format tag 0x11, blockAlign 256 ⇒ 505 samples/block, step
+    * index carried across blocks, `fact` chunk with the exact count) whose
+    * input PCM is a pure function of the asset index —
+    * s(i, t) = ((31·i + 7·t²) mod 8192) − 4096, n = 1200 + 37·i samples at
+    * rate 8000 + 25·i — encoded by [[graft.multimodal.AdpcmCodec]]. Every
+    * file spans ≥ 3 blocks with a short last block (n is never ≡ 0 mod
+    * 505), so header re-sync, index carry, and the odd-nibble tail are all
+    * exercised.
+    */
+  private def ensureAdpcmTree(sfDir: String): String = {
+    val root = workDir("adpcm", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val n = 1200 + 37 * i
+        val pcm = Array.tabulate(n)(t => ((i * 31 + 7 * t * t) % 8192) - 4096)
+        Files.write(dir.resolve(f"p$i%03d.wav"),
+          graft.multimodal.AdpcmCodec.encodeImaWav(8000 + 25 * i, pcm))
+      }
+    }
+    root
+  }
+
+  /** Adaptive-codec decode under the hash gate: binary scan of the IMA
+    * ADPCM fixture tree, decoded by the pure-JVM
+    * [[graft.multimodal.AdpcmCodec]] (IMA/DVI 4-bit adaptive step codec —
+    * 89-entry step table, successive-approximation quantizer, per-block
+    * header resync — a REAL lossy compressed codec, not a header peek),
+    * reduced to exact integer per-clip aggregates of the DECODED samples.
+    * ADPCM is lossy but its state machine is pure integer arithmetic, so
+    * the oracle replays the ENTIRE encoder+decoder recursion per sample
+    * in a recursive CTE (step table as a list literal, block-boundary
+    * header resets included) — a hash match proves the Scala codec and
+    * the spec-derived SQL replay reconstruct bit-identical waveforms —
+    * while `read_blob` pins byte identity, the same stance as
+    * `q_flac_scan`. After this row, compressed WAV audio (ADPCM + G.711)
+    * decodes for real; only perceptual codecs (mp3/AAC) remain the
+    * documented fake+strict seam.
+    */
+  object AdpcmScan extends GraftQuery {
+    val name = "q_adpcm_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureAdpcmTree(sfDir)
+      val idRe = "p(\\d+)\\.wav".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            graft.multimodal.AdpcmCodec.decodePcm(content).map { pcm =>
+              val s = pcm.samples
+              var sum = 0L
+              var mn = Int.MaxValue
+              var mx = Int.MinValue
+              s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+              val idx = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (idx, pcm.sampleRate.toLong, s.length.toLong, sum,
+                mn.toLong, mx.toLong, content.length.toLong,
+                content.take(8).map(b => f"$b%02X").mkString)
+            }
+          }
+        }
+        .toDF("asset_idx", "sample_rate", "n_samples", "sum_samples",
+          "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as q_flac_scan: static oracle text, gate at
+    // sf0.01 only. The recursive CTE carries (predictor, stepIndex) per
+    // asset exactly as the IMA spec does; sample t = 0 mod 505 is a block
+    // header (verbatim sample, index carried).
+    val oracle = Some(
+      """WITH RECURSIVE f AS (
+        |  SELECT CAST(regexp_extract(filename, 'p(\d+)\.wav', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_adpcm__root_testdata_sf0.01/**/*.wav')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         8000 + 25 * asset_idx AS sample_rate,
+        |         1200 + 37 * asset_idx AS n
+        |  FROM f),
+        |tbl AS (
+        |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |          50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |          230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |          876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |          2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |          7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |          20350,22385,24623,27086,29794,32767] AS st,
+        |         [-1,-1,-1,-1,2,4,6,8] AS it),
+        |dec AS (
+        |  SELECT asset_idx, n, 0 AS t,
+        |         ((asset_idx * 31) % 8192) - 4096 AS pred,
+        |         0 AS idx,
+        |         CAST(((asset_idx * 31) % 8192) - 4096 AS BIGINT) AS sum_s,
+        |         ((asset_idx * 31) % 8192) - 4096 AS min_s,
+        |         ((asset_idx * 31) % 8192) - 4096 AS max_s
+        |  FROM s
+        |  UNION ALL
+        |  SELECT asset_idx, n, t,
+        |         CASE WHEN hdr THEN raw ELSE np END,
+        |         CASE WHEN hdr THEN idx ELSE ni END,
+        |         sum_s + CASE WHEN hdr THEN raw ELSE np END,
+        |         LEAST(min_s, CASE WHEN hdr THEN raw ELSE np END),
+        |         GREATEST(max_s, CASE WHEN hdr THEN raw ELSE np END)
+        |  FROM (
+        |    SELECT *,
+        |           GREATEST(-32768, LEAST(32767,
+        |             pred + CASE WHEN neg THEN -dq ELSE dq END)) AS np,
+        |           GREATEST(0, LEAST(88, idx + it[b4*4 + b2*2 + b1 + 1])) AS ni
+        |    FROM (
+        |      SELECT *,
+        |             CASE WHEN a2 >= step // 4 THEN 1 ELSE 0 END AS b1,
+        |             (step // 8) + b4 * step + b2 * (step // 2)
+        |               + (CASE WHEN a2 >= step // 4 THEN 1 ELSE 0 END)
+        |                 * (step // 4) AS dq
+        |      FROM (
+        |        SELECT *,
+        |               CASE WHEN a1 >= step // 2 THEN 1 ELSE 0 END AS b2,
+        |               a1 - (CASE WHEN a1 >= step // 2 THEN 1 ELSE 0 END)
+        |                 * (step // 2) AS a2
+        |        FROM (
+        |          SELECT *,
+        |                 CASE WHEN adiff >= step THEN 1 ELSE 0 END AS b4,
+        |                 adiff - (CASE WHEN adiff >= step THEN 1 ELSE 0 END)
+        |                   * step AS a1
+        |          FROM (
+        |            SELECT d.asset_idx, d.n, d.t + 1 AS t, d.pred, d.idx,
+        |                   d.sum_s, d.min_s, d.max_s,
+        |                   ((d.asset_idx * 31 + 7 * (d.t + 1) * (d.t + 1))
+        |                     % 8192) - 4096 AS raw,
+        |                   (d.t + 1) % 505 = 0 AS hdr,
+        |                   tbl.st[d.idx + 1] AS step,
+        |                   ((d.asset_idx * 31 + 7 * (d.t + 1) * (d.t + 1))
+        |                     % 8192) - 4096 - d.pred < 0 AS neg,
+        |                   abs(((d.asset_idx * 31 + 7 * (d.t + 1) * (d.t + 1))
+        |                     % 8192) - 4096 - d.pred) AS adiff,
+        |                   tbl.it AS it
+        |            FROM dec d CROSS JOIN tbl
+        |            WHERE d.t + 1 < d.n))))) q),
+        |a AS (
+        |  SELECT asset_idx, n AS n_samples, sum_s AS sum_samples,
+        |         min_s AS min_sample, max_s AS max_sample
+        |  FROM dec WHERE t = n - 1)
+        |SELECT s.asset_idx, s.sample_rate, CAST(a.n_samples AS BIGINT)
+        |         AS n_samples, a.sum_samples,
+        |       a.min_sample, a.max_sample, s.n_bytes, s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
+  /** Create (once per scale factor) the G.711 fixture tree: 24 mono 8 kHz
+    * WAV files — even assets µ-law (tag 7), odd assets A-law (tag 6) —
+    * whose input PCM sweeps the full 16-bit range,
+    * s(i, t) = ((97·i + 511·t) mod 65536) − 32768, n = 800 + 29·i samples,
+    * encoded by [[graft.multimodal.AdpcmCodec]].
+    */
+  private def ensureG711Tree(sfDir: String): String = {
+    val root = workDir("g711", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val n = 800 + 29 * i
+        val pcm = Array.tabulate(n)(t => ((i * 97 + t * 511) % 65536) - 32768)
+        Files.write(dir.resolve(f"g$i%03d.wav"),
+          graft.multimodal.AdpcmCodec.encodeG711Wav(8000, pcm, mu = i % 2 == 0))
+      }
+    }
+    root
+  }
+
+  /** Companded-telephony decode under the hash gate: binary scan of the
+    * G.711 fixture tree, decoded by [[graft.multimodal.AdpcmCodec]]
+    * (ITU-T G.711 µ-law and A-law — segment + mantissa companding),
+    * reduced to exact integer per-clip aggregates of the DECODED samples.
+    * G.711 is memoryless, so the oracle replays encode∘decode for every
+    * sample in closed form (no recursion): segment search as a CASE
+    * ladder, mantissa via shifts — covering both laws, both signs, and
+    * all eight segments (the input sweeps the full 16-bit range). A hash
+    * match proves the Scala compander and the spec-derived SQL replay
+    * agree on all 65536 → 256 → 16-bit mappings exercised.
+    */
+  object G711Scan extends GraftQuery {
+    val name = "q_g711_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureG711Tree(sfDir)
+      val idRe = "g(\\d+)\\.wav".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            graft.multimodal.AdpcmCodec.decodePcm(content).map { pcm =>
+              val s = pcm.samples
+              var sum = 0L
+              var mn = Int.MaxValue
+              var mx = Int.MinValue
+              s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+              val idx = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (idx, pcm.codec, pcm.sampleRate.toLong, s.length.toLong, sum,
+                mn.toLong, mx.toLong, content.length.toLong,
+                content.take(8).map(b => f"$b%02X").mkString)
+            }
+          }
+        }
+        .toDF("asset_idx", "codec", "sample_rate", "n_samples",
+          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Static oracle text, gate at sf0.01 only. µ-law: bias 0x84, clip
+    // 32635; A-law: 13-bit magnitude domain, segment boundaries
+    // (0x20 << s) − 1 — both straight from ITU-T G.711.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'g(\d+)\.wav', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_g711__root_testdata_sf0.01/**/*.wav')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         CASE WHEN asset_idx % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
+        |           AS codec,
+        |         800 + 29 * asset_idx AS n
+        |  FROM f),
+        |p AS (
+        |  SELECT asset_idx, codec,
+        |         ((asset_idx * 97 + t.t * 511) % 65536) - 32768 AS v
+        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
+        |mu AS (
+        |  SELECT asset_idx, v,
+        |         CASE WHEN v < 0 THEN 1 ELSE 0 END AS sg,
+        |         LEAST(abs(v), 32635) + 132 AS mc
+        |  FROM p WHERE codec = 'ulaw'),
+        |mu2 AS (
+        |  SELECT asset_idx, sg, mc,
+        |         CASE WHEN mc < 256 THEN 0 WHEN mc < 512 THEN 1
+        |              WHEN mc < 1024 THEN 2 WHEN mc < 2048 THEN 3
+        |              WHEN mc < 4096 THEN 4 WHEN mc < 8192 THEN 5
+        |              WHEN mc < 16384 THEN 6 ELSE 7 END AS e
+        |  FROM mu),
+        |mud AS (
+        |  SELECT asset_idx,
+        |         CASE WHEN sg = 1 THEN -d0 ELSE d0 END AS dv
+        |  FROM (SELECT asset_idx, sg,
+        |               ((((mc >> (e + 3)) & 15) * 8 + 132) << e) - 132 AS d0
+        |        FROM mu2) q),
+        |al AS (
+        |  SELECT asset_idx, v,
+        |         CASE WHEN v >= 0 THEN 1 ELSE 0 END AS pos,
+        |         LEAST((CASE WHEN v >= 0 THEN v ELSE -v - 1 END) >> 3, 4095)
+        |           AS p13
+        |  FROM p WHERE codec = 'alaw'),
+        |al2 AS (
+        |  SELECT asset_idx, pos, p13,
+        |         CASE WHEN p13 <= 31 THEN 0 WHEN p13 <= 63 THEN 1
+        |              WHEN p13 <= 127 THEN 2 WHEN p13 <= 255 THEN 3
+        |              WHEN p13 <= 511 THEN 4 WHEN p13 <= 1023 THEN 5
+        |              WHEN p13 <= 2047 THEN 6 ELSE 7 END AS seg
+        |  FROM al),
+        |ald AS (
+        |  SELECT asset_idx,
+        |         CASE WHEN pos = 1 THEN t1 ELSE -t1 END AS dv
+        |  FROM (SELECT asset_idx, pos,
+        |               CASE WHEN seg > 1 THEN t0 << (seg - 1) ELSE t0 END AS t1
+        |        FROM (SELECT asset_idx, pos, seg,
+        |                     (CASE WHEN seg < 2 THEN (p13 >> 1) & 15
+        |                           ELSE (p13 >> seg) & 15 END) * 16
+        |                       + CASE WHEN seg = 0 THEN 8 ELSE 264 END AS t0
+        |              FROM al2) q0) q1),
+        |d AS (SELECT * FROM mud UNION ALL SELECT * FROM ald),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_samples,
+        |         CAST(sum(dv) AS BIGINT) AS sum_samples,
+        |         min(dv) AS min_sample, max(dv) AS max_sample
+        |  FROM d GROUP BY 1)
+        |SELECT s.asset_idx, s.codec, CAST(8000 AS BIGINT) AS sample_rate,
+        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
+        |       s.n_bytes, s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the unified media-catalog tree: every
     * fixture tree of the multimodal tier copied under one root with
     * tree-tagged names (both PNG trees reuse `imgNNN.png`, so a flat
     * union would collide on asset_id): 24 solid PNGs (`s*.png`), 24
     * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
-    * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`).
+    * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 IMA ADPCM WAVs (`p*.wav`),
+    * 24 G.711 WAVs (`g*.wav`). The marker dir is versioned: adding a
+    * fixture family bumps it so pre-existing temp trees rebuild
+    * (copies are idempotent, so a rebuild only adds the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done"))) {
+    if (!Files.exists(Paths.get(root, "done_v2"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
         (ensureFlacTree(sfDir), ".flac", "a"),
         (ensureMp4Tree(sfDir), ".m4a", "m"),
-        (ensureZmbvTree(sfDir), ".avi", "v"))
+        (ensureZmbvTree(sfDir), ".avi", "v"),
+        (ensureAdpcmTree(sfDir), ".wav", "p"),
+        (ensureG711Tree(sfDir), ".wav", "g"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -817,7 +1119,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done"))
+      Files.createDirectories(Paths.get(root, "done_v2"))
     }
     root
   }
@@ -828,6 +1130,7 @@ object SourceQueries {
     * the extension) → [[graft.multimodal.Multimodal.extractFeatures]]
     * (per-partition decoder construction; PNG via ImageIO, FLAC bare and
     * in MP4 via [[graft.multimodal.FlacCodec]]/[[graft.multimodal.Mp4Codec]],
+    * IMA ADPCM + G.711 WAV via [[graft.multimodal.AdpcmCodec]],
     * ZMBV-AVI via [[graft.multimodal.ZmbvCodec]]) — reduced to per-
     * modality integer invariants: asset/row counts, how many rows came
     * from REAL decodes (all of them — the catalog holds no payload the
@@ -857,21 +1160,25 @@ object SourceQueries {
         .orderBy("modality")
     }
     // Closed forms: image = 48 16×16 PNGs (one feature row each); audio =
-    // 24 FLAC at rate 8000+100i plus 24 MP4-FLAC at 16000+50i (width
-    // carries the rate, height the channel count 1); video = 24 ZMBV
-    // clips of 5+(i mod 3) frames at 24×18 (one row per frame).
+    // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 IMA ADPCM
+    // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
+    // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
+    // frames at 24×18 (one row per frame).
     val oracle = Some(
       """WITH fl AS (SELECT sum(8000 + 100 * i.i) AS w
         |            FROM unnest(range(0, 24)) i(i)),
         |mp AS (SELECT sum(16000 + 50 * i.i) AS w
         |       FROM unnest(range(0, 24)) i(i)),
+        |ad AS (SELECT sum(8000 + 25 * i.i) AS w
+        |       FROM unnest(range(0, 24)) i(i)),
         |vid AS (SELECT sum(5 + i.i % 3) AS fr
         |        FROM unnest(range(0, 24)) i(i))
         |SELECT * FROM (
-        |  SELECT 'audio' AS modality, CAST(48 AS BIGINT) AS n_assets,
-        |         CAST(48 AS BIGINT) AS n_rows, CAST(48 AS BIGINT) AS n_real,
-        |         CAST((SELECT w FROM fl) + (SELECT w FROM mp) AS BIGINT) AS sum_w,
-        |         CAST(48 AS BIGINT) AS sum_h
+        |  SELECT 'audio' AS modality, CAST(96 AS BIGINT) AS n_assets,
+        |         CAST(96 AS BIGINT) AS n_rows, CAST(96 AS BIGINT) AS n_real,
+        |         CAST((SELECT w FROM fl) + (SELECT w FROM mp)
+        |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
+        |         CAST(96 AS BIGINT) AS sum_h
         |  UNION ALL
         |  SELECT 'image', CAST(48 AS BIGINT), CAST(48 AS BIGINT),
         |         CAST(48 AS BIGINT), CAST(768 AS BIGINT), CAST(768 AS BIGINT)
@@ -887,5 +1194,5 @@ object SourceQueries {
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, MediaCatalog)
+      FlacScan, ZmbvScan, Mp4Scan, AdpcmScan, G711Scan, MediaCatalog)
 }
