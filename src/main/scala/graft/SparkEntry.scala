@@ -31,6 +31,7 @@ object SparkEntry {
       text.IndexOps.all ++
       text.LmOps.all ++
       text.DsirOps.all ++
+      text.ClassifierOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.CorpusOps.all ++

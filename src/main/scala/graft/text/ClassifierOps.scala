@@ -1,0 +1,209 @@
+package graft.text
+
+import graft.{Graft, GraftQuery}
+import graft.functions.PortableHash.pHash60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quality-classifier data selection — the other canonical classifier-based
+  * curation step next to [[DsirOps]]: train a binary linear model to
+  * distinguish a trusted TARGET domain from the raw corpus, score every
+  * document, keep the most target-like (GPT-3's Common-Crawl filtering
+  * trains logistic regression over tokenized WebText-vs-crawl — Brown et
+  * al. 2020, Appendix A; LLaMA filters pages "classified as references by
+  * a Wikipedia-likeness model" — Touvron et al. 2023; the linear-over-
+  * hashed-n-grams shape is fastText's — Joulin et al. 2016).
+  *
+  * Determinism design: instead of SGD (whose result depends on sample
+  * order) the trainer is the BATCH perceptron — per epoch, every
+  * misclassified document contributes `y·x` to one summed weight update:
+  *
+  *   margin_d = y_d · Σ_f w[f]·c_{d,f};   misclassified ⇔ margin ≤ 0
+  *   w ← w + Σ_{misclassified d} y_d · c_d
+  *
+  * All counts and weights are BIGINTs, updates are order-independent
+  * sums, and the epoch count is fixed (E = 3), so training is exactly
+  * replayable: the oracle unrolls the three epochs as CTEs (the same
+  * machinery as the k-means / BPE oracles). Features are hashed bigram
+  * COUNTS (md5-derived buckets, B = 2048), so bucket membership replays
+  * in SQL too.
+  *
+  * Scale shape: per epoch — one broadcast join against the ≤B-row weight
+  * table, one doc-keyed aggregate (margins), one linear doc-keyed
+  * equi-join (restrict to misclassified), one B-bounded aggregate
+  * (updates), and one ≤B-row driver collect (the documented bounded-
+  * collect idiom, same as the k·dim centroid update in
+  * [[graft.similarity.KMeansOps]]). Nothing is quadratic and no
+  * token-keyed shuffle exceeds the hashed-feature bound at any corpus
+  * size.
+  */
+object ClassifierOps {
+
+  /** Hash-bucket count (fastText-style feature hashing). */
+  val B = 2048
+
+  /** The trusted-domain proxy (same stance as [[DsirOps.TargetSource]]). */
+  val TargetSource = "src0"
+
+  /** Fixed epoch budget — deterministic by construction. */
+  val Epochs = 3
+
+  /** (doc_id, y, f, c): per-document hashed-bigram counts with the ±1
+    * label. Docs with < 2 tokens have no bigram and drop out (consistent
+    * with the oracle's generate_series bound).
+    */
+  private def featCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        when(col("source") === TargetSource, 1).otherwise(-1).as("y"),
+        TextOps.tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), col("y"), explode(expr(
+        "transform(sequence(0, size(arr) - 2), " +
+          "i -> concat(arr[i], ' ', arr[i + 1]))")).as("bg"))
+      .select(col("doc_id"), col("y"), (pHash60(col("bg")) % B).as("f"))
+      .groupBy("doc_id", "y", "f")
+      .agg(count(lit(1)).as("c"))
+
+  /** Run the batch-perceptron loop. Returns the per-epoch stat rows and
+    * the final weights. The weight table is collected each epoch — ≤ B
+    * rows by construction (bounded collect, documented above).
+    */
+  private def train(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, Long, Long, Long, Long)], Seq[(Long, Long)], DataFrame) = {
+    import spark.implicits._
+    val feats = featCounts(Graft.table(spark, sfDir, "documents"))
+      .persist()
+    var w = Map.empty[Long, Long]
+    val epochs = Seq.newBuilder[(Int, Long, Long, Long, Long)]
+    for (e <- 1 to Epochs) {
+      val wDf = w.toSeq.sortBy(_._1).toDF("f", "w")
+      val scored = feats
+        .join(broadcast(wDf), Seq("f"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("s"))
+      val miscl = scored.filter(col("y") * col("s") <= 0)
+        .select("doc_id", "y")
+      // one linear doc-keyed equi-join + one B-bounded aggregate; the
+      // collect is ≤ B rows (the update vector), never corpus-sized
+      val delta = feats.join(miscl, Seq("doc_id", "y"))
+        .groupBy("f").agg(sum(col("y") * col("c")).as("d"))
+        .as[(Long, Long)].collect()
+      val nMiscl = miscl.count()
+      w = delta.foldLeft(w) { case (acc, (f, d)) =>
+        acc.updated(f, acc.getOrElse(f, 0L) + d)
+      }
+      epochs += ((e, nMiscl, w.values.map(math.abs).sum, w.values.sum,
+        w.count(_._2 != 0L).toLong))
+    }
+    val finalW = w.toSeq.sortBy(_._1)
+    (epochs.result(), finalW, feats)
+  }
+
+  /** Shared oracle CTE chain: features → three unrolled epochs. Epoch 1
+    * scores with w = 0 (every margin is 0 ⇒ everything misclassified), so
+    * w1 sums y·c over ALL docs; epochs 2–3 left-join the previous weight
+    * table (its key set only ever shrinks, so left joins are exact).
+    */
+  private val trainCtes =
+    s"""toks AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |         CASE WHEN source = '$TargetSource' THEN 1 ELSE -1 END AS y,
+       |         ('0x' || substr(md5(l[i] || ' ' || l[i + 1]), 1, 15))::BIGINT
+       |           % $B AS f
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t),
+       |feats AS (
+       |  SELECT doc_id, y, f, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+       |n1 AS (SELECT count(DISTINCT doc_id) AS nm FROM feats),
+       |w1 AS (SELECT f, CAST(sum(y * c) AS BIGINT) AS w FROM feats GROUP BY 1),
+       |s2 AS (SELECT doc_id, y, CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS s
+       |       FROM feats LEFT JOIN w1 USING (f) GROUP BY 1, 2),
+       |m2 AS (SELECT doc_id, y FROM s2 WHERE y * s <= 0),
+       |n2 AS (SELECT count(*) AS nm FROM m2),
+       |d2 AS (SELECT f, CAST(sum(y * c) AS BIGINT) AS d
+       |       FROM feats JOIN m2 USING (doc_id, y) GROUP BY 1),
+       |w2 AS (SELECT w1.f, w1.w + coalesce(d2.d, 0) AS w
+       |       FROM w1 LEFT JOIN d2 USING (f)),
+       |s3 AS (SELECT doc_id, y, CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS s
+       |       FROM feats LEFT JOIN w2 USING (f) GROUP BY 1, 2),
+       |m3 AS (SELECT doc_id, y FROM s3 WHERE y * s <= 0),
+       |n3 AS (SELECT count(*) AS nm FROM m3),
+       |d3 AS (SELECT f, CAST(sum(y * c) AS BIGINT) AS d
+       |       FROM feats JOIN m3 USING (doc_id, y) GROUP BY 1),
+       |w3 AS (SELECT w2.f, w2.w + coalesce(d3.d, 0) AS w
+       |       FROM w2 LEFT JOIN d3 USING (f))""".stripMargin
+
+  /** Per-epoch training trace: misclassification count (under the
+    * PREVIOUS epoch's weights) and the updated weight vector's exact
+    * integer summaries.
+    */
+  object ClassifierTrain extends GraftQuery {
+    val name = "q_classifier_train"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val (epochs, _, feats) = train(spark, sfDir)
+      feats.unpersist()
+      epochs.toDF("epoch", "n_misclassified", "w_l1", "w_sum", "w_l0")
+        .orderBy("epoch")
+    }
+    val oracle = Some(
+      s"""WITH $trainCtes
+         |SELECT 1 AS epoch, CAST((SELECT nm FROM n1) AS BIGINT)
+         |         AS n_misclassified,
+         |       CAST((SELECT sum(abs(w)) FROM w1) AS BIGINT) AS w_l1,
+         |       CAST((SELECT sum(w) FROM w1) AS BIGINT) AS w_sum,
+         |       CAST((SELECT count(*) FROM w1 WHERE w <> 0) AS BIGINT) AS w_l0
+         |UNION ALL
+         |SELECT 2, CAST((SELECT nm FROM n2) AS BIGINT),
+         |       CAST((SELECT sum(abs(w)) FROM w2) AS BIGINT),
+         |       CAST((SELECT sum(w) FROM w2) AS BIGINT),
+         |       CAST((SELECT count(*) FROM w2 WHERE w <> 0) AS BIGINT)
+         |UNION ALL
+         |SELECT 3, CAST((SELECT nm FROM n3) AS BIGINT),
+         |       CAST((SELECT sum(abs(w)) FROM w3) AS BIGINT),
+         |       CAST((SELECT sum(w) FROM w3) AS BIGINT),
+         |       CAST((SELECT count(*) FROM w3 WHERE w <> 0) AS BIGINT)
+         |ORDER BY epoch""".stripMargin)
+  }
+
+  /** Classifier-based selection: score every document with the trained
+    * weights, keep the 20 most target-like (score desc, doc_id asc — the
+    * rank-based deterministic analog of the paper's stochastic keep
+    * rule, consistent with `q_dsir_select`). `correct` marks agreement
+    * with the source label, so the row set doubles as an exact confusion
+    * sample.
+    */
+  object ClassifierSelect extends GraftQuery {
+    val name = "q_classifier_select"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val (_, finalW, feats) = train(spark, sfDir)
+      val wDf = finalW.toDF("f", "w")
+      val out = feats
+        .join(broadcast(wDf), Seq("f"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+        .select(col("doc_id"), col("y"), col("score"),
+          when(col("y") * col("score") > 0, 1L).otherwise(0L).as("correct"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+      feats.unpersist()
+      out
+    }
+    val oracle = Some(
+      s"""WITH $trainCtes,
+         |sc AS (SELECT doc_id, y,
+         |              CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS score
+         |       FROM feats LEFT JOIN w3 USING (f) GROUP BY 1, 2)
+         |SELECT doc_id, y, score,
+         |       CAST(CASE WHEN y * score > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS correct
+         |FROM sc
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(ClassifierTrain, ClassifierSelect)
+}
