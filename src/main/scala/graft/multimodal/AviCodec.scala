@@ -61,14 +61,25 @@ object AviCodec {
     * original header-less shape.
     */
   def synthesize(framePayloads: Seq[Array[Byte]], handler: String,
-      width: Int, height: Int): Array[Byte] = {
+      width: Int, height: Int): Array[Byte] =
+    synthesize(framePayloads, handler, width, height, palette = null)
+
+  /** Palette variant: an RGB palette (768 bytes, r g b per entry) is
+    * written into `strf` after the BITMAPINFOHEADER as the standard
+    * 256-entry RGBQUAD color table (stored b, g, r, 0 — BMP order), with
+    * biBitCount = 8 and biClrUsed = 256 — the layout BI_RLE8 (MS-RLE)
+    * players read the palette from.
+    */
+  def synthesize(framePayloads: Seq[Array[Byte]], handler: String,
+      width: Int, height: Int, palette: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit =
       (0 until 4).foreach(b => bos.write((v >> (8 * b)) & 0xFF))
     def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strfLen = 40 + (if (palette == null) 0 else 1024)
     val hdrlPayload = if (handler == null) 0 else {
       4 + (8 + 56) + // avih
-        (8 + 4 + (8 + 56) + (8 + 40)) // LIST strl { strh, strf(BITMAPINFOHEADER) }
+        (8 + 4 + (8 + 56) + (8 + strfLen)) // LIST strl { strh, strf }
     }
     val moviPayload = 4 + framePayloads.map(f => 8 + f.length + (f.length & 1)).sum
     val hdrlChunk = if (hdrlPayload == 0) 0 else 8 + hdrlPayload
@@ -83,7 +94,7 @@ object AviCodec {
       w32(0)
       w32(width); w32(height)
       (0 until 4).foreach(_ => w32(0)) // reserved
-      cc("LIST"); w32(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("LIST"); w32(4 + (8 + 56) + (8 + strfLen)); cc("strl")
       cc("strh"); w32(56)
       cc("vids"); cc(handler)
       w32(0); w32(0); w32(0) // flags, prio+lang, initial frames
@@ -91,11 +102,24 @@ object AviCodec {
       w32(0); w32(framePayloads.length) // start, length
       w32(0); w32(0); w32(0) // bufsize, quality, sample size
       w32(0); w32((height << 16) | width) // rcFrame (informational)
-      cc("strf"); w32(40) // BITMAPINFOHEADER
+      cc("strf"); w32(strfLen) // BITMAPINFOHEADER [+ color table]
       w32(40); w32(width); w32(height)
-      w32(1 << 16) // planes=1, bitcount=0 (codec-defined)
-      cc(handler) // biCompression
-      w32(0); w32(0); w32(0); w32(0); w32(0)
+      if (palette == null) {
+        w32(1 << 16) // planes=1, bitcount=0 (codec-defined)
+        cc(handler) // biCompression
+        w32(0); w32(0); w32(0); w32(0); w32(0)
+      } else {
+        w32((8 << 16) | 1) // planes=1, bitcount=8
+        cc(handler) // biCompression
+        w32(0); w32(0); w32(0)
+        w32(256); w32(0) // biClrUsed, biClrImportant
+        for (j <- 0 until 256) { // RGBQUAD: b, g, r, reserved
+          bos.write(palette(3 * j + 2) & 0xFF)
+          bos.write(palette(3 * j + 1) & 0xFF)
+          bos.write(palette(3 * j) & 0xFF)
+          bos.write(0)
+        }
+      }
     }
     cc("LIST"); w32(moviPayload); cc("movi")
     framePayloads.foreach { f =>
@@ -134,5 +158,39 @@ object AviCodec {
 
     walk(12, bytes.length)
     for { (w, h) <- dims; fcc <- handler } yield (fcc, w, h)
+  }
+
+  /** 8-bit palette from the video stream's `strf` color table: 768 bytes
+    * (r, g, b per entry), converted back from the stored RGBQUAD (b, g,
+    * r, 0) layout. None when the header carries no 256-entry table.
+    */
+  def palette8(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+    var pal: Option[Array[Byte]] = None
+
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = fourcc(bytes, pos)
+        val len = le32(bytes, pos + 4)
+        if (len < 0 || pos.toLong + 8 + len > until) return
+        if (id == "LIST") walk(pos + 12, pos + 8 + len)
+        else if (id == "strf" && len >= 40 + 1024 && pal.isEmpty &&
+            le32(bytes, pos + 8 + 32) == 256) { // biClrUsed
+          val out = new Array[Byte](768)
+          for (j <- 0 until 256) {
+            out(3 * j) = bytes(pos + 8 + 40 + 4 * j + 2)     // r
+            out(3 * j + 1) = bytes(pos + 8 + 40 + 4 * j + 1) // g
+            out(3 * j + 2) = bytes(pos + 8 + 40 + 4 * j)     // b
+          }
+          pal = Some(out)
+        }
+        pos += 8 + len + (len & 1)
+      }
+    }
+
+    walk(12, bytes.length)
+    pal
   }
 }

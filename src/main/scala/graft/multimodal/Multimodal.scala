@@ -123,7 +123,42 @@ object Multimodal {
               .flatMap(ZmbvCodec.decode(w, h, _))
           case _ => None
         }
+        // MS-RLE (BI_RLE8) AVI: the other real inter-frame path — skip-
+        // based conditional replenishment, palette from the strf table
+        lazy val mrle = AviCodec.videoInfo(row.content) match {
+          case Some(("MRLE", w, h)) =>
+            for {
+              pal <- AviCodec.palette8(row.content)
+              payloads <- AviCodec.frames(row.content).filter(_.nonEmpty)
+              video <- MsRleCodec.decode(w, h, pal, payloads)
+            } yield video
+          case _ => None
+        }
         AviCodec.frames(row.content) match {
+          case Some(payloads) if payloads.nonEmpty && mrle.isDefined =>
+            val frames = mrle.get.frames
+            val stride = (frames.length + MaxFrames - 1) / MaxFrames
+            frames.zipWithIndex
+              .collect { case (f, i) if i % stride == 0 => f -> i }
+              .take(MaxFrames)
+              .map { case (f, i) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < f.height) {
+                  var x = 0
+                  while (x < f.width) {
+                    val (r, g, b) = f.rgb(x, y)
+                    sr += r; sg += g; sb += b
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (f.width.toLong * f.height).toFloat
+                MediaFeatures(row.asset_id, "video", i, f.width, f.height,
+                  Array(sr / n / 255f, sg / n / 255f, sb / n / 255f,
+                    f.width.toFloat, f.height.toFloat),
+                  feature_real = true)
+              }
           case Some(payloads) if payloads.nonEmpty && zmbv.isDefined =>
             // real path: decoded ZMBV frames — same avg-color feature
             // shape as the MJPEG branch, sampled with the same stride

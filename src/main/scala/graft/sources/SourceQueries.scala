@@ -790,6 +790,143 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the MS-RLE fixture tree: 24 .avi
+    * clips (8bpp palette, 16×12), 5 + (i mod 2) frames, keyframe every 4
+    * (a mid-stream full repaint on 6-frame clips). Frame f is frame f−1
+    * with a 4×3 block stamped at (2f, f): pixel (x, y) of frame f shows
+    * the LAST stamp f′ ≤ f covering it — value
+    * (13·i + 29·f′ + 5·x + 3·y + 100) mod 256 — or the background
+    * (7·i + 3·x + 11·y) mod 256 if no stamp ever covered it. Inter
+    * frames therefore paint only the 12 changed pixels and delta-skip
+    * the rest — the conditional-replenishment path the codec exists
+    * for. Palette: (j, (5j + i) mod 256, (11j + 3i) mod 256), carried
+    * in the AVI `strf` color table. Encoded by
+    * [[graft.multimodal.MsRleCodec]].
+    */
+  private def ensureMsrleTree(sfDir: String): String = {
+    val root = workDir("msrle", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 16; val h = 12
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val pal = new Array[Byte](768)
+        for (j <- 0 until 256) {
+          pal(3 * j) = j.toByte
+          pal(3 * j + 1) = ((j * 5 + i) % 256).toByte
+          pal(3 * j + 2) = ((j * 11 + 3 * i) % 256).toByte
+        }
+        val nf = 5 + i % 2
+        val canvas = Array.tabulate(w * h) { o =>
+          ((i * 7 + (o % w) * 3 + (o / w) * 11) % 256).toByte
+        }
+        val frames = (0 until nf).map { f =>
+          for (y <- f until math.min(f + 3, h); x <- 2 * f until math.min(2 * f + 4, w))
+            canvas(y * w + x) =
+              ((i * 13 + f * 29 + x * 5 + y * 3 + 100) % 256).toByte
+          canvas.clone()
+        }
+        Files.write(dir.resolve(f"r$i%03d.avi"),
+          graft.multimodal.MsRleCodec.encodeAvi(w, h, pal, frames, keyEvery = 4))
+      }
+    }
+    root
+  }
+
+  /** Run-length video decode under the hash gate: binary scan of the
+    * MS-RLE fixture tree, demuxed by [[graft.multimodal.AviCodec]]
+    * (fourcc + dims from `hdrl`, palette from the `strf` color table)
+    * and decoded by the pure-JVM [[graft.multimodal.MsRleCodec]]
+    * (BI_RLE8 — bottom-up runs, EOL/EOI/delta escapes, absolute mode,
+    * and the persistent canvas that makes skipped pixels inherit the
+    * previous frame — a REAL inter-frame codec of the conditional-
+    * replenishment family, complementing ZMBV's motion compensation),
+    * reduced to exact integer per-frame RGB sums. MS-RLE is lossless,
+    * so the oracle replays every decoded pixel in CLOSED FORM from the
+    * filename index (last-stamp-wins arithmetic over the frame history)
+    * while `read_blob` pins byte identity — the same stance as
+    * `q_zmbv_scan`. A hash match proves the skip/paint state machine
+    * reconstructs every frame of every clip bit-exactly.
+    */
+  object MsrleScan extends GraftQuery {
+    val name = "q_msrle_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMsrleTree(sfDir)
+      val idRe = "r(\\d+)\\.avi".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.{AviCodec, MsRleCodec}
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val headHex = content.take(8).map(b => f"$b%02X").mkString
+          for {
+            (fcc, w, h) <- AviCodec.videoInfo(content).toSeq if fcc == "MRLE"
+            pal <- AviCodec.palette8(content).toSeq
+            payloads <- AviCodec.frames(content).toSeq
+            video <- MsRleCodec.decode(w, h, pal, payloads).toSeq
+            (frame, fi) <- video.frames.zipWithIndex
+          } yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            for (y <- 0 until frame.height; x <- 0 until frame.width) {
+              val (r, g, b) = frame.rgb(x, y)
+              sr += r; sg += g; sb += b
+            }
+            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
+              content.length.toLong, headHex)
+          }
+        }
+        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx", "frame_idx")
+    }
+    // Same pinned-glob stance as q_zmbv_scan: static oracle text, gate at
+    // sf0.01 only. The covering stamps f′ of a pixel form an interval
+    // [max(⌈(x−3)/2⌉, y−2, 0), min(⌊x/2⌋, y, frame_idx)], so the LAST
+    // stamp (the paint order the encoder applied) is the interval's
+    // upper end when the interval is nonempty — pure arithmetic, no
+    // correlated subquery.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'r(\d+)\.avi', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_msrle__root_testdata_sf0.01/**/*.avi')),
+        |fr AS (
+        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
+        |  FROM f, LATERAL unnest(range(0, 5 + asset_idx % 2)) t(f)),
+        |cov AS (
+        |  SELECT asset_idx, frame_idx, x.x AS x, y.y AS y,
+        |         GREATEST(CASE WHEN x.x <= 3 THEN 0 ELSE (x.x - 2) // 2 END,
+        |                  y.y - 2, 0) AS lo,
+        |         LEAST(x.x // 2, y.y, frame_idx) AS hi
+        |  FROM fr, LATERAL unnest(range(0, 16)) x(x),
+        |       LATERAL unnest(range(0, 12)) y(y)),
+        |px AS (
+        |  SELECT asset_idx, frame_idx,
+        |         CASE WHEN lo > hi
+        |              THEN (asset_idx * 7 + x * 3 + y * 11) % 256
+        |              ELSE (asset_idx * 13 + hi * 29 + x * 5 + y * 3
+        |                    + 100) % 256 END AS j
+        |  FROM cov),
+        |a AS (
+        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
+        |         CAST(sum(j) AS BIGINT) AS sum_r,
+        |         CAST(sum((j * 5 + asset_idx) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((j * 11 + 3 * asset_idx) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2)
+        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
+        |       a.sum_b, fr.n_bytes, fr.head_hex
+        |FROM fr JOIN a USING (asset_idx, frame_idx)
+        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the IMA ADPCM fixture tree: 24 mono
     * WAV files (format tag 0x11, blockAlign 256 ⇒ 505 samples/block, step
     * index carried across blocks, `fact` chunk with the exact count) whose
@@ -1092,20 +1229,22 @@ object SourceQueries {
     * tree-tagged names (both PNG trees reuse `imgNNN.png`, so a flat
     * union would collide on asset_id): 24 solid PNGs (`s*.png`), 24
     * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
-    * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 IMA ADPCM WAVs (`p*.wav`),
-    * 24 G.711 WAVs (`g*.wav`). The marker dir is versioned: adding a
-    * fixture family bumps it so pre-existing temp trees rebuild
-    * (copies are idempotent, so a rebuild only adds the new families).
+    * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
+    * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`). The marker
+    * dir is versioned: adding a fixture family bumps it so pre-existing
+    * temp trees rebuild (copies are idempotent, so a rebuild only adds
+    * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v2"))) {
+    if (!Files.exists(Paths.get(root, "done_v3"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
         (ensureFlacTree(sfDir), ".flac", "a"),
         (ensureMp4Tree(sfDir), ".m4a", "m"),
         (ensureZmbvTree(sfDir), ".avi", "v"),
+        (ensureMsrleTree(sfDir), ".avi", "r"),
         (ensureAdpcmTree(sfDir), ".wav", "p"),
         (ensureG711Tree(sfDir), ".wav", "g"))
       sources.foreach { case (src, ext, tag) =>
@@ -1119,7 +1258,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v2"))
+      Files.createDirectories(Paths.get(root, "done_v3"))
     }
     root
   }
@@ -1163,7 +1302,8 @@ object SourceQueries {
     // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 IMA ADPCM
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
     // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
-    // frames at 24×18 (one row per frame).
+    // frames at 24×18 plus 24 MS-RLE clips of 5+(i mod 2) frames at
+    // 16×12 (one row per frame).
     val oracle = Some(
       """WITH fl AS (SELECT sum(8000 + 100 * i.i) AS w
         |            FROM unnest(range(0, 24)) i(i)),
@@ -1172,7 +1312,9 @@ object SourceQueries {
         |ad AS (SELECT sum(8000 + 25 * i.i) AS w
         |       FROM unnest(range(0, 24)) i(i)),
         |vid AS (SELECT sum(5 + i.i % 3) AS fr
-        |        FROM unnest(range(0, 24)) i(i))
+        |        FROM unnest(range(0, 24)) i(i)),
+        |mr AS (SELECT sum(5 + i.i % 2) AS fr
+        |       FROM unnest(range(0, 24)) i(i))
         |SELECT * FROM (
         |  SELECT 'audio' AS modality, CAST(96 AS BIGINT) AS n_assets,
         |         CAST(96 AS BIGINT) AS n_rows, CAST(96 AS BIGINT) AS n_real,
@@ -1183,16 +1325,19 @@ object SourceQueries {
         |  SELECT 'image', CAST(48 AS BIGINT), CAST(48 AS BIGINT),
         |         CAST(48 AS BIGINT), CAST(768 AS BIGINT), CAST(768 AS BIGINT)
         |  UNION ALL
-        |  SELECT 'video', CAST(24 AS BIGINT),
-        |         CAST((SELECT fr FROM vid) AS BIGINT),
-        |         CAST((SELECT fr FROM vid) AS BIGINT),
-        |         CAST(24 * (SELECT fr FROM vid) AS BIGINT),
-        |         CAST(18 * (SELECT fr FROM vid) AS BIGINT))
+        |  SELECT 'video', CAST(48 AS BIGINT),
+        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr) AS BIGINT),
+        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr) AS BIGINT),
+        |         CAST(24 * (SELECT fr FROM vid)
+        |              + 16 * (SELECT fr FROM mr) AS BIGINT),
+        |         CAST(18 * (SELECT fr FROM vid)
+        |              + 12 * (SELECT fr FROM mr) AS BIGINT))
         |ORDER BY modality""".stripMargin)
   }
 
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, AdpcmScan, G711Scan, MediaCatalog)
+      FlacScan, ZmbvScan, Mp4Scan, MsrleScan, AdpcmScan, G711Scan,
+      MediaCatalog)
 }
