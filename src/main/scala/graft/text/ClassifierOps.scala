@@ -143,8 +143,10 @@ object ClassifierOps {
     val name = "q_classifier_train"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import spark.implicits._
-      val (epochs, _, feats) = train(spark, sfDir)
-      feats.unpersist()
+      val (epochs, _, _) = train(spark, sfDir)
+      // feats stays persisted until the harness's clearCache (the house
+      // convention — an eager unpersist here would force the selection
+      // twin to recompute the scan-side featurization)
       epochs.toDF("epoch", "n_misclassified", "w_l1", "w_sum", "w_l0")
         .orderBy("epoch")
     }
@@ -181,7 +183,10 @@ object ClassifierOps {
       import spark.implicits._
       val (_, finalW, feats) = train(spark, sfDir)
       val wDf = finalW.toDF("f", "w")
-      val out = feats
+      // feats is still persisted from train() — the scoring pass reuses
+      // the cached featurization instead of re-reading the corpus; the
+      // harness's clearCache releases it after the query
+      feats
         .join(broadcast(wDf), Seq("f"), "left")
         .groupBy("doc_id", "y")
         .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
@@ -189,8 +194,6 @@ object ClassifierOps {
           when(col("y") * col("score") > 0, 1L).otherwise(0L).as("correct"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
-      feats.unpersist()
-      out
     }
     val oracle = Some(
       s"""WITH $trainCtes,
