@@ -48,6 +48,12 @@ object ClassifierOps {
   /** Fixed epoch budget — deterministic by construction. */
   val Epochs = 3
 
+  /** Misclassified-set sizes up to this many rows (≈16 MB of doc ids)
+    * broadcast in the update join; larger sets take the linear
+    * doc-keyed equi-join. Chosen from the EXACT count, not an estimate.
+    */
+  val BroadcastMisclBound = 1000000L
+
   /** (doc_id, y, f, c): per-document hashed-bigram counts with the ±1
     * label. Docs with < 2 tokens have no bigram and drop out (consistent
     * with the oracle's generate_series bound).
@@ -76,19 +82,44 @@ object ClassifierOps {
     var w = Map.empty[Long, Long]
     val epochs = Seq.newBuilder[(Int, Long, Long, Long, Long)]
     for (e <- 1 to Epochs) {
-      val wDf = w.toSeq.sortBy(_._1).toDF("f", "w")
-      val scored = feats
-        .join(broadcast(wDf), Seq("f"), "left")
-        .groupBy("doc_id", "y")
-        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("s"))
-      val miscl = scored.filter(col("y") * col("s") <= 0)
-        .select("doc_id", "y")
-      // one linear doc-keyed equi-join + one B-bounded aggregate; the
-      // collect is ≤ B rows (the update vector), never corpus-sized
-      val delta = feats.join(miscl, Seq("doc_id", "y"))
-        .groupBy("f").agg(sum(col("y") * col("c")).as("d"))
-        .as[(Long, Long)].collect()
-      val nMiscl = miscl.count()
+      // epoch 1 specialization: with w = 0 every margin is 0, so EVERY
+      // document is misclassified — the update is a plain aggregate over
+      // feats and the degenerate corpus-sized self-join never runs (the
+      // oracle's w1/n1 CTEs encode the same specialization). Later
+      // epochs leave the misclassified-set join to AQE: typically a
+      // runtime broadcast (the set shrinks fast), worst-case a linear
+      // equi-join — never quadratic.
+      val (delta, nMiscl) =
+        if (w.isEmpty) {
+          val d = feats.groupBy("f").agg(sum(col("y") * col("c")).as("d"))
+            .as[(Long, Long)].collect()
+          (d, feats.select("doc_id").distinct().count())
+        } else {
+          val wDf = w.toSeq.sortBy(_._1).toDF("f", "w")
+          val scored = feats
+            .join(broadcast(wDf), Seq("f"), "left")
+            .groupBy("doc_id", "y")
+            .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("s"))
+          val miscl = scored.filter(col("y") * col("s") <= 0)
+            .select("doc_id", "y").persist()
+          // the misclassified set's exact size is already needed for the
+          // trace, so use it to pick the join side explicitly: under the
+          // bound (≤1M ids ≈ 16 MB) broadcast it — a converging run gets
+          // here within an epoch, and leaving it to AQE measurably
+          // doesn't (the sf1 audit saw the SMJ flip reshuffle the feats
+          // stream every epoch); above the bound fall back to the linear
+          // doc-keyed equi-join, which is the correct corpus-scale plan.
+          val n = miscl.count()
+          val misclSide =
+            if (n <= BroadcastMisclBound) broadcast(miscl) else miscl
+          // one join + one B-bounded aggregate; the collect is ≤ B rows
+          // (the update vector), never corpus-sized
+          val d = feats.join(misclSide, Seq("doc_id", "y"))
+            .groupBy("f").agg(sum(col("y") * col("c")).as("d"))
+            .as[(Long, Long)].collect()
+          miscl.unpersist()
+          (d, n)
+        }
       w = delta.foldLeft(w) { case (acc, (f, d)) =>
         acc.updated(f, acc.getOrElse(f, 0L) + d)
       }
