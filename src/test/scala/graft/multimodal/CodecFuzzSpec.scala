@@ -61,12 +61,87 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("ADPCM/G.711: 60 random clips round-trip with exact compander math") {
+    val rnd = new scala.util.Random(0xADCC)
+    for (k <- 0 until 60) {
+      val n = 1 + rnd.nextInt(4000)
+      val sig = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val rate = 1000 + rnd.nextInt(90000)
+      rnd.nextInt(3) match {
+        case 0 => // IMA: exact self-decode vs the step-machine replay
+          val ba = 8 + 4 * rnd.nextInt(80) // blockAlign 8..324, 4-aligned
+          val pcm = AdpcmCodec.decodePcm(
+            AdpcmCodec.encodeImaWav(rate, sig, ba))
+            .getOrElse(fail(s"case $k: ima decode (n=$n ba=$ba)"))
+          assert(pcm.samples.length == n, s"case $k length")
+          val spb = (ba - 4) * 2 + 1
+          var pred = 0; var idx = 0
+          sig.indices.foreach { t =>
+            val e =
+              if (t % spb == 0) { pred = sig(t); sig(t) }
+              else {
+                val (_, np, ni) = AdpcmCodec.imaEncodeStep(sig(t), pred, idx)
+                pred = np; idx = ni; np
+              }
+            assert(pcm.samples(t) == e, s"case $k sample $t (ba=$ba)")
+          }
+        case m =>
+          val mu = m == 1
+          val pcm = AdpcmCodec.decodePcm(
+            AdpcmCodec.encodeG711Wav(rate, sig, mu))
+            .getOrElse(fail(s"case $k: g711 decode"))
+          sig.indices.foreach { t =>
+            val e = if (mu) AdpcmCodec.muDecode(AdpcmCodec.muEncode(sig(t)))
+              else AdpcmCodec.aDecode(AdpcmCodec.aEncode(sig(t)))
+            assert(pcm.samples(t) == e, s"case $k sample $t mu=$mu")
+          }
+      }
+    }
+  }
+
+  test("MS-RLE: 60 random videos round-trip through the AVI container") {
+    val rnd = new scala.util.Random(0x8135)
+    for (k <- 0 until 60) {
+      val w = 1 + rnd.nextInt(45)
+      val h = 1 + rnd.nextInt(37)
+      val nF = 1 + rnd.nextInt(6)
+      val keyEvery = rnd.nextInt(5) // 0 = only frame 0 is a keyframe
+      val pal = Array.fill(768)(rnd.nextInt(256).toByte)
+      // mix dense-random frames with sparse edits (deltas + EOL skips)
+      val frames = (0 until nF).scanLeft(
+        Array.fill(w * h)(rnd.nextInt(256).toByte)) { (prev, _) =>
+        if (rnd.nextBoolean()) Array.fill(w * h)(rnd.nextInt(256).toByte)
+        else {
+          val f = prev.clone()
+          for (_ <- 0 to rnd.nextInt(5))
+            f(rnd.nextInt(w * h)) = rnd.nextInt(256).toByte
+          f
+        }
+      }.tail
+      val avi = MsRleCodec.encodeAvi(w, h, pal, frames, keyEvery)
+      val (fcc, dw, dh) = AviCodec.videoInfo(avi).getOrElse(fail(s"case $k: header"))
+      assert(fcc == "MRLE" && dw == w && dh == h, s"case $k")
+      assert(AviCodec.palette8(avi).exists(_.sameElements(pal)), s"case $k palette")
+      val v = MsRleCodec.decode(dw, dh, pal,
+        AviCodec.frames(avi).getOrElse(fail(s"case $k: demux")))
+        .getOrElse(fail(s"case $k: decode (${w}x$h keyEvery=$keyEvery)"))
+      v.frames.zip(frames).zipWithIndex.foreach { case ((got, px), i) =>
+        assert(got.pixels.sameElements(px), s"case $k frame $i")
+      }
+    }
+  }
+
   test("decoders are total on truncations and bit flips of real encodings") {
     val rnd = new scala.util.Random(0x70701)
     val flac = FlacCodec.encode(8000, Array(Array.fill(5000)(rnd.nextInt(65536) - 32768)))
     val mp4 = Mp4Codec.muxFlac(flac).get
     val avi = ZmbvCodec.encodeAvi(16, 16, ZmbvCodec.FmtPal8,
       Seq((Array.fill(256)(7.toByte), Array.fill(768)(3.toByte))))
+    val ima = AdpcmCodec.encodeImaWav(8000, Array.tabulate(900)(t => t % 711))
+    val ulaw = AdpcmCodec.encodeG711Wav(8000, Array.tabulate(500)(t => t * 31 % 40000 - 20000), mu = true)
+    val pal768 = Array.fill(768)(5.toByte)
+    val mrle = MsRleCodec.encodeAvi(16, 16, pal768,
+      Seq(Array.fill(256)(9.toByte)))
     for (_ <- 0 until 200) {
       def mangle(b: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
         case 0 => b.take(rnd.nextInt(b.length))
@@ -82,6 +157,10 @@ class CodecFuzzSpec extends AnyFunSuite {
       AviCodec.frames(mangle(avi))
       AviCodec.videoInfo(mangle(avi))
       ZmbvCodec.decode(16, 16, Seq(mangle(avi)))
+      AdpcmCodec.decodePcm(mangle(ima))
+      AdpcmCodec.decodePcm(mangle(ulaw))
+      AviCodec.palette8(mangle(mrle))
+      MsRleCodec.decode(16, 16, pal768, Seq(mangle(mrle)))
     }
     succeed
   }
