@@ -79,7 +79,11 @@ object Multimodal {
 
     def features(row: MediaRow): Seq[MediaFeatures] = row.modality match {
       case "image" =>
-        ImageOps.decode(row.content).toSeq.map { img =>
+        // ImageIO formats (PNG/JPEG/BMP/GIF) first; QOI via the engine's
+        // own from-spec codec ([[QoiCodec]]) — same packed-RGB shape
+        ImageOps.decode(row.content)
+          .orElse(QoiCodec.decode(row.content).map(QoiCodec.toImage))
+          .toSeq.map { img =>
           val (r, g, b) = ImageOps.averageColor(img)
           MediaFeatures(row.asset_id, "image", 0, img.width, img.height,
             Array(r / 255f, g / 255f, b / 255f, img.width.toFloat, img.height.toFloat),
@@ -286,7 +290,7 @@ object Multimodal {
       .option("recursiveFileLookup", "true").load(dir)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
-        when(ext.isin("jpg", "jpeg", "png", "bmp"), "image")
+        when(ext.isin("jpg", "jpeg", "png", "bmp", "qoi"), "image")
           .when(ext.isin("wav", "mp3", "flac", "m4a"), "audio")
           .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),

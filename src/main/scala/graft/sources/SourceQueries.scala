@@ -790,6 +790,108 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
+    * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
+    * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
+    * (INDEX hits): channel c of pixel (x, y) in asset i is
+    * r = (5i + 3⌊x/5⌋ + 7⌊y/3⌋) mod 256, g = (3i + 2⌊x/5⌋ + 5⌊y/3⌋)
+    * mod 256, b = (7i + ⌊x/5⌋ + ⌊y/3⌋) mod 256. Encoded by
+    * [[graft.multimodal.QoiCodec]].
+    */
+  private def ensureQoiTree(sfDir: String): String = {
+    val root = workDir("qoi", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 20; val h = 14
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val px = Array.tabulate(w * h) { o =>
+          val tx = (o % w) / 5; val ty = (o / w) / 3
+          val r = (i * 5 + 3 * tx + 7 * ty) % 256
+          val g = (i * 3 + 2 * tx + 5 * ty) % 256
+          val b = (i * 7 + tx + ty) % 256
+          (r << 16) | (g << 8) | b
+        }
+        Files.write(dir.resolve(f"q$i%03d.qoi"),
+          graft.multimodal.QoiCodec.encode(w, h, px))
+      }
+    }
+    root
+  }
+
+  /** From-spec image decode under the hash gate: binary scan of the QOI
+    * fixture tree, decoded by the pure-JVM [[graft.multimodal.QoiCodec]]
+    * (the public one-page QOI format: 64-entry hash index, wraparound
+    * DIFF/LUMA deltas, runs — the image tier's first codec implemented
+    * in the engine itself rather than delegated to ImageIO), reduced to
+    * exact integer per-image channel sums. QOI is lossless, so the
+    * oracle replays every pixel in CLOSED FORM from the filename index
+    * while `read_blob` pins byte identity — the image twin of
+    * `q_flac_scan`'s stance for audio.
+    */
+  object QoiScan extends GraftQuery {
+    val name = "q_qoi_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureQoiTree(sfDir)
+      val idRe = "q(\\d+)\\.qoi".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.qoi")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            graft.multimodal.QoiCodec.decode(content).map { q =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var k = 0
+              while (k < q.width * q.height) {
+                sr += q.r(k) & 0xFF; sg += q.g(k) & 0xFF; sb += q.b(k) & 0xFF
+                k += 1
+              }
+              val idx = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (idx, q.width.toLong, q.height.toLong,
+                q.width.toLong * q.height, sr, sg, sb,
+                content.length.toLong,
+                content.take(8).map(b => f"$b%02X").mkString)
+            }
+          }
+        }
+        .toDF("asset_idx", "width", "height", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as the other codec scans: static oracle
+    // text, gate at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'q(\d+)\.qoi', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_qoi__root_testdata_sf0.01/**/*.qoi')),
+        |px AS (
+        |  SELECT asset_idx,
+        |         (asset_idx * 5 + 3 * (x.x // 5) + 7 * (y.y // 3)) % 256 AS r,
+        |         (asset_idx * 3 + 2 * (x.x // 5) + 5 * (y.y // 3)) % 256 AS g,
+        |         (asset_idx * 7 + (x.x // 5) + (y.y // 3)) % 256 AS b
+        |  FROM f, LATERAL unnest(range(0, 20)) x(x),
+        |       LATERAL unnest(range(0, 14)) y(y)),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_pixels,
+        |         CAST(sum(r) AS BIGINT) AS sum_r,
+        |         CAST(sum(g) AS BIGINT) AS sum_g,
+        |         CAST(sum(b) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1)
+        |SELECT f.asset_idx, CAST(20 AS BIGINT) AS width,
+        |       CAST(14 AS BIGINT) AS height, a.n_pixels, a.sum_r, a.sum_g,
+        |       a.sum_b, f.n_bytes, f.head_hex
+        |FROM f JOIN a USING (asset_idx)
+        |ORDER BY f.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the MS-RLE fixture tree: 24 .avi
     * clips (8bpp palette, 16×12), 5 + (i mod 2) frames, keyframe every 4
     * (a mid-stream full repaint on 6-frame clips). Frame f is frame f−1
@@ -1230,14 +1332,15 @@ object SourceQueries {
     * union would collide on asset_id): 24 solid PNGs (`s*.png`), 24
     * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
     * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
-    * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`). The marker
+    * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
+    * images (`x*.qoi`). The marker
     * dir is versioned: adding a fixture family bumps it so pre-existing
     * temp trees rebuild (copies are idempotent, so a rebuild only adds
     * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v3"))) {
+    if (!Files.exists(Paths.get(root, "done_v4"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -1246,7 +1349,8 @@ object SourceQueries {
         (ensureZmbvTree(sfDir), ".avi", "v"),
         (ensureMsrleTree(sfDir), ".avi", "r"),
         (ensureAdpcmTree(sfDir), ".wav", "p"),
-        (ensureG711Tree(sfDir), ".wav", "g"))
+        (ensureG711Tree(sfDir), ".wav", "g"),
+        (ensureQoiTree(sfDir), ".qoi", "x"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -1258,7 +1362,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v3"))
+      Files.createDirectories(Paths.get(root, "done_v4"))
     }
     root
   }
@@ -1298,7 +1402,8 @@ object SourceQueries {
           sum(col("height").cast("long")).as("sum_h"))
         .orderBy("modality")
     }
-    // Closed forms: image = 48 16×16 PNGs (one feature row each); audio =
+    // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI (one feature
+    // row each); audio =
     // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 IMA ADPCM
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
     // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
@@ -1322,8 +1427,9 @@ object SourceQueries {
         |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
         |         CAST(96 AS BIGINT) AS sum_h
         |  UNION ALL
-        |  SELECT 'image', CAST(48 AS BIGINT), CAST(48 AS BIGINT),
-        |         CAST(48 AS BIGINT), CAST(768 AS BIGINT), CAST(768 AS BIGINT)
+        |  SELECT 'image', CAST(72 AS BIGINT), CAST(72 AS BIGINT),
+        |         CAST(72 AS BIGINT), CAST(768 + 24 * 20 AS BIGINT),
+        |         CAST(768 + 24 * 14 AS BIGINT)
         |  UNION ALL
         |  SELECT 'video', CAST(48 AS BIGINT),
         |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr) AS BIGINT),
@@ -1339,5 +1445,5 @@ object SourceQueries {
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
       FlacScan, ZmbvScan, Mp4Scan, MsrleScan, AdpcmScan, G711Scan,
-      MediaCatalog)
+      QoiScan, MediaCatalog)
 }

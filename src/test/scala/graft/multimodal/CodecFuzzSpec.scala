@@ -131,6 +131,36 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("QOI: 60 random images round-trip exactly") {
+    val rnd = new scala.util.Random(0x901F)
+    for (k <- 0 until 60) {
+      val w = 1 + rnd.nextInt(80)
+      val h = 1 + rnd.nextInt(60)
+      // mix op-pressure regimes: full-random (literals), tiny palettes
+      // (index/run), smooth gradients (diff/luma)
+      val pix = rnd.nextInt(3) match {
+        case 0 => Array.fill(w * h)(rnd.nextInt(1 << 24))
+        case 1 =>
+          val pal = Array.fill(5)(rnd.nextInt(1 << 24))
+          Array.fill(w * h)(pal(rnd.nextInt(pal.length)))
+        case _ =>
+          var c = rnd.nextInt(1 << 24)
+          Array.fill(w * h) {
+            val dr = rnd.nextInt(5) - 2; val dg = rnd.nextInt(5) - 2
+            c = ((((c >> 16) + dr) & 0xFF) << 16) |
+              ((((c >> 8) + dg) & 0xFF) << 8) | (((c & 0xFF) + dr) & 0xFF)
+            c
+          }
+      }
+      val q = QoiCodec.decode(QoiCodec.encode(w, h, pix))
+        .getOrElse(fail(s"case $k: decode (${w}x$h)"))
+      pix.indices.foreach { i =>
+        val got = ((q.r(i) & 0xFF) << 16) | ((q.g(i) & 0xFF) << 8) | (q.b(i) & 0xFF)
+        assert(got == pix(i), s"case $k pixel $i")
+      }
+    }
+  }
+
   test("decoders are total on truncations and bit flips of real encodings") {
     val rnd = new scala.util.Random(0x70701)
     val flac = FlacCodec.encode(8000, Array(Array.fill(5000)(rnd.nextInt(65536) - 32768)))
@@ -142,6 +172,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     val pal768 = Array.fill(768)(5.toByte)
     val mrle = MsRleCodec.encodeAvi(16, 16, pal768,
       Seq(Array.fill(256)(9.toByte)))
+    val qoi = QoiCodec.encode(16, 16, Array.tabulate(256)(_ * 65793 & 0xFFFFFF))
     for (_ <- 0 until 200) {
       def mangle(b: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
         case 0 => b.take(rnd.nextInt(b.length))
@@ -161,6 +192,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       AdpcmCodec.decodePcm(mangle(ulaw))
       AviCodec.palette8(mangle(mrle))
       MsRleCodec.decode(16, 16, pal768, Seq(mangle(mrle)))
+      QoiCodec.decode(mangle(qoi))
     }
     succeed
   }
