@@ -1,0 +1,418 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-JVM Matroska demux + a deterministic muxer, implemented from the
+  * PUBLIC specifications — RFC 8794 (EBML: variable-length element IDs
+  * and sizes) and the matroska.org element registry (Segment → Info /
+  * Tracks / Cluster, TrackEntry codec metadata, SimpleBlock framing,
+  * Xiph/fixed lacing) plus its codec mappings (`A_FLAC`: CodecPrivate is
+  * the native FLAC header — signature + metadata blocks — and each block
+  * carries whole FLAC frames; `V_MJPEG`: each block is one JPEG). No
+  * external library, no code taken from any demuxer.
+  *
+  * This closes the LAST container seam: with AVI ([[AviCodec]]), ISO-BMFF
+  * ([[Mp4Codec]]), Ogg ([[OggCodec]]) and now Matroska/WebM real, every
+  * container format the engine routes is genuinely parsed — what remains
+  * behind the fake+strict seam is only the perceptual codecs themselves
+  * (mp3/AAC/Vorbis/Opus audio, H.264/VP9/AV1 video), which need native
+  * DSP libraries in practice. FLAC-in-MKV decodes for real through
+  * [[FlacCodec]] — lossless, so `q_mkv_scan` puts the whole chain (EBML
+  * walk → track metadata → block/lacing reassembly → FLAC decode) under
+  * the closed-form hash oracle.
+  *
+  * Demux coverage: 1–4-byte element IDs, 1–8-byte sizes, nested master
+  * elements, multiple clusters, SimpleBlock AND BlockGroup/Block, no
+  * lacing / Xiph lacing / fixed-size lacing (EBML lacing is rejected —
+  * documented subset), float32/float64 SamplingFrequency, any number of
+  * tracks. Unknown-size elements (streaming Matroska) are rejected: the
+  * storage tier only ever sees finalized files. Everything is
+  * bounds-checked against the actual buffer — the demuxer is TOTAL on
+  * arbitrary bytes, the same contract as the other codecs here.
+  *
+  * Muxer subset (fixture/production-write tier): one track, known sizes
+  * everywhere (minimal-length VINTs), one SimpleBlock per frame with no
+  * lacing, a new Cluster every `clusterEvery` frames — every byte a pure
+  * function of the input, so fixture trees are pinnable by `read_blob`
+  * byte identity like the FLAC/ZMBV/MP4/Ogg trees.
+  */
+object MkvCodec {
+
+  /** One demuxed track; `kind` matches [[Mp4Codec.Track]] ("soun"/"vide"). */
+  final case class Track(kind: String, codecId: String, trackNumber: Long,
+      width: Int, height: Int, channels: Int, sampleRate: Int,
+      codecPrivate: Array[Byte], frames: Seq[Array[Byte]])
+
+  private final class Malformed extends RuntimeException
+  private def fail(): Nothing = throw new Malformed
+
+  // ------------------------------------------------------------- EBML read
+
+  /** VINT length from the first byte's leading-zero count (RFC 8794 §4). */
+  private def vintLen(first: Int, max: Int): Int = {
+    var len = 1
+    var mask = 0x80
+    while (len <= max && (first & mask) == 0) { len += 1; mask >>= 1 }
+    if (len > max) fail()
+    len
+  }
+
+  /** Element ID: up to 4 bytes, marker bit KEPT (IDs are written with it). */
+  private def readId(b: Array[Byte], pos: Int): (Long, Int) = {
+    if (pos >= b.length) fail()
+    val len = vintLen(b(pos) & 0xFF, 4)
+    if (pos + len > b.length) fail()
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(pos + i) & 0xFF); i += 1 }
+    (v, len)
+  }
+
+  /** Element size: up to 8 bytes, marker bit STRIPPED; all-ones payload
+    * (unknown size) is rejected.
+    */
+  private def readSize(b: Array[Byte], pos: Int): (Long, Int) = {
+    if (pos >= b.length) fail()
+    val first = b(pos) & 0xFF
+    val len = vintLen(first, 8)
+    if (pos + len > b.length) fail()
+    var v = (first & (0xFF >> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(pos + i) & 0xFF); i += 1 }
+    val allOnes = (1L << (7 * len)) - 1
+    if (v == allOnes) fail() // unknown-size element: streaming only
+    (v, len)
+  }
+
+  /** Children of a master element's payload [from, until):
+    * (id, payloadStart, payloadEnd).
+    */
+  private def children(b: Array[Byte], from: Int, until: Int): Seq[(Long, Int, Int)] = {
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var pos = from
+    while (pos < until) {
+      val (id, idLen) = readId(b, pos)
+      val (sz, szLen) = readSize(b, pos + idLen)
+      val start = pos + idLen + szLen
+      val end = start + sz
+      if (end > until || end < start) fail()
+      out += ((id, start, end))
+      pos = end
+    }
+    out.result()
+  }
+
+  private def uint(b: Array[Byte], from: Int, until: Int): Long = {
+    if (until - from > 8) fail()
+    var v = 0L
+    var i = from
+    while (i < until) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+    v
+  }
+
+  private def float(b: Array[Byte], from: Int, until: Int): Double =
+    until - from match {
+      case 0 => 0.0
+      case 4 => java.lang.Float.intBitsToFloat(uint(b, from, until).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(b, from, until))
+      case _ => fail()
+    }
+
+  // ------------------------------------------------------------ block read
+
+  /** Parse a (Simple)Block payload: track vint, int16 timestamp, flags,
+    * then 0/Xiph/fixed-laced frames. Returns (trackNumber, frames).
+    */
+  private def block(b: Array[Byte], from: Int, until: Int): (Long, Seq[Array[Byte]]) = {
+    if (from >= until) fail()
+    val tLen = vintLen(b(from) & 0xFF, 8)
+    val (track, _) = {
+      var v = ((b(from) & 0xFF) & (0xFF >> tLen)).toLong
+      var i = 1
+      while (i < tLen) { if (from + i >= until) fail(); v = (v << 8) | (b(from + i) & 0xFF); i += 1 }
+      (v, tLen)
+    }
+    var pos = from + tLen
+    if (pos + 3 > until) fail()
+    pos += 2 // relative timestamp (int16) — not needed for decode
+    val flags = b(pos) & 0xFF
+    pos += 1
+    val lacing = (flags >> 1) & 0x03
+    val frames = Seq.newBuilder[Array[Byte]]
+    lacing match {
+      case 0 => // no lacing: one frame
+        frames += java.util.Arrays.copyOfRange(b, pos, until)
+      case 2 => // Xiph: count byte, then 255-summed sizes for all but last
+        if (pos >= until) fail()
+        val nMinus1 = b(pos) & 0xFF
+        pos += 1
+        val sizes = new Array[Int](nMinus1)
+        var i = 0
+        while (i < nMinus1) {
+          var s = 0
+          var v = 255
+          while (v == 255) {
+            if (pos >= until) fail()
+            v = b(pos) & 0xFF
+            pos += 1
+            s += v
+          }
+          sizes(i) = s
+          i += 1
+        }
+        var rest = until - pos - sizes.sum
+        if (rest < 0) fail()
+        i = 0
+        while (i < nMinus1) {
+          frames += java.util.Arrays.copyOfRange(b, pos, pos + sizes(i))
+          pos += sizes(i)
+          i += 1
+        }
+        frames += java.util.Arrays.copyOfRange(b, pos, until)
+      case 1 => // fixed-size: count byte, equal split
+        if (pos >= until) fail()
+        val n = (b(pos) & 0xFF) + 1
+        pos += 1
+        val total = until - pos
+        if (total % n != 0) fail()
+        val each = total / n
+        var i = 0
+        while (i < n) {
+          frames += java.util.Arrays.copyOfRange(b, pos, pos + each)
+          pos += each
+          i += 1
+        }
+      case _ => fail() // EBML lacing: documented unsupported subset
+    }
+    (track, frames.result())
+  }
+
+  // ----------------------------------------------------------------- demux
+
+  private val IdEbml = 0x1A45DFA3L
+  private val IdSegment = 0x18538067L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackNumber = 0xD7L
+  private val IdTrackType = 0x83L
+  private val IdCodecId = 0x86L
+  private val IdCodecPrivate = 0x63A2L
+  private val IdAudio = 0xE1L
+  private val IdSamplingFrequency = 0xB5L
+  private val IdChannels = 0x9FL
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+  private val IdCluster = 0x1F43B675L
+  private val IdSimpleBlock = 0xA3L
+  private val IdBlockGroup = 0xA0L
+  private val IdBlock = 0xA1L
+
+  def demux(bytes: Array[Byte]): Option[Seq[Track]] =
+    try Some(demuxOrThrow(bytes))
+    catch { case _: Malformed | _: ArrayIndexOutOfBoundsException => None }
+
+  private def demuxOrThrow(b: Array[Byte]): Seq[Track] = {
+    val top = children(b, 0, b.length)
+    if (top.isEmpty || top.head._1 != IdEbml) fail()
+    val seg = top.find(_._1 == IdSegment).getOrElse(fail())
+    val segKids = children(b, seg._2, seg._3)
+
+    final case class T(num: Long, kind: String, codecId: String, w: Int, h: Int,
+        ch: Int, rate: Int, priv: Array[Byte])
+    val metas = new ArrayBuffer[T]()
+    segKids.filter(_._1 == IdTracks).foreach { case (_, ts, te) =>
+      children(b, ts, te).filter(_._1 == IdTrackEntry).foreach { case (_, es, ee) =>
+        var num = -1L; var typ = -1L; var codec = ""; var w = 0; var h = 0
+        var ch = 1; var rate = 0; var priv = Array.emptyByteArray
+        children(b, es, ee).foreach {
+          case (IdTrackNumber, s, e) => num = uint(b, s, e)
+          case (IdTrackType, s, e) => typ = uint(b, s, e)
+          case (IdCodecId, s, e) => codec = new String(b, s, e - s, "UTF-8")
+          case (IdCodecPrivate, s, e) => priv = java.util.Arrays.copyOfRange(b, s, e)
+          case (IdAudio, s, e) => children(b, s, e).foreach {
+            case (IdSamplingFrequency, fs, fe) => rate = math.round(float(b, fs, fe)).toInt
+            case (IdChannels, cs, ce) => ch = uint(b, cs, ce).toInt
+            case _ => ()
+          }
+          case (IdVideo, s, e) => children(b, s, e).foreach {
+            case (IdPixelWidth, ws, we) => w = uint(b, ws, we).toInt
+            case (IdPixelHeight, hs, he) => h = uint(b, hs, he).toInt
+            case _ => ()
+          }
+          case _ => ()
+        }
+        if (num <= 0) fail()
+        val kind = typ match {
+          case 1 => "vide"
+          case 2 => "soun"
+          case _ => "othr"
+        }
+        metas += T(num, kind, codec, w, h, ch, rate, priv)
+      }
+    }
+
+    val framesByTrack =
+      scala.collection.mutable.Map.empty[Long, ArrayBuffer[Array[Byte]]]
+    segKids.filter(_._1 == IdCluster).foreach { case (_, cs, ce) =>
+      children(b, cs, ce).foreach {
+        case (IdSimpleBlock, s, e) =>
+          val (num, fs) = block(b, s, e)
+          framesByTrack.getOrElseUpdate(num, new ArrayBuffer) ++= fs
+        case (IdBlockGroup, s, e) =>
+          children(b, s, e).filter(_._1 == IdBlock).foreach { case (_, bs, be) =>
+            val (num, fs) = block(b, bs, be)
+            framesByTrack.getOrElseUpdate(num, new ArrayBuffer) ++= fs
+          }
+        case _ => ()
+      }
+    }
+
+    metas.map { m =>
+      Track(m.kind, m.codecId, m.num, m.w, m.h, m.ch, m.rate, m.priv,
+        framesByTrack.getOrElse(m.num, new ArrayBuffer).toSeq)
+    }.toSeq
+  }
+
+  /** Rebuild the native FLAC byte stream from an `A_FLAC` track: the
+    * Matroska mapping stores the complete native header (signature +
+    * metadata blocks) in CodecPrivate and whole frames in the blocks.
+    */
+  def flacStream(t: Track): Option[Array[Byte]] =
+    if (t.codecId == "A_FLAC" && t.codecPrivate.length >= 42 &&
+      t.codecPrivate(0) == 'f' && t.codecPrivate(1) == 'L' &&
+      t.codecPrivate(2) == 'a' && t.codecPrivate(3) == 'C') {
+      val out = new ArrayBuffer[Byte](t.codecPrivate.length + t.frames.map(_.length).sum)
+      out ++= t.codecPrivate
+      t.frames.foreach(out ++= _)
+      Some(out.toArray)
+    } else None
+
+  // ----------------------------------------------------------------- muxer
+
+  /** Serialize one element: minimal-length VINT size. */
+  private def element(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](payload.length + 12)
+    // ID bytes (marker included): strip leading zero bytes
+    var idLen = 8
+    while (idLen > 1 && (id >>> ((idLen - 1) * 8)) == 0) idLen -= 1
+    var i = idLen - 1
+    while (i >= 0) { out += ((id >>> (i * 8)) & 0xFF).toByte; i -= 1 }
+    // size: smallest len with value < 2^(7*len) - 1 (all-ones reserved)
+    val sz = payload.length.toLong
+    var len = 1
+    while (sz >= (1L << (7 * len)) - 1) len += 1
+    i = len - 1
+    var first = true
+    while (i >= 0) {
+      var byte = ((sz >>> (i * 8)) & 0xFF).toInt
+      if (first) { byte |= 0x80 >> (len - 1); first = false }
+      out += byte.toByte
+      i -= 1
+    }
+    out ++= payload
+    out.toArray
+  }
+
+  private def uintBytes(v: Long): Array[Byte] = {
+    var len = 8
+    while (len > 1 && (v >>> ((len - 1) * 8)) == 0) len -= 1
+    Array.tabulate(len)(i => ((v >>> ((len - 1 - i) * 8)) & 0xFF).toByte)
+  }
+
+  private def float8(v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    Array.tabulate(8)(i => ((bits >>> ((7 - i) * 8)) & 0xFF).toByte)
+  }
+
+  private def ebmlHeader(docType: String): Array[Byte] =
+    element(IdEbml,
+      element(0x4286L, uintBytes(1)) ++      // EBMLVersion
+        element(0x42F7L, uintBytes(1)) ++    // EBMLReadVersion
+        element(0x42F2L, uintBytes(4)) ++    // EBMLMaxIDLength
+        element(0x42F3L, uintBytes(8)) ++    // EBMLMaxSizeLength
+        element(0x4282L, docType.getBytes("US-ASCII")) ++ // DocType
+        element(0x4287L, uintBytes(4)) ++    // DocTypeVersion
+        element(0x4285L, uintBytes(2)))      // DocTypeReadVersion
+
+  private def simpleBlock(track: Int, relTsMs: Int, frame: Array[Byte]): Array[Byte] = {
+    require(track >= 1 && track <= 127 && relTsMs >= -32768 && relTsMs <= 32767)
+    val head = Array[Byte]((0x80 | track).toByte,
+      ((relTsMs >> 8) & 0xFF).toByte, (relTsMs & 0xFF).toByte,
+      0x80.toByte) // keyframe, no lacing
+    element(IdSimpleBlock, head ++ frame)
+  }
+
+  private def clusters(frames: Seq[(Array[Byte], Long)], clusterEvery: Int): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    frames.grouped(clusterEvery).foreach { grp =>
+      val baseMs = grp.head._2
+      val body = element(0xE7L, uintBytes(baseMs)) ++ // cluster Timestamp
+        grp.toArray.flatMap { case (f, ms) =>
+          simpleBlock(1, (ms - baseMs).toInt, f)
+        }
+      out ++= element(IdCluster, body)
+    }
+    out.toArray
+  }
+
+  /** Deterministic FLAC-in-Matroska muxer (an `.mka` file). Splits the
+    * native stream into frames by decoding it
+    * ([[FlacCodec.streamLayout]]); CodecPrivate carries the COMPLETE
+    * native header per the Matroska codec mapping, one SimpleBlock per
+    * frame, a new cluster every `clusterEvery` frames, timestamps in
+    * integer milliseconds (TimestampScale 1 ms). None if the input is
+    * not a decodable FLAC stream.
+    */
+  def muxFlac(flac: Array[Byte], clusterEvery: Int = 8): Option[Array[Byte]] =
+    FlacCodec.streamLayout(flac).map { case (streamInfo, ranges) =>
+      val header = new ArrayBuffer[Byte]()
+      header ++= "fLaC".getBytes("US-ASCII")
+      header += 0x80.toByte; header += 0; header += 0; header += 34
+      header ++= streamInfo
+      val rate = ((streamInfo(10) & 0xFF) << 12) | ((streamInfo(11) & 0xFF) << 4) |
+        ((streamInfo(12) & 0xFF) >> 4)
+      val nCh = ((streamInfo(12) >> 1) & 0x07) + 1
+      var samples = 0L
+      val frames = ranges.map { case (s, e, blockSize) =>
+        val ms = samples * 1000L / rate
+        samples += blockSize
+        (java.util.Arrays.copyOfRange(flac, s, e), ms)
+      }
+      val trackEntry = element(IdTrackEntry,
+        element(IdTrackNumber, uintBytes(1)) ++
+          element(0x73C5L, uintBytes(1)) ++ // TrackUID
+          element(IdTrackType, uintBytes(2)) ++
+          element(IdCodecId, "A_FLAC".getBytes("US-ASCII")) ++
+          element(IdCodecPrivate, header.toArray) ++
+          element(IdAudio,
+            element(IdSamplingFrequency, float8(rate.toDouble)) ++
+              element(IdChannels, uintBytes(nCh.toLong))))
+      val segment = element(IdSegment,
+        element(0x1549A966L, element(0x2AD7B1L, uintBytes(1000000L))) ++ // Info
+          element(IdTracks, trackEntry) ++
+          clusters(frames, clusterEvery))
+      ebmlHeader("matroska") ++ segment
+    }
+
+  /** Deterministic MJPEG-in-Matroska muxer (an `.mkv` file): `V_MJPEG`
+    * track, one SimpleBlock per JPEG at 25 fps, cluster per 25 frames —
+    * the Matroska twin of [[Mp4Codec.muxMjpeg]].
+    */
+  def muxMjpeg(width: Int, height: Int, jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val trackEntry = element(IdTrackEntry,
+      element(IdTrackNumber, uintBytes(1)) ++
+        element(0x73C5L, uintBytes(1)) ++
+        element(IdTrackType, uintBytes(1)) ++
+        element(IdCodecId, "V_MJPEG".getBytes("US-ASCII")) ++
+        element(IdVideo,
+          element(IdPixelWidth, uintBytes(width.toLong)) ++
+            element(IdPixelHeight, uintBytes(height.toLong))))
+    val frames = jpegs.zipWithIndex.map { case (j, i) => (j, i * 40L) }
+    val segment = element(IdSegment,
+      element(0x1549A966L, element(0x2AD7B1L, uintBytes(1000000L))) ++
+        element(IdTracks, trackEntry) ++
+        clusters(frames, clusterEvery = 25))
+    ebmlHeader("matroska") ++ segment
+  }
+}

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * IMA ADPCM + G.711 µ/A-law WAV via [[AdpcmCodec]], FLAC audio via
   * [[FlacCodec]] (a real compressed-codec decode, RFC 9639), MJPEG-AVI
   * and inter-frame ZMBV-AVI video via [[AviCodec]] / [[ZmbvCodec]],
-  * FLAC/MJPEG in MP4 via [[Mp4Codec]]. Only perceptual codecs that need
+  * FLAC/MJPEG in MP4 via [[Mp4Codec]], FLAC in Ogg via [[OggCodec]].
+  * Only perceptual codecs that need
   * native DSP libraries in practice (mp3/AAC audio, H.264/VP9 video)
   * remain deterministic stubs behind the [[MediaDecoder]] seam (clearly
   * marked). Swapping a production decoder in changes one constructor,
@@ -99,6 +100,9 @@ object Multimodal {
         WavCodec.decode(row.content)
           .orElse(AdpcmCodec.decode(row.content)) // IMA ADPCM / G.711 µ/A-law WAV
           .orElse(FlacCodec.decode(row.content).map(FlacCodec.toWav))
+          .orElse( // FLAC in Ogg (RFC 3533 pages + Xiph FLAC-to-Ogg mapping)
+            OggCodec.flacStream(row.content)
+              .flatMap(FlacCodec.decode).map(FlacCodec.toWav))
           .orElse(for {
             tracks <- Mp4Codec.demux(row.content)
             t <- tracks.find(t => t.kind == "soun" && t.fourcc == "fLaC")
@@ -291,7 +295,7 @@ object Multimodal {
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp", "qoi"), "image")
-          .when(ext.isin("wav", "mp3", "flac", "m4a"), "audio")
+          .when(ext.isin("wav", "mp3", "flac", "m4a", "ogg"), "audio")
           .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),
         concat(lit("application/"), ext).as("mime"),

@@ -790,6 +790,114 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the FLAC-in-Ogg fixture tree: 24
+    * .ogg files whose PCM is a pure function of the asset index —
+    * s(i, t) = ((41·i + 17·t) mod 65536) − 32768, n = 6000 + 131·i
+    * samples at rate 11025 + 111·i — FLAC-encoded by
+    * [[graft.multimodal.FlacCodec]] and paged into Ogg by
+    * [[graft.multimodal.OggCodec.muxFlac]] (RFC 3533 framing, Xiph
+    * FLAC-to-Ogg mapping: one FLAC frame per packet). n is always > 4096
+    * and never a multiple, so every file has ≥ 2 audio packets with a
+    * short last frame, and frames (~8 KB) always span multiple lacing
+    * values.
+    */
+  private def ensureOggTree(sfDir: String): String = {
+    val root = workDir("ogg", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val n = 6000 + 131 * i
+        val pcm = Array.tabulate(n)(t => ((i * 41 + t * 17) % 65536) - 32768)
+        val flac = graft.multimodal.FlacCodec.encode(11025 + 111 * i, Array(pcm))
+        Files.write(dir.resolve(f"o$i%03d.ogg"),
+          graft.multimodal.OggCodec.muxFlac(flac)
+            .getOrElse(sys.error(s"muxFlac refused asset $i")))
+      }
+    }
+    root
+  }
+
+  /** Ogg-container decode under the hash gate: binary scan of the
+    * FLAC-in-Ogg fixture tree, de-paged by the pure-JVM
+    * [[graft.multimodal.OggCodec]] (RFC 3533 page walk with the Ogg
+    * CRC-32 verified on every page, lacing-value packet reassembly —
+    * including packets spanning lacing runs — then the Xiph
+    * FLAC-to-Ogg mapping rebuilt into a native FLAC stream) and decoded
+    * by [[graft.multimodal.FlacCodec]]. The oracle replays the samples
+    * in CLOSED FORM from the filename index — `n_packets` additionally
+    * pins the packet split (1 mapping packet + one per FLAC frame) —
+    * and `read_blob` pins byte identity. A green row proves the whole
+    * chain (mux(encode(pcm)) → binary scan → de-page → decode == pcm):
+    * with AVI, MP4, and now Ogg real, no CONTAINER is a stand-in
+    * anywhere in the engine — the fake+strict seam is down to the
+    * perceptual codecs themselves (mp3/AAC/Vorbis/H.264/VP9).
+    */
+  object OggScan extends GraftQuery {
+    val name = "q_ogg_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureOggTree(sfDir)
+      val idRe = "o(\\d+)\\.ogg".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ogg")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.{FlacCodec, OggCodec}
+          for {
+            nPackets <- OggCodec.packets(content).map(_.length).toSeq
+            stream <- OggCodec.flacStream(content).toSeq
+            pcm <- FlacCodec.decode(stream).toSeq
+          } yield {
+            val s = pcm.channels(0)
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+            val idx = idRe.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            (idx, pcm.sampleRate.toLong, nPackets.toLong, s.length.toLong,
+              sum, mn.toLong, mx.toLong, content.length.toLong,
+              content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "sample_rate", "n_packets", "n_samples",
+          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as q_flac_scan/q_mp4_scan: static oracle
+    // text, correctness gate at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'o(\d+)\.ogg', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_ogg__root_testdata_sf0.01/**/*.ogg')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         11025 + 111 * asset_idx AS sample_rate,
+        |         6000 + 131 * asset_idx AS n
+        |  FROM f),
+        |p AS (
+        |  SELECT asset_idx, ((asset_idx * 41 + t.t * 17) % 65536) - 32768 AS v
+        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_samples,
+        |         CAST(sum(v) AS BIGINT) AS sum_samples,
+        |         min(v) AS min_sample, max(v) AS max_sample
+        |  FROM p GROUP BY 1)
+        |SELECT s.asset_idx, s.sample_rate,
+        |       1 + (s.n + 4095) // 4096 AS n_packets,
+        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
+        |       s.n_bytes, s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
     * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
     * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
@@ -1333,14 +1441,14 @@ object SourceQueries {
     * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
     * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
     * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
-    * images (`x*.qoi`). The marker
+    * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`). The marker
     * dir is versioned: adding a fixture family bumps it so pre-existing
     * temp trees rebuild (copies are idempotent, so a rebuild only adds
     * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v4"))) {
+    if (!Files.exists(Paths.get(root, "done_v5"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -1350,7 +1458,8 @@ object SourceQueries {
         (ensureMsrleTree(sfDir), ".avi", "r"),
         (ensureAdpcmTree(sfDir), ".wav", "p"),
         (ensureG711Tree(sfDir), ".wav", "g"),
-        (ensureQoiTree(sfDir), ".qoi", "x"))
+        (ensureQoiTree(sfDir), ".qoi", "x"),
+        (ensureOggTree(sfDir), ".ogg", "o"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -1362,7 +1471,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v4"))
+      Files.createDirectories(Paths.get(root, "done_v5"))
     }
     root
   }
@@ -1384,7 +1493,7 @@ object SourceQueries {
     * each decoder reports the exact dims/rates the encoders wrote.
     * (Byte identity and per-pixel/per-sample content are pinned by the
     * per-tree queries `q_binary_scan`/`q_binary_twotone`/`q_flac_scan`/
-    * `q_mp4_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
+    * `q_mp4_scan`/`q_ogg_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
     * above them.)
     */
   object MediaCatalog extends GraftQuery {
@@ -1404,7 +1513,8 @@ object SourceQueries {
     }
     // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI (one feature
     // row each); audio =
-    // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 IMA ADPCM
+    // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 Ogg-FLAC
+    // at 11025+111i, 24 IMA ADPCM
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
     // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
     // frames at 24×18 plus 24 MS-RLE clips of 5+(i mod 2) frames at
@@ -1414,6 +1524,8 @@ object SourceQueries {
         |            FROM unnest(range(0, 24)) i(i)),
         |mp AS (SELECT sum(16000 + 50 * i.i) AS w
         |       FROM unnest(range(0, 24)) i(i)),
+        |og AS (SELECT sum(11025 + 111 * i.i) AS w
+        |       FROM unnest(range(0, 24)) i(i)),
         |ad AS (SELECT sum(8000 + 25 * i.i) AS w
         |       FROM unnest(range(0, 24)) i(i)),
         |vid AS (SELECT sum(5 + i.i % 3) AS fr
@@ -1421,11 +1533,12 @@ object SourceQueries {
         |mr AS (SELECT sum(5 + i.i % 2) AS fr
         |       FROM unnest(range(0, 24)) i(i))
         |SELECT * FROM (
-        |  SELECT 'audio' AS modality, CAST(96 AS BIGINT) AS n_assets,
-        |         CAST(96 AS BIGINT) AS n_rows, CAST(96 AS BIGINT) AS n_real,
+        |  SELECT 'audio' AS modality, CAST(120 AS BIGINT) AS n_assets,
+        |         CAST(120 AS BIGINT) AS n_rows, CAST(120 AS BIGINT) AS n_real,
         |         CAST((SELECT w FROM fl) + (SELECT w FROM mp)
+        |              + (SELECT w FROM og)
         |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
-        |         CAST(96 AS BIGINT) AS sum_h
+        |         CAST(120 AS BIGINT) AS sum_h
         |  UNION ALL
         |  SELECT 'image', CAST(72 AS BIGINT), CAST(72 AS BIGINT),
         |         CAST(72 AS BIGINT), CAST(768 + 24 * 20 AS BIGINT),
@@ -1444,6 +1557,6 @@ object SourceQueries {
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, MsrleScan, AdpcmScan, G711Scan,
+      FlacScan, ZmbvScan, Mp4Scan, OggScan, MsrleScan, AdpcmScan, G711Scan,
       QoiScan, MediaCatalog)
 }

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CodecFuzzSpec extends AnyFunSuite {
 
-  test("FLAC: 60 random streams round-trip bare AND through MP4") {
+  test("FLAC: 60 random streams round-trip bare AND through MP4 AND Ogg") {
     val rnd = new scala.util.Random(0xF1AC)
     for (k <- 0 until 60) {
       val n = 1 + rnd.nextInt(9000)
@@ -28,6 +28,10 @@ class CodecFuzzSpec extends AnyFunSuite {
         .flatMap(Mp4Codec.flacStream).flatMap(FlacCodec.decode)
         .getOrElse(fail(s"case $k: mp4 chain"))
       chans.indices.foreach(c => assert(viaMp4.channels(c).sameElements(chans(c)), s"case $k mp4 ch $c"))
+      val ogg = OggCodec.muxFlac(flac).getOrElse(fail(s"case $k: ogg mux"))
+      val viaOgg = OggCodec.flacStream(ogg).flatMap(FlacCodec.decode)
+        .getOrElse(fail(s"case $k: ogg chain"))
+      chans.indices.foreach(c => assert(viaOgg.channels(c).sameElements(chans(c)), s"case $k ogg ch $c"))
     }
   }
 
@@ -165,6 +169,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(0x70701)
     val flac = FlacCodec.encode(8000, Array(Array.fill(5000)(rnd.nextInt(65536) - 32768)))
     val mp4 = Mp4Codec.muxFlac(flac).get
+    val ogg = OggCodec.muxFlac(flac).get
     val avi = ZmbvCodec.encodeAvi(16, 16, ZmbvCodec.FmtPal8,
       Seq((Array.fill(256)(7.toByte), Array.fill(768)(3.toByte))))
     val ima = AdpcmCodec.encodeImaWav(8000, Array.tabulate(900)(t => t % 711))
@@ -185,6 +190,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       FlacCodec.decode(mangle(flac))
       FlacCodec.streamLayout(mangle(flac))
       Mp4Codec.demux(mangle(mp4)).foreach(_.foreach(Mp4Codec.flacStream))
+      OggCodec.packets(mangle(ogg))
+      OggCodec.flacStream(mangle(ogg))
       AviCodec.frames(mangle(avi))
       AviCodec.videoInfo(mangle(avi))
       ZmbvCodec.decode(16, 16, Seq(mangle(avi)))
