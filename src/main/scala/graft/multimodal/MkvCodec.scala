@@ -94,8 +94,9 @@ object MkvCodec {
       val (id, idLen) = readId(b, pos)
       val (sz, szLen) = readSize(b, pos + idLen)
       val start = pos + idLen + szLen
-      val end = start + sz
-      if (end > until || end < start) fail()
+      val endL = start.toLong + sz
+      if (endL > until || endL < start) fail()
+      val end = endL.toInt
       out += ((id, start, end))
       pos = end
     }
@@ -336,7 +337,7 @@ object MkvCodec {
         element(0x4285L, uintBytes(2)))      // DocTypeReadVersion
 
   private def simpleBlock(track: Int, relTsMs: Int, frame: Array[Byte]): Array[Byte] = {
-    require(track >= 1 && track <= 127 && relTsMs >= -32768 && relTsMs <= 32767)
+    if (!(track >= 1 && track <= 127 && relTsMs >= -32768 && relTsMs <= 32767)) fail()
     val head = Array[Byte]((0x80 | track).toByte,
       ((relTsMs >> 8) & 0xFF).toByte, (relTsMs & 0xFF).toByte,
       0x80.toByte) // keyframe, no lacing
@@ -349,7 +350,9 @@ object MkvCodec {
       val baseMs = grp.head._2
       val body = element(0xE7L, uintBytes(baseMs)) ++ // cluster Timestamp
         grp.toArray.flatMap { case (f, ms) =>
-          simpleBlock(1, (ms - baseMs).toInt, f)
+          val rel = ms - baseMs
+          if (rel < -32768L || rel > 32767L) fail() // int16 SimpleBlock bound
+          simpleBlock(1, rel.toInt, f)
         }
       out ++= element(IdCluster, body)
     }
@@ -364,7 +367,7 @@ object MkvCodec {
     * integer milliseconds (TimestampScale 1 ms). None if the input is
     * not a decodable FLAC stream.
     */
-  def muxFlac(flac: Array[Byte], clusterEvery: Int = 8): Option[Array[Byte]] =
+  def muxFlac(flac: Array[Byte], clusterEvery: Int = 8): Option[Array[Byte]] = try {
     FlacCodec.streamLayout(flac).map { case (streamInfo, ranges) =>
       val header = new ArrayBuffer[Byte]()
       header ++= "fLaC".getBytes("US-ASCII")
@@ -394,6 +397,7 @@ object MkvCodec {
           clusters(frames, clusterEvery))
       ebmlHeader("matroska") ++ segment
     }
+  } catch { case _: Malformed => None } // e.g. cluster rel-timestamp > int16
 
   /** Deterministic MJPEG-in-Matroska muxer (an `.mkv` file): `V_MJPEG`
     * track, one SimpleBlock per JPEG at 25 fps, cluster per 25 frames —

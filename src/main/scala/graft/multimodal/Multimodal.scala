@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * IMA ADPCM + G.711 µ/A-law WAV via [[AdpcmCodec]], FLAC audio via
   * [[FlacCodec]] (a real compressed-codec decode, RFC 9639), MJPEG-AVI
   * and inter-frame ZMBV-AVI video via [[AviCodec]] / [[ZmbvCodec]],
-  * FLAC/MJPEG in MP4 via [[Mp4Codec]], FLAC in Ogg via [[OggCodec]].
+  * FLAC/MJPEG in MP4 via [[Mp4Codec]], FLAC in Ogg via [[OggCodec]],
+  * FLAC/MJPEG in Matroska/WebM via [[MkvCodec]].
   * Only perceptual codecs that need
   * native DSP libraries in practice (mp3/AAC audio, H.264/VP9 video)
   * remain deterministic stubs behind the [[MediaDecoder]] seam (clearly
@@ -107,6 +108,12 @@ object Multimodal {
             tracks <- Mp4Codec.demux(row.content)
             t <- tracks.find(t => t.kind == "soun" && t.fourcc == "fLaC")
             stream <- Mp4Codec.flacStream(t)
+            pcm <- FlacCodec.decode(stream)
+          } yield FlacCodec.toWav(pcm))
+          .orElse(for { // FLAC in Matroska/WebM (RFC 8794 EBML + A_FLAC mapping)
+            tracks <- MkvCodec.demux(row.content)
+            t <- tracks.find(_.codecId == "A_FLAC")
+            stream <- MkvCodec.flacStream(t)
             pcm <- FlacCodec.decode(stream)
           } yield FlacCodec.toWav(pcm)) match {
           case Some(wav) =>
@@ -214,11 +221,15 @@ object Multimodal {
           case _ =>
             // real path: MP4-carried MJPEG ([[Mp4Codec]] demux; samples
             // are plain JPEGs ImageIO reads) — the BMFF twin of MJPEG-AVI
-            val mp4Jpegs = for {
+            val mp4Jpegs = (for {
               tracks <- Mp4Codec.demux(row.content)
               t <- tracks.find(t => t.kind == "vide" &&
                 (t.fourcc == "jpeg" || t.fourcc == "mjpg"))
-            } yield t.samples
+            } yield t.samples)
+              .orElse(for { // MJPEG in Matroska (V_MJPEG blocks are JPEGs)
+                tracks <- MkvCodec.demux(row.content)
+                t <- tracks.find(t => t.kind == "vide" && t.codecId == "V_MJPEG")
+              } yield t.frames)
             mp4Jpegs match {
               case Some(payloads) if payloads.nonEmpty =>
                 val stride = (payloads.length + MaxFrames - 1) / MaxFrames
@@ -295,7 +306,7 @@ object Multimodal {
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
         when(ext.isin("jpg", "jpeg", "png", "bmp", "qoi"), "image")
-          .when(ext.isin("wav", "mp3", "flac", "m4a", "ogg"), "audio")
+          .when(ext.isin("wav", "mp3", "flac", "m4a", "ogg", "mka"), "audio")
           .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),
         concat(lit("application/"), ext).as("mime"),

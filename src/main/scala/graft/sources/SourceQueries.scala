@@ -898,6 +898,115 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the FLAC-in-Matroska fixture tree:
+    * 24 .mka files whose PCM is a pure function of the asset index —
+    * s(i, t) = ((37·i + 13·t) mod 65536) − 32768, n = 30000 + 1234·i
+    * samples at rate 9000 + 77·i — FLAC-encoded by
+    * [[graft.multimodal.FlacCodec]] and wrapped into Matroska by
+    * [[graft.multimodal.MkvCodec.muxFlac]] (RFC 8794 EBML framing, the
+    * matroska.org `A_FLAC` mapping: native header in CodecPrivate, one
+    * SimpleBlock per FLAC frame, a new Cluster every 8 frames). n gives
+    * 8–15 frames per file, so every file crosses the cluster boundary
+    * path at least via a full first cluster and most have ≥ 2 clusters.
+    */
+  private def ensureMkvTree(sfDir: String): String = {
+    val root = workDir("mkv", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val n = 30000 + 1234 * i
+        val pcm = Array.tabulate(n)(t => ((i * 37 + t * 13) % 65536) - 32768)
+        val flac = graft.multimodal.FlacCodec.encode(9000 + 77 * i, Array(pcm))
+        Files.write(dir.resolve(f"k$i%03d.mka"),
+          graft.multimodal.MkvCodec.muxFlac(flac)
+            .getOrElse(sys.error(s"muxFlac refused asset $i")))
+      }
+    }
+    root
+  }
+
+  /** Matroska-container decode under the hash gate: binary scan of the
+    * FLAC-in-MKV fixture tree, demuxed by the pure-JVM
+    * [[graft.multimodal.MkvCodec]] (RFC 8794 EBML element walk →
+    * Segment/Tracks/Cluster → TrackEntry codec metadata → SimpleBlock
+    * framing), rebuilt into a native FLAC stream from CodecPrivate per
+    * the matroska.org `A_FLAC` mapping and decoded by
+    * [[graft.multimodal.FlacCodec]]. The oracle replays the samples in
+    * CLOSED FORM from the filename index — `n_frames` additionally pins
+    * the block split ((n + 4095) div 4096 SimpleBlocks per file, walked
+    * across multiple Clusters) — and `read_blob` pins byte identity. A
+    * green row proves the whole chain (mux(encode(pcm)) → binary scan →
+    * EBML walk → block reassembly → decode == pcm): with AVI, MP4, Ogg,
+    * and now Matroska/WebM real, every container format the engine
+    * routes is genuinely parsed; the fake+strict seam is only the
+    * perceptual codecs themselves (mp3/AAC/Vorbis/H.264/VP9).
+    */
+  object MkvScan extends GraftQuery {
+    val name = "q_mkv_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMkvTree(sfDir)
+      val idRe = "k(\\d+)\\.mka".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mka")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.{FlacCodec, MkvCodec}
+          for {
+            tracks <- MkvCodec.demux(content).toSeq
+            t <- tracks.find(_.codecId == "A_FLAC").toSeq
+            stream <- MkvCodec.flacStream(t).toSeq
+            pcm <- FlacCodec.decode(stream).toSeq
+          } yield {
+            val s = pcm.channels(0)
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+            val idx = idRe.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            (idx, t.sampleRate.toLong, t.frames.length.toLong, s.length.toLong,
+              sum, mn.toLong, mx.toLong, content.length.toLong,
+              content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "sample_rate", "n_frames", "n_samples",
+          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as q_flac_scan/q_mp4_scan/q_ogg_scan:
+    // static oracle text, correctness gate at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'k(\d+)\.mka', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_mkv__root_testdata_sf0.01/**/*.mka')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         9000 + 77 * asset_idx AS sample_rate,
+        |         30000 + 1234 * asset_idx AS n
+        |  FROM f),
+        |p AS (
+        |  SELECT asset_idx, ((asset_idx * 37 + t.t * 13) % 65536) - 32768 AS v
+        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_samples,
+        |         CAST(sum(v) AS BIGINT) AS sum_samples,
+        |         min(v) AS min_sample, max(v) AS max_sample
+        |  FROM p GROUP BY 1)
+        |SELECT s.asset_idx, s.sample_rate, (s.n + 4095) // 4096 AS n_frames,
+        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
+        |       s.n_bytes, s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
     * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
     * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
@@ -1441,14 +1550,15 @@ object SourceQueries {
     * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
     * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
     * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
-    * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`). The marker
+    * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`), 24 FLAC-in-Matroska
+    * (`k*.mka`). The marker
     * dir is versioned: adding a fixture family bumps it so pre-existing
     * temp trees rebuild (copies are idempotent, so a rebuild only adds
     * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v5"))) {
+    if (!Files.exists(Paths.get(root, "done_v6"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -1459,7 +1569,8 @@ object SourceQueries {
         (ensureAdpcmTree(sfDir), ".wav", "p"),
         (ensureG711Tree(sfDir), ".wav", "g"),
         (ensureQoiTree(sfDir), ".qoi", "x"),
-        (ensureOggTree(sfDir), ".ogg", "o"))
+        (ensureOggTree(sfDir), ".ogg", "o"),
+        (ensureMkvTree(sfDir), ".mka", "k"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -1471,7 +1582,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v5"))
+      Files.createDirectories(Paths.get(root, "done_v6"))
     }
     root
   }
@@ -1493,7 +1604,7 @@ object SourceQueries {
     * each decoder reports the exact dims/rates the encoders wrote.
     * (Byte identity and per-pixel/per-sample content are pinned by the
     * per-tree queries `q_binary_scan`/`q_binary_twotone`/`q_flac_scan`/
-    * `q_mp4_scan`/`q_ogg_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
+    * `q_mp4_scan`/`q_ogg_scan`/`q_mkv_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
     * above them.)
     */
   object MediaCatalog extends GraftQuery {
@@ -1514,7 +1625,7 @@ object SourceQueries {
     // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI (one feature
     // row each); audio =
     // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 Ogg-FLAC
-    // at 11025+111i, 24 IMA ADPCM
+    // at 11025+111i, 24 MKV-FLAC at 9000+77i, 24 IMA ADPCM
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
     // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
     // frames at 24×18 plus 24 MS-RLE clips of 5+(i mod 2) frames at
@@ -1526,6 +1637,8 @@ object SourceQueries {
         |       FROM unnest(range(0, 24)) i(i)),
         |og AS (SELECT sum(11025 + 111 * i.i) AS w
         |       FROM unnest(range(0, 24)) i(i)),
+        |mk AS (SELECT sum(9000 + 77 * i.i) AS w
+        |       FROM unnest(range(0, 24)) i(i)),
         |ad AS (SELECT sum(8000 + 25 * i.i) AS w
         |       FROM unnest(range(0, 24)) i(i)),
         |vid AS (SELECT sum(5 + i.i % 3) AS fr
@@ -1533,12 +1646,12 @@ object SourceQueries {
         |mr AS (SELECT sum(5 + i.i % 2) AS fr
         |       FROM unnest(range(0, 24)) i(i))
         |SELECT * FROM (
-        |  SELECT 'audio' AS modality, CAST(120 AS BIGINT) AS n_assets,
-        |         CAST(120 AS BIGINT) AS n_rows, CAST(120 AS BIGINT) AS n_real,
+        |  SELECT 'audio' AS modality, CAST(144 AS BIGINT) AS n_assets,
+        |         CAST(144 AS BIGINT) AS n_rows, CAST(144 AS BIGINT) AS n_real,
         |         CAST((SELECT w FROM fl) + (SELECT w FROM mp)
-        |              + (SELECT w FROM og)
+        |              + (SELECT w FROM og) + (SELECT w FROM mk)
         |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
-        |         CAST(120 AS BIGINT) AS sum_h
+        |         CAST(144 AS BIGINT) AS sum_h
         |  UNION ALL
         |  SELECT 'image', CAST(72 AS BIGINT), CAST(72 AS BIGINT),
         |         CAST(72 AS BIGINT), CAST(768 + 24 * 20 AS BIGINT),
@@ -1557,6 +1670,6 @@ object SourceQueries {
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, OggScan, MsrleScan, AdpcmScan, G711Scan,
-      QoiScan, MediaCatalog)
+      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MsrleScan, AdpcmScan,
+      G711Scan, QoiScan, MediaCatalog)
 }

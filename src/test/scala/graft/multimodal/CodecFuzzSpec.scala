@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CodecFuzzSpec extends AnyFunSuite {
 
-  test("FLAC: 60 random streams round-trip bare AND through MP4 AND Ogg") {
+  test("FLAC: 60 random streams round-trip bare AND through MP4 AND Ogg AND MKV") {
     val rnd = new scala.util.Random(0xF1AC)
     for (k <- 0 until 60) {
       val n = 1 + rnd.nextInt(9000)
@@ -32,6 +32,15 @@ class CodecFuzzSpec extends AnyFunSuite {
       val viaOgg = OggCodec.flacStream(ogg).flatMap(FlacCodec.decode)
         .getOrElse(fail(s"case $k: ogg chain"))
       chans.indices.foreach(c => assert(viaOgg.channels(c).sameElements(chans(c)), s"case $k ogg ch $c"))
+      // MKV: rel cluster ts can exceed int16 at low rates with long input
+      // — muxFlac contracts to None there; only assert round-trip when it
+      // accepts (the bound test lives in MkvCodecSpec)
+      MkvCodec.muxFlac(flac).foreach { mkv =>
+        val viaMkv = MkvCodec.demux(mkv).flatMap(_.find(_.codecId == "A_FLAC"))
+          .flatMap(MkvCodec.flacStream).flatMap(FlacCodec.decode)
+          .getOrElse(fail(s"case $k: mkv chain"))
+        chans.indices.foreach(c => assert(viaMkv.channels(c).sameElements(chans(c)), s"case $k mkv ch $c"))
+      }
     }
   }
 
@@ -170,6 +179,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     val flac = FlacCodec.encode(8000, Array(Array.fill(5000)(rnd.nextInt(65536) - 32768)))
     val mp4 = Mp4Codec.muxFlac(flac).get
     val ogg = OggCodec.muxFlac(flac).get
+    val mkv = MkvCodec.muxFlac(flac).get
     val avi = ZmbvCodec.encodeAvi(16, 16, ZmbvCodec.FmtPal8,
       Seq((Array.fill(256)(7.toByte), Array.fill(768)(3.toByte))))
     val ima = AdpcmCodec.encodeImaWav(8000, Array.tabulate(900)(t => t % 711))
@@ -192,6 +202,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       Mp4Codec.demux(mangle(mp4)).foreach(_.foreach(Mp4Codec.flacStream))
       OggCodec.packets(mangle(ogg))
       OggCodec.flacStream(mangle(ogg))
+      MkvCodec.demux(mangle(mkv)).foreach(_.foreach(MkvCodec.flacStream))
       AviCodec.frames(mangle(avi))
       AviCodec.videoInfo(mangle(avi))
       ZmbvCodec.decode(16, 16, Seq(mangle(avi)))
