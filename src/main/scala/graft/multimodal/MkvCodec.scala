@@ -289,6 +289,43 @@ object MkvCodec {
       Some(out.toArray)
     } else None
 
+  /** Decode the `V_MS/VFW/FOURCC` mapping: CodecPrivate is a Windows
+    * BITMAPINFOHEADER (40 bytes, little-endian), biCompression carrying
+    * the codec fourcc — the Matroska registry's carriage for VfW-era
+    * codecs (ZMBV, MRLE, …). Returns (fourcc, width, height).
+    */
+  def vfwInfo(t: Track): Option[(String, Int, Int)] =
+    if (t.codecId == "V_MS/VFW/FOURCC" && t.codecPrivate.length >= 40) {
+      val b = t.codecPrivate
+      def le32(off: Int): Int =
+        (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+          ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+      val w = le32(4)
+      val h = le32(8)
+      val fourcc = new String(b, 16, 4, "US-ASCII")
+      if (w > 0 && h > 0) Some((fourcc, w, h)) else None
+    } else None
+
+  /** 8-bpp palette from a VfW CodecPrivate: the 256 RGBQUAD entries
+    * (b, g, r, 0) that follow the 40-byte BITMAPINFOHEADER, returned as
+    * the 768-byte r,g,b triple layout the palette codecs consume — the
+    * MKV twin of `AviCodec.palette8` (which reads the same quads from
+    * the AVI `strf` chunk).
+    */
+  def vfwPalette8(t: Track): Option[Array[Byte]] =
+    if (t.codecId == "V_MS/VFW/FOURCC" && t.codecPrivate.length >= 40 + 1024) {
+      val b = t.codecPrivate
+      val pal = new Array[Byte](768)
+      var j = 0
+      while (j < 256) {
+        pal(3 * j) = b(40 + 4 * j + 2)     // r
+        pal(3 * j + 1) = b(40 + 4 * j + 1) // g
+        pal(3 * j + 2) = b(40 + 4 * j)     // b
+        j += 1
+      }
+      Some(pal)
+    } else None
+
   // ----------------------------------------------------------------- muxer
 
   /** Serialize one element: minimal-length VINT size. */
@@ -413,6 +450,58 @@ object MkvCodec {
           element(IdPixelWidth, uintBytes(width.toLong)) ++
             element(IdPixelHeight, uintBytes(height.toLong))))
     val frames = jpegs.zipWithIndex.map { case (j, i) => (j, i * 40L) }
+    val segment = element(IdSegment,
+      element(0x1549A966L, element(0x2AD7B1L, uintBytes(1000000L))) ++
+        element(IdTracks, trackEntry) ++
+        clusters(frames, clusterEvery = 25))
+    ebmlHeader("matroska") ++ segment
+  }
+
+  /** Deterministic VfW-in-Matroska muxer: a `V_MS/VFW/FOURCC` track
+    * whose CodecPrivate is a 40-byte little-endian BITMAPINFOHEADER
+    * (biCompression = `fourcc`), one SimpleBlock per codec payload at
+    * 25 fps — the Matroska carriage for AVI-era codecs, letting the
+    * same ZMBV/MRLE payloads [[AviCodec.synthesize]] wraps travel in
+    * MKV instead.
+    */
+  def muxVfw(fourcc: String, width: Int, height: Int, bitCount: Int,
+      payloads: Seq[Array[Byte]],
+      palette: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(fourcc.length == 4, "fourcc must be 4 ASCII bytes")
+    require(palette.isEmpty || palette.length == 768, "palette is 256 rgb triples")
+    val bih = new Array[Byte](40 + (if (palette.isEmpty) 0 else 1024))
+    def le32(off: Int, v: Int): Unit = {
+      bih(off) = (v & 0xFF).toByte
+      bih(off + 1) = ((v >>> 8) & 0xFF).toByte
+      bih(off + 2) = ((v >>> 16) & 0xFF).toByte
+      bih(off + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    le32(0, 40); le32(4, width); le32(8, height)
+    bih(12) = 1 // biPlanes
+    bih(14) = (bitCount & 0xFF).toByte
+    bih(15) = ((bitCount >>> 8) & 0xFF).toByte
+    System.arraycopy(fourcc.getBytes("US-ASCII"), 0, bih, 16, 4) // biCompression
+    le32(20, width * height * bitCount / 8) // biSizeImage
+    if (palette.nonEmpty) {
+      le32(32, 256) // biClrUsed
+      var j = 0
+      while (j < 256) { // RGBQUAD: b, g, r, reserved
+        bih(40 + 4 * j) = palette(3 * j + 2)
+        bih(40 + 4 * j + 1) = palette(3 * j + 1)
+        bih(40 + 4 * j + 2) = palette(3 * j)
+        j += 1
+      }
+    }
+    val trackEntry = element(IdTrackEntry,
+      element(IdTrackNumber, uintBytes(1)) ++
+        element(0x73C5L, uintBytes(1)) ++
+        element(IdTrackType, uintBytes(1)) ++
+        element(IdCodecId, "V_MS/VFW/FOURCC".getBytes("US-ASCII")) ++
+        element(IdCodecPrivate, bih) ++
+        element(IdVideo,
+          element(IdPixelWidth, uintBytes(width.toLong)) ++
+            element(IdPixelHeight, uintBytes(height.toLong))))
+    val frames = payloads.zipWithIndex.map { case (p, i) => (p, i * 40L) }
     val segment = element(IdSegment,
       element(0x1549A966L, element(0x2AD7B1L, uintBytes(1000000L))) ++
         element(IdTracks, trackEntry) ++

@@ -151,55 +151,13 @@ object Multimodal {
         }
         AviCodec.frames(row.content) match {
           case Some(payloads) if payloads.nonEmpty && mrle.isDefined =>
-            val frames = mrle.get.frames
-            val stride = (frames.length + MaxFrames - 1) / MaxFrames
-            frames.zipWithIndex
-              .collect { case (f, i) if i % stride == 0 => f -> i }
-              .take(MaxFrames)
-              .map { case (f, i) =>
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var y = 0
-                while (y < f.height) {
-                  var x = 0
-                  while (x < f.width) {
-                    val (r, g, b) = f.rgb(x, y)
-                    sr += r; sg += g; sb += b
-                    x += 1
-                  }
-                  y += 1
-                }
-                val n = (f.width.toLong * f.height).toFloat
-                MediaFeatures(row.asset_id, "video", i, f.width, f.height,
-                  Array(sr / n / 255f, sg / n / 255f, sb / n / 255f,
-                    f.width.toFloat, f.height.toFloat),
-                  feature_real = true)
-              }
+            rgbFrameFeatures(row.asset_id,
+              mrle.get.frames.map(f => (f.width, f.height, f.rgb _)))
           case Some(payloads) if payloads.nonEmpty && zmbv.isDefined =>
             // real path: decoded ZMBV frames — same avg-color feature
             // shape as the MJPEG branch, sampled with the same stride
-            val frames = zmbv.get.frames
-            val stride = (frames.length + MaxFrames - 1) / MaxFrames
-            frames.zipWithIndex
-              .collect { case (f, i) if i % stride == 0 => f -> i }
-              .take(MaxFrames)
-              .map { case (f, i) =>
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var y = 0
-                while (y < f.height) {
-                  var x = 0
-                  while (x < f.width) {
-                    val (r, g, b) = f.rgb(x, y)
-                    sr += r; sg += g; sb += b
-                    x += 1
-                  }
-                  y += 1
-                }
-                val n = (f.width.toLong * f.height).toFloat
-                MediaFeatures(row.asset_id, "video", i, f.width, f.height,
-                  Array(sr / n / 255f, sg / n / 255f, sb / n / 255f,
-                    f.width.toFloat, f.height.toFloat),
-                  feature_real = true)
-              }
+            rgbFrameFeatures(row.asset_id,
+              zmbv.get.frames.map(f => (f.width, f.height, f.rgb _)))
           case Some(payloads) if payloads.nonEmpty =>
             // real path: MJPEG-AVI — every frame is a JPEG ImageIO reads;
             // sample ≤ MaxFrames evenly across the WHOLE clip (ceiling
@@ -219,9 +177,28 @@ object Multimodal {
                 }
               }
           case _ =>
+            // real path: VfW-era codecs carried in Matroska per the
+            // public V_MS/VFW/FOURCC mapping (BITMAPINFOHEADER in
+            // CodecPrivate) — the same ZMBV/MRLE payloads AVI carries,
+            // decoded by the same codecs
+            val mkvVfw = for {
+              tracks <- MkvCodec.demux(row.content)
+              t <- tracks.find(_.codecId == "V_MS/VFW/FOURCC")
+              inf <- MkvCodec.vfwInfo(t)
+              frames <- inf match {
+                case ("ZMBV", w, h) =>
+                  ZmbvCodec.decode(w, h, t.frames)
+                    .map(_.frames.map(f => (f.width, f.height, f.rgb _)))
+                case ("MRLE", w, h) =>
+                  MkvCodec.vfwPalette8(t)
+                    .flatMap(pal => MsRleCodec.decode(w, h, pal, t.frames))
+                    .map(_.frames.map(f => (f.width, f.height, f.rgb _)))
+                case _ => None
+              }
+            } yield frames
             // real path: MP4-carried MJPEG ([[Mp4Codec]] demux; samples
             // are plain JPEGs ImageIO reads) — the BMFF twin of MJPEG-AVI
-            val mp4Jpegs = (for {
+            lazy val jpegs = (for {
               tracks <- Mp4Codec.demux(row.content)
               t <- tracks.find(t => t.kind == "vide" &&
                 (t.fourcc == "jpeg" || t.fourcc == "mjpg"))
@@ -230,29 +207,33 @@ object Multimodal {
                 tracks <- MkvCodec.demux(row.content)
                 t <- tracks.find(t => t.kind == "vide" && t.codecId == "V_MJPEG")
               } yield t.frames)
-            mp4Jpegs match {
-              case Some(payloads) if payloads.nonEmpty =>
-                val stride = (payloads.length + MaxFrames - 1) / MaxFrames
-                payloads.zipWithIndex
-                  .collect { case (p, i) if i % stride == 0 => p -> i }
-                  .take(MaxFrames)
-                  .flatMap { case (p, i) =>
-                    ImageOps.decode(p).map { img =>
-                      val (r, g, b) = ImageOps.averageColor(img)
-                      MediaFeatures(row.asset_id, "video", i, img.width, img.height,
-                        Array(r / 255f, g / 255f, b / 255f,
-                          img.width.toFloat, img.height.toFloat),
-                        feature_real = true)
+            mkvVfw match {
+              case Some(frames) if frames.nonEmpty =>
+                rgbFrameFeatures(row.asset_id, frames)
+              case _ => jpegs match {
+                case Some(payloads) if payloads.nonEmpty =>
+                  val stride = (payloads.length + MaxFrames - 1) / MaxFrames
+                  payloads.zipWithIndex
+                    .collect { case (p, i) if i % stride == 0 => p -> i }
+                    .take(MaxFrames)
+                    .flatMap { case (p, i) =>
+                      ImageOps.decode(p).map { img =>
+                        val (r, g, b) = ImageOps.averageColor(img)
+                        MediaFeatures(row.asset_id, "video", i, img.width, img.height,
+                          Array(r / 255f, g / 255f, b / 255f,
+                            img.width.toFloat, img.height.toFloat),
+                          feature_real = true)
+                      }
                     }
-                  }
-              case _ =>
-                // ??? — compressed video codec (H.264/VP9) absent:
-                // deterministic fake, one "frame" per frameStride KiB of payload
-                noCodec(row, "compressed-video")
-                val nFrames = math.max(1, row.content.length / (frameStride * 1024))
-                (0 until nFrames).map(i =>
-                  MediaFeatures(row.asset_id, "video", i, 0, 0,
-                    fakeFeature(row.content, 5, salt = i), feature_real = false))
+                case _ =>
+                  // ??? — compressed video codec (H.264/VP9) absent:
+                  // deterministic fake, one "frame" per frameStride KiB of payload
+                  noCodec(row, "compressed-video")
+                  val nFrames = math.max(1, row.content.length / (frameStride * 1024))
+                  (0 until nFrames).map(i =>
+                    MediaFeatures(row.asset_id, "video", i, 0, 0,
+                      fakeFeature(row.content, 5, salt = i), feature_real = false))
+              }
             }
         }
       case _ =>
@@ -263,6 +244,37 @@ object Multimodal {
         // the engine cannot really decode
         noCodec(row, s"modality '${row.modality}'")
         Seq.empty
+    }
+
+    /** Shared shape of every real video path: sample ≤ MaxFrames frames
+      * evenly across the clip (ceiling stride) and reduce each decoded
+      * frame — (width, height, per-pixel rgb accessor) — to the
+      * avg-color feature row.
+      */
+    private def rgbFrameFeatures(assetId: String,
+        frames: Seq[(Int, Int, (Int, Int) => (Int, Int, Int))]): Seq[MediaFeatures] = {
+      val stride = (frames.length + MaxFrames - 1) / MaxFrames
+      frames.zipWithIndex
+        .collect { case (f, i) if i % stride == 0 => f -> i }
+        .take(MaxFrames)
+        .map { case ((w, h, rgb), i) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = rgb(x, y)
+              sr += r; sg += g; sb += b
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          MediaFeatures(assetId, "video", i, w, h,
+            Array(sr / n / 255f, sg / n / 255f, sb / n / 255f,
+              w.toFloat, h.toFloat),
+            feature_real = true)
+        }
     }
 
     private def fakeFeature(bytes: Array[Byte], n: Int, salt: Int = 0): Array[Float] = {

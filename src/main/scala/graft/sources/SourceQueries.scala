@@ -1007,6 +1007,125 @@ object SourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the ZMBV-in-Matroska fixture tree:
+    * 24 .mkv files carrying the engine's ZMBV inter-frame payloads via
+    * the public `V_MS/VFW/FOURCC` mapping (BITMAPINFOHEADER in
+    * CodecPrivate, biCompression = "ZMBV"). Pixels are a pure function
+    * of the asset index: 20×14 8-bpp frames, 4 + (i mod 4) per clip,
+    * px(x, y, f) = (13·i + (x − 2·f)·3 + y·7) mod 256 (a 2 px/frame
+    * scroll the encoder's motion search finds), palette channel forms
+    * r = j, g = (5·j + i) mod 256, b = (3·j + 4·i) mod 256, keyframe
+    * every 3 frames — so every clip exercises motion compensation AND
+    * the mid-stream keyframe path inside the MKV carriage.
+    */
+  private def ensureMkvVfwTree(sfDir: String): String = {
+    val root = workDir("mkvvfw", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 20; val h = 14
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val pal = new Array[Byte](768)
+        for (j <- 0 until 256) {
+          pal(3 * j) = j.toByte
+          pal(3 * j + 1) = ((j * 5 + i) % 256).toByte
+          pal(3 * j + 2) = ((j * 3 + 4 * i) % 256).toByte
+        }
+        val frames = (0 until 4 + i % 4).map { f =>
+          val px = new Array[Byte](w * h)
+          for (y <- 0 until h; x <- 0 until w)
+            px(y * w + x) =
+              java.lang.Math.floorMod(i * 13 + (x - 2 * f) * 3 + y * 7, 256).toByte
+          (px, pal)
+        }
+        val payloads = graft.multimodal.ZmbvCodec.encode(w, h,
+          graft.multimodal.ZmbvCodec.FmtPal8, frames, keyEvery = 3)
+        Files.write(dir.resolve(f"w$i%03d.mkv"),
+          graft.multimodal.MkvCodec.muxVfw("ZMBV", w, h, 8, payloads))
+      }
+    }
+    root
+  }
+
+  /** Inter-frame video decode inside Matroska under the hash gate:
+    * binary scan of the ZMBV-in-MKV fixture tree, demuxed by
+    * [[graft.multimodal.MkvCodec]] (EBML walk → `V_MS/VFW/FOURCC` track,
+    * dims + fourcc from the BITMAPINFOHEADER in CodecPrivate) and
+    * decoded by the pure-JVM [[graft.multimodal.ZmbvCodec]] (motion
+    * vectors, XOR residuals, shared zlib context per GOP), reduced to
+    * exact integer per-frame RGB sums. ZMBV is lossless, so the oracle
+    * replays every decoded pixel in CLOSED FORM from the filename index
+    * while `read_blob` pins byte identity — the Matroska twin of
+    * `q_zmbv_scan`, proving the container×codec matrix holds: the same
+    * real inter-frame codec decodes identically from either carriage.
+    */
+  object MkvVfwScan extends GraftQuery {
+    val name = "q_mkv_vfw_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMkvVfwTree(sfDir)
+      val idRe = "w(\\d+)\\.mkv".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mkv")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.{MkvCodec, ZmbvCodec}
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val headHex = content.take(8).map(b => f"$b%02X").mkString
+          for {
+            tracks <- MkvCodec.demux(content).toSeq
+            t <- tracks.find(_.codecId == "V_MS/VFW/FOURCC").toSeq
+            (fcc, w, h) <- MkvCodec.vfwInfo(t).toSeq if fcc == "ZMBV"
+            video <- ZmbvCodec.decode(w, h, t.frames).toSeq
+            (frame, fi) <- video.frames.zipWithIndex
+          } yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            for (y <- 0 until frame.height; x <- 0 until frame.width) {
+              val (r, g, b) = frame.rgb(x, y)
+              sr += r; sg += g; sb += b
+            }
+            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
+              content.length.toLong, headHex)
+          }
+        }
+        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx", "frame_idx")
+    }
+    // Same pinned-glob stance as q_zmbv_scan: static oracle text,
+    // correctness gate at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'w(\d+)\.mkv', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_mkvvfw__root_testdata_sf0.01/**/*.mkv')),
+        |fr AS (
+        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
+        |  FROM f, LATERAL unnest(range(0, 4 + asset_idx % 4)) t(f)),
+        |px AS (
+        |  SELECT asset_idx, frame_idx,
+        |         ((asset_idx * 13 + (x.x - 2 * frame_idx) * 3 + y.y * 7)
+        |            % 256 + 256) % 256 AS j
+        |  FROM fr, LATERAL unnest(range(0, 20)) x(x),
+        |       LATERAL unnest(range(0, 14)) y(y)),
+        |a AS (
+        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
+        |         CAST(sum(j) AS BIGINT) AS sum_r,
+        |         CAST(sum((j * 5 + asset_idx) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((j * 3 + 4 * asset_idx) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2)
+        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
+        |       a.sum_b, fr.n_bytes, fr.head_hex
+        |FROM fr JOIN a USING (asset_idx, frame_idx)
+        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
     * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
     * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
@@ -1551,14 +1670,14 @@ object SourceQueries {
     * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
     * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
     * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`), 24 FLAC-in-Matroska
-    * (`k*.mka`). The marker
+    * (`k*.mka`), 24 ZMBV-in-Matroska (`w*.mkv`). The marker
     * dir is versioned: adding a fixture family bumps it so pre-existing
     * temp trees rebuild (copies are idempotent, so a rebuild only adds
     * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v6"))) {
+    if (!Files.exists(Paths.get(root, "done_v7"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -1570,7 +1689,8 @@ object SourceQueries {
         (ensureG711Tree(sfDir), ".wav", "g"),
         (ensureQoiTree(sfDir), ".qoi", "x"),
         (ensureOggTree(sfDir), ".ogg", "o"),
-        (ensureMkvTree(sfDir), ".mka", "k"))
+        (ensureMkvTree(sfDir), ".mka", "k"),
+        (ensureMkvVfwTree(sfDir), ".mkv", "w"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -1582,7 +1702,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v6"))
+      Files.createDirectories(Paths.get(root, "done_v7"))
     }
     root
   }
@@ -1604,7 +1724,7 @@ object SourceQueries {
     * each decoder reports the exact dims/rates the encoders wrote.
     * (Byte identity and per-pixel/per-sample content are pinned by the
     * per-tree queries `q_binary_scan`/`q_binary_twotone`/`q_flac_scan`/
-    * `q_mp4_scan`/`q_ogg_scan`/`q_mkv_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
+    * `q_mp4_scan`/`q_ogg_scan`/`q_mkv_scan`/`q_mkv_vfw_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
     * above them.)
     */
   object MediaCatalog extends GraftQuery {
@@ -1629,7 +1749,8 @@ object SourceQueries {
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
     // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
     // frames at 24×18 plus 24 MS-RLE clips of 5+(i mod 2) frames at
-    // 16×12 (one row per frame).
+    // 16×12 plus 24 ZMBV-in-MKV clips of 4+(i mod 4) frames at 20×14
+    // (one row per frame).
     val oracle = Some(
       """WITH fl AS (SELECT sum(8000 + 100 * i.i) AS w
         |            FROM unnest(range(0, 24)) i(i)),
@@ -1644,6 +1765,8 @@ object SourceQueries {
         |vid AS (SELECT sum(5 + i.i % 3) AS fr
         |        FROM unnest(range(0, 24)) i(i)),
         |mr AS (SELECT sum(5 + i.i % 2) AS fr
+        |       FROM unnest(range(0, 24)) i(i)),
+        |mv AS (SELECT sum(4 + i.i % 4) AS fr
         |       FROM unnest(range(0, 24)) i(i))
         |SELECT * FROM (
         |  SELECT 'audio' AS modality, CAST(144 AS BIGINT) AS n_assets,
@@ -1657,19 +1780,23 @@ object SourceQueries {
         |         CAST(72 AS BIGINT), CAST(768 + 24 * 20 AS BIGINT),
         |         CAST(768 + 24 * 14 AS BIGINT)
         |  UNION ALL
-        |  SELECT 'video', CAST(48 AS BIGINT),
-        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr) AS BIGINT),
-        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr) AS BIGINT),
+        |  SELECT 'video', CAST(72 AS BIGINT),
+        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
+        |              + (SELECT fr FROM mv) AS BIGINT),
+        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
+        |              + (SELECT fr FROM mv) AS BIGINT),
         |         CAST(24 * (SELECT fr FROM vid)
-        |              + 16 * (SELECT fr FROM mr) AS BIGINT),
+        |              + 16 * (SELECT fr FROM mr)
+        |              + 20 * (SELECT fr FROM mv) AS BIGINT),
         |         CAST(18 * (SELECT fr FROM vid)
-        |              + 12 * (SELECT fr FROM mr) AS BIGINT))
+        |              + 12 * (SELECT fr FROM mr)
+        |              + 14 * (SELECT fr FROM mv) AS BIGINT))
         |ORDER BY modality""".stripMargin)
   }
 
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MsrleScan, AdpcmScan,
-      G711Scan, QoiScan, MediaCatalog)
+      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, MsrleScan,
+      AdpcmScan, G711Scan, QoiScan, MediaCatalog)
 }

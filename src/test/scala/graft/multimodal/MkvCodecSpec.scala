@@ -235,6 +235,51 @@ class MkvCodecSpec extends AnyFunSuite {
       "container must not change the featurization")
   }
 
+  test("VfW mapping: ZMBV payloads round-trip through muxVfw (BITMAPINFOHEADER CodecPrivate)") {
+    val w = 12; val h = 10
+    val frames = (0 until 4).map { f =>
+      (Array.tabulate(w * h)(o => ((o * 3 + f * 11) % 256).toByte),
+        Array.tabulate(768)(j => ((j * 7) % 256).toByte))
+    }
+    val payloads = ZmbvCodec.encode(w, h, ZmbvCodec.FmtPal8, frames, keyEvery = 2)
+    val mkv = MkvCodec.muxVfw("ZMBV", w, h, 8, payloads)
+    val t = MkvCodec.demux(mkv).getOrElse(fail("own vfw mux rejected")).head
+    assert(t.codecId == "V_MS/VFW/FOURCC")
+    assert(MkvCodec.vfwInfo(t).contains(("ZMBV", w, h)))
+    val video = ZmbvCodec.decode(w, h, t.frames).getOrElse(fail("zmbv decode"))
+    video.frames.zip(frames).zipWithIndex.foreach { case ((got, (px, _)), i) =>
+      assert(got.pixels.sameElements(px), s"frame $i pixels")
+    }
+    // strict Multimodal routing: real, correct dims
+    val dec = new Multimodal.DefaultDecoder(strict = true)
+    val rows = dec.features(
+      Multimodal.MediaRow("z1", "video", "application/mkv", mkv, Map.empty))
+    assert(rows.length == 4 && rows.forall(r => r.feature_real && r.width == w && r.height == h))
+  }
+
+  test("VfW mapping: MS-RLE with its palette in CodecPrivate quads routes through the real path") {
+    val w = 16; val h = 12
+    val pal = Array.tabulate(768)(j => ((j * 11 + 5) % 256).toByte)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(o => ((o + f * 17) % 256).toByte))
+    // reuse the MS-RLE encoder's payloads by demuxing its own AVI
+    val avi = MsRleCodec.encodeAvi(w, h, pal, frames, keyEvery = 2)
+    val payloads = AviCodec.frames(avi).getOrElse(fail("avi demux"))
+    val mkv = MkvCodec.muxVfw("MRLE", w, h, 8, payloads, pal)
+    val t = MkvCodec.demux(mkv).getOrElse(fail("own vfw mux rejected")).head
+    assert(MkvCodec.vfwInfo(t).contains(("MRLE", w, h)))
+    assert(MkvCodec.vfwPalette8(t).exists(_.sameElements(pal)),
+      "RGBQUAD palette after the header must round-trip to rgb triples")
+    val video = MsRleCodec.decode(w, h, pal, t.frames).getOrElse(fail("mrle decode"))
+    video.frames.zip(frames).zipWithIndex.foreach { case ((got, px), i) =>
+      assert(got.pixels.sameElements(px), s"frame $i pixels")
+    }
+    val dec = new Multimodal.DefaultDecoder(strict = true)
+    val rows = dec.features(
+      Multimodal.MediaRow("m1", "video", "application/mkv", mkv, Map.empty))
+    assert(rows.length == 3 && rows.forall(r => r.feature_real && r.width == w && r.height == h))
+  }
+
   test("Multimodal routes MJPEG-in-MKV through the REAL video path (per-frame ImageIO decode)") {
     // three 8×6 solid JPEGs via ImageIO (the same encoder the decode
     // path uses), muxed as V_MJPEG
