@@ -91,6 +91,48 @@ object ImageOps {
     ((r / n).toInt, (g / n).toInt, (b / n).toInt)
   }
 
+  /** 64-bit average-hash perceptual fingerprint (the classic aHash the
+    * image-dedup literature builds on): partition the image into an 8×8
+    * grid — pixel (x, y) belongs to cell (8y div h, 8x div w) — and set
+    * bit k = 8·row + col iff the cell's mean luma exceeds the global
+    * mean. Everything is INTEGER-EXACT: luma = 299·R + 587·G + 114·B
+    * (unscaled — comparisons are scale-invariant) and the mean compare
+    * is cross-multiplied (cellSum·totalN > totalSum·cellN), so no
+    * division, no float, and a SQL oracle can replay every bit. Images
+    * smaller than 8×8 collapse cells (empty cells contribute 0 bits);
+    * near-duplicate images differ in few bits (Hamming distance), which
+    * is what the banded near-dup join keys on.
+    */
+  def aHash64(img: Image): Long = {
+    val w = img.width; val h = img.height
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val row = 8 * y / h
+      var x = 0
+      while (x < w) {
+        val p = img.pixels(y * w + x)
+        val luma = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+        val k = 8 * row + 8 * x / w
+        sums(k) += luma
+        counts(k) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0 && sums(k) * n > total * counts(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
   /** M3 — area (box-filter) resize, the semantics of `cv2.INTER_AREA`
     * (`pyspark_dominant.py:39`): each target pixel averages its source box.
     */
