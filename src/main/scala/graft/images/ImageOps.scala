@@ -25,8 +25,21 @@ object ImageOps {
   /** M1 — decode JPEG/PNG bytes (reference: `cv2.imdecode`,
     * `pyspark_dominant.py:35`). Returns None on undecodable bytes rather
     * than throwing — corrupt files are data, not crashes, at 100 TB.
+    *
+    * PNG decodes through the engine's own from-spec
+    * [[graft.multimodal.PngCodec]] (differentially proven against
+    * ImageIO pixel-for-pixel — PngCodecSpec); ImageIO remains the
+    * JPEG/BMP/GIF path and the fallback for the codec's documented
+    * subset (Adam7 interlace, 16-bit depth).
     */
   def decode(bytes: Array[Byte]): Option[Image] =
+    graft.multimodal.PngCodec.decode(bytes).orElse(decodeImageIO(bytes))
+
+  /** The library path: ImageIO for JPEG/BMP/GIF and PNG shapes outside
+    * the from-spec decoder's subset. Kept separate so the differential
+    * spec can compare the two PNG paths directly.
+    */
+  def decodeImageIO(bytes: Array[Byte]): Option[Image] =
     try {
       Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth

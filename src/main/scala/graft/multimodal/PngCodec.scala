@@ -1,0 +1,250 @@
+package graft.multimodal
+
+import graft.images.ImageOps.Image
+
+/** Pure-JVM PNG decoder implemented from the PUBLIC specification (W3C
+  * PNG / RFC 2083): signature check, chunk walk with CRC-32 verified on
+  * every chunk, IHDR validation, multi-IDAT zlib stream (JDK Inflater —
+  * the DEFLATE bitstream itself is the one spec piece the JDK already
+  * ships), per-scanline unfiltering (None/Sub/Up/Average/Paeth with the
+  * spec's exact predictor), sub-byte sample unpacking, and color-type
+  * mapping to packed RGB. This makes the engine's PRIMARY image format
+  * engine-owned the way QOI already is ([[QoiCodec]]) — ImageIO remains
+  * only as the JPEG/BMP/GIF path and the fallback for the documented
+  * PNG subset this decoder rejects (Adam7 interlace, 16-bit depth).
+  *
+  * Coverage: color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  * 6 (RGBA); bit depths 1/2/4/8 for types 0 and 3, depth 8 for 2/4/6.
+  * Alpha is decoded and DROPPED — [[graft.images.ImageOps.decode]]
+  * returns pure packed RGB (it masks ImageIO's ARGB the same way), so
+  * the two paths are differentially comparable pixel-for-pixel
+  * (PngCodecSpec proves equality on random round-trips and
+  * hand-assembled per-filter streams). One DOCUMENTED divergence:
+  * grayscale samples map to neutral RGB directly (g, g, g — the
+  * cv2.imdecode semantics the reference uses), whereas ImageIO loads
+  * gray PNGs into a LINEAR-gray colorspace and gamma-converts on
+  * getRGB; raw-sample identity is the contract here, pinned by the
+  * spec's hand-assembled gray streams. Everything is bounds-checked;
+  * the decoder is TOTAL on arbitrary bytes — same contract as every
+  * codec here.
+  */
+object PngCodec {
+
+  private final class Malformed extends RuntimeException
+  private def fail(): Nothing = throw new Malformed
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try Some(decodeOrThrow(bytes))
+    catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+          _: java.util.zip.DataFormatException | _: NegativeArraySizeException |
+          _: OutOfMemoryError => None
+    }
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  private def decodeOrThrow(b: Array[Byte]): Image = {
+    if (b.length < 8) fail()
+    var i = 0
+    while (i < 8) { if (b(i) != Signature(i)) fail(); i += 1 }
+
+    var w = 0; var h = 0; var depth = 0; var colorType = -1
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var seenIhdr = false
+    var seenIend = false
+    val crc = new java.util.zip.CRC32
+
+    while (!seenIend) {
+      if (pos + 8 > b.length) fail()
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12 + len.toLong > b.length) fail()
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(b, pos + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, pos + 8 + len)) fail()
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) fail()
+          seenIhdr = true
+          w = be32(b, pos + 8)
+          h = be32(b, pos + 12)
+          depth = b(pos + 16) & 0xFF
+          colorType = b(pos + 17) & 0xFF
+          val compression = b(pos + 18) & 0xFF
+          val filterMethod = b(pos + 19) & 0xFF
+          val interlace = b(pos + 20) & 0xFF
+          if (w <= 0 || h <= 0 || compression != 0 || filterMethod != 0) fail()
+          if (interlace != 0) fail() // Adam7: documented subset, ImageIO fallback
+          val ok = colorType match {
+            case 0 | 3 => Seq(1, 2, 4, 8).contains(depth)
+            case 2 | 4 | 6 => depth == 8
+            case _ => false
+          }
+          if (!ok) fail() // 16-bit and exotic combos: documented subset
+          if (w.toLong * h > 100000000L) fail() // 100 MP bound, same spirit as decode-at-scale
+        case "PLTE" =>
+          if (!seenIhdr || len % 3 != 0 || len > 768) fail()
+          plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
+        case "IDAT" =>
+          if (!seenIhdr) fail()
+          idat.write(b, pos + 8, len)
+        case "IEND" =>
+          if (len != 0) fail()
+          seenIend = true
+        case _ => () // ancillary chunks (tRNS/gAMA/...) — alpha is dropped anyway
+      }
+      pos += 12 + len
+    }
+    if (!seenIhdr) fail()
+    if (colorType == 3 && plte == null) fail()
+
+    val channels = colorType match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+    }
+    val rowBits = w.toLong * channels * depth
+    val rowBytes = ((rowBits + 7) / 8).toInt
+    val bpp = math.max(1, channels * depth / 8)
+    val raw = inflate(idat.toByteArray, (rowBytes + 1).toLong * h)
+
+    // unfilter in place, row by row (spec §6: filters operate on bytes)
+    val prev = new Array[Byte](rowBytes)
+    val cur = new Array[Byte](rowBytes)
+    val pixels = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val off = y * (rowBytes + 1)
+      val filter = raw(off) & 0xFF
+      System.arraycopy(raw, off + 1, cur, 0, rowBytes)
+      filter match {
+        case 0 => ()
+        case 1 => // Sub
+          var x = bpp
+          while (x < rowBytes) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
+        case 2 => // Up
+          var x = 0
+          while (x < rowBytes) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+        case 3 => // Average
+          var x = 0
+          while (x < rowBytes) {
+            val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+            cur(x) = (cur(x) + ((a + (prev(x) & 0xFF)) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < rowBytes) {
+            val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+            val up = prev(x) & 0xFF
+            val c = if (x >= bpp) prevAt(prev, x - bpp) else 0
+            cur(x) = (cur(x) + paeth(a, up, c)).toByte
+            x += 1
+          }
+        case _ => fail()
+      }
+      emitRow(cur, y, w, depth, colorType, channels, plte, pixels)
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    Image(w, h, pixels)
+  }
+
+  private def prevAt(prev: Array[Byte], i: Int): Int = prev(i) & 0xFF
+
+  /** The spec's exact Paeth predictor (§6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Unpack one unfiltered scanline into packed-RGB pixels. */
+  private def emitRow(row: Array[Byte], y: Int, w: Int, depth: Int,
+      colorType: Int, channels: Int, plte: Array[Byte],
+      pixels: Array[Int]): Unit = {
+    val base = y * w
+    colorType match {
+      case 2 => // RGB8
+        var x = 0
+        while (x < w) {
+          pixels(base + x) = ((row(3 * x) & 0xFF) << 16) |
+            ((row(3 * x + 1) & 0xFF) << 8) | (row(3 * x + 2) & 0xFF)
+          x += 1
+        }
+      case 6 => // RGBA8 — alpha dropped
+        var x = 0
+        while (x < w) {
+          pixels(base + x) = ((row(4 * x) & 0xFF) << 16) |
+            ((row(4 * x + 1) & 0xFF) << 8) | (row(4 * x + 2) & 0xFF)
+          x += 1
+        }
+      case 4 => // gray+alpha 8 — alpha dropped
+        var x = 0
+        while (x < w) {
+          val g = row(2 * x) & 0xFF
+          pixels(base + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+      case 0 => // gray, depth 1/2/4/8, scaled to 0..255 per spec sample depth
+        val maxV = (1 << depth) - 1
+        var x = 0
+        while (x < w) {
+          val s = sampleAt(row, x, depth)
+          val g = s * 255 / maxV
+          pixels(base + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+      case 3 => // palette, depth 1/2/4/8
+        var x = 0
+        while (x < w) {
+          val idx = sampleAt(row, x, depth)
+          if (3 * idx + 2 >= plte.length) fail()
+          pixels(base + x) = ((plte(3 * idx) & 0xFF) << 16) |
+            ((plte(3 * idx + 1) & 0xFF) << 8) | (plte(3 * idx + 2) & 0xFF)
+          x += 1
+        }
+      case _ => fail()
+    }
+  }
+
+  /** Sample x of a packed sub-byte row (big-endian bit order, §7.2). */
+  private def sampleAt(row: Array[Byte], x: Int, depth: Int): Int = depth match {
+    case 8 => row(x) & 0xFF
+    case 4 => (row(x / 2) >> (if (x % 2 == 0) 4 else 0)) & 0x0F
+    case 2 => (row(x / 4) >> (2 * (3 - x % 4))) & 0x03
+    case 1 => (row(x / 8) >> (7 - x % 8)) & 0x01
+    case _ => fail()
+  }
+
+  /** Inflate the concatenated IDAT zlib stream to EXACTLY `need` bytes —
+    * shorter or longer both reject (a truncated or padded pixel stream
+    * is corrupt data, not a best-effort image).
+    */
+  private def inflate(data: Array[Byte], need: Long): Array[Byte] = {
+    if (need > Int.MaxValue - 8) fail()
+    val out = new Array[Byte](need.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      var got = 0
+      while (got < out.length && !inf.finished()) {
+        val n = inf.inflate(out, got, out.length - got)
+        if (n == 0 && inf.needsInput()) fail() // truncated stream
+        got += n
+      }
+      if (got != out.length) fail()
+      // any residual decompressed bytes mean the stream disagrees with IHDR
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) fail()
+      out
+    } finally inf.end()
+  }
+}

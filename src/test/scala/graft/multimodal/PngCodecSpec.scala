@@ -1,0 +1,280 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.images.ImageOps
+
+/** PngCodec contract, proven two independent ways:
+  *  1. DIFFERENTIAL vs ImageIO: every PNG ImageIO writes (RGB, ARGB,
+  *     gray, binary, indexed sources; random content) must decode
+  *     pixel-identically through the from-spec codec — and the wired
+  *     [[ImageOps.decode]] must agree with [[ImageOps.decodeImageIO]].
+  *  2. HAND-ASSEMBLED streams from an independent forward-filterer
+  *     (this spec implements the ENCODER side of §6 — Sub/Up/Average/
+  *     Paeth applied forward — sharing no code with the decoder's
+  *     inverse), covering every filter type, palette and sub-byte
+  *     depths, and multi-IDAT splits.
+  * Plus the rejection subset (interlace, bad CRC, truncated zlib) and
+  * totality on mangled bytes.
+  */
+class PngCodecSpec extends AnyFunSuite {
+
+  // ---------------- independent chunk/filter assembly (encoder side)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write(v >>> 24); out.write(v >>> 16); out.write(v >>> 8); out.write(v) }
+    be32(data.length)
+    out.write(typ.getBytes("US-ASCII"))
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII"))
+    crc.update(data)
+    be32(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  private def ihdr(w: Int, h: Int, depth: Int, colorType: Int): Array[Byte] =
+    chunk("IHDR", Array[Byte](
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      depth.toByte, colorType.toByte, 0, 0, 0))
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** Forward §6 filtering (the encoder direction, independent of the
+    * decoder's inverse): raw(x) − predictor, per the chosen filter.
+    */
+  private def filterRow(f: Int, cur: Array[Byte], prev: Array[Byte], bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](cur.length)
+    var x = 0
+    while (x < cur.length) {
+      val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+      val b = prev(x) & 0xFF
+      val c = if (x >= bpp) prev(x - bpp) & 0xFF else 0
+      val pred = f match {
+        case 0 => 0
+        case 1 => a
+        case 2 => b
+        case 3 => (a + b) >> 1
+        case 4 =>
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      out(x) = ((cur(x) & 0xFF) - pred).toByte
+      x += 1
+    }
+    out
+  }
+
+  /** Assemble a full RGB8 PNG with a caller-chosen filter per row. */
+  private def rgbPng(w: Int, h: Int, px: Array[Int], filters: Int => Int): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](w * 3)
+    for (y <- 0 until h) {
+      val cur = new Array[Byte](w * 3)
+      for (x <- 0 until w) {
+        val p = px(y * w + x)
+        cur(3 * x) = (p >> 16).toByte; cur(3 * x + 1) = (p >> 8).toByte; cur(3 * x + 2) = p.toByte
+      }
+      val f = filters(y)
+      raw.write(f)
+      raw.write(filterRow(f, cur, prev, 3))
+      prev = cur
+    }
+    Sig ++ ihdr(w, h, 8, 2) ++ chunk("IDAT", deflate(raw.toByteArray)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("hand-assembled RGB8: every filter type round-trips (incl. mixed per-row)") {
+    val rnd = new scala.util.Random(0x9E6)
+    val w = 11; val h = 10 // odd width exercises bpp offsets
+    val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+    for (f <- 0 to 4) {
+      val img = PngCodec.decode(rgbPng(w, h, px, _ => f))
+        .getOrElse(fail(s"filter $f rejected"))
+      assert(img.pixels.sameElements(px), s"filter $f pixels")
+    }
+    val mixed = PngCodec.decode(rgbPng(w, h, px, y => y % 5)).getOrElse(fail("mixed rejected"))
+    assert(mixed.pixels.sameElements(px))
+  }
+
+  test("hand-assembled: multi-IDAT split decodes identically") {
+    val rnd = new scala.util.Random(0x1DA7)
+    val w = 7; val h = 6
+    val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+    val whole = rgbPng(w, h, px, _ => 4)
+    // split the single IDAT payload into 3 chunks
+    val idatLen = ((whole(8 + 25) & 0xFF) << 24) | ((whole(8 + 26) & 0xFF) << 16) |
+      ((whole(8 + 27) & 0xFF) << 8) | (whole(8 + 28) & 0xFF)
+    val payload = java.util.Arrays.copyOfRange(whole, 8 + 25 + 8, 8 + 25 + 8 + idatLen)
+    val parts = payload.grouped(math.max(1, payload.length / 3)).toSeq
+    val multi = Sig ++ java.util.Arrays.copyOfRange(whole, 8, 8 + 25) ++
+      parts.flatMap(p => chunk("IDAT", p)).toArray ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = PngCodec.decode(multi).getOrElse(fail("multi-IDAT rejected"))
+    assert(img.pixels.sameElements(px))
+  }
+
+  test("hand-assembled palette + sub-byte depths (1/2/4/8) decode exactly") {
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val w = 13; val h = 5
+      val nColors = 1 << depth
+      val plte = Array.tabulate(3 * nColors)(k => ((k * 29 + 7) % 256).toByte)
+      val idx = Array.tabulate(w * h)(o => (o * 3) % nColors)
+      val rowBytes = (w * depth + 7) / 8
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        raw.write(0)
+        val row = new Array[Byte](rowBytes)
+        for (x <- 0 until w) {
+          val s = idx(y * w + x)
+          depth match {
+            case 8 => row(x) = s.toByte
+            case 4 => row(x / 2) = (row(x / 2) | (s << (if (x % 2 == 0) 4 else 0))).toByte
+            case 2 => row(x / 4) = (row(x / 4) | (s << (2 * (3 - x % 4)))).toByte
+            case 1 => row(x / 8) = (row(x / 8) | (s << (7 - x % 8))).toByte
+          }
+        }
+        raw.write(row)
+      }
+      val png = Sig ++ ihdr(w, h, depth, 3) ++ chunk("PLTE", plte) ++
+        chunk("IDAT", deflate(raw.toByteArray)) ++ chunk("IEND", Array.emptyByteArray)
+      val img = PngCodec.decode(png).getOrElse(fail(s"depth $depth rejected"))
+      for (o <- 0 until w * h) {
+        val s = idx(o)
+        val want = ((plte(3 * s) & 0xFF) << 16) | ((plte(3 * s + 1) & 0xFF) << 8) | (plte(3 * s + 2) & 0xFF)
+        assert(img.pixels(o) == want, s"depth $depth pixel $o")
+      }
+    }
+  }
+
+  test("differential vs ImageIO: 120 random images through every BufferedImage source type") {
+    val rnd = new scala.util.Random(0xD1FF)
+    // TYPE_BYTE_GRAY is excluded from EXACT parity: ImageIO reads gray
+    // PNGs into a linear-gray colorspace and gamma-converts on getRGB,
+    // while the from-spec codec keeps raw samples (cv2 semantics) — the
+    // documented divergence; gray correctness is pinned by the dedicated
+    // hand-assembled test below.
+    val types = Seq(
+      java.awt.image.BufferedImage.TYPE_INT_RGB,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (k <- 0 until 120) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val bi = new java.awt.image.BufferedImage(w, h, types(k % types.length))
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, rnd.nextInt() | 0xFF000000) // opaque: alpha is dropped anyway
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      val bytes = bos.toByteArray
+      val ours = PngCodec.decode(bytes)
+        .getOrElse(fail(s"case $k (type ${types(k % types.length)}): from-spec decoder rejected ImageIO output"))
+      val ref = ImageOps.decodeImageIO(bytes).getOrElse(fail(s"case $k: ImageIO"))
+      assert(ours.width == ref.width && ours.height == ref.height, s"case $k dims")
+      assert(ours.pixels.sameElements(ref.pixels), s"case $k pixels")
+      // and the wired path agrees with itself
+      val wired = ImageOps.decode(bytes).get
+      assert(wired.pixels.sameElements(ref.pixels), s"case $k wired")
+    }
+  }
+
+  test("hand-assembled grayscale (depths 1/2/4/8): raw samples map to neutral RGB exactly") {
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val w = 9; val h = 4
+      val maxV = (1 << depth) - 1
+      val samples = Array.tabulate(w * h)(o => (o * 5) % (maxV + 1))
+      val rowBytes = (w * depth + 7) / 8
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        raw.write(0)
+        val row = new Array[Byte](rowBytes)
+        for (x <- 0 until w) {
+          val s = samples(y * w + x)
+          depth match {
+            case 8 => row(x) = s.toByte
+            case 4 => row(x / 2) = (row(x / 2) | (s << (if (x % 2 == 0) 4 else 0))).toByte
+            case 2 => row(x / 4) = (row(x / 4) | (s << (2 * (3 - x % 4)))).toByte
+            case 1 => row(x / 8) = (row(x / 8) | (s << (7 - x % 8))).toByte
+          }
+        }
+        raw.write(row)
+      }
+      val png = Sig ++ ihdr(w, h, depth, 0) ++
+        chunk("IDAT", deflate(raw.toByteArray)) ++ chunk("IEND", Array.emptyByteArray)
+      val img = PngCodec.decode(png).getOrElse(fail(s"gray depth $depth rejected"))
+      for (o <- 0 until w * h) {
+        val g = samples(o) * 255 / maxV
+        assert(img.pixels(o) == ((g << 16) | (g << 8) | g), s"depth $depth pixel $o")
+      }
+    }
+  }
+
+  test("fixture parity: the engine's own encodePng output decodes identically on both paths") {
+    for (i <- Seq(0, 7, 23)) {
+      val img = ImageOps.Image(16, 16,
+        Array.fill(256)(((i * 10) << 16) | ((255 - i * 10) << 8) | i))
+      val bytes = ImageOps.encodePng(img)
+      val ours = PngCodec.decode(bytes).getOrElse(fail("rejected own fixture encoding"))
+      assert(ours.pixels.sameElements(img.pixels))
+      assert(ImageOps.decodeImageIO(bytes).get.pixels.sameElements(img.pixels))
+    }
+  }
+
+  test("rejection subset: interlace falls back to ImageIO through the wired path") {
+    // hand-assemble an interlaced header: the codec must return None...
+    val rnd = new scala.util.Random(0xAD47)
+    val px = Array.fill(4 * 4)(rnd.nextInt(1 << 24))
+    val plain = rgbPng(4, 4, px, _ => 0)
+    val interlaced = plain.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
+    // fix the IHDR CRC
+    val crc = new java.util.zip.CRC32
+    crc.update(interlaced, 8 + 4, 4 + 13)
+    val v = crc.getValue.toInt
+    interlaced(8 + 8 + 13) = (v >>> 24).toByte
+    interlaced(8 + 8 + 14) = (v >>> 16).toByte
+    interlaced(8 + 8 + 15) = (v >>> 8).toByte
+    interlaced(8 + 8 + 16) = v.toByte
+    assert(PngCodec.decode(interlaced).isEmpty, "interlace must be rejected by the from-spec codec")
+    // (ImageIO would reject this stream too — the interlaced DATA is not
+    // really Adam7 — but a REAL interlaced PNG goes ImageIO's way; prove
+    // the wired fallback fires by feeding a JPEG through decode())
+    val bi = new java.awt.image.BufferedImage(5, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", bos)
+    assert(ImageOps.decode(bos.toByteArray).isDefined, "non-PNG must still decode via ImageIO")
+  }
+
+  test("malformed streams are rejected, never thrown on") {
+    val rnd = new scala.util.Random(0xBAD0)
+    val px = Array.fill(6 * 6)(rnd.nextInt(1 << 24))
+    val good = rgbPng(6, 6, px, _ => 2)
+    // CRC corruption
+    val badCrc = good.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x40).toByte
+    assert(PngCodec.decode(badCrc).isEmpty, "chunk CRC mismatch must reject")
+    // truncation at every prefix
+    (0 until good.length by 5).foreach { k =>
+      assert(PngCodec.decode(good.take(k)).isEmpty, s"prefix $k")
+    }
+    // random mangles never throw
+    for (_ <- 0 until 200) {
+      val m = good.clone()
+      m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+      PngCodec.decode(m)
+    }
+    succeed
+  }
+}
