@@ -27,13 +27,16 @@ object ImageOps {
     * than throwing — corrupt files are data, not crashes, at 100 TB.
     *
     * PNG decodes through the engine's own from-spec
-    * [[graft.multimodal.PngCodec]] (differentially proven against
-    * ImageIO pixel-for-pixel — PngCodecSpec); ImageIO remains the
-    * JPEG/BMP/GIF path and the fallback for the codec's documented
-    * subset (Adam7 interlace, 16-bit depth).
+    * [[graft.multimodal.PngCodec]] and GIF through
+    * [[graft.multimodal.GifCodec]] (both differentially proven against
+    * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec); ImageIO
+    * remains the JPEG/BMP path and the fallback for the documented
+    * subsets (Adam7 interlace, 16-bit depth).
     */
   def decode(bytes: Array[Byte]): Option[Image] =
-    graft.multimodal.PngCodec.decode(bytes).orElse(decodeImageIO(bytes))
+    graft.multimodal.PngCodec.decode(bytes)
+      .orElse(graft.multimodal.GifCodec.decodeFirst(bytes))
+      .orElse(decodeImageIO(bytes))
 
   /** The library path: ImageIO for JPEG/BMP/GIF and PNG shapes outside
     * the from-spec decoder's subset. Kept separate so the differential

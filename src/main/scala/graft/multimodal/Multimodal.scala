@@ -317,7 +317,7 @@ object Multimodal {
       .option("recursiveFileLookup", "true").load(dir)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
-        when(ext.isin("jpg", "jpeg", "png", "bmp", "qoi"), "image")
+        when(ext.isin("jpg", "jpeg", "png", "bmp", "gif", "qoi"), "image")
           .when(ext.isin("wav", "mp3", "flac", "m4a", "ogg", "mka"), "audio")
           .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),

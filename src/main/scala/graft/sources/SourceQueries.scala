@@ -1625,6 +1625,114 @@ object SourceQueries {
         |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Create (once per scale factor) the animated-GIF fixture tree: 24
+    * .gif files of 18×11 8-bit frames (dims not multiples of 8, so all
+    * four interlace passes are partial), 3 + (i mod 3) frames per clip
+    * with odd frames written INTERLACED by the encoder. Pixels and
+    * palette are pure functions of the asset index:
+    * px(x, y, f) = (7i + 3x + 5y + 11f) mod 256, palette channel forms
+    * r = (2j + i) mod 256, g = (j + 3i) mod 256, b = (5j + 7i) mod 256.
+    */
+  private def ensureGifTree(sfDir: String): String = {
+    val root = workDir("gif", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 18; val h = 11
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val pal = new Array[Byte](768)
+        for (j <- 0 until 256) {
+          pal(3 * j) = ((2 * j + i) % 256).toByte
+          pal(3 * j + 1) = ((j + 3 * i) % 256).toByte
+          pal(3 * j + 2) = ((5 * j + 7 * i) % 256).toByte
+        }
+        val frames = (0 until 3 + i % 3).map { f =>
+          Array.tabulate(w * h)(o =>
+            ((7 * i + 3 * (o % w) + 5 * (o / w) + 11 * f) % 256).toByte)
+        }
+        Files.write(dir.resolve(f"n$i%03d.gif"),
+          graft.multimodal.GifCodec.encode(w, h, pal, frames))
+      }
+    }
+    root
+  }
+
+  /** Animated-GIF decode under the hash gate: binary scan of the GIF
+    * fixture tree, decoded by the pure-JVM from-spec
+    * [[graft.multimodal.GifCodec]] (GIF89a framing, graphic-control
+    * extensions, the four-pass interlace order on odd frames, and the
+    * GIF variant of LZW — variable-width LSB-first codes, clear/EOI,
+    * 4096-entry dictionary), reduced to exact per-frame RGB sums. GIF
+    * is lossless indexed color, so the oracle replays every decoded
+    * pixel in CLOSED FORM from the filename index while `read_blob`
+    * pins byte identity. LZW is the SECOND compression family under
+    * the gate (dictionary coding, next to DEFLATE's LZ77+Huffman in
+    * PNG/ZMBV) — and the from-spec decoder dodges a real JDK bug
+    * (ImageIO's reader misorders interlace passes at small heights;
+    * GifCodecSpec proves our decode against SOURCE truth).
+    */
+  object GifScan extends GraftQuery {
+    val name = "q_gif_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureGifTree(sfDir)
+      val idRe = "n(\\d+)\\.gif".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          import graft.multimodal.GifCodec
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val headHex = content.take(8).map(b => f"$b%02X").mkString
+          for {
+            frames <- GifCodec.decode(content).toSeq
+            (frame, fi) <- frames.zipWithIndex
+          } yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            frame.pixels.foreach { p =>
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            }
+            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
+              content.length.toLong, headHex)
+          }
+        }
+        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx", "frame_idx")
+    }
+    // Same pinned-glob stance as the other fixture scans: static oracle
+    // text, correctness gate at sf0.01 only.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'n(\d+)\.gif', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_gif__root_testdata_sf0.01/**/*.gif')),
+        |fr AS (
+        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
+        |  FROM f, LATERAL unnest(range(0, 3 + asset_idx % 3)) t(f)),
+        |px AS (
+        |  SELECT asset_idx, frame_idx,
+        |         (7 * asset_idx + 3 * x.x + 5 * y.y + 11 * frame_idx) % 256 AS j
+        |  FROM fr, LATERAL unnest(range(0, 18)) x(x),
+        |       LATERAL unnest(range(0, 11)) y(y)),
+        |a AS (
+        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
+        |         CAST(sum((2 * j + asset_idx) % 256) AS BIGINT) AS sum_r,
+        |         CAST(sum((j + 3 * asset_idx) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((5 * j + 7 * asset_idx) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2)
+        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
+        |       a.sum_b, fr.n_bytes, fr.head_hex
+        |FROM fr JOIN a USING (asset_idx, frame_idx)
+        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
     * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
     * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
@@ -2169,14 +2277,15 @@ object SourceQueries {
     * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
     * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
     * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`), 24 FLAC-in-Matroska
-    * (`k*.mka`), 24 ZMBV-in-Matroska (`w*.mkv`). The marker
+    * (`k*.mka`), 24 ZMBV-in-Matroska (`w*.mkv`), 24 animated GIFs
+    * (`n*.gif`). The marker
     * dir is versioned: adding a fixture family bumps it so pre-existing
     * temp trees rebuild (copies are idempotent, so a rebuild only adds
     * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v7"))) {
+    if (!Files.exists(Paths.get(root, "done_v8"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -2189,7 +2298,8 @@ object SourceQueries {
         (ensureQoiTree(sfDir), ".qoi", "x"),
         (ensureOggTree(sfDir), ".ogg", "o"),
         (ensureMkvTree(sfDir), ".mka", "k"),
-        (ensureMkvVfwTree(sfDir), ".mkv", "w"))
+        (ensureMkvVfwTree(sfDir), ".mkv", "w"),
+        (ensureGifTree(sfDir), ".gif", "n"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -2201,7 +2311,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v7"))
+      Files.createDirectories(Paths.get(root, "done_v8"))
     }
     root
   }
@@ -2241,8 +2351,8 @@ object SourceQueries {
           sum(col("height").cast("long")).as("sum_h"))
         .orderBy("modality")
     }
-    // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI (one feature
-    // row each); audio =
+    // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI + 24 18×11
+    // GIFs (first frame; one feature row each); audio =
     // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 Ogg-FLAC
     // at 11025+111i, 24 MKV-FLAC at 9000+77i, 24 IMA ADPCM
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
@@ -2275,9 +2385,9 @@ object SourceQueries {
         |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
         |         CAST(144 AS BIGINT) AS sum_h
         |  UNION ALL
-        |  SELECT 'image', CAST(72 AS BIGINT), CAST(72 AS BIGINT),
-        |         CAST(72 AS BIGINT), CAST(768 + 24 * 20 AS BIGINT),
-        |         CAST(768 + 24 * 14 AS BIGINT)
+        |  SELECT 'image', CAST(96 AS BIGINT), CAST(96 AS BIGINT),
+        |         CAST(96 AS BIGINT), CAST(768 + 24 * 20 + 24 * 18 AS BIGINT),
+        |         CAST(768 + 24 * 14 + 24 * 11 AS BIGINT)
         |  UNION ALL
         |  SELECT 'video', CAST(72 AS BIGINT),
         |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
@@ -2296,7 +2406,7 @@ object SourceQueries {
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, MsrleScan,
+      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan, MsrleScan,
       AdpcmScan, G711Scan, QoiScan, ImageAHash, ImageNearDup,
       AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog)
 }
