@@ -27,15 +27,18 @@ object ImageOps {
     * than throwing — corrupt files are data, not crashes, at 100 TB.
     *
     * PNG decodes through the engine's own from-spec
-    * [[graft.multimodal.PngCodec]] and GIF through
-    * [[graft.multimodal.GifCodec]] (both differentially proven against
-    * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec); ImageIO
-    * remains the JPEG/BMP path and the fallback for the documented
-    * subsets (Adam7 interlace, 16-bit depth).
+    * [[graft.multimodal.PngCodec]], GIF through
+    * [[graft.multimodal.GifCodec]], BMP through
+    * [[graft.multimodal.BmpCodec]] (each differentially proven against
+    * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec /
+    * BmpCodecSpec); ImageIO serves exactly JPEG — the one format whose
+    * decode is not bit-standardized — plus the documented fallback
+    * subsets (Adam7 interlace, 16-bit PNG, compressed BMP).
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     graft.multimodal.PngCodec.decode(bytes)
       .orElse(graft.multimodal.GifCodec.decodeFirst(bytes))
+      .orElse(graft.multimodal.BmpCodec.decode(bytes))
       .orElse(decodeImageIO(bytes))
 
   /** The library path: ImageIO for JPEG/BMP/GIF and PNG shapes outside

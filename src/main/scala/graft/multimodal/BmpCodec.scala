@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import graft.images.ImageOps.Image
+
+/** Pure-JVM BMP decoder from the public Windows bitmap format: BM file
+  * header, BITMAPINFOHEADER (and its larger V4/V5 extensions — only the
+  * first 40 bytes are read), bottom-up OR top-down rows padded to 4
+  * bytes, 8-bit indexed with RGBQUAD palette, 24-bit BGR, and 32-bit
+  * BGRX (alpha ignored, matching the packed-RGB contract). With PNG
+  * ([[PngCodec]]), GIF ([[GifCodec]]), and QOI ([[QoiCodec]]) this
+  * leaves ImageIO serving exactly ONE image format: JPEG — the only one
+  * whose decode is not bit-standardized (IDCT precision varies by
+  * implementation), so a from-spec decoder could never sit under the
+  * engine's bit-replay gates anyway. BI_RLE8-compressed BMPs are
+  * rejected here (the RLE8 bitstream itself is already real in the
+  * engine — [[MsRleCodec]] decodes it for AVI and MKV) and fall back to
+  * ImageIO. TOTAL on arbitrary bytes.
+  */
+object BmpCodec {
+
+  private final class Malformed extends RuntimeException
+  private def fail(): Nothing = throw new Malformed
+
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try Some(decodeOrThrow(bytes))
+    catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => None
+    }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private def decodeOrThrow(b: Array[Byte]): Image = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') fail()
+    val dataOffset = le32(b, 10)
+    val headerSize = le32(b, 14)
+    if (headerSize < 40) fail() // BITMAPCOREHEADER: not emitted by anything modern
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bitCount = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h <= 0 || w.toLong * h > 100000000L) fail()
+    if (compression != 0) fail() // BI_RLE8/BI_BITFIELDS → ImageIO fallback
+    if (dataOffset < 14 + headerSize || dataOffset > b.length) fail()
+
+    val palette: Array[Int] =
+      if (bitCount == 8) {
+        val clrUsed = le32(b, 46)
+        val n = if (clrUsed == 0) 256 else clrUsed
+        if (n < 0 || n > 256) fail()
+        val palOff = 14 + headerSize
+        if (palOff + 4 * n > b.length) fail()
+        Array.tabulate(n)(j =>
+          (u8(b, palOff + 4 * j + 2) << 16) | (u8(b, palOff + 4 * j + 1) << 8) |
+            u8(b, palOff + 4 * j))
+      } else null
+
+    val bytesPerPx = bitCount match {
+      case 8 => 1
+      case 24 => 3
+      case 32 => 4
+      case _ => fail() // 1/4/16-bit: ImageIO fallback
+    }
+    val stride = (w * bytesPerPx + 3) & ~3
+    if (dataOffset.toLong + stride.toLong * h > b.length) fail()
+
+    val pixels = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      val off = dataOffset + srcRow * stride
+      var x = 0
+      while (x < w) {
+        pixels(row * w + x) = bitCount match {
+          case 8 =>
+            val idx = u8(b, off + x)
+            if (idx >= palette.length) fail()
+            palette(idx)
+          case 24 =>
+            (u8(b, off + 3 * x + 2) << 16) | (u8(b, off + 3 * x + 1) << 8) |
+              u8(b, off + 3 * x)
+          case 32 =>
+            (u8(b, off + 4 * x + 2) << 16) | (u8(b, off + 4 * x + 1) << 8) |
+              u8(b, off + 4 * x)
+        }
+        x += 1
+      }
+      row += 1
+    }
+    Image(w, h, pixels)
+  }
+}
