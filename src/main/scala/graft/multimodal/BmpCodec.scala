@@ -28,6 +28,36 @@ object BmpCodec {
           _: NegativeArraySizeException => None
     }
 
+  /** Deterministic 24-bit BI_RGB writer (fixture/production tier):
+    * plain bottom-up BGR rows with 4-byte padding — every byte a pure
+    * function of the pixels, so fixture trees are pinnable by
+    * `read_blob` byte identity like the PNG/QOI/GIF trees.
+    */
+  def encode(img: Image): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val stride = (w * 3 + 3) & ~3
+    val out = new java.io.ByteArrayOutputStream(54 + stride * h)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write('B'); out.write('M')
+    le32(54 + stride * h); le32(0); le32(54)
+    le32(40); le32(w); le32(h); le16(1); le16(24)
+    le32(0); le32(stride * h); le32(2835); le32(2835); le32(0); le32(0)
+    var row = h - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = img.pixels(row * w + x)
+        out.write(p & 0xFF); out.write((p >> 8) & 0xFF); out.write((p >> 16) & 0xFF)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { out.write(0); pad += 1 }
+      row -= 1
+    }
+    out.toByteArray
+  }
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def le32(b: Array[Byte], i: Int): Int =

@@ -1733,6 +1733,89 @@ object SourceQueries {
         |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the BMP fixture tree: 24 .bmp files
+    * of 15×9 24-bit pixels (odd width exercises the 4-byte row pad):
+    * channel c of pixel (x, y) in asset i is r = (9i + 2x + 4y) mod 256,
+    * g = (4i + 5x + y) mod 256, b = (6i + x + 3y) mod 256. Written by
+    * the engine's own deterministic [[graft.multimodal.BmpCodec]]
+    * writer (plain BI_RGB, bottom-up).
+    */
+  private def ensureBmpTree(sfDir: String): String = {
+    val root = workDir("bmp", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 15; val h = 9
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val px = Array.tabulate(w * h) { o =>
+          val x = o % w; val y = o / w
+          (((9 * i + 2 * x + 4 * y) % 256) << 16) |
+            (((4 * i + 5 * x + y) % 256) << 8) | ((6 * i + x + 3 * y) % 256)
+        }
+        Files.write(dir.resolve(f"b$i%03d.bmp"),
+          graft.multimodal.BmpCodec.encode(ImageOps.Image(w, h, px)))
+      }
+    }
+    root
+  }
+
+  /** BMP decode under the hash gate: binary scan of the BMP fixture
+    * tree, decoded by the from-spec [[graft.multimodal.BmpCodec]]
+    * (BITMAPINFOHEADER, bottom-up padded rows) — the last engine-owned
+    * image format joins the gate set (PNG/QOI/GIF/BMP; only JPEG
+    * remains library-decoded, being non-bit-standardized). The oracle
+    * replays every pixel in closed form and `read_blob` pins byte
+    * identity through the engine's own deterministic writer.
+    */
+  object BmpScan extends GraftQuery {
+    val name = "q_bmp_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureBmpTree(sfDir)
+      val idRe = "b(\\d+)\\.bmp".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          for (img <- graft.multimodal.BmpCodec.decode(content).toSeq) yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            img.pixels.foreach { p =>
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            }
+            (idx, img.width.toLong * img.height, sr, sg, sb,
+              content.length.toLong, content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "n_pixels", "sum_r", "sum_g", "sum_b",
+          "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'b(\d+)\.bmp', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_bmp__root_testdata_sf0.01/**/*.bmp')),
+        |a AS (
+        |  SELECT f.asset_idx, count(*) AS n_pixels,
+        |         CAST(sum((9 * f.asset_idx + 2 * x.x + 4 * y.y) % 256) AS BIGINT) AS sum_r,
+        |         CAST(sum((4 * f.asset_idx + 5 * x.x + y.y) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((6 * f.asset_idx + x.x + 3 * y.y) % 256) AS BIGINT) AS sum_b
+        |  FROM f, LATERAL unnest(range(0, 15)) x(x),
+        |       LATERAL unnest(range(0, 9)) y(y)
+        |  GROUP BY 1)
+        |SELECT f.asset_idx, a.n_pixels, a.sum_r, a.sum_g, a.sum_b,
+        |       f.n_bytes, f.head_hex
+        |FROM f JOIN a USING (asset_idx)
+        |ORDER BY f.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
     * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
     * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
@@ -2278,14 +2361,14 @@ object SourceQueries {
     * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
     * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`), 24 FLAC-in-Matroska
     * (`k*.mka`), 24 ZMBV-in-Matroska (`w*.mkv`), 24 animated GIFs
-    * (`n*.gif`). The marker
+    * (`n*.gif`), 24 BMPs (`b*.bmp`). The marker
     * dir is versioned: adding a fixture family bumps it so pre-existing
     * temp trees rebuild (copies are idempotent, so a rebuild only adds
     * the new families).
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v8"))) {
+    if (!Files.exists(Paths.get(root, "done_v9"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -2299,7 +2382,8 @@ object SourceQueries {
         (ensureOggTree(sfDir), ".ogg", "o"),
         (ensureMkvTree(sfDir), ".mka", "k"),
         (ensureMkvVfwTree(sfDir), ".mkv", "w"),
-        (ensureGifTree(sfDir), ".gif", "n"))
+        (ensureGifTree(sfDir), ".gif", "n"),
+        (ensureBmpTree(sfDir), ".bmp", "b"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -2311,7 +2395,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v8"))
+      Files.createDirectories(Paths.get(root, "done_v9"))
     }
     root
   }
@@ -2352,7 +2436,7 @@ object SourceQueries {
         .orderBy("modality")
     }
     // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI + 24 18×11
-    // GIFs (first frame; one feature row each); audio =
+    // GIFs (first frame) + 24 15×9 BMPs (one feature row each); audio =
     // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 Ogg-FLAC
     // at 11025+111i, 24 MKV-FLAC at 9000+77i, 24 IMA ADPCM
     // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
@@ -2385,9 +2469,10 @@ object SourceQueries {
         |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
         |         CAST(144 AS BIGINT) AS sum_h
         |  UNION ALL
-        |  SELECT 'image', CAST(96 AS BIGINT), CAST(96 AS BIGINT),
-        |         CAST(96 AS BIGINT), CAST(768 + 24 * 20 + 24 * 18 AS BIGINT),
-        |         CAST(768 + 24 * 14 + 24 * 11 AS BIGINT)
+        |  SELECT 'image', CAST(120 AS BIGINT), CAST(120 AS BIGINT),
+        |         CAST(120 AS BIGINT),
+        |         CAST(768 + 24 * 20 + 24 * 18 + 24 * 15 AS BIGINT),
+        |         CAST(768 + 24 * 14 + 24 * 11 + 24 * 9 AS BIGINT)
         |  UNION ALL
         |  SELECT 'video', CAST(72 AS BIGINT),
         |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
@@ -2406,7 +2491,8 @@ object SourceQueries {
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
-      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan, MsrleScan,
+      FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
+      BmpScan, MsrleScan,
       AdpcmScan, G711Scan, QoiScan, ImageAHash, ImageNearDup,
       AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog)
 }
