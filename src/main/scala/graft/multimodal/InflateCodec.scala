@@ -1,0 +1,233 @@
+package graft.multimodal
+
+/** Pure-JVM DEFLATE + zlib decoder implemented from the PUBLIC
+  * specifications — RFC 1951 (stored blocks, fixed and dynamic Huffman
+  * blocks, the code-length alphabet with 16/17/18 repeat codes, LZ77
+  * length/distance extra-bit tables, 32 KiB window) and RFC 1950 (the
+  * zlib wrapper: CMF/FLG consistency check, preset-dictionary
+  * rejection, Adler-32 verified over the decompressed output). This
+  * makes the engine's COMPRESSION layer engine-owned where its formats
+  * are: [[PngCodec]] inflates IDAT through this decoder, so a PNG
+  * decode touches no library codec at all; `java.util.zip` remains the
+  * encoder for fixtures and the differential oracle in the specs
+  * (every Deflater level, random and redundant payloads, must
+  * round-trip bit-true through this decoder).
+  *
+  * Decode only, by design: DEFLATE compression output is not
+  * standardized (any valid bitstream is legal), so an encoder could
+  * never be differentially pinned the way the decoder can. TOTAL on
+  * arbitrary bytes — same contract as every codec here.
+  */
+object InflateCodec {
+
+  private final class Malformed extends RuntimeException
+  private def fail(): Nothing = throw new Malformed
+
+  /** zlib stream (RFC 1950) → bytes; `expected` is the exact output
+    * size the caller knows from its own framing (PNG's IHDR), enforced
+    * strictly. None on any malformation, including an Adler-32
+    * mismatch.
+    */
+  def zlib(data: Array[Byte], expected: Int): Option[Array[Byte]] =
+    try {
+      if (data.length < 6) fail()
+      val cmf = data(0) & 0xFF
+      val flg = data(1) & 0xFF
+      if ((cmf & 0x0F) != 8) fail() // method: deflate
+      if (((cmf << 8) | flg) % 31 != 0) fail() // header check bits
+      if ((flg & 0x20) != 0) fail() // FDICT: preset dictionary unsupported
+      val out = inflate(data, 2, expected).getOrElse(fail())
+      // Adler-32 over the OUTPUT, stored big-endian after the stream
+      var a = 1L; var b = 0L
+      out.foreach { byte => a = (a + (byte & 0xFF)) % 65521; b = (b + a) % 65521 }
+      val stored = data.takeRight(4)
+      val adler = ((stored(0) & 0xFFL) << 24) | ((stored(1) & 0xFFL) << 16) |
+        ((stored(2) & 0xFFL) << 8) | (stored(3) & 0xFFL)
+      if (((b << 16) | a) != adler) fail()
+      Some(out)
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Raw DEFLATE (RFC 1951) from bit offset `from`*8 → exactly
+    * `expected` bytes.
+    */
+  def inflate(data: Array[Byte], from: Int, expected: Int): Option[Array[Byte]] =
+    try {
+      if (expected < 0) fail()
+      val out = new Array[Byte](expected)
+      var got = 0
+      var bitPos = from.toLong * 8
+      val totalBits = data.length.toLong * 8
+      def bits(n: Int): Int = {
+        if (bitPos + n > totalBits) fail()
+        var v = 0
+        var k = 0
+        while (k < n) {
+          v |= ((data(((bitPos + k) >> 3).toInt) >> ((bitPos + k) & 7).toInt) & 1) << k
+          k += 1
+        }
+        bitPos += n
+        v
+      }
+      var fin = false
+      while (!fin) {
+        fin = bits(1) == 1
+        bits(2) match {
+          case 0 => // stored
+            bitPos = (bitPos + 7) & ~7L
+            val len = bits(8) | (bits(8) << 8)
+            val nlen = bits(8) | (bits(8) << 8)
+            if ((len ^ 0xFFFF) != nlen) fail()
+            var k = 0
+            while (k < len) {
+              if (got >= expected || bitPos + 8 > totalBits) fail()
+              out(got) = data((bitPos >> 3).toInt)
+              bitPos += 8
+              got += 1
+              k += 1
+            }
+          case 1 => // fixed Huffman
+            got = block(FixedLit, FixedDist, bits, out, got)
+          case 2 => // dynamic Huffman
+            val hlit = bits(5) + 257
+            val hdist = bits(5) + 1
+            val hclen = bits(4) + 4
+            val clLens = new Array[Int](19)
+            var k = 0
+            while (k < hclen) { clLens(ClOrder(k)) = bits(3); k += 1 }
+            val clTree = huffman(clLens)
+            val lens = new Array[Int](hlit + hdist)
+            var i = 0
+            while (i < lens.length) {
+              decodeSym(clTree, bits) match {
+                case s if s < 16 => lens(i) = s; i += 1
+                case 16 =>
+                  if (i == 0) fail()
+                  val r = 3 + bits(2)
+                  val v = lens(i - 1)
+                  var j = 0
+                  while (j < r) { if (i >= lens.length) fail(); lens(i) = v; i += 1; j += 1 }
+                case 17 =>
+                  val r = 3 + bits(3)
+                  i += r
+                  if (i > lens.length) fail()
+                case 18 =>
+                  val r = 11 + bits(7)
+                  i += r
+                  if (i > lens.length) fail()
+                case _ => fail()
+              }
+            }
+            got = block(huffman(lens.take(hlit)), huffman(lens.drop(hlit)), bits, out, got)
+          case _ => fail()
+        }
+      }
+      if (got != expected) fail()
+      Some(out)
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  // RFC 1951 §3.2.7 code-length alphabet transmission order
+  private val ClOrder =
+    Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+  // §3.2.5 length/distance tables
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23,
+    27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+    129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193,
+    12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  /** Canonical Huffman decode table (RFC 1951 §3.2.2): per-length
+    * first-code offsets + a symbol array sorted by (length, symbol).
+    */
+  private final case class Huff(counts: Array[Int], symbols: Array[Int])
+
+  private def huffman(lens: Array[Int]): Huff = {
+    val counts = new Array[Int](16)
+    lens.foreach { l => if (l < 0 || l > 15) fail(); if (l > 0) counts(l) += 1 }
+    // over-subscribed code check (Kraft inequality)
+    var left = 1
+    var l = 1
+    while (l <= 15) {
+      left <<= 1
+      left -= counts(l)
+      if (left < 0) fail()
+      l += 1
+    }
+    // symbols sorted by (code length, symbol value) — canonical order
+    val idx = new Array[Int](16)
+    l = 2
+    while (l <= 15) { idx(l) = idx(l - 1) + counts(l - 1); l += 1 }
+    val symbols = new Array[Int](lens.count(_ > 0))
+    var s = 0
+    while (s < lens.length) {
+      val ln = lens(s)
+      if (ln > 0) { symbols(idx(ln)) = s; idx(ln) += 1 }
+      s += 1
+    }
+    Huff(counts, symbols)
+  }
+
+  private def decodeSym(h: Huff, bits: Int => Int): Int = {
+    var code = 0
+    var first = 0
+    var index = 0
+    var len = 1
+    while (len <= 15) {
+      code |= bits(1)
+      val count = h.counts(len)
+      if (code - first < count) return h.symbols(index + (code - first))
+      index += count
+      first = (first + count) << 1
+      code <<= 1
+      len += 1
+    }
+    fail()
+  }
+
+  private lazy val FixedLit: Huff = {
+    val lens = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      lens(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8
+      i += 1
+    }
+    huffman(lens)
+  }
+  private lazy val FixedDist: Huff = huffman(Array.fill(30)(5))
+
+  /** One compressed block body: literals + length/distance copies. */
+  private def block(lit: Huff, dist: Huff, bits: Int => Int,
+      out: Array[Byte], got0: Int): Int = {
+    var got = got0
+    var done = false
+    while (!done) {
+      val sym = decodeSym(lit, bits)
+      if (sym < 256) {
+        if (got >= out.length) fail()
+        out(got) = sym.toByte
+        got += 1
+      } else if (sym == 256) {
+        done = true
+      } else {
+        val li = sym - 257
+        if (li >= LenBase.length) fail()
+        val len = LenBase(li) + bits(LenExtra(li))
+        val di = decodeSym(dist, bits)
+        if (di >= DistBase.length) fail()
+        val d = DistBase(di) + bits(DistExtra(di))
+        if (d > got || got + len > out.length) fail()
+        var k = 0
+        while (k < len) { out(got) = out(got - d); got += 1; k += 1 }
+      }
+    }
+    got
+  }
+}

@@ -4,9 +4,10 @@ import graft.images.ImageOps.Image
 
 /** Pure-JVM PNG decoder implemented from the PUBLIC specification (W3C
   * PNG / RFC 2083): signature check, chunk walk with CRC-32 verified on
-  * every chunk, IHDR validation, multi-IDAT zlib stream (JDK Inflater —
-  * the DEFLATE bitstream itself is the one spec piece the JDK already
-  * ships), per-scanline unfiltering (None/Sub/Up/Average/Paeth with the
+  * every chunk, IHDR validation, multi-IDAT zlib stream decompressed by
+  * the engine's own RFC 1950/1951 decoder ([[InflateCodec]] — a PNG
+  * decode touches no library codec at all),
+  * per-scanline unfiltering (None/Sub/Up/Average/Paeth with the
   * spec's exact predictor), sub-byte sample unpacking, and color-type
   * mapping to packed RGB. This makes the engine's PRIMARY image format
   * engine-owned the way QOI already is ([[QoiCodec]]) — ImageIO remains
@@ -114,7 +115,11 @@ object PngCodec {
     val rowBits = w.toLong * channels * depth
     val rowBytes = ((rowBits + 7) / 8).toInt
     val bpp = math.max(1, channels * depth / 8)
-    val raw = inflate(idat.toByteArray, (rowBytes + 1).toLong * h)
+    val rawLen = (rowBytes + 1).toLong * h
+    if (rawLen > Int.MaxValue - 8) fail()
+    // the engine's own RFC 1950/1951 decoder — a PNG decode touches no
+    // library codec at all (InflateCodecSpec pins it against Deflater)
+    val raw = InflateCodec.zlib(idat.toByteArray, rawLen.toInt).getOrElse(fail())
 
     // unfilter in place, row by row (spec §6: filters operate on bytes)
     val prev = new Array[Byte](rowBytes)
@@ -225,26 +230,4 @@ object PngCodec {
     case _ => fail()
   }
 
-  /** Inflate the concatenated IDAT zlib stream to EXACTLY `need` bytes —
-    * shorter or longer both reject (a truncated or padded pixel stream
-    * is corrupt data, not a best-effort image).
-    */
-  private def inflate(data: Array[Byte], need: Long): Array[Byte] = {
-    if (need > Int.MaxValue - 8) fail()
-    val out = new Array[Byte](need.toInt)
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(data)
-      var got = 0
-      while (got < out.length && !inf.finished()) {
-        val n = inf.inflate(out, got, out.length - got)
-        if (n == 0 && inf.needsInput()) fail() // truncated stream
-        got += n
-      }
-      if (got != out.length) fail()
-      // any residual decompressed bytes mean the stream disagrees with IHDR
-      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) fail()
-      out
-    } finally inf.end()
-  }
 }
