@@ -129,6 +129,137 @@ object InflateCodec {
       case _: Malformed | _: ArrayIndexOutOfBoundsException => None
     }
 
+  /** Shared-context streaming decode — the ZMBV shape: one zlib stream
+    * whose producer sync-flushes after every frame, so each payload is
+    * a byte-aligned run of whole DEFLATE blocks (ending in the flush's
+    * empty stored block) and LZ77 distances reach back into PREVIOUS
+    * segments' output. The first segment carries the 2-byte zlib
+    * header; a 32 KiB history window persists across segments; output
+    * size per segment is discovered, not declared. No Adler check —
+    * the stream is never finalized (same as any streaming consumer).
+    */
+  final class Stream {
+    private var hist: Array[Byte] = Array.emptyByteArray
+    private var sawHeader = false
+
+    def segment(data: Array[Byte], from: Int): Option[Array[Byte]] =
+      try {
+        var start = from
+        if (!sawHeader) {
+          if (data.length < from + 2) fail()
+          val cmf = data(from) & 0xFF
+          val flg = data(from + 1) & 0xFF
+          if ((cmf & 0x0F) != 8 || ((cmf << 8) | flg) % 31 != 0 ||
+            (flg & 0x20) != 0) fail()
+          start = from + 2
+          sawHeader = true
+        }
+        val out = new java.io.ByteArrayOutputStream(1024)
+        var outLen = 0
+        val window = new scala.collection.mutable.ArrayBuffer[Byte](4096)
+        def emit(b: Byte): Unit = { out.write(b); window += b; outLen += 1 }
+        def at(back: Int): Byte = { // back = distance from current end
+          if (back <= window.length) window(window.length - back)
+          else {
+            val k = hist.length - (back - window.length)
+            if (k < 0) fail()
+            hist(k)
+          }
+        }
+        var bitPos = start.toLong * 8
+        val totalBits = data.length.toLong * 8
+        def bits(n: Int): Int = {
+          if (bitPos + n > totalBits) fail()
+          var v = 0
+          var k = 0
+          while (k < n) {
+            v |= ((data(((bitPos + k) >> 3).toInt) >> ((bitPos + k) & 7).toInt) & 1) << k
+            k += 1
+          }
+          bitPos += n
+          v
+        }
+        def huffBlock(lit: Huff, dist: Huff): Unit = {
+          var done = false
+          while (!done) {
+            val sym = decodeSym(lit, bits)
+            if (sym < 256) emit(sym.toByte)
+            else if (sym == 256) done = true
+            else {
+              val li = sym - 257
+              if (li >= LenBase.length) fail()
+              val len = LenBase(li) + bits(LenExtra(li))
+              val di = decodeSym(dist, bits)
+              if (di >= DistBase.length) fail()
+              val d = DistBase(di) + bits(DistExtra(di))
+              var k = 0
+              while (k < len) { emit(at(d)); k += 1 }
+            }
+          }
+        }
+        var stop = false
+        while (!stop && bitPos < totalBits) {
+          val fin = bits(1)
+          bits(2) match {
+            case 0 =>
+              bitPos = (bitPos + 7) & ~7L
+              val len = bits(8) | (bits(8) << 8)
+              val nlen = bits(8) | (bits(8) << 8)
+              if ((len ^ 0xFFFF) != nlen) fail()
+              var k = 0
+              while (k < len) {
+                if (bitPos + 8 > totalBits) fail()
+                emit(data((bitPos >> 3).toInt))
+                bitPos += 8
+                k += 1
+              }
+            case 1 => huffBlock(FixedLit, FixedDist)
+            case 2 =>
+              val hlit = bits(5) + 257
+              val hdist = bits(5) + 1
+              val hclen = bits(4) + 4
+              val clLens = new Array[Int](19)
+              var k = 0
+              while (k < hclen) { clLens(ClOrder(k)) = bits(3); k += 1 }
+              val clTree = huffman(clLens)
+              val lens = new Array[Int](hlit + hdist)
+              var i = 0
+              while (i < lens.length) {
+                decodeSym(clTree, bits) match {
+                  case s if s < 16 => lens(i) = s; i += 1
+                  case 16 =>
+                    if (i == 0) fail()
+                    val r = 3 + bits(2)
+                    val v = lens(i - 1)
+                    var j = 0
+                    while (j < r) { if (i >= lens.length) fail(); lens(i) = v; i += 1; j += 1 }
+                  case 17 => i += 3 + bits(3); if (i > lens.length) fail()
+                  case 18 => i += 11 + bits(7); if (i > lens.length) fail()
+                  case _ => fail()
+                }
+              }
+              huffBlock(huffman(lens.take(hlit)), huffman(lens.drop(hlit)))
+            case _ => fail()
+          }
+          if (fin == 1) stop = true
+        }
+        // a sync-flushed segment ends byte-aligned with input exhausted;
+        // a BFINAL block may leave ≤7 zero pad bits
+        if (!stop && bitPos != totalBits) fail()
+        val produced = out.toByteArray
+        val keep = 32768
+        hist =
+          if (produced.length >= keep) java.util.Arrays.copyOfRange(produced, produced.length - keep, produced.length)
+          else {
+            val carry = math.min(hist.length, keep - produced.length)
+            java.util.Arrays.copyOfRange(hist, hist.length - carry, hist.length) ++ produced
+          }
+        Some(produced)
+      } catch {
+        case _: Malformed | _: ArrayIndexOutOfBoundsException => None
+      }
+  }
+
   // RFC 1951 §3.2.7 code-length alphabet transmission order
   private val ClOrder =
     Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import java.util.zip.{Deflater, Inflater}
+import java.util.zip.Deflater
 
 /** Pure-JVM ZMBV codec (decode + a deterministic subset encoder) — Zip
   * Motion Block Video, the DOSBox capture codec, implemented from the
@@ -122,7 +122,7 @@ object ZmbvCodec {
   private def decodeOrThrow(width: Int, height: Int,
       payloads: Seq[Array[Byte]]): Video = {
     if (width <= 0 || height <= 0 || payloads.isEmpty) fail()
-    val inflater = new Inflater()
+    var zs = new InflateCodec.Stream // shared context between keyframes
     var fmt = -1; var bpp = 0; var comp = -1; var bw = 0; var bh = 0
     var prev: Array[Byte] = null
     var palette: Array[Byte] = Array.emptyByteArray
@@ -143,8 +143,8 @@ object ZmbvCodec {
           bw = p(5) & 0xFF
           bh = p(6) & 0xFF
           if (bw <= 0 || bh <= 0) fail()
-          inflater.reset() // keyframe: fresh zlib context
-          val body = inflateBody(inflater, comp, p, 7)
+          zs = new InflateCodec.Stream // keyframe: fresh zlib context
+          val body = inflateBody(zs, comp, p, 7)
           var off = 0
           if (fmt == FmtPal8) {
             if (body.length < 768) fail()
@@ -157,7 +157,7 @@ object ZmbvCodec {
         } else {
           // ---- inter
           if (prev == null) fail() // first frame must be a keyframe
-          val body = inflateBody(inflater, comp, p, 1)
+          val body = inflateBody(zs, comp, p, 1)
           var off = 0
           if ((flags & 2) != 0) {
             if (fmt != FmtPal8 || body.length < 768) fail()
@@ -227,29 +227,22 @@ object ZmbvCodec {
         }
         out += Frame(fmt, width, height, prev.clone(), palette.clone())
       }
-    } finally inflater.end()
+    } finally ()
     Video(width, height, out.result())
   }
 
   /** Inflate one frame's segment of the shared zlib stream (or copy, for
-    * compression 0). Each ZMBV frame is a sync-flushed segment, so
-    * inflating until the inflater needs more input yields exactly this
-    * frame's bytes while keeping the dictionary for the next frame.
+    * compression 0). Each ZMBV frame is a sync-flushed segment, decoded
+    * by the engine's own [[InflateCodec.Stream]] — the 32 KiB history
+    * persists across frames, so inter-frame segments may reference
+    * bytes the PREVIOUS frames decompressed (the shared-context
+    * property the spec proves by breaking a frame and watching the
+    * next fail).
     */
-  private def inflateBody(inflater: Inflater, comp: Int,
+  private def inflateBody(zs: InflateCodec.Stream, comp: Int,
       p: Array[Byte], from: Int): Array[Byte] = {
     if (comp == 0) return java.util.Arrays.copyOfRange(p, from, p.length)
-    val bos = new java.io.ByteArrayOutputStream(math.max(64, (p.length - from) * 4))
-    inflater.setInput(p, from, p.length - from)
-    val buf = new Array[Byte](8192)
-    var n = inflater.inflate(buf)
-    while (n > 0 || !(inflater.needsInput() || inflater.finished())) {
-      if (n == 0 && inflater.needsDictionary()) fail() // ZMBV never uses preset dictionaries
-      bos.write(buf, 0, n)
-      n = inflater.inflate(buf)
-    }
-    bos.write(buf, 0, n)
-    bos.toByteArray
+    zs.segment(p, from).getOrElse(fail())
   }
 
   // ------------------------------------------------------------- encode

@@ -136,6 +136,42 @@ class InflateCodecSpec extends AnyFunSuite {
     succeed
   }
 
+  test("Stream: sync-flushed segments share context (distances reach into prior segments)") {
+    val rnd = new scala.util.Random(0x57E4)
+    val d = new java.util.zip.Deflater(6)
+    val segs = (0 until 5).map { i =>
+      // later segments repeat earlier content → back-references across
+      // the segment boundary are guaranteed profitable
+      val payload =
+        if (i == 0) Array.fill(4000)(rnd.nextInt(256).toByte)
+        else Array.fill(500)(rnd.nextInt(256).toByte) ++
+          Array.tabulate(1500)(j => ((j * 7 + i) % 256).toByte)
+      payload
+    }
+    val compressed = segs.map { p =>
+      d.setInput(p)
+      val buf = new Array[Byte](p.length + 1024)
+      val out = new java.io.ByteArrayOutputStream()
+      var n = d.deflate(buf, 0, buf.length, java.util.zip.Deflater.SYNC_FLUSH)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        n = d.deflate(buf, 0, buf.length, java.util.zip.Deflater.SYNC_FLUSH)
+      }
+      out.toByteArray
+    }
+    d.end()
+    val zs = new InflateCodec.Stream
+    compressed.zip(segs).zipWithIndex.foreach { case ((c, want), i) =>
+      val got = zs.segment(c, 0).getOrElse(fail(s"segment $i rejected"))
+      assert(got.sameElements(want), s"segment $i")
+    }
+    // shared-context proof: a FRESH stream cannot decode segment 1 alone
+    val fresh = new InflateCodec.Stream
+    val seg1Alone = fresh.segment(compressed(1), 0)
+    assert(seg1Alone.isEmpty || !seg1Alone.get.sameElements(segs(1)),
+      "segment 1 must depend on segment 0's window (and it lacks the zlib header)")
+  }
+
   test("PNG end-to-end still has zero library codecs: fixture decode through own inflate") {
     val img = graft.images.ImageOps.Image(16, 16,
       Array.fill(256)(((7 * 10) << 16) | ((255 - 70) << 8) | 7))
