@@ -33,7 +33,7 @@ object ImageOps {
     * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec /
     * BmpCodecSpec); ImageIO serves exactly JPEG — the one format whose
     * decode is not bit-standardized — plus the documented fallback
-    * subsets (Adam7 interlace, 16-bit PNG, compressed BMP).
+    * subsets (16-bit PNG, compressed BMP).
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     graft.multimodal.PngCodec.decode(bytes)

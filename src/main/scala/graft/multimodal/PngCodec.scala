@@ -10,9 +10,10 @@ import graft.images.ImageOps.Image
   * per-scanline unfiltering (None/Sub/Up/Average/Paeth with the
   * spec's exact predictor), sub-byte sample unpacking, and color-type
   * mapping to packed RGB. This makes the engine's PRIMARY image format
-  * engine-owned the way QOI already is ([[QoiCodec]]) — ImageIO remains
-  * only as the JPEG/BMP/GIF path and the fallback for the documented
-  * PNG subset this decoder rejects (Adam7 interlace, 16-bit depth).
+  * engine-owned the way QOI already is ([[QoiCodec]]) — including
+  * Adam7 interlace, decoded pass-by-pass per §8.2. ImageIO remains
+  * only as the JPEG path and the fallback for the one documented PNG
+  * subset this decoder rejects (16-bit depth).
   *
   * Coverage: color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
   * 6 (RGBA); bit depths 1/2/4/8 for types 0 and 3, depth 8 for 2/4/6.
@@ -55,6 +56,7 @@ object PngCodec {
     while (i < 8) { if (b(i) != Signature(i)) fail(); i += 1 }
 
     var w = 0; var h = 0; var depth = 0; var colorType = -1
+    var interlaced = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var pos = 8
@@ -82,7 +84,8 @@ object PngCodec {
           val filterMethod = b(pos + 19) & 0xFF
           val interlace = b(pos + 20) & 0xFF
           if (w <= 0 || h <= 0 || compression != 0 || filterMethod != 0) fail()
-          if (interlace != 0) fail() // Adam7: documented subset, ImageIO fallback
+          if (interlace > 1) fail()
+          interlaced = interlace == 1 // Adam7: decoded pass-by-pass below
           val ok = colorType match {
             case 0 | 3 => Seq(1, 2, 4, 8).contains(depth)
             case 2 | 4 | 6 => depth == 8
@@ -112,53 +115,74 @@ object PngCodec {
       case 4 => 2
       case 6 => 4
     }
-    val rowBits = w.toLong * channels * depth
-    val rowBytes = ((rowBits + 7) / 8).toInt
     val bpp = math.max(1, channels * depth / 8)
-    val rawLen = (rowBytes + 1).toLong * h
-    if (rawLen > Int.MaxValue - 8) fail()
+    // Adam7 pass geometry (§8.2); non-interlaced = one full pass
+    val passes =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    def rowBytesFor(wp: Int): Int = ((wp.toLong * channels * depth + 7) / 8).toInt
+    val rawLen = passes.map { p =>
+      val (wp, hp) = passDims(p)
+      if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + rowBytesFor(wp))
+    }.sum
+    if (rawLen > Int.MaxValue - 8 || rawLen == 0) fail()
     // the engine's own RFC 1950/1951 decoder — a PNG decode touches no
     // library codec at all (InflateCodecSpec pins it against Deflater)
     val raw = InflateCodec.zlib(idat.toByteArray, rawLen.toInt).getOrElse(fail())
 
-    // unfilter in place, row by row (spec §6: filters operate on bytes)
-    val prev = new Array[Byte](rowBytes)
-    val cur = new Array[Byte](rowBytes)
+    // unfilter pass by pass (spec §6: filters operate on bytes; each
+    // pass filters against its OWN previous scanline)
     val pixels = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      val off = y * (rowBytes + 1)
-      val filter = raw(off) & 0xFF
-      System.arraycopy(raw, off + 1, cur, 0, rowBytes)
-      filter match {
-        case 0 => ()
-        case 1 => // Sub
-          var x = bpp
-          while (x < rowBytes) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
-        case 2 => // Up
-          var x = 0
-          while (x < rowBytes) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
-        case 3 => // Average
-          var x = 0
-          while (x < rowBytes) {
-            val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
-            cur(x) = (cur(x) + ((a + (prev(x) & 0xFF)) >> 1)).toByte
-            x += 1
+    var off = 0
+    passes.foreach { case pass @ (x0, y0, dx, dy) =>
+      val (wp, hp) = passDims(pass)
+      if (wp > 0 && hp > 0) {
+        val rowBytes = rowBytesFor(wp)
+        val prev = new Array[Byte](rowBytes)
+        val cur = new Array[Byte](rowBytes)
+        java.util.Arrays.fill(prev, 0.toByte)
+        var j = 0
+        while (j < hp) {
+          val filter = raw(off) & 0xFF
+          System.arraycopy(raw, off + 1, cur, 0, rowBytes)
+          off += 1 + rowBytes
+          filter match {
+            case 0 => ()
+            case 1 => // Sub
+              var x = bpp
+              while (x < rowBytes) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
+            case 2 => // Up
+              var x = 0
+              while (x < rowBytes) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+            case 3 => // Average
+              var x = 0
+              while (x < rowBytes) {
+                val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+                cur(x) = (cur(x) + ((a + (prev(x) & 0xFF)) >> 1)).toByte
+                x += 1
+              }
+            case 4 => // Paeth
+              var x = 0
+              while (x < rowBytes) {
+                val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+                val up = prev(x) & 0xFF
+                val c = if (x >= bpp) prevAt(prev, x - bpp) else 0
+                cur(x) = (cur(x) + paeth(a, up, c)).toByte
+                x += 1
+              }
+            case _ => fail()
           }
-        case 4 => // Paeth
-          var x = 0
-          while (x < rowBytes) {
-            val a = if (x >= bpp) cur(x - bpp) & 0xFF else 0
-            val up = prev(x) & 0xFF
-            val c = if (x >= bpp) prevAt(prev, x - bpp) else 0
-            cur(x) = (cur(x) + paeth(a, up, c)).toByte
-            x += 1
-          }
-        case _ => fail()
+          emitRow(cur, y0 + j * dy, wp, x0, dx, w, depth, colorType, channels, plte, pixels)
+          System.arraycopy(cur, 0, prev, 0, rowBytes)
+          j += 1
+        }
       }
-      emitRow(cur, y, w, depth, colorType, channels, plte, pixels)
-      System.arraycopy(cur, 0, prev, 0, rowBytes)
-      y += 1
     }
     Image(w, h, pixels)
   }
@@ -172,48 +196,52 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Unpack one unfiltered scanline into packed-RGB pixels. */
-  private def emitRow(row: Array[Byte], y: Int, w: Int, depth: Int,
-      colorType: Int, channels: Int, plte: Array[Byte],
+  /** Unpack one unfiltered PASS scanline (`wp` samples) into packed-RGB
+    * pixels, scattered to columns x0 + i·dx of destination row `y`
+    * (dx = 1, x0 = 0 for the non-interlaced single pass).
+    */
+  private def emitRow(row: Array[Byte], y: Int, wp: Int, x0: Int, dx: Int,
+      w: Int, depth: Int, colorType: Int, channels: Int, plte: Array[Byte],
       pixels: Array[Int]): Unit = {
     val base = y * w
+    def dest(i: Int): Int = base + x0 + i * dx
     colorType match {
       case 2 => // RGB8
         var x = 0
-        while (x < w) {
-          pixels(base + x) = ((row(3 * x) & 0xFF) << 16) |
+        while (x < wp) {
+          pixels(dest(x)) = ((row(3 * x) & 0xFF) << 16) |
             ((row(3 * x + 1) & 0xFF) << 8) | (row(3 * x + 2) & 0xFF)
           x += 1
         }
       case 6 => // RGBA8 — alpha dropped
         var x = 0
-        while (x < w) {
-          pixels(base + x) = ((row(4 * x) & 0xFF) << 16) |
+        while (x < wp) {
+          pixels(dest(x)) = ((row(4 * x) & 0xFF) << 16) |
             ((row(4 * x + 1) & 0xFF) << 8) | (row(4 * x + 2) & 0xFF)
           x += 1
         }
       case 4 => // gray+alpha 8 — alpha dropped
         var x = 0
-        while (x < w) {
+        while (x < wp) {
           val g = row(2 * x) & 0xFF
-          pixels(base + x) = (g << 16) | (g << 8) | g
+          pixels(dest(x)) = (g << 16) | (g << 8) | g
           x += 1
         }
       case 0 => // gray, depth 1/2/4/8, scaled to 0..255 per spec sample depth
         val maxV = (1 << depth) - 1
         var x = 0
-        while (x < w) {
+        while (x < wp) {
           val s = sampleAt(row, x, depth)
           val g = s * 255 / maxV
-          pixels(base + x) = (g << 16) | (g << 8) | g
+          pixels(dest(x)) = (g << 16) | (g << 8) | g
           x += 1
         }
       case 3 => // palette, depth 1/2/4/8
         var x = 0
-        while (x < w) {
+        while (x < wp) {
           val idx = sampleAt(row, x, depth)
           if (3 * idx + 2 >= plte.length) fail()
-          pixels(base + x) = ((plte(3 * idx) & 0xFF) << 16) |
+          pixels(dest(x)) = ((plte(3 * idx) & 0xFF) << 16) |
             ((plte(3 * idx + 1) & 0xFF) << 8) | (plte(3 * idx + 2) & 0xFF)
           x += 1
         }

@@ -233,25 +233,40 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("rejection subset: interlace falls back to ImageIO through the wired path") {
-    // hand-assemble an interlaced header: the codec must return None...
-    val rnd = new scala.util.Random(0xAD47)
+  test("Adam7: ImageIO's progressive writer round-trips pixel-identically through all 7 passes") {
+    val rnd = new scala.util.Random(0xADA7)
+    // dims below, at, and above the 8x8 pass grid, incl. degenerate 1-wide/1-tall
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1), (4, 4), (7, 5), (8, 8), (9, 10), (33, 21))) {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rnd.nextInt() | 0xFF000000)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = bos.toByteArray
+      assert((bytes(8 + 8 + 12) & 0xFF) == 1, s"${w}x$h: writer must have set the interlace flag")
+      val ours = PngCodec.decode(bytes).getOrElse(fail(s"${w}x$h: Adam7 rejected"))
+      val ref = ImageOps.decodeImageIO(bytes).getOrElse(fail(s"${w}x$h: ImageIO"))
+      assert(ours.pixels.sameElements(ref.pixels), s"${w}x$h pixels")
+    }
+    // a mis-sized interlaced stream (flag set, data non-interlaced) must reject
     val px = Array.fill(4 * 4)(rnd.nextInt(1 << 24))
     val plain = rgbPng(4, 4, px, _ => 0)
-    val interlaced = plain.clone()
-    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
-    // fix the IHDR CRC
+    val lied = plain.clone()
+    lied(8 + 8 + 12) = 1
     val crc = new java.util.zip.CRC32
-    crc.update(interlaced, 8 + 4, 4 + 13)
+    crc.update(lied, 8 + 4, 4 + 13)
     val v = crc.getValue.toInt
-    interlaced(8 + 8 + 13) = (v >>> 24).toByte
-    interlaced(8 + 8 + 14) = (v >>> 16).toByte
-    interlaced(8 + 8 + 15) = (v >>> 8).toByte
-    interlaced(8 + 8 + 16) = v.toByte
-    assert(PngCodec.decode(interlaced).isEmpty, "interlace must be rejected by the from-spec codec")
-    // (ImageIO would reject this stream too — the interlaced DATA is not
-    // really Adam7 — but a REAL interlaced PNG goes ImageIO's way; prove
-    // the wired fallback fires by feeding a JPEG through decode())
+    lied(8 + 8 + 13) = (v >>> 24).toByte
+    lied(8 + 8 + 14) = (v >>> 16).toByte
+    lied(8 + 8 + 15) = (v >>> 8).toByte
+    lied(8 + 8 + 16) = v.toByte
+    assert(PngCodec.decode(lied).isEmpty, "interlace flag with non-interlaced data sizes must reject")
+    // and the wired JPEG path still reaches ImageIO
     val bi = new java.awt.image.BufferedImage(5, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(bi, "jpg", bos)
