@@ -26,19 +26,22 @@ object ImageOps {
     * `pyspark_dominant.py:35`). Returns None on undecodable bytes rather
     * than throwing — corrupt files are data, not crashes, at 100 TB.
     *
-    * PNG decodes through the engine's own from-spec
-    * [[graft.multimodal.PngCodec]], GIF through
-    * [[graft.multimodal.GifCodec]], BMP through
-    * [[graft.multimodal.BmpCodec]] (each differentially proven against
+    * Every format decodes through the engine's own from-spec codecs:
+    * PNG via [[graft.multimodal.PngCodec]], GIF via
+    * [[graft.multimodal.GifCodec]], BMP via
+    * [[graft.multimodal.BmpCodec]], baseline JPEG via
+    * [[graft.multimodal.JpegCodec]] (each differentially proven against
     * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec /
-    * BmpCodecSpec); ImageIO serves exactly JPEG — the one format whose
-    * decode is not bit-standardized — plus the documented fallback
-    * subsets (16-bit PNG, compressed BMP).
+    * BmpCodecSpec / JpegCodecSpec, the JPEG one BIT-identical through
+    * the shared islow/fancy-upsample fixed-point formulation). ImageIO
+    * remains only the documented fallback subsets: progressive/12-bit/
+    * arithmetic JPEG, 16-bit PNG, compressed BMP.
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     graft.multimodal.PngCodec.decode(bytes)
       .orElse(graft.multimodal.GifCodec.decodeFirst(bytes))
       .orElse(graft.multimodal.BmpCodec.decode(bytes))
+      .orElse(graft.multimodal.JpegCodec.decode(bytes))
       .orElse(decodeImageIO(bytes))
 
   /** The library path: ImageIO for JPEG/BMP/GIF and PNG shapes outside

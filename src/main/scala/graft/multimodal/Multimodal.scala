@@ -159,7 +159,8 @@ object Multimodal {
             rgbFrameFeatures(row.asset_id,
               zmbv.get.frames.map(f => (f.width, f.height, f.rgb _)))
           case Some(payloads) if payloads.nonEmpty =>
-            // real path: MJPEG-AVI — every frame is a JPEG ImageIO reads;
+            // real path: MJPEG-AVI — every frame is a baseline JPEG the
+            // from-spec JpegCodec decodes (bit-identical to ImageIO);
             // sample ≤ MaxFrames evenly across the WHOLE clip (ceiling
             // stride: length/MaxFrames keeps only the first MaxFrames
             // frames of a 33..63-frame clip and drops the tail)
@@ -197,7 +198,7 @@ object Multimodal {
               }
             } yield frames
             // real path: MP4-carried MJPEG ([[Mp4Codec]] demux; samples
-            // are plain JPEGs ImageIO reads) — the BMFF twin of MJPEG-AVI
+            // are plain baseline JPEGs JpegCodec decodes) — the BMFF twin of MJPEG-AVI
             lazy val jpegs = (for {
               tracks <- Mp4Codec.demux(row.content)
               t <- tracks.find(t => t.kind == "vide" &&

@@ -1816,6 +1816,101 @@ object SourceQueries {
         |ORDER BY f.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the JPEG fixture tree: 24 .jpg files
+    * of 32×16 pixels, two-tone at the block-aligned split x=16 between
+    * two EVEN grays a = (2·(17i+30)) mod 256 and b = (2·(41i+90)) mod
+    * 256. This sits exactly on [[graft.multimodal.JpegCodec]]'s
+    * exactness corner: block-constant even grays survive the lossy
+    * pipeline IDENTICALLY (Y=v and Cb=Cr=128 exactly; DC = 8·(v−128)
+    * divides by the Annex-K luma Q00=16 for even v; the islow IDCT
+    * reconstructs constants exactly), so even a JPEG tree is closed-form
+    * replayable. Written by the engine's own deterministic encoder.
+    */
+  private def ensureJpegTree(sfDir: String): String = {
+    val root = workDir("jpeg", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 32; val h = 16
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val a = (2 * (17 * i + 30)) % 256
+        val b = (2 * (41 * i + 90)) % 256
+        val px = Array.tabulate(w * h) { o =>
+          val v = if (o % w < 16) a else b
+          (v << 16) | (v << 8) | v
+        }
+        Files.write(dir.resolve(f"j$i%03d.jpg"),
+          graft.multimodal.JpegCodec.encode(ImageOps.Image(w, h, px)))
+      }
+    }
+    root
+  }
+
+  /** Baseline JPEG decode under the hash gate: binary scan of the JPEG
+    * fixture tree, decoded by the from-spec [[graft.multimodal.JpegCodec]]
+    * (T.81 marker walk, canonical Huffman, islow IDCT — proven
+    * BIT-identical to ImageIO in JpegCodecSpec). JPEG being lossy, the
+    * gate stands on the codec's exactness corner (block-constant even
+    * grays roundtrip identically), so the oracle replays every pixel in
+    * closed form and `read_blob` pins byte identity through the engine's
+    * own deterministic writer — the last image format joins the
+    * PNG/QOI/GIF/BMP gate set.
+    */
+  object JpegScan extends GraftQuery {
+    val name = "q_jpeg_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureJpegTree(sfDir)
+      val idRe = "j(\\d+)\\.jpg".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          for (img <- graft.multimodal.JpegCodec.decode(content).toSeq) yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            img.pixels.foreach { p =>
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            }
+            (idx, img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, sr, sg, sb,
+              content.length.toLong,
+              content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "width", "height", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as the other codec scans: static oracle
+    // text, gate at sf0.01 only. Each half is 16×16 = 256 pixels of one
+    // even gray, so every channel sum is 256·(a+b).
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'j(\d+)\.jpg', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_jpeg__root_testdata_sf0.01/**/*.jpg')),
+        |a AS (
+        |  SELECT asset_idx,
+        |         (2 * (17 * asset_idx + 30)) % 256 AS ga,
+        |         (2 * (41 * asset_idx + 90)) % 256 AS gb
+        |  FROM f)
+        |SELECT f.asset_idx, CAST(32 AS BIGINT) AS width,
+        |       CAST(16 AS BIGINT) AS height, CAST(512 AS BIGINT) AS n_pixels,
+        |       CAST(256 * (a.ga + a.gb) AS BIGINT) AS sum_r,
+        |       CAST(256 * (a.ga + a.gb) AS BIGINT) AS sum_g,
+        |       CAST(256 * (a.ga + a.gb) AS BIGINT) AS sum_b,
+        |       f.n_bytes, f.head_hex
+        |FROM f JOIN a USING (asset_idx)
+        |ORDER BY f.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
     * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
     * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
@@ -2492,7 +2587,7 @@ object SourceQueries {
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
-      BmpScan, MsrleScan,
+      BmpScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, QoiScan, ImageAHash, ImageNearDup,
       AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog)
 }

@@ -174,6 +174,35 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: 60 random shapes round-trip the exactness corner and decode everywhere") {
+    val rnd = new scala.util.Random(0x1CE6)
+    for (k <- 0 until 60) {
+      // block-constant even-gray tiling: every 8×8 block one even gray →
+      // lossless by the codec's exactness-corner contract, any dims
+      val bw = 1 + rnd.nextInt(6); val bh = 1 + rnd.nextInt(5)
+      val w = bw * 8; val h = bh * 8
+      val tiles = Array.fill(bh, bw)(2 * rnd.nextInt(128))
+      val pix = Array.tabulate(w * h) { o =>
+        val v = tiles(o / w / 8)((o % w) / 8)
+        (v << 16) | (v << 8) | v
+      }
+      val q = 10 + rnd.nextInt(91)
+      val ri = if (rnd.nextBoolean()) 1 + rnd.nextInt(7) else 0
+      // tile-constant grays survive only at quality 50 (Q00=16 divides
+      // 8·even); other qualities still must roundtrip within the DC
+      // quantization step and decode identically through ImageIO
+      val bytes = JpegCodec.encode(graft.images.ImageOps.Image(w, h, pix), 50, ri)
+      val dec = JpegCodec.decode(bytes).getOrElse(fail(s"case $k: decode"))
+      assert(dec.pixels.sameElements(pix), s"case $k: ${w}x$h ri=$ri drifted")
+      val other = JpegCodec.encode(graft.images.ImageOps.Image(w, h, pix), q, ri)
+      val viaEngine = JpegCodec.decode(other).getOrElse(fail(s"case $k: decode q=$q"))
+      val viaImageIo = Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(other))).getOrElse(fail(s"case $k: ImageIO q=$q"))
+      val theirs = viaImageIo.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)
+      assert(viaEngine.pixels.sameElements(theirs), s"case $k: q=$q diverged from ImageIO")
+    }
+  }
+
   test("decoders are total on truncations and bit flips of real encodings") {
     val rnd = new scala.util.Random(0x70701)
     val flac = FlacCodec.encode(8000, Array(Array.fill(5000)(rnd.nextInt(65536) - 32768)))
@@ -188,6 +217,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     val mrle = MsRleCodec.encodeAvi(16, 16, pal768,
       Seq(Array.fill(256)(9.toByte)))
     val qoi = QoiCodec.encode(16, 16, Array.tabulate(256)(_ * 65793 & 0xFFFFFF))
+    val jpg = JpegCodec.encode(graft.images.ImageOps.Image(16, 16,
+      Array.tabulate(256)(_ * 65793 & 0xFFFFFF)), 75)
     for (_ <- 0 until 200) {
       def mangle(b: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
         case 0 => b.take(rnd.nextInt(b.length))
@@ -211,6 +242,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       AviCodec.palette8(mangle(mrle))
       MsRleCodec.decode(16, 16, pal768, Seq(mangle(mrle)))
       QoiCodec.decode(mangle(qoi))
+      JpegCodec.decode(mangle(jpg))
     }
     succeed
   }
