@@ -1,6 +1,6 @@
 package graft.images
 
-import java.awt.image.BufferedImage
+
 import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
 
@@ -367,12 +367,10 @@ object ImageOps {
     (255, 0, 0), (0, 255, 0), (0, 0, 255),
     (0, 255, 255), (255, 255, 0), (255, 0, 255))
 
-  /** Test/fixture helper: encode packed-RGB pixels to PNG bytes. */
-  def encodePng(img: Image): Array[Byte] = {
-    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
-    bi.setRGB(0, 0, img.width, img.height, img.pixels, 0, img.width)
-    val bos = new java.io.ByteArrayOutputStream()
-    ImageIO.write(bi, "png", bos)
-    bos.toByteArray
-  }
+  /** Encode packed-RGB pixels to PNG bytes — the engine's own
+    * deterministic writer ([[graft.multimodal.PngCodec.encode]]: RGB8,
+    * engine zlib, engine CRC), so fixture trees are byte-reproducible
+    * across JVMs with no library codec on the write path either.
+    */
+  def encodePng(img: Image): Array[Byte] = graft.multimodal.PngCodec.encode(img)
 }

@@ -8,15 +8,13 @@ package graft.multimodal
   * rejection, Adler-32 verified over the decompressed output). This
   * makes the engine's COMPRESSION layer engine-owned where its formats
   * are: [[PngCodec]] inflates IDAT through this decoder, so a PNG
-  * decode touches no library codec at all; `java.util.zip` remains the
-  * encoder for fixtures and the differential oracle in the specs
-  * (every Deflater level, random and redundant payloads, must
-  * round-trip bit-true through this decoder).
-  *
-  * Decode only, by design: DEFLATE compression output is not
-  * standardized (any valid bitstream is legal), so an encoder could
-  * never be differentially pinned the way the decoder can. TOTAL on
-  * arbitrary bytes — same contract as every codec here.
+  * decode touches no library codec at all; `java.util.zip.Deflater`
+  * remains the differential oracle in the specs (every Deflater level,
+  * random and redundant payloads, must round-trip bit-true through
+  * this decoder). The WRITE direction is [[DeflateCodec]] — the
+  * engine's own deterministic encoder, pinned by round-tripping
+  * through both this decoder and `Inflater`. TOTAL on arbitrary
+  * bytes — same contract as every codec here.
   */
 object InflateCodec {
 

@@ -46,6 +46,53 @@ object PngCodec {
           _: OutOfMemoryError => None
     }
 
+  /** Deterministic PNG writer (fixture/production tier): 8-bit RGB
+    * (color type 2), filter None on every row, one IDAT holding the
+    * engine's own zlib stream ([[DeflateCodec]]), CRCs from the
+    * engine's own table — a PNG is now engine-owned in BOTH directions,
+    * with no `java.util.zip` anywhere on the path. Every byte is a pure
+    * function of the pixels, so fixture trees are pinnable by
+    * `read_blob` byte identity.
+    */
+  def encode(img: Image): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0, "empty image")
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + 3 * w) + 1 // filter byte 0 already zero
+      var x = 0
+      while (x < w) {
+        val p = img.pixels(y * w + x)
+        raw(base + 3 * x) = ((p >> 16) & 0xFF).toByte
+        raw(base + 3 * x + 1) = ((p >> 8) & 0xFF).toByte
+        raw(base + 3 * x + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(64 + raw.length / 2)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t)
+      out.write(data)
+      be32(DeflateCodec.crc32(data, DeflateCodec.crc32(t)))
+    }
+    out.write(Signature)
+    chunk("IHDR", Array[Byte](
+      (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      8, 2, 0, 0, 0))
+    chunk("IDAT", DeflateCodec.zlib(raw))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
       ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
@@ -62,16 +109,13 @@ object PngCodec {
     var pos = 8
     var seenIhdr = false
     var seenIend = false
-    val crc = new java.util.zip.CRC32
 
     while (!seenIend) {
       if (pos + 8 > b.length) fail()
       val len = be32(b, pos)
       if (len < 0 || pos + 12 + len.toLong > b.length) fail()
       val typ = new String(b, pos + 4, 4, "US-ASCII")
-      crc.reset()
-      crc.update(b, pos + 4, 4 + len)
-      if (crc.getValue.toInt != be32(b, pos + 8 + len)) fail()
+      if (DeflateCodec.crc32Range(b, pos + 4, 4 + len) != be32(b, pos + 8 + len)) fail()
       typ match {
         case "IHDR" =>
           if (seenIhdr || len != 13) fail()

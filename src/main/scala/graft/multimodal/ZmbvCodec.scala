@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import java.util.zip.Deflater
 
 /** Pure-JVM ZMBV codec (decode + a deterministic subset encoder) — Zip
   * Motion Block Video, the DOSBox capture codec, implemented from the
@@ -51,8 +50,10 @@ import java.util.zip.Deflater
   * scan order, (0,0) first), XOR residual only when nonzero, palette
   * delta when the 8bpp palette changes mid-GOP. Every choice is
   * deterministic — identical input produces identical bytes on every
-  * JVM (zlib level 6 fixed) — so fixture trees are pinnable by
-  * `read_blob` byte identity like the PNG and FLAC trees.
+  * JVM (the zlib segments come from the engine's own [[DeflateCodec]],
+  * not `Deflater`, so no library heuristic can drift) — so fixture
+  * trees are pinnable by `read_blob` byte identity like the PNG and
+  * FLAC trees.
   */
 object ZmbvCodec {
 
@@ -276,22 +277,15 @@ object ZmbvCodec {
       dy <- -search to search; dx <- -search to search
       if !(dx == 0 && dy == 0)
     } yield (dx, dy))
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    // the engine's own sync-flushed zlib encoder — one shared context
+    // across the whole clip, exactly the stream the engine's
+    // InflateCodec.Stream decodes (and Inflater, differentially)
+    val deflater = new DeflateCodec.Stream
     var prev: Array[Byte] = null
     var prevPal: Array[Byte] = null
     val out = Seq.newBuilder[Array[Byte]]
 
-    def deflateSeg(body: Array[Byte]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 32)
-      deflater.setInput(body)
-      val buf = new Array[Byte](8192)
-      var n = deflater.deflate(buf, 0, buf.length, Deflater.SYNC_FLUSH)
-      while (n > 0) {
-        bos.write(buf, 0, n)
-        n = deflater.deflate(buf, 0, buf.length, Deflater.SYNC_FLUSH)
-      }
-      bos.toByteArray
-    }
+    def deflateSeg(body: Array[Byte]): Array[Byte] = deflater.segment(body)
 
     // prediction of block (x0,y0,bwi,bhi) under vector (tx,ty), vs cur:
     // returns differing-byte count, or writes the XOR into resid
@@ -401,7 +395,7 @@ object ZmbvCodec {
       prev = px
       prevPal = pal
     }
-    deflater.end()
+
     out.result()
   }
 

@@ -233,6 +233,21 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("engine writer: random images round-trip on both decoders, deterministically") {
+    val rnd = new scala.util.Random(0x9E1)
+    for (k <- 0 until 40) {
+      val w = 1 + rnd.nextInt(60); val h = 1 + rnd.nextInt(50)
+      val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val img = ImageOps.Image(w, h, px)
+      val bytes = PngCodec.encode(img)
+      assert(bytes.sameElements(PngCodec.encode(img)), s"case $k: nondeterministic")
+      val ours = PngCodec.decode(bytes).getOrElse(fail(s"case $k: own decode rejected"))
+      assert(ours.pixels.sameElements(px), s"case $k: engine roundtrip")
+      val theirs = ImageOps.decodeImageIO(bytes).getOrElse(fail(s"case $k: ImageIO rejected"))
+      assert(theirs.pixels.sameElements(px), s"case $k: ImageIO disagrees")
+    }
+  }
+
   test("Adam7: ImageIO's progressive writer round-trips pixel-identically through all 7 passes") {
     val rnd = new scala.util.Random(0xADA7)
     // dims below, at, and above the 8x8 pass grid, incl. degenerate 1-wide/1-tall
