@@ -33,9 +33,10 @@ object ImageOps {
     * [[graft.multimodal.JpegCodec]] (each differentially proven against
     * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec /
     * BmpCodecSpec / JpegCodecSpec, the JPEG one BIT-identical through
-    * the shared islow/fancy-upsample fixed-point formulation). ImageIO
-    * remains only the documented fallback subsets: progressive/12-bit/
-    * arithmetic JPEG, 16-bit PNG, compressed BMP.
+    * the shared islow/fancy-upsample fixed-point formulation, baseline
+    * and progressive alike). ImageIO remains only the documented
+    * fallback subsets: 12-bit/arithmetic/lossless JPEG, 16-bit PNG,
+    * compressed BMP.
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     graft.multimodal.PngCodec.decode(bytes)

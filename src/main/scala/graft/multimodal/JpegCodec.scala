@@ -2,9 +2,11 @@ package graft.multimodal
 
 import graft.images.ImageOps.Image
 
-/** Pure-JVM baseline JPEG codec from the public specs: ITU-T T.81
-  * (marker structure, canonical Huffman entropy coding, DCT/quantization
-  * semantics, Annex K example tables) + the JFIF container note.
+/** Pure-JVM JPEG codec from the public specs: ITU-T T.81 (marker
+  * structure, canonical Huffman entropy coding, DCT/quantization
+  * semantics, baseline Annex F + PROGRESSIVE Annex G successive
+  * approximation/spectral selection, Annex K example tables) + the
+  * JFIF container note.
   *
   * This closes the image-format matrix: with [[PngCodec]], [[GifCodec]],
   * [[BmpCodec]], and [[QoiCodec]], every image format the engine routes
@@ -18,9 +20,10 @@ import graft.images.ImageOps.Image
   *    formulation the IJG reference decoder popularized ("islow":
   *    CONST_BITS=13, PASS1_BITS=2, descale-with-rounding), the IJG
   *    16-bit fixed-point YCbCr→RGB tables, and the IJG "fancy"
-  *    (triangular 3:1) chroma upsampling — so on baseline streams it
-  *    reproduces the de-facto-standard decode bit-for-bit
-  *    (differentially proven against ImageIO in JpegCodecSpec).
+  *    (triangular 3:1) chroma upsampling — so on baseline AND
+  *    progressive streams it reproduces the de-facto-standard decode
+  *    bit-for-bit (differentially proven against ImageIO in
+  *    JpegCodecSpec).
   *  - The ENCODER is the engine's deterministic fixture/production
   *    writer: 4:4:4, Annex K tables with the standard quality scaling,
   *    Annex K.3 Huffman tables, double-precision forward DCT over a
@@ -34,9 +37,9 @@ import graft.images.ImageOps.Image
   * Annex-K luma quantizer (Q00=16 at quality 50) divides exactly for
   * even v, and the islow IDCT reconstructs the constant exactly — so
   * decode(encode(img)) == img and a SQL oracle can replay every pixel
-  * in closed form. TOTAL on arbitrary bytes: malformed/truncated/
-  * progressive streams return None (ImageIO remains the fallback for
-  * progressive, arithmetic-coded, and 12-bit streams).
+  * in closed form. TOTAL on arbitrary bytes: malformed/truncated
+  * streams return None (ImageIO remains the fallback only for the
+  * arithmetic-coded, 12-bit, lossless, and hierarchical processes).
   *
   * Reference behavior note: the reference decodes JPEGs with
   * `cv2.imdecode` (`pyspark_dominant.py:35`, `pyspark_yolox.py:67`);
@@ -516,7 +519,13 @@ object JpegCodec {
   }
 
   // ---------------------------------------------------------------------
-  // Decoder
+  // Decoder — baseline AND progressive (T.81 Annex F + G), multi-scan:
+  // every scan decodes into per-component coefficient buffers (zigzag
+  // order per block); IDCT + upsample + color conversion run once after
+  // the last scan. Progressive refinement follows the published
+  // successive-approximation algorithm (G.1.2) exactly as the IJG
+  // decoder realizes it, so progressive decodes stay bit-identical to
+  // ImageIO like baseline ones.
   // ---------------------------------------------------------------------
 
   private final case class Component(id: Int, h: Int, v: Int, qId: Int)
@@ -539,106 +548,146 @@ object JpegCodec {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
 
-    var i = 2
-    var sosAt = -1
-    var scanOrder: Array[(Int, Int, Int)] = null // (compIdx, dcId, acId)
-    while (sosAt < 0) {
-      if (i + 4 > b.length) fail()
-      if (u8(i) != 0xFF) fail()
-      var m = u8(i + 1)
-      while (m == 0xFF) { i += 1; m = u8(i + 1) } // fill bytes
-      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { i += 2 }
-      else if (m == 0xD9) fail() // EOI before SOS
-      else {
-        val len = u16(i + 2)
-        if (len < 2 || i + 2 + len > b.length) fail()
-        val seg = i + 4
-        val segEnd = i + 2 + len
-        m match {
-          case 0xDB => // DQT: one or more tables
-            var p = seg
-            while (p < segEnd) {
-              val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
-              if (tq > 3) fail()
-              val tab = new Array[Int](64)
-              if (pq == 0) {
-                if (p + 1 + 64 > segEnd) fail()
-                var k = 0
-                while (k < 64) { tab(Zigzag(k)) = u8(p + 1 + k); k += 1 }
-                p += 65
-              } else {
-                if (p + 1 + 128 > segEnd) fail()
-                var k = 0
-                while (k < 64) { tab(Zigzag(k)) = u16(p + 1 + 2 * k); k += 1 }
-                p += 129
-              }
-              quant(tq) = tab
-            }
-          case 0xC4 => // DHT: one or more tables
-            var p = seg
-            while (p < segEnd) {
-              val cls = u8(p) >> 4; val id = u8(p) & 0x0F
-              if (cls > 1 || id > 3) fail()
-              val bits = new Array[Int](17)
-              var total = 0
-              var l = 1
-              while (l <= 16) { bits(l) = u8(p + l); total += bits(l); l += 1 }
-              if (p + 17 + total > segEnd || total > 256) fail()
-              val vals = Array.tabulate(total)(k => u8(p + 17 + k))
-              val t = new HuffTable(bits, vals)
-              if (cls == 0) dcTabs(id) = t else acTabs(id) = t
-              p += 17 + total
-            }
-          case 0xC0 | 0xC1 => // SOF0/1: baseline (extended sequential ok)
-            if (u8(seg) != 8) fail() // 12-bit → fallback
-            height = u16(seg + 1); width = u16(seg + 3)
-            val nc = u8(seg + 5)
-            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) fail()
-            if (width.toLong * height > 100000000L) fail()
-            comps = Array.tabulate(nc) { ci =>
-              val o = seg + 6 + 3 * ci
-              val hv = u8(o + 1)
-              val comp = Component(u8(o), hv >> 4, hv & 0x0F, u8(o + 2))
-              if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 || comp.qId > 3) fail()
-              comp
-            }
-            // A single-component scan is non-interleaved (T.81 A.2.2):
-            // the MCU is ONE block and the declared sampling factors do
-            // not shape the scan — normalize them away.
-            if (nc == 1) comps(0) = comps(0).copy(h = 1, v = 1)
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            fail() // progressive/lossless/arithmetic → ImageIO fallback
-          case 0xDD => restartInterval = u16(seg)
-          case 0xDA =>
-            if (comps == null) fail()
-            val ns = u8(seg)
-            if (ns != comps.length) fail()
-            scanOrder = Array.tabulate(ns) { si =>
-              val cs = u8(seg + 1 + 2 * si)
-              val tt = u8(seg + 2 + 2 * si)
-              val ci = comps.indexWhere(_.id == cs)
-              if (ci < 0) fail()
-              (ci, tt >> 4, tt & 0x0F)
-            }
-            sosAt = segEnd
-          case _ => // APPn/COM/unknown: skip
+    // geometry + coefficient buffers, allocated at SOF
+    var maxH = 0; var maxV = 0; var mcuCols = 0; var mcuRows = 0
+    var bufBW: Array[Int] = null // buffer blocks per row (MCU-aligned)
+    var bufBH: Array[Int] = null
+    var blocksW: Array[Int] = null // real (cropped) block grid
+    var blocksH: Array[Int] = null
+    var coef: Array[Array[Int]] = null // zigzag order, 64 per block
+
+    def parseSof(seg: Int, segEnd: Int, prog: Boolean): Unit = {
+      if (comps != null) fail() // one frame only
+      if (u8(seg) != 8) fail() // 12-bit → fallback
+      progressive = prog
+      height = u16(seg + 1); width = u16(seg + 3)
+      val nc = u8(seg + 5)
+      if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) fail()
+      if (width.toLong * height > 100000000L) fail()
+      if (seg + 6 + 3 * nc > segEnd) fail()
+      comps = Array.tabulate(nc) { ci =>
+        val o = seg + 6 + 3 * ci
+        val hv = u8(o + 1)
+        val comp = Component(u8(o), hv >> 4, hv & 0x0F, u8(o + 2))
+        if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 || comp.qId > 3) fail()
+        comp
+      }
+      // single-component frames are always non-interleaved (T.81
+      // A.2.2): the declared sampling factors do not shape anything
+      if (nc == 1) comps(0) = comps(0).copy(h = 1, v = 1)
+      maxH = comps.map(_.h).max
+      maxV = comps.map(_.v).max
+      mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
+      mcuRows = (height + 8 * maxV - 1) / (8 * maxV)
+      bufBW = comps.map(c => mcuCols * c.h)
+      bufBH = comps.map(c => mcuRows * c.v)
+      blocksW = comps.map(c => ((width * c.h + maxH - 1) / maxH + 7) / 8)
+      blocksH = comps.map(c => ((height * c.v + maxV - 1) / maxV + 7) / 8)
+      coef = Array.tabulate(comps.length)(ci =>
+        new Array[Int](bufBW(ci) * bufBH(ci) * 64))
+    }
+
+    def parseDqt(seg: Int, segEnd: Int): Unit = {
+      var p = seg
+      while (p < segEnd) {
+        val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
+        if (tq > 3) fail()
+        val tab = new Array[Int](64)
+        if (pq == 0) {
+          if (p + 1 + 64 > segEnd) fail()
+          var k = 0
+          while (k < 64) { tab(Zigzag(k)) = u8(p + 1 + k); k += 1 }
+          p += 65
+        } else {
+          if (p + 1 + 128 > segEnd) fail()
+          var k = 0
+          while (k < 64) { tab(Zigzag(k)) = u16(p + 1 + 2 * k); k += 1 }
+          p += 129
         }
-        if (sosAt < 0) i = segEnd
+        quant(tq) = tab
       }
     }
 
-    // --- entropy-coded scan ---
-    val maxH = comps.map(_.h).max
-    val maxV = comps.map(_.v).max
-    val mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
-    val mcuRows = (height + 8 * maxV - 1) / (8 * maxV)
-    // per-component padded plane (MCU-aligned)
-    val planeW = comps.map(c => mcuCols * c.h * 8)
-    val planeH = comps.map(c => mcuRows * c.v * 8)
-    val planes = Array.tabulate(comps.length)(ci => new Array[Int](planeW(ci) * planeH(ci)))
+    def parseDht(seg: Int, segEnd: Int): Unit = {
+      var p = seg
+      while (p < segEnd) {
+        val cls = u8(p) >> 4; val id = u8(p) & 0x0F
+        if (cls > 1 || id > 3) fail()
+        val bits = new Array[Int](17)
+        var total = 0
+        var l = 1
+        while (l <= 16) { bits(l) = u8(p + l); total += bits(l); l += 1 }
+        if (p + 17 + total > segEnd || total > 256) fail()
+        val vals = Array.tabulate(total)(k => u8(p + 17 + k))
+        val t = new HuffTable(bits, vals)
+        if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+        p += 17 + total
+      }
+    }
 
-    var pos = sosAt
+    // current scan parameters
+    var scanOrder: Array[(Int, Int, Int)] = null // (compIdx, dcId, acId)
+    var ss = 0; var se = 63; var ah = 0; var al = 0
+
+    def parseSos(seg: Int, segEnd: Int): Unit = {
+      if (comps == null) fail()
+      val ns = u8(seg)
+      if (ns < 1 || ns > comps.length || seg + 1 + 2 * ns + 3 > segEnd) fail()
+      if (!progressive && ns != comps.length) fail() // multi-scan sequential: fallback
+      scanOrder = Array.tabulate(ns) { si =>
+        val cs = u8(seg + 1 + 2 * si)
+        val tt = u8(seg + 2 + 2 * si)
+        val ci = comps.indexWhere(_.id == cs)
+        if (ci < 0) fail()
+        (ci, tt >> 4, tt & 0x0F)
+      }
+      val o = seg + 1 + 2 * ns
+      ss = u8(o); se = u8(o + 1); ah = u8(o + 2) >> 4; al = u8(o + 2) & 0x0F
+      if (progressive) {
+        if (ss == 0 && se != 0) fail() // DC scan is exactly [0,0]
+        if (ss > 0 && (scanOrder.length != 1 || se < ss || se > 63)) fail()
+        if (al > 13 || ah > 13) fail()
+      } else { ss = 0; se = 63; ah = 0; al = 0 }
+    }
+
+    /** Walk markers from `start` to the next SOS (returns its segEnd) or
+      * EOI (returns −1).
+      */
+    def nextScan(start: Int): Int = {
+      var i = start
+      while (true) {
+        if (i + 2 > b.length) fail()
+        if (u8(i) != 0xFF) fail()
+        var m = u8(i + 1)
+        while (m == 0xFF) { i += 1; m = u8(i + 1) } // fill bytes
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
+        else if (m == 0xD9) return -1
+        else {
+          val len = u16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) fail()
+          val seg = i + 4
+          val segEnd = i + 2 + len
+          m match {
+            case 0xDB => parseDqt(seg, segEnd)
+            case 0xC4 => parseDht(seg, segEnd)
+            case 0xC0 | 0xC1 => parseSof(seg, segEnd, prog = false)
+            case 0xC2 => parseSof(seg, segEnd, prog = true)
+            case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+              fail() // lossless/arithmetic/hierarchical → ImageIO fallback
+            case 0xDD => restartInterval = u16(seg)
+            case 0xDA => parseSos(seg, segEnd); return segEnd
+            case _ => // APPn/COM/unknown: skip
+          }
+          i = segEnd
+        }
+      }
+      -1
+    }
+
+    // --- entropy-coded bit reader (byte-stuffed; stops at markers)
+    var pos = 0
     var bitBuf = 0L
     var bitCnt = 0
     def fillBits(): Unit = {
@@ -647,7 +696,7 @@ object JpegCodec {
         if (v == 0xFF) {
           if (pos + 1 < b.length && u8(pos + 1) == 0x00) {
             bitBuf = (bitBuf << 8) | 0xFF; bitCnt += 8; pos += 2
-          } else return // marker: stop feeding; remaining reads fail → Malformed
+          } else return // marker: stop feeding
         } else { bitBuf = (bitBuf << 8) | v; bitCnt += 8; pos += 1 }
       }
     }
@@ -662,7 +711,8 @@ object JpegCodec {
       while (k < n) { v = (v << 1) | nextBit(); k += 1 }
       v
     }
-    def extend(v: Int, s: Int): Int = if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     def decodeHuff(t: HuffTable): Int = {
       if (t == null) fail()
       var code = nextBit()
@@ -675,78 +725,217 @@ object JpegCodec {
       t.values(t.valPtr(len) + code - t.minCode(len))
     }
 
-    val preds = new Array[Int](comps.length)
-    val coefZig = new Array[Int](64)
-    var mcusDone = 0
-    var my = 0
-    while (my < mcuRows) {
-      var mx = 0
-      while (mx < mcuCols) {
-        if (restartInterval > 0 && mcusDone == restartInterval) {
-          // byte-align, expect RSTn
-          bitCnt = 0; bitBuf = 0
-          if (pos + 1 >= b.length || u8(pos) != 0xFF || (u8(pos + 1) & 0xF8) != 0xD0) fail()
-          pos += 2
-          java.util.Arrays.fill(preds, 0)
-          mcusDone = 0
-        }
-        var s = 0
-        while (s < scanOrder.length) {
-          val (ci, dcId, acId) = scanOrder(s)
-          val comp = comps(ci)
-          val q = quant(comp.qId)
-          if (q == null) fail()
-          var vb = 0
-          while (vb < comp.v) {
-            var hb = 0
-            while (hb < comp.h) {
-              java.util.Arrays.fill(coefZig, 0)
-              val t = decodeHuff(dcTabs(dcId))
-              if (t > 15) fail()
-              val diff = extend(receive(t), t)
-              preds(ci) += diff
-              coefZig(0) = preds(ci)
-              var k = 1
-              var done = false
-              while (!done && k < 64) {
-                val rs = decodeHuff(acTabs(acId))
-                val r = rs >> 4; val sz = rs & 0x0F
-                if (sz == 0) {
-                  if (r == 15) k += 16 else done = true
-                } else {
-                  k += r
-                  if (k > 63) fail()
-                  coefZig(k) = extend(receive(sz), sz)
-                  k += 1
-                }
-              }
-              val samples = idctBlock(coefZig, q)
-              // place into plane
-              val px0 = (mx * comp.h + hb) * 8
-              val py0 = (my * comp.v + vb) * 8
-              val pw = planeW(ci)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  planes(ci)((py0 + yy) * pw + px0 + xx) = samples(yy * 8 + xx)
-                  xx += 1
-                }
-                yy += 1
-              }
-              hb += 1
-            }
-            vb += 1
-          }
-          s += 1
-        }
-        mcusDone += 1
-        mx += 1
+    // --- per-scan entropy decode into the coefficient buffers
+    val preds = new Array[Int](3)
+    var eobrun = 0
+
+    def decodeScan(entropyStart: Int): Unit = {
+      pos = entropyStart
+      bitBuf = 0; bitCnt = 0
+      java.util.Arrays.fill(preds, 0)
+      eobrun = 0
+      val interleaved = scanOrder.length > 1
+      val dcScan = ss == 0
+      // unit grid: MCUs when interleaved, single blocks otherwise
+      val (unitsX, unitsY) =
+        if (interleaved) (mcuCols, mcuRows)
+        else { val ci = scanOrder(0)._1; (blocksW(ci), blocksH(ci)) }
+
+      def refineNonzero(c: Array[Int], off: Int): Unit = {
+        val cur = c(off)
+        if (nextBit() == 1 && (cur & (1 << al)) == 0)
+          c(off) = if (cur >= 0) cur + (1 << al) else cur - (1 << al)
       }
-      my += 1
+
+      def decodeBlock(ci: Int, dcId: Int, acId: Int, base: Int): Unit = {
+        val c = coef(ci)
+        if (!progressive) {
+          // baseline: full [0,63] in one pass
+          val t = decodeHuff(dcTabs(dcId))
+          if (t > 15) fail()
+          preds(ci) += extend(receive(t), t)
+          c(base) = preds(ci)
+          var k = 1
+          var done = false
+          while (!done && k < 64) {
+            val rs = decodeHuff(acTabs(acId))
+            val r = rs >> 4; val s = rs & 0x0F
+            if (s == 0) { if (r == 15) k += 16 else done = true }
+            else {
+              k += r
+              if (k > 63) fail()
+              c(base + k) = extend(receive(s), s)
+              k += 1
+            }
+          }
+        } else if (dcScan) {
+          if (ah == 0) {
+            val t = decodeHuff(dcTabs(dcId))
+            if (t > 15) fail()
+            preds(ci) += extend(receive(t), t)
+            c(base) = preds(ci) << al
+          } else if (nextBit() == 1) c(base) |= 1 << al
+        } else if (ah == 0) {
+          // AC first scan (G.1.2.2): EOB runs + scaled values
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val rs = decodeHuff(acTabs(acId))
+              val r = rs >> 4; val s = rs & 0x0F
+              if (s == 0) {
+                if (r == 15) k += 16
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += receive(r)
+                  done = true
+                }
+              } else {
+                k += r
+                if (k > se) fail()
+                c(base + k) = extend(receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement (G.1.2.3): correction bits woven through the
+          // zero-history run lengths
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (!done && k <= se) {
+              val rs = decodeHuff(acTabs(acId))
+              var r = rs >> 4; val s = rs & 0x0F
+              var value = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += receive(r)
+                  done = true
+                }
+              } else {
+                if (s != 1) fail()
+                value = if (nextBit() == 1) 1 << al else -1 << al
+              }
+              if (!done) {
+                var placed = false
+                while (!placed && k <= se) {
+                  if (c(base + k) != 0) { refineNonzero(c, base + k); k += 1 }
+                  else if (r == 0) placed = true
+                  else { r -= 1; k += 1 }
+                }
+                if (value != 0) {
+                  if (k > se) fail()
+                  c(base + k) = value
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              if (c(base + k) != 0) refineNonzero(c, base + k)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      var unitsDone = 0
+      var uy = 0
+      while (uy < unitsY) {
+        var ux = 0
+        while (ux < unitsX) {
+          if (restartInterval > 0 && unitsDone == restartInterval) {
+            bitCnt = 0; bitBuf = 0
+            if (pos + 1 >= b.length || u8(pos) != 0xFF ||
+              (u8(pos + 1) & 0xF8) != 0xD0) fail()
+            pos += 2
+            java.util.Arrays.fill(preds, 0)
+            eobrun = 0
+            unitsDone = 0
+          }
+          if (interleaved) {
+            var s = 0
+            while (s < scanOrder.length) {
+              val (ci, dcId, acId) = scanOrder(s)
+              val comp = comps(ci)
+              var vb = 0
+              while (vb < comp.v) {
+                var hb = 0
+                while (hb < comp.h) {
+                  val bx = ux * comp.h + hb
+                  val by = uy * comp.v + vb
+                  decodeBlock(ci, dcId, acId, (by * bufBW(ci) + bx) * 64)
+                  hb += 1
+                }
+                vb += 1
+              }
+              s += 1
+            }
+          } else {
+            val (ci, dcId, acId) = scanOrder(0)
+            decodeBlock(ci, dcId, acId, (uy * bufBW(ci) + ux) * 64)
+          }
+          unitsDone += 1
+          ux += 1
+        }
+        uy += 1
+      }
     }
 
-    // --- upsample + color convert ---
+    // --- scan loop: baseline = one scan; progressive = until EOI
+    var entry = nextScan(2)
+    if (entry < 0 || comps == null) fail()
+    var scans = 0
+    while (entry >= 0) {
+      decodeScan(entry)
+      scans += 1
+      if (!progressive) entry = -1 // single-scan sequential: done
+      else {
+        // the bit reader stopped at the next marker (or pad bytes
+        // before it were consumed by fillBits — pos is at the marker)
+        entry = nextScan(pos)
+      }
+    }
+    if (scans == 0) fail()
+
+    // --- IDCT every buffered block into per-component planes
+    val planeW = bufBW.map(_ * 8)
+    val planes = Array.tabulate(comps.length) { ci =>
+      val q = quant(comps(ci).qId)
+      if (q == null) fail()
+      val pw = planeW(ci)
+      val plane = new Array[Int](pw * bufBH(ci) * 8)
+      val c = coef(ci)
+      val blockZig = new Array[Int](64)
+      var by = 0
+      while (by < bufBH(ci)) {
+        var bx = 0
+        while (bx < bufBW(ci)) {
+          System.arraycopy(c, (by * bufBW(ci) + bx) * 64, blockZig, 0, 64)
+          val samples = idctBlock(blockZig, q)
+          val px0 = bx * 8; val py0 = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((py0 + yy) * pw + px0 + xx) = samples(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      plane
+    }
+
+    // --- upsample + color convert
     val pixels = new Array[Int](width * height)
     if (comps.length == 1) {
       val pw = planeW(0)
@@ -761,7 +950,6 @@ object JpegCodec {
         y += 1
       }
     } else {
-      // upsample each chroma plane to full resolution
       val full = Array.tabulate(3) { ci =>
         val comp = comps(ci)
         val sx = maxH / comp.h; val sy = maxV / comp.v

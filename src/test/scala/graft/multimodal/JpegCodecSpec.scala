@@ -252,21 +252,38 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive streams are rejected (ImageIO fallback path)") {
-    val img = gray(24, 16, 128)
-    val bi = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
-    bi.setRGB(0, 0, 24, 16, img.pixels, 0, 24)
+  private def imageIoEncodeProgressive(img: Image, quality: Float): Array[Byte] = {
+    val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, img.width, img.height, img.pixels, 0, img.width)
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
     params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
     writer.dispose(); ios.close()
-    val bytes = bos.toByteArray
-    assert(JpegCodec.decode(bytes).isEmpty, "progressive must fall back")
-    assert(imageIoDecode(bytes).isDefined, "sanity: ImageIO reads its own progressive stream")
+    bos.toByteArray
+  }
+
+  test("progressive streams decode bit-identically to ImageIO") {
+    val r = rng(0x50F2)
+    for (trial <- 0 until 8) {
+      val w = 17 + r.nextInt(40); val h = 13 + r.nextInt(30)
+      // noise maximizes successive-approximation refinement activity
+      val img = Image(w, h, Array.fill(w * h)(r.nextInt(1 << 24)))
+      val bytes = imageIoEncodeProgressive(img, 0.8f)
+      // sanity: the stream really is progressive (SOF2 present)
+      assert((2 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2), "not SOF2")
+      val ours = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"trial $trial: engine rejected progressive stream"))
+      val theirs = imageIoDecode(bytes).get
+      val diff = maxChannelDiff(ours, theirs)
+      assert(diff == 0, s"trial $trial: progressive decode differs by $diff")
+    }
   }
 
   // ---------------- totality
