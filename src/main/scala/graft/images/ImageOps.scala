@@ -34,9 +34,10 @@ object ImageOps {
     * ImageIO pixel-for-pixel — PngCodecSpec / GifCodecSpec /
     * BmpCodecSpec / JpegCodecSpec, the JPEG one BIT-identical through
     * the shared islow/fancy-upsample fixed-point formulation, baseline
-    * and progressive alike). ImageIO remains only the documented
-    * fallback subsets: 12-bit/arithmetic/lossless JPEG, 16-bit PNG,
-    * compressed BMP.
+    * and progressive alike; 16-bit PNG and RLE8 BMP decode from spec
+    * too). ImageIO remains only for the documented exotic residue:
+    * 12-bit/arithmetic/lossless JPEG, BI_BITFIELDS/RLE4 and
+    * 1/4/16-bit BMP.
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     graft.multimodal.PngCodec.decode(bytes)

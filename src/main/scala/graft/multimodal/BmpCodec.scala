@@ -5,16 +5,12 @@ import graft.images.ImageOps.Image
 /** Pure-JVM BMP decoder from the public Windows bitmap format: BM file
   * header, BITMAPINFOHEADER (and its larger V4/V5 extensions — only the
   * first 40 bytes are read), bottom-up OR top-down rows padded to 4
-  * bytes, 8-bit indexed with RGBQUAD palette, 24-bit BGR, and 32-bit
-  * BGRX (alpha ignored, matching the packed-RGB contract). With PNG
-  * ([[PngCodec]]), GIF ([[GifCodec]]), and QOI ([[QoiCodec]]) this
-  * leaves ImageIO serving exactly ONE image format: JPEG — the only one
-  * whose decode is not bit-standardized (IDCT precision varies by
-  * implementation), so a from-spec decoder could never sit under the
-  * engine's bit-replay gates anyway. BI_RLE8-compressed BMPs are
-  * rejected here (the RLE8 bitstream itself is already real in the
-  * engine — [[MsRleCodec]] decodes it for AVI and MKV) and fall back to
-  * ImageIO. TOTAL on arbitrary bytes.
+  * bytes, 8-bit indexed with RGBQUAD palette, 24-bit BGR, 32-bit BGRX
+  * (alpha ignored, matching the packed-RGB contract), and BI_RLE8
+  * compression (delegated to [[MsRleCodec]] — the identical bitstream
+  * the engine already decodes for AVI and MKV). Only the exotic
+  * BI_BITFIELDS/RLE4 and 1/4/16-bit shapes fall back to ImageIO.
+  * TOTAL on arbitrary bytes.
   */
 object BmpCodec {
 
@@ -75,8 +71,42 @@ object BmpCodec {
     val bitCount = le16(b, 28)
     val compression = le32(b, 30)
     if (w <= 0 || h <= 0 || w.toLong * h > 100000000L) fail()
-    if (compression != 0) fail() // BI_RLE8/BI_BITFIELDS → ImageIO fallback
     if (dataOffset < 14 + headerSize || dataOffset > b.length) fail()
+
+    if (compression == 1) {
+      // BI_RLE8: the identical bitstream [[MsRleCodec]] already decodes
+      // for AVI (runs, absolute mode, EOL/EOB/delta escapes, bottom-up)
+      if (bitCount != 8 || topDown) fail()
+      val clrUsed = le32(b, 46)
+      val n = if (clrUsed == 0) 256 else clrUsed
+      if (n < 0 || n > 256) fail()
+      val palOff = 14 + headerSize
+      if (palOff + 4 * n > b.length) fail()
+      val pal768 = new Array[Byte](768)
+      var j = 0
+      while (j < n) {
+        pal768(3 * j) = b(palOff + 4 * j + 2) // RGBQUAD is BGRX
+        pal768(3 * j + 1) = b(palOff + 4 * j + 1)
+        pal768(3 * j + 2) = b(palOff + 4 * j)
+        j += 1
+      }
+      val payload = java.util.Arrays.copyOfRange(b, dataOffset, b.length)
+      val video = MsRleCodec.decode(w, h, pal768, Seq(payload)).getOrElse(fail())
+      val f = video.frames.head
+      val pixels = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, bb) = f.rgb(x, y)
+          pixels(y * w + x) = (r << 16) | (g << 8) | bb
+          x += 1
+        }
+        y += 1
+      }
+      return Image(w, h, pixels)
+    }
+    if (compression != 0) fail() // BI_BITFIELDS/RLE4 → ImageIO fallback
 
     val palette: Array[Int] =
       if (bitCount == 8) {

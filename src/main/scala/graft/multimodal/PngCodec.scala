@@ -11,12 +11,15 @@ import graft.images.ImageOps.Image
   * spec's exact predictor), sub-byte sample unpacking, and color-type
   * mapping to packed RGB. This makes the engine's PRIMARY image format
   * engine-owned the way QOI already is ([[QoiCodec]]) — including
-  * Adam7 interlace, decoded pass-by-pass per §8.2. ImageIO remains
-  * only as the JPEG path and the fallback for the one documented PNG
-  * subset this decoder rejects (16-bit depth).
+  * Adam7 interlace, decoded pass-by-pass per §8.2, and 16-bit sample
+  * depth. Every conforming PNG shape decodes here; nothing falls back.
   *
   * Coverage: color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  * 6 (RGBA); bit depths 1/2/4/8 for types 0 and 3, depth 8 for 2/4/6.
+  * 6 (RGBA); bit depths 1/2/4/8 for types 0 and 3, depth 8 or 16 for
+  * 0/2/4/6 (16-bit samples reduce to their HIGH byte — floor(v/256),
+  * the cv2-style reduction; a second documented divergence from
+  * ImageIO's colorspace-converted getRGB, pinned by hand-assembled
+  * streams the same way the gray gamma case is).
   * Alpha is decoded and DROPPED — [[graft.images.ImageOps.decode]]
   * returns pure packed RGB (it masks ImageIO's ARGB the same way), so
   * the two paths are differentially comparable pixel-for-pixel
@@ -131,11 +134,12 @@ object PngCodec {
           if (interlace > 1) fail()
           interlaced = interlace == 1 // Adam7: decoded pass-by-pass below
           val ok = colorType match {
-            case 0 | 3 => Seq(1, 2, 4, 8).contains(depth)
-            case 2 | 4 | 6 => depth == 8
+            case 3 => Seq(1, 2, 4, 8).contains(depth)
+            case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
+            case 2 | 4 | 6 => depth == 8 || depth == 16
             case _ => false
           }
-          if (!ok) fail() // 16-bit and exotic combos: documented subset
+          if (!ok) fail() // exotic combos: documented subset
           if (w.toLong * h > 100000000L) fail() // 100 MP bound, same spirit as decode-at-scale
         case "PLTE" =>
           if (!seenIhdr || len % 3 != 0 || len > 768) fail()
@@ -249,6 +253,27 @@ object PngCodec {
       pixels: Array[Int]): Unit = {
     val base = y * w
     def dest(i: Int): Int = base + x0 + i * dx
+    if (depth == 16) {
+      // 16-bit samples are big-endian; the packed-RGB contract reduces
+      // them by HIGH BYTE (floor(v/256) — the cv2-style reduction).
+      // Filters already operated at the byte level with the doubled bpp.
+      val step = 2 * channels
+      var x = 0
+      while (x < wp) {
+        val px = colorType match {
+          case 2 | 6 =>
+            ((row(step * x) & 0xFF) << 16) |
+              ((row(step * x + 2) & 0xFF) << 8) | (row(step * x + 4) & 0xFF)
+          case 0 | 4 =>
+            val g = row(step * x) & 0xFF
+            (g << 16) | (g << 8) | g
+          case _ => fail()
+        }
+        pixels(dest(x)) = px
+        x += 1
+      }
+      return
+    }
     colorType match {
       case 2 => // RGB8
         var x = 0

@@ -53,16 +53,40 @@ class BmpCodecSpec extends AnyFunSuite {
     assert(img.pixels.sameElements(px), "top-down rows must not be flipped; alpha byte ignored")
   }
 
-  test("BI_RLE8 compression is rejected (MsRleCodec owns that bitstream; ImageIO is the BMP fallback)") {
-    val good = {
-      val bi = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(bi, "bmp", bos)
-      bos.toByteArray
+  test("hand-assembled BI_RLE8 BMP decodes through the shared MsRleCodec bitstream") {
+    // 8×3, palette entry j = (j, 2j, 3j); bottom-up rows:
+    //   bottom row: run of 8 × idx 5
+    //   middle row: absolute mode 4 bytes (1,2,3,4) then run 4 × idx 9
+    //   top row: 2 × idx 7, delta skip (3,0), 3 × idx 8 (cols 5..7)
+    val w = 8; val h = 3
+    val rle = Array[Int](
+      8, 5, 0, 0, // run, EOL
+      0, 4, 1, 2, 3, 4, 4, 9, 0, 0, // absolute(4), run, EOL
+      2, 7, 0, 2, 3, 0, 3, 8, 0, 1 // run, delta(3,0), run, EOB
+    ).map(_.toByte)
+    val hdr = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { hdr.write(v & 0xFF); hdr.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    hdr.write('B'); hdr.write('M')
+    val dataOffset = 54 + 1024
+    le32(dataOffset + rle.length); le32(0); le32(dataOffset)
+    le32(40); le32(w); le32(h); le16(1); le16(8)
+    le32(1); le32(rle.length); le32(2835); le32(2835); le32(256); le32(0)
+    for (j <- 0 until 256) { // RGBQUAD = BGRX
+      hdr.write((3 * j) % 256); hdr.write((2 * j) % 256); hdr.write(j); hdr.write(0)
     }
-    val rle = good.clone()
-    rle(30) = 1 // biCompression = BI_RLE8
-    assert(BmpCodec.decode(rle).isEmpty)
+    hdr.write(rle)
+    val img = BmpCodec.decode(hdr.toByteArray).getOrElse(fail("RLE8 rejected"))
+    def pal(j: Int) = ((j % 256) << 16) | (((2 * j) % 256) << 8) | ((3 * j) % 256)
+    val expected = Array(
+      // top row (display y=0): 7 7 0 0 0 8 8 8 (delta-skipped = palette 0)
+      Array(7, 7, 0, 0, 0, 8, 8, 8),
+      // middle row: absolute 1 2 3 4 then run 9 9 9 9
+      Array(1, 2, 3, 4, 9, 9, 9, 9),
+      // bottom row: 5 × 8
+      Array.fill(8)(5)).flatten.map(pal)
+    assert(img.width == w && img.height == h)
+    assert(img.pixels.sameElements(expected))
   }
 
   test("malformed streams are rejected, never thrown on") {

@@ -109,6 +109,43 @@ class PngCodecSpec extends AnyFunSuite {
     assert(mixed.pixels.sameElements(px))
   }
 
+  test("hand-assembled 16-bit depths (types 0/2/4/6): high-byte reduction, all filters") {
+    val rnd = new scala.util.Random(0x16B1)
+    val w = 9; val h = 7
+    for ((colorType, channels) <- Seq((0, 1), (2, 3), (4, 2), (6, 4)); f <- 0 to 4) {
+      // random 16-bit big-endian samples; expected pixel = high bytes
+      val samples = Array.fill(w * h * channels)(rnd.nextInt(65536))
+      val bpp = 2 * channels
+      val raw = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](w * bpp)
+      for (y <- 0 until h) {
+        val cur = new Array[Byte](w * bpp)
+        for (x <- 0 until w; c <- 0 until channels) {
+          val s = samples((y * w + x) * channels + c)
+          cur(bpp * x + 2 * c) = (s >> 8).toByte
+          cur(bpp * x + 2 * c + 1) = s.toByte
+        }
+        raw.write(f)
+        raw.write(filterRow(f, cur, prev, bpp))
+        prev = cur
+      }
+      val png = Sig ++ ihdr(w, h, 16, colorType) ++
+        chunk("IDAT", deflate(raw.toByteArray)) ++ chunk("IEND", Array.emptyByteArray)
+      val img = PngCodec.decode(png).getOrElse(fail(s"type $colorType filter $f rejected"))
+      for (i <- 0 until w * h) {
+        val expected = colorType match {
+          case 2 | 6 =>
+            ((samples(i * channels) >> 8) << 16) |
+              ((samples(i * channels + 1) >> 8) << 8) | (samples(i * channels + 2) >> 8)
+          case _ =>
+            val g = samples(i * channels) >> 8
+            (g << 16) | (g << 8) | g
+        }
+        assert(img.pixels(i) == expected, s"type $colorType filter $f pixel $i")
+      }
+    }
+  }
+
   test("hand-assembled: multi-IDAT split decodes identically") {
     val rnd = new scala.util.Random(0x1DA7)
     val w = 7; val h = 6
