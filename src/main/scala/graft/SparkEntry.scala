@@ -34,6 +34,7 @@ object SparkEntry {
       text.ClassifierOps.all ++
       text.TextOps.all ++
       text.TextPipeline.all ++
+      text.WordPieceTrain.all ++
       text.CorpusOps.all ++
       dedup.Dedup.all ++
       dedup.SubstringDedup.all ++
