@@ -35,6 +35,7 @@ object SparkEntry {
       text.TextOps.all ++
       text.TextPipeline.all ++
       text.WordPieceTrain.all ++
+      text.UnigramTrain.all ++
       text.CorpusOps.all ++
       dedup.Dedup.all ++
       dedup.SubstringDedup.all ++
