@@ -41,6 +41,7 @@ object SparkEntry {
       dedup.SubstringDedup.all ++
       similarity.Similarity.all ++
       similarity.VectorOps.all ++
+      similarity.PqSearch.all ++
       similarity.KMeansOps.all ++
       similarity.RandProj.all ++
       similarity.MmrOps.all ++
