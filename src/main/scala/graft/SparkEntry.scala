@@ -36,6 +36,7 @@ object SparkEntry {
       text.TextPipeline.all ++
       text.WordPieceTrain.all ++
       text.UnigramTrain.all ++
+      text.SkipGramOps.all ++
       text.CorpusOps.all ++
       dedup.Dedup.all ++
       dedup.SubstringDedup.all ++
