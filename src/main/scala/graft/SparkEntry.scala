@@ -40,6 +40,7 @@ object SparkEntry {
       text.CorpusOps.all ++
       dedup.Dedup.all ++
       dedup.SubstringDedup.all ++
+      dedup.StarComponents.all ++
       similarity.Similarity.all ++
       similarity.VectorOps.all ++
       similarity.PqSearch.all ++
