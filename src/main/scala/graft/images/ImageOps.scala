@@ -44,6 +44,7 @@ object ImageOps {
       .orElse(graft.multimodal.GifCodec.decodeFirst(bytes))
       .orElse(graft.multimodal.BmpCodec.decode(bytes))
       .orElse(graft.multimodal.JpegCodec.decode(bytes))
+      .orElse(graft.multimodal.TiffCodec.decode(bytes))
       .orElse(decodeImageIO(bytes))
 
   /** The library path: ImageIO for JPEG/BMP/GIF and PNG shapes outside

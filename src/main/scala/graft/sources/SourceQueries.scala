@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{Graft, GraftQuery}
 import graft.images.ImageOps
+import graft.multimodal.TiffCodec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
@@ -2583,11 +2584,140 @@ object SourceQueries {
         |ORDER BY modality""".stripMargin)
   }
 
+  /** Create (once per scale factor) the TIFF fixture tree: 24 .tif files
+    * of 15×9 pixels cycling through six layout classes (i mod 6) that
+    * jointly cover the baseline decoder: RGB uncompressed II (0), RGB
+    * PackBits II (1), RGB LZW II (2), RGB LZW + horizontal predictor MM
+    * (3), 8-bit grayscale LZW + predictor II (4), 8-bit palette
+    * uncompressed MM (5) — all multi-strip (RowsPerStrip 4). Pixel
+    * formulas (exact mod-256 integer, oracle-replayable):
+    * RGB classes r = (9i+2x+4y), g = (4i+5x+y), b = (6i+x+3y);
+    * gray v = (9i+2x+4y) (r=g=b=v); palette index j = (2x+3y+i) with
+    * palette entry r = (3j+i), g = (5j+2i), b = (7j+4i). Written by the
+    * engine's own deterministic [[graft.multimodal.TiffCodec]] writer.
+    */
+  private def ensureTiffTree(sfDir: String): String = {
+    val root = workDir("tiff", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      val w = 15; val h = 9
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val layout = (i % 6) match {
+          case 0 => TiffCodec.Layout(1, 1, bigEndian = false, 4)
+          case 1 => TiffCodec.Layout(32773, 1, bigEndian = false, 4)
+          case 2 => TiffCodec.Layout(5, 1, bigEndian = false, 4)
+          case 3 => TiffCodec.Layout(5, 2, bigEndian = true, 4)
+          case 4 => TiffCodec.Layout(5, 2, bigEndian = false, 4)
+          case _ => TiffCodec.Layout(1, 1, bigEndian = true, 4)
+        }
+        val bytes = (i % 6) match {
+          case 4 =>
+            val v = Array.tabulate(w * h) { o =>
+              val x = o % w; val y = o / w
+              ((9 * i + 2 * x + 4 * y) % 256).toByte
+            }
+            TiffCodec.encodeGray(w, h, v, layout)
+          case 5 =>
+            val idx = Array.tabulate(w * h) { o =>
+              val x = o % w; val y = o / w
+              ((2 * x + 3 * y + i) % 256).toByte
+            }
+            val pal = Array.tabulate(256)(j =>
+              (((3 * j + i) % 256) << 16) | (((5 * j + 2 * i) % 256) << 8) |
+                ((7 * j + 4 * i) % 256))
+            TiffCodec.encodePalette(w, h, idx, pal, layout)
+          case _ =>
+            val px = Array.tabulate(w * h) { o =>
+              val x = o % w; val y = o / w
+              (((9 * i + 2 * x + 4 * y) % 256) << 16) |
+                (((4 * i + 5 * x + y) % 256) << 8) | ((6 * i + x + 3 * y) % 256)
+            }
+            TiffCodec.encodeRgb(ImageOps.Image(w, h, px), layout)
+        }
+        Files.write(dir.resolve(f"t$i%03d.tif"), bytes)
+      }
+    }
+    root
+  }
+
+  /** TIFF decode under the hash gate: binary scan of the TIFF fixture
+    * tree, decoded by the from-spec [[graft.multimodal.TiffCodec]] —
+    * every baseline shape (3 compressions, both predictors, both byte
+    * orders, gray/RGB/palette, multi-strip) replayed pixel-exactly by
+    * the closed-form oracle, with `read_blob` pinning byte identity
+    * through the engine's own deterministic writer.
+    */
+  object TiffScan extends GraftQuery {
+    val name = "q_tiff_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureTiffTree(sfDir)
+      val idRe = "t(\\d+)\\.tif".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          for (img <- TiffCodec.decode(content).toSeq) yield {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            img.pixels.foreach { p =>
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            }
+            (idx, img.width.toLong * img.height, sr, sg, sb,
+              content.length.toLong, content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "n_pixels", "sum_r", "sum_g", "sum_b",
+          "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 't(\d+)\.tif', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_tiff__root_testdata_sf0.01/**/*.tif')),
+        |px AS (
+        |  SELECT asset_idx, x.x AS x, y.y AS y
+        |  FROM f, LATERAL unnest(range(0, 15)) x(x),
+        |       LATERAL unnest(range(0, 9)) y(y)),
+        |ch AS (
+        |  SELECT asset_idx,
+        |    CASE WHEN asset_idx % 6 = 5
+        |      THEN (3 * ((2*x + 3*y + asset_idx) % 256) + asset_idx) % 256
+        |      ELSE (9*asset_idx + 2*x + 4*y) % 256 END AS r,
+        |    CASE WHEN asset_idx % 6 = 4 THEN (9*asset_idx + 2*x + 4*y) % 256
+        |         WHEN asset_idx % 6 = 5
+        |      THEN (5 * ((2*x + 3*y + asset_idx) % 256) + 2*asset_idx) % 256
+        |      ELSE (4*asset_idx + 5*x + y) % 256 END AS g,
+        |    CASE WHEN asset_idx % 6 = 4 THEN (9*asset_idx + 2*x + 4*y) % 256
+        |         WHEN asset_idx % 6 = 5
+        |      THEN (7 * ((2*x + 3*y + asset_idx) % 256) + 4*asset_idx) % 256
+        |      ELSE (6*asset_idx + x + 3*y) % 256 END AS b
+        |  FROM px),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_pixels,
+        |         CAST(sum(r) AS BIGINT) AS sum_r,
+        |         CAST(sum(g) AS BIGINT) AS sum_g,
+        |         CAST(sum(b) AS BIGINT) AS sum_b
+        |  FROM ch GROUP BY 1)
+        |SELECT f.asset_idx, a.n_pixels, a.sum_r, a.sum_g, a.sum_b,
+        |       f.n_bytes, f.head_hex
+        |FROM f JOIN a USING (asset_idx)
+        |ORDER BY f.asset_idx""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
-      BmpScan, JpegScan, MsrleScan,
+      BmpScan, TiffScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, QoiScan, ImageAHash, ImageNearDup,
       AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog)
 }

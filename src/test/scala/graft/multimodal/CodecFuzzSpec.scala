@@ -174,6 +174,42 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF: 60 random images round-trip through random layouts") {
+    val rnd = new scala.util.Random(0x71FF)
+    for (k <- 0 until 60) {
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(40)
+      val layout = TiffCodec.Layout(
+        compression = Seq(1, 5, 32773)(rnd.nextInt(3)),
+        predictor = 1 + rnd.nextInt(2),
+        bigEndian = rnd.nextBoolean(),
+        rowsPerStrip = 1 + rnd.nextInt(h + 3))
+      rnd.nextInt(3) match {
+        case 0 =>
+          val pix = Array.fill(w * h)(rnd.nextInt(1 << 24))
+          val got = TiffCodec.decode(
+            TiffCodec.encodeRgb(graft.images.ImageOps.Image(w, h, pix), layout))
+            .getOrElse(fail(s"case $k rgb ($layout ${w}x$h)"))
+          assert(got.pixels.sameElements(pix), s"case $k rgb")
+        case 1 =>
+          val v = Array.fill(w * h)(rnd.nextInt(256).toByte)
+          val got = TiffCodec.decode(TiffCodec.encodeGray(w, h, v, layout))
+            .getOrElse(fail(s"case $k gray ($layout ${w}x$h)"))
+          assert((0 until w * h).forall { i =>
+            val x = v(i) & 0xFF; got.pixels(i) == ((x << 16) | (x << 8) | x)
+          }, s"case $k gray")
+        case _ =>
+          val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+          val pal = Array.fill(256)(rnd.nextInt(1 << 24))
+          val got = TiffCodec.decode(
+            TiffCodec.encodePalette(w, h, idx, pal, layout))
+            .getOrElse(fail(s"case $k pal ($layout ${w}x$h)"))
+          assert((0 until w * h).forall(i => got.pixels(i) == pal(idx(i) & 0xFF)),
+            s"case $k pal")
+      }
+    }
+  }
+
   test("JPEG: 60 random shapes round-trip the exactness corner and decode everywhere") {
     val rnd = new scala.util.Random(0x1CE6)
     for (k <- 0 until 60) {
@@ -219,6 +255,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     val qoi = QoiCodec.encode(16, 16, Array.tabulate(256)(_ * 65793 & 0xFFFFFF))
     val jpg = JpegCodec.encode(graft.images.ImageOps.Image(16, 16,
       Array.tabulate(256)(_ * 65793 & 0xFFFFFF)), 75)
+    val tif = TiffCodec.encodeRgb(graft.images.ImageOps.Image(16, 16,
+      Array.tabulate(256)(_ * 65793 & 0xFFFFFF)),
+      TiffCodec.Layout(5, 2, bigEndian = false, 4))
     for (_ <- 0 until 200) {
       def mangle(b: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
         case 0 => b.take(rnd.nextInt(b.length))
@@ -243,6 +282,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       MsRleCodec.decode(16, 16, pal768, Seq(mangle(mrle)))
       QoiCodec.decode(mangle(qoi))
       JpegCodec.decode(mangle(jpg))
+      TiffCodec.decode(mangle(tif))
     }
     succeed
   }
