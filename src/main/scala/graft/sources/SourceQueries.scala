@@ -2584,6 +2584,98 @@ object SourceQueries {
         |ORDER BY modality""".stripMargin)
   }
 
+  /** Create (once per scale factor) the AIFF fixture tree: 24 .aif files,
+    * alternating mono/stereo, n = 1000 + 37i frames at 8000 + 25i Hz;
+    * sample (c, t) of asset i is ((31i + 7t + 13ct + 5c) mod 4096) − 2048.
+    * Written by the engine's own deterministic [[graft.multimodal.AiffCodec]]
+    * writer (FORM/AIFF, COMM with 80-bit extended rate, SSND big-endian
+    * int16).
+    */
+  private def ensureAiffTree(sfDir: String): String = {
+    val root = workDir("aiff", sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val n = 1000 + 37 * i
+        val nCh = 1 + i % 2
+        val chans = Array.tabulate(nCh)(c => Array.tabulate(n)(t =>
+          ((31 * i + 7 * t + 13 * c * t + 5 * c) % 4096) - 2048))
+        Files.write(dir.resolve(f"a$i%03d.aif"),
+          graft.multimodal.AiffCodec.encode(8000 + 25 * i, chans))
+      }
+    }
+    root
+  }
+
+  /** AIFF decode under the hash gate: binary scan of the AIFF fixture
+    * tree, decoded by the from-spec [[graft.multimodal.AiffCodec]] —
+    * the big-endian PCM container beside RIFF/WAV, including the 80-bit
+    * IEEE extended sample-rate field the format is notorious for. The
+    * oracle replays every sample in closed form and `read_blob` pins
+    * byte identity through the engine's writer.
+    */
+  object AiffScan extends GraftQuery {
+    val name = "q_aiff_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureAiffTree(sfDir)
+      val idRe = "a(\\d+)\\.aif".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.aif")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          val idx = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          for (a <- graft.multimodal.AiffCodec.decode(content).toSeq) yield {
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            a.channels.foreach(_.foreach { v =>
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            })
+            (idx, a.sampleRate.toLong, a.channels.length.toLong,
+              a.channels(0).length.toLong, sum, mn.toLong, mx.toLong,
+              content.length.toLong,
+              content.take(8).map(b => f"$b%02X").mkString)
+          }
+        }
+        .toDF("asset_idx", "sample_rate", "n_channels", "n_frames",
+          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'a(\d+)\.aif', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_aiff__root_testdata_sf0.01/**/*.aif')),
+        |s AS (
+        |  SELECT asset_idx, n_bytes, head_hex,
+        |         CAST(8000 + 25 * asset_idx AS BIGINT) AS sample_rate,
+        |         CAST(1 + asset_idx % 2 AS BIGINT) AS n_channels,
+        |         CAST(1000 + 37 * asset_idx AS BIGINT) AS n_frames
+        |  FROM f),
+        |v AS (
+        |  SELECT asset_idx,
+        |         ((31 * asset_idx + 7 * t.t + 13 * c.c * t.t + 5 * c.c)
+        |           % 4096) - 2048 AS v
+        |  FROM s, LATERAL unnest(range(0, n_frames)) t(t),
+        |       LATERAL unnest(range(0, n_channels)) c(c)),
+        |a AS (
+        |  SELECT asset_idx, CAST(sum(v) AS BIGINT) AS sum_samples,
+        |         CAST(min(v) AS BIGINT) AS min_sample,
+        |         CAST(max(v) AS BIGINT) AS max_sample
+        |  FROM v GROUP BY 1)
+        |SELECT s.asset_idx, s.sample_rate, s.n_channels, s.n_frames,
+        |       a.sum_samples, a.min_sample, a.max_sample, s.n_bytes,
+        |       s.head_hex
+        |FROM s JOIN a USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the TIFF fixture tree: 24 .tif files
     * of 15×9 pixels cycling through six layout classes (i mod 6) that
     * jointly cover the baseline decoder: RGB uncompressed II (0), RGB
@@ -2718,6 +2810,6 @@ object SourceQueries {
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
       BmpScan, TiffScan, JpegScan, MsrleScan,
-      AdpcmScan, G711Scan, QoiScan, ImageAHash, ImageNearDup,
+      AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
       AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog)
 }

@@ -258,6 +258,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     val tif = TiffCodec.encodeRgb(graft.images.ImageOps.Image(16, 16,
       Array.tabulate(256)(_ * 65793 & 0xFFFFFF)),
       TiffCodec.Layout(5, 2, bigEndian = false, 4))
+    val aif = AiffCodec.encode(44100,
+      Array(Array.tabulate(700)(t => t * 53 % 50000 - 25000)))
     for (_ <- 0 until 200) {
       def mangle(b: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
         case 0 => b.take(rnd.nextInt(b.length))
@@ -283,6 +285,7 @@ class CodecFuzzSpec extends AnyFunSuite {
       QoiCodec.decode(mangle(qoi))
       JpegCodec.decode(mangle(jpg))
       TiffCodec.decode(mangle(tif))
+      AiffCodec.decode(mangle(aif))
     }
     succeed
   }
