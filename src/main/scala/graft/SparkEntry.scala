@@ -41,6 +41,7 @@ object SparkEntry {
       dedup.Dedup.all ++
       dedup.SubstringDedup.all ++
       dedup.StarComponents.all ++
+      dedup.CdcOps.all ++
       similarity.Similarity.all ++
       similarity.VectorOps.all ++
       similarity.PqSearch.all ++
