@@ -42,15 +42,11 @@ object PqSearch {
   private val QueryMax = 30 // anchor queries (the Ivf eval-tier size)
   private val TopK = 10
 
-  /** Quantized-grid subvectors: (vec_id, s, sub). */
-  private def subvectors(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Quantized vectors: (vec_id, q). */
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.plans.VectorExpressions.quantize_vec
     Graft.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
-        col("q"))
-      .select(col("vec_id"), col("s"),
-        slice(col("q"), col("s") * Sub + 1, lit(Sub)).as("sub"))
   }
 
   /** Exact integer L2 between two equal-length quantized arrays. */
@@ -58,44 +54,68 @@ object PqSearch {
     aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Every (vector, subspace, code) distance to the sampled codebook — the
-    * one frame BOTH halves of ADC read: argmin over code = the assignment
-    * (`q_pq_codes`' rule), restriction to anchor ids = the per-query ADC
-    * lookup tables. Persisted by callers (bounded fan-out: N·M·K rows of
-    * four small ints; at corpus scale this is the scan-side broadcast-join
-    * stream, not a stored table).
+  /** The sampled codebook as ONE broadcastable row: an array of M·K
+    * subvectors indexed s·K + code (built by array_sort on the unique
+    * index, so collect_list's nondeterministic order cannot leak).
     */
-  private def codebookDists(subs: DataFrame): DataFrame = {
-    val cent = subs.filter(col("vec_id") < K)
-      .select(col("s"), col("vec_id").cast("int").as("code"),
-        col("sub").as("csub"))
-    subs.join(broadcast(cent), Seq("s"))
-      .select(col("vec_id"), col("s"), col("code"),
-        l2(col("sub"), col("csub")).as("dist"))
-  }
+  private def codebookRow(prep: DataFrame): DataFrame =
+    prep.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(M - 1))).as("s"), col("q"))
+      .select(struct((col("s") * K + col("code")).as("k"),
+        slice(col("q"), col("s") * Sub + 1, lit(Sub)).as("v")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(transform(col("es"), e => e.getField("v")).as("cb"))
 
-  private def pqCodes(dists: DataFrame): DataFrame = {
-    val byDist = Window.partitionBy("vec_id", "s")
-      .orderBy(col("dist").asc, col("code").asc)
-    dists.withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("code"))
-  }
-
-  /** ADC top-k per anchor query: codes ⋈ broadcast lookup tables on
-    * (subspace, code), M-way BIGINT sum, top-[[TopK]] by (adist, id).
+  /** Scan-side PQ code assignment against a broadcast codebook row:
+    * argmin by (distance, code) per subspace — `q_pq_codes`' exact rule,
+    * computed as a fold with strict `<` (earlier = smaller code wins ties)
+    * with NO join and NO window.
     */
-  private def adcTopK(dists: DataFrame): DataFrame = {
-    val codes = pqCodes(dists)
-    val adc = dists.filter(col("vec_id") < QueryMax)
-      .select(col("vec_id").as("query_id"), col("s"), col("code"),
-        col("dist").as("adist"))
+  private def codesExpr: org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(M - 1)), s =>
+      aggregate(sequence(lit(0), lit(K - 1)),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val d = l2(slice(col("q"), s * Sub + 1, lit(Sub)),
+            element_at(col("cb"), s * K + c + 1))
+          when(d < acc.getField("d"), struct(d.as("d"), c.as("c")))
+            .otherwise(acc)
+        }).getField("c"))
+
+  /** ADC top-k per anchor query, restructured so NOTHING N-sized shuffles:
+    * codes are assigned scan-side (broadcast codebook row), each anchor's
+    * M·K lookup table is precomputed into a second broadcast row, the
+    * candidate stream (vec × query, Q rows per vector) is produced and
+    * summed inside the scan, and the per-query top-[[TopK]] runs as
+    * row_number + filter — which Spark plans as WindowGroupLimit, keeping
+    * only tasks·Q·k rows ahead of the one exchange. Shuffle volume is
+    * therefore INDEPENDENT of N (measured: the join+aggregate formulation
+    * this replaced shuffled Θ(Q·N) rows, 1.35M at sf1; this shape
+    * shuffles a few thousand at any scale).
+    */
+  private def adcTopK(prep: DataFrame): DataFrame = {
+    val cb = codebookRow(prep)
+    val qts = prep.filter(col("vec_id") < QueryMax)
+      .crossJoin(broadcast(cb))
+      .select(struct(col("vec_id").cast("long").as("query_id"),
+        flatten(transform(sequence(lit(0), lit(M - 1)), s =>
+          transform(sequence(lit(0), lit(K - 1)), c =>
+            l2(slice(col("q"), s * Sub + 1, lit(Sub)),
+              element_at(col("cb"), s * K + c + 1))))).as("table")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("qts"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(adc), Seq("s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("adist")).as("adist"))
+    prep.crossJoin(broadcast(cb))
+      .select(col("vec_id"), codesExpr.as("codes"))
+      .crossJoin(broadcast(qts))
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        explode(col("qts")).as("qt"))
+      .filter(col("neighbor_id") =!= col("qt.query_id"))
+      .select(col("qt.query_id").as("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, s) =>
+          acc + element_at(col("qt.table"),
+            s * K + element_at(col("codes"), s + 1) + 1)).as("adist"))
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= TopK)
   }
@@ -143,12 +163,10 @@ object PqSearch {
     */
   object PqTopK extends GraftQuery {
     val name = "q_pq_topk"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val dists = codebookDists(subvectors(spark, sfDir)).persist()
-      adcTopK(dists)
+    def run(spark: SparkSession, sfDir: String): DataFrame =
+      adcTopK(quantized(spark, sfDir))
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
         .orderBy("query_id", "rank")
-    }
     val oracle = Some(
       s"""WITH $adcCtes
          |SELECT query_id, neighbor_id, adist, rank
@@ -163,9 +181,10 @@ object PqSearch {
   object PqRecall extends GraftQuery {
     val name = "q_pq_recall"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import graft.plans.VectorExpressions.quantize_vec
-      val prep = Graft.table(spark, sfDir, "embeddings")
-        .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
+      // persisted barrier: the quantized scan feeds the anchor frame, the
+      // exact brute-force side, the codebook row, the query tables, and
+      // the candidate scan (harness clearCache releases it)
+      val prep = quantized(spark, sfDir).persist()
       val anchors = prep.filter(col("vec_id") < QueryMax)
         .select(col("vec_id").as("query_id"), col("q").as("qq"))
       val byQuery = Window.partitionBy("query_id")
@@ -177,8 +196,7 @@ object PqSearch {
         .withColumn("rank", row_number().over(byQuery))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("neighbor_id"))
-      val dists = codebookDists(subvectors(spark, sfDir)).persist()
-      val approxk = adcTopK(dists)
+      val approxk = adcTopK(prep)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       exactk.join(approxk, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
