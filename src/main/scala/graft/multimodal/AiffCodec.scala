@@ -106,6 +106,25 @@ object AiffCodec {
     Aiff(rate, chans)
   }
 
+  /** Mono-mix to the [[WavCodec.Wav]] shape so AIFF payloads feed the same
+    * band-energy featurizer as WAV/FLAC (the [[FlacCodec.toWav]] stance).
+    */
+  def toWav(a: Aiff): WavCodec.Wav = {
+    val n = if (a.channels.isEmpty) 0 else a.channels(0).length
+    val out = new Array[Float](n)
+    var t = 0
+    while (t < n) {
+      var acc = 0f
+      var c = 0
+      while (c < a.channels.length) {
+        acc += a.channels(c)(t).toFloat / 32768f; c += 1
+      }
+      out(t) = acc / a.channels.length
+      t += 1
+    }
+    WavCodec.Wav(a.sampleRate, a.channels.length, out)
+  }
+
   /** Deterministic writer: FORM/AIFF with one COMM and one SSND chunk,
     * zero SSND offset/blockSize, interleaved big-endian int16.
     */

@@ -100,6 +100,7 @@ object Multimodal {
         // twin of image dims
         WavCodec.decode(row.content)
           .orElse(AdpcmCodec.decode(row.content)) // IMA ADPCM / G.711 µ/A-law WAV
+          .orElse(AiffCodec.decode(row.content).map(AiffCodec.toWav))
           .orElse(FlacCodec.decode(row.content).map(FlacCodec.toWav))
           .orElse( // FLAC in Ogg (RFC 3533 pages + Xiph FLAC-to-Ogg mapping)
             OggCodec.flacStream(row.content)
@@ -318,8 +319,10 @@ object Multimodal {
       .option("recursiveFileLookup", "true").load(dir)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("asset_id"),
-        when(ext.isin("jpg", "jpeg", "png", "bmp", "gif", "qoi"), "image")
-          .when(ext.isin("wav", "mp3", "flac", "m4a", "ogg", "mka"), "audio")
+        when(ext.isin("jpg", "jpeg", "png", "bmp", "gif", "qoi", "tif",
+          "tiff"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "m4a", "ogg", "mka", "aif",
+            "aiff"), "audio")
           .when(ext.isin("avi", "mp4", "mkv", "webm"), "video")
           .otherwise("unknown").as("modality"),
         concat(lit("application/"), ext).as("mime"),

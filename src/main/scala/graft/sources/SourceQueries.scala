@@ -2464,7 +2464,7 @@ object SourceQueries {
     */
   private def ensureMediaCatalog(sfDir: String): String = {
     val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v9"))) {
+    if (!Files.exists(Paths.get(root, "done_v10"))) {
       val sources = Seq(
         (ensureImageTree(sfDir), ".png", "s"),
         (ensureTwoToneTree(sfDir), ".png", "t"),
@@ -2479,7 +2479,9 @@ object SourceQueries {
         (ensureMkvTree(sfDir), ".mka", "k"),
         (ensureMkvVfwTree(sfDir), ".mkv", "w"),
         (ensureGifTree(sfDir), ".gif", "n"),
-        (ensureBmpTree(sfDir), ".bmp", "b"))
+        (ensureBmpTree(sfDir), ".bmp", "b"),
+        (ensureTiffTree(sfDir), ".tif", "f"),
+        (ensureAiffTree(sfDir), ".aif", "u"))
       sources.foreach { case (src, ext, tag) =>
         val dir = Paths.get(root, tag)
         Files.createDirectories(dir)
@@ -2491,7 +2493,7 @@ object SourceQueries {
             if (!Files.exists(dst)) Files.copy(p, dst)
           }
       }
-      Files.createDirectories(Paths.get(root, "done_v9"))
+      Files.createDirectories(Paths.get(root, "done_v10"))
     }
     root
   }
@@ -2532,11 +2534,12 @@ object SourceQueries {
         .orderBy("modality")
     }
     // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI + 24 18×11
-    // GIFs (first frame) + 24 15×9 BMPs (one feature row each); audio =
-    // 24 FLAC at rate 8000+100i, 24 MP4-FLAC at 16000+50i, 24 Ogg-FLAC
-    // at 11025+111i, 24 MKV-FLAC at 9000+77i, 24 IMA ADPCM
-    // WAVs at 8000+25i, 24 G.711 WAVs at 8000 (width carries the rate,
-    // height the channel count 1); video = 24 ZMBV clips of 5+(i mod 3)
+    // GIFs (first frame) + 24 15×9 BMPs + 24 15×9 TIFFs (one feature row
+    // each); audio = 24 FLAC at rate 8000+100i, 24 MP4-FLAC at
+    // 16000+50i, 24 Ogg-FLAC at 11025+111i, 24 MKV-FLAC at 9000+77i,
+    // 24 IMA ADPCM WAVs at 8000+25i, 24 G.711 WAVs at 8000, 24 AIFFs at
+    // 8000+25i with 1+(i mod 2) channels (width carries the rate,
+    // height the channel count); video = 24 ZMBV clips of 5+(i mod 3)
     // frames at 24×18 plus 24 MS-RLE clips of 5+(i mod 2) frames at
     // 16×12 plus 24 ZMBV-in-MKV clips of 4+(i mod 4) frames at 20×14
     // (one row per frame).
@@ -2558,17 +2561,17 @@ object SourceQueries {
         |mv AS (SELECT sum(4 + i.i % 4) AS fr
         |       FROM unnest(range(0, 24)) i(i))
         |SELECT * FROM (
-        |  SELECT 'audio' AS modality, CAST(144 AS BIGINT) AS n_assets,
-        |         CAST(144 AS BIGINT) AS n_rows, CAST(144 AS BIGINT) AS n_real,
+        |  SELECT 'audio' AS modality, CAST(168 AS BIGINT) AS n_assets,
+        |         CAST(168 AS BIGINT) AS n_rows, CAST(168 AS BIGINT) AS n_real,
         |         CAST((SELECT w FROM fl) + (SELECT w FROM mp)
         |              + (SELECT w FROM og) + (SELECT w FROM mk)
-        |              + (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
-        |         CAST(144 AS BIGINT) AS sum_h
+        |              + 2 * (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
+        |         CAST(144 + 24 + 12 AS BIGINT) AS sum_h
         |  UNION ALL
-        |  SELECT 'image', CAST(120 AS BIGINT), CAST(120 AS BIGINT),
-        |         CAST(120 AS BIGINT),
-        |         CAST(768 + 24 * 20 + 24 * 18 + 24 * 15 AS BIGINT),
-        |         CAST(768 + 24 * 14 + 24 * 11 + 24 * 9 AS BIGINT)
+        |  SELECT 'image', CAST(144 AS BIGINT), CAST(144 AS BIGINT),
+        |         CAST(144 AS BIGINT),
+        |         CAST(768 + 24 * 20 + 24 * 18 + 2 * 24 * 15 AS BIGINT),
+        |         CAST(768 + 24 * 14 + 24 * 11 + 2 * 24 * 9 AS BIGINT)
         |  UNION ALL
         |  SELECT 'video', CAST(72 AS BIGINT),
         |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
