@@ -171,6 +171,116 @@ object LayoutOps {
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Hilbert-curve clustering key — Z-order's stronger sibling (Hilbert
+    * 1891; the iterative rotate-and-accumulate form is the standard
+    * public d2xy/xy2d algorithm): consecutive index values are ALWAYS
+    * grid neighbors, where Morton order jumps across the plane at power-
+    * of-two seams, so equal-width index ranges have tighter bounding
+    * boxes — the property that makes min/max statistics even more
+    * selective than under `q_zorder`, whose readout this query mirrors
+    * column-for-column so the bucket boxes can be compared side by side.
+    *
+    * The index is a fold over the 8 bit-levels (s = 128…1): quadrant
+    * digits accumulate s²·((3·rx) xor ry) and the (x, y) pair is
+    * reflected/swapped per level — pure integer arithmetic, so the
+    * DuckDB oracle replays the identical fold (as a flat BIGINT-list
+    * accumulator [x, y, d, i]: DuckDB 1.0's list_reduce mangles only
+    * LIST-valued struct fields, but flat lists are proven good — the
+    * [[graft.dedup.CdcOps]] finding). At scale the key feeds
+    * `repartitionByRange(h)` + within-partition sort before a columnar
+    * write, exactly like the Z-order key.
+    */
+  object HilbertOrder extends GraftQuery {
+    val name = "q_hilbert_order"
+    private val Levels = 8 // 256×256 grid
+
+    /** xy → Hilbert d as a fold over the descending s values, Spark side. */
+    private[operators] def hilbertExpr: Column =
+      aggregate(
+        array((0 until Levels).reverse.map(i => lit(1L << i)): _*),
+        struct(col("x").as("hx"), col("y").as("hy"), lit(0L).as("d")),
+        (st, s) => {
+          val rx = when(st.getField("hx").bitwiseAND(s) > 0, lit(1L))
+            .otherwise(lit(0L))
+          val ry = when(st.getField("hy").bitwiseAND(s) > 0, lit(1L))
+            .otherwise(lit(0L))
+          val d2 = st.getField("d") + s * s * (rx * 3).bitwiseXOR(ry)
+          val refl = rx === 1 && ry === 0
+          val tx = when(refl, s - 1 - st.getField("hx"))
+            .otherwise(st.getField("hx"))
+          val ty = when(refl, s - 1 - st.getField("hy"))
+            .otherwise(st.getField("hy"))
+          struct(
+            when(ry === 0, ty).otherwise(tx).as("hx"),
+            when(ry === 0, tx).otherwise(ty).as("hy"),
+            d2.as("d"))
+        }).getField("d")
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val pts = Graft.table(spark, sfDir, "part")
+        .select(col("p_size").cast("long").as("x"),
+          (pHash28(concat(lit("z:"), col("p_partkey").cast("string"))) % 256).as("y"))
+      pts.select(col("x"), col("y"), hilbertExpr.as("h"))
+        .select(col("x"), col("y"), col("h"), expr("h div 1024").as("hbucket"))
+        .groupBy("hbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("hbucket")
+    }
+    val oracle = Some(
+      s"""WITH pts AS (
+         |  SELECT CAST(p_size AS BIGINT) AS x,
+         |         ('0x' || substr(md5('z:' || p_partkey::VARCHAR), 1, 7))::BIGINT % 256 AS y
+         |  FROM part),
+         |h AS (
+         |  SELECT x, y,
+         |    list_reduce(
+         |      [[x, y, 0::BIGINT, ${Levels - 1}::BIGINT]] ||
+         |      list_transform(range(0, $Levels), q -> [0::BIGINT]),
+         |      (a, e) -> CASE
+         |        WHEN (CASE WHEN (a[1] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                   THEN 1 ELSE 0 END) = 1 AND
+         |             (CASE WHEN (a[2] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                   THEN 1 ELSE 0 END) = 0
+         |        THEN [
+         |          (1::BIGINT << CAST(a[4] AS INT)) - 1 - a[2],
+         |          (1::BIGINT << CAST(a[4] AS INT)) - 1 - a[1],
+         |          a[3] + (1::BIGINT << CAST(a[4] AS INT))
+         |                 * (1::BIGINT << CAST(a[4] AS INT))
+         |                 * xor(3 * (CASE WHEN (a[1] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                            THEN 1::BIGINT ELSE 0 END),
+         |                       (CASE WHEN (a[2] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                        THEN 1::BIGINT ELSE 0 END)),
+         |          a[4] - 1]
+         |        WHEN (CASE WHEN (a[2] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |              THEN 1 ELSE 0 END) = 0
+         |        THEN [a[2], a[1],
+         |          a[3] + (1::BIGINT << CAST(a[4] AS INT))
+         |                 * (1::BIGINT << CAST(a[4] AS INT))
+         |                 * xor(3 * (CASE WHEN (a[1] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                            THEN 1::BIGINT ELSE 0 END),
+         |                       (CASE WHEN (a[2] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                        THEN 1::BIGINT ELSE 0 END)),
+         |          a[4] - 1]
+         |        ELSE [a[1], a[2],
+         |          a[3] + (1::BIGINT << CAST(a[4] AS INT))
+         |                 * (1::BIGINT << CAST(a[4] AS INT))
+         |                 * xor(3 * (CASE WHEN (a[1] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                            THEN 1::BIGINT ELSE 0 END),
+         |                       (CASE WHEN (a[2] & (1::BIGINT << CAST(a[4] AS INT))) > 0
+         |                        THEN 1::BIGINT ELSE 0 END)),
+         |          a[4] - 1]
+         |        END)[3] AS h
+         |  FROM pts)
+         |SELECT h // 1024 AS hbucket, count(*) AS n,
+         |       min(h) AS min_h, max(h) AS max_h,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Zone-map (min/max file statistics) pruning simulation: chunk the
     * orders table into simulated 250-row files under TWO physical
     * layouts — `natural` (insertion order: chunk by o_orderkey) and
@@ -350,6 +460,6 @@ object LayoutOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(BloomFilter, ZOrder, ZoneMapPrune,
+  val all: Seq[GraftQuery] = Seq(HilbertOrder) ++ Seq(BloomFilter, ZOrder, ZoneMapPrune,
     CompactionPlan, BucketedJoin)
 }
