@@ -125,7 +125,7 @@ object WordPieceTrain {
       * several times (x→prev, seq→prev+w, w→p+c×2), so default inlining
       * would expand the chain exponentially across [[Merges]] rounds.
       */
-    private def roundCtes(k: Int): String = {
+    private[text] def roundCtes(k: Int): String = {
       val prev = s"seq${k - 1}"
       s"""x$k AS MATERIALIZED (
          |  SELECT n, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS syms
@@ -151,19 +151,22 @@ object WordPieceTrain {
          |  FROM $prev, w$k)""".stripMargin
     }
 
+    /** dict + initial-spelling CTEs, shared with `q_wordpiece_apply`. */
+    private[text] val headCtes: String =
+      s"""dict AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |    FROM documents)
+         |  GROUP BY w ORDER BY n DESC, w ASC LIMIT $MaxWords),
+         |seq0 AS MATERIALIZED (
+         |  SELECT n, '(' || array_to_string(
+         |    list_transform(string_split(w, ''),
+         |      (ch, i) -> CASE WHEN i = 1 THEN ch ELSE '##' || ch END),
+         |    ')(') || ')' AS s
+         |  FROM dict)""".stripMargin
+
     val oracle = Some {
-      val head =
-        s"""dict AS MATERIALIZED (
-           |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-           |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-           |    FROM documents)
-           |  GROUP BY w ORDER BY n DESC, w ASC LIMIT $MaxWords),
-           |seq0 AS MATERIALIZED (
-           |  SELECT n, '(' || array_to_string(
-           |    list_transform(string_split(w, ''),
-           |      (ch, i) -> CASE WHEN i = 1 THEN ch ELSE '##' || ch END),
-           |    ')(') || ')' AS s
-           |  FROM dict)""".stripMargin
+      val head = headCtes
       val rounds = (1 to Merges).map(roundCtes).mkString(",\n")
       val unions = (1 to Merges).map { k =>
         s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right",
@@ -174,5 +177,131 @@ object WordPieceTrain {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(WordPieceMerges)
+  /** WordPiece APPLICATION — BERT's WordpieceTokenizer (greedy
+    * longest-match-first): segment each word against the TRAINED
+    * vocabulary (initial spellings + the [[Merges]] learned merge names),
+    * first piece bare, continuations `##`-prefixed, and a word any of
+    * whose positions fails to match becomes a single `[UNK]` (the
+    * published whole-word-bad rule). Completes the trainer+apply matrix:
+    * BPE has `q_bpe_merges`/`q_bpe_apply`, Unigram's Viterbi IS its
+    * application (`q_unigram_segment`), WordPiece now has both.
+    *
+    * Scale shape: the vocabulary is a bounded broadcast map (chars +
+    * [[Merges]] merges); segmentation is one scan-side fold per word
+    * (greedy cursor walk, longest-match scan capped at [[MaxScan]]
+    * chars); the trainer's 1-row-per-round collects are the documented
+    * bounded driver gate, identical to `q_wordpiece_merges`. The oracle
+    * replays the identical greedy fold over a flat VARCHAR-list
+    * accumulator [cur, bad, piece…] (the [[graft.dedup.CdcOps]] DuckDB
+    * workaround), with the vocabulary rebuilt by the trainer's own
+    * CTE-unrolled rounds.
+    */
+  object WordPieceApply extends GraftQuery {
+    val name = "q_wordpiece_apply"
+    private val MaxScan = 12 // longest raw match scanned (pieces cap at 9)
+
+    /** Test hook: the raw fold state for synthetic vocab cases. */
+    private[text] def applyForTest(w: Column, m: Column): Column =
+      applyExpr(w, m)
+
+    private def applyExpr(w: Column, m: Column): Column =
+      aggregate(
+        sequence(lit(1), length(w)),
+        struct(lit(1).as("cur"), lit(false).as("bad"), lit(0L).as("np"),
+          lit("").as("seq")),
+        (st, _) => {
+          val cur = st.getField("cur")
+          val done = (cur > length(w)) || st.getField("bad")
+          val maxT = least(lit(MaxScan), length(w) - cur + 1)
+          val matched = filter(
+            transform(sequence(maxT, lit(1), lit(-1)), t => {
+              val raw = w.substr(cur, t)
+              val piece = when(cur === 1, raw)
+                .otherwise(concat(lit("##"), raw))
+              when(element_at(m, piece).isNotNull, piece)
+            }),
+            p => p.isNotNull)
+          val first = element_at(matched, 1)
+          val consumed = length(first) - when(cur > 1, 2).otherwise(0)
+          when(done, st)
+            .when(size(matched) > 0, struct(
+              (cur + consumed).as("cur"), lit(false).as("bad"),
+              (st.getField("np") + 1).as("np"),
+              when(st.getField("seq") === "", first)
+                .otherwise(concat(st.getField("seq"), lit("/"), first))
+                .as("seq")))
+            .otherwise(struct((length(w) + 1).as("cur"), lit(true).as("bad"),
+              lit(1L).as("np"), lit("[UNK]").as("seq")))
+        })
+
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val merges = train(spark, sfDir)
+      val dict = BpeTrain.wordDict(spark, sfDir).persist()
+      val vocab = dict
+        .select(explode(initialSyms(col("w"))).as("p"))
+        .unionByName(merges.map(_.merged).toDF("p"))
+        .distinct()
+      val mdf = vocab.agg(map_from_arrays(
+        collect_list(col("p")), collect_list(lit(1))).as("m"))
+      dict.crossJoin(broadcast(mdf))
+        .withColumn("st", applyExpr(col("w"), col("m")))
+        .select(col("w"), col("n"),
+          col("st").getField("np").as("n_pieces"),
+          col("st").getField("seq").as("pieces"))
+        .orderBy("w")
+    }
+
+    val oracle = Some {
+      val rounds = (1 to Merges).map(WordPieceMerges.roundCtes).mkString(",\n")
+      val mergedNames = (1 to Merges)
+        .map(k => s"SELECT l || replace(r, '##', '') AS p FROM w$k")
+        .mkString("\n    UNION ALL\n    ")
+      // the greedy longest-match subexpressions, repeated per CASE branch
+      // (DuckDB evaluates branches independently); cur/t spelled inline
+      def pieceAt =
+        """CASE WHEN CAST(a[1] AS BIGINT) = 1
+          |     THEN w[CAST(a[1] AS BIGINT) : CAST(a[1] AS BIGINT) + t - 1]
+          |     ELSE '##' || w[CAST(a[1] AS BIGINT) : CAST(a[1] AS BIGINT) + t - 1]
+          |END""".stripMargin
+      def matchedList =
+        s"""list_filter(list_transform(
+           |  range(least($MaxScan, len(w) - CAST(a[1] AS BIGINT) + 1), 0, -1),
+           |  t -> CASE WHEN len(element_at(m, $pieceAt)) > 0
+           |            THEN $pieceAt ELSE NULL END),
+           |  p -> p IS NOT NULL)""".stripMargin
+      s"""WITH ${WordPieceMerges.headCtes},
+         |$rounds,
+         |vocab AS MATERIALIZED (
+         |  SELECT DISTINCT p FROM (
+         |    SELECT unnest(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS p
+         |    FROM seq0
+         |    UNION ALL
+         |    $mergedNames)),
+         |vmap AS (SELECT map(list(p ORDER BY p),
+         |                    list(1 ORDER BY p)) AS m FROM vocab),
+         |app AS MATERIALIZED (
+         |  SELECT w, n, list_reduce(
+         |    [['1', '0']] || list_transform(range(1, len(w) + 1),
+         |                                   x -> [['pad']][1]),
+         |    (a, e) -> CASE
+         |      WHEN CAST(a[1] AS BIGINT) > len(w) OR a[2] = '1' THEN a
+         |      WHEN len($matchedList) > 0
+         |      THEN [CAST(CAST(a[1] AS BIGINT) + len(($matchedList)[1])
+         |              - CASE WHEN CAST(a[1] AS BIGINT) > 1 THEN 2 ELSE 0 END
+         |              AS VARCHAR), '0']
+         |           || a[3:] || [($matchedList)[1]]
+         |      ELSE [CAST(len(w) + 1 AS VARCHAR), '1']
+         |      END) AS a
+         |  FROM dict, vmap)
+         |SELECT w, n,
+         |  CAST(CASE WHEN a[2] = '1' THEN 1 ELSE len(a) - 2 END AS BIGINT)
+         |    AS n_pieces,
+         |  CASE WHEN a[2] = '1' THEN '[UNK]'
+         |       ELSE array_to_string(a[3:], '/') END AS pieces
+         |FROM app ORDER BY w""".stripMargin
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(WordPieceMerges, WordPieceApply)
 }

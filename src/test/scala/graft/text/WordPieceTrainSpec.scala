@@ -84,6 +84,71 @@ class WordPieceTrainSpec extends SparkSpec {
     assert(WordPieceTrain.mergedName("he", "##llo") == "hello")
   }
 
+  /** Reference BERT WordpieceTokenizer: greedy longest-match-first with
+    * `##` continuations and the whole-word-[UNK] bad rule.
+    */
+  private def referenceApply(w: String, vocab: Set[String]): (Long, String) = {
+    var cur = 0
+    val out = Seq.newBuilder[String]
+    while (cur < w.length) {
+      var t = math.min(12, w.length - cur)
+      var hit: String = null
+      while (t >= 1 && hit == null) {
+        val raw = w.substring(cur, cur + t)
+        val piece = if (cur == 0) raw else "##" + raw
+        if (vocab.contains(piece)) hit = piece else t -= 1
+      }
+      if (hit == null) return (1L, "[UNK]")
+      out += hit
+      cur += t
+    }
+    val pieces = out.result()
+    (pieces.length.toLong, pieces.mkString("/"))
+  }
+
+  test("q_wordpiece_apply ≡ independent greedy longest-match tokenizer") {
+    val dict = BpeTrain.wordDict(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = WordPieceTrain.train(spark, sf)
+    val vocab = dict.keySet.flatMap { w =>
+      w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c
+      }
+    } ++ merges.map(_.merged)
+    val got = WordPieceTrain.WordPieceApply.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)), r.getLong(1)))
+      .toMap
+    assert(got.size == dict.size)
+    for ((w, n) <- dict) {
+      val (res, gotN) = got(w)
+      assert(gotN == n)
+      assert(res == referenceApply(w, vocab), s"apply mismatch for $w")
+      // reconstruction: pieces minus ## prefixes respell the word
+      if (res._2 != "[UNK]")
+        assert(res._2.split("/").map(_.stripPrefix("##")).mkString("") == w)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("apply fold marks a word [UNK] when any position fails (whole-word rule)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // vocab lacks ##z entirely: "az" must become [UNK] even though 'a'
+    // matched; "aa" segments fine
+    val vocab = Seq("a", "##a").toDF("p")
+      .agg(map_from_arrays(collect_list(col("p")), collect_list(lit(1))).as("m"))
+    val words = Seq(("az", 1L), ("aa", 1L), ("a", 1L)).toDF("w", "n")
+    val got = words.crossJoin(broadcast(vocab))
+      .select(col("w"),
+        graft.text.WordPieceTrain.WordPieceApply.applyForTest(col("w"), col("m"))
+          .as("st"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(2), r.getStruct(1).getString(3))).toMap
+    assert(got("az") == ((1L, "[UNK]")))
+    assert(got("aa") == ((2L, "a/##a")))
+    assert(got("a") == ((1L, "a")))
+  }
+
   test("merge fold replaces pairs greedily left-to-right with the renamed symbol") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
