@@ -262,7 +262,22 @@ object UnigramTrain {
     (prefix, full)
   }
   private def seedCtes: String = ctePair._1
-  private def trainerCtes: String = ctePair._2
+  private[text] def trainerCtes: String = ctePair._2
+
+  /** The trained model: (round-2 inventory with bit-costs, round-2
+    * Viterbi segmentation of every dictionary word). `q_unigram_vocab`
+    * reads both; `q_unigram_apply` broadcasts the segmentation onto the
+    * corpus token stream. Persists its bounded upstream frames (the
+    * k-means-tier lifecycle convention; harness clearCache releases).
+    */
+  private[text] def trainedModel(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val dict = BpeTrain.wordDict(spark, sfDir).persist()
+    val seedInv = seed(dict).persist()
+    val seg1 = segment(dict, costMap(withBitCosts(seedInv)))
+    val cost2 = withBitCosts(prunedInventory(seedInv, usage(seg1))).persist()
+    (cost2, segment(dict, costMap(cost2)))
+  }
 
   // ---------------------------------------------------------------------
   // Registered queries
@@ -312,16 +327,12 @@ object UnigramTrain {
   object UnigramVocab extends GraftQuery {
     val name = "q_unigram_vocab"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      // Persisted barriers (bounded: 2000 words / ≤~330 pieces; released by
-      // the harness clearCache): dict feeds the seed build and BOTH DP
-      // scans, the seed inventory feeds cost1 and the prune, and cost2
-      // feeds the round-2 map and the final readout — each would re-run
-      // its upstream corpus aggregate per use otherwise.
-      val dict = BpeTrain.wordDict(spark, sfDir).persist()
-      val seedInv = seed(dict).persist()
-      val seg1 = segment(dict, costMap(withBitCosts(seedInv)))
-      val cost2 = withBitCosts(prunedInventory(seedInv, usage(seg1))).persist()
-      val use2 = usage(segment(dict, costMap(cost2)))
+      // Persisted barriers inside trainedModel (bounded: 2000 words /
+      // ≤~330 pieces; released by the harness clearCache): dict feeds the
+      // seed build and BOTH DP scans, the seed inventory feeds cost1 and
+      // the prune, and cost2 feeds the round-2 map and the final readout.
+      val (cost2, seg2) = trainedModel(spark, sfDir)
+      val use2 = usage(seg2)
       cost2.join(use2, Seq("p"), "left")
         .select(col("p").as("piece"),
           length(col("p")).cast("int").as("piece_len"),
@@ -337,5 +348,60 @@ object UnigramTrain {
          |ORDER BY piece""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(UnigramSeed, UnigramSegment, UnigramVocab)
+  /** Unigram APPLICATION at corpus level — the `q_bpe_apply` readout for
+    * the third tokenizer family: tokenize every document with the shared
+    * dialect, broadcast the TRAINED model's dictionary segmentations onto
+    * the token stream, and report per-source tokenization economics
+    * (tokens, out-of-vocabulary fallbacks, total pieces, chars/piece —
+    * the compression number a tokenizer exists to improve). OOV words
+    * fall back to character segmentation (one piece per char), the
+    * standard unigram backstop, counted separately so the fallback rate
+    * is visible.
+    *
+    * Scale shape: the model is a ≤[[BpeTrain.MaxWords]]-row broadcast;
+    * the corpus contributes one scan-side token emit + a source-keyed
+    * aggregate — nothing token-keyed shuffles.
+    */
+  object UnigramApply extends GraftQuery {
+    val name = "q_unigram_apply"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val (_, seg2) = trainedModel(spark, sfDir)
+      val toks = graft.Graft.table(spark, sfDir, "documents")
+        .select(col("source"), explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("w"))
+      toks.join(broadcast(seg2.select(col("w"), col("n_pieces"))), Seq("w"),
+          "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("n_pieces").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(coalesce(col("n_pieces"), length(col("w")).cast("long")))
+            .as("pieces_total"),
+          sum(length(col("w")).cast("long")).as("chars_total"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          col("pieces_total"), col("chars_total"),
+          (col("chars_total").cast("double") /
+            col("pieces_total").cast("double")).as("chars_per_piece"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH $trainerCtes,
+         |tok AS (
+         |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents)
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN s.n_pieces IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(coalesce(s.n_pieces, len(tok.w))) AS BIGINT)
+         |    AS pieces_total,
+         |  CAST(sum(len(tok.w)) AS BIGINT) AS chars_total,
+         |  CAST(CAST(sum(len(tok.w)) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(sum(coalesce(s.n_pieces, len(tok.w))) AS BIGINT) AS DOUBLE)
+         |    AS chars_per_piece
+         |FROM tok LEFT JOIN seg2 s ON tok.w = s.w
+         |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(UnigramSeed, UnigramSegment, UnigramVocab, UnigramApply)
 }

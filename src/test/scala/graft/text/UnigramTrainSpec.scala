@@ -139,6 +139,44 @@ class UnigramTrainSpec extends SparkSpec {
     }
   }
 
+  test("q_unigram_apply ≡ independent corpus-level application with char fallback") {
+    val dict = dictOf()
+    val seedInv = seedOf(substrCounts(dict))
+    val use1 = usageOf(dict, bitsOf(seedInv))
+    val kept: Map[String, Long] =
+      seedInv.keysIterator.filter(_.length == 1)
+        .map(p => p -> (use1.getOrElse(p, 0L) + 1)).toMap ++
+        use1.filter(_._1.length >= 2).toSeq
+          .sortBy { case (p, u) => (-u, p) }.take(UnigramTrain.KeepMulti)
+          .map { case (p, u) => p -> (u + 1) }
+    val segPieces: Map[String, Long] =
+      dict.map { case (w, _) => w -> viterbi(w, bitsOf(kept))._2 }.toMap
+    val docs = graft.Graft.table(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val agg = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, Long)]
+    val tokRe = "[a-z]+".r
+    for ((src, text) <- docs; w <- tokRe.findAllIn(text.toLowerCase)) {
+      val (nt, oov, pieces, chars) = agg.getOrElse(src, (0L, 0L, 0L, 0L))
+      val (o, p) = segPieces.get(w) match {
+        case Some(np) => (0L, np)
+        case None => (1L, w.length.toLong)
+      }
+      agg(src) = (nt + 1, oov + o, pieces + p, chars + w.length)
+    }
+    val got = UnigramTrain.UnigramApply.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          r.getDouble(5))).toMap
+    assert(got.keySet == agg.keySet)
+    for ((src, want) <- agg) {
+      assert(got(src)._1 == want, s"counts mismatch for $src")
+      assert(got(src)._2 == want._4.toDouble / want._3.toDouble)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q_unigram_vocab ≡ independent two-round hard-EM prune") {
     val dict = dictOf()
     val counts = substrCounts(dict)
