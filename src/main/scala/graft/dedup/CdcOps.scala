@@ -167,5 +167,62 @@ object CdcOps {
        |         bs[k] - CASE WHEN k = 1 THEN 0 ELSE bs[k - 1] END AS chunk_len
        |  FROM bounds, LATERAL unnest(range(1, len(bs) + 1)) t(k))""".stripMargin
 
-  val all: Seq[GraftQuery] = Seq(CdcChunks, CdcDupes)
+  /** Document-level near-dup over CDC chunk SETS — the text twin of the
+    * video tier's shot-set dedup (`q_video_neardup`): a document is its
+    * set of distinct chunk hashes, the equi-join on the hash is the
+    * candidate generator (inverted-index shape — quadratic work confined
+    * to same-chunk buckets, whose size is the duplicate multiplicity),
+    * pairs sharing ≥ [[MinShared]] chunks are scored with exact
+    * chunk-set Jaccard (one double division of identical integers).
+    * Because boundaries are content-anchored, this finds documents
+    * sharing PASSAGES at different offsets — the case fixed-offset
+    * shingling misses and MinHash only finds probabilistically.
+    */
+  object CdcNearDup extends GraftQuery {
+    val name = "q_cdc_neardup"
+    private[dedup] val MinShared = 2
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ch = chunks(Graft.table(spark, sfDir, "documents"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = ch.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = ch.select(col("doc_id").as("doc_a"), col("h"))
+        .join(ch.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= MinShared)
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("shared"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+    val oracle = Some(
+      s"""WITH $oracleChunkCtes,
+         |ch AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*) AS shared
+         |  FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinShared)
+         |SELECT doc_a, doc_b,
+         |       sa.n AS n_a, sb.n AS n_b, shared,
+         |       CAST(shared AS DOUBLE) /
+         |         CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |           JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(CdcChunks, CdcDupes, CdcNearDup)
 }

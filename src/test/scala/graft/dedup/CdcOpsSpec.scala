@@ -77,6 +77,26 @@ class CdcOpsSpec extends SparkSpec {
       s"CDC failed to realign: only $realigned shared chunks over ${texts.length} docs")
   }
 
+  test("q_cdc_neardup ≡ independent chunk-set pairing with exact Jaccard") {
+    val docs = graft.Graft.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = docs.map { case (id, t) => id -> refChunks(t).toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      shared = (sa intersect sb).size if shared >= CdcOps.CdcNearDup.MinShared
+    } yield (a, b) -> (sa.size.toLong, sb.size.toLong, shared.toLong)).toMap
+    val got = CdcOps.CdcNearDup.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)), r.getDouble(5))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (na, nb, sh)) <- want) {
+      assert(got(k)._1 == ((na, nb, sh)), s"counts mismatch for $k")
+      assert(got(k)._2 == sh.toDouble / (na + nb - sh).toDouble)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q_cdc_dupes: every reported duplicate is a genuine repeated chunk") {
     val docs = graft.Graft.table(spark, sf, "documents")
       .select("text").collect().map(_.getString(0))
