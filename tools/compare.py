@@ -28,7 +28,7 @@ def table_hash(rows, cols):
     return [tuple(norm(r[i]) for i in order) for r in rows]
 
 
-def audit_types(sf_dir, out_dir):
+def audit_types(sf_dir, out_dir, only=None):
     """Flag oracle output columns whose DuckDB type is a wide integer or
     decimal (HUGEINT from sum(BIGINT), DECIMAL, ...) while the Spark dump
     is a plain int64/double. The driver's comparator is type-sensitive
@@ -40,6 +40,8 @@ def audit_types(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_flag = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -57,12 +59,14 @@ def audit_types(sf_dir, out_dir):
     return 1 if n_flag else 0
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -103,7 +107,15 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    if "--types" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--types"]
-        sys.exit(audit_types(args[0], args[1]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # --only q_a,q_b restricts both modes to a query subset (the quick
+    # pre-commit gate's targeted verify dumps only the touched queries)
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    if "--types" in argv:
+        args = [a for a in argv if a != "--types"]
+        sys.exit(audit_types(args[0], args[1], only))
+    sys.exit(main(argv[0], argv[1], only))

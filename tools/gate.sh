@@ -5,8 +5,60 @@
 # r4 stale gates, r5 "299 tests" vs the actual 280).
 #
 # Usage: tools/gate.sh [sf_verify_dir] [sf_bench_dir] [out_json]
+#        tools/gate.sh --quick [q_a,q_b,...]
+#
+# --quick is the PRE-COMMIT guard (seconds-to-minutes, not the full ~30 min
+# gate): sbt compile, then — if a comma-list of queries is given — a targeted
+# Verify at sf0.01 + DuckDB compare + oracle type audit on just those
+# queries. Every run (quick or full) appends one JSON line to the committed
+# round log (GATE_LOG env, default ROUND_GATES.jsonl) with the git HEAD and
+# per-step rcs, so the round-close doc can prove no commit landed between a
+# red gate and its fix (the round-7 uncompiled-commit failure class).
 set -uo pipefail
 cd "$(dirname "$0")/.."
+
+# default points at the CURRENT round's committed log — bump per round
+GATE_LOG="${GATE_LOG:-ROUND9_GATES.jsonl}"
+
+log_gate() { # $1 = json line
+  echo "$1" >> "$GATE_LOG"
+}
+
+if [ "${1:-}" = "--quick" ]; then
+  QUERIES="${2:-}"
+  HEAD_SHA=$(git rev-parse --short HEAD 2>/dev/null || echo none)
+  DIRTY=$([ -n "$(git status --porcelain 2>/dev/null)" ] && echo true || echo false)
+  TS=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+  step() { echo "[quick-gate] $*" >&2; }
+
+  step "compile"
+  sbt -batch compile > /tmp/quickgate_compile.log 2>&1
+  COMPILE_RC=$?
+  VERIFY_RC=-1; CMP_OK=-1; CMP_FAIL=-1; TYPES_FLAGGED=-1
+  if [ $COMPILE_RC -eq 0 ] && [ -n "$QUERIES" ]; then
+    step "targeted verify: $QUERIES"
+    rm -rf /tmp/quickgate_out
+    SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+      tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/quickgate_out \
+      > /tmp/quickgate_verify.log 2>&1
+    VERIFY_RC=$?
+    FAILED_JSON=$(cat /tmp/quickgate_out/failed.json 2>/dev/null || echo '{"unreadable":true}')
+    [ "$FAILED_JSON" != "{}" ] && VERIFY_RC=1
+    CMP=$(python3 tools/compare.py --only "$QUERIES" /root/testdata/sf0.01 /tmp/quickgate_out 2>&1 | tail -1)
+    CMP_OK=$(echo "$CMP" | sed -n 's/^\([0-9]*\) ok.*/\1/p'); CMP_OK=${CMP_OK:--1}
+    CMP_FAIL=$(echo "$CMP" | sed -n 's/.* \([0-9]*\) failed.*/\1/p'); CMP_FAIL=${CMP_FAIL:--1}
+    TYPES=$(python3 tools/compare.py --types --only "$QUERIES" /root/testdata/sf0.01 /tmp/quickgate_out 2>&1 | tail -1)
+    TYPES_FLAGGED=$(echo "$TYPES" | sed -n 's/^\([0-9]*\) oracles flagged.*/\1/p'); TYPES_FLAGGED=${TYPES_FLAGGED:--1}
+  fi
+  PASS=false
+  if [ $COMPILE_RC -eq 0 ] && { [ -z "$QUERIES" ] || { [ $VERIFY_RC -eq 0 ] && [ "$CMP_FAIL" = 0 ] && [ "$TYPES_FLAGGED" = 0 ]; }; }; then
+    PASS=true
+  fi
+  LINE="{\"mode\":\"quick\",\"ts\":\"$TS\",\"head\":\"$HEAD_SHA\",\"dirty\":$DIRTY,\"queries\":\"$QUERIES\",\"compile_rc\":$COMPILE_RC,\"verify_rc\":$VERIFY_RC,\"oracle_ok\":$CMP_OK,\"oracle_failed\":$CMP_FAIL,\"types_flagged\":$TYPES_FLAGGED,\"pass\":$PASS}"
+  log_gate "$LINE"
+  echo "$LINE"
+  [ "$PASS" = true ] && exit 0 || exit 1
+fi
 
 SF_VERIFY="${1:-/root/testdata/sf0.01}"
 SF_BENCH="${2:-/root/testdata/sf0.1}"
@@ -87,3 +139,12 @@ line = json.dumps(gate)
 open(sys.argv[1], "w").write(line + "\n")
 print(line)
 EOF
+
+# append the full-gate result to the committed round log too (same file
+# the --quick pre-commit guard writes), so the log is the ONE place the
+# round-close doc proves gate coverage from
+HEAD_SHA=$(git rev-parse --short HEAD 2>/dev/null || echo none)
+DIRTY=$([ -n "$(git status --porcelain 2>/dev/null)" ] && echo true || echo false)
+TS=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+GREEN=$(python3 -c "import json,sys; print(str(json.load(open('$OUT'))['green']).lower())" 2>/dev/null || echo false)
+log_gate "{\"mode\":\"full\",\"ts\":\"$TS\",\"head\":\"$HEAD_SHA\",\"dirty\":$DIRTY,\"green\":$GREEN,\"out\":\"$OUT\"}"
