@@ -34,7 +34,11 @@ object InflateCodec {
       if ((cmf & 0x0F) != 8) fail() // method: deflate
       if (((cmf << 8) | flg) % 31 != 0) fail() // header check bits
       if ((flg & 0x20) != 0) fail() // FDICT: preset dictionary unsupported
-      val out = inflate(data, 2, expected).getOrElse(fail())
+      val (out, endBit) = inflateEnd(data, 2, expected).getOrElse(fail())
+      // the DEFLATE stream must end exactly 4 bytes (the trailer) before
+      // the buffer end — otherwise the Adler check below would compare
+      // against unrelated trailing garbage rather than the real trailer
+      if (((endBit + 7) >> 3) != data.length - 4) fail()
       // Adler-32 over the OUTPUT, stored big-endian after the stream
       var a = 1L; var b = 0L
       out.foreach { byte => a = (a + (byte & 0xFF)) % 65521; b = (b + a) % 65521 }
@@ -51,6 +55,14 @@ object InflateCodec {
     * `expected` bytes.
     */
   def inflate(data: Array[Byte], from: Int, expected: Int): Option[Array[Byte]] =
+    inflateEnd(data, from, expected).map(_._1)
+
+  /** As [[inflate]] but also returns the bit position one past the last
+    * consumed bit, so a wrapper (zlib) can check its trailer really
+    * starts where the stream ended.
+    */
+  private def inflateEnd(data: Array[Byte], from: Int,
+      expected: Int): Option[(Array[Byte], Long)] =
     try {
       if (expected < 0) fail()
       val out = new Array[Byte](expected)
@@ -122,7 +134,7 @@ object InflateCodec {
         }
       }
       if (got != expected) fail()
-      Some(out)
+      Some((out, bitPos))
     } catch {
       case _: Malformed | _: ArrayIndexOutOfBoundsException => None
     }
@@ -140,7 +152,15 @@ object InflateCodec {
     private var hist: Array[Byte] = Array.emptyByteArray
     private var sawHeader = false
 
-    def segment(data: Array[Byte], from: Int): Option[Array[Byte]] =
+    /** `maxOut` bounds the segment's decompressed size: a crafted
+      * sync-flushed segment can otherwise expand without limit via
+      * nested length/distance copies before any validity check (a
+      * decompression bomb inside an untrusted .avi/.mkv), and OOM is
+      * not a Malformed. Callers know the frame-derived bound (a ZMBV
+      * body is at most palette + pixels + vector table).
+      */
+    def segment(data: Array[Byte], from: Int,
+        maxOut: Int = Int.MaxValue): Option[Array[Byte]] =
       try {
         var start = from
         if (!sawHeader) {
@@ -155,7 +175,10 @@ object InflateCodec {
         val out = new java.io.ByteArrayOutputStream(1024)
         var outLen = 0
         val window = new scala.collection.mutable.ArrayBuffer[Byte](4096)
-        def emit(b: Byte): Unit = { out.write(b); window += b; outLen += 1 }
+        def emit(b: Byte): Unit = {
+          if (outLen >= maxOut) fail()
+          out.write(b); window += b; outLen += 1
+        }
         def at(back: Int): Byte = { // back = distance from current end
           if (back <= window.length) window(window.length - back)
           else {

@@ -335,7 +335,17 @@ object JpegCodec {
       var k = 1
       var run = 0
       while (k < 64) {
-        val v = coefZig(k)
+        // Annex-K AC tables only carry magnitude categories 1..10 (T.81
+        // table K.5/K.6: RRRRSSSS with SSSS ≤ 10, ±1023). At quality ≥
+        // ~96 the scaled quant entries clamp to 1 and a high-frequency
+        // block can quantize to |coef| up to ~1372 (category 11), which
+        // has NO code in the table — emitting it would silently produce
+        // an undecodable stream (libjpeg errors here). Clamp to the
+        // category-10 range instead: the stream stays decodable and the
+        // error is bounded by 1 quant step at the only qualities that
+        // can reach it.
+        val v0 = coefZig(k)
+        val v = if (v0 > 1023) 1023 else if (v0 < -1023) -1023 else v0
         if (v == 0) run += 1
         else {
           while (run > 15) { putBits(acT.codeOf(0xF0), acT.sizeOf(0xF0)); run -= 16 }

@@ -145,7 +145,7 @@ object ZmbvCodec {
           bh = p(6) & 0xFF
           if (bw <= 0 || bh <= 0) fail()
           zs = new InflateCodec.Stream // keyframe: fresh zlib context
-          val body = inflateBody(zs, comp, p, 7)
+          val body = inflateBody(zs, comp, p, 7, bodyBound(width, height, bpp))
           var off = 0
           if (fmt == FmtPal8) {
             if (body.length < 768) fail()
@@ -158,7 +158,7 @@ object ZmbvCodec {
         } else {
           // ---- inter
           if (prev == null) fail() // first frame must be a keyframe
-          val body = inflateBody(zs, comp, p, 1)
+          val body = inflateBody(zs, comp, p, 1, bodyBound(width, height, bpp))
           var off = 0
           if ((flags & 2) != 0) {
             if (fmt != FmtPal8 || body.length < 768) fail()
@@ -241,9 +241,21 @@ object ZmbvCodec {
     * next fail).
     */
   private def inflateBody(zs: InflateCodec.Stream, comp: Int,
-      p: Array[Byte], from: Int): Array[Byte] = {
+      p: Array[Byte], from: Int, maxOut: Int): Array[Byte] = {
     if (comp == 0) return java.util.Arrays.copyOfRange(p, from, p.length)
-    zs.segment(p, from).getOrElse(fail())
+    zs.segment(p, from, maxOut).getOrElse(fail())
+  }
+
+  /** Largest body any conforming frame can decompress to: optional
+    * 768-byte palette (delta), the full pixel plane, and — inter frames,
+    * worst case 1×1 blocks — 2 bytes of motion vector per block. Caps
+    * the shared zlib stream so a crafted segment cannot decompression-
+    * bomb the decoder (Long math: w·h·bpp can overflow Int on crafted
+    * headers).
+    */
+  private def bodyBound(width: Int, height: Int, bpp: Int): Int = {
+    val b = 768L + width.toLong * height * bpp + 2L * width * height
+    if (b > Int.MaxValue) Int.MaxValue else b.toInt
   }
 
   // ------------------------------------------------------------- encode

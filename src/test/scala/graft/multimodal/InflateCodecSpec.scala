@@ -172,6 +172,52 @@ class InflateCodecSpec extends AnyFunSuite {
       "segment 1 must depend on segment 0's window (and it lacks the zlib header)")
   }
 
+  private def syncFlushSegment(d: java.util.zip.Deflater, p: Array[Byte]): Array[Byte] = {
+    d.setInput(p)
+    val buf = new Array[Byte](p.length + 1024)
+    val out = new java.io.ByteArrayOutputStream()
+    var n = d.deflate(buf, 0, buf.length, java.util.zip.Deflater.SYNC_FLUSH)
+    while (n > 0) {
+      out.write(buf, 0, n)
+      n = d.deflate(buf, 0, buf.length, java.util.zip.Deflater.SYNC_FLUSH)
+    }
+    out.toByteArray
+  }
+
+  test("Stream: maxOut bounds a decompression-bomb segment instead of inflating it") {
+    // 1 MiB of zeros deflates to ~1 KiB: without an output bound a
+    // crafted segment expands arbitrarily before any validity check
+    // (OutOfMemoryError is not in the totality catch list). The bound
+    // must reject it; the same segment under a sufficient bound decodes.
+    val payload = new Array[Byte](1 << 20)
+    val d = new java.util.zip.Deflater(6)
+    val seg = syncFlushSegment(d, payload)
+    d.end()
+    assert(seg.length < 8192, "precondition: the bomb really is tiny")
+    val bounded = new InflateCodec.Stream
+    assert(bounded.segment(seg, 0, maxOut = 4096).isEmpty,
+      "segment expanding past maxOut must be rejected")
+    val roomy = new InflateCodec.Stream
+    val got = roomy.segment(seg, 0, maxOut = 1 << 20).getOrElse(fail("exact bound rejected"))
+    assert(got.length == payload.length && got.forall(_ == 0))
+  }
+
+  test("zlib: a duplicated trailer appended after the stream is rejected") {
+    // The Adler check must compare against the REAL trailer (the 4 bytes
+    // immediately after the DEFLATE stream), not whatever happens to sit
+    // at the end of the buffer: a stream with trailing garbage ending in
+    // a copy of its own trailer must fail, not pass.
+    val data = Array.tabulate(500)(i => (i % 97).toByte)
+    val z = deflate(data, 6) // Deflater default wraps in zlib
+    assert(InflateCodec.zlib(z, data.length).isDefined, "precondition: stream valid")
+    val withGarbage = z ++ Array[Byte](1, 2, 3) ++ z.takeRight(4)
+    assert(InflateCodec.zlib(withGarbage, data.length).isEmpty,
+      "trailing garbage + duplicated trailer must be rejected")
+    val withDupTrailer = z ++ z.takeRight(4)
+    assert(InflateCodec.zlib(withDupTrailer, data.length).isEmpty,
+      "duplicated trailer alone must be rejected")
+  }
+
   test("PNG end-to-end still has zero library codecs: fixture decode through own inflate") {
     val img = graft.images.ImageOps.Image(16, 16,
       Array.fill(256)(((7 * 10) << 16) | ((255 - 70) << 8) | 7))

@@ -286,6 +286,37 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("quality 96-100 high-frequency content always yields a decodable stream") {
+    // At quality >= ~96 the scaled quant entries clamp to 1, so AC
+    // coefficients approach the exact-DCT extreme (~1020, category 10;
+    // the Annex-K AC tables end at category 10 = +-1023). The encoder
+    // clamps any coefficient beyond +-1023, guaranteeing every emitted
+    // (run,size) symbol exists in the table — without the clamp a
+    // category-11 coefficient would emit NO Huffman code but still write
+    // its 11 magnitude bits, silently corrupting the stream. Worst-case
+    // content: pixels set to the sign pattern of a single high-energy
+    // DCT basis, which maximizes that basis's coefficient under quant 1.
+    def basisSign(u: Int, v: Int): Image = Image(16, 16, Array.tabulate(256) { o =>
+      val x = o % 16 % 8; val y = o / 16 % 8
+      val c = math.cos((2 * x + 1) * u * math.Pi / 16) *
+        math.cos((2 * y + 1) * v * math.Pi / 16)
+      val p = if (c >= 0) 255 else 0
+      (p << 16) | (p << 8) | p
+    })
+    val r = rng(0x96FF)
+    val noisy = Image(24, 16, Array.tabulate(24 * 16) { _ =>
+      val p = r.nextInt(256); (p << 16) | (p << 8) | p
+    })
+    for (q <- 96 to 100; img <- Seq(basisSign(4, 4), basisSign(7, 7), basisSign(0, 7), noisy)) {
+      val bytes = JpegCodec.encode(img, quality = q)
+      val ours = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"q=$q: engine rejected its own stream"))
+      val theirs = imageIoDecode(bytes)
+        .getOrElse(fail(s"q=$q: ImageIO rejected engine stream"))
+      assert(maxChannelDiff(ours, theirs) <= 1, s"q=$q decoders diverged")
+    }
+  }
+
   // ---------------- totality
 
   test("decode is total on mangled and truncated bytes") {

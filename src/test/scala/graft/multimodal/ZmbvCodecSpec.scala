@@ -193,4 +193,26 @@ class ZmbvCodecSpec extends AnyFunSuite {
     for (y <- 0 until 18; x <- 0 until 24) sr += f0.rgb(x, y)._1
     assert(math.abs(feats.head.feature(0) - sr / (24f * 18f) / 255f) < 1e-6f)
   }
+
+  test("decompression bomb: a tiny frame whose zlib body inflates to megabytes is rejected") {
+    // A conforming 4x4 8bpp intra body is at most 768 (palette) + 16
+    // (pixels) bytes; the stream bound derived from (w, h, bpp) must
+    // reject a crafted segment that would balloon to 8 MiB — previously
+    // it was fully inflated (and an intra body LARGER than needed was
+    // accepted), an untrusted-.avi decompression-bomb DoS.
+    val bomb = new Array[Byte](8 << 20) // 8 MiB of zeros -> ~8 KiB deflated
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(bomb); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val payload = Array[Byte](1, 0, 1, 1, Z.FmtPal8.toByte, 16, 16) ++ out.toByteArray
+    assert(payload.length < 32768, "precondition: the bomb frame is tiny on the wire")
+    assert(Z.decode(4, 4, Seq(payload)).isEmpty,
+      "oversized decompressed body must be rejected, not inflated")
+    // the engine's own streams still decode under the same bound
+    val frames = scroll(24, 18, 4, 3)
+    assert(Z.decode(24, 18, Z.encode(24, 18, Z.FmtPal8, frames, keyEvery = 2)).isDefined)
+  }
 }
