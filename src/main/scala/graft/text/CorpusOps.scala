@@ -254,6 +254,104 @@ object CorpusOps {
          |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
+  /** Structured-PII scrubbing — the standard redaction stage of every
+    * public LLM-data pipeline (C4, Dolma, FineWeb): replace email /
+    * phone / IPv4 / credit-card patterns with typed placeholders and
+    * report per-source redaction counts, the audit artifact a curation
+    * run ships with. Complements [[TermScrub]] (dictionary blocklist)
+    * with the regex-shaped PII classes. The driver corpus carries no
+    * digits, so both engines first append a deterministic contact block
+    * derived from (doc_id, source) — the same closed-form synthesis on
+    * both sides, making every count and the scrubbed length exact.
+    * All four patterns use only syntax Java regex and RE2 agree on
+    * (`\b`, `\d`, non-capturing groups, bounded repetition). Plan:
+    * scan-side regexp_extract_all/regexp_replace (codegen'd, no UDF)
+    * then one source-keyed partial-aggregated shuffle — output is
+    * O(sources); at 100 TB this is embarrassingly parallel and the
+    * cheapest possible shape (counts combine map-side; the scrubbed
+    * text itself would be written back columnar, never shuffled).
+    */
+  object PiiScrub extends GraftQuery {
+    val name = "q_pii_scrub"
+    private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    private val PhoneRe = "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}"
+    private val IpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    private val CardRe = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val id = col("doc_id")
+      def pad(c: Column, n: Int) = lpad(c.cast("string"), n, "0")
+      val ptext = concat(col("text"),
+        lit(" Contact user"), id.cast("string"), lit("@mail-"), col("source"),
+        lit(".com now."),
+        when(id % 3 === 0, concat(lit(" Call +1 "),
+          pad((id * 7) % 1000, 3), lit("-"), pad((id * 13) % 1000, 3),
+          lit("-"), pad((id * 19) % 10000, 4), lit("."))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" Host "),
+          (id % 256).cast("string"), lit("."), ((id * 3) % 256).cast("string"),
+          lit("."), ((id * 5) % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"), lit(" up."))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" Card 4"),
+          pad((id * 37) % 1000, 3), lit("-"), pad((id * 11) % 10000, 4),
+          lit("-"), pad((id * 17) % 10000, 4), lit("-"),
+          pad((id * 23) % 10000, 4), lit("."))).otherwise(lit("")))
+      def nMatches(c: Column, re: String) =
+        size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(ptext, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"), IpRe, "<IP>"), CardRe, "<CARD>")
+      Graft.table(spark, sfDir, "documents")
+        .select(col("source"),
+          nMatches(ptext, EmailRe).as("ne"), nMatches(ptext, PhoneRe).as("np"),
+          nMatches(ptext, IpRe).as("ni"), nMatches(ptext, CardRe).as("nc"),
+          length(scrubbed).cast("long").as("slen"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ne").as("n_emails"), sum("np").as("n_phones"),
+          sum("ni").as("n_ips"), sum("nc").as("n_cards"),
+          sum("slen").as("scrubbed_chars"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    text
+         |    || ' Contact user' || doc_id || '@mail-' || source || '.com now.'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' Call +1 '
+         |         || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST((doc_id * 19) % 10000 AS VARCHAR), 4, '0') || '.'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' Host '
+         |         || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.'
+         |         || ((doc_id * 5) % 256) || '.' || ((doc_id * 7) % 256) || ' up.'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' Card 4'
+         |         || lpad(CAST((doc_id * 37) % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST((doc_id * 11) % 10000 AS VARCHAR), 4, '0') || '-'
+         |         || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0') || '-'
+         |         || lpad(CAST((doc_id * 23) % 10000 AS VARCHAR), 4, '0') || '.'
+         |       ELSE '' END AS ptext
+         |  FROM documents),
+         |s AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(ptext, '$EmailRe')) AS ne,
+         |    len(regexp_extract_all(ptext, '$PhoneRe')) AS np,
+         |    len(regexp_extract_all(ptext, '$IpRe')) AS ni,
+         |    len(regexp_extract_all(ptext, '$CardRe')) AS nc,
+         |    length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      ptext, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g'),
+         |      '$CardRe', '<CARD>', 'g')) AS slen
+         |  FROM p)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(np) AS BIGINT) AS n_phones,
+         |  CAST(sum(ni) AS BIGINT) AS n_ips,
+         |  CAST(sum(nc) AS BIGINT) AS n_cards,
+         |  CAST(sum(slen) AS BIGINT) AS scrubbed_chars
+         |FROM s GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   /** Per-source document cap — the quantity-based twin of
     * [[QualityTopKPerSource]]: keep at most K documents per source chosen
     * by portable hash order, i.e. a uniform, reproducible, rank-based
@@ -960,7 +1058,7 @@ object CorpusOps {
 
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
+      TermScrub, PiiScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
       PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken,
       VocabCoverage, BatchPadding)
 }

@@ -131,6 +131,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == (3L, "<redacted> <redacted> <redacted>"))
   }
 
+  test("PII scrub counts and redacts email/phone/IP/card, differentially vs plain regex") {
+    import spark.implicits._
+    // doc 60: id % 3 = % 4 = % 5 = 0 → all four kinds synthesized; doc 7:
+    // email only; doc 1 carries REAL PII in its raw text — the scrubber
+    // must catch in-text PII, not just the synthesized contact block
+    val docs = Seq(
+      (60L, "clean text", "en", "sA", 0L),
+      (7L, "also clean", "en", "sB", 0L),
+      (1L, "mail me at jo.doe+x@corp.example.com or 10.0.0.1 ok", "en", "sB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("pii_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.PiiScrub.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    // independent re-derivation: same synthesis in plain Scala, counts via
+    // java.util.regex directly (no Spark expressions involved)
+    def pad(v: Long, n: Int) = v.toString.reverse.padTo(n, '0').reverse.mkString
+    def synth(id: Long, source: String, text: String): String = {
+      val sb = new StringBuilder(text)
+      sb ++= s" Contact user$id@mail-$source.com now."
+      if (id % 3 == 0) sb ++= s" Call +1 ${pad(id * 7 % 1000, 3)}-${pad(id * 13 % 1000, 3)}-${pad(id * 19 % 10000, 4)}."
+      if (id % 4 == 0) sb ++= s" Host ${id % 256}.${id * 3 % 256}.${id * 5 % 256}.${id * 7 % 256} up."
+      if (id % 5 == 0) sb ++= s" Card 4${pad(id * 37 % 1000, 3)}-${pad(id * 11 % 10000, 4)}-${pad(id * 17 % 10000, 4)}-${pad(id * 23 % 10000, 4)}."
+      sb.result()
+    }
+    val res = Seq("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}",
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+      "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b").map(_.r)
+    def expect(rows: Seq[(Long, String, String)]) = {
+      val kinds = rows.map { case (id, src, txt) =>
+        val p = synth(id, src, txt)
+        val scrubbed = res.zip(Seq("<EMAIL>", "<PHONE>", "<IP>", "<CARD>"))
+          .foldLeft(p) { case (acc, (re, mask)) => re.replaceAllIn(acc, mask) }
+        (res.map(_.findAllIn(p).size.toLong), scrubbed.length.toLong)
+      }
+      (rows.size.toLong, kinds.map(_._1(0)).sum, kinds.map(_._1(1)).sum,
+        kinds.map(_._1(2)).sum, kinds.map(_._1(3)).sum, kinds.map(_._2).sum)
+    }
+    assert(out("sA") == expect(Seq((60L, "sA", "clean text"))))
+    assert(out("sB") == expect(Seq(
+      (7L, "sB", "also clean"),
+      (1L, "sB", "mail me at jo.doe+x@corp.example.com or 10.0.0.1 ok"))))
+    // the raw-text PII really was counted: doc 1 contributes 2 emails
+    // (in-text + synthesized) and 1 in-text IP
+    assert(out("sB")._2 == 3L, "2 synthesized + 1 in-text email")
+    assert(out("sB")._4 == 1L, "the in-text IP")
+    // doc 60 hits every synthesized kind exactly once
+    assert(out("sA") == (1L, out("sA")._2, 1L, 1L, 1L, out("sA")._6))
+  }
+
   test("chunking tiles each document: 200-char chunks on a 150 stride") {
     import spark.implicits._
     val docs = Seq(
