@@ -21,6 +21,21 @@ object SourceQueries {
     p.toString
   }
 
+  /** Fixture-tree scale knob for the media-dedup SCALING audits (the
+    * two-point shuffle measurements a constant-size tree cannot
+    * provide): SPARK_GRAFT_MEDIA_SCALE=10 makes the fingerprint/near-dup
+    * fixture trees 10× larger, in their own roots. The driver never sets
+    * it, so every oracle-pinned tree keeps its documented size and exact
+    * bytes (at scale 1 the generators are byte-identical to before — the
+    * masking below is the identity on the base index range).
+    */
+  private def mediaScale: Int =
+    sys.env.getOrElse("SPARK_GRAFT_MEDIA_SCALE", "1").toInt
+  private def scaledTag(tag: String): String = {
+    val s = mediaScale
+    if (s == 1) tag else s"${tag}_x$s"
+  }
+
   /** S2+S3 — round-trip the part table through the reference's `;`-CSV
     * dialect, then aggregate the re-read copy. The oracle runs on the
     * original parquet — matching hashes prove the CSV boundary is lossless
@@ -48,13 +63,17 @@ object SourceQueries {
     * tree both binary-source queries scan. Returns the tree root.
     */
   private def ensureImageTree(sfDir: String): String = {
-    val root = workDir("img", sfDir)
+    val root = workDir(scaledTag("img"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
         Files.createDirectories(dir)
+        // floorMod: identity for i < 24 (byte-identical base tree), keeps
+        // channels in range for the scaled indices
+        val r = Math.floorMod(i * 10, 256)
+        val g = Math.floorMod(255 - i * 10, 256)
         val img = ImageOps.Image(16, 16,
-          Array.fill(256)(((i * 10) << 16) | ((255 - i * 10) << 8) | i))
+          Array.fill(256)((r << 16) | (g << 8) | (i % 256)))
         Files.write(dir.resolve(f"img$i%03d.png"), ImageOps.encodePng(img))
       }
     }
@@ -145,13 +164,16 @@ object SourceQueries {
     * larger region, exactly A). Same 4-level sharding as [[ensureImageTree]].
     */
   private def ensureTwoToneTree(sfDir: String): String = {
-    val root = workDir("img2", sfDir)
+    val root = workDir(scaledTag("img2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
         Files.createDirectories(dir)
-        val a = ((i * 10) << 16) | ((255 - i * 10) << 8) | i
-        val b = ((i * 5) << 16) | (100 << 8) | (200 - i * 5)
+        // floorMod: identity for i < 24 (see ensureImageTree)
+        val a = (Math.floorMod(i * 10, 256) << 16) |
+          (Math.floorMod(255 - i * 10, 256) << 8) | (i % 256)
+        val b = (Math.floorMod(i * 5, 256) << 16) | (100 << 8) |
+          Math.floorMod(200 - i * 5, 256)
         val px = Array.tabulate(256)(p => if (p % 16 < 10) a else b)
         Files.write(dir.resolve(f"img$i%03d.png"),
           ImageOps.encodePng(ImageOps.Image(16, 16, px)))
@@ -480,9 +502,9 @@ object SourceQueries {
     * block on every asset (n is never a multiple of 4096).
     */
   private def ensureFlacTree(sfDir: String): String = {
-    val root = workDir("flac", sfDir)
+    val root = workDir(scaledTag("flac"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
         Files.createDirectories(dir)
         val n = 5000 + 171 * i
@@ -578,10 +600,10 @@ object SourceQueries {
     * [[graft.multimodal.ZmbvCodec]].
     */
   private def ensureZmbvTree(sfDir: String): String = {
-    val root = workDir("zmbv", sfDir)
+    val root = workDir(scaledTag("zmbv"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       val w = 24; val h = 18
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
         Files.createDirectories(dir)
         val pal = new Array[Byte](768)
@@ -803,9 +825,9 @@ object SourceQueries {
     * values.
     */
   private def ensureOggTree(sfDir: String): String = {
-    val root = workDir("ogg", sfDir)
+    val root = workDir(scaledTag("ogg"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
         Files.createDirectories(dir)
         val n = 6000 + 131 * i
@@ -1103,9 +1125,9 @@ object SourceQueries {
     * path at least via a full first cluster and most have ≥ 2 clusters.
     */
   private def ensureMkvTree(sfDir: String): String = {
-    val root = workDir("mkv", sfDir)
+    val root = workDir(scaledTag("mkv"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
         Files.createDirectories(dir)
         val n = 30000 + 1234 * i
@@ -1212,10 +1234,10 @@ object SourceQueries {
     * the mid-stream keyframe path inside the MKV carriage.
     */
   private def ensureMkvVfwTree(sfDir: String): String = {
-    val root = workDir("mkvvfw", sfDir)
+    val root = workDir(scaledTag("mkvvfw"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       val w = 20; val h = 14
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
         Files.createDirectories(dir)
         val pal = new Array[Byte](768)
@@ -1921,10 +1943,10 @@ object SourceQueries {
     * [[graft.multimodal.QoiCodec]].
     */
   private def ensureQoiTree(sfDir: String): String = {
-    val root = workDir("qoi", sfDir)
+    val root = workDir(scaledTag("qoi"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       val w = 20; val h = 14
-      for (i <- 0 until 24) {
+      for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
         Files.createDirectories(dir)
         val px = Array.tabulate(w * h) { o =>
