@@ -122,7 +122,12 @@ object Multimodal {
               wav.sampleRate, wav.channels, WavCodec.bandEnergies(wav),
               feature_real = true))
           case None =>
-            // ??? — remaining perceptual codecs (mp3/AAC) absent: deterministic fake
+            // ??? — remaining perceptual codecs (mp3/AAC) absent:
+            // deterministic fake for the PCM FEATURE tier only. The mp3
+            // METADATA tier (frame walk, duration, bitrate, tags) is
+            // real and hash-gated — [[Mp3Codec]] / `q_mp3_scan`; PCM
+            // decode stays a stand-in because the ISO normative tables
+            // are not reproducible offline (Mp3Codec scaladoc).
             noCodec(row, "compressed-audio")
             Seq(MediaFeatures(row.asset_id, "audio", 0, 0, 0,
               fakeFeature(row.content, 5), feature_real = false))

@@ -2830,11 +2830,139 @@ object SourceQueries {
         |ORDER BY f.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the MP3 fixture tree: 24 streams
+    * from [[graft.multimodal.Mp3Codec.build]] covering CBR and VBR
+    * (+Xing) frame sequences, all three MPEG-1 sampling rates, mono and
+    * stereo, padding cadences, ID3v2 prefixes and ID3v1 trailers — every
+    * structural feature of the metadata tier, each a pure function of
+    * the asset index (the oracle replays all of it closed-form).
+    */
+  private def ensureMp3Tree(sfDir: String): String = {
+    val root = workDir(scaledTag("mp3"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.Mp3Codec
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        val nf = 8 + i
+        val vbr = i % 3 == 0
+        val bis =
+          if (vbr) (0 until nf).map(f => 1 + ((i + f) % 14))
+          else Seq.fill(nf)(1 + (i % 14))
+        Files.write(dir.resolve(f"m$i%03d.mp3"),
+          Mp3Codec.build(bis, sampleRateIdx = i % 3,
+            mode = if (i % 2 == 0) 3 else 0, seed = i,
+            id3v2PayloadLen = if (i % 4 == 0) 100 + i else 0,
+            id3v1 = i % 5 == 0,
+            paddingEvery = if (i % 6 == 0) 3 else 0,
+            xing = vbr))
+      }
+    }
+    root
+  }
+
+  /** MP3 ingest metadata under the hash gate: binary scan of the MP3
+    * fixture tree through [[graft.multimodal.Mp3Codec.parse]] — the
+    * strict ISO 11172-3 frame walk (header validation, §2.4.3.1 frame
+    * sizing, cross-frame consistency) plus ID3v2/ID3v1 tag skips and
+    * Xing VBR frame counts. This is the no-decode pass a 100 TB audio
+    * ingest runs to catalog, route, and duration-audit mp3 assets; the
+    * oracle replays every field CLOSED-FORM from the fixture formulas
+    * (frame count, duration, per-frame bitrate min/max through the
+    * §2.4.2.3 bitrate table, tag byte counts) and pins byte identity
+    * via `read_blob`. PCM decode deliberately stays the documented
+    * stand-in ([[graft.multimodal.Mp3Codec]] scaladoc: the normative
+    * Annex B tables are not reproducible offline and no reference
+    * decoder exists here to differentiate against), so the REAL tier
+    * ends exactly where verifiability ends.
+    */
+  object Mp3Scan extends GraftQuery {
+    val name = "q_mp3_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMp3Tree(sfDir)
+      val idRe = "m(\\d+)\\.mp3".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp3")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            info <- graft.multimodal.Mp3Codec.parse(content).toSeq
+          } yield (m.group(1).toLong, info.nFrames.toLong,
+            info.sampleRate.toLong, info.mode.toLong, info.durationMs,
+            info.frames.map(_.bitrateKbps).min.toLong,
+            info.frames.map(_.bitrateKbps).max.toLong,
+            if (info.vbr) 1L else 0L,
+            info.xingFrames.map(_.toLong).getOrElse(-1L),
+            info.id3v2Bytes.toLong, if (info.id3v1) 1L else 0L,
+            content.length.toLong,
+            content.take(4).map(b => f"$b%02X").mkString)
+        }
+        .toDF("asset_idx", "n_frames", "sample_rate", "mode", "duration_ms",
+          "kbps_min", "kbps_max", "is_vbr", "xing_frames", "id3v2_bytes",
+          "has_id3v1", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      s"""WITH br AS (
+        |  SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),
+        |    (7,96),(8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
+        |    (14,320)) t(bi, kbps)),
+        |specs AS (
+        |  SELECT i.i AS asset_idx, 8 + i.i AS nf,
+        |         CASE i.i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |              ELSE 32000 END AS rate,
+        |         CASE WHEN i.i % 2 = 0 THEN 3 ELSE 0 END AS mode,
+        |         i.i % 3 = 0 AS vbr,
+        |         CASE WHEN i.i % 4 = 0 THEN 110 + i.i ELSE 0 END AS id3v2,
+        |         CASE WHEN i.i % 5 = 0 THEN 1 ELSE 0 END AS id3v1
+        |  FROM unnest(range(0, 24)) i(i)),
+        |fr AS (
+        |  SELECT s.asset_idx, f.f AS f, s.rate,
+        |         CASE WHEN s.vbr THEN 1 + (s.asset_idx + f.f) % 14
+        |              ELSE 1 + s.asset_idx % 14 END AS bi,
+        |         CASE WHEN s.asset_idx % 6 = 0 AND f.f % 3 = 0
+        |              THEN 1 ELSE 0 END AS pad
+        |  FROM specs s, LATERAL unnest(range(0, s.nf)) f(f)),
+        |fb AS (
+        |  SELECT fr.asset_idx, min(br.kbps) AS kbps_min,
+        |         max(br.kbps) AS kbps_max,
+        |         CAST(sum(144000 * br.kbps // fr.rate + fr.pad) AS BIGINT)
+        |           AS frame_bytes
+        |  FROM fr JOIN br USING (bi) GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(regexp_extract(filename, 'm(\\d+)\\.mp3', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 8) AS head_hex
+        |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_mp3__root_testdata_sf0.01/**/*.mp3'))
+        |SELECT s.asset_idx, CAST(s.nf AS BIGINT) AS n_frames,
+        |       CAST(s.rate AS BIGINT) AS sample_rate,
+        |       CAST(s.mode AS BIGINT) AS mode,
+        |       CAST(s.nf * 1152 * 1000 // s.rate AS BIGINT) AS duration_ms,
+        |       CAST(fb.kbps_min AS BIGINT) AS kbps_min,
+        |       CAST(fb.kbps_max AS BIGINT) AS kbps_max,
+        |       CAST(CASE WHEN fb.kbps_min <> fb.kbps_max THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_vbr,
+        |       CAST(CASE WHEN s.vbr THEN s.nf ELSE -1 END AS BIGINT)
+        |         AS xing_frames,
+        |       CAST(s.id3v2 AS BIGINT) AS id3v2_bytes,
+        |       CAST(s.id3v1 AS BIGINT) AS has_id3v1,
+        |       b.n_bytes, b.head_hex
+        |FROM specs s JOIN fb USING (asset_idx) JOIN b USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
       BmpScan, TiffScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
-      AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog)
+      AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog,
+      Mp3Scan)
 }
