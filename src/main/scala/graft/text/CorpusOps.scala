@@ -352,6 +352,68 @@ object CorpusOps {
          |FROM s GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Canonical-URL deduplication — the FIRST dedup key every web corpus
+    * applies (C4, CCNet, RefinedWeb dedup by normalized URL before any
+    * content hashing): strip fragments and tracking queries, lowercase,
+    * drop the `www.` prefix and trailing slashes, then group. The
+    * corpus has no URL column, so both engines synthesize the same
+    * messy raw URLs from doc_id closed-form (scheme-case, www-variants,
+    * utm queries, fragments, trailing slashes — the variant classes the
+    * canonicalizer exists to collapse). Output is the audit shape:
+    * canonical key, how many documents share it, and how many RAW
+    * spellings collapsed into it. Plan: scan-side regexp chain (four
+    * codegen'd replaces) + one canonical-keyed aggregate — at 100 TB
+    * this is a single shuffle on a short string key, the cheapest dedup
+    * tier there is.
+    */
+  object UrlDedup extends GraftQuery {
+    val name = "q_url_dedup"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val id = col("doc_id")
+      val raw = concat(lit("https://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(id % 5 === 0, lit("SITE")).otherwise(lit("site")),
+        (id % 7).cast("string"), lit(".example.com/p/"),
+        (id % 11).cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        when(id % 3 > 0, concat(lit("?utm="), (id % 3).cast("string")))
+          .otherwise(lit("")),
+        when(id % 4 === 0, lit("#sec")).otherwise(lit("")))
+      val canon = regexp_replace(regexp_replace(
+        lower(regexp_replace(raw, "[#?].*$", "")),
+        "^https://www\\.", "https://"), "/$", "")
+      Graft.table(spark, sfDir, "documents")
+        .select(id, raw.as("raw_url"), canon.as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_url")).as("n_raw_variants"),
+          min("doc_id").as("keep_doc"))
+        .orderBy("url")
+    }
+    val oracle = Some(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN 'SITE' ELSE 'site' END
+        |    || (doc_id % 7) || '.example.com/p/' || (doc_id % 11)
+        |    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 3 > 0 THEN '?utm=' || (doc_id % 3)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS raw_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_replace(raw_url, '[#?].*$', '')),
+        |      '^https://www\.', 'https://'), '/$', '') AS url
+        |  FROM u)
+        |SELECT url, count(*) AS n_docs,
+        |       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+        |       min(doc_id) AS keep_doc
+        |FROM c GROUP BY url ORDER BY url""".stripMargin)
+  }
+
   /** Per-source document cap — the quantity-based twin of
     * [[QualityTopKPerSource]]: keep at most K documents per source chosen
     * by portable hash order, i.e. a uniform, reproducible, rank-based
@@ -1058,7 +1120,8 @@ object CorpusOps {
 
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, PiiScrub, CappedSample, EpochShuffle, ChunkDocs, DistDrift, TokenGini,
+      TermScrub, PiiScrub, UrlDedup, CappedSample, EpochShuffle, ChunkDocs,
+      DistDrift, TokenGini,
       PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken,
       VocabCoverage, BatchPadding)
 }

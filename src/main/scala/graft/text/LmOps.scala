@@ -118,5 +118,72 @@ object LmOps {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(BigramSurprisal)
+  /** CCNet-style perplexity-band selection (Wenzek 2020): bucket each
+    * language's documents into head / middle / tail terciles by LM
+    * surprisal and keep head+middle — the quality gate CCNet, RedPajama,
+    * and their descendants run after language ID. Banding uses the
+    * INTEGER scaled mean (bits_total · 10⁶ div n_bigrams) with a doc_id
+    * tiebreak, so the tercile boundary is a total order both engines
+    * replay exactly (a raw double mean would make boundary docs
+    * accumulation-order-dependent). Output is the per-(lang, band)
+    * audit: doc counts, the band's scaled-surprisal range, and the keep
+    * decision. Plan: the surprisal joins (scan-side bigram emit + two
+    * token-keyed aggregates), one lang-keyed ntile window, one tiny
+    * aggregate — the window partitions by language, so at 100 TB each
+    * language's rank runs in its own partition set; no global sort.
+    */
+  object PplBandSelect extends GraftQuery {
+    val name = "q_ppl_band_select"
+    private val Scale = 1000000L
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val docs = Graft.table(spark, sfDir, "documents")
+      val occ = bigramOccurrences(docs)
+      val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val scored = surprisal(occ, occ, vocab)
+        .select(col("doc_id"), col("n_bigrams"), col("bits_total"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("sbits", expr(s"bits_total * $Scale div n_bigrams"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("sbits").asc, col("doc_id").asc)
+      scored.withColumn("band", ntile(3).over(w))
+        .groupBy("lang", "band")
+        .agg(count(lit(1)).as("n_docs"),
+          min("sbits").as("sbits_min"), max("sbits").as("sbits_max"),
+          sum(when(col("band") <= 2, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang", "band")
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(l) AS tok FROM toks)),
+        |scored AS (
+        |  SELECT occ.doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(length(bin((c1 + v) // (c12 + 1))) - 1) AS BIGINT)
+        |           AS bits_total
+        |  FROM occ JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+        |  GROUP BY occ.doc_id),
+        |banded AS (
+        |  SELECT d.lang, s.doc_id,
+        |         s.bits_total * $Scale // s.n_bigrams AS sbits,
+        |         CAST(ntile(3) OVER (PARTITION BY d.lang
+        |           ORDER BY s.bits_total * $Scale // s.n_bigrams, s.doc_id)
+        |           AS INT) AS band
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, band, count(*) AS n_docs,
+        |       min(sbits) AS sbits_min, max(sbits) AS sbits_max,
+        |       CAST(sum(CASE WHEN band <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept
+        |FROM banded GROUP BY 1, 2 ORDER BY lang, band""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(BigramSurprisal, PplBandSelect)
 }

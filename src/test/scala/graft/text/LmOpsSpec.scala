@@ -78,4 +78,31 @@ class LmOpsSpec extends SparkSpec {
       assert(viaDiv == exact, s"a=$a b=$b: $viaDiv != $exact")
     }
   }
+
+  test("perplexity bands: terciles partition each language in surprisal order") {
+    val out = LmOps.PplBandSelect.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byLang = out.groupBy(_._1)
+    // independent doc counts per language from the raw table
+    val docsPerLang = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3), s"$lang: missing band")
+      // ntile sizes: n div 3 with the first (n mod 3) bands one larger
+      val n = docsPerLang(lang)
+      val want = (1 to 3).map(b => n / 3 + (if (b <= n % 3) 1 else 0))
+      assert(sorted.map(_._3).toSeq == want, s"$lang: ntile sizes")
+      // band ranges are ordered: head's max <= middle's min, etc.
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4, s"$lang: bands ${a._2}/${b._2} overlap")
+      }
+      // CCNet keep rule: head+middle kept entirely, tail dropped
+      sorted.foreach { r =>
+        assert(r._6 == (if (r._2 <= 2) r._3 else 0L), s"$lang keep rule")
+      }
+    }
+  }
 }
