@@ -254,7 +254,11 @@ object ZmbvCodec {
     * headers).
     */
   private def bodyBound(width: Int, height: Int, bpp: Int): Int = {
-    val b = 768L + width.toLong * height * bpp + 2L * width * height
+    // +64 slack: the MV table is padded past 2·nBlocks by up to a few
+    // bytes, and a legal worst case (1×1 blocks) sits exactly at the
+    // unpadded bound — the slack keeps conforming frames decodable while
+    // still rejecting megabyte bombs on tiny frames
+    val b = 768L + width.toLong * height * bpp + 2L * width * height + 64L
     if (b > Int.MaxValue) Int.MaxValue else b.toInt
   }
 
