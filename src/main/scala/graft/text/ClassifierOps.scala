@@ -239,5 +239,93 @@ object ClassifierOps {
          |LIMIT 20""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(ClassifierTrain, ClassifierSelect)
+  /** Exact classifier evaluation — the audit stage that decides whether
+    * a quality classifier is good enough to gate a corpus: Mann–Whitney
+    * AUC over the trained scores (ties counted half, the textbook
+    * definition) plus the 0-threshold confusion counts, all in exact
+    * BIGINTs (auc = (2·pairs_gt + pairs_tie) / (2·n_pos·n_neg), one
+    * double division at the end). AUC needs "for every positive, how
+    * many negatives score strictly lower" — an all-pairs question
+    * answered WITHOUT an all-pairs join: aggregate to per-distinct-score
+    * (pos, neg) counts, then a prefix sum of negatives in score order
+    * via the repo's two-phase decomposition (`q_running_total_dist` /
+    * [[graft.operators.Dist.boundedOne]]): per-bucket offsets over a
+    * bounded bucket frame + a within-bucket window partitioned by
+    * bucket. Nothing partitionless, nothing quadratic; the oracle IS
+    * the naive all-pairs count, so a green hash certifies the
+    * decomposition.
+    */
+  object ClassifierAuc extends GraftQuery {
+    val name = "q_classifier_auc"
+    private val BktShift = 10 // 2^10 distinct scores per prefix bucket
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (_, finalW, feats) = train(spark, sfDir)
+      val wDf = finalW.toDF("f", "w")
+      val sc = feats
+        .join(broadcast(wDf), Seq("f"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("score"))
+      // per-distinct-score class counts; 2^40 offset keeps the bucket
+      // key positive so integer div is a floor on both engines
+      val dsc = sc.groupBy("score")
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("y") === -1, 1L).otherwise(0L)).as("neg"))
+        .withColumn("bkt", expr(s"(score + ${1L << 40}L) div ${1L << BktShift}L"))
+      val bOff = dsc.groupBy("bkt").agg(sum("neg").as("bneg"))
+        .withColumn("b_off", coalesce(sum(col("bneg")).over(
+          Window.partitionBy(graft.operators.Dist.boundedOne(col("bkt")))
+            .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "b_off")
+      val inB = Window.partitionBy("bkt").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dsc.join(broadcast(bOff), "bkt")
+        .withColumn("neg_below",
+          col("b_off") + coalesce(sum(col("neg")).over(inB), lit(0L)))
+        .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+          sum(col("pos") * col("neg_below")).as("pairs_gt"),
+          sum(col("pos") * col("neg")).as("pairs_tie"),
+          sum(when(col("score") > 0, col("pos")).otherwise(0L)).as("tp"),
+          sum(when(col("score") > 0, col("neg")).otherwise(0L)).as("fp"),
+          sum(when(col("score") <= 0, col("neg")).otherwise(0L)).as("tn"),
+          sum(when(col("score") <= 0, col("pos")).otherwise(0L)).as("fn"))
+        .select(col("n_pos"), col("n_neg"), col("pairs_gt"), col("pairs_tie"),
+          ((lit(2L) * col("pairs_gt") + col("pairs_tie")).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"),
+          col("tp"), col("fp"), col("tn"), col("fn"),
+          ((col("tp") + col("tn")).cast("double") /
+            (col("n_pos") + col("n_neg")).cast("double")).as("accuracy"))
+    }
+    val oracle = Some(
+      s"""WITH $trainCtes,
+         |sc AS (SELECT doc_id, y,
+         |              CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS score
+         |       FROM feats LEFT JOIN w3 USING (f) GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT
+         |    (SELECT count(*) FROM sc WHERE y = 1) AS n_pos,
+         |    (SELECT count(*) FROM sc WHERE y = -1) AS n_neg,
+         |    (SELECT count(*) FROM sc a, sc b
+         |     WHERE a.y = 1 AND b.y = -1 AND a.score > b.score) AS pairs_gt,
+         |    (SELECT count(*) FROM sc a, sc b
+         |     WHERE a.y = 1 AND b.y = -1 AND a.score = b.score) AS pairs_tie,
+         |    (SELECT count(*) FROM sc WHERE y = 1 AND score > 0) AS tp,
+         |    (SELECT count(*) FROM sc WHERE y = -1 AND score > 0) AS fp,
+         |    (SELECT count(*) FROM sc WHERE y = -1 AND score <= 0) AS tn,
+         |    (SELECT count(*) FROM sc WHERE y = 1 AND score <= 0) AS fn)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+         |       CAST(pairs_gt AS BIGINT) AS pairs_gt,
+         |       CAST(pairs_tie AS BIGINT) AS pairs_tie,
+         |       CAST(CAST(2 * pairs_gt + pairs_tie AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(2 * n_pos * n_neg AS BIGINT) AS DOUBLE) AS auc,
+         |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+         |       CAST(CAST(tp + tn AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(n_pos + n_neg AS BIGINT) AS DOUBLE) AS accuracy
+         |FROM agg""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(ClassifierTrain, ClassifierSelect, ClassifierAuc)
 }

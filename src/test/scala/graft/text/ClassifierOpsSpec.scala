@@ -96,4 +96,23 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(w.keys.forall(f => f >= 0 && f < ClassifierOps.B))
     assert(w.size <= ClassifierOps.B)
   }
+
+  test("AUC equals the brute-force all-pairs Mann-Whitney on sequential scores") {
+    val (_, _, scores) = sequential(docs)
+    val pos = scores.values.collect { case (1, s) => s }.toSeq
+    val neg = scores.values.collect { case (-1, s) => s }.toSeq
+    val gt = (for (p <- pos; n <- neg if p > n) yield 1L).sum
+    val tie = (for (p <- pos; n <- neg if p == n) yield 1L).sum
+    val r = ClassifierOps.ClassifierAuc.run(spark, sf).collect().head
+    assert(r.getLong(0) == pos.size && r.getLong(1) == neg.size)
+    assert(r.getLong(2) == gt, "pairs_gt vs brute force")
+    assert(r.getLong(3) == tie, "pairs_tie vs brute force")
+    assert(r.getDouble(4) == (2.0 * gt + tie) / (2.0 * pos.size * neg.size))
+    // confusion identities: rows partition by class and threshold
+    val (tp, fp, tn, fn) = (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    assert(tp + fn == pos.size && fp + tn == neg.size)
+    assert(tp == pos.count(_ > 0) && fp == neg.count(_ > 0))
+    assert(r.getDouble(9) == (tp + tn).toDouble / (pos.size + neg.size))
+    spark.catalog.clearCache()
+  }
 }
