@@ -414,6 +414,75 @@ object CorpusOps {
         |FROM c GROUP BY url ORDER BY url""".stripMargin)
   }
 
+  /** Temperature-scaled source mixing (mT5, Raffel/Xue 2021; the
+    * multilingual-sampling standard): sampling weight w_i ∝ n_i^α with
+    * α = 1/2, so low-resource sources are up-weighted relative to their
+    * natural share. Exactness design: n_i^(1/2) is the ONE temperature
+    * in the standard family that is integer-exact — w_i =
+    * isqrt(n_tokens_i · 10⁶) (fixed-point α = 0.5), with floor-sqrt
+    * computed as floor(sqrt(x)) plus a one-step integer correction:
+    * IEEE sqrt is correctly rounded, so the double result is within one
+    * of the true integer root for x < 2^53 (documented bound; at larger
+    * corpus scales drop the 10⁶ scale), and the correction makes it
+    * EXACT — the same double could CAST differently in the two engines
+    * (DuckDB rounds, Spark truncates), so both sides floor explicitly
+    * and then correct in BIGINT. Targets are budget · w_i div W —
+    * integer allocation of the natural token budget. Plan: one
+    * source-keyed token-count aggregate + a broadcast 1-row total;
+    * O(sources) output.
+    */
+  object TemperatureMixture extends GraftQuery {
+    val name = "q_mix_temperature"
+    private val Scale = 1000000L
+    /** floor(sqrt(x)) exact in BIGINT: engine-side expression. */
+    private def isqrt(x: Column): Column = {
+      val s0 = floor(sqrt(x.cast("double"))).cast("long")
+      when(s0 * s0 > x, s0 - 1)
+        .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+        .otherwise(s0)
+    }
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val per = Graft.table(spark, sfDir, "documents")
+        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+        .withColumn("w", isqrt(col("n_tokens") * Scale))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = per.agg(sum("n_tokens").as("total_tokens"), sum("w").as("w_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("w"),
+          expr(s"n_tokens * $Scale div total_tokens").as("ppm_natural"),
+          expr(s"w * $Scale div w_total").as("ppm_temperature"),
+          expr("total_tokens * w div w_total").as("target_tokens"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH per AS (
+         |  SELECT source,
+         |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |sq AS (
+         |  SELECT source, n_tokens,
+         |         CAST(floor(sqrt(CAST(n_tokens * $Scale AS DOUBLE))) AS BIGINT)
+         |           AS s0
+         |  FROM per),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |         CASE WHEN s0 * s0 > n_tokens * $Scale THEN s0 - 1
+         |              WHEN (s0 + 1) * (s0 + 1) <= n_tokens * $Scale THEN s0 + 1
+         |              ELSE s0 END AS w
+         |  FROM sq),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(w) AS BIGINT) AS w_total FROM w)
+         |SELECT source, n_tokens, w,
+         |       n_tokens * $Scale // total_tokens AS ppm_natural,
+         |       w * $Scale // w_total AS ppm_temperature,
+         |       total_tokens * w // w_total AS target_tokens
+         |FROM w CROSS JOIN tot
+         |ORDER BY source""".stripMargin)
+  }
+
   /** Per-source document cap — the quantity-based twin of
     * [[QualityTopKPerSource]]: keep at most K documents per source chosen
     * by portable hash order, i.e. a uniform, reproducible, rank-based
@@ -1120,8 +1189,8 @@ object CorpusOps {
 
   val all: Seq[GraftQuery] =
     Seq(StratifiedSample, Vocab, TfIdf, QualityTopKPerSource, RarityScore,
-      TermScrub, PiiScrub, UrlDedup, CappedSample, EpochShuffle, ChunkDocs,
-      DistDrift, TokenGini,
+      TermScrub, PiiScrub, UrlDedup, TemperatureMixture, CappedSample,
+      EpochShuffle, ChunkDocs, DistDrift, TokenGini,
       PpsSample, Boilerplate, SourceTerms, NgramNovelty, ZipfCurve, NextToken,
       VocabCoverage, BatchPadding)
 }

@@ -491,4 +491,30 @@ class CorpusOpsSpec extends SparkSpec {
       assert(!u.endsWith("/") && u == u.toLowerCase)
     }
   }
+
+  test("temperature mixing: exact isqrt weights, monotone share compression") {
+    val rows = CorpusOps.TemperatureMixture.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // w really is floor(sqrt(n*1e6)) — recomputed with BigInt sqrt
+    rows.foreach { case (s, n, w, _, _, _) =>
+      val x = BigInt(n) * 1000000L
+      assert(BigInt(w) * w <= x && (BigInt(w) + 1) * (BigInt(w) + 1) > x,
+        s"$s: w=$w is not isqrt($x)")
+    }
+    // alpha = 1/2 compresses shares toward uniform: every source above
+    // the natural mean loses ppm, every source below gains
+    val meanPpm = 1000000L / rows.length
+    rows.foreach { case (s, _, _, nat, temp, _) =>
+      if (nat > meanPpm + 1) assert(temp < nat, s"$s: big source must shrink")
+      if (nat < meanPpm - 1) assert(temp > nat, s"$s: small source must grow")
+    }
+    // targets re-allocate (almost) the whole budget: floor rounding can
+    // only lose < k_sources tokens total
+    val total = rows.map(_._2).sum
+    val alloc = rows.map(_._6).sum
+    assert(alloc <= total && total - alloc < rows.length,
+      s"allocation $alloc vs budget $total")
+    spark.catalog.clearCache()
+  }
 }
