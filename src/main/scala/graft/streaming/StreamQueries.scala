@@ -419,7 +419,43 @@ object StreamQueries {
     val oracle = graft.operators.BehaviorOps.ConversionLag.oracle
   }
 
+  /** Streaming enrichment — the stream-STATIC join, the most common
+    * production streaming shape (facts arrive on the stream, dimensions
+    * sit in the warehouse): events join the static customer dim on
+    * user_id, then aggregate per (market segment, event type) in
+    * Complete mode, so the final table equals the batch join whatever
+    * the micro-batch slicing (the registration determinism stance).
+    * Scale shape: Spark re-resolves the static side every micro-batch —
+    * a small dim stays a broadcast (this plan), a large one should be
+    * pre-bucketed; no state is kept beyond the aggregate itself.
+    * Memory-sink bound: one row per (segment × event type) — the
+    * aggregate, never enriched event rows.
+    */
+  object StreamEnrich extends GraftQuery {
+    val name = "q_stream_enrich"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val dim = Graft.table(spark, sfDir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = streamEvents(spark, sfDir)
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,6)")).as("tv"))
+      runToMemory(spark, "graft_stream_enrich", agg, "complete")
+        .select(col("c_mktsegment"), col("event_type"), col("n"),
+          col("tv").cast("double").as("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }
+    val oracle = Some(
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE)
+        |         AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(StreamTumbling, StreamHopping,
     StreamSessions, StreamPurchaseClick, StreamDedup,
-    StreamFunnelFinal, StreamSnapshotFinal, StreamConversionLagFinal)
+    StreamFunnelFinal, StreamSnapshotFinal, StreamConversionLagFinal,
+    StreamEnrich)
 }

@@ -117,7 +117,14 @@ class StreamQueriesSpec extends SparkSpec {
         () => ev.select("user_id", "event_type").distinct().count())),
       "q_stream_conversion_lag_final" -> ((() => landRows("convlag"),
         () => graft.operators.BehaviorOps.ConversionLag.run(spark, sf)
-          .agg(sum(col("n_users"))).collect()(0).getLong(0))))
+          .agg(sum(col("n_users"))).collect()(0).getLong(0))),
+      // Complete-mode stream-static join sink: one row per
+      // (segment × event_type) present in the joined stream
+      "q_stream_enrich" -> ((() => memRows("graft_stream_enrich"),
+        () => ev.join(spark.read.parquet(s"$sf/customer.parquet")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+            Seq("user_id"))
+          .select("c_mktsegment", "event_type").distinct().count())))
     assert(StreamQueries.all.map(_.name).toSet == expected.keySet,
       "new stream registrations must declare a sink bound in this spec")
     for (q <- StreamQueries.all) {
