@@ -2830,6 +2830,107 @@ object SourceQueries {
         |ORDER BY f.asset_idx""".stripMargin)
   }
 
+  /** Image dedup taken END-TO-END: the near-dup PAIR graph
+    * (`q_image_neardup`'s banded aHash join, here on numeric ids:
+    * kind-code·1000 + asset index) contracted to connected components
+    * ([[graft.dedup.Dedup.connectedComponents]] — the same log-round
+    * machinery the text tier uses) with the production keep policy:
+    * each cluster's representative is its LARGEST member by byte size
+    * (keep the best-resolution copy; ties → smaller id, encoded as one
+    * integer argmax key since ids are < 10⁵). This is what a real
+    * pipeline does with near-dup pairs — pairs are evidence, clusters
+    * are the dedup decision. The oracle replays the hashes closed-form,
+    * the banding + Hamming gate, the components as a recursive CTE, and
+    * the same max_by policy; cluster membership at corpus scale is
+    * orders of magnitude smaller than the corpus, so everything after
+    * the band join is bounded by the dedup output.
+    */
+  object ImageDedupCluster extends GraftQuery {
+    val name = "q_image_dedup_cluster"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ids = aHashRows(spark, sfDir)
+        .select((when(col("kind") === "s", 0L).when(col("kind") === "t", 1L)
+          .otherwise(2L) * 1000L + col("asset_idx")).as("nid"),
+          col("hash_hi"), col("hash_lo"), col("n_bytes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = ids.select(col("nid"), col("hash_hi"), col("hash_lo"),
+        posexplode(array(
+          col("hash_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
+          col("hash_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L)))))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val")
+      val a = bands.select(col("band_idx"), col("band_val"),
+        col("nid").as("doc_a"), col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+      val b = bands.select(col("band_idx"), col("band_val"),
+        col("nid").as("doc_b"), col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+      val pairs = a.join(b, Seq("band_idx", "band_val"))
+        .where(col("doc_a") < col("doc_b"))
+        .where(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= 10)
+        .select("doc_a", "doc_b").distinct()
+      graft.dedup.Dedup.connectedComponents(pairs)
+        .join(ids.select(col("nid").as("id"), col("n_bytes")), Seq("id"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(col("id"), col("n_bytes") * 100000L - col("id"))
+            .as("representative"),
+          countDistinct(expr("id div 1000")).as("n_kinds"))
+        .orderBy("cluster_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $aHashOracleCte,
+        |b0 AS (
+        |  SELECT 's' AS kind,
+        |         CAST(regexp_extract(filename, 'img(\\d+)\\.png', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |  FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')
+        |  UNION ALL
+        |  SELECT 't',
+        |         CAST(regexp_extract(filename, 'img(\\d+)\\.png', 1) AS BIGINT),
+        |         CAST(octet_length(content) AS BIGINT)
+        |  FROM read_blob('/tmp/graft_img2__root_testdata_sf0.01/**/*.png')
+        |  UNION ALL
+        |  SELECT 'x',
+        |         CAST(regexp_extract(filename, 'q(\\d+)\\.qoi', 1) AS BIGINT),
+        |         CAST(octet_length(content) AS BIGINT)
+        |  FROM read_blob('/tmp/graft_qoi__root_testdata_sf0.01/**/*.qoi')),
+        |ids AS (
+        |  SELECT (CASE h.kind WHEN 's' THEN 0 WHEN 't' THEN 1 ELSE 2 END)
+        |           * 1000 + h.asset_idx AS nid,
+        |         h.hash_hi, h.hash_lo, b0.n_bytes
+        |  FROM h JOIN b0 USING (kind, asset_idx)),
+        |bands AS (
+        |  SELECT nid, hash_hi, hash_lo, bb.b AS band_idx,
+        |         CASE bb.b
+        |           WHEN 0 THEN hash_lo % 65536
+        |           WHEN 1 THEN hash_lo // 65536
+        |           WHEN 2 THEN hash_hi % 65536
+        |           ELSE hash_hi // 65536 END AS band_val
+        |  FROM ids, LATERAL unnest(range(0, 4)) bb(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.nid AS da, c.nid AS db
+        |  FROM bands a JOIN bands c USING (band_idx, band_val)
+        |  WHERE a.nid < c.nid
+        |    AND bit_count(xor(a.hash_hi, c.hash_hi))
+        |        + bit_count(xor(a.hash_lo, c.hash_lo)) <= 10),
+        |edges AS (SELECT da AS src, db AS dst FROM pr
+        |          UNION SELECT db, da FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src)
+        |SELECT l.label AS cluster_id, count(*) AS cluster_size,
+        |       max_by(l.id, i.n_bytes * 100000 - l.id) AS representative,
+        |       CAST(count(DISTINCT l.id // 1000) AS BIGINT) AS n_kinds
+        |FROM labels l JOIN ids i ON l.id = i.nid
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Create (once per scale factor) the MP3 fixture tree: 24 streams
     * from [[graft.multimodal.Mp3Codec.build]] covering CBR and VBR
     * (+Xing) frame sequences, all three MPEG-1 sampling rates, mono and
@@ -2963,6 +3064,6 @@ object SourceQueries {
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
       BmpScan, TiffScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
-      AudioFpScan, AudioNearDup, VideoFpScan, VideoNearDup, MediaCatalog,
-      Mp3Scan)
+      ImageDedupCluster, AudioFpScan, AudioNearDup, VideoFpScan,
+      VideoNearDup, MediaCatalog, Mp3Scan)
 }

@@ -69,4 +69,43 @@ class SourceQueriesSpec extends SparkSpec {
       s"codecs must be lossless: ${out.toSeq}")
   }
 
+
+  test("image dedup clusters equal an independent union-find over the pair graph") {
+    // independent re-derivation: collect the near-dup PAIRS (their own
+    // query is oracle-green), run a plain-Scala union-find, apply the
+    // same keep-largest policy, compare to the operator's clusters
+    val pairs = SourceQueries.ImageNearDup.run(spark, sf).collect()
+      .map { r =>
+        def nid(s: String): Long =
+          (s.head match { case 's' => 0L; case 't' => 1L; case _ => 2L }) *
+            1000L + s.tail.toLong
+        (nid(r.getString(0)), nid(r.getString(1)))
+      }
+    val bytes = SourceQueries.ImageAHash.run(spark, sf).collect()
+      .map { r =>
+        val k = r.getString(0) match { case "s" => 0L; case "t" => 1L; case _ => 2L }
+        (k * 1000L + r.getLong(1)) -> r.getLong(4)
+      }.toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElseUpdate(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(m => members.filter(n => find(n) == find(m)).min)
+      .map { case (root, ms) =>
+        root -> (ms.length.toLong,
+          ms.maxBy(m => bytes(m) * 100000L - m), ms.map(_ / 1000).distinct.length.toLong)
+      }
+    val got = SourceQueries.ImageDedupCluster.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"clusters diverged: got ${got.size}, want ${want.size}")
+    // the solid tree is one giant exact-dup class: all 24 hash to 0 and
+    // pairwise Hamming 0 — they must land in ONE cluster rooted at nid 0
+    assert(got.contains(0L) && got(0L)._1 >= 24L, s"solid cluster: ${got.get(0L)}")
+    spark.catalog.clearCache()
+  }
 }
