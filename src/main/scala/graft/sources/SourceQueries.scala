@@ -1481,6 +1481,80 @@ object SourceQueries {
         |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Audio dedup taken END-TO-END, the audio twin of
+    * [[ImageDedupCluster]]: the banded energy-contour pair graph
+    * (`q_audio_neardup`, numeric ids) contracted to connected
+    * components, keep policy = the LONGEST clip per cluster (most
+    * samples; ties → smaller id — a podcast pipeline keeps the
+    * unclipped master). Cross-CONTAINER clusters are the point: the
+    * `a` (bare FLAC) and `k` (Matroska) trees share PCM formulas, so a
+    * green row proves the cluster step unifies duplicates across
+    * carriages. Same recursive-CTE oracle shape as the image twin.
+    */
+  object AudioDedupCluster extends GraftQuery {
+    val name = "q_audio_dedup_cluster"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val ids = audioFpRows(spark, sfDir)
+        .select((when(col("kind") === "a", 0L).when(col("kind") === "o", 1L)
+          .otherwise(2L) * 1000L + col("asset_idx")).as("nid"),
+          col("fp"), col("n_samples"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = ids.select(col("nid"), col("fp"),
+        posexplode(array(
+          col("fp").bitwiseAND(lit(255L)),
+          shiftright(col("fp"), 8).bitwiseAND(lit(255L)),
+          shiftright(col("fp"), 16).bitwiseAND(lit(255L)),
+          shiftright(col("fp"), 24).bitwiseAND(lit(255L)))))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val")
+      val a = bands.select(col("band_idx"), col("band_val"),
+        col("nid").as("doc_a"), col("fp").as("fp_a"))
+      val b = bands.select(col("band_idx"), col("band_val"),
+        col("nid").as("doc_b"), col("fp").as("fp_b"))
+      val pairs = a.join(b, Seq("band_idx", "band_val"))
+        .where(col("doc_a") < col("doc_b"))
+        .where(expr("bit_count(fp_a ^ fp_b)") <= 4)
+        .select("doc_a", "doc_b").distinct()
+      graft.dedup.Dedup.connectedComponents(pairs)
+        .join(ids.select(col("nid").as("id"), col("n_samples")), Seq("id"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(col("id"), col("n_samples") * 100000L - col("id"))
+            .as("representative"),
+          countDistinct(expr("id div 1000")).as("n_containers"))
+        .orderBy("cluster_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $audioFpOracleCte,
+        |ids AS (
+        |  SELECT (CASE kind WHEN 'a' THEN 0 WHEN 'o' THEN 1 ELSE 2 END)
+        |           * 1000 + asset_idx AS nid,
+        |         fp, n_samples
+        |  FROM fp),
+        |bands AS (
+        |  SELECT nid, fp, bb.b AS band_idx,
+        |         (fp // (CAST(1 AS BIGINT) << (8 * bb.b))) % 256 AS band_val
+        |  FROM ids, LATERAL unnest(range(0, 4)) bb(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.nid AS da, c.nid AS db
+        |  FROM bands a JOIN bands c USING (band_idx, band_val)
+        |  WHERE a.nid < c.nid AND bit_count(xor(a.fp, c.fp)) <= 4),
+        |edges AS (SELECT da AS src, db AS dst FROM pr
+        |          UNION SELECT db, da FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src)
+        |SELECT l.label AS cluster_id, count(*) AS cluster_size,
+        |       max_by(l.id, i.n_samples * 100000 - l.id) AS representative,
+        |       CAST(count(DISTINCT l.id // 1000) AS BIGINT) AS n_containers
+        |FROM labels l JOIN ids i ON l.id = i.nid
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Both ZMBV carriages (AVI tree, MKV-VfW tree) reduced to per-frame
     * aHash fingerprints — the shared scan both video-dedup queries
     * build on. A clip is a SET of frame fingerprints (the shot-based
@@ -3064,6 +3138,6 @@ object SourceQueries {
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
       BmpScan, TiffScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
-      ImageDedupCluster, AudioFpScan, AudioNearDup, VideoFpScan,
-      VideoNearDup, MediaCatalog, Mp3Scan)
+      ImageDedupCluster, AudioFpScan, AudioNearDup, AudioDedupCluster,
+      VideoFpScan, VideoNearDup, MediaCatalog, Mp3Scan)
 }

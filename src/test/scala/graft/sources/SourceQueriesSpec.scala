@@ -108,4 +108,41 @@ class SourceQueriesSpec extends SparkSpec {
     assert(got.contains(0L) && got(0L)._1 >= 24L, s"solid cluster: ${got.get(0L)}")
     spark.catalog.clearCache()
   }
+
+  test("audio dedup clusters: union-find differential + cross-container unification") {
+    val pairs = SourceQueries.AudioNearDup.run(spark, sf).collect()
+      .map { r =>
+        def nid(s: String): Long =
+          (s.head match { case 'a' => 0L; case 'o' => 1L; case _ => 2L }) *
+            1000L + s.tail.toLong
+        (nid(r.getString(0)), nid(r.getString(1)))
+      }
+    val samples = SourceQueries.AudioFpScan.run(spark, sf).collect()
+      .map { r =>
+        val k = r.getString(0) match { case "a" => 0L; case "o" => 1L; case _ => 2L }
+        (k * 1000L + r.getLong(1)) -> r.getLong(3)
+      }.toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElseUpdate(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(m => members.filter(n => find(n) == find(m)).min)
+      .map { case (root, ms) =>
+        root -> (ms.length.toLong,
+          ms.maxBy(m => samples(m) * 100000L - m),
+          ms.map(_ / 1000).distinct.length.toLong)
+      }
+    val got = SourceQueries.AudioDedupCluster.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"clusters diverged: got ${got.size}, want ${want.size}")
+    // the whole point: at least one cluster spans containers (the bare-
+    // FLAC and Matroska trees share PCM formulas)
+    assert(got.values.exists(_._3 >= 2L), "no cross-container cluster found")
+    spark.catalog.clearCache()
+  }
 }
