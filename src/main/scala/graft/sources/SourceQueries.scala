@@ -1722,6 +1722,77 @@ object SourceQueries {
         |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** Video dedup taken END-TO-END, completing the cluster tier across
+    * all three media modalities ([[ImageDedupCluster]] /
+    * [[AudioDedupCluster]]): clip pairs sharing ≥ 2 exact frame hashes
+    * (`q_video_neardup`'s inverted-index join, numeric ids) contracted
+    * to connected components, keep policy = the clip with the MOST
+    * FRAMES per cluster (the longest cut; ties → smaller id).
+    * `n_carriages` counts container families per cluster — the AVI and
+    * Matroska trees carry the same ZMBV content families, so clusters
+    * spanning carriages prove container-independent video dedup. Same
+    * recursive-CTE oracle + union-find differential as the twins.
+    */
+  object VideoDedupCluster extends GraftQuery {
+    val name = "q_video_dedup_cluster"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val rows = videoFpRows(spark, sfDir)
+        .select((when(col("kind") === "v", 0L).otherwise(1L) * 1000L
+          + col("asset_idx")).as("nid"),
+          col("frame_idx"), col("hash_hi"), col("hash_lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nframes = rows.groupBy(col("nid").as("id"))
+        .agg(count(lit(1)).as("n_frames"))
+      val frames = rows.select(col("nid"), col("hash_hi"), col("hash_lo"))
+        .distinct()
+      val a = frames.select(col("nid").as("doc_a"), col("hash_hi"), col("hash_lo"))
+      val b = frames.select(col("nid").as("doc_b"), col("hash_hi"), col("hash_lo"))
+      val pairs = a.join(b, Seq("hash_hi", "hash_lo"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .select("doc_a", "doc_b")
+      graft.dedup.Dedup.connectedComponents(pairs)
+        .join(nframes, Seq("id"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(col("id"), col("n_frames") * 100000L - col("id"))
+            .as("representative"),
+          countDistinct(expr("id div 1000")).as("n_carriages"))
+        .orderBy("cluster_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $videoFpOracleCte,
+        |idsv AS (
+        |  SELECT (CASE kind WHEN 'v' THEN 0 ELSE 1 END) * 1000 + asset_idx
+        |           AS nid,
+        |         frame_idx, hash_hi, hash_lo
+        |  FROM vh),
+        |nf AS (SELECT nid AS id, count(*) AS n_frames FROM idsv GROUP BY 1),
+        |fs AS (SELECT DISTINCT nid, hash_hi, hash_lo FROM idsv),
+        |pr AS (
+        |  SELECT a.nid AS da, c.nid AS db
+        |  FROM fs a JOIN fs c
+        |    ON a.hash_hi = c.hash_hi AND a.hash_lo = c.hash_lo
+        |   AND a.nid < c.nid
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT da AS src, db AS dst FROM pr
+        |          UNION SELECT db, da FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src)
+        |SELECT l.label AS cluster_id, count(*) AS cluster_size,
+        |       max_by(l.id, nf.n_frames * 100000 - l.id) AS representative,
+        |       CAST(count(DISTINCT l.id // 1000) AS BIGINT) AS n_carriages
+        |FROM labels l JOIN nf ON l.id = nf.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Create (once per scale factor) the animated-GIF fixture tree: 24
     * .gif files of 18×11 8-bit frames (dims not multiples of 8, so all
     * four interlace passes are partial), 3 + (i mod 3) frames per clip
@@ -3139,5 +3210,5 @@ object SourceQueries {
       BmpScan, TiffScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
       ImageDedupCluster, AudioFpScan, AudioNearDup, AudioDedupCluster,
-      VideoFpScan, VideoNearDup, MediaCatalog, Mp3Scan)
+      VideoFpScan, VideoNearDup, VideoDedupCluster, MediaCatalog, Mp3Scan)
 }

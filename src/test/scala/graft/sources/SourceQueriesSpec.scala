@@ -145,4 +145,37 @@ class SourceQueriesSpec extends SparkSpec {
     assert(got.values.exists(_._3 >= 2L), "no cross-container cluster found")
     spark.catalog.clearCache()
   }
+
+  test("video dedup clusters: union-find differential over the shot-overlap graph") {
+    val pairs = SourceQueries.VideoNearDup.run(spark, sf).collect()
+      .map { r =>
+        def nid(s: String): Long =
+          (if (s.head == 'v') 0L else 1L) * 1000L + s.tail.toLong
+        (nid(r.getString(0)), nid(r.getString(1)))
+      }
+    val nFrames = SourceQueries.VideoFpScan.run(spark, sf).collect()
+      .map { r =>
+        val k = if (r.getString(0) == "v") 0L else 1L
+        (k * 1000L + r.getLong(1))
+      }.groupBy(identity).map { case (id, g) => id -> g.length.toLong }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElseUpdate(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(m => members.filter(n => find(n) == find(m)).min)
+      .map { case (root, ms) =>
+        root -> (ms.length.toLong,
+          ms.maxBy(m => nFrames(m) * 100000L - m),
+          ms.map(_ / 1000).distinct.length.toLong)
+      }
+    val got = SourceQueries.VideoDedupCluster.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"clusters diverged: got ${got.size}, want ${want.size}")
+    spark.catalog.clearCache()
+  }
 }
