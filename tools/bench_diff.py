@@ -34,7 +34,8 @@ def load(path):
 def split_bands(old, new):
     common = sorted(set(old) & set(new))
     big = [q for q in common if old[q] >= SMALL_SEC and new[q] >= SMALL_SEC]
-    small = [q for q in common if q not in set(big)]
+    big_set = set(big)
+    small = [q for q in common if q not in big_set]
     return common, big, small
 
 

@@ -17,8 +17,12 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-# default points at the CURRENT round's committed log — bump per round
-GATE_LOG="${GATE_LOG:-ROUND9_GATES.jsonl}"
+# default points at the CURRENT round's committed log, derived from the
+# committed ROUND marker file (no per-round in-script constant to forget
+# to bump — a forgotten bump would silently append this round's gates to
+# last round's log and break the per-round audit trail)
+ROUND_N=$(tr -dc '0-9' < ROUND 2>/dev/null)
+GATE_LOG="${GATE_LOG:-ROUND${ROUND_N:?missing ROUND marker file}_GATES.jsonl}"
 
 log_gate() { # $1 = json line
   echo "$1" >> "$GATE_LOG"
@@ -110,6 +114,15 @@ T_OK=$(echo "$TEST_LINE" | sed -n 's/.*succeeded \([0-9]*\).*/\1/p')
 T_FAIL=$(echo "$TEST_LINE" | sed -n 's/.*failed \([0-9]*\).*/\1/p')
 T_CANCEL=$(echo "$TEST_LINE" | sed -n 's/.*canceled \([0-9]*\).*/\1/p')
 
+# the full gate asserts the pre-commit guard is actually installed (the
+# quick gate must be emitted by the hook, not by per-wave discipline)
+HOOK=.git/hooks/pre-commit
+if [ -x "$HOOK" ] && grep -q "gate.sh --quick" "$HOOK" 2>/dev/null; then
+  HOOK_INSTALLED=true
+else
+  HOOK_INSTALLED=false
+fi
+
 python3 - "$OUT" <<EOF
 import json, sys
 bench = json.loads('''$BENCH_LINE''' or '{}')
@@ -130,11 +143,13 @@ gate = {
   "tests_failed": int("${T_FAIL:-999}" or 999),
   "tests_canceled": int("${T_CANCEL:-0}" or 0),
   "sbt_test_rc": $TEST_RC,
+  "hook_installed": $HOOK_INSTALLED,
 }
 gate["green"] = (gate["verify_rc"] == 0 and gate["oracle_failed"] == 0
   and gate["oracle_types_flagged"] == 0 and not gate["verify_failed"]
   and gate["bench_rc"] == 0 and gate["bench_n_failed"] == 0
-  and gate["tests_failed"] == 0 and gate["sbt_test_rc"] == 0)
+  and gate["tests_failed"] == 0 and gate["sbt_test_rc"] == 0
+  and gate["hook_installed"])
 line = json.dumps(gate)
 open(sys.argv[1], "w").write(line + "\n")
 print(line)
