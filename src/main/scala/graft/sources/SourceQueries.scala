@@ -14,7 +14,7 @@ import java.nio.file.{Files, Paths}
   */
 object SourceQueries {
 
-  private def workDir(tag: String, sfDir: String): String = {
+  private[sources] def workDir(tag: String, sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_${tag}_$safe")
     Files.createDirectories(p)
@@ -29,3181 +29,27 @@ object SourceQueries {
     * bytes (at scale 1 the generators are byte-identical to before — the
     * masking below is the identity on the base index range).
     */
-  private def mediaScale: Int =
+  private[sources] def mediaScale: Int =
     sys.env.getOrElse("SPARK_GRAFT_MEDIA_SCALE", "1").toInt
-  private def scaledTag(tag: String): String = {
+  private[sources] def scaledTag(tag: String): String = {
     val s = mediaScale
     if (s == 1) tag else s"${tag}_x$s"
   }
 
-  /** S2+S3 — round-trip the part table through the reference's `;`-CSV
-    * dialect, then aggregate the re-read copy. The oracle runs on the
-    * original parquet — matching hashes prove the CSV boundary is lossless
-    * for this schema (header, separator, numeric formatting).
-    */
-  object CsvRoundtrip extends GraftQuery {
-    val name = "q_csv_roundtrip"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val dir = workDir("csv", sfDir) + "/part"
-      Sources.writeSemicolonCsv(
-        Graft.table(spark, sfDir, "part").select("p_partkey", "p_brand", "p_size"), dir)
-      val back = Sources.readSemicolonCsv(spark, dir)
-      back.groupBy("p_brand")
-        .agg(count(lit(1)).as("n"),
-          sum(col("p_size").cast("long")).as("total_size"))
-        .orderBy("p_brand")
-    }
-    val oracle = Some(
-      """SELECT p_brand, count(*) AS n,
-        |       CAST(sum(p_size) AS BIGINT) AS total_size
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
 
-  /** Create (once per scale factor) the deterministic 4-level PNG shard
-    * tree both binary-source queries scan. Returns the tree root.
+  /** Registration order preserved from the pre-split single file (round
+    * 10 split it by media family; the driver's query order is this list).
     */
-  private def ensureImageTree(sfDir: String): String = {
-    val root = workDir(scaledTag("img"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
-        Files.createDirectories(dir)
-        // floorMod: identity for i < 24 (byte-identical base tree), keeps
-        // channels in range for the scaled indices
-        val r = Math.floorMod(i * 10, 256)
-        val g = Math.floorMod(255 - i * 10, 256)
-        val img = ImageOps.Image(16, 16,
-          Array.fill(256)((r << 16) | (g << 8) | (i % 256)))
-        Files.write(dir.resolve(f"img$i%03d.png"), ImageOps.encodePng(img))
-      }
-    }
-    root
-  }
-
-  /** S1 — binary scan over a deterministic synthetic image tree (4-level
-    * sharding like the reference's landmark layout), decoded and reduced to
-    * per-image average color, dominant-color closest primary, and byte
-    * metadata — ONE pass over the scan, the real decode path
-    * ([[ImageOps.decode]]/averageColor/dominantColor/closestPrimary, M1–O1).
-    *
-    * Fully oracle-checked (closing the last `no_oracle` row): the fixture
-    * images are SOLID colors whose fill is a pure function of the filename
-    * index (r = 10·i, g = 255 − 10·i, b = i), so the oracle can replay the
-    * expected decode output independently — average of a solid image is its
-    * fill, dominant likewise, and the closest-primary argmin is six
-    * constant squared distances — while `read_blob` over the SAME files
-    * proves byte identity (n_bytes + 8-byte hex prefix). A hash match
-    * therefore verifies the whole PNG decode chain end-to-end, not just
-    * header metadata (that's [[ImageDims]]). Pixel-level decode on
-    * non-solid images stays spec-verified (ImageOpsSpec) — IDAT zlib is
-    * territory no SQL engine replays.
-    */
-  object BinaryScan extends GraftQuery {
-    val name = "q_binary_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureImageTree(sfDir)
-      val idRe = "img(\\d+)\\.png".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (path, content) =>
-            ImageOps.decode(content).map { img =>
-              val avg = ImageOps.averageColor(img)
-              val dom = ImageOps.dominantColor(img)
-              val cp = ImageOps.closestPrimary(dom, ImageOps.Primaries)
-              val id = idRe.findFirstMatchIn(path)
-                .map(_.group(1).toLong).getOrElse(-1L)
-              (id, avg._1.toLong, avg._2.toLong, avg._3.toLong, cp.toLong,
-                content.length.toLong,
-                content.take(8).map(b => f"$b%02X").mkString)
-            }
-          }
-        }
-        .toDF("img_id", "avg_c0", "avg_c1", "avg_c2", "closest_primary",
-          "n_bytes", "head_hex")
-        .orderBy("img_id")
-    }
-    // Same pinned-glob stance as q_image_dims: oracle SQL is static text
-    // and the correctness gate runs at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'img(\d+)\.png', 1) AS BIGINT)
-        |           AS img_id,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')),
-        |c AS (
-        |  SELECT img_id, n_bytes, head_hex,
-        |         img_id * 10 AS r, 255 - img_id * 10 AS g, img_id AS b
-        |  FROM f),
-        |d AS (
-        |  SELECT img_id, r, g, b, n_bytes, head_hex,
-        |         [ (r-255)*(r-255) + g*g + b*b,
-        |           r*r + (g-255)*(g-255) + b*b,
-        |           r*r + g*g + (b-255)*(b-255),
-        |           r*r + (g-255)*(g-255) + (b-255)*(b-255),
-        |           (r-255)*(r-255) + (g-255)*(g-255) + b*b,
-        |           (r-255)*(r-255) + g*g + (b-255)*(b-255) ] AS dists
-        |  FROM c)
-        |SELECT img_id, r AS avg_c0, g AS avg_c1, b AS avg_c2,
-        |       CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT)
-        |         AS closest_primary,
-        |       n_bytes, head_hex
-        |FROM d ORDER BY img_id""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the TWO-TONE PNG tree: 16×16 images
-    * whose left 10 columns are color A(i) = (10i, 255−10i, i) and right 6
-    * columns are B(i) = (5i, 100, 200−5i) — an asymmetric split, so
-    * average (the 160:96 pixel-weighted mix) differs from dominant (the
-    * larger region, exactly A). Same 4-level sharding as [[ensureImageTree]].
-    */
-  private def ensureTwoToneTree(sfDir: String): String = {
-    val root = workDir(scaledTag("img2"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
-        Files.createDirectories(dir)
-        // floorMod: identity for i < 24 (see ensureImageTree)
-        val a = (Math.floorMod(i * 10, 256) << 16) |
-          (Math.floorMod(255 - i * 10, 256) << 8) | (i % 256)
-        val b = (Math.floorMod(i * 5, 256) << 16) | (100 << 8) |
-          Math.floorMod(200 - i * 5, 256)
-        val px = Array.tabulate(256)(p => if (p % 16 < 10) a else b)
-        Files.write(dir.resolve(f"img$i%03d.png"),
-          ImageOps.encodePng(ImageOps.Image(16, 16, px)))
-      }
-    }
-    root
-  }
-
-  /** The decode oracle beyond solid fills (VERDICT r6 item 5): two-tone
-    * fixtures where average ≠ dominant, so the hash gate now verifies the
-    * NON-TRIVIAL k-means path end-to-end, not just the degenerate
-    * single-color case. Closed forms the oracle replays:
-    *   - average: floor((160·A + 96·B) / 256) per channel (integer
-    *     truncation in [[ImageOps.averageColor]] == DuckDB `//`);
-    *   - dominant: exactly A — [[ImageOps.dominantColor]] seeds centers at
-    *     the top-frequency distinct colors, so for a 2-color image the
-    *     centers ARE {A, B} (distance-0 assignments, converged after one
-    *     round, integer centroid means are exact in float) and the
-    *     biggest-cluster argmax picks the 160-pixel A region;
-    *   - closest primary of BOTH (they differ — the avg mixes toward B).
-    * `read_blob` byte identity (n_bytes + head) again pins the files.
-    */
-  object BinaryTwoTone extends GraftQuery {
-    val name = "q_binary_twotone"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureTwoToneTree(sfDir)
-      val idRe = "img(\\d+)\\.png".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (path, content) =>
-            ImageOps.decode(content).map { img =>
-              val avg = ImageOps.averageColor(img)
-              val dom = ImageOps.dominantColor(img)
-              val id = idRe.findFirstMatchIn(path)
-                .map(_.group(1).toLong).getOrElse(-1L)
-              (id, avg._1.toLong, avg._2.toLong, avg._3.toLong,
-                dom._1.toLong, dom._2.toLong, dom._3.toLong,
-                ImageOps.closestPrimary(avg, ImageOps.Primaries).toLong,
-                ImageOps.closestPrimary(dom, ImageOps.Primaries).toLong,
-                content.length.toLong)
-            }
-          }
-        }
-        .toDF("img_id", "avg_c0", "avg_c1", "avg_c2",
-          "dom_c0", "dom_c1", "dom_c2", "cp_avg", "cp_dom", "n_bytes")
-        .orderBy("img_id")
-    }
-    // Same pinned-glob stance as q_binary_scan: static oracle text, gate
-    // runs at sf0.01 only. dv/da = the six squared primary distances of
-    // the average / dominant color (argmin = first min, like the Scala).
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'img(\d+)\.png', 1) AS BIGINT)
-        |           AS i,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |  FROM read_blob('/tmp/graft_img2__root_testdata_sf0.01/**/*.png')),
-        |c AS (
-        |  SELECT i AS img_id, n_bytes,
-        |         i * 10 AS ar, 255 - i * 10 AS ag, i AS ab,
-        |         i * 5 AS br, 100 AS bg, 200 - i * 5 AS bb
-        |  FROM f),
-        |m AS (
-        |  SELECT img_id, n_bytes, ar, ag, ab,
-        |         (160 * ar + 96 * br) // 256 AS vr,
-        |         (160 * ag + 96 * bg) // 256 AS vg,
-        |         (160 * ab + 96 * bb) // 256 AS vb
-        |  FROM c),
-        |d AS (
-        |  SELECT img_id, n_bytes, ar, ag, ab, vr, vg, vb,
-        |         [ (vr-255)*(vr-255) + vg*vg + vb*vb,
-        |           vr*vr + (vg-255)*(vg-255) + vb*vb,
-        |           vr*vr + vg*vg + (vb-255)*(vb-255),
-        |           vr*vr + (vg-255)*(vg-255) + (vb-255)*(vb-255),
-        |           (vr-255)*(vr-255) + (vg-255)*(vg-255) + vb*vb,
-        |           (vr-255)*(vr-255) + vg*vg + (vb-255)*(vb-255) ] AS dv,
-        |         [ (ar-255)*(ar-255) + ag*ag + ab*ab,
-        |           ar*ar + (ag-255)*(ag-255) + ab*ab,
-        |           ar*ar + ag*ag + (ab-255)*(ab-255),
-        |           ar*ar + (ag-255)*(ag-255) + (ab-255)*(ab-255),
-        |           (ar-255)*(ar-255) + (ag-255)*(ag-255) + ab*ab,
-        |           (ar-255)*(ar-255) + ag*ag + (ab-255)*(ab-255) ] AS da
-        |  FROM m)
-        |SELECT img_id, vr AS avg_c0, vg AS avg_c1, vb AS avg_c2,
-        |       ar AS dom_c0, ag AS dom_c1, ab AS dom_c2,
-        |       CAST(list_position(dv, list_min(dv)) - 1 AS BIGINT) AS cp_avg,
-        |       CAST(list_position(da, list_min(da)) - 1 AS BIGINT) AS cp_dom,
-        |       n_bytes
-        |FROM d ORDER BY img_id""".stripMargin)
-  }
-
-  /** JSON-lines round-trip — the de-facto interchange format for LLM
-    * training corpora. Documents are written as JSONL, re-read with an
-    * explicit schema (no sampling/inference pass — at 100 TB schema
-    * inference is a full extra scan), and aggregated; the oracle runs on
-    * the original parquet, so matching hashes prove the JSONL boundary is
-    * lossless for this schema (string escaping, unicode, nulls).
-    */
-  object JsonlRoundtrip extends GraftQuery {
-    val name = "q_jsonl_roundtrip"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val dir = workDir("jsonl", sfDir) + "/documents"
-      val docs = Graft.table(spark, sfDir, "documents")
-        .select("doc_id", "text", "lang")
-      docs.write.mode("overwrite").json(dir)
-      val back = spark.read.schema(docs.schema).json(dir)
-      back.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).as("total_chars"),
-          min(col("doc_id")).as("min_doc"))
-        .orderBy("lang")
-    }
-    val oracle = Some(
-      """SELECT lang, count(*) AS n_docs,
-        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
-        |       min(doc_id) AS min_doc
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  /** ORC round-trip — the second columnar format Spark ships a native
-    * vectorized reader for (a reference user migrating a lake hits ORC
-    * next after parquet). Orders are written as ORC with zlib, re-read,
-    * and aggregated; the oracle runs on the original parquet, so matching
-    * hashes prove the ORC boundary preserves longs, doubles (exact bits —
-    * both formats store IEEE754 doubles losslessly) and strings for this
-    * schema. Timestamps are round-tripped as epoch integers: ORC timestamp
-    * semantics (local-time vs instant) differ per writer config, and an
-    * integer column is the portable representation at any scale.
-    */
-  object OrcRoundtrip extends GraftQuery {
-    val name = "q_orc_roundtrip"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val dir = workDir("orc", sfDir) + "/orders"
-      val orders = Graft.table(spark, sfDir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-          unix_date(to_date(col("o_orderdate"))).cast("long").as("o_epoch_day"))
-      orders.write.mode("overwrite").option("compression", "zlib").orc(dir)
-      val back = spark.read.schema(orders.schema).orc(dir)
-      back.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          graft.functions.SafeMath.exactSum(col("o_totalprice")).as("revenue"),
-          min(col("o_epoch_day")).as("first_day"),
-          max(col("o_epoch_day")).as("last_day"))
-        .orderBy("o_orderstatus")
-    }
-    val oracle = Some(
-      """SELECT o_orderstatus, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
-        |       min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS first_day,
-        |       max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  /** Hive-style partitioned layout — THE 100 TB table primitive: write
-    * documents partitioned by source (`.../source=<v>/part-*.parquet`),
-    * read back with a partition filter, and aggregate only the surviving
-    * partitions. The oracle replays the filter on the original table —
-    * the hash match proves the partition column round-trips losslessly
-    * through the directory encoding (it leaves the data files entirely)
-    * and the pruned read returns exactly the filtered set. The spec
-    * asserts the plan-level guarantee (PartitionFilters pruning, nothing
-    * read from excluded directories); scan-side the filter never touches
-    * row data at all.
-    */
-  object PartitionedRoundtrip extends GraftQuery {
-    val name = "q_partitioned_roundtrip"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val dir = workDir("hivepart", sfDir) + "/documents"
-      val docs = Graft.table(spark, sfDir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
-      docs.write.mode("overwrite").partitionBy("source").parquet(dir)
-      val back = spark.read.parquet(dir)
-        .filter(col("source").isin("src1", "src2"))
-      back.groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-        .orderBy("source", "lang")
-    }
-    val oracle = Some(
-      """SELECT source, lang, count(*) AS n_docs,
-        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents WHERE source IN ('src1', 'src2')
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
-  }
-
-  /** S1's metadata pass WITH an oracle — the one binary-source operator a
-    * second engine can replay: image dimensions and byte sizes parsed from
-    * the PNG IHDR header by pure byte arithmetic (width = bytes 17–20
-    * big-endian, height = 21–24), over the same sharded tree
-    * [[BinaryScan]] scans. Spark reads the `binaryFile` source and slices
-    * `content`; the oracle reads the SAME FILES via DuckDB `read_blob` and
-    * slices identically — closing the round-1 `no_oracle` gap for the
-    * binary path at the header level (pixel decoding stays spec-verified:
-    * IDAT is zlib territory no SQL engine replays).
-    *
-    * The oracle's glob is pinned to the driver's sf0.01 verify dir (oracle
-    * SQL is static text; the correctness gate only runs at sf0.01, and the
-    * Spark side materializes the tree before the oracle reads it). At
-    * corpus scale this is the no-decode metadata pass that sizes/filters
-    * a 100 TB image set without touching pixel data.
-    */
-  object ImageDims extends GraftQuery {
-    val name = "q_image_dims"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val root = ensureImageTree(sfDir)
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(
-          regexp_extract(col("path"), "img(\\d+)\\.png", 1).cast("long").as("img_id"),
-          conv(hex(expr("substring(content, 17, 4)")), 16, 10).cast("long").as("width"),
-          conv(hex(expr("substring(content, 21, 4)")), 16, 10).cast("long").as("height"),
-          length(col("content")).cast("long").as("n_bytes"))
-        .orderBy("img_id")
-    }
-    val oracle = Some(
-      """SELECT CAST(regexp_extract(filename, 'img(\d+)\.png', 1) AS BIGINT)
-        |         AS img_id,
-        |       ('0x' || substring(hex(content), 33, 8))::BIGINT AS width,
-        |       ('0x' || substring(hex(content), 41, 8))::BIGINT AS height,
-        |       CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')
-        |ORDER BY img_id""".stripMargin)
-  }
-
-  /** Parquet schema evolution — the append-only reality of a long-lived
-    * dataset: an old writer produced (doc_id, text), a newer one added
-    * `lang`, and readers must see the union schema with nulls where the
-    * old files are silent. The corpus splits deterministically by the
-    * portable md5 of doc_id (old/new writer cohorts), lands as two
-    * parquet generations, and is read back with `mergeSchema` — the
-    * aggregate proves total row retention and exactly the old cohort
-    * null. At scale this is why schema-on-read beats rewrite-on-evolve:
-    * the query plans against the merged schema without touching old
-    * files' data pages beyond the projected columns.
-    */
-  object SchemaEvolution extends GraftQuery {
-    val name = "q_schema_evolution"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import graft.functions.PortableHash.pHash60
-      val dir = workDir("schemaevo", sfDir) + "/documents"
-      val docs = Graft.table(spark, sfDir, "documents")
-        .withColumn("cohort", pmod(pHash60(col("doc_id").cast("string")), lit(2L)))
-      docs.filter(col("cohort") === 0L)
-        .select(col("doc_id"), col("text"))
-        .write.mode("overwrite").parquet(s"$dir/gen=v1")
-      docs.filter(col("cohort") === 1L)
-        .select(col("doc_id"), col("text"), col("lang"))
-        .write.mode("overwrite").parquet(s"$dir/gen=v2")
-      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
-      merged.agg(
-        count(lit(1)).as("n_total"),
-        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_old_cohort"),
-        sum(when(col("lang").isNotNull, 1L).otherwise(0L)).as("n_new_cohort"),
-        countDistinct(col("lang")).as("n_langs"))
-    }
-    val oracle = Some(
-      """WITH cohorts AS (
-        |  SELECT doc_id, lang,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2
-        |           AS cohort
-        |  FROM documents)
-        |SELECT count(*) AS n_total,
-        |       CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_old_cohort,
-        |       CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_new_cohort,
-        |       count(DISTINCT CASE WHEN cohort = 1 THEN lang END) AS n_langs
-        |FROM cohorts""".stripMargin)
-  }
-
-  /** Compression-codec roundtrip — the storage-tuning primitive: the same
-    * corpus written under snappy (decode-speed default) and zstd (ratio
-    * default), both read back and reduced to the order-independent
-    * portable checksum of `q_table_checksum`. Two identical checksum rows
-    * = both codecs are lossless under the same reader — the invariant a
-    * codec migration at 100 TB is gated on (sizes are version-dependent
-    * and deliberately NOT part of the contract).
-    */
-  object CodecRoundtrip extends GraftQuery {
-    val name = "q_codec_roundtrip"
-    private val Codecs = Seq("snappy", "zstd")
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import graft.functions.PortableHash.pHash60
-      val base = workDir("codec", sfDir)
-      val docs = Graft.table(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text"))
-      val frames = Codecs.map { c =>
-        val dir = s"$base/docs_$c"
-        docs.write.mode("overwrite").option("compression", c).parquet(dir)
-        spark.read.parquet(dir)
-          .select(pHash60(concat_ws("|", col("doc_id"), md5(col("text"))))
-            .as("h"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-              .cast("string").as("checksum"))
-          .select(lit(c).as("codec"), col("n_rows"), col("checksum"))
-      }
-      frames.reduce(_.unionAll(_)).orderBy("codec")
-    }
-    val oracle = Some {
-      val codecVals = Codecs.map(c => s"('$c')").mkString(", ")
-      s"""WITH cksum AS (
-         |  SELECT count(*) AS n_rows,
-         |         CAST(sum(('0x' || substr(md5(
-         |           doc_id || '|' || md5(text)), 1, 15))::BIGINT) AS VARCHAR)
-         |           AS checksum
-         |  FROM documents)
-         |SELECT codec, n_rows, checksum
-         |FROM (VALUES $codecVals) v(codec) CROSS JOIN cksum
-         |ORDER BY codec""".stripMargin
-    }
-  }
-
-  /** Create (once per scale factor) the FLAC fixture tree: 24 mono 16-bit
-    * clips whose PCM is a pure function of the asset index —
-    * s(i, t) = ((37·i + 13·t) mod 65536) − 32768, n = 5000 + 171·i samples
-    * at rate 8000 + 100·i — encoded by [[graft.multimodal.FlacCodec]]
-    * (deterministic subset encoder: fixed predictors, Rice residuals,
-    * real CRC-8/16 framing). Multi-block with a short 16-bit-coded last
-    * block on every asset (n is never a multiple of 4096).
-    */
-  private def ensureFlacTree(sfDir: String): String = {
-    val root = workDir(scaledTag("flac"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}", s"${i % 4}")
-        Files.createDirectories(dir)
-        val n = 5000 + 171 * i
-        val pcm = Array.tabulate(n)(t => ((i * 37 + t * 13) % 65536) - 32768)
-        Files.write(dir.resolve(f"a$i%03d.flac"),
-          graft.multimodal.FlacCodec.encode(8000 + 100 * i, Array(pcm)))
-      }
-    }
-    root
-  }
-
-  /** Compressed-audio decode under the hash gate: binary scan of the FLAC
-    * fixture tree, decoded by the pure-JVM [[graft.multimodal.FlacCodec]]
-    * (RFC 9639 — fixed-predictor reconstruction, Rice residuals, CRC-8/16
-    * validation; a REAL compressed codec, not a header peek), reduced to
-    * exact integer per-clip aggregates. FLAC is lossless integer coding,
-    * so the oracle replays the expected samples in CLOSED FORM from the
-    * filename index — a hash match proves decode(encode(pcm)) == pcm
-    * end-to-end through real files and a real binary source — while
-    * `read_blob` pins byte identity (n_bytes + 8-byte hex prefix), the
-    * same stance as `q_binary_scan`/`q_binary_twotone` for PNG. This
-    * closes the "compressed audio is a stand-in" gap: flac payloads now
-    * run a real decode (mp3 remains the documented fake+strict seam).
-    */
-  object FlacScan extends GraftQuery {
-    val name = "q_flac_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureFlacTree(sfDir)
-      val idRe = "a(\\d+)\\.flac".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.flac")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (path, content) =>
-            graft.multimodal.FlacCodec.decode(content).map { pcm =>
-              val s = pcm.channels(0)
-              var sum = 0L
-              var mn = Int.MaxValue
-              var mx = Int.MinValue
-              s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
-              val idx = idRe.findFirstMatchIn(path)
-                .map(_.group(1).toLong).getOrElse(-1L)
-              (idx, pcm.sampleRate.toLong, s.length.toLong, sum,
-                mn.toLong, mx.toLong, content.length.toLong,
-                content.take(8).map(b => f"$b%02X").mkString)
-            }
-          }
-        }
-        .toDF("asset_idx", "sample_rate", "n_samples", "sum_samples",
-          "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as q_binary_twotone: oracle SQL is static
-    // text and the correctness gate runs at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'a(\d+)\.flac', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_flac__root_testdata_sf0.01/**/*.flac')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         8000 + 100 * asset_idx AS sample_rate,
-        |         5000 + 171 * asset_idx AS n
-        |  FROM f),
-        |p AS (
-        |  SELECT asset_idx, ((asset_idx * 37 + t.t * 13) % 65536) - 32768 AS v
-        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_samples,
-        |         CAST(sum(v) AS BIGINT) AS sum_samples,
-        |         min(v) AS min_sample, max(v) AS max_sample
-        |  FROM p GROUP BY 1)
-        |SELECT s.asset_idx, s.sample_rate, a.n_samples, a.sum_samples,
-        |       a.min_sample, a.max_sample, s.n_bytes, s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the ZMBV fixture tree: 24 .avi clips
-    * (8bpp palette, 24×18 — edge blocks on both axes) whose pixels are a
-    * pure function of the asset index: frame f's palette index at (x, y)
-    * is (i·11 + (x − 3f)·2 + y·5) mod 256 — a 3-px-per-frame horizontal
-    * scroll, so the encoder's motion search finds (−3, 0) and inter
-    * frames genuinely motion-compensate — with palette
-    * (j, (j·3 + i) mod 256, (j·7 + 2i) mod 256). 5–7 frames per clip,
-    * keyframe every 4 (a mid-stream zlib reset on every clip), encoded by
-    * [[graft.multimodal.ZmbvCodec]].
-    */
-  private def ensureZmbvTree(sfDir: String): String = {
-    val root = workDir(scaledTag("zmbv"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 24; val h = 18
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val pal = new Array[Byte](768)
-        for (j <- 0 until 256) {
-          pal(3 * j) = j.toByte
-          pal(3 * j + 1) = ((j * 3 + i) % 256).toByte
-          pal(3 * j + 2) = ((j * 7 + 2 * i) % 256).toByte
-        }
-        val frames = (0 until 5 + i % 3).map { f =>
-          val px = new Array[Byte](w * h)
-          for (y <- 0 until h; x <- 0 until w)
-            px(y * w + x) =
-              java.lang.Math.floorMod(i * 11 + (x - 3 * f) * 2 + y * 5, 256).toByte
-          (px, pal)
-        }
-        Files.write(dir.resolve(f"v$i%03d.avi"),
-          graft.multimodal.ZmbvCodec.encodeAvi(w, h,
-            graft.multimodal.ZmbvCodec.FmtPal8, frames, keyEvery = 4))
-      }
-    }
-    root
-  }
-
-  /** Inter-frame video decode under the hash gate: binary scan of the
-    * ZMBV fixture tree, demuxed by [[graft.multimodal.AviCodec]] (dims +
-    * codec fourcc from the real `hdrl` header) and decoded by the
-    * pure-JVM [[graft.multimodal.ZmbvCodec]] (per-block motion vectors
-    * into the previous frame, XOR residuals, palette deltas, one shared
-    * zlib context per GOP — a REAL inter-frame codec, not a header
-    * peek), reduced to exact integer per-frame RGB sums. ZMBV is
-    * lossless, so the oracle replays every decoded pixel in CLOSED FORM
-    * from the filename index — a hash match proves
-    * decode(encode(pixels)) == pixels through real files, a real
-    * container parse, and real motion compensation — while `read_blob`
-    * pins byte identity, the same stance as `q_flac_scan` for FLAC.
-    * This closes the "inter-frame video is a stand-in" gap for the AVI
-    * container (mp4/H.264 remains the documented fake+strict seam).
-    */
-  object ZmbvScan extends GraftQuery {
-    val name = "q_zmbv_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureZmbvTree(sfDir)
-      val idRe = "v(\\d+)\\.avi".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avi")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.{AviCodec, ZmbvCodec}
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          val headHex = content.take(8).map(b => f"$b%02X").mkString
-          for {
-            (fcc, w, h) <- AviCodec.videoInfo(content).toSeq if fcc == "ZMBV"
-            payloads <- AviCodec.frames(content).toSeq
-            video <- ZmbvCodec.decode(w, h, payloads).toSeq
-            (frame, fi) <- video.frames.zipWithIndex
-          } yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            for (y <- 0 until frame.height; x <- 0 until frame.width) {
-              val (r, g, b) = frame.rgb(x, y)
-              sr += r; sg += g; sb += b
-            }
-            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
-              content.length.toLong, headHex)
-          }
-        }
-        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
-          "sum_b", "n_bytes", "head_hex")
-        .orderBy("asset_idx", "frame_idx")
-    }
-    // Same pinned-glob stance as q_flac_scan: oracle SQL is static text
-    // and the correctness gate runs at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'v(\d+)\.avi', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_zmbv__root_testdata_sf0.01/**/*.avi')),
-        |fr AS (
-        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
-        |  FROM f, LATERAL unnest(range(0, 5 + asset_idx % 3)) t(f)),
-        |px AS (
-        |  SELECT asset_idx, frame_idx,
-        |         ((asset_idx * 11 + (x.x - 3 * frame_idx) * 2 + y.y * 5)
-        |            % 256 + 256) % 256 AS j
-        |  FROM fr, LATERAL unnest(range(0, 24)) x(x),
-        |       LATERAL unnest(range(0, 18)) y(y)),
-        |a AS (
-        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
-        |         CAST(sum(j) AS BIGINT) AS sum_r,
-        |         CAST(sum((j * 3 + asset_idx) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((j * 7 + 2 * asset_idx) % 256) AS BIGINT) AS sum_b
-        |  FROM px GROUP BY 1, 2)
-        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
-        |       a.sum_b, fr.n_bytes, fr.head_hex
-        |FROM fr JOIN a USING (asset_idx, frame_idx)
-        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the FLAC-in-MP4 fixture tree: 24
-    * .m4a files whose PCM is a pure function of the asset index —
-    * s(i, t) = ((23·i + 7·t) mod 65536) − 32768, n = 4500 + 137·i
-    * samples at rate 16000 + 50·i — FLAC-encoded by
-    * [[graft.multimodal.FlacCodec]] and wrapped in ISO-BMFF by
-    * [[graft.multimodal.Mp4Codec.muxFlac]] (Xiph fLaC-in-BMFF mapping:
-    * one MP4 sample per FLAC frame). n is always > 4096 and never a
-    * multiple, so every file has ≥ 2 samples with a short last frame.
-    */
-  private def ensureMp4Tree(sfDir: String): String = {
-    val root = workDir("mp4", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val n = 4500 + 137 * i
-        val pcm = Array.tabulate(n)(t => ((i * 23 + t * 7) % 65536) - 32768)
-        val flac = graft.multimodal.FlacCodec.encode(16000 + 50 * i, Array(pcm))
-        Files.write(dir.resolve(f"m$i%03d.m4a"),
-          graft.multimodal.Mp4Codec.muxFlac(flac)
-            .getOrElse(sys.error(s"muxFlac refused asset $i")))
-      }
-    }
-    root
-  }
-
-  /** Container-format decode under the hash gate: binary scan of the
-    * FLAC-in-MP4 fixture tree, demuxed by the pure-JVM
-    * [[graft.multimodal.Mp4Codec]] (ISO-BMFF box walk → hdlr/stsd/stsz/
-    * stsc/stco sample tables → one MP4 sample per FLAC frame, per the
-    * public Xiph mapping), rebuilt into a native FLAC stream from the
-    * `dfLa` metadata and decoded by [[graft.multimodal.FlacCodec]].
-    * The oracle replays the samples in CLOSED FORM from the filename
-    * index — `n_frames` additionally pins the demuxer's sample split
-    * ((n + 4095) div 4096 frames per file) — and `read_blob` pins byte
-    * identity. A green row proves the whole container chain
-    * (mux(encode(pcm)) → binary scan → demux → decode == pcm): the
-    * "non-AVI container" seam is now closed for payloads this JVM can
-    * really decode (H.264/AAC/mp3 in MP4 remain the fake+strict seam).
-    */
-  object Mp4Scan extends GraftQuery {
-    val name = "q_mp4_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureMp4Tree(sfDir)
-      val idRe = "m(\\d+)\\.m4a".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.m4a")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.{FlacCodec, Mp4Codec}
-          for {
-            tracks <- Mp4Codec.demux(content).toSeq
-            t <- tracks.find(t => t.kind == "soun" && t.fourcc == "fLaC").toSeq
-            stream <- Mp4Codec.flacStream(t).toSeq
-            pcm <- FlacCodec.decode(stream).toSeq
-          } yield {
-            val s = pcm.channels(0)
-            var sum = 0L
-            var mn = Int.MaxValue
-            var mx = Int.MinValue
-            s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
-            val idx = idRe.findFirstMatchIn(path)
-              .map(_.group(1).toLong).getOrElse(-1L)
-            (idx, t.sampleRate.toLong, t.samples.length.toLong, s.length.toLong,
-              sum, mn.toLong, mx.toLong, content.length.toLong,
-              content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "sample_rate", "n_frames", "n_samples",
-          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as q_flac_scan/q_zmbv_scan: static oracle
-    // text, correctness gate at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'm(\d+)\.m4a', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_mp4__root_testdata_sf0.01/**/*.m4a')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         16000 + 50 * asset_idx AS sample_rate,
-        |         4500 + 137 * asset_idx AS n
-        |  FROM f),
-        |p AS (
-        |  SELECT asset_idx, ((asset_idx * 23 + t.t * 7) % 65536) - 32768 AS v
-        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_samples,
-        |         CAST(sum(v) AS BIGINT) AS sum_samples,
-        |         min(v) AS min_sample, max(v) AS max_sample
-        |  FROM p GROUP BY 1)
-        |SELECT s.asset_idx, s.sample_rate, (s.n + 4095) // 4096 AS n_frames,
-        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
-        |       s.n_bytes, s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the FLAC-in-Ogg fixture tree: 24
-    * .ogg files whose PCM is a pure function of the asset index —
-    * s(i, t) = ((41·i + 17·t) mod 65536) − 32768, n = 6000 + 131·i
-    * samples at rate 11025 + 111·i — FLAC-encoded by
-    * [[graft.multimodal.FlacCodec]] and paged into Ogg by
-    * [[graft.multimodal.OggCodec.muxFlac]] (RFC 3533 framing, Xiph
-    * FLAC-to-Ogg mapping: one FLAC frame per packet). n is always > 4096
-    * and never a multiple, so every file has ≥ 2 audio packets with a
-    * short last frame, and frames (~8 KB) always span multiple lacing
-    * values.
-    */
-  private def ensureOggTree(sfDir: String): String = {
-    val root = workDir(scaledTag("ogg"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val n = 6000 + 131 * i
-        val pcm = Array.tabulate(n)(t => ((i * 41 + t * 17) % 65536) - 32768)
-        val flac = graft.multimodal.FlacCodec.encode(11025 + 111 * i, Array(pcm))
-        Files.write(dir.resolve(f"o$i%03d.ogg"),
-          graft.multimodal.OggCodec.muxFlac(flac)
-            .getOrElse(sys.error(s"muxFlac refused asset $i")))
-      }
-    }
-    root
-  }
-
-  /** Ogg-container decode under the hash gate: binary scan of the
-    * FLAC-in-Ogg fixture tree, de-paged by the pure-JVM
-    * [[graft.multimodal.OggCodec]] (RFC 3533 page walk with the Ogg
-    * CRC-32 verified on every page, lacing-value packet reassembly —
-    * including packets spanning lacing runs — then the Xiph
-    * FLAC-to-Ogg mapping rebuilt into a native FLAC stream) and decoded
-    * by [[graft.multimodal.FlacCodec]]. The oracle replays the samples
-    * in CLOSED FORM from the filename index — `n_packets` additionally
-    * pins the packet split (1 mapping packet + one per FLAC frame) —
-    * and `read_blob` pins byte identity. A green row proves the whole
-    * chain (mux(encode(pcm)) → binary scan → de-page → decode == pcm):
-    * with AVI, MP4, and now Ogg real, no CONTAINER is a stand-in
-    * anywhere in the engine — the fake+strict seam is down to the
-    * perceptual codecs themselves (mp3/AAC/Vorbis/H.264/VP9).
-    */
-  object OggScan extends GraftQuery {
-    val name = "q_ogg_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureOggTree(sfDir)
-      val idRe = "o(\\d+)\\.ogg".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.ogg")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.{FlacCodec, OggCodec}
-          for {
-            nPackets <- OggCodec.packets(content).map(_.length).toSeq
-            stream <- OggCodec.flacStream(content).toSeq
-            pcm <- FlacCodec.decode(stream).toSeq
-          } yield {
-            val s = pcm.channels(0)
-            var sum = 0L
-            var mn = Int.MaxValue
-            var mx = Int.MinValue
-            s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
-            val idx = idRe.findFirstMatchIn(path)
-              .map(_.group(1).toLong).getOrElse(-1L)
-            (idx, pcm.sampleRate.toLong, nPackets.toLong, s.length.toLong,
-              sum, mn.toLong, mx.toLong, content.length.toLong,
-              content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "sample_rate", "n_packets", "n_samples",
-          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as q_flac_scan/q_mp4_scan: static oracle
-    // text, correctness gate at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'o(\d+)\.ogg', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_ogg__root_testdata_sf0.01/**/*.ogg')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         11025 + 111 * asset_idx AS sample_rate,
-        |         6000 + 131 * asset_idx AS n
-        |  FROM f),
-        |p AS (
-        |  SELECT asset_idx, ((asset_idx * 41 + t.t * 17) % 65536) - 32768 AS v
-        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_samples,
-        |         CAST(sum(v) AS BIGINT) AS sum_samples,
-        |         min(v) AS min_sample, max(v) AS max_sample
-        |  FROM p GROUP BY 1)
-        |SELECT s.asset_idx, s.sample_rate,
-        |       1 + (s.n + 4095) // 4096 AS n_packets,
-        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
-        |       s.n_bytes, s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** All three decodable image fixture trees reduced to 64-bit aHash
-    * perceptual fingerprints ([[ImageOps.aHash64]]) — the shared scan
-    * both image-dedup queries build on. One row per image: tree kind
-    * (`s` solid PNG / `t` two-tone PNG / `x` QOI), filename index, the
-    * hash split into two 32-bit halves (sign-safe in every SQL engine),
-    * and byte length. Decode happens where the scan put the bytes; only
-    * 4-long rows move afterwards — at 100 TB the binaries never shuffle.
-    */
-  private def aHashRows(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    def scan(root: String, glob: String, kind: String, re: String,
-        viaQoi: Boolean): DataFrame = {
-      val rex = re.r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          val img =
-            if (viaQoi) graft.multimodal.QoiCodec.decode(content)
-              .map(graft.multimodal.QoiCodec.toImage)
-            else ImageOps.decode(content)
-          for (im <- img.toSeq; m <- rex.findFirstMatchIn(path).toSeq) yield {
-            val hsh = ImageOps.aHash64(im)
-            (kind, m.group(1).toLong, hsh >>> 32, hsh & 0xFFFFFFFFL,
-              content.length.toLong)
-          }
-        }
-        .toDF("kind", "asset_idx", "hash_hi", "hash_lo", "n_bytes")
-    }
-    scan(ensureImageTree(sfDir), "*.png", "s", "img(\\d+)\\.png", viaQoi = false)
-      .unionByName(scan(ensureTwoToneTree(sfDir), "*.png", "t", "img(\\d+)\\.png", viaQoi = false))
-      .unionByName(scan(ensureQoiTree(sfDir), "*.qoi", "x", "q(\\d+)\\.qoi", viaQoi = true))
-  }
-
-  /** Shared closed-form hash replay for the aHash oracles: every bit of
-    * every fingerprint from the fixture formulas alone. Solid PNGs hash
-    * to 0 (every cell mean equals the global mean — ties clear no bit);
-    * two-tone PNGs reduce to one luma comparison (gA > gB flips at
-    * i = 19), producing the 40-bit left mask or the 24-bit right mask;
-    * QOI plateaus are replayed pixel-by-pixel through the same
-    * cross-multiplied cell-vs-global compare.
-    */
-  private val aHashOracleCte =
-    """h AS (
-      |  SELECT 's' AS kind, i.i AS asset_idx,
-      |         CAST(0 AS BIGINT) AS hash_hi, CAST(0 AS BIGINT) AS hash_lo
-      |  FROM unnest(range(0, 24)) i(i)
-      |  UNION ALL
-      |  SELECT 't', i.i,
-      |         CASE WHEN -3691 * i.i + 68185 > 0
-      |              THEN CAST(31 AS BIGINT) * 16843009
-      |              ELSE CAST(224 AS BIGINT) * 16843009 END,
-      |         CASE WHEN -3691 * i.i + 68185 > 0
-      |              THEN CAST(31 AS BIGINT) * 16843009
-      |              ELSE CAST(224 AS BIGINT) * 16843009 END
-      |  FROM unnest(range(0, 24)) i(i)
-      |  UNION ALL
-      |  SELECT 'x', asset_idx, hash_hi, hash_lo FROM (
-      |    WITH px AS (
-      |      SELECT i.i AS asset_idx,
-      |             (8 * y.y) // 14 * 8 + (8 * x.x) // 20 AS k,
-      |             299 * ((5 * i.i + 3 * (x.x // 5) + 7 * (y.y // 3)) % 256)
-      |             + 587 * ((3 * i.i + 2 * (x.x // 5) + 5 * (y.y // 3)) % 256)
-      |             + 114 * ((7 * i.i + (x.x // 5) + (y.y // 3)) % 256) AS luma
-      |      FROM unnest(range(0, 24)) i(i),
-      |           LATERAL unnest(range(0, 20)) x(x),
-      |           LATERAL unnest(range(0, 14)) y(y)),
-      |    cells AS (
-      |      SELECT asset_idx, k, sum(luma) AS cs, count(*) AS cn
-      |      FROM px GROUP BY 1, 2),
-      |    tot AS (
-      |      SELECT asset_idx, sum(cs) AS ts, sum(cn) AS tn
-      |      FROM cells GROUP BY 1),
-      |    bits AS (
-      |      SELECT c.asset_idx, c.k
-      |      FROM cells c JOIN tot t USING (asset_idx)
-      |      WHERE c.cs * t.tn > t.ts * c.cn)
-      |    SELECT t.asset_idx,
-      |           CAST(coalesce(sum(CASE WHEN b.k >= 32
-      |                  THEN (CAST(1 AS BIGINT) << (b.k - 32)) END), 0)
-      |                AS BIGINT) AS hash_hi,
-      |           CAST(coalesce(sum(CASE WHEN b.k < 32
-      |                  THEN (CAST(1 AS BIGINT) << b.k) END), 0)
-      |                AS BIGINT) AS hash_lo
-      |    FROM tot t LEFT JOIN bits b USING (asset_idx)
-      |    GROUP BY 1))""".stripMargin
-
-  /** Image perceptual fingerprints under the hash gate: one aHash per
-    * image across the solid-PNG, two-tone-PNG, and QOI fixture trees,
-    * through the REAL decode paths ([[ImageOps.decode]] / the from-spec
-    * [[graft.multimodal.QoiCodec]]). The oracle replays every bit of
-    * every hash in closed form from the fixture formulas (no reference
-    * hash constants — the same cross-multiplied integer compare on both
-    * sides) and pins byte identity via `read_blob`. This is the
-    * image-tier analogue of `q_doc_fingerprint`: the fingerprint the
-    * image-dedup pipeline keys on, verified bit-for-bit.
-    */
-  object ImageAHash extends GraftQuery {
-    val name = "q_image_ahash"
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      aHashRows(spark, sfDir).orderBy("kind", "asset_idx")
-    // Pinned-glob stance like the other fixture scans: static oracle
-    // text, correctness gate at sf0.01 only.
-    val oracle = Some(
-      s"""WITH $aHashOracleCte,
-        |b AS (
-        |  SELECT 's' AS kind,
-        |         CAST(regexp_extract(filename, 'img(\\d+)\\.png', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |  FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')
-        |  UNION ALL
-        |  SELECT 't',
-        |         CAST(regexp_extract(filename, 'img(\\d+)\\.png', 1) AS BIGINT),
-        |         CAST(octet_length(content) AS BIGINT)
-        |  FROM read_blob('/tmp/graft_img2__root_testdata_sf0.01/**/*.png')
-        |  UNION ALL
-        |  SELECT 'x',
-        |         CAST(regexp_extract(filename, 'q(\\d+)\\.qoi', 1) AS BIGINT),
-        |         CAST(octet_length(content) AS BIGINT)
-        |  FROM read_blob('/tmp/graft_qoi__root_testdata_sf0.01/**/*.qoi'))
-        |SELECT h.kind, h.asset_idx, h.hash_hi, h.hash_lo, b.n_bytes
-        |FROM h JOIN b USING (kind, asset_idx)
-        |ORDER BY h.kind, h.asset_idx""".stripMargin)
-  }
-
-  /** Image near-duplicate detection — the multimodal twin of the MinHash
-    * band join: 16-bit bands of each aHash bucket the candidates (a
-    * pair collides iff it shares ≥ 1 of 4 bands — pigeonhole guarantees
-    * recall for Hamming < 4; the standard LSH recall trade beyond), an
-    * equi-join on (band index, band value) generates candidates WITHOUT
-    * any all-pairs scan, and the exact Hamming ≤ 10 filter keeps true
-    * near-dups. At 100 TB this is the plan you'd run: hashes are 4-long
-    * rows, the band join shuffles only (band, id), and the quadratic
-    * blowup is confined to same-bucket groups. The oracle replays the
-    * hashes closed-form, then the SAME banding + Hamming semantics.
-    */
-  object ImageNearDup extends GraftQuery {
-    val name = "q_image_neardup"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ids = aHashRows(spark, sfDir)
-        .select(concat(col("kind"), lpad(col("asset_idx").cast("string"), 3, "0")).as("id"),
-          col("hash_hi"), col("hash_lo"))
-      val bands = ids.select(col("id"), col("hash_hi"), col("hash_lo"),
-        posexplode(array(
-          col("hash_lo").bitwiseAND(lit(65535L)),
-          shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
-          col("hash_hi").bitwiseAND(lit(65535L)),
-          shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L)))))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val")
-      val a = bands.select(col("band_idx"), col("band_val"),
-        col("id").as("id_a"), col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
-      val b = bands.select(col("band_idx"), col("band_val"),
-        col("id").as("id_b"), col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
-      a.join(b, Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
-            .cast("long").as("dist"))
-        .distinct()
-        .where(col("dist") <= 10)
-        .orderBy("id_a", "id_b")
-    }
-    val oracle = Some(
-      s"""WITH $aHashOracleCte,
-        |ids AS (
-        |  SELECT kind || lpad(CAST(asset_idx AS VARCHAR), 3, '0') AS id,
-        |         hash_hi, hash_lo
-        |  FROM h),
-        |bands AS (
-        |  SELECT id, hash_hi, hash_lo, b.b AS band_idx,
-        |         CASE b.b
-        |           WHEN 0 THEN hash_lo % 65536
-        |           WHEN 1 THEN hash_lo // 65536
-        |           WHEN 2 THEN hash_hi % 65536
-        |           ELSE hash_hi // 65536 END AS band_val
-        |  FROM ids, LATERAL unnest(range(0, 4)) b(b)),
-        |pairs AS (
-        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b,
-        |         CAST(bit_count(xor(a.hash_hi, c.hash_hi))
-        |              + bit_count(xor(a.hash_lo, c.hash_lo)) AS BIGINT) AS dist
-        |  FROM bands a JOIN bands c USING (band_idx, band_val)
-        |  WHERE a.id < c.id)
-        |SELECT id_a, id_b, dist FROM pairs
-        |WHERE dist <= 10
-        |ORDER BY id_a, id_b""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the FLAC-in-Matroska fixture tree:
-    * 24 .mka files whose PCM is a pure function of the asset index —
-    * s(i, t) = ((37·i + 13·t) mod 65536) − 32768, n = 30000 + 1234·i
-    * samples at rate 9000 + 77·i — FLAC-encoded by
-    * [[graft.multimodal.FlacCodec]] and wrapped into Matroska by
-    * [[graft.multimodal.MkvCodec.muxFlac]] (RFC 8794 EBML framing, the
-    * matroska.org `A_FLAC` mapping: native header in CodecPrivate, one
-    * SimpleBlock per FLAC frame, a new Cluster every 8 frames). n gives
-    * 8–15 frames per file, so every file crosses the cluster boundary
-    * path at least via a full first cluster and most have ≥ 2 clusters.
-    */
-  private def ensureMkvTree(sfDir: String): String = {
-    val root = workDir(scaledTag("mkv"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val n = 30000 + 1234 * i
-        val pcm = Array.tabulate(n)(t => ((i * 37 + t * 13) % 65536) - 32768)
-        val flac = graft.multimodal.FlacCodec.encode(9000 + 77 * i, Array(pcm))
-        Files.write(dir.resolve(f"k$i%03d.mka"),
-          graft.multimodal.MkvCodec.muxFlac(flac)
-            .getOrElse(sys.error(s"muxFlac refused asset $i")))
-      }
-    }
-    root
-  }
-
-  /** Matroska-container decode under the hash gate: binary scan of the
-    * FLAC-in-MKV fixture tree, demuxed by the pure-JVM
-    * [[graft.multimodal.MkvCodec]] (RFC 8794 EBML element walk →
-    * Segment/Tracks/Cluster → TrackEntry codec metadata → SimpleBlock
-    * framing), rebuilt into a native FLAC stream from CodecPrivate per
-    * the matroska.org `A_FLAC` mapping and decoded by
-    * [[graft.multimodal.FlacCodec]]. The oracle replays the samples in
-    * CLOSED FORM from the filename index — `n_frames` additionally pins
-    * the block split ((n + 4095) div 4096 SimpleBlocks per file, walked
-    * across multiple Clusters) — and `read_blob` pins byte identity. A
-    * green row proves the whole chain (mux(encode(pcm)) → binary scan →
-    * EBML walk → block reassembly → decode == pcm): with AVI, MP4, Ogg,
-    * and now Matroska/WebM real, every container format the engine
-    * routes is genuinely parsed; the fake+strict seam is only the
-    * perceptual codecs themselves (mp3/AAC/Vorbis/H.264/VP9).
-    */
-  object MkvScan extends GraftQuery {
-    val name = "q_mkv_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureMkvTree(sfDir)
-      val idRe = "k(\\d+)\\.mka".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.mka")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.{FlacCodec, MkvCodec}
-          for {
-            tracks <- MkvCodec.demux(content).toSeq
-            t <- tracks.find(_.codecId == "A_FLAC").toSeq
-            stream <- MkvCodec.flacStream(t).toSeq
-            pcm <- FlacCodec.decode(stream).toSeq
-          } yield {
-            val s = pcm.channels(0)
-            var sum = 0L
-            var mn = Int.MaxValue
-            var mx = Int.MinValue
-            s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
-            val idx = idRe.findFirstMatchIn(path)
-              .map(_.group(1).toLong).getOrElse(-1L)
-            (idx, t.sampleRate.toLong, t.frames.length.toLong, s.length.toLong,
-              sum, mn.toLong, mx.toLong, content.length.toLong,
-              content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "sample_rate", "n_frames", "n_samples",
-          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as q_flac_scan/q_mp4_scan/q_ogg_scan:
-    // static oracle text, correctness gate at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'k(\d+)\.mka', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_mkv__root_testdata_sf0.01/**/*.mka')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         9000 + 77 * asset_idx AS sample_rate,
-        |         30000 + 1234 * asset_idx AS n
-        |  FROM f),
-        |p AS (
-        |  SELECT asset_idx, ((asset_idx * 37 + t.t * 13) % 65536) - 32768 AS v
-        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_samples,
-        |         CAST(sum(v) AS BIGINT) AS sum_samples,
-        |         min(v) AS min_sample, max(v) AS max_sample
-        |  FROM p GROUP BY 1)
-        |SELECT s.asset_idx, s.sample_rate, (s.n + 4095) // 4096 AS n_frames,
-        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
-        |       s.n_bytes, s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the ZMBV-in-Matroska fixture tree:
-    * 24 .mkv files carrying the engine's ZMBV inter-frame payloads via
-    * the public `V_MS/VFW/FOURCC` mapping (BITMAPINFOHEADER in
-    * CodecPrivate, biCompression = "ZMBV"). Pixels are a pure function
-    * of the asset index: 20×14 8-bpp frames, 4 + (i mod 4) per clip,
-    * px(x, y, f) = (13·i + (x − 2·f)·3 + y·7) mod 256 (a 2 px/frame
-    * scroll the encoder's motion search finds), palette channel forms
-    * r = j, g = (5·j + i) mod 256, b = (3·j + 4·i) mod 256, keyframe
-    * every 3 frames — so every clip exercises motion compensation AND
-    * the mid-stream keyframe path inside the MKV carriage.
-    */
-  private def ensureMkvVfwTree(sfDir: String): String = {
-    val root = workDir(scaledTag("mkvvfw"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 20; val h = 14
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val pal = new Array[Byte](768)
-        for (j <- 0 until 256) {
-          pal(3 * j) = j.toByte
-          pal(3 * j + 1) = ((j * 5 + i) % 256).toByte
-          pal(3 * j + 2) = ((j * 3 + 4 * i) % 256).toByte
-        }
-        val frames = (0 until 4 + i % 4).map { f =>
-          val px = new Array[Byte](w * h)
-          for (y <- 0 until h; x <- 0 until w)
-            px(y * w + x) =
-              java.lang.Math.floorMod(i * 13 + (x - 2 * f) * 3 + y * 7, 256).toByte
-          (px, pal)
-        }
-        val payloads = graft.multimodal.ZmbvCodec.encode(w, h,
-          graft.multimodal.ZmbvCodec.FmtPal8, frames, keyEvery = 3)
-        Files.write(dir.resolve(f"w$i%03d.mkv"),
-          graft.multimodal.MkvCodec.muxVfw("ZMBV", w, h, 8, payloads))
-      }
-    }
-    root
-  }
-
-  /** Inter-frame video decode inside Matroska under the hash gate:
-    * binary scan of the ZMBV-in-MKV fixture tree, demuxed by
-    * [[graft.multimodal.MkvCodec]] (EBML walk → `V_MS/VFW/FOURCC` track,
-    * dims + fourcc from the BITMAPINFOHEADER in CodecPrivate) and
-    * decoded by the pure-JVM [[graft.multimodal.ZmbvCodec]] (motion
-    * vectors, XOR residuals, shared zlib context per GOP), reduced to
-    * exact integer per-frame RGB sums. ZMBV is lossless, so the oracle
-    * replays every decoded pixel in CLOSED FORM from the filename index
-    * while `read_blob` pins byte identity — the Matroska twin of
-    * `q_zmbv_scan`, proving the container×codec matrix holds: the same
-    * real inter-frame codec decodes identically from either carriage.
-    */
-  object MkvVfwScan extends GraftQuery {
-    val name = "q_mkv_vfw_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureMkvVfwTree(sfDir)
-      val idRe = "w(\\d+)\\.mkv".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.mkv")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.{MkvCodec, ZmbvCodec}
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          val headHex = content.take(8).map(b => f"$b%02X").mkString
-          for {
-            tracks <- MkvCodec.demux(content).toSeq
-            t <- tracks.find(_.codecId == "V_MS/VFW/FOURCC").toSeq
-            (fcc, w, h) <- MkvCodec.vfwInfo(t).toSeq if fcc == "ZMBV"
-            video <- ZmbvCodec.decode(w, h, t.frames).toSeq
-            (frame, fi) <- video.frames.zipWithIndex
-          } yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            for (y <- 0 until frame.height; x <- 0 until frame.width) {
-              val (r, g, b) = frame.rgb(x, y)
-              sr += r; sg += g; sb += b
-            }
-            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
-              content.length.toLong, headHex)
-          }
-        }
-        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
-          "sum_b", "n_bytes", "head_hex")
-        .orderBy("asset_idx", "frame_idx")
-    }
-    // Same pinned-glob stance as q_zmbv_scan: static oracle text,
-    // correctness gate at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'w(\d+)\.mkv', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_mkvvfw__root_testdata_sf0.01/**/*.mkv')),
-        |fr AS (
-        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
-        |  FROM f, LATERAL unnest(range(0, 4 + asset_idx % 4)) t(f)),
-        |px AS (
-        |  SELECT asset_idx, frame_idx,
-        |         ((asset_idx * 13 + (x.x - 2 * frame_idx) * 3 + y.y * 7)
-        |            % 256 + 256) % 256 AS j
-        |  FROM fr, LATERAL unnest(range(0, 20)) x(x),
-        |       LATERAL unnest(range(0, 14)) y(y)),
-        |a AS (
-        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
-        |         CAST(sum(j) AS BIGINT) AS sum_r,
-        |         CAST(sum((j * 5 + asset_idx) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((j * 3 + 4 * asset_idx) % 256) AS BIGINT) AS sum_b
-        |  FROM px GROUP BY 1, 2)
-        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
-        |       a.sum_b, fr.n_bytes, fr.head_hex
-        |FROM fr JOIN a USING (asset_idx, frame_idx)
-        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
-  }
-
-  /** The three FLAC-carrying fixture trees (bare `.flac`, Ogg, Matroska)
-    * reduced to 31-bit energy-contour fingerprints
-    * ([[graft.multimodal.AudioFingerprint]]) — the shared scan both
-    * audio-dedup queries build on. Decode happens where the scan reads
-    * the bytes; only (kind, idx, fp, n) rows move afterwards.
-    */
-  private def audioFpRows(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import graft.multimodal.{AudioFingerprint, FlacCodec, MkvCodec, OggCodec}
-    def scan(root: String, glob: String, kind: String, re: String,
-        toFlac: Array[Byte] => Option[Array[Byte]]): DataFrame = {
-      val rex = re.r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            stream <- toFlac(content).toSeq
-            pcm <- FlacCodec.decode(stream).toSeq
-            m <- rex.findFirstMatchIn(path).toSeq
-          } yield (kind, m.group(1).toLong,
-            AudioFingerprint.energyContour(pcm.channels(0)),
-            pcm.channels(0).length.toLong)
-        }
-        .toDF("kind", "asset_idx", "fp", "n_samples")
-    }
-    scan(ensureFlacTree(sfDir), "*.flac", "a", "a(\\d+)\\.flac", bs => Some(bs))
-      .unionByName(scan(ensureOggTree(sfDir), "*.ogg", "o", "o(\\d+)\\.ogg",
-        OggCodec.flacStream))
-      .unionByName(scan(ensureMkvTree(sfDir), "*.mka", "k", "k(\\d+)\\.mka",
-        bs => MkvCodec.demux(bs).flatMap(_.find(_.codecId == "A_FLAC"))
-          .flatMap(MkvCodec.flacStream)))
-  }
-
-  /** Shared closed-form fingerprint replay for the audio-dedup oracles:
-    * every bit of every contour from the fixture PCM formulas alone —
-    * |((c0 + ct·t) mod 65536) − 32768| summed into frame 32·t div n,
-    * bit f ⇔ E_f > E_{f+1}.
-    */
-  private val audioFpOracleCte =
-    """specs AS (
-      |  SELECT 'a' AS kind, i.i AS asset_idx, 5000 + 171 * i.i AS n,
-      |         37 * i.i AS c0, 13 AS ct
-      |  FROM unnest(range(0, 24)) i(i)
-      |  UNION ALL
-      |  SELECT 'o', i.i, 6000 + 131 * i.i, 41 * i.i, 17
-      |  FROM unnest(range(0, 24)) i(i)
-      |  UNION ALL
-      |  SELECT 'k', i.i, 30000 + 1234 * i.i, 37 * i.i, 13
-      |  FROM unnest(range(0, 24)) i(i)),
-      |en AS (
-      |  SELECT kind, asset_idx, (32 * t.t) // n AS f,
-      |         CAST(sum(abs(((c0 + ct * t.t) % 65536) - 32768)) AS BIGINT) AS e
-      |  FROM specs, LATERAL unnest(range(0, n)) t(t)
-      |  GROUP BY 1, 2, 3),
-      |bits AS (
-      |  SELECT a.kind, a.asset_idx, a.f
-      |  FROM en a JOIN en b
-      |    ON a.kind = b.kind AND a.asset_idx = b.asset_idx AND b.f = a.f + 1
-      |  WHERE a.e > b.e),
-      |fp AS (
-      |  SELECT s.kind, s.asset_idx, CAST(s.n AS BIGINT) AS n_samples,
-      |         CAST(coalesce(sum(CAST(1 AS BIGINT) << b.f), 0) AS BIGINT) AS fp
-      |  FROM specs s LEFT JOIN bits b USING (kind, asset_idx)
-      |  GROUP BY 1, 2, 3)""".stripMargin
-
-  /** Audio perceptual fingerprints under the hash gate: one 31-bit
-    * energy contour per clip across the bare-FLAC, FLAC-in-Ogg, and
-    * FLAC-in-MKV trees, through the REAL decode chains (container demux
-    * → FlacCodec). The oracle replays EVERY BIT from the PCM closed
-    * forms — the audio-tier analogue of `q_image_ahash`, and a
-    * cross-container proof: the fingerprint depends only on the decoded
-    * samples, never on the carriage.
-    */
-  object AudioFpScan extends GraftQuery {
-    val name = "q_audio_fingerprint"
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      audioFpRows(spark, sfDir).orderBy("kind", "asset_idx")
-    val oracle = Some(
-      s"""WITH $audioFpOracleCte
-        |SELECT kind, asset_idx, fp, n_samples
-        |FROM fp ORDER BY kind, asset_idx""".stripMargin)
-  }
-
-  /** Audio near-duplicate detection — banded join over the energy
-    * contours, same shape as `q_image_neardup`: 4 8-bit bands bucket
-    * candidates (pigeonhole recall for Hamming < 4), exact Hamming ≤ 4
-    * keeps true near-dups. The `a` and `k` trees share their PCM
-    * formula with different lengths, so genuine cross-CONTAINER
-    * near-dups exist for the join to find; the oracle replays the same
-    * banding + Hamming semantics from the closed forms.
-    */
-  object AudioNearDup extends GraftQuery {
-    val name = "q_audio_neardup"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ids = audioFpRows(spark, sfDir)
-        .select(concat(col("kind"), lpad(col("asset_idx").cast("string"), 3, "0")).as("id"),
-          col("fp"))
-      val bands = ids.select(col("id"), col("fp"),
-        posexplode(array(
-          col("fp").bitwiseAND(lit(255L)),
-          shiftright(col("fp"), 8).bitwiseAND(lit(255L)),
-          shiftright(col("fp"), 16).bitwiseAND(lit(255L)),
-          shiftright(col("fp"), 24).bitwiseAND(lit(255L)))))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val")
-      val a = bands.select(col("band_idx"), col("band_val"),
-        col("id").as("id_a"), col("fp").as("fp_a"))
-      val b = bands.select(col("band_idx"), col("band_val"),
-        col("id").as("id_b"), col("fp").as("fp_b"))
-      a.join(b, Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          expr("bit_count(fp_a ^ fp_b)").cast("long").as("dist"))
-        .distinct()
-        .where(col("dist") <= 4)
-        .orderBy("id_a", "id_b")
-    }
-    val oracle = Some(
-      s"""WITH $audioFpOracleCte,
-        |ids AS (
-        |  SELECT kind || lpad(CAST(asset_idx AS VARCHAR), 3, '0') AS id, fp
-        |  FROM fp),
-        |bands AS (
-        |  SELECT id, fp, b.b AS band_idx,
-        |         (fp // (CAST(1 AS BIGINT) << (8 * b.b))) % 256 AS band_val
-        |  FROM ids, LATERAL unnest(range(0, 4)) b(b)),
-        |pairs AS (
-        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b,
-        |         CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS dist
-        |  FROM bands a JOIN bands c USING (band_idx, band_val)
-        |  WHERE a.id < c.id)
-        |SELECT id_a, id_b, dist FROM pairs
-        |WHERE dist <= 4
-        |ORDER BY id_a, id_b""".stripMargin)
-  }
-
-  /** Audio dedup taken END-TO-END, the audio twin of
-    * [[ImageDedupCluster]]: the banded energy-contour pair graph
-    * (`q_audio_neardup`, numeric ids) contracted to connected
-    * components, keep policy = the LONGEST clip per cluster (most
-    * samples; ties → smaller id — a podcast pipeline keeps the
-    * unclipped master). Cross-CONTAINER clusters are the point: the
-    * `a` (bare FLAC) and `k` (Matroska) trees share PCM formulas, so a
-    * green row proves the cluster step unifies duplicates across
-    * carriages. Same recursive-CTE oracle shape as the image twin.
-    */
-  object AudioDedupCluster extends GraftQuery {
-    val name = "q_audio_dedup_cluster"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ids = audioFpRows(spark, sfDir)
-        .select((when(col("kind") === "a", 0L).when(col("kind") === "o", 1L)
-          .otherwise(2L) * 1000L + col("asset_idx")).as("nid"),
-          col("fp"), col("n_samples"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = ids.select(col("nid"), col("fp"),
-        posexplode(array(
-          col("fp").bitwiseAND(lit(255L)),
-          shiftright(col("fp"), 8).bitwiseAND(lit(255L)),
-          shiftright(col("fp"), 16).bitwiseAND(lit(255L)),
-          shiftright(col("fp"), 24).bitwiseAND(lit(255L)))))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val")
-      val a = bands.select(col("band_idx"), col("band_val"),
-        col("nid").as("doc_a"), col("fp").as("fp_a"))
-      val b = bands.select(col("band_idx"), col("band_val"),
-        col("nid").as("doc_b"), col("fp").as("fp_b"))
-      val pairs = a.join(b, Seq("band_idx", "band_val"))
-        .where(col("doc_a") < col("doc_b"))
-        .where(expr("bit_count(fp_a ^ fp_b)") <= 4)
-        .select("doc_a", "doc_b").distinct()
-      graft.dedup.Dedup.connectedComponents(pairs)
-        .join(ids.select(col("nid").as("id"), col("n_samples")), Seq("id"))
-        .groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"),
-          max_by(col("id"), col("n_samples") * 100000L - col("id"))
-            .as("representative"),
-          countDistinct(expr("id div 1000")).as("n_containers"))
-        .orderBy("cluster_id")
-    }
-    val oracle = Some(
-      s"""WITH RECURSIVE $audioFpOracleCte,
-        |ids AS (
-        |  SELECT (CASE kind WHEN 'a' THEN 0 WHEN 'o' THEN 1 ELSE 2 END)
-        |           * 1000 + asset_idx AS nid,
-        |         fp, n_samples
-        |  FROM fp),
-        |bands AS (
-        |  SELECT nid, fp, bb.b AS band_idx,
-        |         (fp // (CAST(1 AS BIGINT) << (8 * bb.b))) % 256 AS band_val
-        |  FROM ids, LATERAL unnest(range(0, 4)) bb(b)),
-        |pr AS (
-        |  SELECT DISTINCT a.nid AS da, c.nid AS db
-        |  FROM bands a JOIN bands c USING (band_idx, band_val)
-        |  WHERE a.nid < c.nid AND bit_count(xor(a.fp, c.fp)) <= 4),
-        |edges AS (SELECT da AS src, db AS dst FROM pr
-        |          UNION SELECT db, da FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |labels AS (
-        |  SELECT src AS id, least(src, min(dst)) AS label
-        |  FROM reach GROUP BY src)
-        |SELECT l.label AS cluster_id, count(*) AS cluster_size,
-        |       max_by(l.id, i.n_samples * 100000 - l.id) AS representative,
-        |       CAST(count(DISTINCT l.id // 1000) AS BIGINT) AS n_containers
-        |FROM labels l JOIN ids i ON l.id = i.nid
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  /** Both ZMBV carriages (AVI tree, MKV-VfW tree) reduced to per-frame
-    * aHash fingerprints — the shared scan both video-dedup queries
-    * build on. A clip is a SET of frame fingerprints (the shot-based
-    * video-dedup representation); only (kind, idx, frame, hash) rows
-    * leave the scan.
-    */
-  private def videoFpRows(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import graft.multimodal.{AviCodec, MkvCodec, ZmbvCodec}
-    def hashFrames(kind: String, idx: Long,
-        video: ZmbvCodec.Video): Seq[(String, Long, Long, Long, Long)] =
-      video.frames.zipWithIndex.map { case (f, fi) =>
-        val px = Array.tabulate(f.width * f.height) { o =>
-          val (r, g, b) = f.rgb(o % f.width, o / f.width)
-          (r << 16) | (g << 8) | b
-        }
-        val h = ImageOps.aHash64(ImageOps.Image(f.width, f.height, px))
-        (kind, idx, fi.toLong, h >>> 32, h & 0xFFFFFFFFL)
-      }
-    def scan(root: String, glob: String, kind: String, re: String,
-        decode: Array[Byte] => Option[ZmbvCodec.Video]): DataFrame = {
-      val rex = re.r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- rex.findFirstMatchIn(path).toSeq
-            video <- decode(content).toSeq
-            row <- hashFrames(kind, m.group(1).toLong, video)
-          } yield row
-        }
-        .toDF("kind", "asset_idx", "frame_idx", "hash_hi", "hash_lo")
-    }
-    scan(ensureZmbvTree(sfDir), "*.avi", "v", "v(\\d+)\\.avi",
-      bs => for {
-        (fcc, w, h) <- AviCodec.videoInfo(bs) if fcc == "ZMBV"
-        payloads <- AviCodec.frames(bs)
-        video <- ZmbvCodec.decode(w, h, payloads)
-      } yield video)
-      .unionByName(scan(ensureMkvVfwTree(sfDir), "*.mkv", "w", "w(\\d+)\\.mkv",
-        bs => for {
-          tracks <- MkvCodec.demux(bs)
-          t <- tracks.find(_.codecId == "V_MS/VFW/FOURCC")
-          inf <- MkvCodec.vfwInfo(t) if inf._1 == "ZMBV"
-          video <- ZmbvCodec.decode(inf._2, inf._3, t.frames)
-        } yield video))
-  }
-
-  /** Shared closed-form frame-hash replay for the video-dedup oracles:
-    * both trees' pixels are pure functions of (asset, frame, x, y), so
-    * every aHash bit replays through the same cross-multiplied
-    * cell-vs-global luma compare as the image oracles.
-    */
-  private val videoFpOracleCte =
-    """px AS (
-      |  SELECT 'v' AS kind, i.i AS asset_idx, t.f AS frame_idx,
-      |         (8 * y.y) // 18 * 8 + (8 * x.x) // 24 AS k,
-      |         ((i.i * 11 + (x.x - 3 * t.f) * 2 + y.y * 5) % 256 + 256) % 256 AS j,
-      |         i.i AS ai
-      |  FROM unnest(range(0, 24)) i(i),
-      |       LATERAL unnest(range(0, 5 + i.i % 3)) t(f),
-      |       LATERAL unnest(range(0, 24)) x(x),
-      |       LATERAL unnest(range(0, 18)) y(y)
-      |  UNION ALL
-      |  SELECT 'w', i.i, t.f,
-      |         (8 * y.y) // 14 * 8 + (8 * x.x) // 20,
-      |         ((i.i * 13 + (x.x - 2 * t.f) * 3 + y.y * 7) % 256 + 256) % 256,
-      |         i.i
-      |  FROM unnest(range(0, 24)) i(i),
-      |       LATERAL unnest(range(0, 4 + i.i % 4)) t(f),
-      |       LATERAL unnest(range(0, 20)) x(x),
-      |       LATERAL unnest(range(0, 14)) y(y)),
-      |lum AS (
-      |  SELECT kind, asset_idx, frame_idx, k,
-      |         CASE kind
-      |           WHEN 'v' THEN 299 * j + 587 * ((3 * j + ai) % 256)
-      |                         + 114 * ((7 * j + 2 * ai) % 256)
-      |           ELSE 299 * j + 587 * ((5 * j + ai) % 256)
-      |                + 114 * ((3 * j + 4 * ai) % 256) END AS luma
-      |  FROM px),
-      |cells AS (
-      |  SELECT kind, asset_idx, frame_idx, k,
-      |         sum(luma) AS cs, count(*) AS cn
-      |  FROM lum GROUP BY 1, 2, 3, 4),
-      |tot AS (
-      |  SELECT kind, asset_idx, frame_idx, sum(cs) AS ts, sum(cn) AS tn
-      |  FROM cells GROUP BY 1, 2, 3),
-      |vbits AS (
-      |  SELECT c.kind, c.asset_idx, c.frame_idx, c.k
-      |  FROM cells c JOIN tot t USING (kind, asset_idx, frame_idx)
-      |  WHERE c.cs * t.tn > t.ts * c.cn),
-      |vh AS (
-      |  SELECT t.kind, t.asset_idx, t.frame_idx,
-      |         CAST(coalesce(sum(CASE WHEN b.k >= 32
-      |                THEN (CAST(1 AS BIGINT) << (b.k - 32)) END), 0)
-      |              AS BIGINT) AS hash_hi,
-      |         CAST(coalesce(sum(CASE WHEN b.k < 32
-      |                THEN (CAST(1 AS BIGINT) << b.k) END), 0)
-      |              AS BIGINT) AS hash_lo
-      |  FROM tot t LEFT JOIN vbits b USING (kind, asset_idx, frame_idx)
-      |  GROUP BY 1, 2, 3)""".stripMargin
-
-  /** Per-frame video fingerprints under the hash gate: one aHash per
-    * decoded frame across BOTH ZMBV carriages (AVI and MKV-VfW),
-    * through the real motion-compensation decode. The oracle replays
-    * every bit of every frame hash in closed form — the video-tier
-    * analogue of `q_image_ahash`, completing the fingerprint set over
-    * all three modalities.
-    */
-  object VideoFpScan extends GraftQuery {
-    val name = "q_video_fingerprint"
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      videoFpRows(spark, sfDir).orderBy("kind", "asset_idx", "frame_idx")
-    val oracle = Some(
-      s"""WITH $videoFpOracleCte
-        |SELECT kind, asset_idx, frame_idx, hash_hi, hash_lo
-        |FROM vh ORDER BY kind, asset_idx, frame_idx""".stripMargin)
-  }
-
-  /** Video near-duplicate detection — shot-based: a clip is its SET of
-    * distinct frame fingerprints, and two clips are near-dups when they
-    * share frames. The equi-join on the frame hash IS the candidate
-    * generator (no all-pairs over clips, no temporal alignment cost —
-    * the same inverted-index shape as `q_minhash_bands`), and the
-    * shared-distinct-frame count ≥ 2 keeps true overlaps. The scrolling
-    * fixtures plant real overlaps (a clip's frames revisit earlier
-    * phases of the 256-periodic pattern); the oracle replays the exact
-    * set semantics from the closed-form hashes.
-    */
-  object VideoNearDup extends GraftQuery {
-    val name = "q_video_neardup"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val frames = videoFpRows(spark, sfDir)
-        .select(concat(col("kind"), lpad(col("asset_idx").cast("string"), 3, "0")).as("id"),
-          col("hash_hi"), col("hash_lo"))
-        .distinct()
-      val a = frames.select(col("id").as("id_a"), col("hash_hi"), col("hash_lo"))
-      val b = frames.select(col("id").as("id_b"), col("hash_hi"), col("hash_lo"))
-      a.join(b, Seq("hash_hi", "hash_lo"))
-        .where(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
-        .orderBy("id_a", "id_b")
-    }
-    val oracle = Some(
-      s"""WITH $videoFpOracleCte,
-        |fs AS (
-        |  SELECT DISTINCT
-        |         kind || lpad(CAST(asset_idx AS VARCHAR), 3, '0') AS id,
-        |         hash_hi, hash_lo
-        |  FROM vh),
-        |shared AS (
-        |  SELECT a.id AS id_a, c.id AS id_b, count(*) AS n_shared
-        |  FROM fs a JOIN fs c
-        |    ON a.hash_hi = c.hash_hi AND a.hash_lo = c.hash_lo
-        |   AND a.id < c.id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
-        |FROM shared WHERE n_shared >= 2
-        |ORDER BY id_a, id_b""".stripMargin)
-  }
-
-  /** Video dedup taken END-TO-END, completing the cluster tier across
-    * all three media modalities ([[ImageDedupCluster]] /
-    * [[AudioDedupCluster]]): clip pairs sharing ≥ 2 exact frame hashes
-    * (`q_video_neardup`'s inverted-index join, numeric ids) contracted
-    * to connected components, keep policy = the clip with the MOST
-    * FRAMES per cluster (the longest cut; ties → smaller id).
-    * `n_carriages` counts container families per cluster — the AVI and
-    * Matroska trees carry the same ZMBV content families, so clusters
-    * spanning carriages prove container-independent video dedup. Same
-    * recursive-CTE oracle + union-find differential as the twins.
-    */
-  object VideoDedupCluster extends GraftQuery {
-    val name = "q_video_dedup_cluster"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val rows = videoFpRows(spark, sfDir)
-        .select((when(col("kind") === "v", 0L).otherwise(1L) * 1000L
-          + col("asset_idx")).as("nid"),
-          col("frame_idx"), col("hash_hi"), col("hash_lo"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nframes = rows.groupBy(col("nid").as("id"))
-        .agg(count(lit(1)).as("n_frames"))
-      val frames = rows.select(col("nid"), col("hash_hi"), col("hash_lo"))
-        .distinct()
-      val a = frames.select(col("nid").as("doc_a"), col("hash_hi"), col("hash_lo"))
-      val b = frames.select(col("nid").as("doc_b"), col("hash_hi"), col("hash_lo"))
-      val pairs = a.join(b, Seq("hash_hi", "hash_lo"))
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= 2)
-        .select("doc_a", "doc_b")
-      graft.dedup.Dedup.connectedComponents(pairs)
-        .join(nframes, Seq("id"))
-        .groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"),
-          max_by(col("id"), col("n_frames") * 100000L - col("id"))
-            .as("representative"),
-          countDistinct(expr("id div 1000")).as("n_carriages"))
-        .orderBy("cluster_id")
-    }
-    val oracle = Some(
-      s"""WITH RECURSIVE $videoFpOracleCte,
-        |idsv AS (
-        |  SELECT (CASE kind WHEN 'v' THEN 0 ELSE 1 END) * 1000 + asset_idx
-        |           AS nid,
-        |         frame_idx, hash_hi, hash_lo
-        |  FROM vh),
-        |nf AS (SELECT nid AS id, count(*) AS n_frames FROM idsv GROUP BY 1),
-        |fs AS (SELECT DISTINCT nid, hash_hi, hash_lo FROM idsv),
-        |pr AS (
-        |  SELECT a.nid AS da, c.nid AS db
-        |  FROM fs a JOIN fs c
-        |    ON a.hash_hi = c.hash_hi AND a.hash_lo = c.hash_lo
-        |   AND a.nid < c.nid
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |edges AS (SELECT da AS src, db AS dst FROM pr
-        |          UNION SELECT db, da FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |labels AS (
-        |  SELECT src AS id, least(src, min(dst)) AS label
-        |  FROM reach GROUP BY src)
-        |SELECT l.label AS cluster_id, count(*) AS cluster_size,
-        |       max_by(l.id, nf.n_frames * 100000 - l.id) AS representative,
-        |       CAST(count(DISTINCT l.id // 1000) AS BIGINT) AS n_carriages
-        |FROM labels l JOIN nf ON l.id = nf.id
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the animated-GIF fixture tree: 24
-    * .gif files of 18×11 8-bit frames (dims not multiples of 8, so all
-    * four interlace passes are partial), 3 + (i mod 3) frames per clip
-    * with odd frames written INTERLACED by the encoder. Pixels and
-    * palette are pure functions of the asset index:
-    * px(x, y, f) = (7i + 3x + 5y + 11f) mod 256, palette channel forms
-    * r = (2j + i) mod 256, g = (j + 3i) mod 256, b = (5j + 7i) mod 256.
-    */
-  private def ensureGifTree(sfDir: String): String = {
-    val root = workDir("gif", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 18; val h = 11
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val pal = new Array[Byte](768)
-        for (j <- 0 until 256) {
-          pal(3 * j) = ((2 * j + i) % 256).toByte
-          pal(3 * j + 1) = ((j + 3 * i) % 256).toByte
-          pal(3 * j + 2) = ((5 * j + 7 * i) % 256).toByte
-        }
-        val frames = (0 until 3 + i % 3).map { f =>
-          Array.tabulate(w * h)(o =>
-            ((7 * i + 3 * (o % w) + 5 * (o / w) + 11 * f) % 256).toByte)
-        }
-        Files.write(dir.resolve(f"n$i%03d.gif"),
-          graft.multimodal.GifCodec.encode(w, h, pal, frames))
-      }
-    }
-    root
-  }
-
-  /** Animated-GIF decode under the hash gate: binary scan of the GIF
-    * fixture tree, decoded by the pure-JVM from-spec
-    * [[graft.multimodal.GifCodec]] (GIF89a framing, graphic-control
-    * extensions, the four-pass interlace order on odd frames, and the
-    * GIF variant of LZW — variable-width LSB-first codes, clear/EOI,
-    * 4096-entry dictionary), reduced to exact per-frame RGB sums. GIF
-    * is lossless indexed color, so the oracle replays every decoded
-    * pixel in CLOSED FORM from the filename index while `read_blob`
-    * pins byte identity. LZW is the SECOND compression family under
-    * the gate (dictionary coding, next to DEFLATE's LZ77+Huffman in
-    * PNG/ZMBV) — and the from-spec decoder dodges a real JDK bug
-    * (ImageIO's reader misorders interlace passes at small heights;
-    * GifCodecSpec proves our decode against SOURCE truth).
-    */
-  object GifScan extends GraftQuery {
-    val name = "q_gif_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureGifTree(sfDir)
-      val idRe = "n(\\d+)\\.gif".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.gif")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.GifCodec
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          val headHex = content.take(8).map(b => f"$b%02X").mkString
-          for {
-            frames <- GifCodec.decode(content).toSeq
-            (frame, fi) <- frames.zipWithIndex
-          } yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            frame.pixels.foreach { p =>
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            }
-            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
-              content.length.toLong, headHex)
-          }
-        }
-        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
-          "sum_b", "n_bytes", "head_hex")
-        .orderBy("asset_idx", "frame_idx")
-    }
-    // Same pinned-glob stance as the other fixture scans: static oracle
-    // text, correctness gate at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'n(\d+)\.gif', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_gif__root_testdata_sf0.01/**/*.gif')),
-        |fr AS (
-        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
-        |  FROM f, LATERAL unnest(range(0, 3 + asset_idx % 3)) t(f)),
-        |px AS (
-        |  SELECT asset_idx, frame_idx,
-        |         (7 * asset_idx + 3 * x.x + 5 * y.y + 11 * frame_idx) % 256 AS j
-        |  FROM fr, LATERAL unnest(range(0, 18)) x(x),
-        |       LATERAL unnest(range(0, 11)) y(y)),
-        |a AS (
-        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
-        |         CAST(sum((2 * j + asset_idx) % 256) AS BIGINT) AS sum_r,
-        |         CAST(sum((j + 3 * asset_idx) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((5 * j + 7 * asset_idx) % 256) AS BIGINT) AS sum_b
-        |  FROM px GROUP BY 1, 2)
-        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
-        |       a.sum_b, fr.n_bytes, fr.head_hex
-        |FROM fr JOIN a USING (asset_idx, frame_idx)
-        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the BMP fixture tree: 24 .bmp files
-    * of 15×9 24-bit pixels (odd width exercises the 4-byte row pad):
-    * channel c of pixel (x, y) in asset i is r = (9i + 2x + 4y) mod 256,
-    * g = (4i + 5x + y) mod 256, b = (6i + x + 3y) mod 256. Written by
-    * the engine's own deterministic [[graft.multimodal.BmpCodec]]
-    * writer (plain BI_RGB, bottom-up).
-    */
-  private def ensureBmpTree(sfDir: String): String = {
-    val root = workDir("bmp", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 15; val h = 9
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val px = Array.tabulate(w * h) { o =>
-          val x = o % w; val y = o / w
-          (((9 * i + 2 * x + 4 * y) % 256) << 16) |
-            (((4 * i + 5 * x + y) % 256) << 8) | ((6 * i + x + 3 * y) % 256)
-        }
-        Files.write(dir.resolve(f"b$i%03d.bmp"),
-          graft.multimodal.BmpCodec.encode(ImageOps.Image(w, h, px)))
-      }
-    }
-    root
-  }
-
-  /** BMP decode under the hash gate: binary scan of the BMP fixture
-    * tree, decoded by the from-spec [[graft.multimodal.BmpCodec]]
-    * (BITMAPINFOHEADER, bottom-up padded rows) — the last engine-owned
-    * image format joins the gate set (PNG/QOI/GIF/BMP; only JPEG
-    * remains library-decoded, being non-bit-standardized). The oracle
-    * replays every pixel in closed form and `read_blob` pins byte
-    * identity through the engine's own deterministic writer.
-    */
-  object BmpScan extends GraftQuery {
-    val name = "q_bmp_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureBmpTree(sfDir)
-      val idRe = "b(\\d+)\\.bmp".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bmp")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          for (img <- graft.multimodal.BmpCodec.decode(content).toSeq) yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            img.pixels.foreach { p =>
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            }
-            (idx, img.width.toLong * img.height, sr, sg, sb,
-              content.length.toLong, content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "n_pixels", "sum_r", "sum_g", "sum_b",
-          "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'b(\d+)\.bmp', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_bmp__root_testdata_sf0.01/**/*.bmp')),
-        |a AS (
-        |  SELECT f.asset_idx, count(*) AS n_pixels,
-        |         CAST(sum((9 * f.asset_idx + 2 * x.x + 4 * y.y) % 256) AS BIGINT) AS sum_r,
-        |         CAST(sum((4 * f.asset_idx + 5 * x.x + y.y) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((6 * f.asset_idx + x.x + 3 * y.y) % 256) AS BIGINT) AS sum_b
-        |  FROM f, LATERAL unnest(range(0, 15)) x(x),
-        |       LATERAL unnest(range(0, 9)) y(y)
-        |  GROUP BY 1)
-        |SELECT f.asset_idx, a.n_pixels, a.sum_r, a.sum_g, a.sum_b,
-        |       f.n_bytes, f.head_hex
-        |FROM f JOIN a USING (asset_idx)
-        |ORDER BY f.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the JPEG fixture tree: 24 .jpg files
-    * of 32×16 pixels, two-tone at the block-aligned split x=16 between
-    * two EVEN grays a = (2·(17i+30)) mod 256 and b = (2·(41i+90)) mod
-    * 256. This sits exactly on [[graft.multimodal.JpegCodec]]'s
-    * exactness corner: block-constant even grays survive the lossy
-    * pipeline IDENTICALLY (Y=v and Cb=Cr=128 exactly; DC = 8·(v−128)
-    * divides by the Annex-K luma Q00=16 for even v; the islow IDCT
-    * reconstructs constants exactly), so even a JPEG tree is closed-form
-    * replayable. Written by the engine's own deterministic encoder.
-    */
-  private def ensureJpegTree(sfDir: String): String = {
-    val root = workDir("jpeg", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 32; val h = 16
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val a = (2 * (17 * i + 30)) % 256
-        val b = (2 * (41 * i + 90)) % 256
-        val px = Array.tabulate(w * h) { o =>
-          val v = if (o % w < 16) a else b
-          (v << 16) | (v << 8) | v
-        }
-        Files.write(dir.resolve(f"j$i%03d.jpg"),
-          graft.multimodal.JpegCodec.encode(ImageOps.Image(w, h, px)))
-      }
-    }
-    root
-  }
-
-  /** Baseline JPEG decode under the hash gate: binary scan of the JPEG
-    * fixture tree, decoded by the from-spec [[graft.multimodal.JpegCodec]]
-    * (T.81 marker walk, canonical Huffman, islow IDCT — proven
-    * BIT-identical to ImageIO in JpegCodecSpec). JPEG being lossy, the
-    * gate stands on the codec's exactness corner (block-constant even
-    * grays roundtrip identically), so the oracle replays every pixel in
-    * closed form and `read_blob` pins byte identity through the engine's
-    * own deterministic writer — the last image format joins the
-    * PNG/QOI/GIF/BMP gate set.
-    */
-  object JpegScan extends GraftQuery {
-    val name = "q_jpeg_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureJpegTree(sfDir)
-      val idRe = "j(\\d+)\\.jpg".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jpg")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          for (img <- graft.multimodal.JpegCodec.decode(content).toSeq) yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            img.pixels.foreach { p =>
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            }
-            (idx, img.width.toLong, img.height.toLong,
-              img.width.toLong * img.height, sr, sg, sb,
-              content.length.toLong,
-              content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "width", "height", "n_pixels", "sum_r", "sum_g",
-          "sum_b", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as the other codec scans: static oracle
-    // text, gate at sf0.01 only. Each half is 16×16 = 256 pixels of one
-    // even gray, so every channel sum is 256·(a+b).
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'j(\d+)\.jpg', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_jpeg__root_testdata_sf0.01/**/*.jpg')),
-        |a AS (
-        |  SELECT asset_idx,
-        |         (2 * (17 * asset_idx + 30)) % 256 AS ga,
-        |         (2 * (41 * asset_idx + 90)) % 256 AS gb
-        |  FROM f)
-        |SELECT f.asset_idx, CAST(32 AS BIGINT) AS width,
-        |       CAST(16 AS BIGINT) AS height, CAST(512 AS BIGINT) AS n_pixels,
-        |       CAST(256 * (a.ga + a.gb) AS BIGINT) AS sum_r,
-        |       CAST(256 * (a.ga + a.gb) AS BIGINT) AS sum_g,
-        |       CAST(256 * (a.ga + a.gb) AS BIGINT) AS sum_b,
-        |       f.n_bytes, f.head_hex
-        |FROM f JOIN a USING (asset_idx)
-        |ORDER BY f.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the QOI fixture tree: 24 .qoi images
-    * (20×14, 3-channel) whose pixels tile in 5×3 plateaus — runs inside
-    * rows, small inter-tile deltas (DIFF/LUMA ops), repeated colors
-    * (INDEX hits): channel c of pixel (x, y) in asset i is
-    * r = (5i + 3⌊x/5⌋ + 7⌊y/3⌋) mod 256, g = (3i + 2⌊x/5⌋ + 5⌊y/3⌋)
-    * mod 256, b = (7i + ⌊x/5⌋ + ⌊y/3⌋) mod 256. Encoded by
-    * [[graft.multimodal.QoiCodec]].
-    */
-  private def ensureQoiTree(sfDir: String): String = {
-    val root = workDir(scaledTag("qoi"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 20; val h = 14
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val px = Array.tabulate(w * h) { o =>
-          val tx = (o % w) / 5; val ty = (o / w) / 3
-          val r = (i * 5 + 3 * tx + 7 * ty) % 256
-          val g = (i * 3 + 2 * tx + 5 * ty) % 256
-          val b = (i * 7 + tx + ty) % 256
-          (r << 16) | (g << 8) | b
-        }
-        Files.write(dir.resolve(f"q$i%03d.qoi"),
-          graft.multimodal.QoiCodec.encode(w, h, px))
-      }
-    }
-    root
-  }
-
-  /** From-spec image decode under the hash gate: binary scan of the QOI
-    * fixture tree, decoded by the pure-JVM [[graft.multimodal.QoiCodec]]
-    * (the public one-page QOI format: 64-entry hash index, wraparound
-    * DIFF/LUMA deltas, runs — the image tier's first codec implemented
-    * in the engine itself rather than delegated to ImageIO), reduced to
-    * exact integer per-image channel sums. QOI is lossless, so the
-    * oracle replays every pixel in CLOSED FORM from the filename index
-    * while `read_blob` pins byte identity — the image twin of
-    * `q_flac_scan`'s stance for audio.
-    */
-  object QoiScan extends GraftQuery {
-    val name = "q_qoi_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureQoiTree(sfDir)
-      val idRe = "q(\\d+)\\.qoi".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.qoi")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (path, content) =>
-            graft.multimodal.QoiCodec.decode(content).map { q =>
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var k = 0
-              while (k < q.width * q.height) {
-                sr += q.r(k) & 0xFF; sg += q.g(k) & 0xFF; sb += q.b(k) & 0xFF
-                k += 1
-              }
-              val idx = idRe.findFirstMatchIn(path)
-                .map(_.group(1).toLong).getOrElse(-1L)
-              (idx, q.width.toLong, q.height.toLong,
-                q.width.toLong * q.height, sr, sg, sb,
-                content.length.toLong,
-                content.take(8).map(b => f"$b%02X").mkString)
-            }
-          }
-        }
-        .toDF("asset_idx", "width", "height", "n_pixels", "sum_r", "sum_g",
-          "sum_b", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as the other codec scans: static oracle
-    // text, gate at sf0.01 only.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'q(\d+)\.qoi', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_qoi__root_testdata_sf0.01/**/*.qoi')),
-        |px AS (
-        |  SELECT asset_idx,
-        |         (asset_idx * 5 + 3 * (x.x // 5) + 7 * (y.y // 3)) % 256 AS r,
-        |         (asset_idx * 3 + 2 * (x.x // 5) + 5 * (y.y // 3)) % 256 AS g,
-        |         (asset_idx * 7 + (x.x // 5) + (y.y // 3)) % 256 AS b
-        |  FROM f, LATERAL unnest(range(0, 20)) x(x),
-        |       LATERAL unnest(range(0, 14)) y(y)),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_pixels,
-        |         CAST(sum(r) AS BIGINT) AS sum_r,
-        |         CAST(sum(g) AS BIGINT) AS sum_g,
-        |         CAST(sum(b) AS BIGINT) AS sum_b
-        |  FROM px GROUP BY 1)
-        |SELECT f.asset_idx, CAST(20 AS BIGINT) AS width,
-        |       CAST(14 AS BIGINT) AS height, a.n_pixels, a.sum_r, a.sum_g,
-        |       a.sum_b, f.n_bytes, f.head_hex
-        |FROM f JOIN a USING (asset_idx)
-        |ORDER BY f.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the MS-RLE fixture tree: 24 .avi
-    * clips (8bpp palette, 16×12), 5 + (i mod 2) frames, keyframe every 4
-    * (a mid-stream full repaint on 6-frame clips). Frame f is frame f−1
-    * with a 4×3 block stamped at (2f, f): pixel (x, y) of frame f shows
-    * the LAST stamp f′ ≤ f covering it — value
-    * (13·i + 29·f′ + 5·x + 3·y + 100) mod 256 — or the background
-    * (7·i + 3·x + 11·y) mod 256 if no stamp ever covered it. Inter
-    * frames therefore paint only the 12 changed pixels and delta-skip
-    * the rest — the conditional-replenishment path the codec exists
-    * for. Palette: (j, (5j + i) mod 256, (11j + 3i) mod 256), carried
-    * in the AVI `strf` color table. Encoded by
-    * [[graft.multimodal.MsRleCodec]].
-    */
-  private def ensureMsrleTree(sfDir: String): String = {
-    val root = workDir("msrle", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 16; val h = 12
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val pal = new Array[Byte](768)
-        for (j <- 0 until 256) {
-          pal(3 * j) = j.toByte
-          pal(3 * j + 1) = ((j * 5 + i) % 256).toByte
-          pal(3 * j + 2) = ((j * 11 + 3 * i) % 256).toByte
-        }
-        val nf = 5 + i % 2
-        val canvas = Array.tabulate(w * h) { o =>
-          ((i * 7 + (o % w) * 3 + (o / w) * 11) % 256).toByte
-        }
-        val frames = (0 until nf).map { f =>
-          for (y <- f until math.min(f + 3, h); x <- 2 * f until math.min(2 * f + 4, w))
-            canvas(y * w + x) =
-              ((i * 13 + f * 29 + x * 5 + y * 3 + 100) % 256).toByte
-          canvas.clone()
-        }
-        Files.write(dir.resolve(f"r$i%03d.avi"),
-          graft.multimodal.MsRleCodec.encodeAvi(w, h, pal, frames, keyEvery = 4))
-      }
-    }
-    root
-  }
-
-  /** Run-length video decode under the hash gate: binary scan of the
-    * MS-RLE fixture tree, demuxed by [[graft.multimodal.AviCodec]]
-    * (fourcc + dims from `hdrl`, palette from the `strf` color table)
-    * and decoded by the pure-JVM [[graft.multimodal.MsRleCodec]]
-    * (BI_RLE8 — bottom-up runs, EOL/EOI/delta escapes, absolute mode,
-    * and the persistent canvas that makes skipped pixels inherit the
-    * previous frame — a REAL inter-frame codec of the conditional-
-    * replenishment family, complementing ZMBV's motion compensation),
-    * reduced to exact integer per-frame RGB sums. MS-RLE is lossless,
-    * so the oracle replays every decoded pixel in CLOSED FORM from the
-    * filename index (last-stamp-wins arithmetic over the frame history)
-    * while `read_blob` pins byte identity — the same stance as
-    * `q_zmbv_scan`. A hash match proves the skip/paint state machine
-    * reconstructs every frame of every clip bit-exactly.
-    */
-  object MsrleScan extends GraftQuery {
-    val name = "q_msrle_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureMsrleTree(sfDir)
-      val idRe = "r(\\d+)\\.avi".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avi")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          import graft.multimodal.{AviCodec, MsRleCodec}
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          val headHex = content.take(8).map(b => f"$b%02X").mkString
-          for {
-            (fcc, w, h) <- AviCodec.videoInfo(content).toSeq if fcc == "MRLE"
-            pal <- AviCodec.palette8(content).toSeq
-            payloads <- AviCodec.frames(content).toSeq
-            video <- MsRleCodec.decode(w, h, pal, payloads).toSeq
-            (frame, fi) <- video.frames.zipWithIndex
-          } yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            for (y <- 0 until frame.height; x <- 0 until frame.width) {
-              val (r, g, b) = frame.rgb(x, y)
-              sr += r; sg += g; sb += b
-            }
-            (idx, fi.toLong, frame.width.toLong * frame.height, sr, sg, sb,
-              content.length.toLong, headHex)
-          }
-        }
-        .toDF("asset_idx", "frame_idx", "n_pixels", "sum_r", "sum_g",
-          "sum_b", "n_bytes", "head_hex")
-        .orderBy("asset_idx", "frame_idx")
-    }
-    // Same pinned-glob stance as q_zmbv_scan: static oracle text, gate at
-    // sf0.01 only. The covering stamps f′ of a pixel form an interval
-    // [max(⌈(x−3)/2⌉, y−2, 0), min(⌊x/2⌋, y, frame_idx)], so the LAST
-    // stamp (the paint order the encoder applied) is the interval's
-    // upper end when the interval is nonempty — pure arithmetic, no
-    // correlated subquery.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'r(\d+)\.avi', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_msrle__root_testdata_sf0.01/**/*.avi')),
-        |fr AS (
-        |  SELECT asset_idx, n_bytes, head_hex, t.f AS frame_idx
-        |  FROM f, LATERAL unnest(range(0, 5 + asset_idx % 2)) t(f)),
-        |cov AS (
-        |  SELECT asset_idx, frame_idx, x.x AS x, y.y AS y,
-        |         GREATEST(CASE WHEN x.x <= 3 THEN 0 ELSE (x.x - 2) // 2 END,
-        |                  y.y - 2, 0) AS lo,
-        |         LEAST(x.x // 2, y.y, frame_idx) AS hi
-        |  FROM fr, LATERAL unnest(range(0, 16)) x(x),
-        |       LATERAL unnest(range(0, 12)) y(y)),
-        |px AS (
-        |  SELECT asset_idx, frame_idx,
-        |         CASE WHEN lo > hi
-        |              THEN (asset_idx * 7 + x * 3 + y * 11) % 256
-        |              ELSE (asset_idx * 13 + hi * 29 + x * 5 + y * 3
-        |                    + 100) % 256 END AS j
-        |  FROM cov),
-        |a AS (
-        |  SELECT asset_idx, frame_idx, count(*) AS n_pixels,
-        |         CAST(sum(j) AS BIGINT) AS sum_r,
-        |         CAST(sum((j * 5 + asset_idx) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((j * 11 + 3 * asset_idx) % 256) AS BIGINT) AS sum_b
-        |  FROM px GROUP BY 1, 2)
-        |SELECT fr.asset_idx, fr.frame_idx, a.n_pixels, a.sum_r, a.sum_g,
-        |       a.sum_b, fr.n_bytes, fr.head_hex
-        |FROM fr JOIN a USING (asset_idx, frame_idx)
-        |ORDER BY fr.asset_idx, fr.frame_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the IMA ADPCM fixture tree: 24 mono
-    * WAV files (format tag 0x11, blockAlign 256 ⇒ 505 samples/block, step
-    * index carried across blocks, `fact` chunk with the exact count) whose
-    * input PCM is a pure function of the asset index —
-    * s(i, t) = ((31·i + 7·t²) mod 8192) − 4096, n = 1200 + 37·i samples at
-    * rate 8000 + 25·i — encoded by [[graft.multimodal.AdpcmCodec]]. Every
-    * file spans ≥ 3 blocks with a short last block (n is never ≡ 0 mod
-    * 505), so header re-sync, index carry, and the odd-nibble tail are all
-    * exercised.
-    */
-  private def ensureAdpcmTree(sfDir: String): String = {
-    val root = workDir("adpcm", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val n = 1200 + 37 * i
-        val pcm = Array.tabulate(n)(t => ((i * 31 + 7 * t * t) % 8192) - 4096)
-        Files.write(dir.resolve(f"p$i%03d.wav"),
-          graft.multimodal.AdpcmCodec.encodeImaWav(8000 + 25 * i, pcm))
-      }
-    }
-    root
-  }
-
-  /** Adaptive-codec decode under the hash gate: binary scan of the IMA
-    * ADPCM fixture tree, decoded by the pure-JVM
-    * [[graft.multimodal.AdpcmCodec]] (IMA/DVI 4-bit adaptive step codec —
-    * 89-entry step table, successive-approximation quantizer, per-block
-    * header resync — a REAL lossy compressed codec, not a header peek),
-    * reduced to exact integer per-clip aggregates of the DECODED samples.
-    * ADPCM is lossy but its state machine is pure integer arithmetic, so
-    * the oracle replays the ENTIRE encoder+decoder recursion per sample
-    * in a recursive CTE (step table as a list literal, block-boundary
-    * header resets included) — a hash match proves the Scala codec and
-    * the spec-derived SQL replay reconstruct bit-identical waveforms —
-    * while `read_blob` pins byte identity, the same stance as
-    * `q_flac_scan`. After this row, compressed WAV audio (ADPCM + G.711)
-    * decodes for real; only perceptual codecs (mp3/AAC) remain the
-    * documented fake+strict seam.
-    */
-  object AdpcmScan extends GraftQuery {
-    val name = "q_adpcm_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureAdpcmTree(sfDir)
-      val idRe = "p(\\d+)\\.wav".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (path, content) =>
-            graft.multimodal.AdpcmCodec.decodePcm(content).map { pcm =>
-              val s = pcm.samples
-              var sum = 0L
-              var mn = Int.MaxValue
-              var mx = Int.MinValue
-              s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
-              val idx = idRe.findFirstMatchIn(path)
-                .map(_.group(1).toLong).getOrElse(-1L)
-              (idx, pcm.sampleRate.toLong, s.length.toLong, sum,
-                mn.toLong, mx.toLong, content.length.toLong,
-                content.take(8).map(b => f"$b%02X").mkString)
-            }
-          }
-        }
-        .toDF("asset_idx", "sample_rate", "n_samples", "sum_samples",
-          "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Same pinned-glob stance as q_flac_scan: static oracle text, gate at
-    // sf0.01 only. The recursive CTE carries (predictor, stepIndex) per
-    // asset exactly as the IMA spec does; sample t = 0 mod 505 is a block
-    // header (verbatim sample, index carried).
-    val oracle = Some(
-      """WITH RECURSIVE f AS (
-        |  SELECT CAST(regexp_extract(filename, 'p(\d+)\.wav', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_adpcm__root_testdata_sf0.01/**/*.wav')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         8000 + 25 * asset_idx AS sample_rate,
-        |         1200 + 37 * asset_idx AS n
-        |  FROM f),
-        |tbl AS (
-        |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
-        |          50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
-        |          230,253,279,307,337,371,408,449,494,544,598,658,724,796,
-        |          876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
-        |          2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
-        |          7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
-        |          20350,22385,24623,27086,29794,32767] AS st,
-        |         [-1,-1,-1,-1,2,4,6,8] AS it),
-        |dec AS (
-        |  SELECT asset_idx, n, 0 AS t,
-        |         ((asset_idx * 31) % 8192) - 4096 AS pred,
-        |         0 AS idx,
-        |         CAST(((asset_idx * 31) % 8192) - 4096 AS BIGINT) AS sum_s,
-        |         ((asset_idx * 31) % 8192) - 4096 AS min_s,
-        |         ((asset_idx * 31) % 8192) - 4096 AS max_s
-        |  FROM s
-        |  UNION ALL
-        |  SELECT asset_idx, n, t,
-        |         CASE WHEN hdr THEN raw ELSE np END,
-        |         CASE WHEN hdr THEN idx ELSE ni END,
-        |         sum_s + CASE WHEN hdr THEN raw ELSE np END,
-        |         LEAST(min_s, CASE WHEN hdr THEN raw ELSE np END),
-        |         GREATEST(max_s, CASE WHEN hdr THEN raw ELSE np END)
-        |  FROM (
-        |    SELECT *,
-        |           GREATEST(-32768, LEAST(32767,
-        |             pred + CASE WHEN neg THEN -dq ELSE dq END)) AS np,
-        |           GREATEST(0, LEAST(88, idx + it[b4*4 + b2*2 + b1 + 1])) AS ni
-        |    FROM (
-        |      SELECT *,
-        |             CASE WHEN a2 >= step // 4 THEN 1 ELSE 0 END AS b1,
-        |             (step // 8) + b4 * step + b2 * (step // 2)
-        |               + (CASE WHEN a2 >= step // 4 THEN 1 ELSE 0 END)
-        |                 * (step // 4) AS dq
-        |      FROM (
-        |        SELECT *,
-        |               CASE WHEN a1 >= step // 2 THEN 1 ELSE 0 END AS b2,
-        |               a1 - (CASE WHEN a1 >= step // 2 THEN 1 ELSE 0 END)
-        |                 * (step // 2) AS a2
-        |        FROM (
-        |          SELECT *,
-        |                 CASE WHEN adiff >= step THEN 1 ELSE 0 END AS b4,
-        |                 adiff - (CASE WHEN adiff >= step THEN 1 ELSE 0 END)
-        |                   * step AS a1
-        |          FROM (
-        |            SELECT d.asset_idx, d.n, d.t + 1 AS t, d.pred, d.idx,
-        |                   d.sum_s, d.min_s, d.max_s,
-        |                   ((d.asset_idx * 31 + 7 * (d.t + 1) * (d.t + 1))
-        |                     % 8192) - 4096 AS raw,
-        |                   (d.t + 1) % 505 = 0 AS hdr,
-        |                   tbl.st[d.idx + 1] AS step,
-        |                   ((d.asset_idx * 31 + 7 * (d.t + 1) * (d.t + 1))
-        |                     % 8192) - 4096 - d.pred < 0 AS neg,
-        |                   abs(((d.asset_idx * 31 + 7 * (d.t + 1) * (d.t + 1))
-        |                     % 8192) - 4096 - d.pred) AS adiff,
-        |                   tbl.it AS it
-        |            FROM dec d CROSS JOIN tbl
-        |            WHERE d.t + 1 < d.n))))) q),
-        |a AS (
-        |  SELECT asset_idx, n AS n_samples, sum_s AS sum_samples,
-        |         min_s AS min_sample, max_s AS max_sample
-        |  FROM dec WHERE t = n - 1)
-        |SELECT s.asset_idx, s.sample_rate, CAST(a.n_samples AS BIGINT)
-        |         AS n_samples, a.sum_samples,
-        |       a.min_sample, a.max_sample, s.n_bytes, s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the G.711 fixture tree: 24 mono 8 kHz
-    * WAV files — even assets µ-law (tag 7), odd assets A-law (tag 6) —
-    * whose input PCM sweeps the full 16-bit range,
-    * s(i, t) = ((97·i + 511·t) mod 65536) − 32768, n = 800 + 29·i samples,
-    * encoded by [[graft.multimodal.AdpcmCodec]].
-    */
-  private def ensureG711Tree(sfDir: String): String = {
-    val root = workDir("g711", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val n = 800 + 29 * i
-        val pcm = Array.tabulate(n)(t => ((i * 97 + t * 511) % 65536) - 32768)
-        Files.write(dir.resolve(f"g$i%03d.wav"),
-          graft.multimodal.AdpcmCodec.encodeG711Wav(8000, pcm, mu = i % 2 == 0))
-      }
-    }
-    root
-  }
-
-  /** Companded-telephony decode under the hash gate: binary scan of the
-    * G.711 fixture tree, decoded by [[graft.multimodal.AdpcmCodec]]
-    * (ITU-T G.711 µ-law and A-law — segment + mantissa companding),
-    * reduced to exact integer per-clip aggregates of the DECODED samples.
-    * G.711 is memoryless, so the oracle replays encode∘decode for every
-    * sample in closed form (no recursion): segment search as a CASE
-    * ladder, mantissa via shifts — covering both laws, both signs, and
-    * all eight segments (the input sweeps the full 16-bit range). A hash
-    * match proves the Scala compander and the spec-derived SQL replay
-    * agree on all 65536 → 256 → 16-bit mappings exercised.
-    */
-  object G711Scan extends GraftQuery {
-    val name = "q_g711_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureG711Tree(sfDir)
-      val idRe = "g(\\d+)\\.wav".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (path, content) =>
-            graft.multimodal.AdpcmCodec.decodePcm(content).map { pcm =>
-              val s = pcm.samples
-              var sum = 0L
-              var mn = Int.MaxValue
-              var mx = Int.MinValue
-              s.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
-              val idx = idRe.findFirstMatchIn(path)
-                .map(_.group(1).toLong).getOrElse(-1L)
-              (idx, pcm.codec, pcm.sampleRate.toLong, s.length.toLong, sum,
-                mn.toLong, mx.toLong, content.length.toLong,
-                content.take(8).map(b => f"$b%02X").mkString)
-            }
-          }
-        }
-        .toDF("asset_idx", "codec", "sample_rate", "n_samples",
-          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    // Static oracle text, gate at sf0.01 only. µ-law: bias 0x84, clip
-    // 32635; A-law: 13-bit magnitude domain, segment boundaries
-    // (0x20 << s) − 1 — both straight from ITU-T G.711.
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'g(\d+)\.wav', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_g711__root_testdata_sf0.01/**/*.wav')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         CASE WHEN asset_idx % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
-        |           AS codec,
-        |         800 + 29 * asset_idx AS n
-        |  FROM f),
-        |p AS (
-        |  SELECT asset_idx, codec,
-        |         ((asset_idx * 97 + t.t * 511) % 65536) - 32768 AS v
-        |  FROM s, LATERAL unnest(range(0, n)) t(t)),
-        |mu AS (
-        |  SELECT asset_idx, v,
-        |         CASE WHEN v < 0 THEN 1 ELSE 0 END AS sg,
-        |         LEAST(abs(v), 32635) + 132 AS mc
-        |  FROM p WHERE codec = 'ulaw'),
-        |mu2 AS (
-        |  SELECT asset_idx, sg, mc,
-        |         CASE WHEN mc < 256 THEN 0 WHEN mc < 512 THEN 1
-        |              WHEN mc < 1024 THEN 2 WHEN mc < 2048 THEN 3
-        |              WHEN mc < 4096 THEN 4 WHEN mc < 8192 THEN 5
-        |              WHEN mc < 16384 THEN 6 ELSE 7 END AS e
-        |  FROM mu),
-        |mud AS (
-        |  SELECT asset_idx,
-        |         CASE WHEN sg = 1 THEN -d0 ELSE d0 END AS dv
-        |  FROM (SELECT asset_idx, sg,
-        |               ((((mc >> (e + 3)) & 15) * 8 + 132) << e) - 132 AS d0
-        |        FROM mu2) q),
-        |al AS (
-        |  SELECT asset_idx, v,
-        |         CASE WHEN v >= 0 THEN 1 ELSE 0 END AS pos,
-        |         LEAST((CASE WHEN v >= 0 THEN v ELSE -v - 1 END) >> 3, 4095)
-        |           AS p13
-        |  FROM p WHERE codec = 'alaw'),
-        |al2 AS (
-        |  SELECT asset_idx, pos, p13,
-        |         CASE WHEN p13 <= 31 THEN 0 WHEN p13 <= 63 THEN 1
-        |              WHEN p13 <= 127 THEN 2 WHEN p13 <= 255 THEN 3
-        |              WHEN p13 <= 511 THEN 4 WHEN p13 <= 1023 THEN 5
-        |              WHEN p13 <= 2047 THEN 6 ELSE 7 END AS seg
-        |  FROM al),
-        |ald AS (
-        |  SELECT asset_idx,
-        |         CASE WHEN pos = 1 THEN t1 ELSE -t1 END AS dv
-        |  FROM (SELECT asset_idx, pos,
-        |               CASE WHEN seg > 1 THEN t0 << (seg - 1) ELSE t0 END AS t1
-        |        FROM (SELECT asset_idx, pos, seg,
-        |                     (CASE WHEN seg < 2 THEN (p13 >> 1) & 15
-        |                           ELSE (p13 >> seg) & 15 END) * 16
-        |                       + CASE WHEN seg = 0 THEN 8 ELSE 264 END AS t0
-        |              FROM al2) q0) q1),
-        |d AS (SELECT * FROM mud UNION ALL SELECT * FROM ald),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_samples,
-        |         CAST(sum(dv) AS BIGINT) AS sum_samples,
-        |         min(dv) AS min_sample, max(dv) AS max_sample
-        |  FROM d GROUP BY 1)
-        |SELECT s.asset_idx, s.codec, CAST(8000 AS BIGINT) AS sample_rate,
-        |       a.n_samples, a.sum_samples, a.min_sample, a.max_sample,
-        |       s.n_bytes, s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the unified media-catalog tree: every
-    * fixture tree of the multimodal tier copied under one root with
-    * tree-tagged names (both PNG trees reuse `imgNNN.png`, so a flat
-    * union would collide on asset_id): 24 solid PNGs (`s*.png`), 24
-    * two-tone PNGs (`t*.png`), 24 FLAC (`a*.flac`), 24 FLAC-in-MP4
-    * (`m*.m4a`), 24 ZMBV AVIs (`v*.avi`), 24 MS-RLE AVIs (`r*.avi`),
-    * 24 IMA ADPCM WAVs (`p*.wav`), 24 G.711 WAVs (`g*.wav`), 24 QOI
-    * images (`x*.qoi`), 24 FLAC-in-Ogg (`o*.ogg`), 24 FLAC-in-Matroska
-    * (`k*.mka`), 24 ZMBV-in-Matroska (`w*.mkv`), 24 animated GIFs
-    * (`n*.gif`), 24 BMPs (`b*.bmp`). The marker
-    * dir is versioned: adding a fixture family bumps it so pre-existing
-    * temp trees rebuild (copies are idempotent, so a rebuild only adds
-    * the new families).
-    */
-  private def ensureMediaCatalog(sfDir: String): String = {
-    val root = workDir("media", sfDir)
-    if (!Files.exists(Paths.get(root, "done_v10"))) {
-      val sources = Seq(
-        (ensureImageTree(sfDir), ".png", "s"),
-        (ensureTwoToneTree(sfDir), ".png", "t"),
-        (ensureFlacTree(sfDir), ".flac", "a"),
-        (ensureMp4Tree(sfDir), ".m4a", "m"),
-        (ensureZmbvTree(sfDir), ".avi", "v"),
-        (ensureMsrleTree(sfDir), ".avi", "r"),
-        (ensureAdpcmTree(sfDir), ".wav", "p"),
-        (ensureG711Tree(sfDir), ".wav", "g"),
-        (ensureQoiTree(sfDir), ".qoi", "x"),
-        (ensureOggTree(sfDir), ".ogg", "o"),
-        (ensureMkvTree(sfDir), ".mka", "k"),
-        (ensureMkvVfwTree(sfDir), ".mkv", "w"),
-        (ensureGifTree(sfDir), ".gif", "n"),
-        (ensureBmpTree(sfDir), ".bmp", "b"),
-        (ensureTiffTree(sfDir), ".tif", "f"),
-        (ensureAiffTree(sfDir), ".aif", "u"))
-      sources.foreach { case (src, ext, tag) =>
-        val dir = Paths.get(root, tag)
-        Files.createDirectories(dir)
-        import scala.jdk.CollectionConverters._
-        Files.walk(Paths.get(src)).iterator().asScala
-          .filter(p => p.toString.endsWith(ext))
-          .foreach { p =>
-            val dst = dir.resolve(tag + p.getFileName.toString)
-            if (!Files.exists(dst)) Files.copy(p, dst)
-          }
-      }
-      Files.createDirectories(Paths.get(root, "done_v10"))
-    }
-    root
-  }
-
-  /** Capstone of the multimodal tier: ONE scan over every media fixture
-    * tree at once through the production ingestion edge —
-    * [[graft.multimodal.Multimodal.scanMedia]] (modality inferred from
-    * the extension) → [[graft.multimodal.Multimodal.extractFeatures]]
-    * (per-partition decoder construction; PNG via ImageIO, FLAC bare and
-    * in MP4 via [[graft.multimodal.FlacCodec]]/[[graft.multimodal.Mp4Codec]],
-    * IMA ADPCM + G.711 WAV via [[graft.multimodal.AdpcmCodec]],
-    * ZMBV-AVI via [[graft.multimodal.ZmbvCodec]]) — reduced to per-
-    * modality integer invariants: asset/row counts, how many rows came
-    * from REAL decodes (all of them — the catalog holds no payload the
-    * engine fakes), and exact width/height sums. Every number is a
-    * closed form of the fixture definitions, so the oracle replays the
-    * whole catalog from `range()` arithmetic alone: a green row proves
-    * the modality router sends every file down its real decode path and
-    * each decoder reports the exact dims/rates the encoders wrote.
-    * (Byte identity and per-pixel/per-sample content are pinned by the
-    * per-tree queries `q_binary_scan`/`q_binary_twotone`/`q_flac_scan`/
-    * `q_mp4_scan`/`q_ogg_scan`/`q_mkv_scan`/`q_mkv_vfw_scan`/`q_zmbv_scan`; this query certifies the ROUTING layer
-    * above them.)
-    */
-  object MediaCatalog extends GraftQuery {
-    val name = "q_media_catalog"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val root = ensureMediaCatalog(sfDir)
-      val media = graft.multimodal.Multimodal.scanMedia(spark, root)
-      val feats = graft.multimodal.Multimodal.extractFeatures(media)
-      feats.groupBy(col("modality"))
-        .agg(
-          countDistinct(col("asset_id")).as("n_assets"),
-          count(lit(1)).as("n_rows"),
-          sum(col("feature_real").cast("long")).as("n_real"),
-          sum(col("width").cast("long")).as("sum_w"),
-          sum(col("height").cast("long")).as("sum_h"))
-        .orderBy("modality")
-    }
-    // Closed forms: image = 48 16×16 PNGs + 24 20×14 QOI + 24 18×11
-    // GIFs (first frame) + 24 15×9 BMPs + 24 15×9 TIFFs (one feature row
-    // each); audio = 24 FLAC at rate 8000+100i, 24 MP4-FLAC at
-    // 16000+50i, 24 Ogg-FLAC at 11025+111i, 24 MKV-FLAC at 9000+77i,
-    // 24 IMA ADPCM WAVs at 8000+25i, 24 G.711 WAVs at 8000, 24 AIFFs at
-    // 8000+25i with 1+(i mod 2) channels (width carries the rate,
-    // height the channel count); video = 24 ZMBV clips of 5+(i mod 3)
-    // frames at 24×18 plus 24 MS-RLE clips of 5+(i mod 2) frames at
-    // 16×12 plus 24 ZMBV-in-MKV clips of 4+(i mod 4) frames at 20×14
-    // (one row per frame).
-    val oracle = Some(
-      """WITH fl AS (SELECT sum(8000 + 100 * i.i) AS w
-        |            FROM unnest(range(0, 24)) i(i)),
-        |mp AS (SELECT sum(16000 + 50 * i.i) AS w
-        |       FROM unnest(range(0, 24)) i(i)),
-        |og AS (SELECT sum(11025 + 111 * i.i) AS w
-        |       FROM unnest(range(0, 24)) i(i)),
-        |mk AS (SELECT sum(9000 + 77 * i.i) AS w
-        |       FROM unnest(range(0, 24)) i(i)),
-        |ad AS (SELECT sum(8000 + 25 * i.i) AS w
-        |       FROM unnest(range(0, 24)) i(i)),
-        |vid AS (SELECT sum(5 + i.i % 3) AS fr
-        |        FROM unnest(range(0, 24)) i(i)),
-        |mr AS (SELECT sum(5 + i.i % 2) AS fr
-        |       FROM unnest(range(0, 24)) i(i)),
-        |mv AS (SELECT sum(4 + i.i % 4) AS fr
-        |       FROM unnest(range(0, 24)) i(i))
-        |SELECT * FROM (
-        |  SELECT 'audio' AS modality, CAST(168 AS BIGINT) AS n_assets,
-        |         CAST(168 AS BIGINT) AS n_rows, CAST(168 AS BIGINT) AS n_real,
-        |         CAST((SELECT w FROM fl) + (SELECT w FROM mp)
-        |              + (SELECT w FROM og) + (SELECT w FROM mk)
-        |              + 2 * (SELECT w FROM ad) + 24 * 8000 AS BIGINT) AS sum_w,
-        |         CAST(144 + 24 + 12 AS BIGINT) AS sum_h
-        |  UNION ALL
-        |  SELECT 'image', CAST(144 AS BIGINT), CAST(144 AS BIGINT),
-        |         CAST(144 AS BIGINT),
-        |         CAST(768 + 24 * 20 + 24 * 18 + 2 * 24 * 15 AS BIGINT),
-        |         CAST(768 + 24 * 14 + 24 * 11 + 2 * 24 * 9 AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'video', CAST(72 AS BIGINT),
-        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
-        |              + (SELECT fr FROM mv) AS BIGINT),
-        |         CAST((SELECT fr FROM vid) + (SELECT fr FROM mr)
-        |              + (SELECT fr FROM mv) AS BIGINT),
-        |         CAST(24 * (SELECT fr FROM vid)
-        |              + 16 * (SELECT fr FROM mr)
-        |              + 20 * (SELECT fr FROM mv) AS BIGINT),
-        |         CAST(18 * (SELECT fr FROM vid)
-        |              + 12 * (SELECT fr FROM mr)
-        |              + 14 * (SELECT fr FROM mv) AS BIGINT))
-        |ORDER BY modality""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the AIFF fixture tree: 24 .aif files,
-    * alternating mono/stereo, n = 1000 + 37i frames at 8000 + 25i Hz;
-    * sample (c, t) of asset i is ((31i + 7t + 13ct + 5c) mod 4096) − 2048.
-    * Written by the engine's own deterministic [[graft.multimodal.AiffCodec]]
-    * writer (FORM/AIFF, COMM with 80-bit extended rate, SSND big-endian
-    * int16).
-    */
-  private def ensureAiffTree(sfDir: String): String = {
-    val root = workDir("aiff", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val n = 1000 + 37 * i
-        val nCh = 1 + i % 2
-        val chans = Array.tabulate(nCh)(c => Array.tabulate(n)(t =>
-          ((31 * i + 7 * t + 13 * c * t + 5 * c) % 4096) - 2048))
-        Files.write(dir.resolve(f"a$i%03d.aif"),
-          graft.multimodal.AiffCodec.encode(8000 + 25 * i, chans))
-      }
-    }
-    root
-  }
-
-  /** AIFF decode under the hash gate: binary scan of the AIFF fixture
-    * tree, decoded by the from-spec [[graft.multimodal.AiffCodec]] —
-    * the big-endian PCM container beside RIFF/WAV, including the 80-bit
-    * IEEE extended sample-rate field the format is notorious for. The
-    * oracle replays every sample in closed form and `read_blob` pins
-    * byte identity through the engine's writer.
-    */
-  object AiffScan extends GraftQuery {
-    val name = "q_aiff_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureAiffTree(sfDir)
-      val idRe = "a(\\d+)\\.aif".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.aif")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          for (a <- graft.multimodal.AiffCodec.decode(content).toSeq) yield {
-            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-            a.channels.foreach(_.foreach { v =>
-              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-            })
-            (idx, a.sampleRate.toLong, a.channels.length.toLong,
-              a.channels(0).length.toLong, sum, mn.toLong, mx.toLong,
-              content.length.toLong,
-              content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "sample_rate", "n_channels", "n_frames",
-          "sum_samples", "min_sample", "max_sample", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 'a(\d+)\.aif', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_aiff__root_testdata_sf0.01/**/*.aif')),
-        |s AS (
-        |  SELECT asset_idx, n_bytes, head_hex,
-        |         CAST(8000 + 25 * asset_idx AS BIGINT) AS sample_rate,
-        |         CAST(1 + asset_idx % 2 AS BIGINT) AS n_channels,
-        |         CAST(1000 + 37 * asset_idx AS BIGINT) AS n_frames
-        |  FROM f),
-        |v AS (
-        |  SELECT asset_idx,
-        |         ((31 * asset_idx + 7 * t.t + 13 * c.c * t.t + 5 * c.c)
-        |           % 4096) - 2048 AS v
-        |  FROM s, LATERAL unnest(range(0, n_frames)) t(t),
-        |       LATERAL unnest(range(0, n_channels)) c(c)),
-        |a AS (
-        |  SELECT asset_idx, CAST(sum(v) AS BIGINT) AS sum_samples,
-        |         CAST(min(v) AS BIGINT) AS min_sample,
-        |         CAST(max(v) AS BIGINT) AS max_sample
-        |  FROM v GROUP BY 1)
-        |SELECT s.asset_idx, s.sample_rate, s.n_channels, s.n_frames,
-        |       a.sum_samples, a.min_sample, a.max_sample, s.n_bytes,
-        |       s.head_hex
-        |FROM s JOIN a USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the TIFF fixture tree: 24 .tif files
-    * of 15×9 pixels cycling through six layout classes (i mod 6) that
-    * jointly cover the baseline decoder: RGB uncompressed II (0), RGB
-    * PackBits II (1), RGB LZW II (2), RGB LZW + horizontal predictor MM
-    * (3), 8-bit grayscale LZW + predictor II (4), 8-bit palette
-    * uncompressed MM (5) — all multi-strip (RowsPerStrip 4). Pixel
-    * formulas (exact mod-256 integer, oracle-replayable):
-    * RGB classes r = (9i+2x+4y), g = (4i+5x+y), b = (6i+x+3y);
-    * gray v = (9i+2x+4y) (r=g=b=v); palette index j = (2x+3y+i) with
-    * palette entry r = (3j+i), g = (5j+2i), b = (7j+4i). Written by the
-    * engine's own deterministic [[graft.multimodal.TiffCodec]] writer.
-    */
-  private def ensureTiffTree(sfDir: String): String = {
-    val root = workDir("tiff", sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      val w = 15; val h = 9
-      for (i <- 0 until 24) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val layout = (i % 6) match {
-          case 0 => TiffCodec.Layout(1, 1, bigEndian = false, 4)
-          case 1 => TiffCodec.Layout(32773, 1, bigEndian = false, 4)
-          case 2 => TiffCodec.Layout(5, 1, bigEndian = false, 4)
-          case 3 => TiffCodec.Layout(5, 2, bigEndian = true, 4)
-          case 4 => TiffCodec.Layout(5, 2, bigEndian = false, 4)
-          case _ => TiffCodec.Layout(1, 1, bigEndian = true, 4)
-        }
-        val bytes = (i % 6) match {
-          case 4 =>
-            val v = Array.tabulate(w * h) { o =>
-              val x = o % w; val y = o / w
-              ((9 * i + 2 * x + 4 * y) % 256).toByte
-            }
-            TiffCodec.encodeGray(w, h, v, layout)
-          case 5 =>
-            val idx = Array.tabulate(w * h) { o =>
-              val x = o % w; val y = o / w
-              ((2 * x + 3 * y + i) % 256).toByte
-            }
-            val pal = Array.tabulate(256)(j =>
-              (((3 * j + i) % 256) << 16) | (((5 * j + 2 * i) % 256) << 8) |
-                ((7 * j + 4 * i) % 256))
-            TiffCodec.encodePalette(w, h, idx, pal, layout)
-          case _ =>
-            val px = Array.tabulate(w * h) { o =>
-              val x = o % w; val y = o / w
-              (((9 * i + 2 * x + 4 * y) % 256) << 16) |
-                (((4 * i + 5 * x + y) % 256) << 8) | ((6 * i + x + 3 * y) % 256)
-            }
-            TiffCodec.encodeRgb(ImageOps.Image(w, h, px), layout)
-        }
-        Files.write(dir.resolve(f"t$i%03d.tif"), bytes)
-      }
-    }
-    root
-  }
-
-  /** TIFF decode under the hash gate: binary scan of the TIFF fixture
-    * tree, decoded by the from-spec [[graft.multimodal.TiffCodec]] —
-    * every baseline shape (3 compressions, both predictors, both byte
-    * orders, gray/RGB/palette, multi-strip) replayed pixel-exactly by
-    * the closed-form oracle, with `read_blob` pinning byte identity
-    * through the engine's own deterministic writer.
-    */
-  object TiffScan extends GraftQuery {
-    val name = "q_tiff_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureTiffTree(sfDir)
-      val idRe = "t(\\d+)\\.tif".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tif")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          val idx = idRe.findFirstMatchIn(path)
-            .map(_.group(1).toLong).getOrElse(-1L)
-          for (img <- TiffCodec.decode(content).toSeq) yield {
-            var sr = 0L; var sg = 0L; var sb = 0L
-            img.pixels.foreach { p =>
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            }
-            (idx, img.width.toLong * img.height, sr, sg, sb,
-              content.length.toLong, content.take(8).map(b => f"$b%02X").mkString)
-          }
-        }
-        .toDF("asset_idx", "n_pixels", "sum_r", "sum_g", "sum_b",
-          "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    val oracle = Some(
-      """WITH f AS (
-        |  SELECT CAST(regexp_extract(filename, 't(\d+)\.tif', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 16) AS head_hex
-        |  FROM read_blob('/tmp/graft_tiff__root_testdata_sf0.01/**/*.tif')),
-        |px AS (
-        |  SELECT asset_idx, x.x AS x, y.y AS y
-        |  FROM f, LATERAL unnest(range(0, 15)) x(x),
-        |       LATERAL unnest(range(0, 9)) y(y)),
-        |ch AS (
-        |  SELECT asset_idx,
-        |    CASE WHEN asset_idx % 6 = 5
-        |      THEN (3 * ((2*x + 3*y + asset_idx) % 256) + asset_idx) % 256
-        |      ELSE (9*asset_idx + 2*x + 4*y) % 256 END AS r,
-        |    CASE WHEN asset_idx % 6 = 4 THEN (9*asset_idx + 2*x + 4*y) % 256
-        |         WHEN asset_idx % 6 = 5
-        |      THEN (5 * ((2*x + 3*y + asset_idx) % 256) + 2*asset_idx) % 256
-        |      ELSE (4*asset_idx + 5*x + y) % 256 END AS g,
-        |    CASE WHEN asset_idx % 6 = 4 THEN (9*asset_idx + 2*x + 4*y) % 256
-        |         WHEN asset_idx % 6 = 5
-        |      THEN (7 * ((2*x + 3*y + asset_idx) % 256) + 4*asset_idx) % 256
-        |      ELSE (6*asset_idx + x + 3*y) % 256 END AS b
-        |  FROM px),
-        |a AS (
-        |  SELECT asset_idx, count(*) AS n_pixels,
-        |         CAST(sum(r) AS BIGINT) AS sum_r,
-        |         CAST(sum(g) AS BIGINT) AS sum_g,
-        |         CAST(sum(b) AS BIGINT) AS sum_b
-        |  FROM ch GROUP BY 1)
-        |SELECT f.asset_idx, a.n_pixels, a.sum_r, a.sum_g, a.sum_b,
-        |       f.n_bytes, f.head_hex
-        |FROM f JOIN a USING (asset_idx)
-        |ORDER BY f.asset_idx""".stripMargin)
-  }
-
-  /** Image dedup taken END-TO-END: the near-dup PAIR graph
-    * (`q_image_neardup`'s banded aHash join, here on numeric ids:
-    * kind-code·1000 + asset index) contracted to connected components
-    * ([[graft.dedup.Dedup.connectedComponents]] — the same log-round
-    * machinery the text tier uses) with the production keep policy:
-    * each cluster's representative is its LARGEST member by byte size
-    * (keep the best-resolution copy; ties → smaller id, encoded as one
-    * integer argmax key since ids are < 10⁵). This is what a real
-    * pipeline does with near-dup pairs — pairs are evidence, clusters
-    * are the dedup decision. The oracle replays the hashes closed-form,
-    * the banding + Hamming gate, the components as a recursive CTE, and
-    * the same max_by policy; cluster membership at corpus scale is
-    * orders of magnitude smaller than the corpus, so everything after
-    * the band join is bounded by the dedup output.
-    */
-  object ImageDedupCluster extends GraftQuery {
-    val name = "q_image_dedup_cluster"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val ids = aHashRows(spark, sfDir)
-        .select((when(col("kind") === "s", 0L).when(col("kind") === "t", 1L)
-          .otherwise(2L) * 1000L + col("asset_idx")).as("nid"),
-          col("hash_hi"), col("hash_lo"), col("n_bytes"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = ids.select(col("nid"), col("hash_hi"), col("hash_lo"),
-        posexplode(array(
-          col("hash_lo").bitwiseAND(lit(65535L)),
-          shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
-          col("hash_hi").bitwiseAND(lit(65535L)),
-          shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L)))))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_val")
-      val a = bands.select(col("band_idx"), col("band_val"),
-        col("nid").as("doc_a"), col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
-      val b = bands.select(col("band_idx"), col("band_val"),
-        col("nid").as("doc_b"), col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
-      val pairs = a.join(b, Seq("band_idx", "band_val"))
-        .where(col("doc_a") < col("doc_b"))
-        .where(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= 10)
-        .select("doc_a", "doc_b").distinct()
-      graft.dedup.Dedup.connectedComponents(pairs)
-        .join(ids.select(col("nid").as("id"), col("n_bytes")), Seq("id"))
-        .groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"),
-          max_by(col("id"), col("n_bytes") * 100000L - col("id"))
-            .as("representative"),
-          countDistinct(expr("id div 1000")).as("n_kinds"))
-        .orderBy("cluster_id")
-    }
-    val oracle = Some(
-      s"""WITH RECURSIVE $aHashOracleCte,
-        |b0 AS (
-        |  SELECT 's' AS kind,
-        |         CAST(regexp_extract(filename, 'img(\\d+)\\.png', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |  FROM read_blob('/tmp/graft_img__root_testdata_sf0.01/**/*.png')
-        |  UNION ALL
-        |  SELECT 't',
-        |         CAST(regexp_extract(filename, 'img(\\d+)\\.png', 1) AS BIGINT),
-        |         CAST(octet_length(content) AS BIGINT)
-        |  FROM read_blob('/tmp/graft_img2__root_testdata_sf0.01/**/*.png')
-        |  UNION ALL
-        |  SELECT 'x',
-        |         CAST(regexp_extract(filename, 'q(\\d+)\\.qoi', 1) AS BIGINT),
-        |         CAST(octet_length(content) AS BIGINT)
-        |  FROM read_blob('/tmp/graft_qoi__root_testdata_sf0.01/**/*.qoi')),
-        |ids AS (
-        |  SELECT (CASE h.kind WHEN 's' THEN 0 WHEN 't' THEN 1 ELSE 2 END)
-        |           * 1000 + h.asset_idx AS nid,
-        |         h.hash_hi, h.hash_lo, b0.n_bytes
-        |  FROM h JOIN b0 USING (kind, asset_idx)),
-        |bands AS (
-        |  SELECT nid, hash_hi, hash_lo, bb.b AS band_idx,
-        |         CASE bb.b
-        |           WHEN 0 THEN hash_lo % 65536
-        |           WHEN 1 THEN hash_lo // 65536
-        |           WHEN 2 THEN hash_hi % 65536
-        |           ELSE hash_hi // 65536 END AS band_val
-        |  FROM ids, LATERAL unnest(range(0, 4)) bb(b)),
-        |pr AS (
-        |  SELECT DISTINCT a.nid AS da, c.nid AS db
-        |  FROM bands a JOIN bands c USING (band_idx, band_val)
-        |  WHERE a.nid < c.nid
-        |    AND bit_count(xor(a.hash_hi, c.hash_hi))
-        |        + bit_count(xor(a.hash_lo, c.hash_lo)) <= 10),
-        |edges AS (SELECT da AS src, db AS dst FROM pr
-        |          UNION SELECT db, da FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |labels AS (
-        |  SELECT src AS id, least(src, min(dst)) AS label
-        |  FROM reach GROUP BY src)
-        |SELECT l.label AS cluster_id, count(*) AS cluster_size,
-        |       max_by(l.id, i.n_bytes * 100000 - l.id) AS representative,
-        |       CAST(count(DISTINCT l.id // 1000) AS BIGINT) AS n_kinds
-        |FROM labels l JOIN ids i ON l.id = i.nid
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  /** Create (once per scale factor) the MP3 fixture tree: 24 streams
-    * from [[graft.multimodal.Mp3Codec.build]] covering CBR and VBR
-    * (+Xing) frame sequences, all three MPEG-1 sampling rates, mono and
-    * stereo, padding cadences, ID3v2 prefixes and ID3v1 trailers — every
-    * structural feature of the metadata tier, each a pure function of
-    * the asset index (the oracle replays all of it closed-form).
-    */
-  private def ensureMp3Tree(sfDir: String): String = {
-    val root = workDir(scaledTag("mp3"), sfDir)
-    if (!Files.exists(Paths.get(root, "0"))) {
-      import graft.multimodal.Mp3Codec
-      for (i <- 0 until 24 * mediaScale) {
-        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
-        Files.createDirectories(dir)
-        val nf = 8 + i
-        val vbr = i % 3 == 0
-        val bis =
-          if (vbr) (0 until nf).map(f => 1 + ((i + f) % 14))
-          else Seq.fill(nf)(1 + (i % 14))
-        Files.write(dir.resolve(f"m$i%03d.mp3"),
-          Mp3Codec.build(bis, sampleRateIdx = i % 3,
-            mode = if (i % 2 == 0) 3 else 0, seed = i,
-            id3v2PayloadLen = if (i % 4 == 0) 100 + i else 0,
-            id3v1 = i % 5 == 0,
-            paddingEvery = if (i % 6 == 0) 3 else 0,
-            xing = vbr))
-      }
-    }
-    root
-  }
-
-  /** MP3 ingest metadata under the hash gate: binary scan of the MP3
-    * fixture tree through [[graft.multimodal.Mp3Codec.parse]] — the
-    * strict ISO 11172-3 frame walk (header validation, §2.4.3.1 frame
-    * sizing, cross-frame consistency) plus ID3v2/ID3v1 tag skips and
-    * Xing VBR frame counts. This is the no-decode pass a 100 TB audio
-    * ingest runs to catalog, route, and duration-audit mp3 assets; the
-    * oracle replays every field CLOSED-FORM from the fixture formulas
-    * (frame count, duration, per-frame bitrate min/max through the
-    * §2.4.2.3 bitrate table, tag byte counts) and pins byte identity
-    * via `read_blob`. PCM decode deliberately stays the documented
-    * stand-in ([[graft.multimodal.Mp3Codec]] scaladoc: the normative
-    * Annex B tables are not reproducible offline and no reference
-    * decoder exists here to differentiate against), so the REAL tier
-    * ends exactly where verifiability ends.
-    */
-  object Mp3Scan extends GraftQuery {
-    val name = "q_mp3_scan"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureMp3Tree(sfDir)
-      val idRe = "m(\\d+)\\.mp3".r
-      spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.mp3")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            info <- graft.multimodal.Mp3Codec.parse(content).toSeq
-          } yield (m.group(1).toLong, info.nFrames.toLong,
-            info.sampleRate.toLong, info.mode.toLong, info.durationMs,
-            info.frames.map(_.bitrateKbps).min.toLong,
-            info.frames.map(_.bitrateKbps).max.toLong,
-            if (info.vbr) 1L else 0L,
-            info.xingFrames.map(_.toLong).getOrElse(-1L),
-            info.id3v2Bytes.toLong, if (info.id3v1) 1L else 0L,
-            content.length.toLong,
-            content.take(4).map(b => f"$b%02X").mkString)
-        }
-        .toDF("asset_idx", "n_frames", "sample_rate", "mode", "duration_ms",
-          "kbps_min", "kbps_max", "is_vbr", "xing_frames", "id3v2_bytes",
-          "has_id3v1", "n_bytes", "head_hex")
-        .orderBy("asset_idx")
-    }
-    val oracle = Some(
-      s"""WITH br AS (
-        |  SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),
-        |    (7,96),(8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
-        |    (14,320)) t(bi, kbps)),
-        |specs AS (
-        |  SELECT i.i AS asset_idx, 8 + i.i AS nf,
-        |         CASE i.i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-        |              ELSE 32000 END AS rate,
-        |         CASE WHEN i.i % 2 = 0 THEN 3 ELSE 0 END AS mode,
-        |         i.i % 3 = 0 AS vbr,
-        |         CASE WHEN i.i % 4 = 0 THEN 110 + i.i ELSE 0 END AS id3v2,
-        |         CASE WHEN i.i % 5 = 0 THEN 1 ELSE 0 END AS id3v1
-        |  FROM unnest(range(0, 24)) i(i)),
-        |fr AS (
-        |  SELECT s.asset_idx, f.f AS f, s.rate,
-        |         CASE WHEN s.vbr THEN 1 + (s.asset_idx + f.f) % 14
-        |              ELSE 1 + s.asset_idx % 14 END AS bi,
-        |         CASE WHEN s.asset_idx % 6 = 0 AND f.f % 3 = 0
-        |              THEN 1 ELSE 0 END AS pad
-        |  FROM specs s, LATERAL unnest(range(0, s.nf)) f(f)),
-        |fb AS (
-        |  SELECT fr.asset_idx, min(br.kbps) AS kbps_min,
-        |         max(br.kbps) AS kbps_max,
-        |         CAST(sum(144000 * br.kbps // fr.rate + fr.pad) AS BIGINT)
-        |           AS frame_bytes
-        |  FROM fr JOIN br USING (bi) GROUP BY 1),
-        |b AS (
-        |  SELECT CAST(regexp_extract(filename, 'm(\\d+)\\.mp3', 1) AS BIGINT)
-        |           AS asset_idx,
-        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
-        |         substring(hex(content), 1, 8) AS head_hex
-        |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_mp3__root_testdata_sf0.01/**/*.mp3'))
-        |SELECT s.asset_idx, CAST(s.nf AS BIGINT) AS n_frames,
-        |       CAST(s.rate AS BIGINT) AS sample_rate,
-        |       CAST(s.mode AS BIGINT) AS mode,
-        |       CAST(s.nf * 1152 * 1000 // s.rate AS BIGINT) AS duration_ms,
-        |       CAST(fb.kbps_min AS BIGINT) AS kbps_min,
-        |       CAST(fb.kbps_max AS BIGINT) AS kbps_max,
-        |       CAST(CASE WHEN fb.kbps_min <> fb.kbps_max THEN 1 ELSE 0 END
-        |            AS BIGINT) AS is_vbr,
-        |       CAST(CASE WHEN s.vbr THEN s.nf ELSE -1 END AS BIGINT)
-        |         AS xing_frames,
-        |       CAST(s.id3v2 AS BIGINT) AS id3v2_bytes,
-        |       CAST(s.id3v1 AS BIGINT) AS has_id3v1,
-        |       b.n_bytes, b.head_hex
-        |FROM specs s JOIN fb USING (asset_idx) JOIN b USING (asset_idx)
-        |ORDER BY s.asset_idx""".stripMargin)
-  }
-
-  val all: Seq[GraftQuery] =
+  val all: Seq[GraftQuery] = {
+    import TabularQueries._
+    import ImageSourceQueries._
+    import ImageDedupQueries._
+    import AudioSourceQueries._
+    import AudioContainerQueries._
+    import AudioDedupQueries._
+    import VideoSourceQueries._
+    import VideoDedupQueries._
+    import MediaCatalogQueries._
     Seq(CsvRoundtrip, BinaryScan, BinaryTwoTone, ImageDims, JsonlRoundtrip,
       OrcRoundtrip, PartitionedRoundtrip, SchemaEvolution, CodecRoundtrip,
       FlacScan, ZmbvScan, Mp4Scan, OggScan, MkvScan, MkvVfwScan, GifScan,
@@ -3211,4 +57,5 @@ object SourceQueries {
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
       ImageDedupCluster, AudioFpScan, AudioNearDup, AudioDedupCluster,
       VideoFpScan, VideoNearDup, VideoDedupCluster, MediaCatalog, Mp3Scan)
+  }
 }

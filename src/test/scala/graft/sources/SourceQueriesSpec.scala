@@ -14,7 +14,7 @@ class SourceQueriesSpec extends SparkSpec {
 
   test("partitioned roundtrip: the re-read scan prunes excluded source " +
     "directories and matches the unpartitioned filter") {
-    val out = SourceQueries.PartitionedRoundtrip.run(spark, sf).collect()
+    val out = TabularQueries.PartitionedRoundtrip.run(spark, sf).collect()
     assert(out.nonEmpty)
     // the run above wrote the layout; re-open it the way the query does
     val safe = sf.replaceAll("[^A-Za-z0-9.]", "_")
@@ -42,7 +42,7 @@ class SourceQueriesSpec extends SparkSpec {
 
   test("image dims: SQL header arithmetic agrees with the driver-side " +
     "parser on every file in the tree") {
-    val rows = SourceQueries.ImageDims.run(spark, sf).collect()
+    val rows = ImageSourceQueries.ImageDims.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.length == 24)
     assert(rows.map(_._1).toSeq == (0L until 24L), "one row per image, ordered")
@@ -61,7 +61,7 @@ class SourceQueriesSpec extends SparkSpec {
     }
   }
   test("codec roundtrip: snappy and zstd checksums agree") {
-    val out = SourceQueries.CodecRoundtrip.run(spark, sf).collect()
+    val out = TabularQueries.CodecRoundtrip.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(out.length == 2)
     assert(out.map(_._1).toSeq == Seq("snappy", "zstd"))
@@ -74,14 +74,14 @@ class SourceQueriesSpec extends SparkSpec {
     // independent re-derivation: collect the near-dup PAIRS (their own
     // query is oracle-green), run a plain-Scala union-find, apply the
     // same keep-largest policy, compare to the operator's clusters
-    val pairs = SourceQueries.ImageNearDup.run(spark, sf).collect()
+    val pairs = ImageDedupQueries.ImageNearDup.run(spark, sf).collect()
       .map { r =>
         def nid(s: String): Long =
           (s.head match { case 's' => 0L; case 't' => 1L; case _ => 2L }) *
             1000L + s.tail.toLong
         (nid(r.getString(0)), nid(r.getString(1)))
       }
-    val bytes = SourceQueries.ImageAHash.run(spark, sf).collect()
+    val bytes = ImageDedupQueries.ImageAHash.run(spark, sf).collect()
       .map { r =>
         val k = r.getString(0) match { case "s" => 0L; case "t" => 1L; case _ => 2L }
         (k * 1000L + r.getLong(1)) -> r.getLong(4)
@@ -100,7 +100,7 @@ class SourceQueriesSpec extends SparkSpec {
         root -> (ms.length.toLong,
           ms.maxBy(m => bytes(m) * 100000L - m), ms.map(_ / 1000).distinct.length.toLong)
       }
-    val got = SourceQueries.ImageDedupCluster.run(spark, sf).collect()
+    val got = ImageDedupQueries.ImageDedupCluster.run(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == want, s"clusters diverged: got ${got.size}, want ${want.size}")
     // the solid tree is one giant exact-dup class: all 24 hash to 0 and
@@ -110,14 +110,14 @@ class SourceQueriesSpec extends SparkSpec {
   }
 
   test("audio dedup clusters: union-find differential + cross-container unification") {
-    val pairs = SourceQueries.AudioNearDup.run(spark, sf).collect()
+    val pairs = AudioDedupQueries.AudioNearDup.run(spark, sf).collect()
       .map { r =>
         def nid(s: String): Long =
           (s.head match { case 'a' => 0L; case 'o' => 1L; case _ => 2L }) *
             1000L + s.tail.toLong
         (nid(r.getString(0)), nid(r.getString(1)))
       }
-    val samples = SourceQueries.AudioFpScan.run(spark, sf).collect()
+    val samples = AudioDedupQueries.AudioFpScan.run(spark, sf).collect()
       .map { r =>
         val k = r.getString(0) match { case "a" => 0L; case "o" => 1L; case _ => 2L }
         (k * 1000L + r.getLong(1)) -> r.getLong(3)
@@ -137,7 +137,7 @@ class SourceQueriesSpec extends SparkSpec {
           ms.maxBy(m => samples(m) * 100000L - m),
           ms.map(_ / 1000).distinct.length.toLong)
       }
-    val got = SourceQueries.AudioDedupCluster.run(spark, sf).collect()
+    val got = AudioDedupQueries.AudioDedupCluster.run(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == want, s"clusters diverged: got ${got.size}, want ${want.size}")
     // the whole point: at least one cluster spans containers (the bare-
@@ -147,13 +147,13 @@ class SourceQueriesSpec extends SparkSpec {
   }
 
   test("video dedup clusters: union-find differential over the shot-overlap graph") {
-    val pairs = SourceQueries.VideoNearDup.run(spark, sf).collect()
+    val pairs = VideoDedupQueries.VideoNearDup.run(spark, sf).collect()
       .map { r =>
         def nid(s: String): Long =
           (if (s.head == 'v') 0L else 1L) * 1000L + s.tail.toLong
         (nid(r.getString(0)), nid(r.getString(1)))
       }
-    val nFrames = SourceQueries.VideoFpScan.run(spark, sf).collect()
+    val nFrames = VideoDedupQueries.VideoFpScan.run(spark, sf).collect()
       .map { r =>
         val k = if (r.getString(0) == "v") 0L else 1L
         (k * 1000L + r.getLong(1))
@@ -173,7 +173,7 @@ class SourceQueriesSpec extends SparkSpec {
           ms.maxBy(m => nFrames(m) * 100000L - m),
           ms.map(_ / 1000).distinct.length.toLong)
       }
-    val got = SourceQueries.VideoDedupCluster.run(spark, sf).collect()
+    val got = VideoDedupQueries.VideoDedupCluster.run(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == want, s"clusters diverged: got ${got.size}, want ${want.size}")
     spark.catalog.clearCache()
