@@ -115,10 +115,18 @@ object AudioDedupQueries {
   object AudioNearDup extends GraftQuery {
     val name = "q_audio_neardup"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // round 10: exact-class collapse ahead of the banded join (see
+      // ImageNearDup) — the ×1/×10 audit's one wrong-direction curve
+      // (2.0 → 2.65 shuffled rows per output pair) was 8-bit band
+      // occupancy growing with corpus size; the join now sees one row
+      // per DISTINCT contour, and within-class dist-0 pairs come from
+      // an O(members) expansion. Output set and oracle are unchanged.
       val ids = audioFpRows(spark, sfDir)
         .select(concat(col("kind"), lpad(col("asset_idx").cast("string"), 3, "0")).as("id"),
           col("fp"))
-      val bands = ids.select(col("id"), col("fp"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val classes = ids.groupBy("fp").agg(min(col("id")).as("rep"))
+      val bands = classes.select(col("rep"), col("fp"),
         posexplode(array(
           col("fp").bitwiseAND(lit(255L)),
           shiftright(col("fp"), 8).bitwiseAND(lit(255L)),
@@ -127,16 +135,25 @@ object AudioDedupQueries {
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_val")
       val a = bands.select(col("band_idx"), col("band_val"),
-        col("id").as("id_a"), col("fp").as("fp_a"))
+        col("rep").as("rep_a"), col("fp").as("fp_a"))
       val b = bands.select(col("band_idx"), col("band_val"),
-        col("id").as("id_b"), col("fp").as("fp_b"))
-      a.join(b, Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
+        col("rep").as("rep_b"), col("fp").as("fp_b"))
+      val clsPairs = a.join(b, Seq("band_idx", "band_val"))
+        .where(col("rep_a") < col("rep_b"))
+        .select(col("fp_a"), col("fp_b"),
           expr("bit_count(fp_a ^ fp_b)").cast("long").as("dist"))
         .distinct()
         .where(col("dist") <= 4)
-        .orderBy("id_a", "id_b")
+      val cross = clsPairs
+        .join(ids.select(col("fp").as("fp_a"), col("id").as("ida")), Seq("fp_a"))
+        .join(ids.select(col("fp").as("fp_b"), col("id").as("idb")), Seq("fp_b"))
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
+      val within = ids.as("x")
+        .join(ids.as("y"), col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          lit(0L).as("dist"))
+      cross.unionByName(within).orderBy("id_a", "id_b")
     }
     val oracle = Some(
       s"""WITH $audioFpOracleCte,
@@ -175,7 +192,14 @@ object AudioDedupQueries {
           .otherwise(2L) * 1000L + col("asset_idx")).as("nid"),
           col("fp"), col("n_samples"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = ids.select(col("nid"), col("fp"),
+      // round 10: exact-class collapse (see ImageDedupCluster) — band
+      // join and CC fixpoint run on one node per DISTINCT contour; an
+      // edge-less size≥2 class is already a cluster and keeps its own
+      // min id as label, exactly as the member-level graph produced.
+      val classes = ids.groupBy("fp")
+        .agg(min(col("nid")).as("rep"), count(lit(1)).as("cls_size"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = classes.select(col("rep"), col("fp"),
         posexplode(array(
           col("fp").bitwiseAND(lit(255L)),
           shiftright(col("fp"), 8).bitwiseAND(lit(255L)),
@@ -184,20 +208,24 @@ object AudioDedupQueries {
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_val")
       val a = bands.select(col("band_idx"), col("band_val"),
-        col("nid").as("doc_a"), col("fp").as("fp_a"))
+        col("rep").as("doc_a"), col("fp").as("fp_a"))
       val b = bands.select(col("band_idx"), col("band_val"),
-        col("nid").as("doc_b"), col("fp").as("fp_b"))
-      val pairs = a.join(b, Seq("band_idx", "band_val"))
+        col("rep").as("doc_b"), col("fp").as("fp_b"))
+      val clsEdges = a.join(b, Seq("band_idx", "band_val"))
         .where(col("doc_a") < col("doc_b"))
         .where(expr("bit_count(fp_a ^ fp_b)") <= 4)
         .select("doc_a", "doc_b").distinct()
-      graft.dedup.Dedup.connectedComponents(pairs)
-        .join(ids.select(col("nid").as("id"), col("n_samples")), Seq("id"))
+      val ccLabels = graft.dedup.Dedup.connectedComponents(clsEdges)
+        .withColumnRenamed("id", "rep")
+      val clsLabeled = classes.join(ccLabels, Seq("rep"), "left")
+        .where(col("label").isNotNull || col("cls_size") >= 2)
+        .select(col("fp"), coalesce(col("label"), col("rep")).as("label"))
+      ids.join(clsLabeled, Seq("fp"))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"),
-          max_by(col("id"), col("n_samples") * 100000L - col("id"))
+          max_by(col("nid"), col("n_samples") * 100000L - col("nid"))
             .as("representative"),
-          countDistinct(expr("id div 1000")).as("n_containers"))
+          countDistinct(expr("nid div 1000")).as("n_containers"))
         .orderBy("cluster_id")
     }
     val oracle = Some(

@@ -29,8 +29,16 @@ object SourceQueries {
     * bytes (at scale 1 the generators are byte-identical to before — the
     * masking below is the identity on the base index range).
     */
-  private[sources] def mediaScale: Int =
-    sys.env.getOrElse("SPARK_GRAFT_MEDIA_SCALE", "1").toInt
+  private[sources] def mediaScale: Int = {
+    val s = sys.env.getOrElse("SPARK_GRAFT_MEDIA_SCALE", "1").toInt
+    // the *DedupCluster queries encode node ids as kind*1000 + asset_idx;
+    // ≥1000 assets per kind (scale ≥ 42) would silently collide across
+    // kinds and merge unrelated clusters — fail loudly instead
+    require(s * 24 < 1000,
+      s"SPARK_GRAFT_MEDIA_SCALE=$s would overflow the kind*1000+asset_idx " +
+        "node-id stride of the media dedup-cluster queries (max 41)")
+    s
+  }
   private[sources] def scaledTag(tag: String): String = {
     val s = mediaScale
     if (s == 1) tag else s"${tag}_x$s"
