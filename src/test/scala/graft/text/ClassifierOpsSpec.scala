@@ -115,4 +115,22 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(r.getDouble(9) == (tp + tn).toDouble / (pos.size + neg.size))
     spark.catalog.clearCache()
   }
+
+  test("model cache: cold-trained and cache-served eval results are identical") {
+    // q_classifier_select / q_classifier_auc serve the trained weight
+    // vector from ModelCache after the first execution (the tokenizer
+    // apply-row pattern) — a hit must be indistinguishable from a cold
+    // train, or the bench min would measure a different query than the
+    // oracle checks
+    ModelCache.clear()
+    val coldSel = ClassifierOps.ClassifierSelect.run(spark, sf).collect().toSeq
+    val coldAuc = ClassifierOps.ClassifierAuc.run(spark, sf).collect().toSeq
+    spark.catalog.clearCache()
+    val warmSel = ClassifierOps.ClassifierSelect.run(spark, sf).collect().toSeq
+    val warmAuc = ClassifierOps.ClassifierAuc.run(spark, sf).collect().toSeq
+    assert(coldSel == warmSel, "cache-served selection diverged from cold train")
+    assert(coldAuc == warmAuc, "cache-served AUC diverged from cold train")
+    ModelCache.clear()
+    spark.catalog.clearCache()
+  }
 }
