@@ -500,11 +500,13 @@ object AudioSourceQueries {
         |ORDER BY s.asset_idx""".stripMargin)
   }
 
-  /** Create (once per scale factor) the MP3 fixture tree: 24 streams
-    * from [[graft.multimodal.Mp3Codec.build]] covering CBR and VBR
-    * (+Xing) frame sequences, all three MPEG-1 sampling rates, mono and
-    * stereo, padding cadences, ID3v2 prefixes and ID3v1 trailers — every
-    * structural feature of the metadata tier, each a pure function of
+  /** Create (once per scale factor) the MPEG-audio fixture tree: the
+    * round-9 base tier (24 MPEG-1 Layer III streams covering CBR and
+    * VBR (+Xing), all three sampling rates, mono and stereo, padding
+    * cadences, ID3v2 prefixes and ID3v1 trailers) plus the round-10
+    * `v2/` tier (ids 1000+, 24 streams sweeping the version × layer
+    * matrix: MPEG-2 / MPEG-2.5 / MPEG-1 × Layers I / II / III — the
+    * headers real crawls contain). Every field is a pure function of
     * the asset index (the oracle replays all of it closed-form).
     */
   private[sources] def ensureMp3Tree(sfDir: String): String = {
@@ -526,6 +528,32 @@ object AudioSourceQueries {
             id3v1 = i % 5 == 0,
             paddingEvery = if (i % 6 == 0) 3 else 0,
             xing = vbr))
+      }
+    }
+    // round-10 tier (own marker: the v2/ subtree — a round-9 tree on
+    // disk regenerates just this part): the version × layer matrix real
+    // crawls contain — MPEG-2 (13818-3), MPEG-2.5, Layers I/II/III.
+    // Ids start at 1000 (the base tier tops out at 983 at max scale).
+    if (!Files.exists(Paths.get(root, "v2"))) {
+      import graft.multimodal.Mp3Codec
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, "v2", s"${i % 3}")
+        Files.createDirectories(dir)
+        val verRaw = (i % 3) match { case 0 => 2; case 1 => 0; case _ => 3 }
+        val layerRaw = ((i / 3) % 3) match { case 0 => 3; case 1 => 2; case _ => 1 }
+        val nf = 6 + i
+        val vbr = i % 4 == 0
+        val bis =
+          if (vbr) (0 until nf).map(f => 1 + ((i + f) % 14))
+          else Seq.fill(nf)(1 + (i % 14))
+        Files.write(dir.resolve(f"m${1000 + i}%04d.mp3"),
+          Mp3Codec.build(bis, sampleRateIdx = (i / 9) % 3,
+            mode = if (i % 2 == 0) 3 else 0, seed = 100 + i,
+            id3v2PayloadLen = if (i % 5 == 0) 80 + i else 0,
+            id3v1 = i % 7 == 0,
+            paddingEvery = if (i % 6 == 0) 2 else 0,
+            xing = vbr && layerRaw == 1,
+            verRaw = verRaw, layerRaw = layerRaw))
       }
     }
     root
@@ -563,6 +591,7 @@ object AudioSourceQueries {
             m <- idRe.findFirstMatchIn(path).toSeq
             info <- graft.multimodal.Mp3Codec.parse(content).toSeq
           } yield (m.group(1).toLong, info.nFrames.toLong,
+            info.versionX10.toLong, info.layer.toLong,
             info.sampleRate.toLong, info.mode.toLong, info.durationMs,
             info.frames.map(_.bitrateKbps).min.toLong,
             info.frames.map(_.bitrateKbps).max.toLong,
@@ -572,38 +601,76 @@ object AudioSourceQueries {
             content.length.toLong,
             content.take(4).map(b => f"$b%02X").mkString)
         }
-        .toDF("asset_idx", "n_frames", "sample_rate", "mode", "duration_ms",
+        .toDF("asset_idx", "n_frames", "mpeg_version_x10", "layer",
+          "sample_rate", "mode", "duration_ms",
           "kbps_min", "kbps_max", "is_vbr", "xing_frames", "id3v2_bytes",
           "has_id3v1", "n_bytes", "head_hex")
         .orderBy("asset_idx")
     }
     val oracle = Some(
       s"""WITH br AS (
-        |  SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),
-        |    (7,96),(8,112),(9,128),(10,160),(11,192),(12,224),(13,256),
-        |    (14,320)) t(bi, kbps)),
+        |  -- §2.4.2.3 / 13818-3 bitrate tables: (version group, logical
+        |  -- layer, index) → kbps; vg 1 = MPEG-1, vg 2 = MPEG-2/2.5
+        |  -- (which share one Layer II/III table)
+        |  SELECT * FROM (VALUES
+        |    (1,1,1,32),(1,1,2,64),(1,1,3,96),(1,1,4,128),(1,1,5,160),
+        |    (1,1,6,192),(1,1,7,224),(1,1,8,256),(1,1,9,288),(1,1,10,320),
+        |    (1,1,11,352),(1,1,12,384),(1,1,13,416),(1,1,14,448),
+        |    (1,2,1,32),(1,2,2,48),(1,2,3,56),(1,2,4,64),(1,2,5,80),
+        |    (1,2,6,96),(1,2,7,112),(1,2,8,128),(1,2,9,160),(1,2,10,192),
+        |    (1,2,11,224),(1,2,12,256),(1,2,13,320),(1,2,14,384),
+        |    (1,3,1,32),(1,3,2,40),(1,3,3,48),(1,3,4,56),(1,3,5,64),
+        |    (1,3,6,80),(1,3,7,96),(1,3,8,112),(1,3,9,128),(1,3,10,160),
+        |    (1,3,11,192),(1,3,12,224),(1,3,13,256),(1,3,14,320),
+        |    (2,1,1,32),(2,1,2,48),(2,1,3,56),(2,1,4,64),(2,1,5,80),
+        |    (2,1,6,96),(2,1,7,112),(2,1,8,128),(2,1,9,144),(2,1,10,160),
+        |    (2,1,11,176),(2,1,12,192),(2,1,13,224),(2,1,14,256),
+        |    (2,2,1,8),(2,2,2,16),(2,2,3,24),(2,2,4,32),(2,2,5,40),
+        |    (2,2,6,48),(2,2,7,56),(2,2,8,64),(2,2,9,80),(2,2,10,96),
+        |    (2,2,11,112),(2,2,12,128),(2,2,13,144),(2,2,14,160),
+        |    (2,3,1,8),(2,3,2,16),(2,3,3,24),(2,3,4,32),(2,3,5,40),
+        |    (2,3,6,48),(2,3,7,56),(2,3,8,64),(2,3,9,80),(2,3,10,96),
+        |    (2,3,11,112),(2,3,12,128),(2,3,13,144),(2,3,14,160)
+        |  ) t(vg, lyr, bi, kbps)),
         |specs AS (
-        |  SELECT i.i AS asset_idx, 8 + i.i AS nf,
+        |  -- round-9 tier: MPEG-1 Layer III
+        |  SELECT i.i AS asset_idx, 8 + i.i AS nf, 10 AS vx10, 3 AS lyr,
         |         CASE i.i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |              ELSE 32000 END AS rate,
         |         CASE WHEN i.i % 2 = 0 THEN 3 ELSE 0 END AS mode,
         |         i.i % 3 = 0 AS vbr,
         |         CASE WHEN i.i % 4 = 0 THEN 110 + i.i ELSE 0 END AS id3v2,
-        |         CASE WHEN i.i % 5 = 0 THEN 1 ELSE 0 END AS id3v1
+        |         CASE WHEN i.i % 5 = 0 THEN 1 ELSE 0 END AS id3v1,
+        |         i.i AS ci,
+        |         CASE WHEN i.i % 6 = 0 THEN 3 ELSE 0 END AS pad_every
+        |  FROM unnest(range(0, 24)) i(i)
+        |  UNION ALL
+        |  -- round-10 tier: the version × layer matrix (MPEG-2 halves the
+        |  -- MPEG-1 rate, 2.5 quarters it; ids offset by 1000)
+        |  SELECT 1000 + i.i, 6 + i.i,
+        |         CASE i.i % 3 WHEN 0 THEN 20 WHEN 1 THEN 25 ELSE 10 END,
+        |         CASE (i.i // 3) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END,
+        |         (CASE (i.i // 9) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |               ELSE 32000 END)
+        |           // (CASE i.i % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 1 END),
+        |         CASE WHEN i.i % 2 = 0 THEN 3 ELSE 0 END,
+        |         i.i % 4 = 0,
+        |         CASE WHEN i.i % 5 = 0 THEN 90 + i.i ELSE 0 END,
+        |         CASE WHEN i.i % 7 = 0 THEN 1 ELSE 0 END,
+        |         i.i,
+        |         CASE WHEN i.i % 6 = 0 THEN 2 ELSE 0 END
         |  FROM unnest(range(0, 24)) i(i)),
         |fr AS (
-        |  SELECT s.asset_idx, f.f AS f, s.rate,
-        |         CASE WHEN s.vbr THEN 1 + (s.asset_idx + f.f) % 14
-        |              ELSE 1 + s.asset_idx % 14 END AS bi,
-        |         CASE WHEN s.asset_idx % 6 = 0 AND f.f % 3 = 0
-        |              THEN 1 ELSE 0 END AS pad
+        |  SELECT s.asset_idx, s.vx10, s.lyr, f.f AS f,
+        |         CASE WHEN s.vbr THEN 1 + (s.ci + f.f) % 14
+        |              ELSE 1 + s.ci % 14 END AS bi
         |  FROM specs s, LATERAL unnest(range(0, s.nf)) f(f)),
         |fb AS (
         |  SELECT fr.asset_idx, min(br.kbps) AS kbps_min,
-        |         max(br.kbps) AS kbps_max,
-        |         CAST(sum(144000 * br.kbps // fr.rate + fr.pad) AS BIGINT)
-        |           AS frame_bytes
-        |  FROM fr JOIN br USING (bi) GROUP BY 1),
+        |         max(br.kbps) AS kbps_max
+        |  FROM fr JOIN br ON br.vg = CASE WHEN fr.vx10 = 10 THEN 1 ELSE 2 END
+        |                 AND br.lyr = fr.lyr AND br.bi = fr.bi
+        |  GROUP BY 1),
         |b AS (
         |  SELECT CAST(regexp_extract(filename, 'm(\\d+)\\.mp3', 1) AS BIGINT)
         |           AS asset_idx,
@@ -611,15 +678,19 @@ object AudioSourceQueries {
         |         substring(hex(content), 1, 8) AS head_hex
         |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_mp3__root_testdata_sf0.01/**/*.mp3'))
         |SELECT s.asset_idx, CAST(s.nf AS BIGINT) AS n_frames,
+        |       CAST(s.vx10 AS BIGINT) AS mpeg_version_x10,
+        |       CAST(s.lyr AS BIGINT) AS layer,
         |       CAST(s.rate AS BIGINT) AS sample_rate,
         |       CAST(s.mode AS BIGINT) AS mode,
-        |       CAST(s.nf * 1152 * 1000 // s.rate AS BIGINT) AS duration_ms,
+        |       CAST(s.nf * (CASE WHEN s.lyr = 1 THEN 384 WHEN s.lyr = 2 THEN 1152
+        |                    WHEN s.vx10 = 10 THEN 1152 ELSE 576 END)
+        |            * 1000 // s.rate AS BIGINT) AS duration_ms,
         |       CAST(fb.kbps_min AS BIGINT) AS kbps_min,
         |       CAST(fb.kbps_max AS BIGINT) AS kbps_max,
         |       CAST(CASE WHEN fb.kbps_min <> fb.kbps_max THEN 1 ELSE 0 END
         |            AS BIGINT) AS is_vbr,
-        |       CAST(CASE WHEN s.vbr THEN s.nf ELSE -1 END AS BIGINT)
-        |         AS xing_frames,
+        |       CAST(CASE WHEN s.vbr AND s.lyr = 3 THEN s.nf ELSE -1 END
+        |            AS BIGINT) AS xing_frames,
         |       CAST(s.id3v2 AS BIGINT) AS id3v2_bytes,
         |       CAST(s.id3v1 AS BIGINT) AS has_id3v1,
         |       b.n_bytes, b.head_hex

@@ -47,7 +47,7 @@ class Mp3CodecSpec extends AnyFunSuite {
       val info = M.parse(bytes)
         .getOrElse(fail(s"rejected si=$si mode=$mode vbr=$vbr"))
       assert(info.nFrames == nf)
-      assert(info.sampleRate == M.SampleRates(si))
+      assert(info.sampleRate == M.SampleRatesV1(si))
       assert(info.mode == mode)
       assert(info.vbr == vbr)
       assert(info.xingFrames == (if (vbr) Some(nf) else None))
@@ -75,9 +75,12 @@ class Mp3CodecSpec extends AnyFunSuite {
       val c = good.clone(); c(i) = v.toByte; c
     }
     assert(M.parse(mut(0, 0xFE)).isEmpty, "broken sync")
-    assert(M.parse(mut(1, 0xF3)).isEmpty, "MPEG-2 version bits")
-    assert(M.parse(mut(1, 0xFD)).isEmpty, "Layer II")
-    assert(M.parse(mut(1, 0xF9)).isEmpty, "Layer I")
+    // since the round-10 widening these two flips parse as VALID MPEG-2 /
+    // Layer II first frames — the stream is now rejected one step later,
+    // by the re-sized walk landing mid-payload (same None, new reason)
+    assert(M.parse(mut(1, 0xF3)).isEmpty, "version change = walk de-sync")
+    assert(M.parse(mut(1, 0xFD)).isEmpty, "layer change = walk de-sync")
+    assert(M.parse(mut(1, 0xF9)).isEmpty, "reserved layer code 00")
     assert(M.parse(mut(2, 0x00)).isEmpty, "free-format bitrate")
     assert(M.parse(mut(2, 0xF0)).isEmpty, "forbidden bitrate index")
     assert(M.parse(mut(2, 0x9C)).isEmpty, "reserved sampling rate")
@@ -108,6 +111,74 @@ class Mp3CodecSpec extends AnyFunSuite {
       for (_ <- 0 to rnd.nextInt(3)) c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
       M.parse(c) // strictness may reject; it must never throw
     }
+  }
+
+  test("version/layer matrix: round-trip with independently computed frame sizes") {
+    // every (version, layer, rate-index) cell of the §2.4.1.3 matrix,
+    // with the frame arithmetic recomputed HERE from the spec text
+    // (slot-based Layer I, 144/72-multiplier Layers II/III), sharing no
+    // code with the codec's frameSize
+    val rates = Map(3 -> Seq(44100, 48000, 32000), 2 -> Seq(22050, 24000, 16000),
+      0 -> Seq(11025, 12000, 8000))
+    val tables = Map(
+      (3, 3) -> Seq(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      (3, 2) -> Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      (3, 1) -> Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+      (2, 3) -> Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      (2, 2) -> Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+    for {
+      ver <- Seq(3, 2, 0)
+      layer <- Seq(3, 2, 1) // raw codes: I, II, III
+      si <- 0 to 2
+      bi <- Seq(1, 7, 14)
+    } {
+      val bytes = M.build(Seq.fill(5)(bi), si, mode = 3, seed = ver * 9 + layer,
+        verRaw = ver, layerRaw = layer)
+      val info = M.parse(bytes)
+        .getOrElse(fail(s"rejected ver=$ver layer=$layer si=$si bi=$bi"))
+      val rate = rates(ver)(si)
+      val kbps = tables(if (ver == 3) (3, layer) else (2, math.max(layer, 2)))(bi)
+      val size =
+        if (layer == 3) (12000 * kbps / rate) * 4
+        else if (layer == 2 || ver == 3) 144000 * kbps / rate
+        else 72000 * kbps / rate
+      assert(info.frames.head.sizeBytes == size, s"ver=$ver layer=$layer si=$si bi=$bi")
+      assert(info.sampleRate == rate && info.frames.head.bitrateKbps == kbps)
+      assert(bytes.length == 5 * size, "walk must tile the stream")
+      // catalog derivations: versionX10, logical layer, samples/frame
+      assert(info.versionX10 == (if (ver == 3) 10 else if (ver == 2) 20 else 25))
+      assert(info.layer == 4 - layer)
+      val spf = if (layer == 3) 384 else if (layer == 2) 1152
+                else if (ver == 3) 1152 else 576
+      assert(info.durationMs == 5L * spf * 1000 / rate)
+    }
+  }
+
+  test("MPEG-2.5 Layer III Xing sits after the 9/17-byte side info") {
+    val mono = M.build((0 until 7).map(f => 1 + f % 14), 1, 3, seed = 11,
+      xing = true, verRaw = 0, layerRaw = 1)
+    assert(M.parse(mono).get.xingFrames.contains(7))
+    val stereo = M.build((0 until 7).map(f => 1 + f % 14), 1, 0, seed = 12,
+      xing = true, verRaw = 0, layerRaw = 1)
+    assert(M.parse(stereo).get.xingFrames.contains(7))
+  }
+
+  test("ID3v1 sniff false positive: payload 'TAG' at end-128 must not reject") {
+    // untagged stream whose last frame's PAYLOAD coincidentally spells
+    // 'TAG' exactly 128 bytes from the end — the trimmed walk fails to
+    // tile, and the ADVICE-r9 retry must accept the stream untrimmed
+    val good = M.build(Seq.fill(9)(9), 0, 3, seed = 6)
+    assert(good.length > 600, "need a payload byte at end-128")
+    val lastOff = M.parse(good).get.frames.last.offset
+    assert(good.length - 128 > lastOff + 4, "'TAG' must land inside payload")
+    val c = good.clone()
+    c(c.length - 128) = 'T'; c(c.length - 127) = 'A'; c(c.length - 126) = 'G'
+    val info = M.parse(c).getOrElse(fail("false-positive trim rejected stream"))
+    assert(!info.id3v1, "coincidental payload 'TAG' reported as a trailer tag")
+    assert(info.nFrames == 9)
+    // and a REAL trailer is still detected (walk tiles after the trim)
+    val tagged = M.build(Seq.fill(9)(9), 0, 3, seed = 6, id3v1 = true)
+    assert(M.parse(tagged).get.id3v1)
   }
 
   test("Xing offset honors CRC and channel-mode side-info widths") {
