@@ -27,6 +27,33 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamQueries {
 
+  /** Shuffle-partition count for the streaming EXECUTIONS (the batch
+    * readout after the sink still runs at the session default). Stateful
+    * streaming cost has a fixed per-partition component the batch side
+    * does not: every micro-batch loads+commits one state store PER
+    * partition (×4 stores for a stream-stream join), so at the session's
+    * 8–32 partitions the tier paid ~9 s of pure state-store setup per
+    * bench pass for sinks that are aggregate-sized (VERDICT r9 item 6).
+    * Every registered readout is partition-count independent (Complete
+    * aggregates / append-join match sets / per-key state), so the twins
+    * run at a small count; a production deployment sizes this to
+    * throughput (documented knob), not to the session default.
+    */
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4").toInt
+
+  /** Run `body` with the streaming shuffle-partition override in place,
+    * restoring the session default afterwards (the registrations execute
+    * sequentially in one session — Verify/Bench — so a scoped set/restore
+    * is race-free).
+    */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming read of the events table, normalized to the shape of
     * [[EventStream.batchEvents]] (the file source needs an explicit
     * schema — at 100 TB schema inference is a full extra scan; here it is
@@ -122,9 +149,11 @@ object StreamQueries {
   private def runToMemory(spark: SparkSession, name: String, df: DataFrame,
       mode: String): DataFrame = {
     spark.catalog.dropTempView(name) // re-runs in one session replace it
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -159,13 +188,15 @@ object StreamQueries {
     val ckpt = java.nio.file.Paths.get(land.toString + "_ckpt")
     deleteRecursively(land)
     deleteRecursively(ckpt)
-    val q = df.writeStream
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .foreachBatch(EventStream.idempotentBatchSink(land.toString) _)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch(EventStream.idempotentBatchSink(land.toString) _)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(land.toString)
   }
 
