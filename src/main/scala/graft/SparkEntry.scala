@@ -49,6 +49,7 @@ object SparkEntry {
       similarity.RandProj.all ++
       similarity.MmrOps.all ++
       sources.SourceQueries.all ++
+      sources.ArchiveQueries.all ++
       streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

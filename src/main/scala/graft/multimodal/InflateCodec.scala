@@ -57,12 +57,27 @@ object InflateCodec {
   def inflate(data: Array[Byte], from: Int, expected: Int): Option[Array[Byte]] =
     inflateEnd(data, from, expected).map(_._1)
 
+  /** Raw DEFLATE from byte offset `from` with UNKNOWN output size — the
+    * gzip-member shape (RFC 1952 puts ISIZE AFTER the stream, so a
+    * member walker cannot know the size up front). Output is bounded by
+    * `maxOut` (the decompression-bomb guard every caller of this family
+    * states); returns the bytes and the BYTE offset one past the last
+    * consumed byte (bit end rounded up — DEFLATE streams inside gzip are
+    * always followed by the byte-aligned 8-byte trailer).
+    */
+  def inflateUnknown(data: Array[Byte], from: Int,
+      maxOut: Int): Option[(Array[Byte], Int)] =
+    inflateEnd(data, from, maxOut, exact = false)
+      .map { case (out, bitEnd) => (out, ((bitEnd + 7) >> 3).toInt) }
+
   /** As [[inflate]] but also returns the bit position one past the last
     * consumed bit, so a wrapper (zlib) can check its trailer really
-    * starts where the stream ended.
+    * starts where the stream ended. With `exact = false`, `expected` is
+    * an upper BOUND and the returned array is trimmed to what the
+    * stream produced.
     */
   private def inflateEnd(data: Array[Byte], from: Int,
-      expected: Int): Option[(Array[Byte], Long)] =
+      expected: Int, exact: Boolean = true): Option[(Array[Byte], Long)] =
     try {
       if (expected < 0) fail()
       val out = new Array[Byte](expected)
@@ -133,8 +148,9 @@ object InflateCodec {
           case _ => fail()
         }
       }
-      if (got != expected) fail()
-      Some((out, bitPos))
+      if (exact && got != expected) fail()
+      Some((if (got == expected) out else java.util.Arrays.copyOf(out, got),
+        bitPos))
     } catch {
       case _: Malformed | _: ArrayIndexOutOfBoundsException => None
     }

@@ -1,0 +1,313 @@
+package graft.sources
+
+import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import SourceQueries.{workDir, mediaScale, scaledTag}
+
+/** Archive/crawl ingestion tier (round 10): the container formats a
+  * 100 TB training-data ingest actually walks — POSIX tar, ZIP
+  * (stored + DEFLATE members), and WARC-in-gzip-members, the exact
+  * layout Common Crawl publishes (~100 TB of `.warc.gz` per snapshot,
+  * one gzip member per record so readers can seek). All four walkers
+  * are from-spec ([[graft.multimodal.TarCodec]] /
+  * [[graft.multimodal.ZipCodec]] / [[graft.multimodal.GzipCodec]] /
+  * [[graft.multimodal.WarcCodec]]), strict, and total; `java.util.zip`
+  * serves as the independent differential where the JVM ships one
+  * (ArchiveCodecSpec). Decode happens where the scan reads the bytes —
+  * only small per-asset aggregate rows move afterwards, the same
+  * 100 TB stance as every other media scan.
+  */
+object ArchiveQueries {
+
+  /** Create (once per scale factor) the TAR fixture tree: 24 archives,
+    * asset i holding 2 + i%4 entries; entry j is 50 + 37i + 11j bytes
+    * with byte k = (13i + 5j + 7k) mod 128 — every field a pure
+    * function of (i, j, k), replayed closed-form by the oracle.
+    */
+  private[sources] def ensureTarTree(sfDir: String): String = {
+    val root = workDir(scaledTag("tar"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.TarCodec
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val files = (0 until 2 + i % 4).map { j =>
+          (s"e$j.dat",
+            Array.tabulate(50 + 37 * i + 11 * j)(k =>
+              ((13 * i + 5 * j + 7 * k) % 128).toByte))
+        }
+        Files.write(dir.resolve(f"t$i%03d.tar"), TarCodec.build(files))
+      }
+    }
+    root
+  }
+
+  /** TAR enumeration under the hash gate: strict ustar walk (checksum
+    * validated on every header, block tiling, two-zero-block
+    * terminator) reduced to per-archive integer invariants. The oracle
+    * replays entry counts, sizes, and the full payload byte sum from
+    * the fixture formulas and pins byte identity via `read_blob`.
+    */
+  object TarScan extends GraftQuery {
+    val name = "q_tar_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureTarTree(sfDir)
+      val idRe = "t(\\d+)\\.tar".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            es <- graft.multimodal.TarCodec.entries(content).toSeq
+          } yield (m.group(1).toLong, es.length.toLong,
+            es.map(_.size.toLong).sum,
+            es.map(_.size.toLong).max,
+            es.map(e => graft.multimodal.TarCodec.payload(content, e)
+              .map(_ & 0xFF).map(_.toLong).sum).sum,
+            content.length.toLong,
+            content.take(4).map(b => f"$b%02X").mkString)
+        }
+        .toDF("asset_idx", "n_entries", "total_size", "max_entry",
+          "sum_bytes", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      s"""WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 4 AS ne
+        |  FROM unnest(range(0, 24)) i(i)),
+        |ent AS (
+        |  SELECT s.asset_idx, j.j AS j,
+        |         50 + 37 * s.asset_idx + 11 * j.j AS sz
+        |  FROM specs s, LATERAL unnest(range(0, s.ne)) j(j)),
+        |pb AS (
+        |  SELECT e.asset_idx,
+        |         CAST(sum((13 * e.asset_idx + 5 * e.j + 7 * k.k) % 128)
+        |              AS BIGINT) AS sb
+        |  FROM ent e, LATERAL unnest(range(0, e.sz)) k(k)
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT asset_idx, CAST(count(*) AS BIGINT) AS n_entries,
+        |         CAST(sum(sz) AS BIGINT) AS total_size,
+        |         CAST(max(sz) AS BIGINT) AS max_entry
+        |  FROM ent GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(regexp_extract(filename, 't(\\d+)\\.tar', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 8) AS head_hex
+        |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_tar__root_testdata_sf0.01/**/*.tar'))
+        |SELECT a.asset_idx, a.n_entries, a.total_size, a.max_entry,
+        |       pb.sb AS sum_bytes, b.n_bytes, b.head_hex
+        |FROM agg a JOIN pb USING (asset_idx) JOIN b USING (asset_idx)
+        |ORDER BY a.asset_idx""".stripMargin)
+  }
+
+  /** Create (once per scale factor) the ZIP fixture tree: asset i holds
+    * 2 + i%3 members, member j stored when (i+j) is odd and DEFLATEd
+    * when even, 40 + 29i + 13j bytes with byte k = (11i+3j+5k) mod 128.
+    */
+  private[sources] def ensureZipTree(sfDir: String): String = {
+    val root = workDir(scaledTag("zip"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.ZipCodec
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val files = (0 until 2 + i % 3).map { j =>
+          (s"f$j",
+            Array.tabulate(40 + 29 * i + 13 * j)(k =>
+              ((11 * i + 3 * j + 5 * k) % 128).toByte),
+            (i + j) % 2 == 0)
+        }
+        Files.write(dir.resolve(f"z$i%03d.zip"), ZipCodec.build(files))
+      }
+    }
+    root
+  }
+
+  /** ZIP enumeration + extraction under the hash gate: central-directory
+    * walk, local-header cross-validation, stored and from-spec-DEFLATE
+    * member extraction with every CRC-32 recomputed and checked. The
+    * payload byte sum hash-gates the DEFLATE round-trip inside the
+    * archive (an inflate bug cannot reproduce the closed-form sum); the
+    * oracle replays counts/sizes/sums from the fixture formulas.
+    */
+  object ZipScan extends GraftQuery {
+    val name = "q_zip_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureZipTree(sfDir)
+      val idRe = "z(\\d+)\\.zip".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            es <- graft.multimodal.ZipCodec.entries(content).toSeq
+          } yield (m.group(1).toLong, es.length.toLong,
+            es.count(_.method == 8).toLong,
+            es.map(_.uncompressedSize.toLong).sum,
+            es.map(_.payload.map(_ & 0xFF).map(_.toLong).sum).sum,
+            content.length.toLong,
+            content.take(4).map(b => f"$b%02X").mkString)
+        }
+        .toDF("asset_idx", "n_members", "n_deflated", "total_uncompressed",
+          "sum_bytes", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      s"""WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 3 AS nm
+        |  FROM unnest(range(0, 24)) i(i)),
+        |mem AS (
+        |  SELECT s.asset_idx, j.j AS j,
+        |         40 + 29 * s.asset_idx + 13 * j.j AS sz,
+        |         CASE WHEN (s.asset_idx + j.j) % 2 = 0 THEN 1 ELSE 0 END AS defl
+        |  FROM specs s, LATERAL unnest(range(0, s.nm)) j(j)),
+        |pb AS (
+        |  SELECT m.asset_idx,
+        |         CAST(sum((11 * m.asset_idx + 3 * m.j + 5 * k.k) % 128)
+        |              AS BIGINT) AS sb
+        |  FROM mem m, LATERAL unnest(range(0, m.sz)) k(k)
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT asset_idx, CAST(count(*) AS BIGINT) AS n_members,
+        |         CAST(sum(defl) AS BIGINT) AS n_deflated,
+        |         CAST(sum(sz) AS BIGINT) AS total_uncompressed
+        |  FROM mem GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(regexp_extract(filename, 'z(\\d+)\\.zip', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 8) AS head_hex
+        |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_zip__root_testdata_sf0.01/**/*.zip'))
+        |SELECT a.asset_idx, a.n_members, a.n_deflated, a.total_uncompressed,
+        |       pb.sb AS sum_bytes, b.n_bytes, b.head_hex
+        |FROM agg a JOIN pb USING (asset_idx) JOIN b USING (asset_idx)
+        |ORDER BY a.asset_idx""".stripMargin)
+  }
+
+  /** Create (once per scale factor) the `.warc.gz` fixture tree in the
+    * Common Crawl carriage — asset i = 2 + i%3 records, EACH its own
+    * gzip member; record 0 is the warcinfo, the rest alternate
+    * response/request with per-record target URIs; payload j is
+    * 30 + 17i + 9j bytes with byte k = (7i + 3j + 5k) mod 128.
+    */
+  private[sources] def ensureWarcTree(sfDir: String): String = {
+    val root = workDir(scaledTag("warc"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val members = (0 until 2 + i % 3).map { j =>
+          val payload = Array.tabulate(30 + 17 * i + 9 * j)(k =>
+            ((7 * i + 3 * j + 5 * k) % 128).toByte)
+          val (tpe, uri) =
+            if (j == 0) ("warcinfo", None)
+            else if ((i + j) % 2 == 0)
+              ("response", Some(s"http://corpus.example/d$i/p$j"))
+            else ("request", Some(s"http://corpus.example/d$i/p$j"))
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            tpe, s"<urn:uuid:$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
+        }
+        Files.write(dir.resolve(f"w$i%03d.warc.gz"),
+          members.reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** WARC-in-gzip ingestion under the hash gate — the Common Crawl
+    * read path end-to-end: strict multi-member gzip walk (CRC-32 +
+    * ISIZE verified per member) → one WARC/1.0 record per member →
+    * per-file catalog row. The oracle replays record counts by type,
+    * content lengths, and the payload byte sums from the fixture
+    * formulas; `read_blob` pins the compressed bytes.
+    */
+  object WarcScan extends GraftQuery {
+    val name = "q_warc_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureWarcTree(sfDir)
+      val idRe = "w(\\d+)\\.warc\\.gz".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            recs = ms.flatMap(mb =>
+              graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten)
+            // the .warc.gz contract: exactly one record per member
+            if recs.length == ms.length
+          } yield (m.group(1).toLong, recs.length.toLong,
+            recs.count(_.warcType == "response").toLong,
+            recs.count(_.warcType == "request").toLong,
+            recs.count(_.targetUri.isDefined).toLong,
+            recs.map(_.contentLength.toLong).sum,
+            recs.map(_.payload.map(_ & 0xFF).map(_.toLong).sum).sum,
+            content.length.toLong,
+            content.take(4).map(b => f"$b%02X").mkString)
+        }
+        .toDF("asset_idx", "n_records", "n_response", "n_request", "n_uris",
+          "total_content_length", "sum_bytes", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      s"""WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 3 AS nr
+        |  FROM unnest(range(0, 24)) i(i)),
+        |rec AS (
+        |  SELECT s.asset_idx, j.j AS j,
+        |         30 + 17 * s.asset_idx + 9 * j.j AS sz,
+        |         CASE WHEN j.j = 0 THEN 'warcinfo'
+        |              WHEN (s.asset_idx + j.j) % 2 = 0 THEN 'response'
+        |              ELSE 'request' END AS tpe
+        |  FROM specs s, LATERAL unnest(range(0, s.nr)) j(j)),
+        |pb AS (
+        |  SELECT r.asset_idx,
+        |         CAST(sum((7 * r.asset_idx + 3 * r.j + 5 * k.k) % 128)
+        |              AS BIGINT) AS sb
+        |  FROM rec r, LATERAL unnest(range(0, r.sz)) k(k)
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT asset_idx, CAST(count(*) AS BIGINT) AS n_records,
+        |         CAST(sum(CASE WHEN tpe = 'response' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_response,
+        |         CAST(sum(CASE WHEN tpe = 'request' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_request,
+        |         CAST(sum(CASE WHEN tpe <> 'warcinfo' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_uris,
+        |         CAST(sum(sz) AS BIGINT) AS total_content_length
+        |  FROM rec GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(regexp_extract(filename, 'w(\\d+)\\.warc\\.gz', 1)
+        |              AS BIGINT) AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 8) AS head_hex
+        |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_warc__root_testdata_sf0.01/**/*.warc.gz'))
+        |SELECT a.asset_idx, a.n_records, a.n_response, a.n_request, a.n_uris,
+        |       a.total_content_length, pb.sb AS sum_bytes, b.n_bytes,
+        |       b.head_hex
+        |FROM agg a JOIN pb USING (asset_idx) JOIN b USING (asset_idx)
+        |ORDER BY a.asset_idx""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(TarScan, ZipScan, WarcScan)
+}
