@@ -309,5 +309,118 @@ object ArchiveQueries {
         |ORDER BY a.asset_idx""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(TarScan, ZipScan, WarcScan)
+  /** Create (once per scale factor) the HTML-payload `.warc.gz` tree:
+    * record 0 is the warcinfo; records j ≥ 1 are responses whose
+    * payloads are deterministic HTML pages — title `t i`, heading
+    * `h i`, 5 + (i+j)%7 paragraphs each holding word `w((3i+5j+k)%20)`
+    * twice around an `&amp;` entity, plus a style block, a script block
+    * (containing a `<p>` inside a string — the naive-stripper trap),
+    * and a comment. Every extracted token is a pure function of
+    * (i, j, k), so the oracle replays the CONSTRUCTION, never parses
+    * HTML — a stripper that leaks script text, keeps tags, or decodes
+    * entities wrong cannot reproduce the counts.
+    */
+  private[sources] def ensureWarcHtmlTree(sfDir: String): String = {
+    val root = workDir(scaledTag("warch"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val members = (0 until 2 + i % 3).map { j =>
+          val (tpe, uri, payload) =
+            if (j == 0)
+              ("warcinfo", None,
+                s"software: graft $i".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+            else {
+              val words = (0 until 5 + (i + j) % 7)
+                .map(k => s"w${(3 * i + 5 * j + k) % 20}")
+              val html = s"<html><head><title>t$i</title>" +
+                "<style scoped>p { color: #fff; }</style></head>" +
+                s"<body><h1>h$i</h1>" +
+                words.map(w => s"""<p class="x">$w &amp; $w</p>""").mkString +
+                """<script>if (1 < 2) { x = "<p>"; }</script>""" +
+                "<!-- no --></body></html>"
+              ("response", Some(s"http://corpus.example/h$i/$j"),
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            tpe, s"<urn:uuid:h$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
+        }
+        Files.write(dir.resolve(f"h$i%03d.warc.gz"), members.reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** The crawl→corpus capstone: `.warc.gz` members → WARC responses →
+    * [[graft.text.HtmlOps.stripHtml]] (codegen regex chain, no UDF) →
+    * per-file token statistics. This is the exact read path a web-scale
+    * corpus build runs before any curation gate (strip markup, then
+    * count/score), end-to-end under the hash gate: gzip CRCs, WARC
+    * grammar, HTML stripping, and entity decoding all have to be right
+    * at once for the closed-form token/char sums to come out.
+    */
+  object WarcHtmlExtract extends GraftQuery {
+    val name = "q_warc_html_extract"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureWarcHtmlTree(sfDir)
+      val idRe = "h(\\d+)\\.warc\\.gz".r
+      val docs = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            if r.warcType == "response"
+          } yield (m.group(1).toLong,
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("asset_idx", "html")
+      val toks = split(graft.text.HtmlOps.stripHtml(col("html")), " ")
+      docs.select(col("asset_idx"), toks.as("t"))
+        .groupBy("asset_idx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("t"))).as("total_tokens"),
+          sum(size(expr("filter(t, x -> x = '&')"))).as("total_amps"),
+          sum(length(concat_ws("", col("t")))).as("total_chars"))
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 3 AS nr
+        |  FROM unnest(range(0, 24)) i(i)),
+        |docs AS (
+        |  SELECT s.asset_idx, j.j AS j, 5 + (s.asset_idx + j.j) % 7 AS nw
+        |  FROM specs s, LATERAL unnest(range(1, s.nr)) j(j)),
+        |wl AS (
+        |  SELECT d.asset_idx, d.j,
+        |         (3 * d.asset_idx + 5 * d.j + k.k) % 20 AS v
+        |  FROM docs d, LATERAL unnest(range(0, d.nw)) k(k)),
+        |wchars AS (
+        |  SELECT asset_idx, j,
+        |         CAST(sum(2 * (1 + CASE WHEN v < 10 THEN 1 ELSE 2 END) + 1)
+        |              AS BIGINT) AS wc
+        |  FROM wl GROUP BY 1, 2),
+        |per AS (
+        |  SELECT d.asset_idx, 2 + 3 * d.nw AS toks, d.nw AS amps,
+        |         2 * (1 + CASE WHEN d.asset_idx < 10 THEN 1 ELSE 2 END) + w.wc
+        |           AS chars
+        |  FROM docs d JOIN wchars w USING (asset_idx, j))
+        |SELECT asset_idx, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |       CAST(sum(amps) AS BIGINT) AS total_amps,
+        |       CAST(sum(chars) AS BIGINT) AS total_chars
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract)
 }
