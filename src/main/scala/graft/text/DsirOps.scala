@@ -58,19 +58,24 @@ object DsirOps {
     * doc_id) so the selection step needs no join back to the table.
     */
   private def scored(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted single-scan barrier (the q_merge_upsert idiom): the occ
+    // subtree feeds BOTH ≤B-row model aggregates, both scalar totals,
+    // and the scoring join — without the barrier each consumer
+    // re-featurizes the corpus (5 scans); with it, one. The totals are
+    // 1-row aggregates read as driver literals (the documented bounded
+    // idiom), which also makes the count the barrier's materialization.
     val occ = features(Graft.table(spark, sfDir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRawV = occ.count()
+    val nTgtV = occ.filter(col("source") === TargetSource).count()
     val raw = occ.groupBy("f").agg(count(lit(1)).as("c_raw"))
     val tgt = occ.filter(col("source") === TargetSource)
       .groupBy("f").agg(count(lit(1)).as("c_tgt"))
-    val nRaw = occ.agg(count(lit(1)).as("n_raw"))
-    val nTgt = occ.filter(col("source") === TargetSource)
-      .agg(count(lit(1)).as("n_tgt"))
     occ.join(broadcast(raw), Seq("f"))
       .join(broadcast(tgt), Seq("f"), "left")
-      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
       .select(col("doc_id"), col("source"),
-        expr(s"CAST(length(bin((n_raw + $B) div (c_raw + 1))) " +
-          s"- length(bin((n_tgt + $B) div (coalesce(c_tgt, 0) + 1))) AS BIGINT)")
+        expr(s"CAST(length(bin(($nRawV + $B) div (c_raw + 1))) " +
+          s"- length(bin(($nTgtV + $B) div (coalesce(c_tgt, 0) + 1))) AS BIGINT)")
           .as("delta"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_feats"), sum(col("delta")).as("bits_delta"))
