@@ -473,17 +473,32 @@ object StatOps {
   object WeightedMedian extends GraftQuery {
     val name = "q_weighted_median"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // two-phase distributed prefix sum (the q_running_total_dist
+      // decomposition): the old plan ran the cumulative-weight window
+      // partitioned by l_returnflag alone — 3 partitions, i.e. 3 tasks
+      // sorting the whole distinct-value set at any scale. Bucketing v
+      // (price cents div 2^14 ≈ $164 bands) makes the only big window
+      // per-(flag, bucket); the cross-bucket offsets and totals live on
+      // the tiny (flag × bucket) frame and broadcast back.
       val perVal = Graft.table(spark, sfDir, "lineitem")
         .select(col("l_returnflag"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
           col("l_quantity").cast("long").as("w"))
         .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wv"))
-      val cumW = Window.partitionBy("l_returnflag").orderBy("v")
+        .withColumn("bkt", expr("v div 16384"))
+      val bSums = perVal.groupBy("l_returnflag", "bkt")
+        .agg(sum(col("wv")).as("bw"))
+      val bOff = bSums
+        .withColumn("b_off", coalesce(sum(col("bw")).over(
+          Window.partitionBy("l_returnflag").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("tot", sum(col("bw")).over(Window.partitionBy("l_returnflag")))
+        .select("l_returnflag", "bkt", "b_off", "tot")
+      val inB = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totW = Window.partitionBy("l_returnflag")
       perVal
-        .withColumn("cumw", sum(col("wv")).over(cumW))
-        .withColumn("tot", sum(col("wv")).over(totW))
+        .join(broadcast(bOff), Seq("l_returnflag", "bkt"))
+        .withColumn("cumw", col("b_off") + sum(col("wv")).over(inB))
         .groupBy("l_returnflag")
         .agg(max(col("tot")).as("total_weight"),
           min(when(lit(2L) * col("cumw") >= col("tot"), col("v")))
