@@ -783,4 +783,124 @@ object ImageSourceQueries {
         |FROM f JOIN a USING (asset_idx)
         |ORDER BY f.asset_idx""".stripMargin)
   }
+  /** Create (once per scale factor) the Netpbm fixture tree: 24 files
+    * cycling all six variants (P1..P6 — ASCII/binary bitmap, graymap,
+    * pixmap), two maxvals (255 and 200, so the v·255 div maxval sample
+    * scaling is actually exercised), header comments on every third
+    * asset, every sample a pure function of (i, x, y).
+    */
+  private[sources] def ensurePnmTree(sfDir: String): String = {
+    val root = workDir(scaledTag("pnm"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.PnmCodec
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val kind = 1 + i % 6
+        val w = 8 + i % 5
+        val h = 6 + i % 4
+        val maxval = if (kind == 1 || kind == 4) 1
+          else if (i % 2 == 0) 255 else 200
+        val px: (Int, Int) => (Int, Int, Int) = kind match {
+          case 1 | 4 => (x, y) => (((x + y + i) % 2), 0, 0)
+          case 2 | 5 => (x, y) => {
+            val g = (7 * i + 3 * x + 5 * y) % (maxval + 1); (g, g, g)
+          }
+          case _ => (x, y) => ((3 * i + x) % (maxval + 1),
+            (5 * i + y) % (maxval + 1), (7 * i + x + y) % (maxval + 1))
+        }
+        val ext = kind match {
+          case 1 | 4 => "pbm"
+          case 2 | 5 => "pgm"
+          case _ => "ppm"
+        }
+        Files.write(dir.resolve(f"n$i%03d.$ext%s"),
+          PnmCodec.build(kind, w, h, maxval, px, comment = i % 3 == 0))
+      }
+    }
+    root
+  }
+
+  /** Netpbm decode under the hash gate: all six variants through the
+    * from-spec [[graft.multimodal.PnmCodec]] (ASCII token grammar with
+    * comments, MSB-first P4 bit rows, 1-is-black PBM semantics, exact
+    * v·255 div maxval sample scaling), reduced to per-file channel
+    * sums the oracle replays closed-form from the pixel formulas.
+    */
+  object PnmScan extends GraftQuery {
+    val name = "q_pnm_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensurePnmTree(sfDir)
+      val idRe = "n(\\d+)\\.(pbm|pgm|ppm)".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.p?m")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            img <- graft.multimodal.PnmCodec.decode(content).toSeq
+          } yield (m.group(1).toLong, img.kind.toLong, img.width.toLong,
+            img.height.toLong, img.maxval.toLong,
+            img.rgb.map(p => ((p >> 16) & 0xFF).toLong).sum,
+            img.rgb.map(p => ((p >> 8) & 0xFF).toLong).sum,
+            img.rgb.map(p => (p & 0xFF).toLong).sum,
+            content.length.toLong)
+        }
+        .toDF("asset_idx", "kind", "width", "height", "maxval",
+          "sum_r", "sum_g", "sum_b", "n_bytes")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      s"""WITH specs AS (
+        |  SELECT i.i AS asset_idx, 1 + i.i % 6 AS kind,
+        |         8 + i.i % 5 AS w, 6 + i.i % 4 AS h,
+        |         CASE WHEN 1 + i.i % 6 IN (1, 4) THEN 1
+        |              WHEN i.i % 2 = 0 THEN 255 ELSE 200 END AS maxval
+        |  FROM unnest(range(0, 24)) i(i)),
+        |px AS (
+        |  SELECT s.asset_idx, s.kind, s.maxval, x.x AS x, y.y AS y
+        |  FROM specs s, LATERAL unnest(range(0, s.w)) x(x),
+        |       LATERAL unnest(range(0, s.h)) y(y)),
+        |ch AS (
+        |  SELECT asset_idx,
+        |         CASE WHEN kind IN (1, 4)
+        |              THEN CASE WHEN (x + y + asset_idx) % 2 = 1 THEN 0 ELSE 255 END
+        |              WHEN kind IN (2, 5)
+        |              THEN ((7 * asset_idx + 3 * x + 5 * y) % (maxval + 1)) * 255 // maxval
+        |              ELSE ((3 * asset_idx + x) % (maxval + 1)) * 255 // maxval
+        |         END AS r,
+        |         CASE WHEN kind IN (1, 4)
+        |              THEN CASE WHEN (x + y + asset_idx) % 2 = 1 THEN 0 ELSE 255 END
+        |              WHEN kind IN (2, 5)
+        |              THEN ((7 * asset_idx + 3 * x + 5 * y) % (maxval + 1)) * 255 // maxval
+        |              ELSE ((5 * asset_idx + y) % (maxval + 1)) * 255 // maxval
+        |         END AS g,
+        |         CASE WHEN kind IN (1, 4)
+        |              THEN CASE WHEN (x + y + asset_idx) % 2 = 1 THEN 0 ELSE 255 END
+        |              WHEN kind IN (2, 5)
+        |              THEN ((7 * asset_idx + 3 * x + 5 * y) % (maxval + 1)) * 255 // maxval
+        |              ELSE ((7 * asset_idx + x + y) % (maxval + 1)) * 255 // maxval
+        |         END AS b
+        |  FROM px),
+        |agg AS (
+        |  SELECT asset_idx, CAST(sum(r) AS BIGINT) AS sum_r,
+        |         CAST(sum(g) AS BIGINT) AS sum_g,
+        |         CAST(sum(b) AS BIGINT) AS sum_b
+        |  FROM ch GROUP BY 1),
+        |bl AS (
+        |  SELECT CAST(regexp_extract(filename, 'n(\\d+)\\.p.m', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |  FROM read_blob('/tmp/graft_pnm__root_testdata_sf0.01/**/*.p?m'))
+        |SELECT s.asset_idx, CAST(s.kind AS BIGINT) AS kind,
+        |       CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+        |       CAST(s.maxval AS BIGINT) AS maxval,
+        |       a.sum_r, a.sum_g, a.sum_b, bl.n_bytes
+        |FROM specs s JOIN agg a USING (asset_idx) JOIN bl USING (asset_idx)
+        |ORDER BY s.asset_idx""".stripMargin)
+  }
 }

@@ -64,6 +64,7 @@ object SourceQueries {
       BmpScan, TiffScan, JpegScan, MsrleScan,
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
       ImageDedupCluster, AudioFpScan, AudioNearDup, AudioDedupCluster,
-      VideoFpScan, VideoNearDup, VideoDedupCluster, MediaCatalog, Mp3Scan)
+      VideoFpScan, VideoNearDup, VideoDedupCluster, MediaCatalog, Mp3Scan,
+      PnmScan)
   }
 }
