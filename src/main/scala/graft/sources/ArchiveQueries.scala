@@ -204,7 +204,7 @@ object ArchiveQueries {
     * response/request with per-record target URIs; payload j is
     * 30 + 17i + 9j bytes with byte k = (7i + 3j + 5k) mod 128.
     */
-  private[sources] def ensureWarcTree(sfDir: String): String = {
+  private[graft] def ensureWarcTree(sfDir: String): String = {
     val root = workDir(scaledTag("warc"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
@@ -422,5 +422,100 @@ object ArchiveQueries {
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract)
+  /** Create (once per scale factor) the `.tar.gz` fixture tree — the
+    * dataset-tarball shape (one gzip member wrapping one tar): asset i
+    * holds 2 + i%3 entries, entry j is 60 + 23i + 9j bytes with byte
+    * k = (17i + 7j + 3k) mod 128.
+    */
+  private[sources] def ensureTgzTree(sfDir: String): String = {
+    val root = workDir(scaledTag("tgz"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, TarCodec}
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val files = (0 until 2 + i % 3).map { j =>
+          (s"d/e$j.txt",
+            Array.tabulate(60 + 23 * i + 9 * j)(k =>
+              ((17 * i + 7 * j + 3 * k) % 128).toByte))
+        }
+        Files.write(dir.resolve(f"g$i%03d.tar.gz"),
+          GzipCodec.buildMember(TarCodec.build(files), Some(f"g$i%03d.tar")))
+      }
+    }
+    root
+  }
+
+  /** Compressed-tarball enumeration under the hash gate — the two
+    * walkers COMPOSED (gzip member → tar entries), which is how every
+    * dataset tarball on disk actually reads; the gzip CRC/ISIZE, the
+    * tar checksums, and the closed-form payload sums must all agree at
+    * once for the row to hash green.
+    */
+  object TgzScan extends GraftQuery {
+    val name = "q_targz_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureTgzTree(sfDir)
+      val idRe = "g(\\d+)\\.tar\\.gz".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            if ms.length == 1
+            tar = ms.head.payload
+            es <- graft.multimodal.TarCodec.entries(tar).toSeq
+          } yield (m.group(1).toLong, es.length.toLong,
+            es.map(_.size.toLong).sum,
+            es.map(e => graft.multimodal.TarCodec.payload(tar, e)
+              .map(_ & 0xFF).map(_.toLong).sum).sum,
+            tar.length.toLong,
+            content.length.toLong)
+        }
+        .toDF("asset_idx", "n_entries", "total_size", "sum_bytes",
+          "tar_bytes", "n_bytes")
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      s"""WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 3 AS ne
+        |  FROM unnest(range(0, 24)) i(i)),
+        |ent AS (
+        |  SELECT s.asset_idx, j.j AS j,
+        |         60 + 23 * s.asset_idx + 9 * j.j AS sz
+        |  FROM specs s, LATERAL unnest(range(0, s.ne)) j(j)),
+        |pb AS (
+        |  SELECT e.asset_idx,
+        |         CAST(sum((17 * e.asset_idx + 7 * e.j + 3 * k.k) % 128)
+        |              AS BIGINT) AS sb
+        |  FROM ent e, LATERAL unnest(range(0, e.sz)) k(k)
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT asset_idx, CAST(count(*) AS BIGINT) AS n_entries,
+        |         CAST(sum(sz) AS BIGINT) AS total_size,
+        |         -- uncompressed tar size is closed-form: per entry a
+        |         -- 512-byte header + data rounded to 512, plus the
+        |         -- 1024-byte end-of-archive marker
+        |         CAST(sum(512 + 512 * ((sz + 511) // 512)) + 1024 AS BIGINT)
+        |           AS tar_bytes
+        |  FROM ent GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(regexp_extract(filename, 'g(\\d+)\\.tar\\.gz', 1)
+        |              AS BIGINT) AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |  FROM read_blob('/tmp/graft_tgz__root_testdata_sf0.01/**/*.tar.gz'))
+        |SELECT a.asset_idx, a.n_entries, a.total_size, pb.sb AS sum_bytes,
+        |       a.tar_bytes, b.n_bytes
+        |FROM agg a JOIN pb USING (asset_idx) JOIN b USING (asset_idx)
+        |ORDER BY a.asset_idx""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan)
 }

@@ -485,8 +485,63 @@ object StreamQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Streaming crawl ingestion — the production shape of a WARC
+    * pipeline: `.warc.gz` files LAND in a directory and a file-source
+    * stream catalogs them as they arrive (binaryFile streaming source →
+    * the same from-spec gzip-member + WARC walk as the batch
+    * `q_warc_scan` → Complete-mode per-type aggregate). The final table
+    * is slicing-independent (Complete aggregate over all seen files),
+    * so the batch oracle replays the fixture formulas verbatim.
+    * Memory-sink bound: one row per WARC record type (3 here) — the
+    * aggregate, never per-record rows.
+    */
+  object StreamWarcIngest extends GraftQuery {
+    val name = "q_stream_warc_ingest"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = graft.sources.ArchiveQueries.ensureWarcTree(sfDir)
+      // file streams need an explicit schema: binaryFile's is fixed, so
+      // this is one batch-reader footer peek, not an extra data scan
+      val schema = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(root).schema
+      val recs = spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { content =>
+          for {
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+          } yield (r.warcType, r.contentLength.toLong)
+        }
+        .toDF("warc_type", "content_length")
+      val agg = recs.groupBy("warc_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("content_length")).as("total_content_length"))
+      runToMemory(spark, "graft_stream_warc", agg, "complete")
+        .orderBy("warc_type")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 3 AS nr
+        |  FROM unnest(range(0, 24)) i(i)),
+        |rec AS (
+        |  SELECT s.asset_idx, j.j AS j,
+        |         30 + 17 * s.asset_idx + 9 * j.j AS sz,
+        |         CASE WHEN j.j = 0 THEN 'warcinfo'
+        |              WHEN (s.asset_idx + j.j) % 2 = 0 THEN 'response'
+        |              ELSE 'request' END AS tpe
+        |  FROM specs s, LATERAL unnest(range(0, s.nr)) j(j))
+        |SELECT tpe AS warc_type, count(*) AS n,
+        |       CAST(sum(sz) AS BIGINT) AS total_content_length
+        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] = Seq(StreamTumbling, StreamHopping,
     StreamSessions, StreamPurchaseClick, StreamDedup,
     StreamFunnelFinal, StreamSnapshotFinal, StreamConversionLagFinal,
-    StreamEnrich)
+    StreamEnrich, StreamWarcIngest)
 }

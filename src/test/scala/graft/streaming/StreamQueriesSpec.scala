@@ -124,7 +124,11 @@ class StreamQueriesSpec extends SparkSpec {
         () => ev.join(spark.read.parquet(s"$sf/customer.parquet")
             .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
             Seq("user_id"))
-          .select("c_mktsegment", "event_type").distinct().count())))
+          .select("c_mktsegment", "event_type").distinct().count())),
+      // Complete-mode crawl-ingest sink: one row per WARC record type
+      // present in the fixture tree (warcinfo/request/response = 3)
+      "q_stream_warc_ingest" -> ((() => memRows("graft_stream_warc"),
+        () => 3L)))
     assert(StreamQueries.all.map(_.name).toSet == expected.keySet,
       "new stream registrations must declare a sink bound in this spec")
     for (q <- StreamQueries.all) {
