@@ -143,7 +143,7 @@ gate = {
   "tests_failed": int("${T_FAIL:-999}" or 999),
   "tests_canceled": int("${T_CANCEL:-0}" or 0),
   "sbt_test_rc": $TEST_RC,
-  "hook_installed": $HOOK_INSTALLED,
+  "hook_installed": "$HOOK_INSTALLED" == "true",
 }
 gate["green"] = (gate["verify_rc"] == 0 and gate["oracle_failed"] == 0
   and gate["oracle_types_flagged"] == 0 and not gate["verify_failed"]
