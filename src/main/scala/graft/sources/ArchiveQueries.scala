@@ -516,6 +516,105 @@ object ArchiveQueries {
         |ORDER BY a.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the link-graph `.warc.gz` tree:
+    * response page (i, j) carries 1 + (i+j)%3 anchors, anchor l
+    * pointing at `http://s((i+l)%8).example/p((j+l)%5)` — a planted
+    * cross-page web graph whose in-link distribution is a pure function
+    * of (i, j, l).
+    */
+  private[sources] def ensureWarcLinkTree(sfDir: String): String = {
+    val root = workDir(scaledTag("whlink"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val members = (0 until 1 + (2 + i % 3)).map { j =>
+          val (tpe, uri, payload) =
+            if (j == 0)
+              ("warcinfo", None, s"software: graft $i".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            else {
+              val anchors = (0 until 1 + (i + j) % 3).map { l =>
+                s"""<a href="http://s${(i + l) % 8}.example/p${(j + l) % 5}">x</a>"""
+              }.mkString
+              val html =
+                s"<html><body><h1>d$i/$j</h1>$anchors</body></html>"
+              ("response", Some(s"http://src.example/d$i/$j"),
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            tpe, s"<urn:uuid:l$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
+        }
+        Files.write(dir.resolve(f"l$i%03d.warc.gz"), members.reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Crawl → web graph: the link-extraction step every pretraining
+    * pipeline runs (the host-level in-link graph is the backbone of
+    * page-quality signals and of PageRank-style weighting — the batch
+    * `q_pagerank` operator consumes exactly this edge shape). WARC
+    * responses → `regexp_extract_all` over the anchor grammar (shared
+    * Java/RE2 syntax, codegen scan-side — the page bytes never shuffle,
+    * only (host, page) link rows) → per-target-host in-link counts,
+    * distinct linking pages, distinct target paths. Oracle replays the
+    * planted-graph formulas closed-form.
+    */
+  object HtmlLinkGraph extends GraftQuery {
+    val name = "q_html_link_graph"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureWarcLinkTree(sfDir)
+      val idRe = "l(\\d+)\\.warc\\.gz".r
+      val pages = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            if r.warcType == "response"
+            uri <- r.targetUri.toSeq
+          } yield (uri,
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("page", "html")
+      pages
+        .select(col("page"), explode(expr(
+          """regexp_extract_all(html, '<a href="([^"]+)"', 1)""")).as("href"))
+        .select(col("page"),
+          regexp_extract(col("href"), "http://([^/]+)/(.*)", 1).as("host"),
+          regexp_extract(col("href"), "http://([^/]+)/(.*)", 2).as("pth"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_inlinks"),
+          countDistinct(col("page")).as("n_linking_pages"),
+          countDistinct(col("pth")).as("n_target_paths"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS asset_idx, 2 + i.i % 3 AS np
+        |  FROM unnest(range(0, 24)) i(i)),
+        |links AS (
+        |  SELECT s.asset_idx, j.j AS j, l.l AS l,
+        |         's' || ((s.asset_idx + l.l) % 8) || '.example' AS host,
+        |         'p' || ((j.j + l.l) % 5) AS pth
+        |  FROM specs s,
+        |       LATERAL unnest(range(1, s.np + 1)) j(j),
+        |       LATERAL unnest(range(0, 1 + (s.asset_idx + j.j) % 3)) l(l))
+        |SELECT host, count(*) AS n_inlinks,
+        |       count(DISTINCT asset_idx || '/' || j) AS n_linking_pages,
+        |       CAST(count(DISTINCT pth) AS BIGINT) AS n_target_paths
+        |FROM links GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan)
+    Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph)
 }
