@@ -110,6 +110,110 @@ object TarCodec {
   def payload(bytes: Array[Byte], e: Entry): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, e.dataOffset, e.dataOffset + e.size)
 
+  /** Streamed-entry metadata: `size` is Long because the streaming walk
+    * has no array bound — a ustar 12-digit octal size field reaches
+    * 8 GiB − 1, and nothing here materializes the payload.
+    */
+  final case class StreamEntry(
+      name: String,
+      size: Long,
+      typeflag: Char,
+      mtime: Long)
+
+  private def readFully(in: java.io.InputStream, b: Array[Byte]): Boolean = {
+    var got = 0
+    while (got < b.length) {
+      val n = in.read(b, got, b.length - got)
+      if (n < 0) return false
+      got += n
+    }
+    true
+  }
+
+  private def skipFully(in: java.io.InputStream, n0: Long): Unit = {
+    var n = n0
+    val scratch = new Array[Byte](8192)
+    while (n > 0) {
+      val got = in.read(scratch, 0, math.min(n, scratch.length.toLong).toInt)
+      if (got < 0) fail()
+      n -= got
+    }
+  }
+
+  /** Length-bounded payload view handed to the walk callback; valid
+    * only during the call. A truncated archive surfaces as EOFException
+    * (→ the walk's None), never as a silent short read.
+    */
+  private final class LimitStream(inner: java.io.InputStream,
+      private var remaining: Long) extends java.io.InputStream {
+    def left: Long = remaining
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else {
+        val b = inner.read()
+        if (b < 0) throw new java.io.EOFException("truncated tar data")
+        remaining -= 1
+        b
+      }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (remaining <= 0) return -1
+      val n = inner.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n < 0) throw new java.io.EOFException("truncated tar data")
+      remaining -= n
+      n
+    }
+  }
+
+  /** Streaming walk — the bounded-memory twin of [[entries]] for
+    * archives bigger than a JVM array (the 10–100 GiB dataset-tarball
+    * unit of a web-scale ingest; round-11 re-plumb). Reads strictly
+    * forward in 512-byte blocks; per entry, `f` receives the metadata
+    * and a length-bounded InputStream over the payload (valid only
+    * during the call — unread bytes are skipped afterwards, so `f` can
+    * catalog without touching data). Identical strictness to
+    * [[entries]]: ustar magic + checksum on every header, block-aligned
+    * data, two-zero-block terminator, all-zero tail to EOF; StreamingTarSpec
+    * pins walk ≡ entries on the same bytes. Any malformation (or an
+    * underlying I/O failure) → None.
+    */
+  def walk[A](in0: java.io.InputStream)(
+      f: (StreamEntry, java.io.InputStream) => A): Option[Seq[A]] =
+    try {
+      val in = new java.io.BufferedInputStream(in0, 65536)
+      val out = Seq.newBuilder[A]
+      val h = new Array[Byte](512)
+      var terminated = false
+      while (!terminated) {
+        if (!readFully(in, h)) fail() // EOF before the terminator
+        if (zeroBlock(h, 0)) {
+          if (!readFully(in, h) || !zeroBlock(h, 0)) fail()
+          // anything after the marker must be zeros (blocking-factor pad)
+          var b = in.read()
+          while (b == 0) b = in.read()
+          if (b >= 0) fail()
+          terminated = true
+        } else {
+          if (str(h, 257, 6) != "ustar") fail()
+          if (!checksumOk(h, 0)) fail()
+          val size = octal(h, 124, 12)
+          if (size < 0) fail()
+          val prefix = str(h, 345, 155)
+          val base = str(h, 0, 100)
+          val name = if (prefix.isEmpty) base else prefix + "/" + base
+          val body = new LimitStream(in, size)
+          out += f(StreamEntry(name, size, (h(156) & 0xFF).toChar,
+            octal(h, 136, 12)), body)
+          skipFully(in, body.left)                  // unread payload
+          skipFully(in, (512 - size % 512) % 512)   // block padding
+        }
+      }
+      Some(out.result())
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+          _: java.io.IOException => None
+    }
+
   /** Deterministic builder: regular-file entries, octal fields
     * zero-padded the way every tar writer emits them, correct checksum,
     * two-zero-block terminator.
