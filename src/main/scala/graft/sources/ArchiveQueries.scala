@@ -21,6 +21,64 @@ import SourceQueries.{workDir, mediaScale, scaledTag}
   */
 object ArchiveQueries {
 
+  /** Open a sequential Hadoop stream for `path` (the `binaryFile`
+    * source's own path strings — `file:` locally, HDFS/S3A on a
+    * cluster). The round-11 scan re-plumb: queries project only
+    * (path, length) from `binaryFile`, so no whole-archive
+    * `Array[Byte]` ever exists — a 100 GiB tarball walks in O(64 KiB).
+    */
+  private[sources] def openStream(path: String): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+
+  /** Positional reader for `path` — the seekable access ZIP needs
+    * (directory-at-end). `FSDataInputStream.readFully(pos, …)` is the
+    * pread shape every Hadoop filesystem implements; EOF surfaces as
+    * IOException, which the walkers treat as malformation.
+    */
+  private[sources] def openReadAt(
+      path: String): ((Long, Int) => Array[Byte], java.io.Closeable) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val readAt = (off: Long, len: Int) => {
+      val b = new Array[Byte](len)
+      in.readFully(off, b, 0, len)
+      b
+    }
+    (readAt, in)
+  }
+
+  /** Byte sum of a payload stream — the per-entry reduction the scan
+    * queries hash-gate (reads in 8 KiB chunks; nothing materializes).
+    */
+  private[sources] def sumStream(in: java.io.InputStream): Long = {
+    val buf = new Array[Byte](8192)
+    var s = 0L
+    var n = in.read(buf)
+    while (n > 0) {
+      var i = 0
+      while (i < n) { s += buf(i) & 0xFF; i += 1 }
+      n = in.read(buf)
+    }
+    s
+  }
+
+  private[sources] final class CountingStream(inner: java.io.InputStream)
+      extends java.io.InputStream {
+    var count = 0L
+    override def read(): Int = {
+      val b = inner.read()
+      if (b >= 0) count += 1
+      b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = inner.read(b, off, len)
+      if (n > 0) count += n
+      n
+    }
+  }
+
   /** Create (once per scale factor) the TAR fixture tree: 24 archives,
     * asset i holding 2 + i%4 entries; entry j is 50 + 37i + 11j bytes
     * with byte k = (13i + 5j + 7k) mod 128 — every field a pure
@@ -46,9 +104,14 @@ object ArchiveQueries {
 
   /** TAR enumeration under the hash gate: strict ustar walk (checksum
     * validated on every header, block tiling, two-zero-block
-    * terminator) reduced to per-archive integer invariants. The oracle
-    * replays entry counts, sizes, and the full payload byte sum from
-    * the fixture formulas and pins byte identity via `read_blob`.
+    * terminator) reduced to per-archive integer invariants. Round-11
+    * re-plumb: the scan projects only (path, length) from `binaryFile`
+    * and walks each archive through [[graft.multimodal.TarCodec.walk]]
+    * over a Hadoop stream — no whole-archive array, so the same plan
+    * reads a 100 GiB dataset tarball (the 2 GiB `binaryFile` content
+    * ceiling is out of the path). The oracle replays entry counts,
+    * sizes, and the full payload byte sum from the fixture formulas and
+    * pins byte identity via `read_blob`.
     */
   object TarScan extends GraftQuery {
     val name = "q_tar_scan"
@@ -60,19 +123,30 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.tar")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            es <- graft.multimodal.TarCodec.entries(content).toSeq
-          } yield (m.group(1).toLong, es.length.toLong,
-            es.map(_.size.toLong).sum,
-            es.map(_.size.toLong).max,
-            es.map(e => graft.multimodal.TarCodec.payload(content, e)
-              .map(_ & 0xFF).map(_.toLong).sum).sum,
-            content.length.toLong,
-            content.take(4).map(b => f"$b%02X").mkString)
+        .select(col("path"), col("length"))
+        .as[(String, Long)]
+        .flatMap { case (path, fileLen) =>
+          idRe.findFirstMatchIn(path).toSeq.flatMap { m =>
+            val in = new java.io.PushbackInputStream(openStream(path), 4)
+            try {
+              val head = new Array[Byte](4)
+              var got = 0
+              while (got < 4) {
+                val n = in.read(head, got, 4 - got)
+                if (n < 0) throw new java.io.EOFException(path)
+                got += n
+              }
+              in.unread(head)
+              graft.multimodal.TarCodec.walk(in) { (e, body) =>
+                (e.size, sumStream(body))
+              }.toSeq.map { rows =>
+                (m.group(1).toLong, rows.length.toLong,
+                  rows.map(_._1).sum, rows.map(_._1).max,
+                  rows.map(_._2).sum, fileLen,
+                  head.map(b => f"$b%02X").mkString)
+              }
+            } finally in.close()
+          }
         }
         .toDF("asset_idx", "n_entries", "total_size", "max_entry",
           "sum_bytes", "n_bytes", "head_hex")
@@ -134,10 +208,15 @@ object ArchiveQueries {
 
   /** ZIP enumeration + extraction under the hash gate: central-directory
     * walk, local-header cross-validation, stored and from-spec-DEFLATE
-    * member extraction with every CRC-32 recomputed and checked. The
-    * payload byte sum hash-gates the DEFLATE round-trip inside the
-    * archive (an inflate bug cannot reproduce the closed-form sum); the
-    * oracle replays counts/sizes/sums from the fixture formulas.
+    * member extraction with every CRC-32 recomputed and checked.
+    * Round-11 re-plumb: reads via the positional
+    * [[graft.multimodal.ZipCodec.walkAt]] (ZIP is directory-at-end, so
+    * the scale-safe access is seek, not stream) over
+    * `FSDataInputStream.readFully` preads, with ZIP64 resolved — the
+    * plan that reads a 100 GiB dataset zip. The payload byte sum
+    * hash-gates the DEFLATE round-trip inside the archive (an inflate
+    * bug cannot reproduce the closed-form sum); the oracle replays
+    * counts/sizes/sums from the fixture formulas.
     */
   object ZipScan extends GraftQuery {
     val name = "q_zip_scan"
@@ -149,18 +228,23 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.zip")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            es <- graft.multimodal.ZipCodec.entries(content).toSeq
-          } yield (m.group(1).toLong, es.length.toLong,
-            es.count(_.method == 8).toLong,
-            es.map(_.uncompressedSize.toLong).sum,
-            es.map(_.payload.map(_ & 0xFF).map(_.toLong).sum).sum,
-            content.length.toLong,
-            content.take(4).map(b => f"$b%02X").mkString)
+        .select(col("path"), col("length"))
+        .as[(String, Long)]
+        .flatMap { case (path, fileLen) =>
+          idRe.findFirstMatchIn(path).toSeq.flatMap { m =>
+            val (readAt, closer) = openReadAt(path)
+            try {
+              val head = readAt(0L, math.min(4L, fileLen).toInt)
+              graft.multimodal.ZipCodec.walkAt(readAt, fileLen) {
+                (e, body) => (e.method, e.uncompressedSize, sumStream(body))
+              }.toSeq.map { rows =>
+                (m.group(1).toLong, rows.length.toLong,
+                  rows.count(_._1 == 8).toLong,
+                  rows.map(_._2).sum, rows.map(_._3).sum, fileLen,
+                  head.map(b => f"$b%02X").mkString)
+              }
+            } finally closer.close()
+          }
         }
         .toDF("asset_idx", "n_members", "n_deflated", "total_uncompressed",
           "sum_bytes", "n_bytes", "head_hex")
@@ -450,7 +534,13 @@ object ArchiveQueries {
     * walkers COMPOSED (gzip member → tar entries), which is how every
     * dataset tarball on disk actually reads; the gzip CRC/ISIZE, the
     * tar checksums, and the closed-form payload sums must all agree at
-    * once for the row to hash green.
+    * once for the row to hash green. Round-11 re-plumb: the composition
+    * is now stream-in-stream —
+    * [[graft.multimodal.GzipCodec.walkMembers]] inflates through a
+    * 64 KiB ring and [[graft.multimodal.TarCodec.walk]] consumes the
+    * inflating member directly, so neither the compressed file nor the
+    * decompressed tar is ever materialized (the exact shape a 10–100
+    * GiB dataset tarball needs).
     */
   object TgzScan extends GraftQuery {
     val name = "q_targz_scan"
@@ -462,21 +552,28 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.tar.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            if ms.length == 1
-            tar = ms.head.payload
-            es <- graft.multimodal.TarCodec.entries(tar).toSeq
-          } yield (m.group(1).toLong, es.length.toLong,
-            es.map(_.size.toLong).sum,
-            es.map(e => graft.multimodal.TarCodec.payload(tar, e)
-              .map(_ & 0xFF).map(_.toLong).sum).sum,
-            tar.length.toLong,
-            content.length.toLong)
+        .select(col("path"), col("length"))
+        .as[(String, Long)]
+        .flatMap { case (path, fileLen) =>
+          idRe.findFirstMatchIn(path).toSeq.flatMap { m =>
+            val in = openStream(path)
+            try {
+              val walked = graft.multimodal.GzipCodec.walkMembers(in) {
+                (_, member) =>
+                  val counted = new CountingStream(member)
+                  val entries = graft.multimodal.TarCodec.walk(counted) {
+                    (e, body) => (e.size, sumStream(body))
+                  }
+                  (entries, counted.count)
+              }
+              walked.toSeq.collect {
+                case Seq((Some(rows), tarBytes)) =>
+                  (m.group(1).toLong, rows.length.toLong,
+                    rows.map(_._1).sum, rows.map(_._2).sum,
+                    tarBytes, fileLen)
+              }
+            } finally in.close()
+          }
         }
         .toDF("asset_idx", "n_entries", "total_size", "sum_bytes",
           "tar_bytes", "n_bytes")
@@ -509,7 +606,7 @@ object ArchiveQueries {
         |  SELECT CAST(regexp_extract(filename, 'g(\\d+)\\.tar\\.gz', 1)
         |              AS BIGINT) AS asset_idx,
         |         CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |  FROM read_blob('/tmp/graft_tgz__root_testdata_sf0.01/**/*.tar.gz'))
+        |  FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_tgz__root_testdata_sf0.01/**/*.tar.gz'))
         |SELECT a.asset_idx, a.n_entries, a.total_size, pb.sb AS sum_bytes,
         |       a.tar_bytes, b.n_bytes
         |FROM agg a JOIN pb USING (asset_idx) JOIN b USING (asset_idx)
