@@ -393,19 +393,29 @@ object ArchiveQueries {
         |ORDER BY a.asset_idx""".stripMargin)
   }
 
-  /** Create (once per scale factor) the HTML-payload `.warc.gz` tree:
-    * record 0 is the warcinfo; records j ≥ 1 are responses whose
-    * payloads are deterministic HTML pages — title `t i`, heading
-    * `h i`, 5 + (i+j)%7 paragraphs each holding word `w((3i+5j+k)%20)`
-    * twice around an `&amp;` entity, plus a style block, a script block
-    * (containing a `<p>` inside a string — the naive-stripper trap),
-    * and a comment. Every extracted token is a pure function of
-    * (i, j, k), so the oracle replays the CONSTRUCTION, never parses
-    * HTML — a stripper that leaks script text, keeps tags, or decodes
-    * entities wrong cannot reproduce the counts.
+  /** Create (once per scale factor) the HTML-payload `.warc.gz` tree —
+    * round-11 shape: response records carry the RAW HTTP MESSAGE (status
+    * line + headers + body), the way real WARC `response` records do
+    * (ISO 28500 §6.3), so the reader must split the message and sniff
+    * the charset before any text extraction. Record 0 is the warcinfo;
+    * records j ≥ 1 are responses whose bodies are deterministic HTML:
+    * title `t i`, heading `h i é` (the é encodes differently per
+    * charset — a wrong sniff cannot reproduce the counts), and
+    * 5 + (i+j)%7 paragraphs each holding word `w((3i+5j+k)%20)` twice
+    * around an `&amp;`, a decimal charref (`&#65+(3i+5j+k)%26;` — an
+    * uppercase letter), a hex charref (`&#x61..7a;` — a lowercase
+    * letter), and an `a&nbsp;b` pair, plus a style block, a script
+    * block (containing a `<p>` inside a string — the naive-stripper
+    * trap), and a comment. The charset alternates UTF-8/ISO-8859-1 by
+    * (i+j)%2 and is declared in the Content-Type header when j is even,
+    * only in a `<meta charset>` when j is odd. Every extracted token is
+    * a pure function of (i, j, k), so the oracle replays the
+    * CONSTRUCTION, never parses HTML — a stripper that leaks script
+    * text, keeps tags, mis-sniffs the charset, or decodes any reference
+    * wrong cannot reproduce the counts.
     */
   private[sources] def ensureWarcHtmlTree(sfDir: String): String = {
-    val root = workDir(scaledTag("warch"), sfDir)
+    val root = workDir(scaledTag("warch2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       for (i <- 0 until 24 * mediaScale) {
@@ -418,16 +428,27 @@ object ArchiveQueries {
                 s"software: graft $i".getBytes(
                   java.nio.charset.StandardCharsets.UTF_8))
             else {
-              val words = (0 until 5 + (i + j) % 7)
-                .map(k => s"w${(3 * i + 5 * j + k) % 20}")
+              val csName = if ((i + j) % 2 == 0) "utf-8" else "iso-8859-1"
+              val cs = java.nio.charset.Charset.forName(csName)
+              val inHeader = j % 2 == 0
+              val paras = (0 until 5 + (i + j) % 7).map { k =>
+                val w = s"w${(3 * i + 5 * j + k) % 20}"
+                val dec = 65 + (3 * i + 5 * j + k) % 26
+                val hex = (97 + (i + j + k) % 26).toHexString
+                s"""<p class="x">$w &amp; $w &#$dec; &#x$hex; a&nbsp;b</p>"""
+              }.mkString
               val html = s"<html><head><title>t$i</title>" +
+                (if (inHeader) "" else s"""<meta charset="$csName">""") +
                 "<style scoped>p { color: #fff; }</style></head>" +
-                s"<body><h1>h$i</h1>" +
-                words.map(w => s"""<p class="x">$w &amp; $w</p>""").mkString +
+                s"<body><h1>h$i \u00E9</h1>" + paras +
                 """<script>if (1 < 2) { x = "<p>"; }</script>""" +
                 "<!-- no --></body></html>"
+              val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+                (if (inHeader) s"; charset=$csName" else "") +
+                "\r\nX-Crawl: graft\r\n\r\n"
               ("response", Some(s"http://corpus.example/h$i/$j"),
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+                  html.getBytes(cs))
             }
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:h$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
@@ -438,13 +459,19 @@ object ArchiveQueries {
     root
   }
 
-  /** The crawl→corpus capstone: `.warc.gz` members → WARC responses →
-    * [[graft.text.HtmlOps.stripHtml]] (codegen regex chain, no UDF) →
-    * per-file token statistics. This is the exact read path a web-scale
-    * corpus build runs before any curation gate (strip markup, then
-    * count/score), end-to-end under the hash gate: gzip CRCs, WARC
-    * grammar, HTML stripping, and entity decoding all have to be right
-    * at once for the closed-form token/char sums to come out.
+  /** Crawl text extraction under the hash gate: `.warc.gz` members →
+    * WARC responses → HTTP message split →
+    * [[graft.text.HtmlOps.sniffCharset]] (header param, else meta
+    * prescan, else UTF-8) → charset decode →
+    * [[graft.text.HtmlOps.stripHtml]] (codegen regex chain + the
+    * single-pass native entity decoder, no UDF) → per-file token
+    * statistics. This is the exact read path a web-scale corpus build
+    * runs before any curation gate, end-to-end: gzip CRCs, WARC
+    * grammar, HTTP framing, charset sniffing, HTML stripping, and
+    * numeric/named reference decoding all have to be right at once for
+    * the closed-form token/char/é sums to come out (the planted é
+    * encodes differently per charset; `total_eacute` dies on any
+    * mis-sniff, `total_chars` on any undecoded `&#NN;`/`&nbsp;`).
     */
   object WarcHtmlExtract extends GraftQuery {
     val name = "q_warc_html_extract"
@@ -465,8 +492,9 @@ object ArchiveQueries {
             mb <- ms
             r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
             if r.warcType == "response"
+            (headers, body) <- graft.text.HtmlOps.httpSplit(r.payload).toSeq
           } yield (m.group(1).toLong,
-            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+            new String(body, graft.text.HtmlOps.sniffCharset(headers, body)))
         }
         .toDF("asset_idx", "html")
       val toks = split(graft.text.HtmlOps.stripHtml(col("html")), " ")
@@ -475,6 +503,7 @@ object ArchiveQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("t"))).as("total_tokens"),
           sum(size(expr("filter(t, x -> x = '&')"))).as("total_amps"),
+          sum(size(expr("filter(t, x -> x = chr(233))"))).as("total_eacute"),
           sum(length(concat_ws("", col("t")))).as("total_chars"))
         .orderBy("asset_idx")
     }
@@ -489,19 +518,23 @@ object ArchiveQueries {
         |  SELECT d.asset_idx, d.j,
         |         (3 * d.asset_idx + 5 * d.j + k.k) % 20 AS v
         |  FROM docs d, LATERAL unnest(range(0, d.nw)) k(k)),
+        |-- paragraph tokens: w & w <dec-letter> <hex-letter> a<nbsp>b
+        |-- = 6 tokens, chars 2*len(w) + 1 + 1 + 1 + 3
         |wchars AS (
         |  SELECT asset_idx, j,
-        |         CAST(sum(2 * (1 + CASE WHEN v < 10 THEN 1 ELSE 2 END) + 1)
+        |         CAST(sum(2 * (1 + CASE WHEN v < 10 THEN 1 ELSE 2 END) + 6)
         |              AS BIGINT) AS wc
         |  FROM wl GROUP BY 1, 2),
+        |-- per doc: title(1 tok) + h1(2 toks: 'h<i>' and the é) + 6nw
         |per AS (
-        |  SELECT d.asset_idx, 2 + 3 * d.nw AS toks, d.nw AS amps,
-        |         2 * (1 + CASE WHEN d.asset_idx < 10 THEN 1 ELSE 2 END) + w.wc
+        |  SELECT d.asset_idx, 3 + 6 * d.nw AS toks, d.nw AS amps,
+        |         3 + 2 * (CASE WHEN d.asset_idx < 10 THEN 1 ELSE 2 END) + w.wc
         |           AS chars
         |  FROM docs d JOIN wchars w USING (asset_idx, j))
         |SELECT asset_idx, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(toks) AS BIGINT) AS total_tokens,
         |       CAST(sum(amps) AS BIGINT) AS total_amps,
+        |       CAST(count(*) AS BIGINT) AS total_eacute,
         |       CAST(sum(chars) AS BIGINT) AS total_chars
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)
   }

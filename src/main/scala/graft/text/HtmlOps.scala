@@ -7,23 +7,31 @@ import org.apache.spark.sql.functions._
   * web-corpus pipeline runs between the WARC reader and the curation
   * stack — CCNet/RefinedWeb strip markup before any quality gate).
   * Implemented as a codegen-friendly column-expression chain (regexp
-  * passes, no UDF) restricted to the regex subset Java and RE2 share,
-  * so the semantics are replayable in the DuckDB oracle dialect:
+  * passes restricted to the regex subset Java and RE2 share, plus one
+  * native single-pass expression), so the semantics are replayable in
+  * the DuckDB oracle dialect:
   *
   *  1. drop `<script>…</script>` and `<style>…</style>` blocks whole
   *     (their CONTENT is code, not text — a tag-only pass would leak
   *     it, the classic naive-stripper bug);
   *  2. drop `<!-- … -->` comments;
   *  3. drop every remaining tag `<[^>]*>`;
-  *  4. decode the five predefined character entities (`&lt; &gt;
-  *     &quot; &#39; &amp;` — ampersand LAST, so `&amp;lt;` decodes to
-  *     the literal text `&lt;` exactly like a real entity decoder);
-  *  5. collapse whitespace runs and trim.
+  *  4. decode character references in ONE left-to-right pass
+  *     ([[graft.plans.HtmlEntityExpression]] — numeric dec/hex
+  *     charrefs plus `amp lt gt quot apos nbsp`; `&amp;lt;` decodes to
+  *     the literal text `&lt;` exactly like a real entity decoder,
+  *     `&nbsp;` to U+00A0 which ASCII-whitespace tokenizers keep);
+  *  5. collapse ASCII-whitespace runs and trim.
   *
   * Scope: extraction, not sanitization — strict HTML correctness is not
   * assumed (crawl HTML never parses cleanly); the scanner semantics are
   * differential-tested against an independent character-walker in
   * HtmlOpsSpec.
+  *
+  * The byte side of the same ingest step lives here too: splitting a
+  * WARC response's HTTP message and sniffing the charset that decides
+  * whether the body's bytes decode at all. Those run scan-side in the
+  * WARC flatMap (the bytes are in hand there), not as columns.
   */
 object HtmlOps {
 
@@ -32,11 +40,67 @@ object HtmlOps {
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val e1 = regexp_replace(noTags, "&lt;", "<")
-    val e2 = regexp_replace(e1, "&gt;", ">")
-    val e3 = regexp_replace(e2, "&quot;", "\"")
-    val e4 = regexp_replace(e3, "&#39;", "'")
-    val e5 = regexp_replace(e4, "&amp;", "&")
-    trim(regexp_replace(e5, "\\s+", " "))
+    val decoded = graft.plans.HtmlEntityExpression.decodeHtmlEntities(noTags)
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Split an HTTP/1.x message into (header block, body). A WARC
+    * `response` record's payload is the raw HTTP response (ISO 28500
+    * §6.3: Content-Type `application/http`), so the corpus path must
+    * shed the status line and headers before any text extraction.
+    * Strict: requires an `HTTP/` status line and a CRLFCRLF separator;
+    * None otherwise (not an HTTP message — skip the record).
+    */
+  def httpSplit(payload: Array[Byte]): Option[(String, Array[Byte])] = {
+    val probe = math.min(payload.length, 5)
+    val head = new String(payload, 0, probe,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (!head.startsWith("HTTP/")) return None
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') {
+        val headers = new String(payload, 0, i,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        return Some((headers,
+          java.util.Arrays.copyOfRange(payload, i + 4, payload.length)))
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val HeaderCharset =
+    "(?i)content-type:[^\\r\\n]*charset=\"?([A-Za-z0-9_\\-]+)".r
+  private val MetaCharset =
+    "(?i)<meta[^>]*charset=\"?'?([A-Za-z0-9_\\-]+)".r
+
+  /** Charset sniff, the order real crawl pipelines use: the HTTP
+    * `Content-Type` header's charset parameter wins; else a
+    * `<meta charset=…>` / `<meta http-equiv … content=…charset=…>` in
+    * the first 1024 body bytes (read as ASCII superset — the HTML5
+    * prescan); else UTF-8 (the modern-web default; a mis-sniff shows up
+    * as mojibake the fixture plants non-ASCII text to catch). Unknown
+    * or unsupported names also fall back to UTF-8.
+    */
+  def sniffCharset(httpHeaders: String,
+      body: Array[Byte]): java.nio.charset.Charset = {
+    val fromHeader = HeaderCharset.findFirstMatchIn(httpHeaders).map(_.group(1))
+    val name = fromHeader.orElse {
+      val probe = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      MetaCharset.findFirstMatchIn(probe).map(_.group(1))
+    }
+    name.map(_.toLowerCase) match {
+      case Some("utf-8") | Some("utf8") =>
+        java.nio.charset.StandardCharsets.UTF_8
+      case Some("iso-8859-1") | Some("latin1") | Some("latin-1") =>
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      case Some("windows-1252") | Some("cp1252") =>
+        java.nio.charset.Charset.forName("windows-1252")
+      case Some("us-ascii") | Some("ascii") =>
+        java.nio.charset.StandardCharsets.US_ASCII
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
   }
 }

@@ -7,9 +7,44 @@ import org.apache.spark.sql.functions._
   * INDEPENDENT driver-side character scanner (hand-rolled state walker
   * — raw/tag/script/style/comment states, entity decode, whitespace
   * collapse — sharing nothing with the regex chain), across hand-picked
-  * trap cases and a randomized HTML generator.
+  * trap cases and a randomized HTML generator. The round-11 entity
+  * decoder (numeric charrefs + the six-name table, one left-to-right
+  * pass) is mirrored here by a STRUCTURALLY different implementation —
+  * a java.util.regex find/appendReplacement loop vs the expression's
+  * char walk — plus charset-sniff and HTTP-split unit contracts.
   */
 class HtmlOpsSpec extends SparkSpec {
+
+  /** Independent entity decoder: one regex pass, replacements never
+    * re-scanned (Matcher.appendReplacement semantics) — same spec as
+    * HtmlEntityExpression, different machinery.
+    */
+  private def referenceDecode(s: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("&(#[xX]?[0-9a-fA-F]+|[A-Za-z]{1,5});").matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val body = m.group(1)
+      val rep: String =
+        if (body.startsWith("#")) {
+          val hex = body.length > 1 && (body(1) == 'x' || body(1) == 'X')
+          val digits = if (hex) body.drop(2) else body.drop(1)
+          if (digits.isEmpty || (!hex && !digits.forall(_.isDigit)) ||
+            (hex && digits.length > 6) || (!hex && digits.length > 7)) null
+          else {
+            val cp = java.lang.Long.parseLong(digits, if (hex) 16 else 10)
+            if (cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+              new String(Character.toChars(cp.toInt))
+            else null
+          }
+        } else Map("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+          "apos" -> "'", "nbsp" -> "\u00A0").getOrElse(body, null)
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        if (rep == null) m.group(0) else rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
 
   /** Independent scanner: single pass, explicit states. */
   private def referenceStrip(html: String): String = {
@@ -40,11 +75,8 @@ class HtmlOpsSpec extends SparkSpec {
         i += 1
       }
     }
-    // entity decode in the same order as the implementation (& last)
-    val decoded = out.toString
-      .replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
-    decoded.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    referenceDecode(out.toString).split("\\s+").filter(_.nonEmpty)
+      .mkString(" ")
   }
 
   private def sparkStrip(html: String): String = {
@@ -68,15 +100,62 @@ class HtmlOpsSpec extends SparkSpec {
       """<p>multi
         |line   spaces</p>""".stripMargin,
       """no markup at all""",
-      """<SCRIPT>UPPER</SCRIPT>case<P>tags</P>""")
+      """<SCRIPT>UPPER</SCRIPT>case<P>tags</P>""",
+      // round-11 charref traps
+      """caf&#233; vs caf&#xE9; vs caf&#XE9; are all café""",
+      """a&nbsp;b keeps U+00A0; &nbsp bare stays literal""",
+      """&#0; &#x110000; &#xD800; &#99999999; invalid charrefs stay""",
+      """&apos;quoted&apos; &unknown; &AMP; &amp;#65; never double-decodes""",
+      """mixed &#72;&#x65;llo and &lt;&#47;p&gt; assemble as text""")
     cases.foreach { html =>
       assert(sparkStrip(html) == referenceStrip(html), s"mismatch on: $html")
     }
+    // absolute anchors (not just implementation agreement)
+    assert(sparkStrip("caf&#233;") == "café")
+    assert(sparkStrip("a&nbsp;b c") == "a b c")
+    assert(sparkStrip("&amp;lt;") == "&lt;")
+    assert(sparkStrip("&#x1F600;") == new String(Character.toChars(0x1F600)))
+  }
+
+  test("httpSplit: strict HTTP message framing") {
+    val body = "café".getBytes("UTF-8")
+    val msg = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=UTF-8\r\nServer: x\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    val (headers, b) = HtmlOps.httpSplit(msg).getOrElse(fail("rejected"))
+    assert(headers.startsWith("HTTP/1.1 200 OK"))
+    assert(headers.contains("charset=UTF-8") && !headers.contains("Server: x\r\n\r\n"))
+    assert(b.sameElements(body))
+    assert(HtmlOps.httpSplit("<html>no http</html>".getBytes("UTF-8")).isEmpty)
+    assert(HtmlOps.httpSplit("HTTP/1.1 200 OK\r\nno separator".getBytes("UTF-8")).isEmpty)
+    assert(HtmlOps.httpSplit(Array.emptyByteArray).isEmpty)
+  }
+
+  test("sniffCharset: header beats meta beats UTF-8 default") {
+    def cs(h: String, body: String) =
+      HtmlOps.sniffCharset(h, body.getBytes("ISO-8859-1")).name()
+    assert(cs("Content-Type: text/html; charset=ISO-8859-1", "<html>") == "ISO-8859-1")
+    assert(cs("Content-Type: text/html; charset=\"utf-8\"", "<html>") == "UTF-8")
+    assert(cs("Content-Type: text/html",
+      """<html><head><meta charset="iso-8859-1"></head>""") == "ISO-8859-1")
+    assert(cs("Content-Type: text/html",
+      """<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">""") == "windows-1252")
+    // header wins over a conflicting meta
+    assert(cs("Content-Type: text/html; charset=utf-8",
+      """<meta charset="iso-8859-1">""") == "UTF-8")
+    assert(cs("Content-Type: text/html", "<html>plain") == "UTF-8")
+    assert(cs("Content-Type: text/html; charset=klingon", "x") == "UTF-8")
+    // decode reality check: the same bytes read differently per sniff
+    val eacute = Array(0xE9.toByte)
+    assert(new String(eacute, HtmlOps.sniffCharset(
+      "Content-Type: text/html; charset=ISO-8859-1", eacute)) == "é")
+    assert(new String(eacute, HtmlOps.sniffCharset(
+      "Content-Type: text/html", eacute)) == "�")
   }
 
   test("randomized HTML: regex chain equals the independent scanner") {
     val rnd = new scala.util.Random(0x47 + 0x1234)
-    val words = Vector("alpha", "beta", "g&amp;mma", "delta", "&lt;eps&gt;")
+    val words = Vector("alpha", "beta", "g&amp;mma", "delta", "&lt;eps&gt;",
+      "nu&#109;eric", "he&#x78;", "sp&nbsp;an", "bad&#xFFFFFF;ref", "&amp;#38;")
     val tags = Vector("p", "div", "span", "h1", "li")
     for (_ <- 0 until 200) {
       val sb = new StringBuilder("<html><body>")
