@@ -745,6 +745,194 @@ object ArchiveQueries {
         |FROM links GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Create (once per scale factor) the crawl-corpus `.warc.gz` tree —
+    * the capstone fixture: 24 hosts, each with 3 + i%2 HTTP-framed HTML
+    * responses PLANTED to exercise every curation stage:
+    *   j=1  boilerplate ("menu login signup", 3 tokens) — the token
+    *        gate kills it;
+    *   j=2  an exact duplicate shared verbatim by the 6 hosts of group
+    *        i%4 — exact dedup keeps the lowest doc id;
+    *   j=3  a near duplicate: 10 group-i%3 words inside a stopword
+    *        frame, unique only in the trailing "x<i>" token — MinHash
+    *        est-Jaccard flags the cross-host pairs;
+    *   j=4  (odd hosts) a long but stopword-free listicle — the
+    *        stopword-ratio gate kills it.
+    * Every document's STRIPPED TEXT is a closed-form string of (i, j),
+    * so the oracle reconstructs the exact corpus and replays every
+    * stage including the md5 fingerprints and the full MinHash math.
+    */
+  private[sources] def ensureCrawlTree(sfDir: String): String = {
+    val root = workDir(scaledTag("crawl"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val members = (0 to 3 + i % 2).map { j =>
+          val (tpe, uri, payload) =
+            if (j == 0)
+              ("warcinfo", None, s"software: graft $i".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            else {
+              val text = j match {
+                case 1 => "menu login signup"
+                case 2 => s"the quick brown fox jumps over the lazy dog g${i % 4}"
+                case 3 =>
+                  val ws = (0 until 10).map(k => s"w${(i % 3) * 10 + k}")
+                    .mkString(" ")
+                  s"the crawl of host and the corpus of data $ws x$i"
+                case _ => s"alpha beta gamma delta epsilon zeta eta theta q$i"
+              }
+              val html = "<html><head><style scoped>p { x: y; }</style>" +
+                s"</head><body><p>$text</p>" +
+                """<script>var x = "<p>";</script><!-- c --></body></html>"""
+              val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+                "charset=utf-8\r\n\r\n"
+              ("response", Some(s"http://h$i.example/p$j"),
+                http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+                  html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            tpe, s"<urn:uuid:c$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
+        }
+        Files.write(dir.resolve(f"c$i%03d.warc.gz"), members.reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** The crawl→corpus capstone (round 11): the END-TO-END path a
+    * web-scale pretraining ingest runs, composed entirely from this
+    * engine's own operators and replayed stage-for-stage by the oracle —
+    *
+    *   `.warc.gz` (one gzip member per record) → WARC grammar → HTTP
+    *   split + charset sniff → [[graft.text.HtmlOps.stripHtml]] →
+    *   quality gate ([[graft.text.TextPipeline.qualityFilter]]: ≥5
+    *   tokens AND stopword ratio ≥ 0.05) →
+    *   [[graft.text.TextPipeline.exactDedup]] (md5 keep-min) →
+    *   [[graft.text.TextPipeline.nearDedup]] (MinHash est-J ≥ 0.7)
+    *
+    * with a per-stage survivor-count schema, so the hash match certifies
+    * the whole funnel: a leak at ANY stage (script text surviving, a
+    * gate off by one doc, a wrong fingerprint, one missed near-dup
+    * pair) shifts a count. Scale shape: decode and gate run scan-side
+    * per file; only (doc_id, host, text) rows enter the dedup shuffles,
+    * and the near-dup join is banded — the same funnel at 100 TB is the
+    * documented Common Crawl→corpus architecture (CCNet/RefinedWeb).
+    */
+  object CrawlCorpus extends GraftQuery {
+    val name = "q_crawl_corpus"
+    private val MinTokens = 5
+    private val MinStopRatio = 0.05
+    private val MinEstJaccard = 0.7
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      import graft.text.{HtmlOps, TextOps, TextPipeline}
+      val root = ensureCrawlTree(sfDir)
+      val idRe = "c(\\d+)\\.warc\\.gz".r
+      val pages = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            (mb, j) <- ms.zipWithIndex
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            if r.warcType == "response"
+            (headers, body) <- HtmlOps.httpSplit(r.payload).toSeq
+          } yield (100L * m.group(1).toLong + j,
+            s"h${m.group(1).toLong}.example",
+            new String(body, HtmlOps.sniffCharset(headers, body)))
+        }
+        .toDF("doc_id", "host", "html")
+      val docs = pages
+        .select(col("doc_id"), col("host"),
+          HtmlOps.stripHtml(col("html")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gated = TextPipeline.qualityFilter(docs, MinTokens, MinStopRatio)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = TextPipeline.exactDedup(gated)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fin = TextPipeline.nearDedup(exact, MinEstJaccard)
+      val nRaw = docs.agg(count(lit(1)).as("n_responses"))
+      val nGated = gated.agg(count(lit(1)).as("n_gated"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val finAgg = fin.agg(count(lit(1)).as("n_final"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(size(TextOps.tokens(col("text")))).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"))
+      nRaw.crossJoin(broadcast(nGated)).crossJoin(broadcast(nExact))
+        .crossJoin(broadcast(finAgg))
+    }
+    private val minMatches =
+      (0 to graft.dedup.Dedup.NumHashes)
+        .find(m => m.toDouble / graft.dedup.Dedup.NumHashes >= MinEstJaccard)
+        .get
+    val oracle = Some(
+      s"""WITH hosts AS (SELECT i.i AS i FROM unnest(range(0, 24)) i(i)),
+         |gw AS (
+         |  SELECT g.g AS g,
+         |         string_agg('w' || (g.g * 10 + k.k), ' ' ORDER BY k.k) AS ws
+         |  FROM unnest(range(0, 3)) g(g), LATERAL unnest(range(0, 10)) k(k)
+         |  GROUP BY 1),
+         |raw AS (
+         |  SELECT 100 * i + 1 AS doc_id, 'h' || i || '.example' AS host,
+         |         'menu login signup' AS text FROM hosts
+         |  UNION ALL
+         |  SELECT 100 * i + 2, 'h' || i || '.example',
+         |         'the quick brown fox jumps over the lazy dog g' || (i % 4)
+         |  FROM hosts
+         |  UNION ALL
+         |  SELECT 100 * i + 3, 'h' || i || '.example',
+         |         'the crawl of host and the corpus of data ' || gw.ws
+         |           || ' x' || i
+         |  FROM hosts JOIN gw ON gw.g = i % 3
+         |  UNION ALL
+         |  SELECT 100 * i + 4, 'h' || i || '.example',
+         |         'alpha beta gamma delta epsilon zeta eta theta q' || i
+         |  FROM hosts WHERE i % 2 = 1),
+         |gated AS (
+         |  SELECT * FROM raw
+         |  WHERE len(string_split_regex(trim(text), '\\s+')) >= $MinTokens
+         |    AND CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+         |        >= $MinStopRatio),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM gated)
+         |  GROUP BY fp),
+         |d AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+         |${graft.dedup.Dedup.minhashOracleCtes("d")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.da, c.db, count(*) FILTER (WHERE sa.s = sb.s) AS m
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
+         |              JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
+         |  GROUP BY 1, 2),
+         |dropd AS (SELECT DISTINCT db AS doc_id FROM est WHERE m >= $minMatches),
+         |final AS (
+         |  SELECT * FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM dropd WHERE dropd.doc_id = d.doc_id))
+         |SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_responses,
+         |       CAST((SELECT count(*) FROM gated) AS BIGINT) AS n_gated,
+         |       CAST((SELECT count(*) FROM d) AS BIGINT) AS n_exact,
+         |       CAST(count(*) AS BIGINT) AS n_final,
+         |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |       CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+         |            AS BIGINT) AS total_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc
+         |FROM final""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph)
+    Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph,
+      CrawlCorpus)
 }
