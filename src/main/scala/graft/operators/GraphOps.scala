@@ -30,8 +30,10 @@ object GraphOps {
     */
   object PageRank extends GraftQuery {
     val name = "q_pagerank"
-    private val Scale = 1000000000000L // 1e-12 rank units
-    private val Iters = 5
+    // shared with the composed crawl-graph ranking (ArchiveQueries
+    // .CrawlPageRank) so both replays unroll the same recurrence
+    private[graft] val Scale = 1000000000000L // 1e-12 rank units
+    private[graft] val Iters = 5
     private val K = 20
 
     /** Fixed-point integer ranks per node, gated by MEASURED graph size

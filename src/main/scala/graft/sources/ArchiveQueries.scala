@@ -932,7 +932,101 @@ object ArchiveQueries {
          |FROM final""".stripMargin)
   }
 
+  /** Crawl graph → PageRank, composed (round 11): the link edges
+    * [[HtmlLinkGraph]] extracts are exactly the shape the
+    * [[graft.operators.GraphOps.PageRank.pagerankRanks]] iterative-join
+    * operator consumes — this query wires them together, ranking every
+    * crawled page and link target by the planted web graph's structure
+    * (the in-link weighting step of a crawl frontier / page-quality
+    * prior). Page bytes never shuffle: the WARC decode and anchor regex
+    * run scan-side, DISTINCT (page, href) edges enter the rank loop,
+    * and each of the 5 rounds is one edge-keyed join + aggregate in
+    * fixed-point BIGINT arithmetic — bit-identical on any engine, so
+    * the oracle unrolls the same recurrence closed-form over the
+    * planted-graph formulas (q_pagerank's integer stance, new graph).
+    */
+  object CrawlPageRank extends GraftQuery {
+    val name = "q_crawl_pagerank"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureWarcLinkTree(sfDir)
+      val idRe = "l(\\d+)\\.warc\\.gz".r
+      val pages = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          for {
+            m <- idRe.findFirstMatchIn(path).toSeq
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            if r.warcType == "response"
+            uri <- r.targetUri.toSeq
+          } yield (uri,
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+        }
+        .toDF("page", "html")
+      val edges = pages
+        .select(col("page").as("w1"), explode(expr(
+          """regexp_extract_all(html, '<a href="([^"]+)"', 1)""")).as("w2"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = edges.select(col("w1").as("t"))
+        .union(edges.select(col("w2").as("t")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.GraphOps.PageRank.pagerankRanks(edges, nodes)
+        .select(col("t").as("url"), col("rank").as("rank_units"),
+          (col("rank").cast("double") / lit(1.0e12)).as("pagerank"))
+        .orderBy(col("rank_units").desc, col("url").asc)
+    }
+    val oracle = {
+      val Scale = graft.operators.GraphOps.PageRank.Scale
+      val rounds = (1 to graft.operators.GraphOps.PageRank.Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT nodes.t,
+           |         (${15L * Scale} // (100 * n)) + coalesce(f.inflow, 0) AS rank
+           |  FROM nodes CROSS JOIN n
+           |  LEFT JOIN (
+           |    SELECT e.w2 AS t,
+           |           CAST(sum((85 * r.rank) // (100 * d.deg)) AS BIGINT) AS inflow
+           |    FROM r${k - 1} r
+           |    JOIN edges e ON r.t = e.w1
+           |    JOIN deg d ON e.w1 = d.w1
+           |    GROUP BY 1) f ON nodes.t = f.t)""".stripMargin
+      }.mkString(",\n")
+      Some(
+        s"""WITH specs AS (
+           |  SELECT i.i AS i, 2 + i.i % 3 AS np
+           |  FROM unnest(range(0, 24)) i(i)),
+           |pages AS (
+           |  SELECT s.i, j.j AS j,
+           |         'http://src.example/d' || s.i || '/' || j.j AS page
+           |  FROM specs s, LATERAL unnest(range(1, s.np + 1)) j(j)),
+           |edges AS (
+           |  SELECT DISTINCT p.page AS w1,
+           |         'http://s' || ((p.i + l.l) % 8) || '.example/p'
+           |           || ((p.j + l.l) % 5) AS w2
+           |  FROM pages p,
+           |       LATERAL unnest(range(0, 1 + (p.i + p.j) % 3)) l(l)),
+           |deg AS (SELECT w1, count(*) AS deg FROM edges GROUP BY 1),
+           |nodes AS (
+           |  SELECT DISTINCT u AS t
+           |  FROM (SELECT w1 AS u FROM edges UNION SELECT w2 FROM edges)),
+           |n AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT t, $Scale // n AS rank FROM nodes CROSS JOIN n),
+           |$rounds
+           |SELECT t AS url, rank AS rank_units,
+           |       CAST(rank AS DOUBLE) / 1e12 AS pagerank
+           |FROM r${graft.operators.GraphOps.PageRank.Iters}
+           |ORDER BY rank_units DESC, url ASC""".stripMargin)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph,
-      CrawlCorpus)
+      CrawlCorpus, CrawlPageRank)
 }
