@@ -116,20 +116,43 @@ class ClassifierOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("model cache: cold-trained and cache-served eval results are identical") {
-    // q_classifier_select / q_classifier_auc serve the trained weight
-    // vector from ModelCache after the first execution (the tokenizer
-    // apply-row pattern) — a hit must be indistinguishable from a cold
-    // train, or the bench min would measure a different query than the
-    // oracle checks
+  /** Remove the scored-corpus parquet checkpoint so a "cold" run really
+    * retrains + rescores from the raw table.
+    */
+  private def wipeScoresCheckpoint(): Unit = {
+    val safe = sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_clf_scores_${ClassifierOps.B}_$safe")
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("model cache: cold-trained and checkpoint-served eval results are identical") {
+    // q_classifier_select / q_classifier_auc serve the scored-corpus
+    // parquet checkpoint (weights via ModelCache underneath) after the
+    // first execution — a hit must be indistinguishable from a cold
+    // train+score, or the bench min would measure a different query
+    // than the oracle checks
     ModelCache.clear()
+    wipeScoresCheckpoint()
     val coldSel = ClassifierOps.ClassifierSelect.run(spark, sf).collect().toSeq
     val coldAuc = ClassifierOps.ClassifierAuc.run(spark, sf).collect().toSeq
     spark.catalog.clearCache()
     val warmSel = ClassifierOps.ClassifierSelect.run(spark, sf).collect().toSeq
     val warmAuc = ClassifierOps.ClassifierAuc.run(spark, sf).collect().toSeq
-    assert(coldSel == warmSel, "cache-served selection diverged from cold train")
-    assert(coldAuc == warmAuc, "cache-served AUC diverged from cold train")
+    assert(coldSel == warmSel, "checkpoint-served selection diverged from cold train")
+    assert(coldAuc == warmAuc, "checkpoint-served AUC diverged from cold train")
+    // a SECOND cold pass (fresh train, fresh scores) must reproduce the
+    // checkpointed results exactly — pins checkpoint content, not just
+    // read-path stability
+    ModelCache.clear()
+    wipeScoresCheckpoint()
+    spark.catalog.clearCache()
+    val recoldSel = ClassifierOps.ClassifierSelect.run(spark, sf).collect().toSeq
+    assert(recoldSel == coldSel, "re-trained scores diverged from checkpoint")
     ModelCache.clear()
     spark.catalog.clearCache()
   }
