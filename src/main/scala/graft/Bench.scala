@@ -98,9 +98,17 @@ object Bench {
     // driver runs, so the full registry is always what gets judged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Optional exclusion filter — the A/B twin of ONLY: drop a few named
+    // rows from an otherwise-full run (e.g. the media collapse rows) so
+    // their JVM-wide side effects (persists, cache pressure) can be
+    // adjudicated against untouched rows under the SAME warmth protocol
+    // (isolated ONLY-runs are 15-30% slower from lost JIT warmth and
+    // cannot answer that question). Absent in driver runs.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       SparkEntry.registry
-        .filter(q => only.forall(_(q.name)))
+        .filter(q => only.forall(_(q.name)) && !skip(q.name))
         .map(q => q.name -> ((s: SparkSession, d: String) => q.run(s, d)))
     // Noise-robust protocol: N interleaved repetitions (A,B,C,A,B,C — not
     // A,A,A, so a host-contention burst contaminates at most one rep of

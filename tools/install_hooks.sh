@@ -30,7 +30,14 @@ if [ -z "$CODE" ]; then
   exit 0  # doc/tool-only commit: nothing to compile or verify
 fi
 
-# q_* names on added lines of the staged diff -> targeted verify list
+# q_* names on added lines of the staged diff -> targeted verify list.
+# Known limitation: the gate compiles and verifies the WORKING TREE
+# while the query list comes from the staged diff, so a partially
+# staged commit is checked against code that is not being committed.
+# The repo's workflow never partial-stages .scala files (gate.sh quick
+# runs pre-stage, and the round log records HEAD+dirty); an exact gate
+# would need a `git stash -k` / temp-index checkout, which risks
+# clobbering in-flight work for a case that does not occur here.
 QUERIES=$(git diff --cached -U0 -- $CODE \
   | grep -E '^\+' | grep -oE '"q_[a-z0-9_]+"' \
   | tr -d '"' | sort -u | paste -sd, -)
