@@ -182,6 +182,18 @@ object Dedup {
 
   /** Candidate near-dup pairs from LSH buckets, verified by signature
     * agreement (estimated Jaccard = fraction of matching minhashes).
+    *
+    * Scale stance: the bucket self-join emits O(m²) candidates inside a
+    * near-dup cluster of m members — inherent to any banded-LSH pair
+    * formulation (measured in the round-11 q_crawl_corpus ×10 audit:
+    * 115× in-cluster pairs → 42× shuffled rows when the fixture grows
+    * cluster SIZE instead of cluster COUNT). The exact-duplicate head
+    * never gets here (md5 collapse runs upstream in every composed
+    * pipeline); for corpora whose near-dup clusters grow with the crawl,
+    * the production lever is a band-bucket size cap — skip buckets past
+    * a bound (they are boilerplate by definition and already caught by
+    * coarser gates), keeping the join linear. Not applied here because
+    * every registered oracle replays the uncapped semantics exactly.
     */
   def minhashCandidatePairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
     val sig = signatures(docs)
