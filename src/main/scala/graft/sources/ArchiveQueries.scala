@@ -1026,7 +1026,179 @@ object ArchiveQueries {
     }
   }
 
+  /** Create (once per scale factor) the robots-frontier `.warc.gz` tree:
+    * the [[ensureWarcLinkTree]] page/anchor formulas (same planted web
+    * graph) PLUS, for i < 8, one WARC `resource` record carrying host
+    * s<i>.example's robots.txt — the way a real crawl stores fetched
+    * robots files beside pages. Rules are a pure function of the host
+    * index h and exercise every RFC 9309 selection/precedence branch:
+    * a decoy `spiderx` full-disallow group everywhere; odd h adds a
+    * specific `graftbot` group (`Disallow: /p` + `Allow: /p<h%5>` —
+    * longest-match re-allow); even h falls to the `*` group, which is
+    * empty (allow-all) when h%4=0 and `Disallow: /p<(h+1)%5>` when
+    * h%4=2.
+    */
+  private[sources] def ensureRobotsTree(sfDir: String): String = {
+    val root = workDir(scaledTag("robots"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val pageMembers = (0 until 1 + (2 + i % 3)).map { j =>
+          val (tpe, uri, payload) =
+            if (j == 0)
+              ("warcinfo", None, s"software: graft $i".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            else {
+              val anchors = (0 until 1 + (i + j) % 3).map { l =>
+                s"""<a href="http://s${(i + l) % 8}.example/p${(j + l) % 5}">x</a>"""
+              }.mkString
+              ("response", Some(s"http://src.example/d$i/$j"),
+                s"<html><body><h1>d$i/$j</h1>$anchors</body></html>"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            tpe, s"<urn:uuid:r$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
+        }
+        val robotsMember =
+          if (i < 8) {
+            val h = i
+            val specific =
+              if (h % 2 == 1)
+                s"User-agent: graftbot\nDisallow: /p\nAllow: /p${h % 5}\n\n"
+              else ""
+            val star =
+              if (h % 4 == 0) "User-agent: *\nDisallow:\n"
+              else s"User-agent: *\nDisallow: /p${(h + 1) % 5}\n"
+            val txt = s"# host s$h fixture\nUser-agent: spiderx\n" +
+              s"Disallow: /\n\n$specific$star"
+            Seq(GzipCodec.buildMember(WarcCodec.buildRecord(
+              "resource", s"<urn:uuid:rob$i>", "2026-01-01T00:00:00Z",
+              Some(s"http://s$h.example/robots.txt"),
+              txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          } else Seq.empty
+        Files.write(dir.resolve(f"r$i%03d.warc.gz"),
+          (pageMembers ++ robotsMember).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Crawl-frontier robots filtering (RFC 9309), composed: the link
+    * edges the crawl extracts, gated by each target host's PARSED
+    * robots.txt under the real group-selection + longest-match-
+    * precedence semantics ([[graft.text.RobotsOps]]) — the mandatory
+    * step between link extraction and the fetch frontier. Scale shape:
+    * rules are per-host tiny (broadcast); the allow/deny DECISION is
+    * computed once per distinct (host, path) via the rule join's
+    * struct-argmax (longest path, allow on ties) and joined back onto
+    * the counted edges — link volume never meets the rule join. The
+    * oracle replays the planted graph AND the rule semantics closed-
+    * form per (h, p), so a wrong group pick, a missed merge, or a
+    * precedence bug cannot reproduce the counts.
+    */
+  object RobotsFrontier extends GraftQuery {
+    val name = "q_robots_frontier"
+    private val Agent = "graftbot"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureRobotsTree(sfDir)
+      // one decoded pass over the tree: link rows (kind 0) + parsed
+      // rule rows (kind 1), persisted — two consumers below
+      val recs = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("content"))
+        .as[Array[Byte]]
+        .flatMap { content =>
+          val out = Seq.newBuilder[(Int, String, String, Boolean)]
+          for {
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            uri <- r.targetUri.toSeq
+          } {
+            if (r.warcType == "response") {
+              val html = new String(r.payload,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val a = """<a href="http://([^/"]+)(/[^"]*)"""".r
+              a.findAllMatchIn(html).foreach { m =>
+                out += ((0, m.group(1), m.group(2), false))
+              }
+            } else if (r.warcType == "resource" &&
+              uri.endsWith("/robots.txt")) {
+              val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+              val txt = new String(r.payload,
+                java.nio.charset.StandardCharsets.UTF_8)
+              graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
+                out += ((1, host, rule.path, rule.allow))
+              }
+            }
+          }
+          out.result()
+        }
+        .toDF("kind", "host", "path", "allow")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val links = recs.filter(col("kind") === 0)
+        .groupBy("host", "path").agg(count(lit(1)).as("n"))
+      val rules = recs.filter(col("kind") === 1)
+        .select(col("host"), col("path").as("rpath"), col("allow"))
+      // decision per distinct (host, path): RFC 9309 §2.2.2 — longest
+      // matching rule path wins, allow wins ties, no match → allowed
+      val decided = links
+        .join(broadcast(rules),
+          links("host") === rules("host") &&
+            links("path").startsWith(col("rpath")), "left")
+        .groupBy(links("host"), links("path"), col("n"))
+        .agg(max(struct(length(col("rpath")).as("l"),
+          col("allow").cast("int").as("a"))).as("best"))
+        .select(links("host"), col("n"),
+          coalesce(col("best.a") === 1, lit(true)).as("ok"))
+      val ruleCounts = rules.groupBy("host")
+        .agg(count(lit(1)).as("n_rules"))
+      decided.groupBy("host")
+        .agg(sum(col("n")).as("n_links"),
+          sum(when(col("ok"), col("n")).otherwise(0L)).as("n_allowed"),
+          sum(when(col("ok"), 0L).otherwise(col("n"))).as("n_blocked"))
+        .join(broadcast(ruleCounts), Seq("host"), "left")
+        .select(col("host"), coalesce(col("n_rules"), lit(0L)).as("n_rules"),
+          col("n_links"), col("n_allowed"), col("n_blocked"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, 2 + i.i % 3 AS np
+        |  FROM unnest(range(0, 24)) i(i)),
+        |links AS (
+        |  SELECT (s.i + l.l) % 8 AS h, (j.j + l.l) % 5 AS p
+        |  FROM specs s,
+        |       LATERAL unnest(range(1, s.np + 1)) j(j),
+        |       LATERAL unnest(range(0, 1 + (s.i + j.j) % 3)) l(l)),
+        |-- graftbot's merged rules per host, replayed from the planted
+        |-- generator: odd h -> the specific group {Disallow /p, Allow
+        |-- /p<h%5>}; h%4=0 -> empty * group; h%4=2 -> {Disallow /p<(h+1)%5>}
+        |dec AS (
+        |  SELECT h, p, count(*) AS n,
+        |         CASE WHEN h % 2 = 1 THEN (p = h % 5)
+        |              WHEN h % 4 = 0 THEN TRUE
+        |              ELSE (p <> (h + 1) % 5) END AS ok,
+        |         CASE WHEN h % 2 = 1 THEN 2
+        |              WHEN h % 4 = 0 THEN 0
+        |              ELSE 1 END AS n_rules
+        |  FROM links GROUP BY 1, 2)
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(max(n_rules) AS BIGINT) AS n_rules,
+        |       CAST(sum(n) AS BIGINT) AS n_links,
+        |       CAST(sum(CASE WHEN ok THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_allowed,
+        |       CAST(sum(CASE WHEN ok THEN 0 ELSE n END) AS BIGINT)
+        |         AS n_blocked
+        |FROM dec GROUP BY h ORDER BY host""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph,
-      CrawlCorpus, CrawlPageRank)
+      CrawlCorpus, CrawlPageRank, RobotsFrontier)
 }

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RobotsOps contract, pinned against RFC 9309's own semantics clause
+  * by clause (group selection §2.2.1, merge rule, longest-match +
+  * allow-tie precedence §2.2.2, empty-Disallow, unparseable-rule
+  * fail-open) on hand-written files — independent of the fixture
+  * generator and of the Spark plan that consumes the parser.
+  */
+class RobotsOpsSpec extends AnyFunSuite {
+
+  private def ok(txt: String, agent: String, path: String): Boolean =
+    RobotsOps.allowed(RobotsOps.rules(txt, agent), path)
+
+  test("group selection: specific group beats *, decoys ignored") {
+    val txt =
+      """User-agent: spiderx
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /private
+        |
+        |User-agent: *
+        |Disallow: /everything
+        |""".stripMargin
+    assert(!ok(txt, "graftbot", "/private/x"))
+    assert(ok(txt, "graftbot", "/everything")) // * group does NOT apply
+    assert(!ok(txt, "otherbot", "/everything")) // falls to *
+    assert(ok(txt, "otherbot", "/private/x"))
+    assert(!ok(txt, "spiderx", "/anything"))
+    // case-insensitive agent and field names
+    assert(!ok(txt.replace("User-agent", "USER-AGENT"), "GraftBot", "/private"))
+  }
+
+  test("matching groups merge; shared user-agent lines share rules") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /a
+        |
+        |User-agent: graftbot
+        |Disallow: /b
+        |
+        |User-agent: x
+        |User-agent: y
+        |Disallow: /shared
+        |""".stripMargin
+    assert(!ok(txt, "graftbot", "/a") && !ok(txt, "graftbot", "/b"))
+    assert(!ok(txt, "x", "/shared") && !ok(txt, "y", "/shared"))
+  }
+
+  test("precedence: longest match wins, allow wins ties, no match allows") {
+    val txt =
+      """User-agent: *
+        |Disallow: /p
+        |Allow: /page
+        |""".stripMargin
+    assert(!ok(txt, "bot", "/p1"))      // only /p matches
+    assert(ok(txt, "bot", "/page/sub")) // /page (longer) re-allows
+    assert(ok(txt, "bot", "/other"))    // no match
+    // exact-tie: Allow and Disallow with the same path → allow
+    val tie = "User-agent: *\nDisallow: /t\nAllow: /t\n"
+    assert(ok(tie, "bot", "/t/x"))
+  }
+
+  test("empty Disallow restricts nothing; wildcard rules fail open") {
+    assert(ok("User-agent: *\nDisallow:\n", "bot", "/anything"))
+    assert(RobotsOps.rules("User-agent: *\nDisallow:\n", "bot").isEmpty)
+    // * / $ extensions are not implemented — such rules are dropped
+    assert(ok("User-agent: *\nDisallow: /*.pdf\n", "bot", "/x.pdf"))
+    assert(ok("User-agent: *\nDisallow: /a$\n", "bot", "/a"))
+  }
+
+  test("grammar noise: comments, blank lines, rules before any group") {
+    val txt =
+      """# header comment
+        |Disallow: /orphan
+        |User-agent: * # trailing comment
+        |
+        |Disallow: /x # blank line above does not end the group
+        |Sitemap: http://s.example/map.xml
+        |Crawl-delay: 10
+        |""".stripMargin
+    assert(ok(txt, "bot", "/orphan"))  // orphan rule outside any group
+    assert(!ok(txt, "bot", "/x"))      // group survived the blank line
+    assert(ok(txt, "bot", "/y"))
+    assert(ok("", "bot", "/anything")) // empty file → allow all
+  }
+}
