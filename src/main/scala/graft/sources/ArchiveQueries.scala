@@ -1198,7 +1198,111 @@ object ArchiveQueries {
         |FROM dec GROUP BY h ORDER BY host""".stripMargin)
   }
 
+  /** Create (once per scale factor) the main-content HTML tree: plain
+    * `.html` files (the post-WARC landing shape), page i carrying a nav
+    * block (pure links), 5 + i%7 content paragraphs of 8 deterministic
+    * words (even paragraphs embed one 1-token inline link), a script
+    * block whose STRING contains a fake high-quality `<p>` (the block
+    * segmenter must drop invisible content first or its counts shift),
+    * and a footer mixing two links with two plain tokens.
+    */
+  private[sources] def ensureMainContentTree(sfDir: String): String = {
+    val root = workDir(scaledTag("mainc"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val nw = 5 + i % 7
+        val paras = (0 until nw).map { k =>
+          val words = (0 until 8).map(m => s"w${(3 * i + k + m) % 20}")
+            .mkString(" ")
+          val link = if (k % 2 == 0) """ <a href="/u">lk</a>""" else ""
+          s"<p>$words$link</p>"
+        }.mkString
+        val html = "<html><head><title>t</title><style>p{c:d}</style>" +
+          "</head><body>" +
+          """<nav><a href="/h">m0</a><a href="/a">m1</a></nav>""" +
+          paras +
+          """<script>var x = "<p>trap trap trap trap trap</p>";</script>""" +
+          """<footer><a href="/ab">about</a> <a href="/c">contact</a>""" +
+          " copy site</footer></body></html>"
+        Files.write(dir.resolve(f"m$i%03d.html"),
+          html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    root
+  }
+
+  /** Main-content extraction (round 11) — the boilerplate-BLOCK removal
+    * step between markup stripping and the curation gates (the
+    * Boilerpipe/jusText family, done with the deterministic
+    * link-density rule those systems build on): drop invisible content
+    * ([[graft.text.HtmlOps.dropInvisible]] — a `<p>` inside a script
+    * string must never become a block), segment into block elements
+    * (`p`/`nav`/`footer`), and classify each block by LINK DENSITY —
+    * content iff anchor tokens ≤ ¼ of the block's tokens AND the block
+    * carries ≥ 3 tokens. Navigation chrome is links by construction;
+    * prose is not — the rule that separates them needs no model.
+    * Everything is a codegen column chain over the scan (regexp block
+    * extraction, per-block anchor-token fold, stripHtml token count);
+    * only per-page aggregate rows shuffle. The oracle replays the
+    * fixture's construction arithmetic, so a segmentation leak, a trap
+    * block surviving, or a mis-classified footer shifts a count.
+    */
+  object MainContent extends GraftQuery {
+    val name = "q_main_content"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMainContentTree(sfDir)
+      val idRe = "m(\\d+)\\.html".r
+      val pages = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, content) =>
+          idRe.findFirstMatchIn(path).toSeq.map(m => (m.group(1).toLong,
+            new String(content, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        .toDF("asset_idx", "html")
+      val segmented = pages
+        .select(col("asset_idx"),
+          graft.text.HtmlOps.dropInvisible(col("html")).as("visible"))
+        .select(col("asset_idx"), explode(expr(
+          """regexp_extract_all(visible, '(?is)<(p|nav|footer)\\b[^>]*>(.*?)</\\1>', 2)"""))
+          .as("b"))
+      val toks = size(split(graft.text.HtmlOps.stripHtml(col("b")), " "))
+      val atoks = expr(
+        """aggregate(regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+          |0, (acc, x) -> acc + size(split(trim(x), '\\s+')))""".stripMargin)
+      segmented
+        .select(col("asset_idx"), toks.as("t"), atoks.as("a"))
+        .withColumn("content", lit(4) * col("a") <= col("t") && col("t") >= 3)
+        .groupBy("asset_idx")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("content"), 1L).otherwise(0L)).as("n_content"),
+          sum(when(col("content"), 0L).otherwise(1L)).as("n_boiler"),
+          sum(when(col("content"), col("t")).otherwise(0L))
+            .as("content_tokens"),
+          sum(when(col("content"), 0L).otherwise(col("t")))
+            .as("boiler_tokens"))
+        .orderBy("asset_idx")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS asset_idx, 5 + i.i % 7 AS nw
+        |  FROM unnest(range(0, 24)) i(i))
+        |SELECT asset_idx,
+        |       CAST(nw + 2 AS BIGINT) AS n_blocks,
+        |       CAST(nw AS BIGINT) AS n_content,
+        |       CAST(2 AS BIGINT) AS n_boiler,
+        |       CAST(8 * nw + (nw + 1) // 2 AS BIGINT) AS content_tokens,
+        |       CAST(6 AS BIGINT) AS boiler_tokens
+        |FROM specs ORDER BY asset_idx""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph,
-      CrawlCorpus, CrawlPageRank, RobotsFrontier)
+      CrawlCorpus, CrawlPageRank, RobotsFrontier, MainContent)
 }

@@ -35,11 +35,20 @@ import org.apache.spark.sql.functions._
   */
 object HtmlOps {
 
-  def stripHtml(c: Column): Column = {
+  /** Drop the non-content regions — script/style blocks whole (their
+    * content is code; a tag-only pass would leak it) and comments.
+    * Shared by [[stripHtml]] and the block-level extractors, which must
+    * run it BEFORE block segmentation (a `<p>` inside a script string
+    * is the classic trap).
+    */
+  def dropInvisible(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(dropInvisible(c), "<[^>]*>", " ")
     val decoded = graft.plans.HtmlEntityExpression.decodeHtmlEntities(noTags)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
