@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import SourceQueries.{workDir, mediaScale, scaledTag}
 
-/** Archive/crawl ingestion tier (round 10): the container formats a
+/** Archive/crawl ingestion tier (rounds 10–11): the container formats a
   * 100 TB training-data ingest actually walks — POSIX tar, ZIP
   * (stored + DEFLATE members), and WARC-in-gzip-members, the exact
   * layout Common Crawl publishes (~100 TB of `.warc.gz` per snapshot,
@@ -15,9 +15,16 @@ import SourceQueries.{workDir, mediaScale, scaledTag}
   * [[graft.multimodal.ZipCodec]] / [[graft.multimodal.GzipCodec]] /
   * [[graft.multimodal.WarcCodec]]), strict, and total; `java.util.zip`
   * serves as the independent differential where the JVM ships one
-  * (ArchiveCodecSpec). Decode happens where the scan reads the bytes —
-  * only small per-asset aggregate rows move afterwards, the same
-  * 100 TB stance as every other media scan.
+  * (ArchiveCodecSpec). Round 11 removed the tier's size ceiling — the
+  * tar/zip/targz scans walk bounded-memory streams/preads (no
+  * whole-archive array anywhere; ZIP64 supported), and composed the
+  * tier into the corpus stack: crawl→corpus curation
+  * ([[CrawlCorpus]]), crawl-graph ranking ([[CrawlPageRank]]),
+  * RFC 9309 frontier filtering ([[RobotsFrontier]]), and
+  * link-density main-content extraction ([[MainContent]]). Decode
+  * happens where the scan reads the bytes — only small per-asset
+  * aggregate rows move afterwards, the same 100 TB stance as every
+  * other media scan.
   */
 object ArchiveQueries {
 
