@@ -50,6 +50,7 @@ object SparkEntry {
       similarity.MmrOps.all ++
       sources.SourceQueries.all ++
       sources.ArchiveQueries.all ++
+      sources.FrontierQueries.all ++
       streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
