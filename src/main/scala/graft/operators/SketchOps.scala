@@ -220,5 +220,111 @@ object SketchOps {
          |FROM ex CROSS JOIN est""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(CountMin, KmvMerge, JoinSizeEst)
+  /** Bloom-filter URL-seen prefilter — the membership sketch a recrawl
+    * frontier runs BEFORE the exact seen-set join: yesterday's crawl
+    * sets K bits per seen URL; today's candidates fetch only if some
+    * bit is unset (definitely new) or fall through to the exact check
+    * (bloom-positive). The query builds the filter from the "seen"
+    * slice (doc_id % 4 != 0) of synthesized per-document URLs, probes
+    * the candidate slice (doc_id % 2 = 0), and reports the sketch's
+    * confusion per host next to ground truth from the exact join it
+    * would replace: `n_fp` (bloom-positive but genuinely new — the
+    * wasted exact-checks) and `n_miss` (seen but bloom-negative —
+    * structurally ZERO, the no-false-negatives property the oracle
+    * certifies on every row).
+    *
+    * Plan shape: the bit array is relational — the DISTINCT occupied
+    * positions (≤ M rows regardless of seen-set size) broadcast onto
+    * the candidate probes, so the probe side never shuffles. Hashes
+    * are md5-slice ([[graft.functions.PortableHash]]) so DuckDB
+    * replays the exact bit addressing; a probe passes iff ALL its
+    * DISTINCT positions are occupied (two hash rows colliding into one
+    * position test one bit — counting matched rows instead would
+    * under-pass). M = 2^15 / K = 3 keeps the fixture's load factor low
+    * (fp visible at sf0.1, ~zero at sf0.01); production sizes M from
+    * the expected insert count (m = -n·ln p / ln²2) and builds the
+    * same positions via a fixed byte-array OR-aggregate per partition
+    * (the KMV-style merge; SketchOpsSpec pins relation ≡ byte-array
+    * decisions and merge associativity).
+    */
+  object BloomSeen extends GraftQuery {
+    val name = "q_bloom_urlseen"
+    private[operators] val M = 1 << 15
+    private[operators] val K = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val url = concat(lit("http://s"), (col("doc_id") % 13).cast("string"),
+        lit(".example/d"), col("doc_id").cast("string"))
+      val docs = Graft.table(spark, sfDir, "documents")
+        .select(col("doc_id"), url.as("url"))
+      val seen = docs.filter(col("doc_id") % 4 =!= 0)
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+      val ks = array((0 until K).map(lit): _*)
+      val pos = (pHash28(concat(col("k").cast("string"), lit(":"),
+        col("url"))) % M).as("pos")
+      val bits = seen.select(col("url"), explode(ks).as("k"))
+        .select(pos).distinct()
+      val probed = cand.select(col("doc_id"), col("url"), explode(ks).as("k"))
+        .select(col("doc_id"), col("url"), pos)
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy("doc_id", "url")
+        .agg(countDistinct(col("pos")).as("n_pos"),
+          countDistinct(when(col("hit").isNotNull, col("pos"))).as("n_hit"))
+        .withColumn("pass", col("n_hit") === col("n_pos"))
+      // ground truth: the exact seen-set join the bloom prefilters
+      val truth = probed.join(
+        seen.select(col("url"), lit(1).as("was_seen")), Seq("url"), "left")
+      truth
+        .withColumn("host", concat(lit("s"), (col("doc_id") % 13).cast("string")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("was_seen").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+          sum(when(col("pass") && col("was_seen").isNull, 1L).otherwise(0L))
+            .as("n_fp"),
+          sum(when(!col("pass") && col("was_seen").isNotNull, 1L)
+            .otherwise(0L)).as("n_miss"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         'http://s' || (doc_id % 13) || '.example/d' || doc_id AS url
+         |  FROM documents),
+         |seen AS (SELECT * FROM docs WHERE doc_id % 4 <> 0),
+         |cand AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+         |ks AS (SELECT unnest([0, 1, 2]) AS k),
+         |bits AS (
+         |  SELECT DISTINCT
+         |         ('0x' || substr(md5(k || ':' || url), 1, 7))::BIGINT % $M
+         |           AS pos
+         |  FROM seen CROSS JOIN ks),
+         |pr AS (
+         |  SELECT doc_id, url,
+         |         ('0x' || substr(md5(k || ':' || url), 1, 7))::BIGINT % $M
+         |           AS pos
+         |  FROM cand CROSS JOIN ks),
+         |probed AS (
+         |  SELECT pr.doc_id, pr.url,
+         |         count(DISTINCT pr.pos) AS n_pos,
+         |         count(DISTINCT b.pos) AS n_hit
+         |  FROM pr LEFT JOIN bits b ON b.pos = pr.pos
+         |  GROUP BY 1, 2),
+         |final AS (
+         |  SELECT p.doc_id, p.n_hit = p.n_pos AS pass,
+         |         s.url IS NOT NULL AS was_seen
+         |  FROM probed p LEFT JOIN seen s ON s.url = p.url)
+         |SELECT 's' || (doc_id % 13) AS host,
+         |       CAST(count(*) AS BIGINT) AS n_candidates,
+         |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pass,
+         |       CAST(sum(CASE WHEN was_seen THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_seen,
+         |       CAST(sum(CASE WHEN pass AND NOT was_seen THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_fp,
+         |       CAST(sum(CASE WHEN was_seen AND NOT pass THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_miss
+         |FROM final GROUP BY 1 ORDER BY host""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(CountMin, KmvMerge, JoinSizeEst, BloomSeen)
 }

@@ -97,4 +97,66 @@ class SketchOpsSpec extends SparkSpec {
     assert(r.getLong(2) >= 0L, s"CMS estimate must never undercount: $r")
   }
 
+  test("bloom: byte-array build ≡ relational distinct-positions build, " +
+    "OR-merge law, and no false negatives") {
+    import graft.functions.BloomBits
+    val m = 1 << 11 // much smaller than the query's 2^15: ~42% load, so
+    // false positives occur with near-certainty (expected ≈ 9 of 125)
+    val kH = 3
+    val seen = (0 until 500).filter(_ % 4 != 0)
+      .map(i => s"http://s${i % 13}.example/d$i")
+    val cands = (0 until 500).filter(_ % 2 == 0)
+      .map(i => s"http://s${i % 13}.example/d$i")
+    // relational form: the DISTINCT occupied positions, as BloomSeen
+    // materializes them
+    val posSet = seen.flatMap(u => (0 until kH)
+      .map(k => BloomBits.position(k, u, m))).toSet
+    def relPass(u: String): Boolean =
+      (0 until kH).forall(k => posSet.contains(BloomBits.position(k, u, m)))
+    // byte form, built as 4 independent partition partials then merged
+    val partials = seen.grouped((seen.size + 3) / 4).map { part =>
+      val b = BloomBits.empty(m)
+      part.foreach(BloomBits.add(b, _, kH))
+      b
+    }.toSeq
+    val mergedLtr = partials.reduceLeft(BloomBits.merge)
+    val mergedRtl = partials.reduceRight(BloomBits.merge)
+    assert(java.util.Arrays.equals(mergedLtr, mergedRtl),
+      "OR-merge must be order-independent")
+    val onePass = BloomBits.empty(m)
+    seen.foreach(BloomBits.add(onePass, _, kH))
+    assert(java.util.Arrays.equals(mergedLtr, onePass),
+      "merged partials must equal the one-shot build")
+    // decision identity + no false negatives
+    val seenSet = seen.toSet
+    cands.foreach { u =>
+      assert(BloomBits.maybeContains(mergedLtr, u, kH) == relPass(u),
+        s"byte vs relational decision diverged for $u")
+      if (seenSet.contains(u))
+        assert(BloomBits.maybeContains(mergedLtr, u, kH),
+          s"false negative for seen url $u")
+    }
+    // the small m must actually exercise collisions: some genuinely-new
+    // candidate passes (otherwise the identity above is vacuous)
+    assert(cands.exists(u => !seenSet.contains(u) &&
+      BloomBits.maybeContains(mergedLtr, u, kH)),
+      s"fixture produced zero false positives at m=$m — not exercised")
+  }
+
+  test("bloom query: per-host confusion sums to the slice arithmetic, " +
+    "zero misses") {
+    val rows = SketchOps.BloomSeen.run(spark, sf).collect()
+    assert(rows.length == 13)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, s"bloom false negative on ${r.getString(0)}")
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4),
+        s"n_pass != n_seen + n_fp on ${r.getString(0)} (miss=0 ⇒ equality)")
+    }
+    // candidates = doc_id % 2 == 0; seen ∩ candidates = doc_id ≡ 2 (mod 4)
+    val total = rows.map(_.getLong(1)).sum
+    val seen = rows.map(_.getLong(3)).sum
+    assert(total == 250L && seen == 125L,
+      s"slice arithmetic off: $total candidates / $seen seen at sf0.01")
+  }
+
 }
