@@ -220,5 +220,131 @@ object FrontierQueries {
         |ORDER BY host""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(SitemapFrontier)
+  /** Create (once per scale factor) the two-snapshot recrawl tree:
+    * `old/` and `new/` subtrees of 24 `.warc.gz` files each (host
+    * h = i%8). Old file i carries pages j ∈ [0, 4+i%3) at body version
+    * v1; new file i carries j ∈ [1, 4+i%3] with even-j bodies bumped
+    * to v2 — so per file exactly one page is removed (j=0), one added
+    * (j = 4+i%3), even common pages changed, odd common pages
+    * unchanged, all closed-form replayable from (i, j).
+    */
+  private[sources] def ensureDeltaTree(sfDir: String): String = {
+    val root = workDir(scaledTag("crdelta"), sfDir)
+    if (!Files.exists(Paths.get(root, "old"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      for (snap <- Seq("old", "new"); i <- 0 until 24 * mediaScale) {
+        val h = i % 8
+        val dir = Paths.get(root, snap, s"${i % 2}")
+        Files.createDirectories(dir)
+        val np = 4 + i % 3
+        val js = if (snap == "old") 0 until np else 1 to np
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:cd-$snap-$i>", "2026-01-01T00:00:00Z",
+          None, s"software: graft $i".getBytes(utf8)))
+        val pages = js.map { j =>
+          val ver = if (snap == "new" && j % 2 == 0) "v2" else "v1"
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            "response", s"<urn:uuid:cd-$snap-$i-$j>",
+            "2026-01-01T00:00:00Z", Some(s"http://s$h.example/d$i/$j"),
+            s"<html><body>c $i $j $ver</body></html>".getBytes(utf8)))
+        }
+        Files.write(dir.resolve(f"c$i%03d.warc.gz"),
+          (info +: pages).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Snapshot-to-snapshot recrawl delta — what changed between two
+    * crawls of the same hosts: per host, pages added, removed, changed
+    * (content digest differs), and unchanged. This is the incremental-
+    * ingest primitive (only `added + changed` flow into downstream
+    * curation; `removed` tombstones). Scale shape: page bodies reduce
+    * to md5 digests WHERE THE SCAN READS THEM, so the full-outer join
+    * that classifies the delta shuffles only (host, uri, digest) rows
+    * keyed by uri; at 100 TB both snapshots would be bucketed by uri
+    * and the join goes shuffle-free — the plan is the bucketed plan
+    * minus the layout. The oracle rebuilds both planted page sets and
+    * replays the same outer-join classification closed-form.
+    */
+  object CrawlDelta extends GraftQuery {
+    val name = "q_crawl_delta"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureDeltaTree(sfDir)
+      def snapshot(snap: String): DataFrame = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(s"$root/$snap")
+        .select(col("content"))
+        .as[Array[Byte]]
+        .flatMap { content =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          for {
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            if r.warcType == "response"
+            uri <- r.targetUri.toSeq
+          } yield {
+            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+            (host, uri,
+              graft.functions.PortableHash.md5Hex(new String(r.payload, utf8)))
+          }
+        }
+        .toDF("host", "uri", "digest")
+      val o = snapshot("old").withColumnRenamed("digest", "odig")
+      val n = snapshot("new").withColumnRenamed("digest", "ndig")
+        .withColumnRenamed("host", "nhost").withColumnRenamed("uri", "nuri")
+      val both = col("odig").isNotNull && col("ndig").isNotNull
+      o.join(n, o("uri") === n("nuri"), "full_outer")
+        .select(coalesce(col("host"), col("nhost")).as("host"),
+          col("odig"), col("ndig"))
+        .groupBy("host")
+        .agg(sum(when(col("odig").isNotNull, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("ndig").isNotNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("odig").isNull && col("ndig").isNotNull, 1L)
+            .otherwise(0L)).as("n_added"),
+          sum(when(col("ndig").isNull && col("odig").isNotNull, 1L)
+            .otherwise(0L)).as("n_removed"),
+          sum(when(both && col("odig") =!= col("ndig"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(both && col("odig") === col("ndig"), 1L).otherwise(0L))
+            .as("n_same"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 4 + i.i % 3 AS np
+        |  FROM unnest(range(0, 24)) i(i)),
+        |old_ AS (
+        |  SELECT h, i, j.j AS j FROM specs, LATERAL unnest(range(0, np)) j(j)),
+        |new_ AS (
+        |  SELECT h, i, j.j AS j
+        |  FROM specs, LATERAL unnest(range(1, np + 1)) j(j)),
+        |d AS (
+        |  SELECT coalesce(o.h, n.h) AS h,
+        |         o.j IS NOT NULL AS in_old, n.j IS NOT NULL AS in_new,
+        |         -- common pages changed iff j even (v1 -> v2 bump)
+        |         (o.j IS NOT NULL AND n.j IS NOT NULL AND o.j % 2 = 0)
+        |           AS chg
+        |  FROM old_ o FULL OUTER JOIN new_ n ON o.i = n.i AND o.j = n.j)
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(sum(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_old,
+        |       CAST(sum(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_new,
+        |       CAST(sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_added,
+        |       CAST(sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_removed,
+        |       CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_changed,
+        |       CAST(sum(CASE WHEN in_old AND in_new AND NOT chg
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM d GROUP BY h ORDER BY host""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(SitemapFrontier, CrawlDelta)
 }
