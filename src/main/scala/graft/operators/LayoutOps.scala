@@ -32,7 +32,10 @@ object LayoutOps {
     * probe is a broadcast join against 128 rows followed by a count-3
     * aggregate on the probe key — the exact plan a runtime-filter rewrite
     * injects in front of a shuffle join to drop non-matching rows at the
-    * scan.
+    * scan. Sibling: [[SketchOps.BloomSeen]] (`q_bloom_urlseen`) is the
+    * STANDING seen-set variant a crawl scheduler persists between runs,
+    * where the merge law and the no-false-negatives report matter
+    * instead of the join-prune shape.
     */
   object BloomFilter extends GraftQuery {
     val name = "q_bloom_filter"

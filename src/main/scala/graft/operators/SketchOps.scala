@@ -221,7 +221,14 @@ object SketchOps {
   }
 
   /** Bloom-filter URL-seen prefilter — the membership sketch a recrawl
-    * frontier runs BEFORE the exact seen-set join: yesterday's crawl
+    * frontier runs BEFORE the exact seen-set join. Distinct role from
+    * [[LayoutOps.BloomFilter]] (`q_bloom_filter`): that one is the
+    * JOIN-side runtime filter (packed bit_or words, the shape a
+    * Catalyst runtime-filter rewrite injects ahead of a shuffle join);
+    * this one is the standing SEEN-SET sketch a crawl scheduler keeps
+    * between runs, so what matters here is the merge law (partials
+    * built per partition/day OR together — [[graft.functions.BloomBits]])
+    * and the per-host miss/fp truth report. Yesterday's crawl
     * sets K bits per seen URL; today's candidates fetch only if some
     * bit is unset (definitely new) or fall through to the exact check
     * (bloom-positive). The query builds the filter from the "seen"
