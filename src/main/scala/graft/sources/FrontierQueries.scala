@@ -30,7 +30,10 @@ object FrontierQueries {
     * closed-form replayable from (i, j).
     */
   private[sources] def ensureSitemapTree(sfDir: String): String = {
-    val root = workDir(scaledTag("sitemap"), sfDir)
+    // tag bumped sitemap -> sitemap2 when Crawl-delay lines were added
+    // to the planted robots (the ensure* existence guard would otherwise
+    // keep serving a stale pre-delay tree from a previous round's run)
+    val root = workDir(scaledTag("sitemap2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -53,6 +56,7 @@ object FrontierQueries {
             Seq(rec("resource", s"rob$i",
               s"http://s$h.example/robots.txt",
               s"# host s$h\nUser-agent: graftbot\n$dis" +
+                s"Crawl-delay: ${1 + h % 4}\n" +
                 s"Sitemap: http://s$h.example/sitemap.xml\n"))
           } else Seq.empty
         val entries = (0 until 3 + i % 4).map { j =>
@@ -103,73 +107,90 @@ object FrontierQueries {
     * sitemap, a stale-max freshness bug, or a wrong robots pick shifts
     * a count.
     */
-  object SitemapFrontier extends GraftQuery {
-    val name = "q_sitemap_frontier"
-    private val Agent = "graftbot"
-    def run(spark: SparkSession, sfDir: String): DataFrame = {
-      import spark.implicits._
-      val root = ensureSitemapTree(sfDir)
-      // one decoded pass: url-entry rows (kind 0), parsed rule rows
-      // (kind 1), urlset-doc markers (kind 2), robots Sitemap:
-      // declarations (kind 3); persisted — four consumers below
-      val recs = spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("content"))
-        .as[Array[Byte]]
-        .flatMap { content =>
-          val utf8 = java.nio.charset.StandardCharsets.UTF_8
-          val out = Seq.newBuilder[(Int, String, String, Int, Int, Boolean)]
-          for {
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            uri <- r.targetUri.toSeq
-            if r.warcType == "resource"
-          } {
-            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-            val txt = new String(r.payload, utf8)
-            if (uri.endsWith("/robots.txt")) {
-              graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-                out += ((1, host, rule.path, 0, 0, rule.allow))
-              }
-              graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
-                out += ((3, host, sm, 0, 0, false))
-              }
-            } else if (uri.endsWith(".xml") &&
-              graft.text.SitemapOps.isUrlset(txt)) {
-              out += ((2, host, "", 0, 0, false))
-              graft.text.SitemapOps.urlEntries(txt).foreach { e =>
-                val path = e.loc.stripPrefix(s"http://$host")
-                val mo = e.lastmod.map(_.substring(5, 7).toInt).getOrElse(0)
-                val pri = e.priority
-                  .map(s => math.round(s.toDouble * 10).toInt).getOrElse(5)
-                out += ((0, host, path, mo, pri, false))
-              }
+  private val Agent = "graftbot"
+
+  /** One decoded pass over the sitemap tree, shared by
+    * [[SitemapFrontier]] and [[FetchSchedule]]: url-entry rows
+    * (kind 0), parsed rule rows (kind 1), urlset-doc markers (kind 2),
+    * robots `Sitemap:` declarations (kind 3), and group-scoped
+    * `Crawl-delay` values (kind 4, seconds in `mo`). Callers persist.
+    */
+  private def sitemapRows(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { content =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val out = Seq.newBuilder[(Int, String, String, Int, Int, Boolean)]
+        for {
+          ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+          mb <- ms
+          r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+          uri <- r.targetUri.toSeq
+          if r.warcType == "resource"
+        } {
+          val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+          val txt = new String(r.payload, utf8)
+          if (uri.endsWith("/robots.txt")) {
+            graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
+              out += ((1, host, rule.path, 0, 0, rule.allow))
+            }
+            graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
+              out += ((3, host, sm, 0, 0, false))
+            }
+            graft.text.RobotsOps.crawlDelay(txt, Agent).foreach { d =>
+              out += ((4, host, "", d.toInt, 0, false))
+            }
+          } else if (uri.endsWith(".xml") &&
+            graft.text.SitemapOps.isUrlset(txt)) {
+            out += ((2, host, "", 0, 0, false))
+            graft.text.SitemapOps.urlEntries(txt).foreach { e =>
+              val path = e.loc.stripPrefix(s"http://$host")
+              val mo = e.lastmod.map(_.substring(5, 7).toInt).getOrElse(0)
+              val pri = e.priority
+                .map(s => math.round(s.toDouble * 10).toInt).getOrElse(5)
+              out += ((0, host, path, mo, pri, false))
             }
           }
-          out.result()
         }
-        .toDF("kind", "host", "path", "mo", "pri", "allow")
+        out.result()
+      }
+      .toDF("kind", "host", "path", "mo", "pri", "allow")
+  }
+
+  /** Per distinct (host, path): newest-lastmod freshness, max priority,
+    * and the RFC 9309 §2.2.2 decision (longest match, allow on ties,
+    * no match → allowed) via the broadcast struct-argmax.
+    */
+  private def decidePaths(recs: DataFrame): DataFrame = {
+    val paths = recs.filter(col("kind") === 0)
+      .groupBy("host", "path")
+      .agg(max(col("mo")).as("mo"), max(col("pri")).as("pri"))
+      .withColumn("fresh", col("mo") >= 2)
+    val rules = recs.filter(col("kind") === 1)
+      .select(col("host"), col("path").as("rpath"), col("allow"))
+    paths
+      .join(broadcast(rules),
+        paths("host") === rules("host") &&
+          paths("path").startsWith(col("rpath")), "left")
+      .groupBy(paths("host"), paths("path"), col("fresh"), col("pri"))
+      .agg(max(struct(length(col("rpath")).as("l"),
+        col("allow").cast("int").as("a"))).as("best"))
+      .select(paths("host"), paths("path"), col("fresh"), col("pri"),
+        coalesce(col("best.a") === 1, lit(true)).as("ok"))
+  }
+
+  object SitemapFrontier extends GraftQuery {
+    val name = "q_sitemap_frontier"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      val root = ensureSitemapTree(sfDir)
+      val recs = sitemapRows(spark, root)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val paths = recs.filter(col("kind") === 0)
-        .groupBy("host", "path")
-        .agg(max(col("mo")).as("mo"), max(col("pri")).as("pri"))
-        .withColumn("fresh", col("mo") >= 2)
-      val rules = recs.filter(col("kind") === 1)
-        .select(col("host"), col("path").as("rpath"), col("allow"))
-      // decision per distinct (host, path): RFC 9309 §2.2.2 longest
-      // match, allow on ties, no match → allowed
-      val decided = paths
-        .join(broadcast(rules),
-          paths("host") === rules("host") &&
-            paths("path").startsWith(col("rpath")), "left")
-        .groupBy(paths("host"), paths("path"), col("fresh"), col("pri"))
-        .agg(max(struct(length(col("rpath")).as("l"),
-          col("allow").cast("int").as("a"))).as("best"))
-        .select(paths("host"), col("fresh"), col("pri"),
-          coalesce(col("best.a") === 1, lit(true)).as("ok"))
+      val decided = decidePaths(recs)
       val declared = recs.filter(col("kind") === 3)
         .groupBy("host").agg(count(lit(1)).as("n_declared"))
       val smDocs = recs.filter(col("kind") === 2)
@@ -346,5 +367,76 @@ object FrontierQueries {
         |FROM d GROUP BY h ORDER BY host""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(SitemapFrontier, CrawlDelta)
+  /** Politeness-scheduled fetch plan — the last step of the frontier
+    * pipeline: the robots-gated fresh sitemap paths (the exact
+    * `n_frontier` set [[SitemapFrontier]] counts) ordered per host by
+    * priority (desc, path asc tiebreak) and laid onto a fetch timeline
+    * honoring the host's `Crawl-delay` (de-facto extension, parsed
+    * group-scoped by [[graft.text.RobotsOps.crawlDelay]]; absent → 1 s):
+    * fetch k of a host starts at (k−1)·delay, so the per-host makespan
+    * is (n−1)·delay — the number a crawl planner capacity-checks. Scale
+    * shape: everything after the shared decode is per-(host, path)
+    * rows; the ranking is one window over host-partitioned frontier
+    * rows (no global sort), and delays broadcast. The oracle replays
+    * the frontier set, the rank order, and the delay arithmetic
+    * closed-form, so a wrong gate, a wrong tiebreak, or a misparsed
+    * delay shifts a row.
+    */
+  object FetchSchedule extends GraftQuery {
+    val name = "q_fetch_schedule"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val root = ensureSitemapTree(sfDir)
+      val recs = sitemapRows(spark, root)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val frontier = decidePaths(recs)
+        .filter(col("fresh") && col("ok"))
+        .select(col("host"), col("path"), col("pri"))
+      val delays = recs.filter(col("kind") === 4)
+        .groupBy("host").agg(max(col("mo")).cast("long").as("delay_s"))
+      val w = Window.partitionBy("host")
+        .orderBy(col("pri").desc, col("path").asc)
+      frontier
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_s", coalesce(col("delay_s"), lit(1L)))
+        .withColumn("fetch_at", (col("rk") - 1).cast("long") * col("delay_s"))
+        .groupBy("host", "delay_s")
+        .agg(count(lit(1)).as("n_fetches"),
+          max(col("fetch_at")).as("makespan_s"),
+          sum(col("fetch_at")).as("total_wait_s"),
+          min(when(col("rk") === 1, col("path"))).as("first_path"))
+        .select(col("host"), col("delay_s"), col("n_fetches"),
+          col("makespan_s"), col("total_wait_s"), col("first_path"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 4 AS ne
+        |  FROM unnest(range(0, 24)) i(i)),
+        |entries AS (
+        |  SELECT h, (i + 2 * j.j) % 9 AS p, 1 + (i + j.j) % 3 AS mo,
+        |         3 + (i + j.j) % 7 AS pri
+        |  FROM specs, LATERAL unnest(range(0, ne)) j(j)),
+        |paths AS (
+        |  SELECT h, p, max(mo) >= 2 AS fresh, max(pri) AS pri,
+        |         CASE WHEN h % 3 = 0 THEN TRUE
+        |              ELSE p <> (h + 1) % 9 END AS ok
+        |  FROM entries GROUP BY h, p),
+        |fr AS (
+        |  SELECT h, p, pri,
+        |         row_number() OVER (PARTITION BY h
+        |                            ORDER BY pri DESC, p ASC) AS rk
+        |  FROM paths WHERE fresh AND ok)
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(1 + h % 4 AS BIGINT) AS delay_s,
+        |       CAST(count(*) AS BIGINT) AS n_fetches,
+        |       CAST((count(*) - 1) * (1 + h % 4) AS BIGINT) AS makespan_s,
+        |       CAST((count(*) - 1) * count(*) // 2 * (1 + h % 4) AS BIGINT)
+        |         AS total_wait_s,
+        |       min(CASE WHEN rk = 1 THEN '/p' || p END) AS first_path
+        |FROM fr GROUP BY h ORDER BY host""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(SitemapFrontier, CrawlDelta, FetchSchedule)
 }

@@ -72,6 +72,58 @@ object RobotsOps {
     chosen.flatMap(_.rules)
   }
 
+  /** De-facto `Crawl-delay` extension — NOT part of RFC 9309 (Google
+    * ignores it; Bing/Yandex honor it), but ubiquitous in real robots
+    * files and the input a politeness scheduler needs. Group-scoped
+    * with the same selection semantics as [[rules]]: the specific
+    * group's delay beats `*`'s; the FIRST parseable value in the
+    * chosen groups wins (merge order = file order); non-numeric or
+    * negative values are ignored (fail-open to no delay, the same
+    * stance as unparseable rules).
+    */
+  def crawlDelay(text: String, agent: String): Option[Long] = {
+    final case class Group(agents: Seq[String], delays: Seq[Long])
+    val groups = Seq.newBuilder[Group]
+    var agents = Seq.newBuilder[String]
+    var delays = Seq.newBuilder[Long]
+    var inBody = false
+    var sawAny = false
+    def flush(): Unit = {
+      val as = agents.result()
+      if (as.nonEmpty) groups += Group(as, delays.result())
+      agents = Seq.newBuilder[String]
+      delays = Seq.newBuilder[Long]
+      inBody = false
+    }
+    text.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val field = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inBody) flush()
+            agents += value.toLowerCase
+            sawAny = true
+          case "allow" | "disallow" if sawAny => inBody = true
+          case "crawl-delay" if sawAny =>
+            inBody = true
+            try { val d = value.toLong; if (d >= 0) delays += d }
+            catch { case _: NumberFormatException => () }
+          case _ => ()
+        }
+      }
+    }
+    flush()
+    val all = groups.result()
+    val a = agent.toLowerCase
+    val specific = all.filter(_.agents.contains(a))
+    val chosen =
+      if (specific.nonEmpty) specific else all.filter(_.agents.contains("*"))
+    chosen.flatMap(_.delays).headOption
+  }
+
   /** RFC 9309 §2.2.2 precedence: among rules whose path is an octet
     * prefix of `path`, the longest wins; ties go to allow; no matching
     * rule (or no rules at all) → allowed.

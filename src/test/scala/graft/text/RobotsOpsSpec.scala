@@ -86,4 +86,35 @@ class RobotsOpsSpec extends AnyFunSuite {
     assert(ok(txt, "bot", "/y"))
     assert(ok("", "bot", "/anything")) // empty file → allow all
   }
+
+  test("crawl-delay: group-scoped, specific beats *, first wins, " +
+    "unparseable ignored, fail-open") {
+    val txt =
+      """User-agent: spiderx
+        |Crawl-delay: 99
+        |
+        |User-agent: graftbot
+        |Disallow: /p
+        |CRAWL-DELAY: 3  # case-insensitive field, comment stripped
+        |Crawl-delay: 7  # second value in the chosen group loses
+        |
+        |User-agent: *
+        |Crawl-delay: 5
+        |""".stripMargin
+    assert(RobotsOps.crawlDelay(txt, "graftbot") === Some(3L))
+    assert(RobotsOps.crawlDelay(txt, "otherbot") === Some(5L)) // * group
+    assert(RobotsOps.crawlDelay(txt, "spiderx") === Some(99L))
+    // unparseable / negative values are skipped, not thrown
+    val bad = "User-agent: a\nCrawl-delay: soon\nCrawl-delay: -2\n" +
+      "Crawl-delay: 4\n"
+    assert(RobotsOps.crawlDelay(bad, "a") === Some(4L))
+    // no delay anywhere, or no matching group → None (fail-open)
+    assert(RobotsOps.crawlDelay("User-agent: a\nDisallow: /\n", "a").isEmpty)
+    assert(RobotsOps.crawlDelay("", "a").isEmpty)
+    // a delay line also ENDS an agent run: the next User-agent starts a
+    // new group (same boundary rule as allow/disallow)
+    val two = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nCrawl-delay: 6\n"
+    assert(RobotsOps.crawlDelay(two, "b") === Some(6L))
+    assert(RobotsOps.crawlDelay(two, "a") === Some(2L))
+  }
 }
