@@ -20,13 +20,21 @@ object WarcCodec {
   private final class Malformed extends RuntimeException
   private def fail(): Nothing = throw new Malformed
 
+  /** `refersTo`/`payloadDigest` carry the ISO 28500 §6.7 revisit
+    * linkage (WARC-Refers-To, WARC-Payload-Digest) — how a crawl marks
+    * "same payload as an earlier capture" without re-storing the body
+    * (Common Crawl's identical-payload-digest convention). Trailing
+    * defaults keep the older 6-field construction sites source-stable.
+    */
   final case class Record(
       offset: Int,
       warcType: String,
       recordId: String,
       targetUri: Option[String],
       contentLength: Int,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      refersTo: Option[String] = None,
+      payloadDigest: Option[String] = None)
 
   private val Version = "WARC/1.0\r\n".getBytes(
     java.nio.charset.StandardCharsets.US_ASCII)
@@ -60,6 +68,8 @@ object WarcCodec {
         var recordId: String = null
         var date: String = null
         var uri: Option[String] = None
+        var refersTo: Option[String] = None
+        var digest: Option[String] = None
         var len = -1
         var done = false
         while (!done) {
@@ -77,6 +87,8 @@ object WarcCodec {
               case "warc-record-id" => recordId = value
               case "warc-date" => date = value
               case "warc-target-uri" => uri = Some(value)
+              case "warc-refers-to" => refersTo = Some(value)
+              case "warc-payload-digest" => digest = Some(value)
               case "content-length" =>
                 if (!value.forall(_.isDigit) || value.isEmpty ||
                   value.length > 9) fail()
@@ -95,7 +107,8 @@ object WarcCodec {
         if (bytes(off) != '\r' || bytes(off + 1) != '\n' ||
           bytes(off + 2) != '\r' || bytes(off + 3) != '\n') fail()
         off += 4
-        out += Record(start, warcType, recordId, uri, len, payload)
+        out += Record(start, warcType, recordId, uri, len, payload,
+          refersTo, digest)
       }
       Some(out.result())
     } catch {
@@ -106,13 +119,18 @@ object WarcCodec {
     * the caller so fixtures stay byte-stable).
     */
   def buildRecord(warcType: String, recordId: String, date: String,
-      targetUri: Option[String], payload: Array[Byte]): Array[Byte] = {
+      targetUri: Option[String], payload: Array[Byte],
+      refersTo: Option[String] = None,
+      payloadDigest: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
     sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
     sb.append("WARC-Date: ").append(date).append("\r\n")
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    refersTo.foreach(r => sb.append("WARC-Refers-To: ").append(r).append("\r\n"))
+    payloadDigest.foreach(d =>
+      sb.append("WARC-Payload-Digest: ").append(d).append("\r\n"))
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     val head = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[Byte](head.length + payload.length + 4)

@@ -438,5 +438,140 @@ object FrontierQueries {
         |FROM fr GROUP BY h ORDER BY host""".stripMargin)
   }
 
-  val all: Seq[GraftQuery] = Seq(SitemapFrontier, CrawlDelta, FetchSchedule)
+  /** Create (once per scale factor) the revisit tree: 24 `.warc.gz`
+    * files (host h = i%8), file i carrying pages j ∈ [0, 3+i%3) of uri
+    * `/r{i}/{j}` with body `"x" * (5 + (i+j)%4)` — only FOUR distinct
+    * bodies globally, so captures repeat constantly, exactly the shape
+    * revisit records exist for. Even j → a full `response`; odd j → a
+    * `revisit` record (ISO 28500 §6.7): EMPTY block, `WARC-Refers-To`
+    * a synthetic original id, `WARC-Payload-Digest` = md5 of the body
+    * it did not re-store.
+    */
+  private[sources] def ensureRevisitTree(sfDir: String): String = {
+    val root = workDir(scaledTag("revisit"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      for (i <- 0 until 24 * mediaScale) {
+        val h = i % 8
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:rv$i>", "2026-01-01T00:00:00Z", None,
+          s"software: graft $i".getBytes(utf8)))
+        val pages = (0 until 3 + i % 3).map { j =>
+          val body = "x" * (5 + (i + j) % 4)
+          val uri = Some(s"http://s$h.example/r$i/$j")
+          val rec =
+            if (j % 2 == 0)
+              WarcCodec.buildRecord("response", s"<urn:uuid:rv$i-$j>",
+                "2026-01-01T00:00:00Z", uri, body.getBytes(utf8))
+            else
+              WarcCodec.buildRecord("revisit", s"<urn:uuid:rv$i-$j>",
+                "2026-01-01T00:00:00Z", uri, Array.emptyByteArray,
+                refersTo = Some(s"<urn:uuid:orig-${(i + j) % 4}>"),
+                payloadDigest = Some("md5:" +
+                  graft.functions.PortableHash.md5Hex(body)))
+          GzipCodec.buildMember(rec)
+        }
+        Files.write(dir.resolve(f"v$i%03d.warc.gz"),
+          (info +: pages).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Revisit-record dedup accounting (ISO 28500 §6.7 — Common Crawl's
+    * identical-payload-digest convention): revisit records store NO
+    * body, only the digest of the payload an earlier capture already
+    * stored; the accounting join resolves each revisit's digest against
+    * the stored-response digest catalog to price what deduplication
+    * saved. Scale shape: responses reduce scan-side to
+    * (host, digest, len) rows; the digest dimension collapses to ONE
+    * row per distinct payload (tiny — that is the premise of payload
+    * dedup) and broadcasts onto the revisit rows, so revisit volume
+    * never shuffles wide. The oracle replays the planted body-length
+    * arithmetic and the even/odd response/revisit split closed-form; a
+    * missed digest header, a wrong join, or a revisit counted as
+    * stored shifts a byte column.
+    */
+  object WarcRevisit extends GraftQuery {
+    val name = "q_warc_revisit"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureRevisitTree(sfDir)
+      // kind 0 = stored response (digest computed from the payload),
+      // kind 1 = revisit (digest read from WARC-Payload-Digest)
+      val recs = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("content"))
+        .as[Array[Byte]]
+        .flatMap { content =>
+          val out = Seq.newBuilder[(Int, String, String, Long)]
+          for {
+            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
+            mb <- ms
+            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
+            uri <- r.targetUri.toSeq
+          } {
+            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+            if (r.warcType == "response") {
+              val d = "md5:" + graft.functions.PortableHash.md5Hex(
+                new String(r.payload,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              out += ((0, host, d, r.contentLength.toLong))
+            } else if (r.warcType == "revisit")
+              r.payloadDigest.foreach(d => out += ((1, host, d, 0L)))
+          }
+          out.result()
+        }
+        .toDF("kind", "host", "digest", "len")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val responses = recs.filter(col("kind") === 0)
+      // one row per distinct payload — same digest ⇒ same body ⇒ same len
+      val catalog = responses.groupBy("digest")
+        .agg(max(col("len")).as("orig_len"))
+      val revisits = recs.filter(col("kind") === 1)
+        .join(broadcast(catalog), Seq("digest"), "left")
+      val stored = responses.groupBy("host")
+        .agg(count(lit(1)).as("n_responses"),
+          sum(col("len")).as("stored_bytes"))
+      val saved = revisits.groupBy("host")
+        .agg(count(lit(1)).as("n_revisits"),
+          sum(coalesce(col("orig_len"), lit(0L))).as("saved_bytes"),
+          sum(when(col("orig_len").isNull, 1L).otherwise(0L))
+            .as("n_unresolved"))
+      stored.join(saved, Seq("host"), "full_outer")
+        .select(col("host"),
+          coalesce(col("n_responses"), lit(0L)).as("n_responses"),
+          coalesce(col("n_revisits"), lit(0L)).as("n_revisits"),
+          coalesce(col("stored_bytes"), lit(0L)).as("stored_bytes"),
+          coalesce(col("saved_bytes"), lit(0L)).as("saved_bytes"),
+          coalesce(col("n_unresolved"), lit(0L)).as("n_unresolved"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 3 AS np
+        |  FROM unnest(range(0, 24)) i(i)),
+        |pages AS (
+        |  SELECT h, j.j AS j, 5 + (i + j.j) % 4 AS len
+        |  FROM specs, LATERAL unnest(range(0, np)) j(j))
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(sum(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_responses,
+        |       CAST(sum(CASE WHEN j % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_revisits,
+        |       CAST(sum(CASE WHEN j % 2 = 0 THEN len ELSE 0 END) AS BIGINT)
+        |         AS stored_bytes,
+        |       CAST(sum(CASE WHEN j % 2 = 1 THEN len ELSE 0 END) AS BIGINT)
+        |         AS saved_bytes,
+        |       CAST(0 AS BIGINT) AS n_unresolved
+        |FROM pages GROUP BY h ORDER BY host""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit)
 }

@@ -243,6 +243,30 @@ class ArchiveCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("warc: revisit linkage headers round-trip and parse from raw text") {
+    // build-side round trip: empty block, WARC-Refers-To + Payload-Digest
+    val rv = WarcCodec.buildRecord("revisit", "<urn:uuid:3>",
+      "2026-01-01T00:00:03Z", Some("http://example.com/b"),
+      Array.emptyByteArray, refersTo = Some("<urn:uuid:1>"),
+      payloadDigest = Some("md5:0123456789abcdef0123456789abcdef"))
+    val r = WarcCodec.records(rv).getOrElse(fail("rejected own build")).head
+    assert(r.warcType == "revisit" && r.contentLength == 0)
+    assert(r.refersTo.contains("<urn:uuid:1>"))
+    assert(r.payloadDigest.contains("md5:0123456789abcdef0123456789abcdef"))
+    // records WITHOUT the headers keep None (the default path unchanged)
+    val plain = WarcCodec.buildRecord("response", "<urn:uuid:4>",
+      "2026-01-01T00:00:04Z", None, lcg(19, 8))
+    val p = WarcCodec.records(plain).get.head
+    assert(p.refersTo.isEmpty && p.payloadDigest.isEmpty)
+    // hand-written raw record (case-shifted header names, no builder)
+    val raw = ("WARC/1.0\r\nwarc-type: revisit\r\nWARC-RECORD-ID: <u:1>\r\n" +
+      "Warc-Date: 2026-01-01T00:00:05Z\r\nWarc-Refers-To: <u:0>\r\n" +
+      "WARC-Payload-Digest: sha1:ABC\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val h = WarcCodec.records(raw).getOrElse(fail("raw rejected")).head
+    assert(h.refersTo.contains("<u:0>") && h.payloadDigest.contains("sha1:ABC"))
+  }
+
   test("warc: structural violations reject, garbage never throws") {
     val ok = WarcCodec.buildRecord("response", "<urn:uuid:2>",
       "2026-01-01T00:00:02Z", None, lcg(17, 64))
