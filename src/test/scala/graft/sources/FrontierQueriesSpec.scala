@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Frontier-tier branches the DuckDB oracles never reach, driven
+  * through the REAL queries on hand-planted trees: the `ensure*`
+  * builders skip generation when the tree root already exists, so each
+  * test plants its own bytes at the exact workDir a synthetic sfDir
+  * string maps to and lets `run()` consume them — no parallel
+  * reimplementation of the query logic.
+  */
+class FrontierQueriesSpec extends SparkSpec {
+
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def member(tpe: String, id: String, uri: Option[String],
+      body: Array[Byte], refersTo: Option[String] = None,
+      digest: Option[String] = None): Array[Byte] =
+    graft.multimodal.GzipCodec.buildMember(
+      graft.multimodal.WarcCodec.buildRecord(tpe, s"<urn:uuid:$id>",
+        "2026-01-01T00:00:00Z", uri, body, refersTo, digest))
+
+  private def plant(tag: String, sfDir: String, sub: String,
+      file: String, members: Seq[Array[Byte]]): Unit = {
+    val root = Paths.get(SourceQueries.workDir(tag, sfDir), sub)
+    Files.createDirectories(root)
+    Files.write(root.resolve(file), members.reduce(_ ++ _))
+  }
+
+  test("warc revisit: an orphan digest lands in n_unresolved, not in " +
+    "saved_bytes") {
+    val sfDir = "/spec/revisit_orphan" // synthetic key, never generated
+    val body = "xxxxx"
+    plant("revisit", sfDir, "0", "v000.warc.gz", Seq(
+      member("response", "a", Some("http://t0.example/r0"),
+        body.getBytes(utf8)),
+      member("revisit", "b", Some("http://t0.example/r1"),
+        Array.emptyByteArray, Some("<urn:uuid:a>"),
+        Some("md5:" + graft.functions.PortableHash.md5Hex(body))),
+      member("revisit", "c", Some("http://t0.example/r2"),
+        Array.emptyByteArray, Some("<urn:uuid:gone>"),
+        Some("md5:" + graft.functions.PortableHash.md5Hex("nope")))))
+    val r = FrontierQueries.WarcRevisit.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "t0.example")
+    assert(row.getLong(1) == 1L && row.getLong(2) == 2L,
+      s"response/revisit counts: $row")
+    assert(row.getLong(3) == 5L, s"stored: $row")
+    assert(row.getLong(4) == 5L,
+      s"only the resolved revisit may count as saved: $row")
+    assert(row.getLong(5) == 1L, s"orphan digest must be unresolved: $row")
+  }
+
+  test("fetch schedule: missing Crawl-delay defaults to 1 s; stale and " +
+    "disallowed paths never enter the plan") {
+    val sfDir = "/spec/fetch_nodelay"
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>http://t0.example/p1</loc><lastmod>2026-02-01</lastmod>
+        |  <priority>0.9</priority></url>
+        |<url><loc>http://t0.example/p2</loc><lastmod>2026-03-01</lastmod>
+        |  <priority>0.5</priority></url>
+        |<url><loc>http://t0.example/p3</loc><lastmod>2026-01-01</lastmod>
+        |  <priority>0.7</priority></url>
+        |<url><loc>http://t0.example/secret</loc><lastmod>2026-02-01</lastmod>
+        |  <priority>0.9</priority></url>
+        |</urlset>""".stripMargin
+    val robots = "User-agent: graftbot\nDisallow: /secret\n" +
+      "Sitemap: http://t0.example/sitemap.xml\n" // NO Crawl-delay line
+    plant("sitemap2", sfDir, "0", "s000.warc.gz", Seq(
+      member("resource", "rob", Some("http://t0.example/robots.txt"),
+        robots.getBytes(utf8)),
+      member("resource", "map", Some("http://t0.example/sitemap.xml"),
+        urlset.getBytes(utf8))))
+    val r = FrontierQueries.FetchSchedule.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "t0.example")
+    assert(row.getLong(1) == 1L, s"absent Crawl-delay must default to 1: $row")
+    // p3 is stale, /secret disallowed → only p1, p2 scheduled
+    assert(row.getLong(2) == 2L, s"n_fetches: $row")
+    assert(row.getLong(3) == 1L && row.getLong(4) == 1L,
+      s"makespan/total wait at delay 1, 2 fetches: $row")
+    assert(row.getString(5) == "/p1",
+      s"priority 0.9 must be fetched first: $row")
+  }
+
+  test("crawl delta: hand-planted add/remove/change/same classification") {
+    val sfDir = "/spec/delta_hand"
+    def page(snap: String, path: String, body: String) =
+      member("response", s"$snap-$path", Some(s"http://t0.example$path"),
+        body.getBytes(utf8))
+    plant("crdelta", sfDir, "old/0", "c000.warc.gz", Seq(
+      page("o", "/a", "body-a"),
+      page("o", "/b", "body-b-v1"),
+      page("o", "/d", "body-d")))
+    plant("crdelta", sfDir, "new/0", "c000.warc.gz", Seq(
+      page("n", "/b", "body-b-v2"),
+      page("n", "/c", "body-c"),
+      page("n", "/d", "body-d")))
+    val r = FrontierQueries.CrawlDelta.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "t0.example")
+    val (nOld, nNew, added, removed, changed, same) =
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getLong(5), row.getLong(6))
+    assert(nOld == 3 && nNew == 3, s"$row")
+    assert(added == 1, s"/c is new: $row")
+    assert(removed == 1, s"/a is gone: $row")
+    assert(changed == 1, s"/b's digest moved: $row")
+    assert(same == 1, s"/d is byte-identical: $row")
+  }
+}
