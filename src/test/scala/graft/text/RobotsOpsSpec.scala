@@ -63,12 +63,68 @@ class RobotsOpsSpec extends AnyFunSuite {
     assert(ok(tie, "bot", "/t/x"))
   }
 
-  test("empty Disallow restricts nothing; wildcard rules fail open") {
+  test("empty Disallow restricts nothing") {
     assert(ok("User-agent: *\nDisallow:\n", "bot", "/anything"))
     assert(RobotsOps.rules("User-agent: *\nDisallow:\n", "bot").isEmpty)
-    // * / $ extensions are not implemented — such rules are dropped
-    assert(ok("User-agent: *\nDisallow: /*.pdf\n", "bot", "/x.pdf"))
-    assert(ok("User-agent: *\nDisallow: /a$\n", "bot", "/a"))
+  }
+
+  test("§2.2.3 wildcards: * spans octets, $ anchors the end") {
+    assert(!ok("User-agent: *\nDisallow: /*.pdf\n", "bot", "/x.pdf"))
+    assert(!ok("User-agent: *\nDisallow: /*.pdf\n", "bot", "/a/b/doc.pdfx"))
+    assert(ok("User-agent: *\nDisallow: /*.pdf$\n", "bot", "/a/doc.pdfx"))
+    assert(!ok("User-agent: *\nDisallow: /*.pdf$\n", "bot", "/a/doc.pdf"))
+    assert(!ok("User-agent: *\nDisallow: /private*\n", "bot", "/private-x"))
+    assert(!ok("User-agent: *\nDisallow: /*?\n", "bot", "/page?utm=1"))
+    assert(ok("User-agent: *\nDisallow: /*?\n", "bot", "/page"))
+    // $ anchor without *: exact path only
+    assert(!ok("User-agent: *\nDisallow: /a$\n", "bot", "/a"))
+    assert(ok("User-agent: *\nDisallow: /a$\n", "bot", "/a/b"))
+    // multiple stars, greedy segments
+    assert(!ok("User-agent: *\nDisallow: /a*b*c\n", "bot", "/a-x-b-y-c-z"))
+    assert(ok("User-agent: *\nDisallow: /a*b*c\n", "bot", "/a-x-c-y-b"))
+    // anchored multi-star: last segment must END the path
+    assert(!ok("User-agent: *\nDisallow: /a*c$\n", "bot", "/a-b-c"))
+    assert(ok("User-agent: *\nDisallow: /a*c$\n", "bot", "/a-c-d"))
+  }
+
+  test("§2.2.2/§2.2.3 precedence counts pattern octets, wildcard rules " +
+    "included; allow re-opens a wildcard disallow") {
+    val txt =
+      """User-agent: *
+        |Disallow: /p
+        |Allow: /p*/x1
+        |""".stripMargin
+    assert(!ok(txt, "bot", "/p3/x0")) // only /p (len 2) matches
+    assert(ok(txt, "bot", "/p3/x1"))  // /p*/x1 (len 6) re-allows
+    // $-anchored allow beats the shorter disallow exactly once
+    val a = "User-agent: *\nDisallow: /p\nAllow: /p3$\n"
+    assert(ok(a, "bot", "/p3"))
+    assert(!ok(a, "bot", "/p3/deep"))
+  }
+
+  test("§2.2.2 percent-encoding: unreserved escapes decode, others " +
+    "hex-uppercase, %2A never becomes a wildcard") {
+    assert(RobotsOps.normalizePercent("/%70age") === "/page")
+    assert(RobotsOps.normalizePercent("/a%2fb") === "/a%2Fb")
+    assert(RobotsOps.normalizePercent("/a%2Fb") === "/a%2Fb")
+    assert(RobotsOps.normalizePercent("/a%zz%2") === "/a%zz%2") // malformed
+    assert(RobotsOps.normalizePercent("/%2Ax") === "/%2Ax")
+    // rule %70 ≡ literal p, both sides normalized
+    assert(!ok("User-agent: *\nDisallow: /%70riv\n", "bot", "/priv/x"))
+    assert(!ok("User-agent: *\nDisallow: /priv\n", "bot", "/%70riv/x"))
+    // an encoded star is NOT a wildcard: matches the literal %2A octets
+    assert(ok("User-agent: *\nDisallow: /%2Apdf\n", "bot", "/xpdf"))
+    assert(!ok("User-agent: *\nDisallow: /%2Apdf\n", "bot", "/%2apdf"))
+  }
+
+  test("rules() and crawlDelay() agree on group boundaries: a " +
+    "crawl-delay line is group body in BOTH parsers") {
+    val txt = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /x\n"
+    // b's Disallow must NOT leak into a's group
+    assert(ok(txt, "a", "/x"))
+    assert(!ok(txt, "b", "/x"))
+    assert(RobotsOps.crawlDelay(txt, "a") === Some(2L))
+    assert(RobotsOps.crawlDelay(txt, "b").isEmpty)
   }
 
   test("grammar noise: comments, blank lines, rules before any group") {
