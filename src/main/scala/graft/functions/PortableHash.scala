@@ -40,9 +40,18 @@ object PortableHash {
     * engines' `md5()` returns. Used to bake deterministic constants (e.g.
     * LSH hyperplane signs) into plans at build time.
     */
-  def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def md5Hex(s: String): String =
+    md5Hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Raw-byte MD5 hex — the digest a payload comparison must use.
+    * Round-tripping binary payloads through a String first collapses
+    * invalid-UTF-8 sequences to U+FFFD, so DISTINCT payloads (images,
+    * gzip, any real WARC body) could digest identically; hashing the
+    * bytes directly cannot. For pure-ASCII payloads the two overloads
+    * agree, which is why the fixture oracles replay `md5(text)`.
+    */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map(b => f"${b & 0xff}%02x").mkString
   }
 }

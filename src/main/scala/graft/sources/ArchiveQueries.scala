@@ -86,6 +86,75 @@ object ArchiveQueries {
     }
   }
 
+  /** Read a (single WARC record's) member stream fully, bounded: None
+    * if it inflates past `max` — the per-RECORD cap that replaces the
+    * round-10 per-FILE cap. Records are small by the format's design
+    * (Common Crawl truncates bodies at 1 MiB); files are not.
+    */
+  private[sources] def readBounded(in: java.io.InputStream,
+      max: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size + n > max) return None
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Fold every WARC record in a `.warc.gz` stream through `f`,
+    * member-by-member via [[graft.multimodal.GzipCodec.walkMembers]] —
+    * the round-12 re-plumb of the whole-file
+    * `GzipCodec.members(content, …)` readers: memory is bounded by ONE
+    * inflated member (≤ `maxMember`) at a time however large the file,
+    * so the same plan reads a >2 GiB crawl snapshot past both the JVM
+    * array and `binaryFile` content ceilings. `f` receives the running
+    * accumulator, the 0-based gzip-member index, and that member's
+    * parsed records. None on any gzip/WARC malformation or an
+    * over-budget member — the strictness of the array path it replaces.
+    */
+  private[graft] def foldWarcStream[A](in: java.io.InputStream,
+      maxMember: Int = 1 << 24)(z: A)(
+      f: (A, Int, Seq[graft.multimodal.WarcCodec.Record]) => A): Option[A] = {
+    var acc = z
+    var bad = false
+    var idx = 0
+    val walked = graft.multimodal.GzipCodec.walkMembers(in) { (_, member) =>
+      if (!bad) {
+        readBounded(member, maxMember)
+          .flatMap(b => graft.multimodal.WarcCodec.records(b)) match {
+          case Some(recs) => acc = f(acc, idx, recs)
+          case None => bad = true
+        }
+      }
+      idx += 1
+    }
+    if (walked.isEmpty || bad) None else Some(acc)
+  }
+
+  /** [[foldWarcStream]] over the Hadoop stream for `path` (the
+    * `binaryFile` source's own path strings — scans project only
+    * (path, length); no whole-file array ever exists).
+    */
+  private[graft] def foldWarcRecords[A](path: String,
+      maxMember: Int = 1 << 24)(z: A)(
+      f: (A, Int, Seq[graft.multimodal.WarcCodec.Record]) => A): Option[A] = {
+    val in = openStream(path)
+    try foldWarcStream(in, maxMember)(z)(f) finally in.close()
+  }
+
+  /** Common flatMap shape: collect rows from every WARC record of the
+    * file at `path`, streaming; a malformed file yields no rows (the
+    * same skip semantics as the array path).
+    */
+  private[graft] def warcRows[A](path: String)(
+      f: (Int, graft.multimodal.WarcCodec.Record) => Seq[A]): Seq[A] =
+    foldWarcRecords(path)(Seq.newBuilder[A]) { (b, idx, recs) =>
+      recs.foreach(r => b ++= f(idx, r)); b
+    }.map(_.result()).getOrElse(Seq.empty)
+
   /** Create (once per scale factor) the TAR fixture tree: 24 archives,
     * asset i holding 2 + i%4 entries; entry j is 50 + 37i + 11j bytes
     * with byte k = (13i + 5j + 7k) mod 128 — every field a pure
@@ -323,12 +392,20 @@ object ArchiveQueries {
   /** WARC-in-gzip ingestion under the hash gate — the Common Crawl
     * read path end-to-end: strict multi-member gzip walk (CRC-32 +
     * ISIZE verified per member) → one WARC/1.0 record per member →
-    * per-file catalog row. The oracle replays record counts by type,
+    * per-file catalog row. Round-12 re-plumb: the scan projects only
+    * (path, length) and folds the file through [[foldWarcStream]] —
+    * one inflated record in memory at a time, so the same plan reads
+    * a >2 GiB snapshot file (the `binaryFile` content ceiling is out
+    * of the path; StreamingArchiveSpec proves the walk on a virtual
+    * 2.3 GiB `.warc.gz`). The oracle replays record counts by type,
     * content lengths, and the payload byte sums from the fixture
     * formulas; `read_blob` pins the compressed bytes.
     */
   object WarcScan extends GraftQuery {
     val name = "q_warc_scan"
+    // (members, records, response, request, uris, contentLen, byteSum)
+    private final case class Acc(m: Long = 0, r: Long = 0, resp: Long = 0,
+        req: Long = 0, uris: Long = 0, clen: Long = 0, bsum: Long = 0)
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import spark.implicits._
       val root = ensureWarcTree(sfDir)
@@ -337,24 +414,35 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
+        .select(col("path"), col("length"))
+        .as[(String, Long)]
+        .flatMap { case (path, fileLen) =>
           for {
             m <- idRe.findFirstMatchIn(path).toSeq
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            recs = ms.flatMap(mb =>
-              graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten)
+            in = new java.io.PushbackInputStream(openStream(path), 4)
+            acc <- try {
+              val head = new Array[Byte](4)
+              var got = 0
+              while (got < 4) {
+                val n = in.read(head, got, 4 - got)
+                if (n < 0) throw new java.io.EOFException(path)
+                got += n
+              }
+              in.unread(head)
+              foldWarcStream(in)(Acc()) { (a, _, recs) =>
+                Acc(a.m + 1, a.r + recs.length,
+                  a.resp + recs.count(_.warcType == "response"),
+                  a.req + recs.count(_.warcType == "request"),
+                  a.uris + recs.count(_.targetUri.isDefined),
+                  a.clen + recs.map(_.contentLength.toLong).sum,
+                  a.bsum + recs.map(
+                    _.payload.map(_ & 0xFF).map(_.toLong).sum).sum)
+              }.map(a => (a, head.map(b => f"$b%02X").mkString)).toSeq
+            } finally in.close()
             // the .warc.gz contract: exactly one record per member
-            if recs.length == ms.length
-          } yield (m.group(1).toLong, recs.length.toLong,
-            recs.count(_.warcType == "response").toLong,
-            recs.count(_.warcType == "request").toLong,
-            recs.count(_.targetUri.isDefined).toLong,
-            recs.map(_.contentLength.toLong).sum,
-            recs.map(_.payload.map(_ & 0xFF).map(_.toLong).sum).sum,
-            content.length.toLong,
-            content.take(4).map(b => f"$b%02X").mkString)
+            if acc._1.r == acc._1.m
+          } yield (m.group(1).toLong, acc._1.r, acc._1.resp, acc._1.req,
+            acc._1.uris, acc._1.clen, acc._1.bsum, fileLen, acc._2)
         }
         .toDF("asset_idx", "n_records", "n_response", "n_request", "n_uris",
           "total_content_length", "sum_bytes", "n_bytes", "head_hex")
@@ -400,6 +488,30 @@ object ArchiveQueries {
         |ORDER BY a.asset_idx""".stripMargin)
   }
 
+  /** Apply RFC 9112 §7.1 chunked framing to a fixture body — what a
+    * WARC capture of a `Transfer-Encoding: chunked` response stores
+    * (raw wire bytes, chunk-size lines included): 57-byte chunks (odd
+    * on purpose — boundary bugs can't hide behind round sizes), a
+    * chunk extension on the first, the terminating 0-chunk.
+    */
+  private[sources] def chunkFrame(body: Array[Byte]): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    var off = 0
+    var first = true
+    while (off < body.length) {
+      val n = math.min(57, body.length - off)
+      val ext = if (first) ";x=y" else ""
+      out.write(s"${n.toHexString}$ext\r\n".getBytes(iso))
+      first = false
+      out.write(body, off, n)
+      out.write("\r\n".getBytes(iso))
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes(iso))
+    out.toByteArray
+  }
+
   /** Create (once per scale factor) the HTML-payload `.warc.gz` tree —
     * round-11 shape: response records carry the RAW HTTP MESSAGE (status
     * line + headers + body), the way real WARC `response` records do
@@ -415,16 +527,23 @@ object ArchiveQueries {
     * block (containing a `<p>` inside a string — the naive-stripper
     * trap), and a comment. The charset alternates UTF-8/ISO-8859-1 by
     * (i+j)%2 and is declared in the Content-Type header when j is even,
-    * only in a `<meta charset>` when j is odd. Every extracted token is
-    * a pure function of (i, j, k), so the oracle replays the
+    * only in a `<meta charset>` when j is odd. Round-12 adversarial
+    * framing: responses with (i+j)%3 == 0 are stored with
+    * `Transfer-Encoding: chunked` wire framing (chunk-size lines
+    * INSIDE the stored body — ISO 28500 §6.3 raw capture), and every
+    * file carries a 404 error page and a 301 redirect stub whose
+    * bodies would shift every count if ingested. Every extracted token
+    * is a pure function of (i, j, k), so the oracle replays the
     * CONSTRUCTION, never parses HTML — a stripper that leaks script
-    * text, keeps tags, mis-sniffs the charset, or decodes any reference
-    * wrong cannot reproduce the counts.
+    * text, keeps tags, mis-sniffs the charset, decodes any reference
+    * wrong, skips de-chunking, or ingests a non-200 cannot reproduce
+    * the counts.
     */
   private[sources] def ensureWarcHtmlTree(sfDir: String): String = {
-    val root = workDir(scaledTag("warch2"), sfDir)
+    val root = workDir(scaledTag("warch3"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
       for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}")
         Files.createDirectories(dir)
@@ -450,35 +569,60 @@ object ArchiveQueries {
                 s"<body><h1>h$i \u00E9</h1>" + paras +
                 """<script>if (1 < 2) { x = "<p>"; }</script>""" +
                 "<!-- no --></body></html>"
+              val chunked = (i + j) % 3 == 0
               val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" +
                 (if (inHeader) s"; charset=$csName" else "") +
-                "\r\nX-Crawl: graft\r\n\r\n"
+                "\r\nX-Crawl: graft" +
+                (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
+                "\r\n\r\n"
+              val body = html.getBytes(cs)
               ("response", Some(s"http://corpus.example/h$i/$j"),
-                http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
-                  html.getBytes(cs))
+                http.getBytes(iso) ++
+                  (if (chunked) chunkFrame(body) else body))
             }
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:h$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
         }
-        Files.write(dir.resolve(f"h$i%03d.warc.gz"), members.reduce(_ ++ _))
+        // non-200 responses a status-blind reader would ingest: their
+        // bodies carry token/é/amp-bearing HTML, so any leak shifts counts
+        val notFound = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:h$i-e4>", "2026-01-01T00:00:00Z",
+          Some(s"http://corpus.example/h$i/missing"),
+          ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html; " +
+            "charset=utf-8\r\n\r\n").getBytes(iso) ++
+            (s"<html><body><h1>h$i é</h1><p>w0 &amp; w0 &#65; " +
+              "&#x61; a&nbsp;b</p></body></html>").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+        val redirect = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:h$i-e3>", "2026-01-01T00:00:00Z",
+          Some(s"http://corpus.example/h$i/old"),
+          ("HTTP/1.1 301 Moved Permanently\r\nLocation: " +
+            s"http://corpus.example/h$i/new\r\nContent-Type: text/html" +
+            "\r\n\r\n<html><body><p>moved moved moved moved</p></body>" +
+            "</html>").getBytes(iso)))
+        Files.write(dir.resolve(f"h$i%03d.warc.gz"),
+          (members :+ notFound :+ redirect).reduce(_ ++ _))
       }
     }
     root
   }
 
   /** Crawl text extraction under the hash gate: `.warc.gz` members →
-    * WARC responses → HTTP message split →
+    * WARC responses → HTTP parse ([[graft.text.HtmlOps.httpParse]]:
+    * status code, header split, chunked de-framing) → 200-only gate →
     * [[graft.text.HtmlOps.sniffCharset]] (header param, else meta
     * prescan, else UTF-8) → charset decode →
     * [[graft.text.HtmlOps.stripHtml]] (codegen regex chain + the
     * single-pass native entity decoder, no UDF) → per-file token
     * statistics. This is the exact read path a web-scale corpus build
     * runs before any curation gate, end-to-end: gzip CRCs, WARC
-    * grammar, HTTP framing, charset sniffing, HTML stripping, and
-    * numeric/named reference decoding all have to be right at once for
-    * the closed-form token/char/é sums to come out (the planted é
-    * encodes differently per charset; `total_eacute` dies on any
-    * mis-sniff, `total_chars` on any undecoded `&#NN;`/`&nbsp;`).
+    * grammar, HTTP status + transfer framing, charset sniffing, HTML
+    * stripping, and numeric/named reference decoding all have to be
+    * right at once for the closed-form token/char/é sums to come out
+    * (the planted é encodes differently per charset; `total_eacute`
+    * dies on any mis-sniff, `total_chars` on any undecoded
+    * `&#NN;`/`&nbsp;` or leaked chunk-size line, every column on an
+    * ingested 404/301 body).
     */
   object WarcHtmlExtract extends GraftQuery {
     val name = "q_warc_html_extract"
@@ -490,18 +634,20 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            if r.warcType == "response"
-            (headers, body) <- graft.text.HtmlOps.httpSplit(r.payload).toSeq
-          } yield (m.group(1).toLong,
-            new String(body, graft.text.HtmlOps.sniffCharset(headers, body)))
+        .select(col("path"))
+        .as[String]
+        .flatMap { path =>
+          idRe.findFirstMatchIn(path).toSeq.flatMap { m =>
+            warcRows(path) { (_, r) =>
+              if (r.warcType != "response") Seq.empty
+              // the corpus gate: only 200 OK bodies are documents —
+              // redirect stubs and error pages never enter the text
+              else graft.text.HtmlOps.httpParse(r.payload).toSeq
+                .filter(_.status == 200)
+                .map(msg => (m.group(1).toLong, new String(msg.body,
+                  graft.text.HtmlOps.sniffCharset(msg.headers, msg.body))))
+            }
+          }
         }
         .toDF("asset_idx", "html")
       val toks = split(graft.text.HtmlOps.stripHtml(col("html")), " ")
@@ -657,12 +803,17 @@ object ArchiveQueries {
     * response page (i, j) carries 1 + (i+j)%3 anchors, anchor l
     * pointing at `http://s((i+l)%8).example/p((j+l)%5)` — a planted
     * cross-page web graph whose in-link distribution is a pure function
-    * of (i, j, l).
+    * of (i, j, l). Round-12 shape: pages are stored as RAW HTTP
+    * messages (ISO 28500 §6.3) — pages with (i+j)%4 == 1 under chunked
+    * wire framing — and every file carries a 404 error page whose
+    * anchors would skew the in-link counts of s0/p0 if a status-blind
+    * reader ingested it.
     */
   private[sources] def ensureWarcLinkTree(sfDir: String): String = {
-    val root = workDir(scaledTag("whlink"), sfDir)
+    val root = workDir(scaledTag("whlink2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
       for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}")
         Files.createDirectories(dir)
@@ -677,16 +828,61 @@ object ArchiveQueries {
               }.mkString
               val html =
                 s"<html><body><h1>d$i/$j</h1>$anchors</body></html>"
+              val chunked = (i + j) % 4 == 1
+              val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+                (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
+                "\r\n\r\n"
+              val body = html.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
               ("response", Some(s"http://src.example/d$i/$j"),
-                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                http.getBytes(iso) ++
+                  (if (chunked) chunkFrame(body) else body))
             }
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:l$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
         }
-        Files.write(dir.resolve(f"l$i%03d.warc.gz"), members.reduce(_ ++ _))
+        val notFound = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:l$i-e4>", "2026-01-01T00:00:00Z",
+          Some(s"http://src.example/d$i/missing"),
+          ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+            """<html><body><a href="http://s0.example/p0">x</a>""" +
+            """<a href="http://s0.example/p0">x</a></body></html>""")
+            .getBytes(iso)))
+        Files.write(dir.resolve(f"l$i%03d.warc.gz"),
+          (members :+ notFound).reduce(_ ++ _))
       }
     }
     root
+  }
+
+  /** Shared scan for the link-tree consumers ([[HtmlLinkGraph]],
+    * [[CrawlPageRank]], [[RobotsFrontier]]'s page side): streamed WARC
+    * walk → HTTP parse → 200-only gate → (page uri, html) rows. Only
+    * the gated pages' text leaves the scan.
+    */
+  private def linkPages(spark: SparkSession, root: String,
+      idRe: scala.util.matching.Regex): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"))
+      .as[String]
+      .flatMap { path =>
+        idRe.findFirstMatchIn(path).toSeq.flatMap { _ =>
+          warcRows(path) { (_, r) =>
+            for {
+              uri <- r.targetUri.toSeq
+              if r.warcType == "response"
+              msg <- graft.text.HtmlOps.httpParse(r.payload).toSeq
+              if msg.status == 200
+            } yield (uri, new String(msg.body,
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      }
+      .toDF("page", "html")
   }
 
   /** Crawl → web graph: the link-extraction step every pretraining
@@ -705,24 +901,7 @@ object ArchiveQueries {
       import spark.implicits._
       val root = ensureWarcLinkTree(sfDir)
       val idRe = "l(\\d+)\\.warc\\.gz".r
-      val pages = spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            if r.warcType == "response"
-            uri <- r.targetUri.toSeq
-          } yield (uri,
-            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
-        }
-        .toDF("page", "html")
+      val pages = linkPages(spark, root, idRe)
       pages
         .select(col("page"), explode(expr(
           """regexp_extract_all(html, '<a href="([^"]+)"', 1)""")).as("href"))
@@ -764,22 +943,28 @@ object ArchiveQueries {
     *        est-Jaccard flags the cross-host pairs;
     *   j=4  (odd hosts) a long but stopword-free listicle — the
     *        stopword-ratio gate kills it.
-    * Every document's STRIPPED TEXT is a closed-form string of (i, j),
-    * so the oracle reconstructs the exact corpus and replays every
-    * stage including the md5 fingerprints and the full MinHash math.
+    * Round-12 adversarial records: every file also carries a 404 whose
+    * body would PASS every curation gate and a 301 redirect stub (the
+    * status gate must drop both), and even hosts' near-dup page is
+    * stored under chunked wire framing (the de-chunker must run or its
+    * MinHash pair never forms). Every document's STRIPPED TEXT is a
+    * closed-form string of (i, j), so the oracle reconstructs the
+    * exact corpus and replays every stage including the md5
+    * fingerprints and the full MinHash math.
     */
   private[sources] def ensureCrawlTree(sfDir: String): String = {
-    val root = workDir(scaledTag("crawl"), sfDir)
+    val root = workDir(scaledTag("crawl2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
       for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}")
         Files.createDirectories(dir)
         val members = (0 to 3 + i % 2).map { j =>
           val (tpe, uri, payload) =
             if (j == 0)
-              ("warcinfo", None, s"software: graft $i".getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
+              ("warcinfo", None, s"software: graft $i".getBytes(utf8))
             else {
               val text = j match {
                 case 1 => "menu login signup"
@@ -793,16 +978,40 @@ object ArchiveQueries {
               val html = "<html><head><style scoped>p { x: y; }</style>" +
                 s"</head><body><p>$text</p>" +
                 """<script>var x = "<p>";</script><!-- c --></body></html>"""
+              // the near-dup page of even hosts is captured under
+              // chunked wire framing: its MinHash pair must still form
+              val chunked = j == 3 && i % 2 == 0
               val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
-                "charset=utf-8\r\n\r\n"
+                "charset=utf-8" +
+                (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
+                "\r\n\r\n"
+              val body = html.getBytes(utf8)
               ("response", Some(s"http://h$i.example/p$j"),
-                http.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
-                  html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                http.getBytes(iso) ++
+                  (if (chunked) chunkFrame(body) else body))
             }
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:c$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
         }
-        Files.write(dir.resolve(f"c$i%03d.warc.gz"), members.reduce(_ ++ _))
+        // a 404 whose body WOULD pass every curation gate (≥5 tokens,
+        // high stopword ratio, unique) and a 301 stub — a status-blind
+        // funnel inflates n_responses and every downstream count
+        val notFound = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:c$i-e4>", "2026-01-01T00:00:00Z",
+          Some(s"http://h$i.example/gone"),
+          ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html; " +
+            "charset=utf-8\r\n\r\n<html><body><p>the page of the " +
+            s"site and the error of host e$i</p></body></html>")
+            .getBytes(iso)))
+        val redirect = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:c$i-e3>", "2026-01-01T00:00:00Z",
+          Some(s"http://h$i.example/moved"),
+          ("HTTP/1.1 301 Moved Permanently\r\nLocation: " +
+            s"http://h$i.example/p1\r\nContent-Type: text/html\r\n\r\n" +
+            "<html><body><p>the document has moved to a new home " +
+            "for the data</p></body></html>").getBytes(iso)))
+        Files.write(dir.resolve(f"c$i%03d.warc.gz"),
+          (members :+ notFound :+ redirect).reduce(_ ++ _))
       }
     }
     root
@@ -841,19 +1050,22 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            (mb, j) <- ms.zipWithIndex
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            if r.warcType == "response"
-            (headers, body) <- HtmlOps.httpSplit(r.payload).toSeq
-          } yield (100L * m.group(1).toLong + j,
-            s"h${m.group(1).toLong}.example",
-            new String(body, HtmlOps.sniffCharset(headers, body)))
+        .select(col("path"))
+        .as[String]
+        .flatMap { path =>
+          idRe.findFirstMatchIn(path).toSeq.flatMap { m =>
+            warcRows(path) { (j, r) =>
+              if (r.warcType != "response") Seq.empty
+              else HtmlOps.httpParse(r.payload).toSeq
+                .filter(_.status == 200) // error/redirect bodies are
+                .map { msg =>            // not corpus documents
+                  (100L * m.group(1).toLong + j,
+                    s"h${m.group(1).toLong}.example",
+                    new String(msg.body,
+                      HtmlOps.sniffCharset(msg.headers, msg.body)))
+                }
+            }
+          }
         }
         .toDF("doc_id", "host", "html")
       val docs = pages
@@ -958,24 +1170,7 @@ object ArchiveQueries {
       import spark.implicits._
       val root = ensureWarcLinkTree(sfDir)
       val idRe = "l(\\d+)\\.warc\\.gz".r
-      val pages = spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, content) =>
-          for {
-            m <- idRe.findFirstMatchIn(path).toSeq
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            if r.warcType == "response"
-            uri <- r.targetUri.toSeq
-          } yield (uri,
-            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
-        }
-        .toDF("page", "html")
+      val pages = linkPages(spark, root, idRe)
       val edges = pages
         .select(col("page").as("w1"), explode(expr(
           """regexp_extract_all(html, '<a href="([^"]+)"', 1)""")).as("w2"))
@@ -1034,21 +1229,32 @@ object ArchiveQueries {
   }
 
   /** Create (once per scale factor) the robots-frontier `.warc.gz` tree:
-    * the [[ensureWarcLinkTree]] page/anchor formulas (same planted web
-    * graph) PLUS, for i < 8, one WARC `resource` record carrying host
-    * s<i>.example's robots.txt — the way a real crawl stores fetched
-    * robots files beside pages. Rules are a pure function of the host
-    * index h and exercise every RFC 9309 selection/precedence branch:
-    * a decoy `spiderx` full-disallow group everywhere; odd h adds a
-    * specific `graftbot` group (`Disallow: /p` + `Allow: /p<h%5>` —
-    * longest-match re-allow); even h falls to the `*` group, which is
-    * empty (allow-all) when h%4=0 and `Disallow: /p<(h+1)%5>` when
-    * h%4=2.
+    * the planted web-graph page/anchor formulas (now with DEEP targets:
+    * anchor l points at `/p<(j+l)%5>` when l is even and at
+    * `/p<(j+l)%5>/x<(i+j)%3>` when l is odd — wildcard rules need path
+    * structure to discriminate) PLUS, for i < 8, one WARC `resource`
+    * record carrying host s<i>.example's robots.txt. Rules are a pure
+    * function of the host index h and exercise every RFC 9309
+    * selection/precedence branch INCLUDING the §2.2.3 wildcard grammar
+    * and §2.2.2 percent normalization:
+    *  - a decoy `spiderx` full-disallow group everywhere;
+    *  - odd h: a specific `graftbot` group — `Disallow: /p`,
+    *    `Allow: /%70<h%5>$` (percent-encoded `p`, end-anchored: exactly
+    *    one shallow page re-allowed), `Allow: /p*&#47;x1` (wildcard
+    *    re-allow of the x1 subtree);
+    *  - h%4=0: `*` group `Disallow: &#47;*x2$` (anchored wildcard —
+    *    blocks every deep x2 page, no shallow page);
+    *  - h%4=2: `*` group `Disallow: /p<(h+1)%5>` +
+    *    `Allow: /p<(h+1)%5>/x*` (trailing-star re-allow beats the
+    *    shorter prefix disallow on the whole subtree).
+    * Pages are stored as raw HTTP messages; every file carries a 404
+    * page whose anchors a status-blind reader would count.
     */
   private[sources] def ensureRobotsTree(sfDir: String): String = {
-    val root = workDir(scaledTag("robots"), sfDir)
+    val root = workDir(scaledTag("robots2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
       for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}")
         Files.createDirectories(dir)
@@ -1059,25 +1265,37 @@ object ArchiveQueries {
                 java.nio.charset.StandardCharsets.UTF_8))
             else {
               val anchors = (0 until 1 + (i + j) % 3).map { l =>
-                s"""<a href="http://s${(i + l) % 8}.example/p${(j + l) % 5}">x</a>"""
+                val base = s"/p${(j + l) % 5}"
+                val path = if (l % 2 == 0) base else s"$base/x${(i + j) % 3}"
+                s"""<a href="http://s${(i + l) % 8}.example$path">x</a>"""
               }.mkString
+              val html = s"<html><body><h1>d$i/$j</h1>$anchors</body></html>"
               ("response", Some(s"http://src.example/d$i/$j"),
-                s"<html><body><h1>d$i/$j</h1>$anchors</body></html>"
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                  .getBytes(iso) ++
+                  html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             }
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:r$i-$j>", "2026-01-01T00:00:00Z", uri, payload))
         }
+        val notFound = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:r$i-e4>", "2026-01-01T00:00:00Z",
+          Some(s"http://src.example/d$i/missing"),
+          ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+            """<html><body><a href="http://s0.example/p0">x</a>""" +
+            """</body></html>""").getBytes(iso)))
         val robotsMember =
           if (i < 8) {
             val h = i
             val specific =
               if (h % 2 == 1)
-                s"User-agent: graftbot\nDisallow: /p\nAllow: /p${h % 5}\n\n"
+                s"User-agent: graftbot\nDisallow: /p\n" +
+                  s"Allow: /%70${h % 5}$$\nAllow: /p*/x1\n\n"
               else ""
             val star =
-              if (h % 4 == 0) "User-agent: *\nDisallow:\n"
-              else s"User-agent: *\nDisallow: /p${(h + 1) % 5}\n"
+              if (h % 4 == 0) "User-agent: *\nDisallow: /*x2$\n"
+              else s"User-agent: *\nDisallow: /p${(h + 1) % 5}\n" +
+                s"Allow: /p${(h + 1) % 5}/x*\n"
             val txt = s"# host s$h fixture\nUser-agent: spiderx\n" +
               s"Disallow: /\n\n$specific$star"
             Seq(GzipCodec.buildMember(WarcCodec.buildRecord(
@@ -1086,23 +1304,27 @@ object ArchiveQueries {
               txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
           } else Seq.empty
         Files.write(dir.resolve(f"r$i%03d.warc.gz"),
-          (pageMembers ++ robotsMember).reduce(_ ++ _))
+          (pageMembers ++ Seq(notFound) ++ robotsMember).reduce(_ ++ _))
       }
     }
     root
   }
 
   /** Crawl-frontier robots filtering (RFC 9309), composed: the link
-    * edges the crawl extracts, gated by each target host's PARSED
-    * robots.txt under the real group-selection + longest-match-
-    * precedence semantics ([[graft.text.RobotsOps]]) — the mandatory
-    * step between link extraction and the fetch frontier. Scale shape:
-    * rules are per-host tiny (broadcast); the allow/deny DECISION is
-    * computed once per distinct (host, path) via the rule join's
-    * struct-argmax (longest path, allow on ties) and joined back onto
-    * the counted edges — link volume never meets the rule join. The
-    * oracle replays the planted graph AND the rule semantics closed-
-    * form per (h, p), so a wrong group pick, a missed merge, or a
+    * edges the crawl extracts (200-gated, streamed WARC walk), gated by
+    * each target host's PARSED robots.txt under the real
+    * group-selection + §2.2.3 wildcard + most-octets-precedence
+    * semantics ([[graft.text.RobotsOps]], matched plan-side by the
+    * native [[graft.plans.RobotsMatchExpression]]) — the mandatory step
+    * between link extraction and the fetch frontier. Scale shape: the
+    * allow/deny DECISION is computed once per distinct (host, path) via
+    * the host-keyed rule join's struct-argmax (most pattern octets,
+    * allow on ties); no broadcast hint — AQE broadcasts the tiny
+    * fixture rule table but the same plan degrades to a shuffled hash
+    * join when the global rule table grows with host count. Link
+    * volume never meets the rule join. The oracle replays the planted
+    * graph AND the full rule semantics closed-form per (h, path), so a
+    * wrong group pick, a missed merge, a wildcard/anchor bug, or a
     * precedence bug cannot reproduce the counts.
     */
   object RobotsFrontier extends GraftQuery {
@@ -1117,34 +1339,34 @@ object ArchiveQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("content"))
-        .as[Array[Byte]]
-        .flatMap { content =>
-          val out = Seq.newBuilder[(Int, String, String, Boolean)]
-          for {
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            uri <- r.targetUri.toSeq
-          } {
-            if (r.warcType == "response") {
-              val html = new String(r.payload,
-                java.nio.charset.StandardCharsets.UTF_8)
-              val a = """<a href="http://([^/"]+)(/[^"]*)"""".r
-              a.findAllMatchIn(html).foreach { m =>
-                out += ((0, m.group(1), m.group(2), false))
-              }
-            } else if (r.warcType == "resource" &&
-              uri.endsWith("/robots.txt")) {
-              val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-              val txt = new String(r.payload,
-                java.nio.charset.StandardCharsets.UTF_8)
-              graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-                out += ((1, host, rule.path, rule.allow))
+        .select(col("path"))
+        .as[String]
+        .flatMap { path =>
+          warcRows(path) { (_, r) =>
+            val out = Seq.newBuilder[(Int, String, String, Boolean)]
+            r.targetUri.foreach { uri =>
+              if (r.warcType == "response") {
+                graft.text.HtmlOps.httpParse(r.payload)
+                  .filter(_.status == 200).foreach { msg =>
+                    val html = new String(msg.body,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    val a = """<a href="http://([^/"]+)(/[^"]*)"""".r
+                    a.findAllMatchIn(html).foreach { m =>
+                      out += ((0, m.group(1), m.group(2), false))
+                    }
+                  }
+              } else if (r.warcType == "resource" &&
+                uri.endsWith("/robots.txt")) {
+                val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+                val txt = new String(r.payload,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
+                  out += ((1, host, rule.path, rule.allow))
+                }
               }
             }
+            out.result()
           }
-          out.result()
         }
         .toDF("kind", "host", "path", "allow")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1152,12 +1374,18 @@ object ArchiveQueries {
         .groupBy("host", "path").agg(count(lit(1)).as("n"))
       val rules = recs.filter(col("kind") === 1)
         .select(col("host"), col("path").as("rpath"), col("allow"))
-      // decision per distinct (host, path): RFC 9309 §2.2.2 — longest
-      // matching rule path wins, allow wins ties, no match → allowed
+      // decision per distinct (host, path): RFC 9309 §2.2.2/§2.2.3 —
+      // the full wildcard grammar as the join residual (native
+      // expression), most-pattern-octets wins, allow wins ties, no
+      // match → allowed. No broadcast hint: rules are per-host tiny
+      // but the GLOBAL rule table grows with host count, so the join
+      // keeps its host equi-key and AQE picks the strategy (broadcast
+      // at fixture scale, shuffled hash at 10⁷ hosts).
       val decided = links
-        .join(broadcast(rules),
+        .join(rules,
           links("host") === rules("host") &&
-            links("path").startsWith(col("rpath")), "left")
+            graft.plans.RobotsMatchExpression.robotsMatch(
+              col("rpath"), links("path")), "left")
         .groupBy(links("host"), links("path"), col("n"))
         .agg(max(struct(length(col("rpath")).as("l"),
           col("allow").cast("int").as("a"))).as("best"))
@@ -1179,22 +1407,33 @@ object ArchiveQueries {
         |  SELECT i.i AS i, 2 + i.i % 3 AS np
         |  FROM unnest(range(0, 24)) i(i)),
         |links AS (
-        |  SELECT (s.i + l.l) % 8 AS h, (j.j + l.l) % 5 AS p
+        |  SELECT (s.i + l.l) % 8 AS h, (j.j + l.l) % 5 AS p,
+        |         l.l % 2 AS deep, (s.i + j.j) % 3 AS q
         |  FROM specs s,
         |       LATERAL unnest(range(1, s.np + 1)) j(j),
         |       LATERAL unnest(range(0, 1 + (s.i + j.j) % 3)) l(l)),
-        |-- graftbot's merged rules per host, replayed from the planted
-        |-- generator: odd h -> the specific group {Disallow /p, Allow
-        |-- /p<h%5>}; h%4=0 -> empty * group; h%4=2 -> {Disallow /p<(h+1)%5>}
+        |-- graftbot's merged rules per host, replayed CLOSED-FORM from
+        |-- the planted generator under the full RFC 9309 grammar:
+        |-- odd h  -> {Disallow /p, Allow /p<h%5>$ (via %70), Allow
+        |--            /p*/x1}: shallow ok iff p = h%5 (the $ anchor
+        |--            never matches deep), deep ok iff q = 1;
+        |-- h%4=0  -> {Disallow /*x2$}: shallow ok, deep ok iff q <> 2;
+        |-- h%4=2  -> {Disallow /p<(h+1)%5>, Allow /p<(h+1)%5>/x*}:
+        |--            shallow ok iff p <> (h+1)%5, deep always ok (the
+        |--            longer trailing-star allow re-opens the subtree)
         |dec AS (
-        |  SELECT h, p, count(*) AS n,
-        |         CASE WHEN h % 2 = 1 THEN (p = h % 5)
-        |              WHEN h % 4 = 0 THEN TRUE
-        |              ELSE (p <> (h + 1) % 5) END AS ok,
-        |         CASE WHEN h % 2 = 1 THEN 2
-        |              WHEN h % 4 = 0 THEN 0
-        |              ELSE 1 END AS n_rules
-        |  FROM links GROUP BY 1, 2)
+        |  SELECT h, p, deep, q, count(*) AS n,
+        |         CASE WHEN deep = 0 THEN
+        |              CASE WHEN h % 2 = 1 THEN (p = h % 5)
+        |                   WHEN h % 4 = 0 THEN TRUE
+        |                   ELSE (p <> (h + 1) % 5) END
+        |         ELSE CASE WHEN h % 2 = 1 THEN (q = 1)
+        |                   WHEN h % 4 = 0 THEN (q <> 2)
+        |                   ELSE TRUE END END AS ok,
+        |         CASE WHEN h % 2 = 1 THEN 3
+        |              WHEN h % 4 = 0 THEN 1
+        |              ELSE 2 END AS n_rules
+        |  FROM links GROUP BY 1, 2, 3, 4)
         |SELECT 's' || h || '.example' AS host,
         |       CAST(max(n_rules) AS BIGINT) AS n_rules,
         |       CAST(sum(n) AS BIGINT) AS n_links,
@@ -1208,21 +1447,27 @@ object ArchiveQueries {
   /** Create (once per scale factor) the main-content HTML tree: plain
     * `.html` files (the post-WARC landing shape), page i carrying a nav
     * block (pure links), 5 + i%7 content paragraphs of 8 deterministic
-    * words (even paragraphs embed one 1-token inline link), a script
-    * block whose STRING contains a fake high-quality `<p>` (the block
-    * segmenter must drop invisible content first or its counts shift),
+    * words — every other word a stopword, the density real prose has
+    * and boilerplate lacks (even paragraphs embed one 1-token inline
+    * link), a script block whose STRING contains a fake high-quality
+    * `<p>` (the block segmenter must drop invisible content first or
+    * its counts shift), a LINK-FREE cookie-consent banner (zero
+    * stopwords — the block the anchor-density test alone cannot catch),
     * and a footer mixing two links with two plain tokens.
     */
   private[sources] def ensureMainContentTree(sfDir: String): String = {
-    val root = workDir(scaledTag("mainc"), sfDir)
+    val root = workDir(scaledTag("mainc2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
+      val stop = graft.text.TextOps.stopwords
       for (i <- 0 until 24 * mediaScale) {
         val dir = Paths.get(root, s"${i % 2}")
         Files.createDirectories(dir)
         val nw = 5 + i % 7
         val paras = (0 until nw).map { k =>
-          val words = (0 until 8).map(m => s"w${(3 * i + k + m) % 20}")
-            .mkString(" ")
+          val words = (0 until 8).map { m =>
+            if (m % 2 == 0) stop((i + k + m) % 6)
+            else s"w${(3 * i + k + m) % 20}"
+          }.mkString(" ")
           val link = if (k % 2 == 0) """ <a href="/u">lk</a>""" else ""
           s"<p>$words$link</p>"
         }.mkString
@@ -1230,6 +1475,7 @@ object ArchiveQueries {
           "</head><body>" +
           """<nav><a href="/h">m0</a><a href="/a">m1</a></nav>""" +
           paras +
+          """<p class="cookie">accept cookies continue settings</p>""" +
           """<script>var x = "<p>trap trap trap trap trap</p>";</script>""" +
           """<footer><a href="/ab">about</a> <a href="/c">contact</a>""" +
           " copy site</footer></body></html>"
@@ -1240,21 +1486,26 @@ object ArchiveQueries {
     root
   }
 
-  /** Main-content extraction (round 11) — the boilerplate-BLOCK removal
-    * step between markup stripping and the curation gates (the
-    * Boilerpipe/jusText family, done with the deterministic
-    * link-density rule those systems build on): drop invisible content
+  /** Main-content extraction (rounds 11–12) — the boilerplate-BLOCK
+    * removal step between markup stripping and the curation gates (the
+    * Boilerpipe/jusText family, done with the TWO deterministic axes
+    * those systems build on): drop invisible content
     * ([[graft.text.HtmlOps.dropInvisible]] — a `<p>` inside a script
     * string must never become a block), segment into block elements
-    * (`p`/`nav`/`footer`), and classify each block by LINK DENSITY —
-    * content iff anchor tokens ≤ ¼ of the block's tokens AND the block
-    * carries ≥ 3 tokens. Navigation chrome is links by construction;
-    * prose is not — the rule that separates them needs no model.
+    * (`p`/`nav`/`footer`), and classify each block as content iff
+    *   anchor tokens ≤ ¼ of the block's tokens (link density — catches
+    *   navigation chrome), AND the block carries ≥ 3 tokens, AND
+    *   stopword density ≥ 1/5 (jusText's second axis — catches the
+    *   link-FREE boilerplate the anchor test misses: cookie banners,
+    *   legal footers; real prose is a quarter function words, keyword
+    *   lists are not).
     * Everything is a codegen column chain over the scan (regexp block
-    * extraction, per-block anchor-token fold, stripHtml token count);
-    * only per-page aggregate rows shuffle. The oracle replays the
-    * fixture's construction arithmetic, so a segmentation leak, a trap
-    * block surviving, or a mis-classified footer shifts a count.
+    * extraction, per-block anchor-token fold, stripHtml token count,
+    * stopword filter in exact integer arithmetic); only per-page
+    * aggregate rows shuffle. The oracle replays the fixture's
+    * construction arithmetic, so a segmentation leak, a trap block
+    * surviving, a mis-classified footer, or a surviving cookie banner
+    * shifts a count.
     */
   object MainContent extends GraftQuery {
     val name = "q_main_content"
@@ -1279,13 +1530,20 @@ object ArchiveQueries {
         .select(col("asset_idx"), explode(expr(
           """regexp_extract_all(visible, '(?is)<(p|nav|footer)\\b[^>]*>(.*?)</\\1>', 2)"""))
           .as("b"))
-      val toks = size(split(graft.text.HtmlOps.stripHtml(col("b")), " "))
+      val blockToks = split(graft.text.HtmlOps.stripHtml(col("b")), " ")
+      val toks = size(blockToks)
       val atoks = expr(
         """aggregate(regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
           |0, (acc, x) -> acc + size(split(trim(x), '\\s+')))""".stripMargin)
+      val stoks = size(filter(blockToks,
+        t => t.isin(graft.text.TextOps.stopwords.map(lit): _*)))
       segmented
-        .select(col("asset_idx"), toks.as("t"), atoks.as("a"))
-        .withColumn("content", lit(4) * col("a") <= col("t") && col("t") >= 3)
+        .select(col("asset_idx"), toks.as("t"), atoks.as("a"),
+          stoks.as("s"))
+        // content iff link density ≤ 1/4 AND ≥ 3 tokens AND stopword
+        // density ≥ 1/5 — exact integer forms of both ratio tests
+        .withColumn("content", lit(4) * col("a") <= col("t") &&
+          col("t") >= 3 && lit(5) * col("s") >= col("t"))
         .groupBy("asset_idx")
         .agg(count(lit(1)).as("n_blocks"),
           sum(when(col("content"), 1L).otherwise(0L)).as("n_content"),
@@ -1300,12 +1558,16 @@ object ArchiveQueries {
       """WITH specs AS (
         |  SELECT i.i AS asset_idx, 5 + i.i % 7 AS nw
         |  FROM unnest(range(0, 24)) i(i))
+        |-- blocks: nav (2 anchor toks) + nw paragraphs (8 toks, half
+        |-- stopwords, +1 link tok on even k) + cookie banner (4 toks,
+        |-- 0 stopwords, 0 links) + footer (4 toks, 2 anchor) — only
+        |-- the paragraphs pass all three content tests
         |SELECT asset_idx,
-        |       CAST(nw + 2 AS BIGINT) AS n_blocks,
+        |       CAST(nw + 3 AS BIGINT) AS n_blocks,
         |       CAST(nw AS BIGINT) AS n_content,
-        |       CAST(2 AS BIGINT) AS n_boiler,
+        |       CAST(3 AS BIGINT) AS n_boiler,
         |       CAST(8 * nw + (nw + 1) // 2 AS BIGINT) AS content_tokens,
-        |       CAST(6 AS BIGINT) AS boiler_tokens
+        |       CAST(10 AS BIGINT) AS boiler_tokens
         |FROM specs ORDER BY asset_idx""".stripMargin)
   }
 

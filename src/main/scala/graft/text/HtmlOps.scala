@@ -53,30 +53,92 @@ object HtmlOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** Split an HTTP/1.x message into (header block, body). A WARC
-    * `response` record's payload is the raw HTTP response (ISO 28500
-    * §6.3: Content-Type `application/http`), so the corpus path must
-    * shed the status line and headers before any text extraction.
-    * Strict: requires an `HTTP/` status line and a CRLFCRLF separator;
-    * None otherwise (not an HTTP message — skip the record).
+  /** A parsed HTTP/1.x message: the status code a crawl consumer must
+    * gate on (real crawls are 20–30 % 3xx/4xx/5xx whose bodies are
+    * redirect stubs and error pages), the raw header block, and the
+    * body with transfer framing REMOVED — a WARC `response` record
+    * stores the raw bytes on the wire (ISO 28500 §6.3), so a
+    * `Transfer-Encoding: chunked` capture carries chunk-size lines
+    * inside the body that would otherwise leak into extracted text.
     */
-  def httpSplit(payload: Array[Byte]): Option[(String, Array[Byte])] = {
-    val probe = math.min(payload.length, 5)
+  final case class HttpMessage(status: Int, headers: String,
+      body: Array[Byte])
+
+  private val StatusLine = "^HTTP/\\d[.\\d]* (\\d{3})".r
+
+  /** Parse an HTTP/1.x response message: status line (code extracted),
+    * CRLFCRLF header/body split, and chunked-framing removal when the
+    * headers declare `Transfer-Encoding: chunked` (RFC 9112 §7.1).
+    * Strict: a missing/malformed status line, no separator, or broken
+    * chunk framing → None (not a usable HTTP message — skip the
+    * record).
+    */
+  def httpParse(payload: Array[Byte]): Option[HttpMessage] = {
+    val probe = math.min(payload.length, 16)
     val head = new String(payload, 0, probe,
       java.nio.charset.StandardCharsets.US_ASCII)
-    if (!head.startsWith("HTTP/")) return None
+    val status = StatusLine.findFirstMatchIn(head) match {
+      case Some(m) => m.group(1).toInt
+      case None => return None
+    }
     var i = 0
     while (i + 3 < payload.length) {
       if (payload(i) == '\r' && payload(i + 1) == '\n' &&
         payload(i + 2) == '\r' && payload(i + 3) == '\n') {
         val headers = new String(payload, 0, i,
           java.nio.charset.StandardCharsets.ISO_8859_1)
-        return Some((headers,
-          java.util.Arrays.copyOfRange(payload, i + 4, payload.length)))
+        val raw =
+          java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+        val body =
+          if (ChunkedRe.findFirstIn(headers).isDefined)
+            deChunk(raw) match {
+              case Some(b) => b
+              case None => return None
+            }
+          else raw
+        return Some(HttpMessage(status, headers, body))
       }
       i += 1
     }
     None
+  }
+
+  private val ChunkedRe =
+    "(?i)transfer-encoding:[^\\r\\n]*\\bchunked\\b".r
+
+  /** Remove RFC 9112 §7.1 chunked framing: `hex-size[;ext]CRLF data
+    * CRLF` repeated, terminated by a 0-size chunk (trailer section
+    * ignored). None on any malformation — truncated chunk, missing
+    * CRLF, non-hex size.
+    */
+  private[text] def deChunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (true) {
+      // chunk-size line: hex digits, optional ;extension, CRLF
+      var j = i
+      var size = 0L
+      var digits = 0
+      while (j < body.length && Character.digit(body(j).toChar, 16) >= 0 &&
+        digits < 8) {
+        size = size * 16 + Character.digit(body(j).toChar, 16)
+        digits += 1
+        j += 1
+      }
+      if (digits == 0) return None
+      if (j < body.length && body(j) == ';') // chunk extension: skip to CR
+        while (j < body.length && body(j) != '\r') j += 1
+      if (j + 1 >= body.length || body(j) != '\r' || body(j + 1) != '\n')
+        return None
+      j += 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (j + size + 2 > body.length) return None
+      out.write(body, j, size.toInt)
+      j += size.toInt
+      if (body(j) != '\r' || body(j + 1) != '\n') return None
+      i = j + 2
+    }
+    None // unreachable
   }
 
   private val HeaderCharset =

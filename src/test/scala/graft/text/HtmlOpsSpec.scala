@@ -117,17 +117,67 @@ class HtmlOpsSpec extends SparkSpec {
     assert(sparkStrip("&#x1F600;") == new String(Character.toChars(0x1F600)))
   }
 
-  test("httpSplit: strict HTTP message framing") {
+  test("httpParse: strict HTTP message framing, status code extracted") {
     val body = "café".getBytes("UTF-8")
     val msg = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
       "charset=UTF-8\r\nServer: x\r\n\r\n").getBytes("ISO-8859-1") ++ body
-    val (headers, b) = HtmlOps.httpSplit(msg).getOrElse(fail("rejected"))
-    assert(headers.startsWith("HTTP/1.1 200 OK"))
-    assert(headers.contains("charset=UTF-8") && !headers.contains("Server: x\r\n\r\n"))
-    assert(b.sameElements(body))
-    assert(HtmlOps.httpSplit("<html>no http</html>".getBytes("UTF-8")).isEmpty)
-    assert(HtmlOps.httpSplit("HTTP/1.1 200 OK\r\nno separator".getBytes("UTF-8")).isEmpty)
-    assert(HtmlOps.httpSplit(Array.emptyByteArray).isEmpty)
+    val m = HtmlOps.httpParse(msg).getOrElse(fail("rejected"))
+    assert(m.status == 200)
+    assert(m.headers.startsWith("HTTP/1.1 200 OK"))
+    assert(m.headers.contains("charset=UTF-8") &&
+      !m.headers.contains("Server: x\r\n\r\n"))
+    assert(m.body.sameElements(body))
+    // non-200 statuses parse (the CONSUMER filters; the parser reports)
+    assert(HtmlOps.httpParse(
+      "HTTP/1.1 404 Not Found\r\nA: b\r\n\r\nnope".getBytes("UTF-8"))
+      .map(_.status).contains(404))
+    assert(HtmlOps.httpParse(
+      "HTTP/1.0 301 Moved Permanently\r\nLocation: /x\r\n\r\n"
+        .getBytes("UTF-8")).map(_.status).contains(301))
+    assert(HtmlOps.httpParse("<html>no http</html>".getBytes("UTF-8")).isEmpty)
+    assert(HtmlOps.httpParse(
+      "HTTP/1.1 200 OK\r\nno separator".getBytes("UTF-8")).isEmpty)
+    assert(HtmlOps.httpParse(Array.emptyByteArray).isEmpty)
+    // malformed status line (no 3-digit code) is rejected
+    assert(HtmlOps.httpParse("HTTP/1.1 OK\r\n\r\nx".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("httpParse: chunked transfer framing removed, hand-assembled") {
+    def chunked(headers: String, chunks: Seq[Array[Byte]],
+        trailer: String = ""): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(headers.getBytes("ISO-8859-1"))
+      chunks.foreach { c =>
+        out.write(s"${c.length.toHexString}\r\n".getBytes("ISO-8859-1"))
+        out.write(c)
+        out.write("\r\n".getBytes("ISO-8859-1"))
+      }
+      out.write(s"0\r\n$trailer\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val h = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    val parts = Seq("<html><p>hello ".getBytes("UTF-8"),
+      "wörld</p>".getBytes("UTF-8"), "</html>".getBytes("UTF-8"))
+    val m = HtmlOps.httpParse(chunked(h, parts)).getOrElse(fail("rejected"))
+    assert(m.body.sameElements(parts.reduce(_ ++ _)))
+    // uppercase hex sizes and chunk extensions are fine
+    val ext = (h + "A;name=v\r\n0123456789\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+    assert(HtmlOps.httpParse(ext).get.body.sameElements(
+      "0123456789".getBytes("UTF-8")))
+    // identity framing untouched: the SAME body bytes without the header
+    val ident = ("HTTP/1.1 200 OK\r\nA: b\r\n\r\n5\r\nhello\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(new String(HtmlOps.httpParse(ident).get.body, "UTF-8")
+      .startsWith("5\r\nhello")) // no TE header -> chunk lines are body
+    // malformed framings are rejected, not silently passed through
+    assert(HtmlOps.httpParse((h + "zz\r\nx\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")).isEmpty) // non-hex size
+    assert(HtmlOps.httpParse((h + "5\r\nhi\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")).isEmpty) // truncated chunk
+    assert(HtmlOps.httpParse((h + "2\r\nhi??\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")).isEmpty) // missing CRLF after data
+    assert(HtmlOps.httpParse((h + "3\r\nabc\r\n")
+      .getBytes("ISO-8859-1")).isEmpty) // no terminating 0-chunk
   }
 
   test("sniffCharset: header beats meta beats UTF-8 default") {
