@@ -431,8 +431,29 @@ object InflateCodec {
           case _ => bad()
         }
       case 1 =>
+        // stored data is byte-aligned raw input (§3.2.4 — mode 0
+        // aligned before LEN/NLEN), so it bulk-copies straight into
+        // the ring: the hot shape of incompressible members (image /
+        // audio payloads inside dataset tarballs deflate to stored
+        // blocks), where a per-bit read loop caps ingest at tens of
+        // MB/s. The contiguous ring span bounds each read; the
+        // bit-loop fallback covers the (impossible per the spec,
+        // cheap to keep total) unaligned case.
         var k = math.min(storedLeft, 4096)
-        while (k > 0) { emit(bits(8).toByte); storedLeft -= 1; k -= 1 }
+        if (used == 8) {
+          while (k > 0) {
+            val w = (wpos & Mask).toInt
+            val n = math.min(k, RingSize - w)
+            val got = in.read(ring, w, n)
+            if (got <= 0) bad()
+            bytesIn += got
+            wpos += got
+            storedLeft -= got
+            k -= got
+          }
+        } else {
+          while (k > 0) { emit(bits(8).toByte); storedLeft -= 1; k -= 1 }
+        }
         if (storedLeft == 0) endBlock()
       case 2 =>
         var blockDone = false

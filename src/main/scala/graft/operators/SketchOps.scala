@@ -233,9 +233,13 @@ object SketchOps {
     * bit is unset (definitely new) or fall through to the exact check
     * (bloom-positive). The query builds the filter from the "seen"
     * slice (doc_id % 4 != 0) of synthesized per-document URLs, probes
-    * the candidate slice (doc_id % 2 = 0), and reports the sketch's
-    * confusion per host next to ground truth from the exact join it
-    * would replace: `n_fp` (bloom-positive but genuinely new — the
+    * the candidate slice (doc_id % 2 = 0) — each side spelling its raw
+    * URLs with DIFFERENT variant noise (trailing slash + tracking
+    * query vs WWW + fragment), collapsed by the shared
+    * [[graft.text.UrlOps]] canonicalizer before any bit math; without
+    * that composition the same page hashes to different bits and
+    * `n_miss` goes nonzero — and reports the sketch's confusion per
+    * host next to ground truth from the exact join it would replace: `n_fp` (bloom-positive but genuinely new — the
     * wasted exact-checks) and `n_miss` (seen but bloom-negative —
     * structurally ZERO, the no-false-negatives property the oracle
     * certifies on every row).
@@ -259,12 +263,28 @@ object SketchOps {
     private[operators] val M = 1 << 15
     private[operators] val K = 3
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      val url = concat(lit("http://s"), (col("doc_id") % 13).cast("string"),
-        lit(".example/d"), col("doc_id").cast("string"))
-      val docs = Graft.table(spark, sfDir, "documents")
-        .select(col("doc_id"), url.as("url"))
+      // round 12: the two sides synthesize DIFFERENT raw spellings of
+      // the same page — yesterday's crawl logged trailing slashes and
+      // tracking queries, today's candidates arrive as WWW./fragment
+      // variants — so the sketch only works composed with the shared
+      // canonicalizer ([[graft.text.UrlOps]]): skip it and the seen
+      // probe strings stop matching (n_miss > 0 hash-fails every row)
+      val base = concat(lit(".example/d"), col("doc_id").cast("string"))
+      val hostN = (col("doc_id") % 13).cast("string")
+      val seenRaw = concat(lit("http://s"), hostN, base,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm=1")).otherwise(lit("")))
+      val candRaw = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://WWW.s"))
+          .otherwise(lit("http://s")), hostN, base,
+        when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
+      val docs = Graft.table(spark, sfDir, "documents").select(col("doc_id"),
+        graft.text.UrlOps.canonical(seenRaw).as("seen_url"),
+        graft.text.UrlOps.canonical(candRaw).as("cand_url"))
       val seen = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("seen_url").as("url"))
       val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("cand_url").as("url"))
       val ks = array((0 until K).map(lit): _*)
       val pos = (pHash28(concat(col("k").cast("string"), lit(":"),
         col("url"))) % M).as("pos")

@@ -1017,21 +1017,24 @@ object ArchiveQueries {
     root
   }
 
-  /** The crawl→corpus capstone (round 11): the END-TO-END path a
+  /** The crawl→corpus capstone (rounds 11–12): the END-TO-END path a
     * web-scale pretraining ingest runs, composed entirely from this
     * engine's own operators and replayed stage-for-stage by the oracle —
     *
-    *   `.warc.gz` (one gzip member per record) → WARC grammar → HTTP
-    *   split + charset sniff → [[graft.text.HtmlOps.stripHtml]] →
+    *   `.warc.gz` (streamed member walk, one record in memory) → WARC
+    *   grammar → [[graft.text.HtmlOps.httpParse]] (status code,
+    *   chunked de-framing) → 200-only gate → charset sniff →
+    *   [[graft.text.HtmlOps.stripHtml]] →
     *   quality gate ([[graft.text.TextPipeline.qualityFilter]]: ≥5
     *   tokens AND stopword ratio ≥ 0.05) →
     *   [[graft.text.TextPipeline.exactDedup]] (md5 keep-min) →
     *   [[graft.text.TextPipeline.nearDedup]] (MinHash est-J ≥ 0.7)
     *
     * with a per-stage survivor-count schema, so the hash match certifies
-    * the whole funnel: a leak at ANY stage (script text surviving, a
-    * gate off by one doc, a wrong fingerprint, one missed near-dup
-    * pair) shifts a count. Scale shape: decode and gate run scan-side
+    * the whole funnel: a leak at ANY stage (an ingested 404 body,
+    * script text surviving, a chunk-size line in the text, a gate off
+    * by one doc, a wrong fingerprint, one missed near-dup pair) shifts
+    * a count. Scale shape: decode and gate run scan-side
     * per file; only (doc_id, host, text) rows enter the dedup shuffles,
     * and the near-dup join is banded — the same funnel at 100 TB is the
     * documented Common Crawl→corpus architecture (CCNet/RefinedWeb).

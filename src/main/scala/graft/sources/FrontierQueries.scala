@@ -5,15 +5,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import SourceQueries.{workDir, mediaScale, scaledTag}
+import ArchiveQueries.warcRows
 
-/** Crawl-frontier scheduling tier (round 11): the discovery side of a
-  * recrawl — robots.txt declares the sitemaps, sitemap indexes fan out
-  * to urlsets, urlsets carry freshness/priority, and RFC 9309 rules
-  * gate what may actually be fetched. Same scale stance as the rest of
-  * the archive tier: all parsing happens where the scan reads the
-  * bytes; only per-(host, path) candidate rows and tiny per-host rule
-  * sets move afterwards, and rule/decision joins broadcast — link and
-  * URL volume never meets a wide join.
+/** Crawl-frontier scheduling tier (rounds 11–12): the discovery side of
+  * a recrawl — robots.txt declares the sitemaps, sitemap indexes fan
+  * out to urlsets, urlsets carry freshness/priority, RFC 9309 rules
+  * (full §2.2.3 wildcard grammar) gate what may be fetched, the
+  * URL-seen sketch prefilters what was already crawled, and Crawl-delay
+  * politeness lays the survivors onto a timeline. Same scale stance as
+  * the rest of the archive tier: all parsing happens where the scan
+  * reads the bytes (streamed WARC walk — no whole-file arrays); every
+  * URL string is canonicalized AT THE SCAN ([[graft.text.UrlOps]]) so
+  * the (host, path) key space never fragments across spelling variants;
+  * only per-(host, path) candidate rows and tiny per-host rule sets
+  * move afterwards. Rule joins keep their host equi-key and carry NO
+  * broadcast hint — the global rule table grows with host count, so
+  * AQE picks broadcast at fixture scale and a shuffled hash join at
+  * 10⁷ hosts.
   */
 object FrontierQueries {
 
@@ -21,19 +29,33 @@ object FrontierQueries {
     * `.warc.gz` files over 8 hosts (3 per host). File i carries a
     * warcinfo, host s(i%8)'s sitemap resources — a plain urlset, or
     * for hosts h%4==3 a `<sitemapindex>` plus its two child urlsets
-    * (even/odd entry split, same final URL set) — and, in the first
-    * file per host (i < 8), the host's robots.txt with a global
-    * `Sitemap:` declaration and its graftbot group (h%3==0 → the
-    * empty-Disallow no-op; else `Disallow: /p{(h+1)%9}`). Entry j of
-    * file i: path `/p{(i+2j)%9}`, lastmod `2026-0{1+(i+j)%3}-01`,
-    * priority `0.{3+(i+j)%7}` — every column of the frontier row is
+    * (even/odd entry split; host 3's indexes also DECLARE a third
+    * child that is never written — the missing-child case a fan-out
+    * join must surface) — and, in the first file per host (i < 8),
+    * the host's robots.txt (global `Sitemap:` declaration, graftbot
+    * group, `Crawl-delay`) plus a `seen.txt` resource listing the 3
+    * URLs the previous crawl already fetched. Entry j of file i:
+    * path `/p{(i+2j)%9}` — DEEP (`/p{…}/s{(i+j)%2}`) when j%3==2 so
+    * wildcard rules have structure to match; lastmod
+    * `2026-0{1+(i+j)%3}-01`, except (i+j)%5==4 plants the year-only
+    * `2026` (valid W3C datetime a parser must not throw on → month 0);
+    * priority `0.{3+(i+j)%7}`, except (i+j)%7==6 plants the junk
+    * `high` (→ default 5). The `<loc>` SPELLING varies by j%4 — as-is,
+    * `?utm=x` query, trailing slash, `HTTP://WWW.` + `#frag` — all
+    * collapsing to one canonical URL; a reader that skips
+    * canonicalization fragments the key space and every count shifts.
+    * Robots rules by h%3: 0 → the empty-Disallow no-op; 1 →
+    * `Disallow: /p{(h+1)%9}` (prefix, blocks the subtree too); 2 →
+    * the §2.2.3 wildcard `Disallow: /p*&#47;s1` (blocks every deep s1
+    * page, no shallow page). Every column of the frontier row is
     * closed-form replayable from (i, j).
     */
   private[sources] def ensureSitemapTree(sfDir: String): String = {
-    // tag bumped sitemap -> sitemap2 when Crawl-delay lines were added
-    // to the planted robots (the ensure* existence guard would otherwise
-    // keep serving a stale pre-delay tree from a previous round's run)
-    val root = workDir(scaledTag("sitemap2"), sfDir)
+    // tag bumped sitemap2 -> sitemap3 for the round-12 shape (wildcard
+    // rules, loc variants, parse-guard traps, index missing child,
+    // seen.txt) — the ensure* existence guard would otherwise keep
+    // serving a stale tree from a previous round's run
+    val root = workDir(scaledTag("sitemap3"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -50,19 +72,38 @@ object FrontierQueries {
           s"software: graft $i".getBytes(utf8)))
         val robots =
           if (i < 8) {
-            val dis =
-              if (h % 3 == 0) "Disallow:\n"
-              else s"Disallow: /p${(h + 1) % 9}\n"
+            val dis = h % 3 match {
+              case 0 => "Disallow:\n"
+              case 1 => s"Disallow: /p${(h + 1) % 9}\n"
+              case _ => "Disallow: /p*/s1\n"
+            }
+            val seen = (0 until 3)
+              .map(k => s"http://s$h.example/p${(3 * h + k) % 9}")
+              .mkString("", "\n", "\n")
             Seq(rec("resource", s"rob$i",
               s"http://s$h.example/robots.txt",
               s"# host s$h\nUser-agent: graftbot\n$dis" +
                 s"Crawl-delay: ${1 + h % 4}\n" +
-                s"Sitemap: http://s$h.example/sitemap.xml\n"))
+                s"Sitemap: http://s$h.example/sitemap.xml\n"),
+              rec("resource", s"seen$i",
+                s"http://s$h.example/seen.txt", seen))
           } else Seq.empty
         val entries = (0 until 3 + i % 4).map { j =>
-          val lastmod = f"2026-0${1 + (i + j) % 3}-01"
-          val pri = s"0.${3 + (i + j) % 7}"
-          (j, s"<url><loc>http://s$h.example/p${(i + 2 * j) % 9}</loc>" +
+          val deep = j % 3 == 2
+          val path = s"/p${(i + 2 * j) % 9}" +
+            (if (deep) s"/s${(i + j) % 2}" else "")
+          val lastmod =
+            if ((i + j) % 5 == 4) "2026"
+            else f"2026-0${1 + (i + j) % 3}-01"
+          val pri =
+            if ((i + j) % 7 == 6) "high" else s"0.${3 + (i + j) % 7}"
+          val loc = (j % 4) match {
+            case 0 => s"http://s$h.example$path"
+            case 1 => s"http://s$h.example$path?utm=x"
+            case 2 => s"http://s$h.example$path/"
+            case _ => s"HTTP://WWW.s$h.example$path#frag"
+          }
+          (j, s"<url><loc>$loc</loc>" +
             s"<lastmod>$lastmod</lastmod><priority>$pri</priority></url>")
         }
         def urlset(es: Seq[String]) =
@@ -72,12 +113,16 @@ object FrontierQueries {
         val maps =
           if (h % 4 == 3) {
             val (even, odd) = entries.partition(_._1 % 2 == 0)
+            val missing =
+              if (h == 3)
+                s"<sitemap><loc>http://s$h.example/sm${i}c.xml</loc></sitemap>"
+              else ""
             val idx =
               "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
                 "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
                 s"<sitemap><loc>http://s$h.example/sm${i}a.xml</loc></sitemap>" +
                 s"<sitemap><loc>http://s$h.example/sm${i}b.xml</loc></sitemap>" +
-                "</sitemapindex>"
+                missing + "</sitemapindex>"
             Seq(rec("resource", s"idx$i", s"http://s$h.example/sitemap.xml", idx),
               rec("resource", s"ch${i}a", s"http://s$h.example/sm${i}a.xml",
                 urlset(even.map(_._2))),
@@ -93,78 +138,85 @@ object FrontierQueries {
     root
   }
 
-  /** Sitemap-driven recrawl frontier (sitemaps.org protocol + RFC 9309),
-    * composed: robots.txt `Sitemap:` declarations, `<sitemapindex>`
-    * fan-out, urlset freshness (a path is fresh iff its NEWEST lastmod
-    * across all mentions passes the 2026-01-15 recrawl cutoff),
-    * max-priority per path, and the robots allow/deny gate — one
-    * frontier summary row per host. Scale shape: urlset parsing is
-    * scan-side; candidates reduce to distinct (host, path) before the
-    * rule join; rules are per-host tiny and broadcast with the same
-    * struct-argmax longest-match decision as
-    * [[ArchiveQueries.RobotsFrontier]]. The oracle replays the planted
-    * generator AND the gate arithmetic closed-form, so a missed child
-    * sitemap, a stale-max freshness bug, or a wrong robots pick shifts
-    * a count.
-    */
   private val Agent = "graftbot"
 
-  /** One decoded pass over the sitemap tree, shared by
-    * [[SitemapFrontier]] and [[FetchSchedule]]: url-entry rows
-    * (kind 0), parsed rule rows (kind 1), urlset-doc markers (kind 2),
-    * robots `Sitemap:` declarations (kind 3), and group-scoped
-    * `Crawl-delay` values (kind 4, seconds in `mo`). Callers persist.
+  /** One decoded, streamed pass over the sitemap tree, shared by
+    * [[SitemapFrontier]], [[FetchSchedule]] and [[RecrawlPlan]]:
+    * url-entry rows (kind 0, canonical path + guarded lastmod/priority
+    * parses — malformed fields fall to the missing-field defaults, a
+    * crawl must keep walking), parsed rule rows (kind 1), urlset-doc
+    * rows (kind 2, canonical doc URL in `path`), robots `Sitemap:`
+    * declarations (kind 3), group-scoped `Crawl-delay` values (kind 4,
+    * seconds in `mo`), sitemapindex child declarations (kind 5,
+    * canonical child URL), and previously-crawled URLs (kind 6,
+    * canonical). Callers persist.
     */
   private def sitemapRows(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    import graft.text.UrlOps
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz")
       .option("recursiveFileLookup", "true")
       .load(root)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap { content =>
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        val out = Seq.newBuilder[(Int, String, String, Int, Int, Boolean)]
-        for {
-          ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-          mb <- ms
-          r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-          uri <- r.targetUri.toSeq
-          if r.warcType == "resource"
-        } {
-          val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-          val txt = new String(r.payload, utf8)
-          if (uri.endsWith("/robots.txt")) {
-            graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-              out += ((1, host, rule.path, 0, 0, rule.allow))
-            }
-            graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
-              out += ((3, host, sm, 0, 0, false))
-            }
-            graft.text.RobotsOps.crawlDelay(txt, Agent).foreach { d =>
-              out += ((4, host, "", d.toInt, 0, false))
-            }
-          } else if (uri.endsWith(".xml") &&
-            graft.text.SitemapOps.isUrlset(txt)) {
-            out += ((2, host, "", 0, 0, false))
-            graft.text.SitemapOps.urlEntries(txt).foreach { e =>
-              val path = e.loc.stripPrefix(s"http://$host")
-              val mo = e.lastmod.map(_.substring(5, 7).toInt).getOrElse(0)
-              val pri = e.priority
-                .map(s => math.round(s.toDouble * 10).toInt).getOrElse(5)
-              out += ((0, host, path, mo, pri, false))
+      .select(col("path"))
+      .as[String]
+      .flatMap { file =>
+        warcRows(file) { (_, r) =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val out = Seq.newBuilder[(Int, String, String, Int, Int, Boolean)]
+          for (uri <- r.targetUri if r.warcType == "resource") {
+            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+            val txt = new String(r.payload, utf8)
+            if (uri.endsWith("/robots.txt")) {
+              graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
+                out += ((1, host, rule.path, 0, 0, rule.allow))
+              }
+              graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
+                out += ((3, host, UrlOps.canonicalStr(sm), 0, 0, false))
+              }
+              graft.text.RobotsOps.crawlDelay(txt, Agent).foreach { d =>
+                out += ((4, host, "", d.toInt, 0, false))
+              }
+            } else if (uri.endsWith("/seen.txt")) {
+              txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+                .foreach { u =>
+                  out += ((6, host, UrlOps.canonicalStr(u), 0, 0, false))
+                }
+            } else if (uri.endsWith(".xml") &&
+              graft.text.SitemapOps.isUrlset(txt)) {
+              out += ((2, host, UrlOps.canonicalStr(uri), 0, 0, false))
+              graft.text.SitemapOps.urlEntries(txt).foreach { e =>
+                val path = UrlOps.canonicalStr(e.loc)
+                  .stripPrefix(s"http://$host")
+                // guarded parses: a year-only lastmod ("2026" is valid
+                // W3C datetime) or a junk priority falls back to the
+                // missing-field defaults instead of failing the task
+                val mo = e.lastmod.filter(_.length >= 7)
+                  .flatMap(_.substring(5, 7).toIntOption).getOrElse(0)
+                val pri = e.priority.flatMap(_.toDoubleOption)
+                  .map(d => math.round(d * 10).toInt).getOrElse(5)
+                out += ((0, host, path, mo, pri, false))
+              }
+            } else if (uri.endsWith(".xml") &&
+              graft.text.SitemapOps.isIndex(txt)) {
+              graft.text.SitemapOps.indexChildren(txt).foreach { c =>
+                out += ((5, host, UrlOps.canonicalStr(c), 0, 0, false))
+              }
             }
           }
+          out.result()
         }
-        out.result()
       }
       .toDF("kind", "host", "path", "mo", "pri", "allow")
   }
 
   /** Per distinct (host, path): newest-lastmod freshness, max priority,
-    * and the RFC 9309 §2.2.2 decision (longest match, allow on ties,
-    * no match → allowed) via the broadcast struct-argmax.
+    * and the RFC 9309 decision under the full §2.2.3 grammar (most
+    * pattern octets win, allow on ties, no match → allowed) via the
+    * host-keyed rule join's struct-argmax — residual matched by the
+    * native [[graft.plans.RobotsMatchExpression]], no broadcast hint
+    * (AQE broadcasts the tiny fixture table; the same plan shuffles
+    * when the global rule table grows with host count).
     */
   private def decidePaths(recs: DataFrame): DataFrame = {
     val paths = recs.filter(col("kind") === 0)
@@ -174,9 +226,10 @@ object FrontierQueries {
     val rules = recs.filter(col("kind") === 1)
       .select(col("host"), col("path").as("rpath"), col("allow"))
     paths
-      .join(broadcast(rules),
+      .join(rules,
         paths("host") === rules("host") &&
-          paths("path").startsWith(col("rpath")), "left")
+          graft.plans.RobotsMatchExpression.robotsMatch(
+            col("rpath"), paths("path")), "left")
       .groupBy(paths("host"), paths("path"), col("fresh"), col("pri"))
       .agg(max(struct(length(col("rpath")).as("l"),
         col("allow").cast("int").as("a"))).as("best"))
@@ -184,6 +237,50 @@ object FrontierQueries {
         coalesce(col("best.a") === 1, lit(true)).as("ok"))
   }
 
+  /** Closed-form oracle CTEs shared by the three sitemap-tree queries:
+    * the planted entries with guarded-parse effective values, the per
+    * canonical (host, path) reduction, and the rule decision replayed
+    * per the generator's h%3 branch.
+    */
+  private val PathsCtes =
+    """specs AS (
+      |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 4 AS ne
+      |  FROM unnest(range(0, 24)) i(i)),
+      |entries AS (
+      |  SELECT h, (i + 2 * j.j) % 9 AS p,
+      |         CASE WHEN j.j % 3 = 2 THEN (i + j.j) % 2 ELSE -1 END AS s,
+      |         CASE WHEN (i + j.j) % 5 = 4 THEN 0
+      |              ELSE 1 + (i + j.j) % 3 END AS mo,
+      |         CASE WHEN (i + j.j) % 7 = 6 THEN 5
+      |              ELSE 3 + (i + j.j) % 7 END AS pri
+      |  FROM specs, LATERAL unnest(range(0, ne)) j(j)),
+      |paths AS (
+      |  SELECT h, p, s,
+      |         '/p' || p || CASE WHEN s >= 0 THEN '/s' || s ELSE '' END
+      |           AS path,
+      |         max(mo) >= 2 AS fresh, max(pri) AS pri,
+      |         CASE WHEN h % 3 = 0 THEN TRUE
+      |              WHEN h % 3 = 1 THEN p <> (h + 1) % 9
+      |              ELSE NOT (s = 1) END AS ok
+      |  FROM entries GROUP BY h, p, s)""".stripMargin
+
+  /** Sitemap-driven recrawl frontier (sitemaps.org protocol + RFC 9309),
+    * composed: robots.txt `Sitemap:` declarations, `<sitemapindex>`
+    * fan-out JOINED against the discovered urlset docs (declared
+    * children counted, declared-but-missing children surfaced — host
+    * 3's indexes declare a child that was never written), urlset
+    * freshness (a path is fresh iff its NEWEST lastmod across all
+    * mentions passes the 2026-01-15 recrawl cutoff; unparseable
+    * lastmods fall to month 0), max-priority per path (junk priorities
+    * fall to the 0.5 default), and the robots allow/deny gate under
+    * the full wildcard grammar — one frontier summary row per host,
+    * all URL spellings collapsed by the canonicalizer first. The
+    * oracle replays the planted generator AND the gate arithmetic
+    * closed-form, so a missed child sitemap, an uncounted missing
+    * child, a stale-max freshness bug, a fragment/query/WWW variant
+    * splitting a path, a thrown parse, or a wrong robots pick shifts
+    * a count.
+    */
   object SitemapFrontier extends GraftQuery {
     val name = "q_sitemap_frontier"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
@@ -195,6 +292,18 @@ object FrontierQueries {
         .groupBy("host").agg(count(lit(1)).as("n_declared"))
       val smDocs = recs.filter(col("kind") === 2)
         .groupBy("host").agg(count(lit(1)).as("n_sitemaps"))
+      // index fan-out audit: children the indexes DECLARE vs urlset
+      // docs the scan DISCOVERED (per-host tiny on both sides)
+      val present = recs.filter(col("kind") === 2)
+        .select(col("host"), col("path")).distinct()
+        .withColumn("present", lit(1))
+      val children = recs.filter(col("kind") === 5)
+        .select(col("host"), col("path"))
+        .join(present, Seq("host", "path"), "left")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_children"),
+          sum(when(col("present").isNull, 1L).otherwise(0L))
+            .as("n_missing"))
       decided.groupBy("host")
         .agg(count(lit(1)).as("n_urls"),
           sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"),
@@ -204,31 +313,30 @@ object FrontierQueries {
             .otherwise(0L)).as("pri_sum"))
         .join(broadcast(declared), Seq("host"), "left")
         .join(broadcast(smDocs), Seq("host"), "left")
+        .join(broadcast(children), Seq("host"), "left")
         .select(col("host"),
           coalesce(col("n_declared"), lit(0L)).as("n_declared"),
           coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
+          coalesce(col("n_children"), lit(0L)).as("n_children"),
+          coalesce(col("n_missing"), lit(0L)).as("n_missing"),
           col("n_urls"), col("n_fresh"), col("n_frontier"), col("pri_sum"))
         .orderBy("host")
     }
     val oracle = Some(
-      """WITH specs AS (
-        |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 4 AS ne
-        |  FROM unnest(range(0, 24)) i(i)),
-        |entries AS (
-        |  SELECT h, (i + 2 * j.j) % 9 AS p, 1 + (i + j.j) % 3 AS mo,
-        |         3 + (i + j.j) % 7 AS pri
-        |  FROM specs, LATERAL unnest(range(0, ne)) j(j)),
-        |paths AS (
-        |  SELECT h, p, max(mo) >= 2 AS fresh, max(pri) AS pri,
-        |         CASE WHEN h % 3 = 0 THEN TRUE
-        |              ELSE p <> (h + 1) % 9 END AS ok
-        |  FROM entries GROUP BY h, p),
+      s"""WITH $PathsCtes,
         |sm AS (
-        |  SELECT h, sum(CASE WHEN h % 4 = 3 THEN 2 ELSE 1 END) AS n_sitemaps
+        |  SELECT h, sum(CASE WHEN h % 4 = 3 THEN 2 ELSE 1 END) AS n_sitemaps,
+        |         -- host 3's 3 indexes each declare 3 children (1 never
+        |         -- written); host 7's declare 2; others have no index
+        |         sum(CASE WHEN h = 3 THEN 3
+        |                  WHEN h % 4 = 3 THEN 2 ELSE 0 END) AS n_children,
+        |         sum(CASE WHEN h = 3 THEN 1 ELSE 0 END) AS n_missing
         |  FROM specs GROUP BY h)
         |SELECT 's' || paths.h || '.example' AS host,
         |       CAST(1 AS BIGINT) AS n_declared,
         |       CAST(sm.n_sitemaps AS BIGINT) AS n_sitemaps,
+        |       CAST(sm.n_children AS BIGINT) AS n_children,
+        |       CAST(sm.n_missing AS BIGINT) AS n_missing,
         |       CAST(count(*) AS BIGINT) AS n_urls,
         |       CAST(sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_fresh,
@@ -237,7 +345,7 @@ object FrontierQueries {
         |       CAST(sum(CASE WHEN fresh AND ok THEN pri ELSE 0 END)
         |         AS BIGINT) AS pri_sum
         |FROM paths JOIN sm ON sm.h = paths.h
-        |GROUP BY paths.h, sm.n_sitemaps
+        |GROUP BY paths.h, sm.n_sitemaps, sm.n_children, sm.n_missing
         |ORDER BY host""".stripMargin)
   }
 
@@ -282,12 +390,14 @@ object FrontierQueries {
     * (content digest differs), and unchanged. This is the incremental-
     * ingest primitive (only `added + changed` flow into downstream
     * curation; `removed` tombstones). Scale shape: page bodies reduce
-    * to md5 digests WHERE THE SCAN READS THEM, so the full-outer join
-    * that classifies the delta shuffles only (host, uri, digest) rows
-    * keyed by uri; at 100 TB both snapshots would be bucketed by uri
-    * and the join goes shuffle-free — the plan is the bucketed plan
-    * minus the layout. The oracle rebuilds both planted page sets and
-    * replays the same outer-join classification closed-form.
+    * to RAW-BYTE md5 digests WHERE THE SCAN READS THEM (bytes, not a
+    * String round-trip — invalid-UTF-8 payloads must never collide at
+    * U+FFFD), so the full-outer join that classifies the delta shuffles
+    * only (host, uri, digest) rows keyed by uri; at 100 TB both
+    * snapshots would be bucketed by uri and the join goes shuffle-free
+    * — the plan is the bucketed plan minus the layout. The oracle
+    * rebuilds both planted page sets and replays the same outer-join
+    * classification closed-form.
     */
   object CrawlDelta extends GraftQuery {
     val name = "q_crawl_delta"
@@ -298,20 +408,17 @@ object FrontierQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(s"$root/$snap")
-        .select(col("content"))
-        .as[Array[Byte]]
-        .flatMap { content =>
-          val utf8 = java.nio.charset.StandardCharsets.UTF_8
-          for {
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            if r.warcType == "response"
-            uri <- r.targetUri.toSeq
-          } yield {
-            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-            (host, uri,
-              graft.functions.PortableHash.md5Hex(new String(r.payload, utf8)))
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            for {
+              uri <- r.targetUri.toSeq
+              if r.warcType == "response"
+            } yield {
+              val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+              (host, uri, graft.functions.PortableHash.md5Hex(r.payload))
+            }
           }
         }
         .toDF("host", "uri", "digest")
@@ -411,22 +518,11 @@ object FrontierQueries {
         .orderBy("host")
     }
     val oracle = Some(
-      """WITH specs AS (
-        |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 4 AS ne
-        |  FROM unnest(range(0, 24)) i(i)),
-        |entries AS (
-        |  SELECT h, (i + 2 * j.j) % 9 AS p, 1 + (i + j.j) % 3 AS mo,
-        |         3 + (i + j.j) % 7 AS pri
-        |  FROM specs, LATERAL unnest(range(0, ne)) j(j)),
-        |paths AS (
-        |  SELECT h, p, max(mo) >= 2 AS fresh, max(pri) AS pri,
-        |         CASE WHEN h % 3 = 0 THEN TRUE
-        |              ELSE p <> (h + 1) % 9 END AS ok
-        |  FROM entries GROUP BY h, p),
+      s"""WITH $PathsCtes,
         |fr AS (
-        |  SELECT h, p, pri,
+        |  SELECT h, path, pri,
         |         row_number() OVER (PARTITION BY h
-        |                            ORDER BY pri DESC, p ASC) AS rk
+        |                            ORDER BY pri DESC, path ASC) AS rk
         |  FROM paths WHERE fresh AND ok)
         |SELECT 's' || h || '.example' AS host,
         |       CAST(1 + h % 4 AS BIGINT) AS delay_s,
@@ -434,8 +530,141 @@ object FrontierQueries {
         |       CAST((count(*) - 1) * (1 + h % 4) AS BIGINT) AS makespan_s,
         |       CAST((count(*) - 1) * count(*) // 2 * (1 + h % 4) AS BIGINT)
         |         AS total_wait_s,
-        |       min(CASE WHEN rk = 1 THEN '/p' || p END) AS first_path
+        |       min(CASE WHEN rk = 1 THEN path END) AS first_path
         |FROM fr GROUP BY h ORDER BY host""".stripMargin)
+  }
+
+  /** The recrawl-plan capstone (round 12) — the frontier pieces
+    * COMPOSED the way [[ArchiveQueries.CrawlCorpus]] composed the text
+    * stack, per host with per-stage survivor counts:
+    *
+    *   sitemap candidates (canonical, per distinct (host, path)) →
+    *   freshness cutoff → RFC 9309 wildcard robots gate →
+    *   URL-seen Bloom prefilter (the standing K=3/M=2¹⁵ sketch of
+    *   `q_bloom_urlseen`, built from the previous crawl's `seen.txt`
+    *   lists: bloom-NEGATIVE candidates are definitely new and skip
+    *   the exact check entirely) → exact seen anti-join (resolves the
+    *   bloom-positives) → Crawl-delay makespan over the fetch list.
+    *
+    * Scale shape: one streamed decode pass; every stage after it is
+    * per distinct (host, path); the Bloom bit relation is ≤ M rows
+    * regardless of seen-set size and broadcasts onto the candidates;
+    * the exact join only ever sees bloom-positive rows at production
+    * scale (here both counts are reported). Hashes are md5-slice
+    * ([[graft.functions.PortableHash]]) so the oracle replays the
+    * EXACT bit addressing along with every other stage — a missed
+    * variant collapse, a wrong wildcard decision, a false bloom
+    * negative, or a mis-scheduled makespan shifts a count.
+    */
+  object RecrawlPlan extends GraftQuery {
+    val name = "q_recrawl_plan"
+    private[sources] val M = 1 << 15
+    private[sources] val K = 3
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import graft.functions.PortableHash.pHash28
+      val root = ensureSitemapTree(sfDir)
+      val recs = sitemapRows(spark, root)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val decided = decidePaths(recs)
+        .withColumn("url", concat(lit("http://"), col("host"), col("path")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seen = recs.filter(col("kind") === 6)
+        .select(col("host"), col("path").as("url")).distinct()
+      val ks = array((0 until K).map(lit): _*)
+      val pos = (pHash28(concat(col("k").cast("string"), lit(":"),
+        col("url"))) % M).as("pos")
+      // the standing URL-seen sketch: DISTINCT occupied bit positions
+      // (≤ M rows however large the seen set), broadcast onto probes
+      val bits = seen.select(col("url"), explode(ks).as("k"))
+        .select(pos).distinct()
+      val frontier = decided.filter(col("fresh") && col("ok"))
+      val probed = frontier
+        .select(col("host"), col("path"), col("url"), explode(ks).as("k"))
+        .select(col("host"), col("path"), col("url"), pos)
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy("host", "path", "url")
+        .agg(countDistinct(col("pos")).as("n_pos"),
+          countDistinct(when(col("hit").isNotNull, col("pos"))).as("n_hit"))
+        .withColumn("maybe_seen", col("n_hit") === col("n_pos"))
+      // exact resolution (at scale: only the bloom-positives need it)
+      val resolved = probed
+        .join(seen.withColumn("was_seen", lit(1)),
+          Seq("host", "url"), "left")
+      val delays = recs.filter(col("kind") === 4)
+        .groupBy("host").agg(max(col("mo")).cast("long").as("delay_s"))
+      val staged = decided.groupBy("host")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"),
+          sum(when(col("fresh") && col("ok"), 1L).otherwise(0L))
+            .as("n_frontier"))
+      val newPages = resolved.groupBy("host")
+        .agg(sum(when(!col("maybe_seen"), 1L).otherwise(0L))
+          .as("n_bloom_new"),
+          sum(when(col("was_seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      staged
+        .join(broadcast(newPages), Seq("host"), "left")
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("delay_s", coalesce(col("delay_s"), lit(1L)))
+        .select(col("host"), col("delay_s"), col("n_candidates"),
+          col("n_fresh"), col("n_frontier"),
+          coalesce(col("n_bloom_new"), lit(0L)).as("n_bloom_new"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (greatest(coalesce(col("n_new"), lit(0L)) - 1, lit(0L)) *
+            col("delay_s")).as("makespan_s"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      s"""WITH $PathsCtes,
+        |hosts AS (SELECT DISTINCT h FROM specs),
+        |seen AS (
+        |  SELECT h, 'http://s' || h || '.example/p' || ((3 * h + k.k) % 9)
+        |           AS url
+        |  FROM hosts, LATERAL unnest(range(0, 3)) k(k)),
+        |ks AS (SELECT unnest([0, 1, 2]) AS k),
+        |bits AS (
+        |  SELECT DISTINCT
+        |         ('0x' || substr(md5(k || ':' || url), 1, 7))::BIGINT % $M
+        |           AS pos
+        |  FROM seen CROSS JOIN ks),
+        |fr AS (
+        |  SELECT h, path, 'http://s' || h || '.example' || path AS url
+        |  FROM paths WHERE fresh AND ok),
+        |pr AS (
+        |  SELECT h, url,
+        |         ('0x' || substr(md5(k || ':' || url), 1, 7))::BIGINT % $M
+        |           AS pos
+        |  FROM fr CROSS JOIN ks),
+        |probed AS (
+        |  SELECT h, pr.url,
+        |         count(DISTINCT pr.pos) AS n_pos,
+        |         count(DISTINCT b.pos) AS n_hit
+        |  FROM pr LEFT JOIN bits b ON b.pos = pr.pos
+        |  GROUP BY 1, 2),
+        |resolved AS (
+        |  SELECT p.h, p.n_hit = p.n_pos AS maybe_seen,
+        |         s.url IS NOT NULL AS was_seen
+        |  FROM probed p LEFT JOIN seen s ON s.h = p.h AND s.url = p.url),
+        |staged AS (
+        |  SELECT h, count(*) AS n_candidates,
+        |         sum(CASE WHEN fresh THEN 1 ELSE 0 END) AS n_fresh,
+        |         sum(CASE WHEN fresh AND ok THEN 1 ELSE 0 END) AS n_frontier
+        |  FROM paths GROUP BY h),
+        |np AS (
+        |  SELECT h, sum(CASE WHEN maybe_seen THEN 0 ELSE 1 END)
+        |           AS n_bloom_new,
+        |         sum(CASE WHEN was_seen THEN 0 ELSE 1 END) AS n_new
+        |  FROM resolved GROUP BY h)
+        |SELECT 's' || staged.h || '.example' AS host,
+        |       CAST(1 + staged.h % 4 AS BIGINT) AS delay_s,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates,
+        |       CAST(n_fresh AS BIGINT) AS n_fresh,
+        |       CAST(n_frontier AS BIGINT) AS n_frontier,
+        |       CAST(coalesce(n_bloom_new, 0) AS BIGINT) AS n_bloom_new,
+        |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(greatest(coalesce(n_new, 0) - 1, 0) * (1 + staged.h % 4)
+        |         AS BIGINT) AS makespan_s
+        |FROM staged LEFT JOIN np ON np.h = staged.h
+        |ORDER BY host""".stripMargin)
   }
 
   /** Create (once per scale factor) the revisit tree: 24 `.warc.gz`
@@ -487,10 +716,11 @@ object FrontierQueries {
     * stored; the accounting join resolves each revisit's digest against
     * the stored-response digest catalog to price what deduplication
     * saved. Scale shape: responses reduce scan-side to
-    * (host, digest, len) rows; the digest dimension collapses to ONE
-    * row per distinct payload (tiny — that is the premise of payload
-    * dedup) and broadcasts onto the revisit rows, so revisit volume
-    * never shuffles wide. The oracle replays the planted body-length
+    * (host, digest, len) rows — RAW-BYTE digests, the same stance as
+    * [[CrawlDelta]] — the digest dimension collapses to ONE row per
+    * distinct payload (tiny — that is the premise of payload dedup)
+    * and broadcasts onto the revisit rows, so revisit volume never
+    * shuffles wide. The oracle replays the planted body-length
     * arithmetic and the even/odd response/revisit split closed-form; a
     * missed digest header, a wrong join, or a revisit counted as
     * stored shifts a byte column.
@@ -506,26 +736,22 @@ object FrontierQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("content"))
-        .as[Array[Byte]]
-        .flatMap { content =>
-          val out = Seq.newBuilder[(Int, String, String, Long)]
-          for {
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-            uri <- r.targetUri.toSeq
-          } {
-            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-            if (r.warcType == "response") {
-              val d = "md5:" + graft.functions.PortableHash.md5Hex(
-                new String(r.payload,
-                  java.nio.charset.StandardCharsets.UTF_8))
-              out += ((0, host, d, r.contentLength.toLong))
-            } else if (r.warcType == "revisit")
-              r.payloadDigest.foreach(d => out += ((1, host, d, 0L)))
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            val out = Seq.newBuilder[(Int, String, String, Long)]
+            r.targetUri.foreach { uri =>
+              val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+              if (r.warcType == "response") {
+                val d = "md5:" +
+                  graft.functions.PortableHash.md5Hex(r.payload)
+                out += ((0, host, d, r.contentLength.toLong))
+              } else if (r.warcType == "revisit")
+                r.payloadDigest.foreach(d => out += ((1, host, d, 0L)))
+            }
+            out.result()
           }
-          out.result()
         }
         .toDF("kind", "host", "digest", "len")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -573,5 +799,5 @@ object FrontierQueries {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit)
+    Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit, RecrawlPlan)
 }

@@ -509,13 +509,13 @@ object StreamQueries {
         .option("pathGlobFilter", "*.warc.gz")
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(col("content")).as[Array[Byte]]
-        .flatMap { content =>
-          for {
-            ms <- graft.multimodal.GzipCodec.members(content, 1 << 24).toSeq
-            mb <- ms
-            r <- graft.multimodal.WarcCodec.records(mb.payload).toSeq.flatten
-          } yield (r.warcType, r.contentLength.toLong)
+        .select(col("path")).as[String]
+        .flatMap { path =>
+          // same streamed member-by-member walk as the batch scans —
+          // the micro-batch never holds a whole landed file either
+          graft.sources.ArchiveQueries.warcRows(path) { (_, r) =>
+            Seq((r.warcType, r.contentLength.toLong))
+          }
         }
         .toDF("warc_type", "content_length")
       val agg = recs.groupBy("warc_type")

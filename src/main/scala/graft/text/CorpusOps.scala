@@ -379,9 +379,7 @@ object CorpusOps {
         when(id % 3 > 0, concat(lit("?utm="), (id % 3).cast("string")))
           .otherwise(lit("")),
         when(id % 4 === 0, lit("#sec")).otherwise(lit("")))
-      val canon = regexp_replace(regexp_replace(
-        lower(regexp_replace(raw, "[#?].*$", "")),
-        "^https://www\\.", "https://"), "/$", "")
+      val canon = UrlOps.canonical(raw)
       Graft.table(spark, sfDir, "documents")
         .select(id, raw.as("raw_url"), canon.as("url"))
         .groupBy("url")
