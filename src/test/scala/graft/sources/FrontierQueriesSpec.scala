@@ -21,6 +21,19 @@ class FrontierQueriesSpec extends SparkSpec {
       graft.multimodal.WarcCodec.buildRecord(tpe, s"<urn:uuid:$id>",
         "2026-01-01T00:00:00Z", uri, body, refersTo, digest))
 
+  /** Clear any stale tree a previous run (or an ensure* fallback on a
+    * then-empty dir) left at this workDir — the existence guard would
+    * silently serve it. Call ONCE per test, before the plant calls.
+    */
+  private def clearTree(tag: String, sfDir: String): Unit = {
+    val base = Paths.get(SourceQueries.workDir(tag, sfDir))
+    if (Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   private def plant(tag: String, sfDir: String, sub: String,
       file: String, members: Seq[Array[Byte]]): Unit = {
     val root = Paths.get(SourceQueries.workDir(tag, sfDir), sub)
@@ -32,6 +45,7 @@ class FrontierQueriesSpec extends SparkSpec {
     "saved_bytes") {
     val sfDir = "/spec/revisit_orphan" // synthetic key, never generated
     val body = "xxxxx"
+    clearTree("revisit", sfDir)
     plant("revisit", sfDir, "0", "v000.warc.gz", Seq(
       member("response", "a", Some("http://t0.example/r0"),
         body.getBytes(utf8)),
@@ -70,7 +84,8 @@ class FrontierQueriesSpec extends SparkSpec {
         |</urlset>""".stripMargin
     val robots = "User-agent: graftbot\nDisallow: /secret\n" +
       "Sitemap: http://t0.example/sitemap.xml\n" // NO Crawl-delay line
-    plant("sitemap2", sfDir, "0", "s000.warc.gz", Seq(
+    clearTree("sitemap3", sfDir)
+    plant("sitemap3", sfDir, "0", "s000.warc.gz", Seq(
       member("resource", "rob", Some("http://t0.example/robots.txt"),
         robots.getBytes(utf8)),
       member("resource", "map", Some("http://t0.example/sitemap.xml"),
@@ -93,6 +108,7 @@ class FrontierQueriesSpec extends SparkSpec {
     def page(snap: String, path: String, body: String) =
       member("response", s"$snap-$path", Some(s"http://t0.example$path"),
         body.getBytes(utf8))
+    clearTree("crdelta", sfDir)
     plant("crdelta", sfDir, "old/0", "c000.warc.gz", Seq(
       page("o", "/a", "body-a"),
       page("o", "/b", "body-b-v1"),
