@@ -530,17 +530,21 @@ object ArchiveQueries {
     * only in a `<meta charset>` when j is odd. Round-12 adversarial
     * framing: responses with (i+j)%3 == 0 are stored with
     * `Transfer-Encoding: chunked` wire framing (chunk-size lines
-    * INSIDE the stored body — ISO 28500 §6.3 raw capture), and every
-    * file carries a 404 error page and a 301 redirect stub whose
-    * bodies would shift every count if ingested. Every extracted token
-    * is a pure function of (i, j, k), so the oracle replays the
-    * CONSTRUCTION, never parses HTML — a stripper that leaks script
-    * text, keeps tags, mis-sniffs the charset, decodes any reference
-    * wrong, skips de-chunking, or ingests a non-200 cannot reproduce
-    * the counts.
+    * INSIDE the stored body — ISO 28500 §6.3 raw capture), responses
+    * with (i+j)%4 == 2 under `Content-Encoding: gzip` (the body is a
+    * gzip member — ~30 % of real crawl captures), some pages BOTH
+    * (content coding innermost, transfer framing outermost, the RFC
+    * 9110/9112 wire order), and every file carries a 404 error page
+    * and a 301 redirect stub whose bodies would shift every count if
+    * ingested. Every extracted token is a pure function of (i, j, k),
+    * so the oracle replays the CONSTRUCTION, never parses HTML — a
+    * stripper that leaks script text, keeps tags, mis-sniffs the
+    * charset, decodes any reference wrong, skips de-chunking or
+    * gzip decoding (or runs them in the wrong order), or ingests a
+    * non-200 cannot reproduce the counts.
     */
   private[sources] def ensureWarcHtmlTree(sfDir: String): String = {
-    val root = workDir(scaledTag("warch3"), sfDir)
+    val root = workDir(scaledTag("warch4"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val iso = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -570,15 +574,22 @@ object ArchiveQueries {
                 """<script>if (1 < 2) { x = "<p>"; }</script>""" +
                 "<!-- no --></body></html>"
               val chunked = (i + j) % 3 == 0
+              val gzipped = (i + j) % 4 == 2 || chunked && (i + j) % 4 == 0
               val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" +
                 (if (inHeader) s"; charset=$csName" else "") +
                 "\r\nX-Crawl: graft" +
+                (if (gzipped) "\r\nContent-Encoding: gzip" else "") +
                 (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
                 "\r\n\r\n"
-              val body = html.getBytes(cs)
+              // wire order per RFC 9110/9112: content coding innermost,
+              // transfer framing outermost — some pages carry BOTH
+              val coded0 = html.getBytes(cs)
+              val coded1 =
+                if (gzipped) graft.multimodal.GzipCodec.buildMember(coded0)
+                else coded0
+              val body = if (chunked) chunkFrame(coded1) else coded1
               ("response", Some(s"http://corpus.example/h$i/$j"),
-                http.getBytes(iso) ++
-                  (if (chunked) chunkFrame(body) else body))
+                http.getBytes(iso) ++ body)
             }
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:h$i-$j>", "2026-01-01T00:00:00Z", uri, payload))

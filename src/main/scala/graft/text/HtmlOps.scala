@@ -67,11 +67,14 @@ object HtmlOps {
   private val StatusLine = "^HTTP/\\d[.\\d]* (\\d{3})".r
 
   /** Parse an HTTP/1.x response message: status line (code extracted),
-    * CRLFCRLF header/body split, and chunked-framing removal when the
-    * headers declare `Transfer-Encoding: chunked` (RFC 9112 §7.1).
-    * Strict: a missing/malformed status line, no separator, or broken
-    * chunk framing → None (not a usable HTTP message — skip the
-    * record).
+    * CRLFCRLF header/body split, chunked-framing removal when the
+    * headers declare `Transfer-Encoding: chunked` (RFC 9112 §7.1), and
+    * `Content-Encoding: gzip` content decoding (RFC 9110 §8.4.1.3 —
+    * transfer framing wraps the content coding, so de-chunk FIRST,
+    * then inflate; ~30 % of real crawl responses arrive gzip-coded).
+    * Strict: a missing/malformed status line, no separator, broken
+    * chunk framing, or a corrupt gzip stream → None (not a usable
+    * HTTP message — skip the record).
     */
   def httpParse(payload: Array[Byte]): Option[HttpMessage] = {
     val probe = math.min(payload.length, 16)
@@ -89,13 +92,24 @@ object HtmlOps {
           java.nio.charset.StandardCharsets.ISO_8859_1)
         val raw =
           java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
-        val body =
+        val deframed =
           if (ChunkedRe.findFirstIn(headers).isDefined)
             deChunk(raw) match {
               case Some(b) => b
               case None => return None
             }
           else raw
+        val body =
+          if (GzipCodedRe.findFirstIn(headers).isDefined)
+            // CRC-32/ISIZE-verified from-spec walk; a gzip body is one
+            // stream but multi-member is legal — concatenate payloads
+            graft.multimodal.GzipCodec.members(deframed, 1 << 24) match {
+              case Some(ms) if ms.nonEmpty =>
+                if (ms.length == 1) ms.head.payload
+                else ms.iterator.map(_.payload).reduce(_ ++ _)
+              case _ => return None
+            }
+          else deframed
         return Some(HttpMessage(status, headers, body))
       }
       i += 1
@@ -105,6 +119,8 @@ object HtmlOps {
 
   private val ChunkedRe =
     "(?i)transfer-encoding:[^\\r\\n]*\\bchunked\\b".r
+  private val GzipCodedRe =
+    "(?i)content-encoding:[^\\r\\n]*\\bgzip\\b".r
 
   /** Remove RFC 9112 §7.1 chunked framing: `hex-size[;ext]CRLF data
     * CRLF` repeated, terminated by a 0-size chunk (trailer section
@@ -171,7 +187,20 @@ object HtmlOps {
         java.nio.charset.Charset.forName("windows-1252")
       case Some("us-ascii") | Some("ascii") =>
         java.nio.charset.StandardCharsets.US_ASCII
-      case _ => java.nio.charset.StandardCharsets.UTF_8
+      case Some(other) =>
+        // any other IANA name the JVM knows (Shift_JIS, GBK, EUC-KR,
+        // KOI8-R… — real crawls carry them all); unknown names fall to
+        // UTF-8, and decoding itself never throws (malformed input
+        // becomes U+FFFD, which the quality gates then see)
+        try {
+          if (java.nio.charset.Charset.isSupported(other))
+            java.nio.charset.Charset.forName(other)
+          else java.nio.charset.StandardCharsets.UTF_8
+        } catch {
+          case _: java.nio.charset.IllegalCharsetNameException =>
+            java.nio.charset.StandardCharsets.UTF_8
+        }
+      case None => java.nio.charset.StandardCharsets.UTF_8
     }
   }
 }

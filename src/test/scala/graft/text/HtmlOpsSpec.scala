@@ -180,6 +180,51 @@ class HtmlOpsSpec extends SparkSpec {
       .getBytes("ISO-8859-1")).isEmpty) // no terminating 0-chunk
   }
 
+  test("httpParse: Content-Encoding gzip decoded, chunked+gzip in RFC " +
+    "wire order, corrupt gzip rejected") {
+    val html = "<html><p>gzip wörld</p></html>".getBytes("UTF-8")
+    val gz = graft.multimodal.GzipCodec.buildMember(html)
+    val ge = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ gz
+    assert(HtmlOps.httpParse(ge).get.body.sameElements(html))
+    // compound: gzip innermost, chunked outermost (RFC 9110/9112)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes("ISO-8859-1"))
+    var off = 0
+    while (off < gz.length) {
+      val n = math.min(7, gz.length - off)
+      out.write(s"${n.toHexString}\r\n".getBytes("ISO-8859-1"))
+      out.write(gz, off, n)
+      out.write("\r\n".getBytes("ISO-8859-1"))
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    assert(HtmlOps.httpParse(out.toByteArray).get.body.sameElements(html))
+    // corrupt gzip (flipped byte in the deflate body) → rejected
+    val bad = ge.clone()
+    bad(bad.length - 12) = (bad(bad.length - 12) ^ 0x5A).toByte
+    assert(HtmlOps.httpParse(bad).isEmpty)
+    // a gzip HEADER that isn't one → rejected
+    assert(HtmlOps.httpParse(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip")
+        .getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("sniffCharset: any JVM-known IANA name is honored; unknown " +
+    "falls to UTF-8") {
+    def cs(h: String) = HtmlOps.sniffCharset(h, Array.emptyByteArray).name()
+    assert(cs("Content-Type: text/html; charset=Shift_JIS") == "Shift_JIS")
+    assert(cs("Content-Type: text/html; charset=GBK") == "GBK")
+    assert(cs("Content-Type: text/html; charset=EUC-KR") == "EUC-KR")
+    assert(cs("Content-Type: text/html; charset=KOI8-R") == "KOI8-R")
+    assert(cs("Content-Type: text/html; charset=klingon") == "UTF-8")
+    // a Shift_JIS body decodes correctly only under the honored name
+    val sj = "こんにちは".getBytes("Shift_JIS")
+    assert(new String(sj, HtmlOps.sniffCharset(
+      "Content-Type: text/html; charset=Shift_JIS", sj)) == "こんにちは")
+  }
+
   test("sniffCharset: header beats meta beats UTF-8 default") {
     def cs(h: String, body: String) =
       HtmlOps.sniffCharset(h, body.getBytes("ISO-8859-1")).name()
