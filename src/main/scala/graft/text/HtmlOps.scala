@@ -69,12 +69,17 @@ object HtmlOps {
   /** Parse an HTTP/1.x response message: status line (code extracted),
     * CRLFCRLF header/body split, chunked-framing removal when the
     * headers declare `Transfer-Encoding: chunked` (RFC 9112 §7.1), and
-    * `Content-Encoding: gzip` content decoding (RFC 9110 §8.4.1.3 —
-    * transfer framing wraps the content coding, so de-chunk FIRST,
-    * then inflate; ~30 % of real crawl responses arrive gzip-coded).
-    * Strict: a missing/malformed status line, no separator, broken
-    * chunk framing, or a corrupt gzip stream → None (not a usable
-    * HTTP message — skip the record).
+    * content-coding removal per the `Content-Encoding` list (RFC 9110
+    * §8.4 — codings are listed in the order applied, so the receiver
+    * undoes them in REVERSE; transfer framing wraps the content coding,
+    * so de-chunk FIRST, then decode). Codings decoded from the
+    * engine's own spec codecs: `gzip`/`x-gzip` (RFC 1952,
+    * CRC-32/ISIZE-verified), `deflate` (RFC 1950 zlib, with the raw
+    * RFC 1951 fallback real servers ship), `identity` (no-op). Strict:
+    * a missing/malformed status line, no separator, broken chunk
+    * framing, a corrupt coded stream, or an UNKNOWN coding (`br`,
+    * `zstd`, …) → None (not a usable HTTP message — skip the record,
+    * never let coded bytes flow downstream as text).
     */
   def httpParse(payload: Array[Byte]): Option[HttpMessage] = {
     val probe = math.min(payload.length, 16)
@@ -99,17 +104,25 @@ object HtmlOps {
               case None => return None
             }
           else raw
-        val body =
-          if (GzipCodedRe.findFirstIn(headers).isDefined)
-            // CRC-32/ISIZE-verified from-spec walk; a gzip body is one
-            // stream but multi-member is legal — concatenate payloads
-            graft.multimodal.GzipCodec.members(deframed, 1 << 24) match {
-              case Some(ms) if ms.nonEmpty =>
-                if (ms.length == 1) ms.head.payload
-                else ms.iterator.map(_.payload).reduce(_ ++ _)
-              case _ => return None
+        var body = deframed
+        val codings = ContentEncodingRe.findFirstMatchIn(headers).toSeq
+          .flatMap(_.group(1).split(','))
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty)
+        codings.reverseIterator.foreach {
+          case "gzip" | "x-gzip" =>
+            body = gunzip(body) match {
+              case Some(b) => b
+              case None => return None
             }
-          else deframed
+          case "deflate" =>
+            body = inflateBody(body) match {
+              case Some(b) => b
+              case None => return None
+            }
+          case "identity" => ()
+          case _ => return None // br, zstd, unknown: skip the record
+        }
         return Some(HttpMessage(status, headers, body))
       }
       i += 1
@@ -117,15 +130,87 @@ object HtmlOps {
     None
   }
 
+  // anchored to line start: a header NAME merely ending in the field
+  // name (`X-Orig-Transfer-Encoding: chunked`) must not false-positive
   private val ChunkedRe =
-    "(?i)transfer-encoding:[^\\r\\n]*\\bchunked\\b".r
-  private val GzipCodedRe =
-    "(?i)content-encoding:[^\\r\\n]*\\bgzip\\b".r
+    "(?mi)^transfer-encoding:[^\\r\\n]*\\bchunked\\b".r
+  private val ContentEncodingRe =
+    "(?mi)^content-encoding:([^\\r\\n]*)".r
+  private val LocationRe =
+    "(?mi)^location:[ \\t]*([^\\r\\n]+)".r
+
+  /** The `Location` header of a redirect response — the frontier edge a
+    * recrawl follows (RFC 9110 §10.2.2). Trimmed verbatim value;
+    * resolution/canonicalization is the caller's.
+    */
+  def location(headers: String): Option[String] =
+    LocationRe.findFirstMatchIn(headers).map(_.group(1).trim)
+      .filter(_.nonEmpty)
+
+  /** gzip body → bytes: CRC-32/ISIZE-verified from-spec walk; a gzip
+    * body is one stream but multi-member is legal — payloads
+    * concatenate (single pre-sized buffer; a many-member body must not
+    * pay a quadratic array-append walk).
+    */
+  private def gunzip(data: Array[Byte]): Option[Array[Byte]] =
+    graft.multimodal.GzipCodec.members(data, 1 << 24) match {
+      case Some(ms) if ms.nonEmpty =>
+        if (ms.length == 1) Some(ms.head.payload)
+        else {
+          val out = new java.io.ByteArrayOutputStream(
+            ms.iterator.map(_.payload.length).sum)
+          ms.foreach(m => out.write(m.payload, 0, m.payload.length))
+          Some(out.toByteArray)
+        }
+      case _ => None
+    }
+
+  /** `deflate` content coding (RFC 9110 §8.4.1.2): a zlib stream
+    * (RFC 1950) — but a large class of real servers ship RAW DEFLATE
+    * (RFC 1951) under the same name, so the standard receiver heuristic
+    * applies: if the first two bytes form a consistent zlib header,
+    * inflate from offset 2 and verify the Adler-32 trailer; otherwise
+    * (or on failure) inflate raw from offset 0. Both paths run the
+    * engine's own [[graft.multimodal.InflateCodec]], 16 MiB bound.
+    */
+  private[text] def inflateBody(data: Array[Byte]): Option[Array[Byte]] = {
+    val zlibWrapped = data.length >= 6 && {
+      val cmf = data(0) & 0xFF
+      val flg = data(1) & 0xFF
+      (cmf & 0x0F) == 8 && ((cmf << 8) | flg) % 31 == 0 && (flg & 0x20) == 0
+    }
+    val viaZlib =
+      if (!zlibWrapped) None
+      else graft.multimodal.InflateCodec.inflateUnknown(data, 2, 1 << 24)
+        .filter { case (out, end) =>
+          // the 4-byte big-endian Adler-32 trailer must follow the
+          // stream and match the decompressed output
+          end + 4 <= data.length && {
+            var a = 1L
+            var b = 0L
+            out.foreach { byte =>
+              a = (a + (byte & 0xFF)) % 65521
+              b = (b + a) % 65521
+            }
+            val adler = ((data(end) & 0xFFL) << 24) |
+              ((data(end + 1) & 0xFFL) << 16) |
+              ((data(end + 2) & 0xFFL) << 8) | (data(end + 3) & 0xFFL)
+            ((b << 16) | a) == adler
+          }
+        }
+        .map(_._1)
+    viaZlib.orElse(
+      graft.multimodal.InflateCodec.inflateUnknown(data, 0, 1 << 24)
+        .map(_._1))
+  }
 
   /** Remove RFC 9112 §7.1 chunked framing: `hex-size[;ext]CRLF data
     * CRLF` repeated, terminated by a 0-size chunk (trailer section
-    * ignored). None on any malformation — truncated chunk, missing
-    * CRLF, non-hex size.
+    * ignored). Leading zeros on the size are legal and seen in the wild
+    * (`0000000A`), so they skip BEFORE the 8-significant-hex-digit
+    * overflow cap; BWS between the size and the extension/CRLF is
+    * tolerated (real servers emit it). None on any malformation —
+    * truncated chunk, missing CRLF, non-hex size, oversized size.
     */
   private[text] def deChunk(body: Array[Byte]): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream(body.length)
@@ -135,13 +220,17 @@ object HtmlOps {
       var j = i
       var size = 0L
       var digits = 0
+      while (j < body.length && body(j) == '0') j += 1 // leading zeros
+      val sawZero = j > i
       while (j < body.length && Character.digit(body(j).toChar, 16) >= 0 &&
         digits < 8) {
         size = size * 16 + Character.digit(body(j).toChar, 16)
         digits += 1
         j += 1
       }
-      if (digits == 0) return None
+      if (digits == 0 && !sawZero) return None
+      // BWS after the size (before ';' or CRLF)
+      while (j < body.length && (body(j) == ' ' || body(j) == '\t')) j += 1
       if (j < body.length && body(j) == ';') // chunk extension: skip to CR
         while (j < body.length && body(j) != '\r') j += 1
       if (j + 1 >= body.length || body(j) != '\r' || body(j + 1) != '\n')

@@ -211,6 +211,104 @@ class HtmlOpsSpec extends SparkSpec {
         .getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("httpParse: leading-zero chunk sizes and BWS before the " +
+    "extension are legal framing") {
+    val h = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    // zero-padded size past the 8-digit significant cap (RFC 9112
+    // places no limit on leading zeros)
+    val padded = (h + "000000000A\r\n0123456789\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(HtmlOps.httpParse(padded).get.body.sameElements(
+      "0123456789".getBytes("UTF-8")))
+    // BWS between size and extension, and before the bare CRLF
+    val bws = (h + "5 ;x=y\r\nhello\r\n3\t\r\nabc\r\n000 \r\n\r\n")
+      .getBytes("ISO-8859-1")
+    assert(HtmlOps.httpParse(bws).get.body.sameElements(
+      "helloabc".getBytes("UTF-8")))
+    // >8 SIGNIFICANT hex digits is still an oversized-size rejection
+    assert(HtmlOps.httpParse((h + "123456789A\r\nx\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("httpParse: header-name matching anchors at line start") {
+    // a header whose NAME merely ends with the field name must not
+    // trigger de-chunking/decoding of an identity body
+    val m = HtmlOps.httpParse(
+      ("HTTP/1.1 200 OK\r\nX-Orig-Transfer-Encoding: chunked\r\n" +
+        "X-Orig-Content-Encoding: gzip\r\n\r\nplain body")
+        .getBytes("ISO-8859-1")).getOrElse(fail("rejected"))
+    assert(new String(m.body, "UTF-8") == "plain body")
+  }
+
+  test("httpParse: deflate content coding decodes (zlib and raw), " +
+    "unknown codings reject the record") {
+    val html = "<html><p>deflate wörld</p></html>".getBytes("UTF-8")
+    def deflated(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(html); d.finish()
+      val buf = new Array[Byte](html.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def msg(ce: String, body: Array[Byte]) =
+      (s"HTTP/1.1 200 OK\r\nContent-Encoding: $ce\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    // zlib-wrapped (the RFC 9110 §8.4.1.2 letter)
+    assert(HtmlOps.httpParse(msg("deflate", deflated(raw = false)))
+      .get.body.sameElements(html))
+    // raw DEFLATE (the misconfigured-server reality)
+    assert(HtmlOps.httpParse(msg("deflate", deflated(raw = true)))
+      .get.body.sameElements(html))
+    // zlib with a corrupted Adler trailer falls to the raw attempt,
+    // which also fails on the zlib header bytes → rejected
+    val corrupt = deflated(raw = false)
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x5A).toByte
+    assert(HtmlOps.httpParse(msg("deflate", corrupt)).isEmpty)
+    // unknown codings (br, zstd) skip the record — coded bytes must
+    // never flow downstream as text
+    assert(HtmlOps.httpParse(msg("br", html)).isEmpty)
+    assert(HtmlOps.httpParse(msg("zstd", html)).isEmpty)
+    // identity is a no-op; coding LISTS undo in reverse order
+    assert(HtmlOps.httpParse(msg("identity", html)).get.body
+      .sameElements(html))
+    val gzThenDeflate = { // applied gzip first, then deflate outermost
+      val d = new java.util.zip.Deflater()
+      val gz = graft.multimodal.GzipCodec.buildMember(html)
+      d.setInput(gz); d.finish()
+      val buf = new Array[Byte](gz.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(HtmlOps.httpParse(msg("gzip, deflate", gzThenDeflate))
+      .get.body.sameElements(html))
+  }
+
+  test("httpParse: multi-member gzip bodies concatenate") {
+    val a = "first ".getBytes("UTF-8")
+    val b = "second".getBytes("UTF-8")
+    val body = graft.multimodal.GzipCodec.buildMember(a) ++
+      graft.multimodal.GzipCodec.buildMember(b)
+    val m = HtmlOps.httpParse(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        .getBytes("ISO-8859-1") ++ body).getOrElse(fail("rejected"))
+    assert(new String(m.body, "UTF-8") == "first second")
+  }
+
+  test("location: anchored Location header extraction") {
+    assert(HtmlOps.location(
+      "HTTP/1.1 301 Moved\r\nLocation: http://a.example/x\r\nA: b")
+      .contains("http://a.example/x"))
+    assert(HtmlOps.location(
+      "HTTP/1.1 301 Moved\r\nlocation:\thttp://a.example/y")
+      .contains("http://a.example/y"))
+    // a name merely ending in "location" must not match
+    assert(HtmlOps.location(
+      "HTTP/1.1 200 OK\r\nX-Original-Location: http://a.example/z").isEmpty)
+    assert(HtmlOps.location("HTTP/1.1 301 Moved\r\nLocation: ").isEmpty)
+    assert(HtmlOps.location("HTTP/1.1 200 OK\r\nA: b").isEmpty)
+  }
+
   test("sniffCharset: any JVM-known IANA name is honored; unknown " +
     "falls to UTF-8") {
     def cs(h: String) = HtmlOps.sniffCharset(h, Array.emptyByteArray).name()
