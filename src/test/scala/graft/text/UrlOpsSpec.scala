@@ -58,4 +58,65 @@ class UrlOpsSpec extends SparkSpec {
       assert(got(v) == UrlOps.canonicalStr(v), s"divergence on: $v")
     }
   }
+
+  private val frontierVariants = variants ++ Seq(
+    // the frontier-key classes (RFC 3986 §6.2.2.1): path case KEPT,
+    // routing query KEPT, tracking params dropped
+    "http://s3.example/Article?id=1",
+    "http://s3.example/Article?id=2",
+    "HTTP://WWW.s3.example/Article?id=1#frag",
+    "http://s3.example/a?utm_source=x&id=1&utm_campaign=y",
+    "http://s3.example/a?id=1&gclid=abc",
+    "http://s3.example/a?gclid_x=1",       // NOT tracking: name differs
+    "http://s3.example/a?fbclid=z",        // all-tracking query -> dropped
+    "http://s3.example/a/?id=1",           // path slash drops, query stays
+    "http://s3.example/a?utm_x",           // valueless tracking param
+    "http://s3.example/a?&id=1&",          // empty params drop
+    "http://s3.example/PaGe/Sub",          // path case preserved
+    "http://h.example/p?b=2&a=1")          // param ORDER preserved
+
+  test("frontierCanonicalStr: absolute anchors") {
+    import UrlOps.frontierCanonicalStr
+    // scheme+host lowercase ONLY; path case survives
+    assert(frontierCanonicalStr("HTTP://WWW.S3.Example/PaGe") ==
+      "http://s3.example/PaGe")
+    // routing query params survive, in order; tracking params drop
+    assert(frontierCanonicalStr(
+      "http://s3.example/a?utm_source=x&id=1&utm_campaign=y") ==
+      "http://s3.example/a?id=1")
+    assert(frontierCanonicalStr("http://s3.example/a?b=2&a=1") ==
+      "http://s3.example/a?b=2&a=1")
+    // /article?id=1 and ?id=2 stay DISTINCT frontier keys
+    assert(frontierCanonicalStr("http://s3.example/q?id=1") !=
+      frontierCanonicalStr("http://s3.example/q?id=2"))
+    // /Page and /page stay DISTINCT (paths are case-sensitive)
+    assert(frontierCanonicalStr("http://s3.example/Page") !=
+      frontierCanonicalStr("http://s3.example/page"))
+    // all-tracking query drops the '?' entirely
+    assert(frontierCanonicalStr("http://s3.example/a?fbclid=z&utm_x") ==
+      "http://s3.example/a")
+    // gclid only matches as the EXACT name
+    assert(frontierCanonicalStr("http://s3.example/a?gclid_x=1") ==
+      "http://s3.example/a?gclid_x=1")
+    assert(frontierCanonicalStr("http://s3.example/a?gclid=1") ==
+      "http://s3.example/a")
+    // trailing path slash drops with the query kept
+    assert(frontierCanonicalStr("http://s3.example/a/?id=1") ==
+      "http://s3.example/a?id=1")
+    // fragment and www still collapse
+    assert(frontierCanonicalStr("HTTP://WWW.s3.example/Article?id=1#f") ==
+      "http://s3.example/Article?id=1")
+  }
+
+  test("column frontierCanonical ≡ frontierCanonicalStr on every class") {
+    import spark.implicits._
+    val got = frontierVariants.toDF("u")
+      .select(col("u"), UrlOps.frontierCanonical(col("u")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    frontierVariants.foreach { v =>
+      assert(got(v) == UrlOps.frontierCanonicalStr(v), s"divergence on: $v")
+    }
+  }
 }
