@@ -1411,7 +1411,7 @@ object ArchiveQueries {
         .agg(sum(col("n")).as("n_links"),
           sum(when(col("ok"), col("n")).otherwise(0L)).as("n_allowed"),
           sum(when(col("ok"), 0L).otherwise(col("n"))).as("n_blocked"))
-        .join(broadcast(ruleCounts), Seq("host"), "left")
+        .join(ruleCounts, Seq("host"), "left") // O(hosts) rows: unhinted
         .select(col("host"), coalesce(col("n_rules"), lit(0L)).as("n_rules"),
           col("n_links"), col("n_allowed"), col("n_blocked"))
         .orderBy("host")

@@ -311,9 +311,13 @@ object FrontierQueries {
             .as("n_frontier"),
           sum(when(col("fresh") && col("ok"), col("pri").cast("long"))
             .otherwise(0L)).as("pri_sum"))
-        .join(broadcast(declared), Seq("host"), "left")
-        .join(broadcast(smDocs), Seq("host"), "left")
-        .join(broadcast(children), Seq("host"), "left")
+        // no broadcast hints: each side is one row per host — O(hosts)
+        // frames, the same growth law as the rule table, so the joins
+        // keep their host equi-key and AQE picks the strategy
+        // (broadcast at fixture scale, shuffled hash at 10⁷ hosts)
+        .join(declared, Seq("host"), "left")
+        .join(smDocs, Seq("host"), "left")
+        .join(children, Seq("host"), "left")
         .select(col("host"),
           coalesce(col("n_declared"), lit(0L)).as("n_declared"),
           coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"),
@@ -505,7 +509,8 @@ object FrontierQueries {
         .orderBy(col("pri").desc, col("path").asc)
       frontier
         .withColumn("rk", row_number().over(w))
-        .join(broadcast(delays), Seq("host"), "left")
+        // unhinted: delays are one row per host (O(hosts) growth)
+        .join(delays, Seq("host"), "left")
         .withColumn("delay_s", coalesce(col("delay_s"), lit(1L)))
         .withColumn("fetch_at", (col("rk") - 1).cast("long") * col("delay_s"))
         .groupBy("host", "delay_s")
@@ -602,8 +607,9 @@ object FrontierQueries {
           .as("n_bloom_new"),
           sum(when(col("was_seen").isNull, 1L).otherwise(0L)).as("n_new"))
       staged
-        .join(broadcast(newPages), Seq("host"), "left")
-        .join(broadcast(delays), Seq("host"), "left")
+        // unhinted host equi-joins: every side is O(hosts) rows
+        .join(newPages, Seq("host"), "left")
+        .join(delays, Seq("host"), "left")
         .withColumn("delay_s", coalesce(col("delay_s"), lit(1L)))
         .select(col("host"), col("delay_s"), col("n_candidates"),
           col("n_fresh"), col("n_frontier"),
