@@ -155,6 +155,26 @@ object ArchiveQueries {
       recs.foreach(r => b ++= f(idx, r)); b
     }.map(_.result()).getOrElse(Seq.empty)
 
+  /** The fetched body a crawl consumer reads out of a WARC record,
+    * carriage-independent: a `resource` record IS the body (status
+    * 200 by construction — resource captures have no HTTP message),
+    * while a `response` record stores the raw wire bytes (ISO 28500
+    * §6.3) and parses through [[graft.text.HtmlOps.httpParse]] (status
+    * line, chunked de-framing, content-coding removal). None for other
+    * record types or an unparseable HTTP message. Real crawls (Common
+    * Crawl's robotstxt subset included) carry robots.txt and sitemaps
+    * as `response` records — a frontier that only reads `resource`
+    * records parses an EMPTY rule table on real inputs and fails open.
+    */
+  private[sources] def fetchedBody(
+      r: graft.multimodal.WarcCodec.Record): Option[(Int, Array[Byte])] =
+    r.warcType match {
+      case "resource" => Some((200, r.payload))
+      case "response" =>
+        graft.text.HtmlOps.httpParse(r.payload).map(m => (m.status, m.body))
+      case _ => None
+    }
+
   /** Create (once per scale factor) the TAR fixture tree: 24 archives,
     * asset i holding 2 + i%4 entries; entry j is 50 + 37i + 11j bytes
     * with byte k = (13i + 5j + 7k) mod 128 — every field a pure
@@ -1263,9 +1283,20 @@ object ArchiveQueries {
     *    shorter prefix disallow on the whole subtree).
     * Pages are stored as raw HTTP messages; every file carries a 404
     * page whose anchors a status-blind reader would count.
+    *
+    * Round 13 — robots CARRIAGE is now the real-crawl mix (tag robots2
+    * → robots3): h0 keeps the legacy `resource` record; h1/h5 are HTTP
+    * `response` records (200, identity); h2 a 200 under CHUNKED wire
+    * framing; h3/h7 200 with `Content-Encoding: gzip`; h4 a 404
+    * (RFC 9309 §2.3.1.3 "unavailable" — crawler MAY proceed
+    * unrestricted, so h4's `*` rules are GONE and everything is
+    * allowed); h6 a 500 (§2.3.1.4 "unreachable" — MUST assume complete
+    * disallow, so h6's rules are replaced by a synthesized
+    * disallow-all). A reader that only parses `resource` records sees
+    * an empty rule table for 7 of 8 hosts and every count shifts.
     */
   private[sources] def ensureRobotsTree(sfDir: String): String = {
-    val root = workDir(scaledTag("robots2"), sfDir)
+    val root = workDir(scaledTag("robots3"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val iso = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -1301,6 +1332,7 @@ object ArchiveQueries {
         val robotsMember =
           if (i < 8) {
             val h = i
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
             val specific =
               if (h % 2 == 1)
                 s"User-agent: graftbot\nDisallow: /p\n" +
@@ -1312,10 +1344,29 @@ object ArchiveQueries {
                 s"Allow: /p${(h + 1) % 5}/x*\n"
             val txt = s"# host s$h fixture\nUser-agent: spiderx\n" +
               s"Disallow: /\n\n$specific$star"
+            def http(status: String, body: Array[Byte],
+                chunked: Boolean = false, gzip: Boolean = false) = {
+              val coded = if (gzip) GzipCodec.buildMember(body) else body
+              val framed = if (chunked) chunkFrame(coded) else coded
+              (s"HTTP/1.1 $status\r\nContent-Type: text/plain" +
+                (if (gzip) "\r\nContent-Encoding: gzip" else "") +
+                (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
+                "\r\n\r\n").getBytes(iso) ++ framed
+            }
+            val bytes = txt.getBytes(utf8)
+            val (tpe, payload) = h match {
+              case 0 => ("resource", bytes) // legacy carriage
+              case 2 => ("response", http("200 OK", bytes, chunked = true))
+              case 3 | 7 => ("response", http("200 OK", bytes, gzip = true))
+              case 4 => ("response",
+                http("404 Not Found", "gone".getBytes(utf8)))
+              case 6 => ("response",
+                http("500 Internal Server Error", "err".getBytes(utf8)))
+              case _ => ("response", http("200 OK", bytes)) // h1, h5
+            }
             Seq(GzipCodec.buildMember(WarcCodec.buildRecord(
-              "resource", s"<urn:uuid:rob$i>", "2026-01-01T00:00:00Z",
-              Some(s"http://s$h.example/robots.txt"),
-              txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+              tpe, s"<urn:uuid:rob$i>", "2026-01-01T00:00:00Z",
+              Some(s"http://s$h.example/robots.txt"), payload)))
           } else Seq.empty
         Files.write(dir.resolve(f"r$i%03d.warc.gz"),
           (pageMembers ++ Seq(notFound) ++ robotsMember).reduce(_ ++ _))
@@ -1330,7 +1381,12 @@ object ArchiveQueries {
     * group-selection + §2.2.3 wildcard + most-octets-precedence
     * semantics ([[graft.text.RobotsOps]], matched plan-side by the
     * native [[graft.plans.RobotsMatchExpression]]) — the mandatory step
-    * between link extraction and the fetch frontier. Scale shape: the
+    * between link extraction and the fetch frontier. Round 13: robots
+    * parse is carriage-independent ([[fetchedBody]] — `resource` OR
+    * HTTP `response` records, chunked/gzip wire layers removed) and
+    * carries the §2.3.1 availability semantics: a 3xx/4xx robots fetch
+    * → unrestricted (no rules), a 5xx/unparseable fetch → synthesized
+    * complete disallow (fail closed, not open). Scale shape: the
     * allow/deny DECISION is computed once per distinct (host, path) via
     * the host-keyed rule join's struct-argmax (most pattern octets,
     * allow on ties); no broadcast hint — AQE broadcasts the tiny
@@ -1359,7 +1415,29 @@ object ArchiveQueries {
           warcRows(path) { (_, r) =>
             val out = Seq.newBuilder[(Int, String, String, Boolean)]
             r.targetUri.foreach { uri =>
-              if (r.warcType == "response") {
+              val isFetch =
+                r.warcType == "resource" || r.warcType == "response"
+              if (uri.endsWith("/robots.txt") && isFetch) {
+                // carriage-independent parse + RFC 9309 §2.3.1
+                // availability semantics: 2xx → parse the rules; 3xx/
+                // 4xx → "unavailable", crawler MAY proceed (no rules);
+                // 5xx or an unparseable response → "unreachable",
+                // MUST assume complete disallow (synthesized
+                // disallow-all rule — fail CLOSED, not open)
+                val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+                fetchedBody(r) match {
+                  case Some((status, body)) if status / 100 == 2 =>
+                    val txt = new String(body,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
+                      out += ((1, host, rule.path, rule.allow))
+                    }
+                  case Some((status, _)) if status >= 300 && status < 500 =>
+                    () // unavailable: unrestricted (§2.3.1.3)
+                  case _ =>
+                    out += ((1, host, "/", false)) // unreachable (§2.3.1.4)
+                }
+              } else if (r.warcType == "response") {
                 graft.text.HtmlOps.httpParse(r.payload)
                   .filter(_.status == 200).foreach { msg =>
                     val html = new String(msg.body,
@@ -1369,14 +1447,6 @@ object ArchiveQueries {
                       out += ((0, m.group(1), m.group(2), false))
                     }
                   }
-              } else if (r.warcType == "resource" &&
-                uri.endsWith("/robots.txt")) {
-                val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-                val txt = new String(r.payload,
-                  java.nio.charset.StandardCharsets.UTF_8)
-                graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-                  out += ((1, host, rule.path, rule.allow))
-                }
               }
             }
             out.result()
@@ -1428,6 +1498,11 @@ object ArchiveQueries {
         |       LATERAL unnest(range(0, 1 + (s.i + j.j) % 3)) l(l)),
         |-- graftbot's merged rules per host, replayed CLOSED-FORM from
         |-- the planted generator under the full RFC 9309 grammar:
+        |-- h=4    -> robots fetch is a 404 response (§2.3.1.3
+        |--            unavailable): NO rules, everything allowed;
+        |-- h=6    -> robots fetch is a 500 response (§2.3.1.4
+        |--            unreachable): synthesized disallow-all, nothing
+        |--            allowed;
         |-- odd h  -> {Disallow /p, Allow /p<h%5>$ (via %70), Allow
         |--            /p*/x1}: shallow ok iff p = h%5 (the $ anchor
         |--            never matches deep), deep ok iff q = 1;
@@ -1437,14 +1512,18 @@ object ArchiveQueries {
         |--            longer trailing-star allow re-opens the subtree)
         |dec AS (
         |  SELECT h, p, deep, q, count(*) AS n,
-        |         CASE WHEN deep = 0 THEN
+        |         CASE WHEN h = 4 THEN TRUE
+        |              WHEN h = 6 THEN FALSE
+        |              WHEN deep = 0 THEN
         |              CASE WHEN h % 2 = 1 THEN (p = h % 5)
         |                   WHEN h % 4 = 0 THEN TRUE
         |                   ELSE (p <> (h + 1) % 5) END
         |         ELSE CASE WHEN h % 2 = 1 THEN (q = 1)
         |                   WHEN h % 4 = 0 THEN (q <> 2)
         |                   ELSE TRUE END END AS ok,
-        |         CASE WHEN h % 2 = 1 THEN 3
+        |         CASE WHEN h = 4 THEN 0
+        |              WHEN h = 6 THEN 1
+        |              WHEN h % 2 = 1 THEN 3
         |              WHEN h % 4 = 0 THEN 1
         |              ELSE 2 END AS n_rules
         |  FROM links GROUP BY 1, 2, 3, 4)

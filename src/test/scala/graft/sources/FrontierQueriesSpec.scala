@@ -103,6 +103,52 @@ class FrontierQueriesSpec extends SparkSpec {
       s"priority 0.9 must be fetched first: $row")
   }
 
+  test("robots frontier: RFC 9309 §2.3.1 availability semantics on " +
+    "response-carried robots (404 → unrestricted, 500 → disallow-all, " +
+    "chunked 200 → parsed)") {
+    val sfDir = "/spec/robots_avail"
+    def http(status: String, body: Array[Byte], extra: String = "") =
+      (s"HTTP/1.1 $status\r\nContent-Type: text/plain$extra\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    // one 200 page on host a linking once into hosts b, c, d
+    val page = http("200 OK",
+      ("""<html><body><a href="http://b.example/x">.</a>""" +
+        """<a href="http://c.example/x">.</a>""" +
+        """<a href="http://d.example/x">.</a></body></html>""")
+        .getBytes(utf8))
+    // b: 500 robots → unreachable, MUST assume complete disallow
+    val robotsB = http("500 Internal Server Error", "err".getBytes(utf8))
+    // c: 404 robots → unavailable, MAY crawl unrestricted
+    val robotsC = http("404 Not Found", "gone".getBytes(utf8))
+    // d: 200 robots under chunked framing → rules parse normally
+    val dTxt = "User-agent: *\nDisallow: /x\n".getBytes(utf8)
+    val chunked = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"${dTxt.length.toHexString}\r\n".getBytes("ISO-8859-1"))
+      out.write(dTxt)
+      out.write("\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val robotsD = http("200 OK", chunked,
+      extra = "\r\nTransfer-Encoding: chunked")
+    clearTree("robots3", sfDir)
+    plant("robots3", sfDir, "0", "r000.warc.gz", Seq(
+      member("response", "pg", Some("http://a.example/p"), page),
+      member("response", "rb", Some("http://b.example/robots.txt"), robotsB),
+      member("response", "rc", Some("http://c.example/robots.txt"), robotsC),
+      member("response", "rd", Some("http://d.example/robots.txt"), robotsD)))
+    val rows = ArchiveQueries.RobotsFrontier.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // (n_rules, n_links, n_allowed, n_blocked)
+    assert(rows("b.example") == ((1L, 1L, 0L, 1L)),
+      s"500 robots must fail CLOSED: ${rows("b.example")}")
+    assert(rows("c.example") == ((0L, 1L, 1L, 0L)),
+      s"404 robots must allow: ${rows("c.example")}")
+    assert(rows("d.example") == ((1L, 1L, 0L, 1L)),
+      s"chunked 200 robots must parse: ${rows("d.example")}")
+  }
+
   test("crawl delta: hand-planted add/remove/change/same classification") {
     val sfDir = "/spec/delta_hand"
     def page(snap: String, path: String, body: String) =
