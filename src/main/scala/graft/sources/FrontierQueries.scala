@@ -27,46 +27,74 @@ object FrontierQueries {
 
   /** Create (once per scale factor) the sitemap crawl tree: 24
     * `.warc.gz` files over 8 hosts (3 per host). File i carries a
-    * warcinfo, host s(i%8)'s sitemap resources — a plain urlset, or
+    * warcinfo, host s(i%8)'s sitemap documents — a plain urlset, or
     * for hosts h%4==3 a `<sitemapindex>` plus its two child urlsets
     * (even/odd entry split; host 3's indexes also DECLARE a third
     * child that is never written — the missing-child case a fan-out
-    * join must surface) — and, in the first file per host (i < 8),
-    * the host's robots.txt (global `Sitemap:` declaration, graftbot
-    * group, `Crawl-delay`) plus a `seen.txt` resource listing the 3
-    * URLs the previous crawl already fetched. Entry j of file i:
+    * join must surface; child b is a GZIPPED `.xml.gz` sitemap, the
+    * sitemaps.org large-file shape) — and, in the first file per host
+    * (i < 8), the host's robots.txt (global `Sitemap:` declaration,
+    * graftbot group, `Crawl-delay`) plus a `seen.txt` resource listing
+    * the 3 URLs the previous crawl already fetched. Entry j of file i:
     * path `/p{(i+2j)%9}` — DEEP (`/p{…}/s{(i+j)%2}`) when j%3==2 so
     * wildcard rules have structure to match; lastmod
     * `2026-0{1+(i+j)%3}-01`, except (i+j)%5==4 plants the year-only
     * `2026` (valid W3C datetime a parser must not throw on → month 0);
     * priority `0.{3+(i+j)%7}`, except (i+j)%7==6 plants the junk
     * `high` (→ default 5). The `<loc>` SPELLING varies by j%4 — as-is,
-    * `?utm=x` query, trailing slash, `HTTP://WWW.` + `#frag` — all
-    * collapsing to one canonical URL; a reader that skips
+    * `?utm_campaign=x` tracking query, trailing slash, `HTTP://WWW.` +
+    * `#frag` — all collapsing to ONE frontier key; a reader that skips
     * canonicalization fragments the key space and every count shifts.
     * Robots rules by h%3: 0 → the empty-Disallow no-op; 1 →
     * `Disallow: /p{(h+1)%9}` (prefix, blocks the subtree too); 2 →
     * the §2.2.3 wildcard `Disallow: /p*&#47;s1` (blocks every deep s1
     * page, no shallow page). Every column of the frontier row is
     * closed-form replayable from (i, j).
+    *
+    * Round 13 (tag sitemap3 → sitemap4) — the real-crawl shapes:
+    *  - CARRIAGE: robots by host — h0/h4 legacy `resource`, h1 a plain
+    *    HTTP `response`, h2 a CHUNKED response, h3/h7 gzip-COODED
+    *    responses, h5 a 404 (RFC 9309 §2.3.1.3 unavailable → NO rules,
+    *    no delay, no declaration), h6 a 500 (§2.3.1.4 unreachable →
+    *    synthesized disallow-all, no delay, no declaration); sitemap
+    *    docs ride `resource` on even i and `response` 200 on odd i,
+    *    except file i%24==18 (host 2) whose urlset is a 404 response —
+    *    its entries (INCLUDING host 2's extras, below) must vanish.
+    *  - FRONTIER-KEY extras: the one file per host with i%3==0 plants
+    *    `/q?id=0` (spelled with a `utm_source` tracking param that must
+    *    strip), `/q?id=1` (a DISTINCT routing query — a canonicalizer
+    *    that drops the whole query collapses both into `/q` and the
+    *    counts shift), and `/P{(h+1)%9}` (path case preserved — for
+    *    h%3==1 hosts the `Disallow: /p{(h+1)%9}` rule must NOT match
+    *    it), each fresh (lastmod 2026-02-01) at priorities 0.5/0.5/0.6.
     */
   private[sources] def ensureSitemapTree(sfDir: String): String = {
-    // tag bumped sitemap2 -> sitemap3 for the round-12 shape (wildcard
-    // rules, loc variants, parse-guard traps, index missing child,
-    // seen.txt) — the ensure* existence guard would otherwise keep
-    // serving a stale tree from a previous round's run
-    val root = workDir(scaledTag("sitemap3"), sfDir)
+    val root = workDir(scaledTag("sitemap4"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
       for (i <- 0 until 24 * mediaScale) {
         val h = i % 8
         val dir = Paths.get(root, s"${i % 2}")
         Files.createDirectories(dir)
-        def rec(tpe: String, id: String, uri: String, body: String) =
+        def recBytes(tpe: String, id: String, uri: String,
+            body: Array[Byte]) =
           GzipCodec.buildMember(WarcCodec.buildRecord(
             tpe, s"<urn:uuid:$id>", "2026-01-01T00:00:00Z", Some(uri),
-            body.getBytes(utf8)))
+            body))
+        def rec(tpe: String, id: String, uri: String, body: String) =
+          recBytes(tpe, id, uri, body.getBytes(utf8))
+        def http(status: String, body: Array[Byte],
+            chunked: Boolean = false, gzipCoded: Boolean = false) = {
+          val coded = if (gzipCoded) GzipCodec.buildMember(body) else body
+          val framed =
+            if (chunked) ArchiveQueries.chunkFrame(coded) else coded
+          (s"HTTP/1.1 $status\r\nContent-Type: text/xml" +
+            (if (gzipCoded) "\r\nContent-Encoding: gzip" else "") +
+            (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
+            "\r\n\r\n").getBytes(iso) ++ framed
+        }
         val info = GzipCodec.buildMember(WarcCodec.buildRecord(
           "warcinfo", s"<urn:uuid:sm$i>", "2026-01-01T00:00:00Z", None,
           s"software: graft $i".getBytes(utf8)))
@@ -80,15 +108,28 @@ object FrontierQueries {
             val seen = (0 until 3)
               .map(k => s"http://s$h.example/p${(3 * h + k) % 9}")
               .mkString("", "\n", "\n")
-            Seq(rec("resource", s"rob$i",
-              s"http://s$h.example/robots.txt",
-              s"# host s$h\nUser-agent: graftbot\n$dis" +
-                s"Crawl-delay: ${1 + h % 4}\n" +
-                s"Sitemap: http://s$h.example/sitemap.xml\n"),
+            val txt = s"# host s$h\nUser-agent: graftbot\n$dis" +
+              s"Crawl-delay: ${1 + h % 4}\n" +
+              s"Sitemap: http://s$h.example/sitemap.xml\n"
+            val robotsUri = s"http://s$h.example/robots.txt"
+            val robotsRec = h match {
+              case 0 | 4 => rec("resource", s"rob$i", robotsUri, txt)
+              case 2 => recBytes("response", s"rob$i", robotsUri,
+                http("200 OK", txt.getBytes(utf8), chunked = true))
+              case 3 | 7 => recBytes("response", s"rob$i", robotsUri,
+                http("200 OK", txt.getBytes(utf8), gzipCoded = true))
+              case 5 => recBytes("response", s"rob$i", robotsUri,
+                http("404 Not Found", "gone".getBytes(utf8)))
+              case 6 => recBytes("response", s"rob$i", robotsUri,
+                http("500 Internal Server Error", "err".getBytes(utf8)))
+              case _ => recBytes("response", s"rob$i", robotsUri,
+                http("200 OK", txt.getBytes(utf8))) // h1
+            }
+            Seq(robotsRec,
               rec("resource", s"seen$i",
                 s"http://s$h.example/seen.txt", seen))
           } else Seq.empty
-        val entries = (0 until 3 + i % 4).map { j =>
+        val gridEntries = (0 until 3 + i % 4).map { j =>
           val deep = j % 3 == 2
           val path = s"/p${(i + 2 * j) % 9}" +
             (if (deep) s"/s${(i + j) % 2}" else "")
@@ -99,17 +140,39 @@ object FrontierQueries {
             if ((i + j) % 7 == 6) "high" else s"0.${3 + (i + j) % 7}"
           val loc = (j % 4) match {
             case 0 => s"http://s$h.example$path"
-            case 1 => s"http://s$h.example$path?utm=x"
+            case 1 => s"http://s$h.example$path?utm_campaign=x"
             case 2 => s"http://s$h.example$path/"
             case _ => s"HTTP://WWW.s$h.example$path#frag"
           }
           (j, s"<url><loc>$loc</loc>" +
             s"<lastmod>$lastmod</lastmod><priority>$pri</priority></url>")
         }
+        val ne = 3 + i % 4
+        val extras =
+          if (i % 3 == 0) Seq(
+            (ne, s"<url><loc>http://s$h.example/q?id=0&amp;utm_source=x" +
+              "</loc><lastmod>2026-02-01</lastmod>" +
+              "<priority>0.5</priority></url>"),
+            (ne + 1, s"<url><loc>http://s$h.example/q?id=1</loc>" +
+              "<lastmod>2026-02-01</lastmod><priority>0.5</priority></url>"),
+            (ne + 2, s"<url><loc>http://s$h.example/P${(h + 1) % 9}</loc>" +
+              "<lastmod>2026-02-01</lastmod><priority>0.6</priority></url>"))
+          else Seq.empty
+        val entries = gridEntries ++ extras
         def urlset(es: Seq[String]) =
           "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
             "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
             es.mkString + "</urlset>"
+        // sitemap-doc carriage: resource on even i, response 200 on odd
+        // i; the i%24==18 urlset is a 404 whose (parseable) body must
+        // be DROPPED whole
+        def smRec(id: String, uri: String, xml: String) =
+          if (i % 24 == 18)
+            recBytes("response", id, uri,
+              http("404 Not Found", xml.getBytes(utf8)))
+          else if (i % 2 == 1)
+            recBytes("response", id, uri, http("200 OK", xml.getBytes(utf8)))
+          else rec("resource", id, uri, xml)
         val maps =
           if (h % 4 == 3) {
             val (even, odd) = entries.partition(_._1 % 2 == 0)
@@ -121,15 +184,24 @@ object FrontierQueries {
               "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
                 "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
                 s"<sitemap><loc>http://s$h.example/sm${i}a.xml</loc></sitemap>" +
-                s"<sitemap><loc>http://s$h.example/sm${i}b.xml</loc></sitemap>" +
+                s"<sitemap><loc>http://s$h.example/sm${i}b.xml.gz</loc></sitemap>" +
                 missing + "</sitemapindex>"
-            Seq(rec("resource", s"idx$i", s"http://s$h.example/sitemap.xml", idx),
-              rec("resource", s"ch${i}a", s"http://s$h.example/sm${i}a.xml",
+            // child b ships as a gzipped `.xml.gz` sitemap file (the
+            // payload IS the gzip file — no Content-Encoding involved)
+            val bGz = GzipCodec.buildMember(
+              urlset(odd.map(_._2)).getBytes(utf8))
+            val bRec =
+              if (i % 2 == 1)
+                recBytes("response", s"ch${i}b",
+                  s"http://s$h.example/sm${i}b.xml.gz", http("200 OK", bGz))
+              else recBytes("resource", s"ch${i}b",
+                s"http://s$h.example/sm${i}b.xml.gz", bGz)
+            Seq(smRec(s"idx$i", s"http://s$h.example/sitemap.xml", idx),
+              smRec(s"ch${i}a", s"http://s$h.example/sm${i}a.xml",
                 urlset(even.map(_._2))),
-              rec("resource", s"ch${i}b", s"http://s$h.example/sm${i}b.xml",
-                urlset(odd.map(_._2))))
+              bRec)
           } else
-            Seq(rec("resource", s"map$i", s"http://s$h.example/sitemap.xml",
+            Seq(smRec(s"map$i", s"http://s$h.example/sitemap.xml",
               urlset(entries.map(_._2))))
         Files.write(dir.resolve(f"s$i%03d.warc.gz"),
           (Seq(info) ++ robots ++ maps).reduce(_ ++ _))
@@ -142,18 +214,33 @@ object FrontierQueries {
 
   /** One decoded, streamed pass over the sitemap tree, shared by
     * [[SitemapFrontier]], [[FetchSchedule]] and [[RecrawlPlan]]:
-    * url-entry rows (kind 0, canonical path + guarded lastmod/priority
-    * parses — malformed fields fall to the missing-field defaults, a
-    * crawl must keep walking), parsed rule rows (kind 1), urlset-doc
-    * rows (kind 2, canonical doc URL in `path`), robots `Sitemap:`
-    * declarations (kind 3), group-scoped `Crawl-delay` values (kind 4,
-    * seconds in `mo`), sitemapindex child declarations (kind 5,
-    * canonical child URL), and previously-crawled URLs (kind 6,
-    * canonical). Callers persist.
+    * url-entry rows (kind 0, canonical frontier key + guarded
+    * lastmod/priority parses — malformed fields fall to the
+    * missing-field defaults, a crawl must keep walking), parsed rule
+    * rows (kind 1), urlset-doc rows (kind 2, canonical doc URL in
+    * `path`), robots `Sitemap:` declarations (kind 3), group-scoped
+    * `Crawl-delay` values (kind 4, seconds in `mo`), sitemapindex
+    * child declarations (kind 5, canonical child URL), and
+    * previously-crawled URLs (kind 6, canonical). Callers persist.
+    *
+    * Round 13: carriage-independent — robots.txt and sitemaps parse
+    * from `resource` records AND from HTTP `response` records (the
+    * real-crawl shape, via [[ArchiveQueries.fetchedBody]] — status
+    * line, chunked de-framing, content-coding removal), with RFC 9309
+    * §2.3.1 availability semantics on the robots fetch (2xx → parse;
+    * 3xx/4xx unavailable → no rules; 5xx/unparseable unreachable →
+    * synthesized complete disallow). `.xml.gz` sitemap files (the
+    * sitemaps.org large-sitemap shape) gunzip through the engine's
+    * own [[graft.multimodal.GzipCodec]]; urlsets cap at the protocol's
+    * 50k entries ([[graft.text.SitemapOps.MaxEntries]]). URL keys are
+    * the FRONTIER canonicalization ([[graft.text.UrlOps
+    * .frontierCanonicalStr]]): scheme+host-only lowercase,
+    * tracking-param-only query strip — `/q?id=0` and `/q?id=1` are
+    * distinct pages and `/Page` never collapses into `/page`.
     */
   private def sitemapRows(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    import graft.text.UrlOps
+    import graft.text.UrlOps.frontierCanonicalStr
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz")
       .option("recursiveFileLookup", "true")
@@ -164,43 +251,73 @@ object FrontierQueries {
         warcRows(file) { (_, r) =>
           val utf8 = java.nio.charset.StandardCharsets.UTF_8
           val out = Seq.newBuilder[(Int, String, String, Int, Int, Boolean)]
-          for (uri <- r.targetUri if r.warcType == "resource") {
+          val isFetch = r.warcType == "resource" || r.warcType == "response"
+          for (uri <- r.targetUri if isFetch) {
             val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-            val txt = new String(r.payload, utf8)
             if (uri.endsWith("/robots.txt")) {
-              graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-                out += ((1, host, rule.path, 0, 0, rule.allow))
+              ArchiveQueries.fetchedBody(r) match {
+                case Some((st, body)) if st / 100 == 2 =>
+                  val txt = new String(body, utf8)
+                  graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
+                    out += ((1, host, rule.path, 0, 0, rule.allow))
+                  }
+                  graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
+                    out += ((3, host, frontierCanonicalStr(sm), 0, 0, false))
+                  }
+                  graft.text.RobotsOps.crawlDelay(txt, Agent).foreach { d =>
+                    out += ((4, host, "", d.toInt, 0, false))
+                  }
+                case Some((st, _)) if st >= 300 && st < 500 =>
+                  () // §2.3.1.3 unavailable: crawl unrestricted
+                case _ =>
+                  // §2.3.1.4 unreachable: complete disallow, fail closed
+                  out += ((1, host, "/", 0, 0, false))
               }
-              graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
-                out += ((3, host, UrlOps.canonicalStr(sm), 0, 0, false))
-              }
-              graft.text.RobotsOps.crawlDelay(txt, Agent).foreach { d =>
-                out += ((4, host, "", d.toInt, 0, false))
-              }
-            } else if (uri.endsWith("/seen.txt")) {
-              txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-                .foreach { u =>
-                  out += ((6, host, UrlOps.canonicalStr(u), 0, 0, false))
+            } else {
+              // non-robots documents: only successful fetches count
+              val body200 = ArchiveQueries.fetchedBody(r)
+                .filter(_._1 / 100 == 2).map(_._2)
+              for (raw <- body200) {
+                if (uri.endsWith("/seen.txt")) {
+                  new String(raw, utf8).split("\n").iterator.map(_.trim)
+                    .filter(_.nonEmpty).foreach { u =>
+                      out += ((6, host, frontierCanonicalStr(u), 0, 0, false))
+                    }
+                } else if (uri.endsWith(".xml") || uri.endsWith(".xml.gz")) {
+                  // a `.xml.gz` sitemap is a gzip FILE (not a content
+                  // coding): one member, engine-owned walk
+                  val xmlBytes =
+                    if (uri.endsWith(".xml.gz"))
+                      graft.multimodal.GzipCodec.members(raw, 1 << 24)
+                        .filter(_.nonEmpty).map(_.head.payload)
+                    else Some(raw)
+                  for (b <- xmlBytes) {
+                    val txt = new String(b, utf8)
+                    if (graft.text.SitemapOps.isUrlset(txt)) {
+                      out += ((2, host, frontierCanonicalStr(uri), 0, 0,
+                        false))
+                      graft.text.SitemapOps.urlEntries(txt).foreach { e =>
+                        val path = frontierCanonicalStr(e.loc)
+                          .stripPrefix(s"http://$host")
+                        // guarded parses: a year-only lastmod ("2026" is
+                        // valid W3C datetime) or a junk priority falls
+                        // back to the missing-field defaults instead of
+                        // failing the task
+                        val mo = e.lastmod.filter(_.length >= 7)
+                          .flatMap(_.substring(5, 7).toIntOption)
+                          .getOrElse(0)
+                        val pri = e.priority.flatMap(_.toDoubleOption)
+                          .map(d => math.round(d * 10).toInt).getOrElse(5)
+                        out += ((0, host, path, mo, pri, false))
+                      }
+                    } else if (graft.text.SitemapOps.isIndex(txt)) {
+                      graft.text.SitemapOps.indexChildren(txt).foreach { c =>
+                        out += ((5, host, frontierCanonicalStr(c), 0, 0,
+                          false))
+                      }
+                    }
+                  }
                 }
-            } else if (uri.endsWith(".xml") &&
-              graft.text.SitemapOps.isUrlset(txt)) {
-              out += ((2, host, UrlOps.canonicalStr(uri), 0, 0, false))
-              graft.text.SitemapOps.urlEntries(txt).foreach { e =>
-                val path = UrlOps.canonicalStr(e.loc)
-                  .stripPrefix(s"http://$host")
-                // guarded parses: a year-only lastmod ("2026" is valid
-                // W3C datetime) or a junk priority falls back to the
-                // missing-field defaults instead of failing the task
-                val mo = e.lastmod.filter(_.length >= 7)
-                  .flatMap(_.substring(5, 7).toIntOption).getOrElse(0)
-                val pri = e.priority.flatMap(_.toDoubleOption)
-                  .map(d => math.round(d * 10).toInt).getOrElse(5)
-                out += ((0, host, path, mo, pri, false))
-              }
-            } else if (uri.endsWith(".xml") &&
-              graft.text.SitemapOps.isIndex(txt)) {
-              graft.text.SitemapOps.indexChildren(txt).foreach { c =>
-                out += ((5, host, UrlOps.canonicalStr(c), 0, 0, false))
               }
             }
           }
@@ -238,31 +355,49 @@ object FrontierQueries {
   }
 
   /** Closed-form oracle CTEs shared by the three sitemap-tree queries:
-    * the planted entries with guarded-parse effective values, the per
-    * canonical (host, path) reduction, and the rule decision replayed
-    * per the generator's h%3 branch.
+    * the planted entries with guarded-parse effective values (file
+    * i=18's urlset is 404-carried — its entries INCLUDING host 2's
+    * extras vanish whole), the frontier-key extras (distinct routing
+    * queries, a case-preserved path), the per canonical (host, path)
+    * reduction, and the rule decision replayed per the generator's
+    * h%3 branch UNDER the §2.3.1 availability overrides (h5's robots
+    * is a 404 → allow-all; h6's is a 500 → disallow-all).
     */
   private val PathsCtes =
     """specs AS (
       |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 4 AS ne
       |  FROM unnest(range(0, 24)) i(i)),
-      |entries AS (
+      |hosts8 AS (SELECT DISTINCT h FROM specs),
+      |gridentries AS (
       |  SELECT h, (i + 2 * j.j) % 9 AS p,
       |         CASE WHEN j.j % 3 = 2 THEN (i + j.j) % 2 ELSE -1 END AS s,
       |         CASE WHEN (i + j.j) % 5 = 4 THEN 0
       |              ELSE 1 + (i + j.j) % 3 END AS mo,
       |         CASE WHEN (i + j.j) % 7 = 6 THEN 5
       |              ELSE 3 + (i + j.j) % 7 END AS pri
-      |  FROM specs, LATERAL unnest(range(0, ne)) j(j)),
+      |  FROM specs, LATERAL unnest(range(0, ne)) j(j)
+      |  WHERE i <> 18),
+      |allentries AS (
+      |  SELECT h, '/p' || p ||
+      |         CASE WHEN s >= 0 THEN '/s' || s ELSE '' END AS path,
+      |         p, s, mo, pri
+      |  FROM gridentries
+      |  UNION ALL
+      |  SELECT h, '/q?id=0', -1, -1, 2, 5 FROM hosts8 WHERE h <> 2
+      |  UNION ALL
+      |  SELECT h, '/q?id=1', -1, -1, 2, 5 FROM hosts8 WHERE h <> 2
+      |  UNION ALL
+      |  SELECT h, '/P' || ((h + 1) % 9), -1, -1, 2, 6 FROM hosts8
+      |  WHERE h <> 2),
       |paths AS (
-      |  SELECT h, p, s,
-      |         '/p' || p || CASE WHEN s >= 0 THEN '/s' || s ELSE '' END
-      |           AS path,
-      |         max(mo) >= 2 AS fresh, max(pri) AS pri,
-      |         CASE WHEN h % 3 = 0 THEN TRUE
-      |              WHEN h % 3 = 1 THEN p <> (h + 1) % 9
-      |              ELSE NOT (s = 1) END AS ok
-      |  FROM entries GROUP BY h, p, s)""".stripMargin
+      |  SELECT h, path, max(mo) >= 2 AS fresh, max(pri) AS pri,
+      |         CASE WHEN h = 5 THEN TRUE
+      |              WHEN h = 6 THEN FALSE
+      |              WHEN max(p) < 0 THEN TRUE
+      |              WHEN h % 3 = 0 THEN TRUE
+      |              WHEN h % 3 = 1 THEN max(p) <> (h + 1) % 9
+      |              ELSE NOT (max(s) = 1) END AS ok
+      |  FROM allentries GROUP BY h, path)""".stripMargin
 
   /** Sitemap-driven recrawl frontier (sitemaps.org protocol + RFC 9309),
     * composed: robots.txt `Sitemap:` declarations, `<sitemapindex>`
@@ -329,15 +464,20 @@ object FrontierQueries {
     val oracle = Some(
       s"""WITH $PathsCtes,
         |sm AS (
-        |  SELECT h, sum(CASE WHEN h % 4 = 3 THEN 2 ELSE 1 END) AS n_sitemaps,
+        |  SELECT h, sum(CASE WHEN i = 18 THEN 0
+        |                     WHEN h % 4 = 3 THEN 2 ELSE 1 END) AS n_sitemaps,
         |         -- host 3's 3 indexes each declare 3 children (1 never
-        |         -- written); host 7's declare 2; others have no index
+        |         -- written); host 7's declare 2; others have no index;
+        |         -- file 18's 404-carried urlset is never discovered
         |         sum(CASE WHEN h = 3 THEN 3
         |                  WHEN h % 4 = 3 THEN 2 ELSE 0 END) AS n_children,
         |         sum(CASE WHEN h = 3 THEN 1 ELSE 0 END) AS n_missing
         |  FROM specs GROUP BY h)
         |SELECT 's' || paths.h || '.example' AS host,
-        |       CAST(1 AS BIGINT) AS n_declared,
+        |       -- h5/h6: the robots fetch is 404/500 — no parsed body,
+        |       -- no Sitemap: declaration
+        |       CAST(CASE WHEN paths.h IN (5, 6) THEN 0 ELSE 1 END
+        |         AS BIGINT) AS n_declared,
         |       CAST(sm.n_sitemaps AS BIGINT) AS n_sitemaps,
         |       CAST(sm.n_children AS BIGINT) AS n_children,
         |       CAST(sm.n_missing AS BIGINT) AS n_missing,
@@ -526,17 +666,20 @@ object FrontierQueries {
       s"""WITH $PathsCtes,
         |fr AS (
         |  SELECT h, path, pri,
+        |         -- h5's robots is a 404: no Crawl-delay parsed, the
+        |         -- 1 s default applies (h6 never reaches the plan)
+        |         CASE WHEN h IN (5, 6) THEN 1 ELSE 1 + h % 4 END AS dl,
         |         row_number() OVER (PARTITION BY h
         |                            ORDER BY pri DESC, path ASC) AS rk
         |  FROM paths WHERE fresh AND ok)
         |SELECT 's' || h || '.example' AS host,
-        |       CAST(1 + h % 4 AS BIGINT) AS delay_s,
+        |       CAST(dl AS BIGINT) AS delay_s,
         |       CAST(count(*) AS BIGINT) AS n_fetches,
-        |       CAST((count(*) - 1) * (1 + h % 4) AS BIGINT) AS makespan_s,
-        |       CAST((count(*) - 1) * count(*) // 2 * (1 + h % 4) AS BIGINT)
+        |       CAST((count(*) - 1) * dl AS BIGINT) AS makespan_s,
+        |       CAST((count(*) - 1) * count(*) // 2 * dl AS BIGINT)
         |         AS total_wait_s,
         |       min(CASE WHEN rk = 1 THEN path END) AS first_path
-        |FROM fr GROUP BY h ORDER BY host""".stripMargin)
+        |FROM fr GROUP BY h, dl ORDER BY host""".stripMargin)
   }
 
   /** The recrawl-plan capstone (round 12) — the frontier pieces
@@ -661,13 +804,17 @@ object FrontierQueries {
         |         sum(CASE WHEN was_seen THEN 0 ELSE 1 END) AS n_new
         |  FROM resolved GROUP BY h)
         |SELECT 's' || staged.h || '.example' AS host,
-        |       CAST(1 + staged.h % 4 AS BIGINT) AS delay_s,
+        |       -- h5/h6 robots are 404/500: no Crawl-delay, 1 s default
+        |       CAST(CASE WHEN staged.h IN (5, 6) THEN 1
+        |                 ELSE 1 + staged.h % 4 END AS BIGINT) AS delay_s,
         |       CAST(n_candidates AS BIGINT) AS n_candidates,
         |       CAST(n_fresh AS BIGINT) AS n_fresh,
         |       CAST(n_frontier AS BIGINT) AS n_frontier,
         |       CAST(coalesce(n_bloom_new, 0) AS BIGINT) AS n_bloom_new,
         |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
-        |       CAST(greatest(coalesce(n_new, 0) - 1, 0) * (1 + staged.h % 4)
+        |       CAST(greatest(coalesce(n_new, 0) - 1, 0) *
+        |         (CASE WHEN staged.h IN (5, 6) THEN 1
+        |               ELSE 1 + staged.h % 4 END)
         |         AS BIGINT) AS makespan_s
         |FROM staged LEFT JOIN np ON np.h = staged.h
         |ORDER BY host""".stripMargin)

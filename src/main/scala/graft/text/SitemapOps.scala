@@ -35,16 +35,29 @@ object SitemapOps {
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")
 
-  /** The urlset's entries, in document order; loc-less blocks dropped. */
+  /** sitemaps.org caps a urlset (and an index) at 50,000 entries; a
+    * conformant consumer must not let one malformed/hostile file
+    * balloon past the protocol bound, so entries beyond the cap are
+    * dropped (the protocol says such a file is invalid anyway).
+    */
+  val MaxEntries = 50000
+
+  /** The urlset's entries, in document order; loc-less blocks dropped;
+    * capped at [[MaxEntries]] (lazy iterator — the tail of an
+    * over-limit file is never materialized).
+    */
   def urlEntries(xml: String): Seq[Entry] =
-    UrlRe.findAllMatchIn(xml).toSeq.flatMap { m =>
+    UrlRe.findAllMatchIn(xml).flatMap { m =>
       val b = m.group(1)
       tag(b, "loc").map(Entry(_, tag(b, "lastmod"), tag(b, "priority")))
-    }
+    }.take(MaxEntries).toSeq
 
-  /** Child sitemap locations of a `<sitemapindex>` document. */
+  /** Child sitemap locations of a `<sitemapindex>` document; capped at
+    * [[MaxEntries]] like urlsets.
+    */
   def indexChildren(xml: String): Seq[String] =
-    ChildRe.findAllMatchIn(xml).toSeq.flatMap(m => tag(m.group(1), "loc"))
+    ChildRe.findAllMatchIn(xml).flatMap(m => tag(m.group(1), "loc"))
+      .take(MaxEntries).toSeq
 
   def isIndex(xml: String): Boolean = xml.contains("<sitemapindex")
   def isUrlset(xml: String): Boolean = xml.contains("<urlset")

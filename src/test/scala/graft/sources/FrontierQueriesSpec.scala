@@ -84,8 +84,8 @@ class FrontierQueriesSpec extends SparkSpec {
         |</urlset>""".stripMargin
     val robots = "User-agent: graftbot\nDisallow: /secret\n" +
       "Sitemap: http://t0.example/sitemap.xml\n" // NO Crawl-delay line
-    clearTree("sitemap3", sfDir)
-    plant("sitemap3", sfDir, "0", "s000.warc.gz", Seq(
+    clearTree("sitemap4", sfDir)
+    plant("sitemap4", sfDir, "0", "s000.warc.gz", Seq(
       member("resource", "rob", Some("http://t0.example/robots.txt"),
         robots.getBytes(utf8)),
       member("resource", "map", Some("http://t0.example/sitemap.xml"),

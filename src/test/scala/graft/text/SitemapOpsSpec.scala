@@ -69,4 +69,20 @@ class SitemapOpsSpec extends AnyFunSuite {
     // and the declaration lines do NOT leak into the rule parse
     assert(RobotsOps.rules(robots, "otherbot").isEmpty)
   }
+
+  test("urlset and index cap at the protocol's 50k entries") {
+    val over = SitemapOps.MaxEntries + 2
+    val urls = (0 until over)
+      .map(k => s"<url><loc>http://a.example/p$k</loc></url>").mkString
+    val got = SitemapOps.urlEntries(s"<urlset>$urls</urlset>")
+    assert(got.size == SitemapOps.MaxEntries)
+    // document order: the cap drops the TAIL, not arbitrary entries
+    assert(got.head.loc == "http://a.example/p0")
+    assert(got.last.loc == s"http://a.example/p${SitemapOps.MaxEntries - 1}")
+    val children = (0 until over)
+      .map(k => s"<sitemap><loc>http://a.example/s$k.xml</loc></sitemap>")
+      .mkString
+    assert(SitemapOps.indexChildren(s"<sitemapindex>$children</sitemapindex>")
+      .size == SitemapOps.MaxEntries)
+  }
 }
