@@ -235,10 +235,14 @@ object SketchOps {
     * slice (doc_id % 4 != 0) of synthesized per-document URLs, probes
     * the candidate slice (doc_id % 2 = 0) — each side spelling its raw
     * URLs with DIFFERENT variant noise (trailing slash + tracking
-    * query vs WWW + fragment), collapsed by the shared
-    * [[graft.text.UrlOps]] canonicalizer before any bit math; without
-    * that composition the same page hashes to different bits and
-    * `n_miss` goes nonzero — and reports the sketch's confusion per
+    * query vs WWW + fragment), collapsed by the shared FRONTIER
+    * canonicalizer ([[graft.text.UrlOps.frontierCanonical]] — round 13:
+    * a seen-set key must keep routing queries and path case, so the
+    * fixture also plants `?q=<n>` pages that must NOT collapse and
+    * case-distinct `/D<id>` candidates that are genuinely new) before
+    * any bit math; without that composition the same page hashes to
+    * different bits and `n_miss` goes nonzero — and reports the
+    * sketch's confusion per
     * host next to ground truth from the exact join it would replace: `n_fp` (bloom-positive but genuinely new — the
     * wasted exact-checks) and `n_miss` (seen but bloom-negative —
     * structurally ZERO, the no-false-negatives property the oracle
@@ -267,20 +271,40 @@ object SketchOps {
       // the same page — yesterday's crawl logged trailing slashes and
       // tracking queries, today's candidates arrive as WWW./fragment
       // variants — so the sketch only works composed with the shared
-      // canonicalizer ([[graft.text.UrlOps]]): skip it and the seen
-      // probe strings stop matching (n_miss > 0 hash-fails every row)
-      val base = concat(lit(".example/d"), col("doc_id").cast("string"))
+      // canonicalizer: skip it and the seen probe strings stop
+      // matching (n_miss > 0 hash-fails every row).
+      // Round 13: the key is the FRONTIER canonicalization
+      // ([[graft.text.UrlOps.frontierCanonical]]) — a seen-set must
+      // not collapse distinct pages: doc_id%11==0 rows carry a ROUTING
+      // `?q=<id%4>` that both sides keep (spelled WITH a utm_source
+      // param on the seen side that must strip), and doc_id%13==5
+      // candidates arrive at the case-distinct path `/D<id>` that is
+      // genuinely NOT the seen `/d<id>` page (paths are
+      // case-sensitive) — a whole-query-strip or path-lowercase
+      // canonicalizer shifts n_seen/n_fp on those hosts
+      val id = col("doc_id").cast("string")
       val hostN = (col("doc_id") % 13).cast("string")
-      val seenRaw = concat(lit("http://s"), hostN, base,
+      val routing = when(col("doc_id") % 11 === 0,
+        concat(lit("?q="), (col("doc_id") % 4).cast("string")))
+        .otherwise(lit(""))
+      val seenQuery = when(col("doc_id") % 11 === 0,
+        concat(lit("?q="), (col("doc_id") % 4).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("&utm_source=1"))
+            .otherwise(lit(""))))
+        .otherwise(when(col("doc_id") % 5 === 0, lit("?utm_source=1"))
+          .otherwise(lit("")))
+      val seenRaw = concat(lit("http://s"), hostN, lit(".example/d"), id,
         when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit("?utm=1")).otherwise(lit("")))
+        seenQuery)
       val candRaw = concat(
         when(col("doc_id") % 3 === 0, lit("HTTP://WWW.s"))
-          .otherwise(lit("http://s")), hostN, base,
+          .otherwise(lit("http://s")), hostN, lit(".example/"),
+        when(col("doc_id") % 13 === 5, lit("D")).otherwise(lit("d")), id,
+        routing,
         when(col("doc_id") % 7 === 0, lit("#top")).otherwise(lit("")))
       val docs = Graft.table(spark, sfDir, "documents").select(col("doc_id"),
-        graft.text.UrlOps.canonical(seenRaw).as("seen_url"),
-        graft.text.UrlOps.canonical(candRaw).as("cand_url"))
+        graft.text.UrlOps.frontierCanonical(seenRaw).as("seen_url"),
+        graft.text.UrlOps.frontierCanonical(candRaw).as("cand_url"))
       val seen = docs.filter(col("doc_id") % 4 =!= 0)
         .select(col("doc_id"), col("seen_url").as("url"))
       val cand = docs.filter(col("doc_id") % 2 === 0)
@@ -315,10 +339,18 @@ object SketchOps {
     val oracle = Some(
       s"""WITH docs AS (
          |  SELECT doc_id,
-         |         'http://s' || (doc_id % 13) || '.example/d' || doc_id AS url
+         |         'http://s' || (doc_id % 13) || '.example/d' || doc_id ||
+         |           CASE WHEN doc_id % 11 = 0 THEN '?q=' || (doc_id % 4)
+         |                ELSE '' END AS url,
+         |         'http://s' || (doc_id % 13) || '.example/' ||
+         |           CASE WHEN doc_id % 13 = 5 THEN 'D' ELSE 'd' END ||
+         |           doc_id ||
+         |           CASE WHEN doc_id % 11 = 0 THEN '?q=' || (doc_id % 4)
+         |                ELSE '' END AS cand_url
          |  FROM documents),
-         |seen AS (SELECT * FROM docs WHERE doc_id % 4 <> 0),
-         |cand AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+         |seen AS (SELECT doc_id, url FROM docs WHERE doc_id % 4 <> 0),
+         |cand AS (SELECT doc_id, cand_url AS url FROM docs
+         |         WHERE doc_id % 2 = 0),
          |ks AS (SELECT unnest([0, 1, 2]) AS k),
          |bits AS (
          |  SELECT DISTINCT
