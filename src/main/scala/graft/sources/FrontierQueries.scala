@@ -951,6 +951,212 @@ object FrontierQueries {
         |FROM pages GROUP BY h ORDER BY host""".stripMargin)
   }
 
+  /** Create (once per scale factor) the redirect tree: 24 `.warc.gz`
+    * files (host h = i%8), each carrying the three redirect shapes a
+    * real recrawl meets:
+    *  - a CHAIN of L = 1+i%3 edges: `/c{i}/{j}` → `/c{i}/{j+1}` (301 on
+    *    even j, 302 on odd), terminating at a real 200 page
+    *    `/c{i}/{L}`; edge 0's `Location` is spelled
+    *    `HTTP://WWW.…?utm_source=z#f` — only a canonicalized target
+    *    joins back onto the next hop;
+    *  - one CROSS-HOST 301 `/x{i}` → host (h+1)%8's `/y{i}` (the target
+    *    page does not exist — a dangling alias);
+    *  - for i%4==0, a 2-cycle LOOP `/loop{i}/a` ⇄ `/loop{i}/b` (302s) —
+    *    the follow must CAP, not spin.
+    */
+  private[sources] def ensureRedirectTree(sfDir: String): String = {
+    // redir -> redir2: edge j=1's Location went relative after the
+    // first generation (the ensure* guard would serve the stale tree)
+    val root = workDir(scaledTag("redir2"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      for (i <- 0 until 24 * mediaScale) {
+        val h = i % 8
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        def resp(id: String, uri: String, status: String,
+            extra: String, body: String) =
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            "response", s"<urn:uuid:$id>", "2026-01-01T00:00:00Z",
+            Some(uri),
+            (s"HTTP/1.1 $status\r\nContent-Type: text/html$extra\r\n\r\n")
+              .getBytes(iso) ++ body.getBytes(utf8)))
+        def redirect(id: String, uri: String, code: Int, loc: String) =
+          resp(id, uri, if (code == 301) "301 Moved Permanently"
+            else "302 Found", s"\r\nLocation: $loc",
+            "<html><body>moved</body></html>")
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:rd$i>", "2026-01-01T00:00:00Z", None,
+          s"software: graft $i".getBytes(utf8)))
+        val L = 1 + i % 3
+        val chain = (0 until L).map { j =>
+          val loc =
+            if (j == 0) s"HTTP://WWW.s$h.example/c$i/1?utm_source=z#f"
+            else if (j == 1) s"/c$i/2" // RELATIVE Location (RFC 9110
+            // allows relative references; /path is the common shape) —
+            // it must resolve against the SOURCE host or the chain breaks
+            else s"http://s$h.example/c$i/${j + 1}"
+          redirect(s"rd$i-$j", s"http://s$h.example/c$i/$j",
+            if (j % 2 == 0) 301 else 302, loc)
+        }
+        val terminal = resp(s"rd$i-t", s"http://s$h.example/c$i/$L",
+          "200 OK", "", s"<html><body><p>landed $i</p></body></html>")
+        val cross = redirect(s"rd$i-x", s"http://s$h.example/x$i", 301,
+          s"http://s${(h + 1) % 8}.example/y$i")
+        val loop =
+          if (i % 4 == 0) Seq(
+            redirect(s"rd$i-la", s"http://s$h.example/loop$i/a", 302,
+              s"http://s$h.example/loop$i/b"),
+            redirect(s"rd$i-lb", s"http://s$h.example/loop$i/b", 302,
+              s"http://s$h.example/loop$i/a"))
+          else Seq.empty
+        Files.write(dir.resolve(f"d$i%03d.warc.gz"),
+          ((Seq(info) ++ chain :+ terminal :+ cross) ++ loop).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Redirect targets as frontier edges (round 13) — the stage a real
+    * recrawl runs on the 20–30 % of responses that are 3xx: extract
+    * (source, `Location`) alias edges (301/302/303/307/308, targets
+    * through the FRONTIER canonicalizer — spelling noise on a
+    * `Location` must not break the chain), FOLLOW chains to their
+    * final target under a 5-hop cap (RFC 9309 §2.3.1.2's redirect
+    * bound, the industry-standard follow limit), classify the final
+    * target against the crawl's 200 catalog, and report per source
+    * host: edge counts by code, cross-host aliases, chains landing on
+    * a real page, dangling/looping remainders, and the deepest chain.
+    *
+    * Scale shape: edges and 200-page nodes reduce scan-side to
+    * canonical-URL rows; the follow is FIVE bounded self-joins on the
+    * url equi-key (no iteration-to-fixpoint — the cap is the loop
+    * bound, so a redirect cycle costs exactly the cap, never a hang);
+    * every join is unhinted (the edge table grows with crawl size —
+    * AQE broadcasts at fixture scale, shuffles at web scale). The
+    * oracle replays chain lengths, hop counts, canonicalized
+    * spellings, the loop cap, and the dangling cross-host targets
+    * closed-form from (i, j).
+    */
+  object RedirectMap extends GraftQuery {
+    val name = "q_redirect_map"
+    private val Codes = Set(301, 302, 303, 307, 308)
+    private val MaxHops = 5
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      import graft.text.UrlOps.frontierCanonicalStr
+      val root = ensureRedirectTree(sfDir)
+      // kind 0 = a landed 200 page (node), kind 1 = a redirect edge
+      val recs = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            val out = Seq.newBuilder[(Int, String, String, String, Int)]
+            for (uri <- r.targetUri if r.warcType == "response")
+              graft.text.HtmlOps.httpParse(r.payload).foreach { msg =>
+                val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+                if (msg.status == 200)
+                  out += ((0, host, frontierCanonicalStr(uri), "", 0))
+                else if (Codes(msg.status))
+                  graft.text.HtmlOps.location(msg.headers).foreach { loc =>
+                    // RFC 9110 §10.2.2: Location may be a relative
+                    // reference — resolve path-absolute forms against
+                    // the source host (the common real-crawl shape)
+                    val abs =
+                      if (loc.startsWith("/")) s"http://$host$loc" else loc
+                    out += ((1, host, frontierCanonicalStr(uri),
+                      frontierCanonicalStr(abs), msg.status))
+                  }
+              }
+            out.result()
+          }
+        }
+        .toDF("kind", "host", "src", "dst", "code")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = recs.filter(col("kind") === 0)
+        .select(col("src").as("page")).distinct()
+      val edges = recs.filter(col("kind") === 1)
+        .select(col("host"), col("src"), col("dst"), col("code"))
+      val hop = edges.select(col("src").as("h_src"), col("dst").as("h_dst"))
+      // follow chains: MaxHops-1 bounded self-joins on the url equi-key
+      // (hop 1 is the edge itself); a cycle advances until the cap and
+      // lands on a non-200 url — bounded cost, no fixpoint iteration
+      var cur = edges.select(col("host"), col("src"), col("code"),
+        (regexp_extract(col("dst"), "^https?://([^/?]+)", 1) =!= col("host"))
+          .as("crossed"),
+        col("dst").as("cur"), lit(1).as("hops"))
+      for (_ <- 1 until MaxHops) {
+        cur = cur.join(hop, cur("cur") === hop("h_src"), "left")
+          .select(col("host"), col("src"), col("code"), col("crossed"),
+            coalesce(col("h_dst"), col("cur")).as("cur"),
+            (col("hops") +
+              when(col("h_dst").isNotNull, 1).otherwise(0)).as("hops"))
+      }
+      val resolved = cur
+        .join(pages.withColumn("landed", lit(1)),
+          cur("cur") === pages("page"), "left")
+      resolved.groupBy("host")
+        .agg(count(lit(1)).as("n_redirects"),
+          sum(when(col("code") === 301, 1L).otherwise(0L)).as("n_301"),
+          sum(when(col("code") === 302, 1L).otherwise(0L)).as("n_302"),
+          sum(when(col("crossed"), 1L).otherwise(0L)).as("n_cross_host"),
+          sum(when(col("landed").isNotNull, 1L).otherwise(0L))
+            .as("n_final_200"),
+          sum(when(col("landed").isNull, 1L).otherwise(0L))
+            .as("n_unresolved"),
+          sum(when(col("hops") >= MaxHops, 1L).otherwise(0L))
+            .as("n_capped"),
+          max(col("hops")).cast("long").as("max_hops"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 1 + i.i % 3 AS L
+        |  FROM unnest(range(0, 24)) i(i)),
+        |-- chain edge j of file i resolves in L-j hops onto the 200 page
+        |chain AS (
+        |  SELECT h, CASE WHEN j.j % 2 = 0 THEN 301 ELSE 302 END AS code,
+        |         L - j.j AS hops, TRUE AS resolved, FALSE AS crossed
+        |  FROM specs, LATERAL unnest(range(0, L)) j(j)),
+        |-- the cross-host alias dangles (its target page never exists)
+        |cross_ AS (
+        |  SELECT h, 301 AS code, 1 AS hops, FALSE AS resolved,
+        |         TRUE AS crossed
+        |  FROM specs),
+        |-- the 2-cycle advances once per join round until the 5-hop cap
+        |loop_ AS (
+        |  SELECT h, 302 AS code, 5 AS hops, FALSE AS resolved,
+        |         FALSE AS crossed
+        |  FROM specs, LATERAL unnest(range(0, 2)) l(l) WHERE i % 4 = 0),
+        |edges AS (
+        |  SELECT * FROM chain
+        |  UNION ALL SELECT * FROM cross_
+        |  UNION ALL SELECT * FROM loop_)
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(count(*) AS BIGINT) AS n_redirects,
+        |       CAST(sum(CASE WHEN code = 301 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_301,
+        |       CAST(sum(CASE WHEN code = 302 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_302,
+        |       CAST(sum(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cross_host,
+        |       CAST(sum(CASE WHEN resolved THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_final_200,
+        |       CAST(sum(CASE WHEN NOT resolved THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_unresolved,
+        |       CAST(sum(CASE WHEN hops >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_capped,
+        |       CAST(max(hops) AS BIGINT) AS max_hops
+        |FROM edges GROUP BY h ORDER BY host""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit, RecrawlPlan)
+    Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit, RecrawlPlan,
+      RedirectMap)
 }

@@ -149,6 +149,44 @@ class FrontierQueriesSpec extends SparkSpec {
       s"chunked 200 robots must parse: ${rows("d.example")}")
   }
 
+  test("redirect map: 303/307 codes count, relative Location resolves " +
+    "against the source host, a self-loop caps") {
+    val sfDir = "/spec/redirect_hand"
+    def resp(id: String, uri: String, status: String, extra: String,
+        body: String) =
+      member("response", id, Some(uri),
+        (s"HTTP/1.1 $status\r\nContent-Type: text/html$extra\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body.getBytes(utf8))
+    clearTree("redir2", sfDir)
+    plant("redir2", sfDir, "0", "d000.warc.gz", Seq(
+      // 303 with a RELATIVE Location onto a real page
+      resp("a", "http://t0.example/a", "303 See Other",
+        "\r\nLocation: /land", "x"),
+      // 307 chain hop onto the same page, absolute spelling
+      resp("b", "http://t0.example/b", "307 Temporary Redirect",
+        "\r\nLocation: http://t0.example/land", "x"),
+      // a SELF-loop: must cap at 5 hops, not spin
+      resp("c", "http://t0.example/self", "302 Found",
+        "\r\nLocation: http://t0.example/self", "x"),
+      // a redirect with NO Location header contributes no edge
+      resp("d", "http://t0.example/noloc", "301 Moved Permanently", "", "x"),
+      resp("land", "http://t0.example/land", "200 OK", "",
+        "<html><body>landed</body></html>")))
+    val r = FrontierQueries.RedirectMap.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "t0.example")
+    assert(row.getLong(1) == 3L, s"3 edges (the no-Location 301 drops): $row")
+    assert(row.getLong(2) == 0L && row.getLong(3) == 1L,
+      s"only the 302 self-loop among 301/302 counters: $row")
+    assert(row.getLong(4) == 0L, s"no cross-host edges: $row")
+    assert(row.getLong(5) == 2L,
+      s"303-relative and 307-absolute both land on /land: $row")
+    assert(row.getLong(6) == 1L && row.getLong(7) == 1L,
+      s"the self-loop is unresolved AND capped: $row")
+    assert(row.getLong(8) == 5L, s"cap depth is the max hop count: $row")
+  }
+
   test("crawl delta: hand-planted add/remove/change/same classification") {
     val sfDir = "/spec/delta_hand"
     def page(snap: String, path: String, body: String) =
