@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Round-13 measurement legs, sequential (one sbt at a time):
+#   1. archive/crawl shuffle audit at x1 and x10 fixture scale
+#   2. bloom/url-dedup shuffle audit at sf0.1 and sf1
+#   3. full-registry bench at sf1 (the sf0.1 -> sf1 curve)
+# Full gate runs separately afterwards.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+ARCHIVE_QS="q_crawl_corpus,q_crawl_delta,q_crawl_pagerank,q_fetch_schedule,q_html_link_graph,q_main_content,q_pnm_scan,q_recrawl_plan,q_redirect_map,q_robots_frontier,q_sitemap_frontier,q_tar_scan,q_targz_scan,q_warc_html_extract,q_warc_revisit,q_warc_scan,q_zip_scan"
+
+echo "[r13] archive audit x1"
+SPARK_GRAFT_ONLY="$ARCHIVE_QS" SPARK_GRAFT_AUDIT_OUT=SHUFFLE_r13_archive_x1.json \
+  tools/run_main.sh graft.tools.ShuffleAudit > /tmp/r13_audit_x1.log 2>&1
+echo "rc=$?"
+
+echo "[r13] archive audit x10"
+SPARK_GRAFT_MEDIA_SCALE=10 SPARK_GRAFT_ONLY="$ARCHIVE_QS" \
+  SPARK_GRAFT_AUDIT_OUT=SHUFFLE_r13_archive_x10.json \
+  tools/run_main.sh graft.tools.ShuffleAudit > /tmp/r13_audit_x10.log 2>&1
+echo "rc=$?"
+
+echo "[r13] bloom audit sf0.1"
+SPARK_GRAFT_ONLY="q_bloom_urlseen,q_url_dedup" \
+  SPARK_GRAFT_AUDIT_OUT=SHUFFLE_r13_bloom_sf01.json \
+  tools/run_main.sh graft.tools.ShuffleAudit > /tmp/r13_audit_bloom01.log 2>&1
+echo "rc=$?"
+
+echo "[r13] bloom audit sf1"
+SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_ONLY="q_bloom_urlseen,q_url_dedup" \
+  SPARK_GRAFT_AUDIT_OUT=SHUFFLE_r13_bloom_sf1.json \
+  tools/run_main.sh graft.tools.ShuffleAudit > /tmp/r13_audit_bloom1.log 2>&1
+echo "rc=$?"
+
+echo "[r13] full-registry bench @ sf1"
+SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_BENCH_OUT=BENCH_sf1_full_r13.json \
+  tools/run_main.sh graft.Bench > /tmp/r13_bench_sf1.log 2>&1
+echo "rc=$?"
+
+echo "[r13] audits done"
