@@ -556,15 +556,23 @@ object ArchiveQueries {
     * (content coding innermost, transfer framing outermost, the RFC
     * 9110/9112 wire order), and every file carries a 404 error page
     * and a 301 redirect stub whose bodies would shift every count if
-    * ingested. Every extracted token is a pure function of (i, j, k),
-    * so the oracle replays the CONSTRUCTION, never parses HTML — a
-    * stripper that leaks script text, keeps tags, mis-sniffs the
-    * charset, decodes any reference wrong, skips de-chunking or
-    * gzip decoding (or runs them in the wrong order), or ingests a
-    * non-200 cannot reproduce the counts.
+    * ingested. Round-13 codings (tag warch4 → warch5): responses with
+    * (i+j)%4 == 1 are `Content-Encoding: deflate` (zlib per the RFC
+    * letter, written by the engine's own [[graft.multimodal
+    * .DeflateCodec.zlib]] — some ALSO chunked, the compound order),
+    * and every file carries a record CLAIMING `Content-Encoding: br`
+    * whose body is token-bearing plain HTML — a reader that ignores
+    * the coding header strips it as text and every count shifts; the
+    * engine must SKIP the record (unknown coding). Every extracted
+    * token is a pure function of (i, j, k), so the oracle replays the
+    * CONSTRUCTION, never parses HTML — a stripper that leaks script
+    * text, keeps tags, mis-sniffs the charset, decodes any reference
+    * wrong, skips de-chunking or gzip/deflate decoding (or runs them
+    * in the wrong order), ingests a non-200, or lets a br-coded
+    * record through cannot reproduce the counts.
     */
   private[sources] def ensureWarcHtmlTree(sfDir: String): String = {
-    val root = workDir(scaledTag("warch4"), sfDir)
+    val root = workDir(scaledTag("warch5"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val iso = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -595,10 +603,12 @@ object ArchiveQueries {
                 "<!-- no --></body></html>"
               val chunked = (i + j) % 3 == 0
               val gzipped = (i + j) % 4 == 2 || chunked && (i + j) % 4 == 0
+              val deflated = (i + j) % 4 == 1
               val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html" +
                 (if (inHeader) s"; charset=$csName" else "") +
                 "\r\nX-Crawl: graft" +
                 (if (gzipped) "\r\nContent-Encoding: gzip" else "") +
+                (if (deflated) "\r\nContent-Encoding: deflate" else "") +
                 (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
                 "\r\n\r\n"
               // wire order per RFC 9110/9112: content coding innermost,
@@ -606,6 +616,8 @@ object ArchiveQueries {
               val coded0 = html.getBytes(cs)
               val coded1 =
                 if (gzipped) graft.multimodal.GzipCodec.buildMember(coded0)
+                else if (deflated)
+                  graft.multimodal.DeflateCodec.zlib(coded0)
                 else coded0
               val body = if (chunked) chunkFrame(coded1) else coded1
               ("response", Some(s"http://corpus.example/h$i/$j"),
@@ -631,8 +643,19 @@ object ArchiveQueries {
             s"http://corpus.example/h$i/new\r\nContent-Type: text/html" +
             "\r\n\r\n<html><body><p>moved moved moved moved</p></body>" +
             "</html>").getBytes(iso)))
+        // a record CLAIMING an unknown coding whose body is plain
+        // token-bearing HTML: a coding-ignorant reader strips it as
+        // text and shifts every count; the engine must skip it
+        val brClaim = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "response", s"<urn:uuid:h$i-e5>", "2026-01-01T00:00:00Z",
+          Some(s"http://corpus.example/h$i/br"),
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+            "\r\nContent-Encoding: br\r\n\r\n").getBytes(iso) ++
+            (s"<html><body><h1>h$i é</h1><p>w1 &amp; w1 &#66; &#x62; " +
+              "a&nbsp;b</p></body></html>").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
         Files.write(dir.resolve(f"h$i%03d.warc.gz"),
-          (members :+ notFound :+ redirect).reduce(_ ++ _))
+          (members :+ notFound :+ redirect :+ brClaim).reduce(_ ++ _))
       }
     }
     root
