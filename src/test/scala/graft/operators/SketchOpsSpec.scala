@@ -152,10 +152,15 @@ class SketchOpsSpec extends SparkSpec {
       assert(r.getLong(2) == r.getLong(3) + r.getLong(4),
         s"n_pass != n_seen + n_fp on ${r.getString(0)} (miss=0 ⇒ equality)")
     }
-    // candidates = doc_id % 2 == 0; seen ∩ candidates = doc_id ≡ 2 (mod 4)
+    // candidates = doc_id % 2 == 0 (250 of 500 at sf0.01); seen ∩
+    // candidates = doc_id ≡ 2 (mod 4) = 125, MINUS the round-13
+    // case-distinct class: doc_id ≡ 5 (mod 13) candidates arrive at
+    // the uppercase /D<id> path, which is genuinely NOT the seen
+    // /d<id> page under the frontier key — ids ≡ 2 (mod 4) ∧ ≡ 5
+    // (mod 13) ⇔ ≡ 18 (mod 52) ⇒ 10 ids in [0, 500) ⇒ 115 seen
     val total = rows.map(_.getLong(1)).sum
     val seen = rows.map(_.getLong(3)).sum
-    assert(total == 250L && seen == 125L,
+    assert(total == 250L && seen == 115L,
       s"slice arithmetic off: $total candidates / $seen seen at sf0.01")
   }
 
