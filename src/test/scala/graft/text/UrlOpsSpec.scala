@@ -119,4 +119,39 @@ class UrlOpsSpec extends SparkSpec {
       assert(got(v) == UrlOps.frontierCanonicalStr(v), s"divergence on: $v")
     }
   }
+
+  test("randomized URLs: both twin pairs agree on every generated URL") {
+    import spark.implicits._
+    // structured random URL generator covering the decision space:
+    // scheme case, www, host case, path depth/case, trailing slash,
+    // param mix (routing/tracking/empty/valueless/prefix-collision),
+    // fragment — a divergence anywhere fragments a frontier key space
+    val rnd = new scala.util.Random(0x13)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 400).map { _ =>
+      val scheme = pick(Seq("http://", "https://", "HTTP://", "HtTpS://"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("ex.com", "Ex.COM", "s3.example", "A.b.C"))
+      val segs = (0 until rnd.nextInt(3)).map(_ =>
+        pick(Seq("p1", "Page", "UPPER", "q", "d9"))).mkString("/")
+      val slash = pick(Seq("", "/"))
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        pick(Seq("id=1", "q=2", "utm_source=x", "utm_x", "gclid=9",
+          "gclid_x=1", "fbclid=z", "", "a=b=c", "B=2")))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#frag?x=1"))
+      s"$scheme$www$host${if (segs.isEmpty) "" else "/" + segs}$slash$query$frag"
+    }.distinct
+    val rows = urls.toDF("u")
+      .select(col("u"), UrlOps.canonical(col("u")).as("c"),
+        UrlOps.frontierCanonical(col("u")).as("f"))
+      .collect()
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(r.getString(1) == UrlOps.canonicalStr(u),
+        s"corpus twins diverge on: $u")
+      assert(r.getString(2) == UrlOps.frontierCanonicalStr(u),
+        s"frontier twins diverge on: $u")
+    }
+  }
 }
