@@ -1156,7 +1156,178 @@ object FrontierQueries {
         |FROM edges GROUP BY h ORDER BY host""".stripMargin)
   }
 
+  /** Create (once per scale factor) the revalidation tree: `old/` and
+    * `new/` snapshots of 24 `.warc.gz` files (host h = i%8), pages
+    * j ∈ [0, 4+i%3) at uri `/v{i}/{j}` stored as HTTP responses.
+    * Old page (i, j): body `"b" × (20 + (3i+5j)%40)`, carrying an
+    * `ETag` iff (i+j)%3 ≠ 0 (weak `W/"…"` form when (i+j)%7 == 0,
+    * lowercase `etag:` header name when (i+j)%5 == 0 — field names
+    * are case-insensitive) and a `Last-Modified` iff (i+j)%2 == 0.
+    * New page: pages WITH a validator revalidate — `304 Not Modified`
+    * (EMPTY body) unless the content changed ((i+j)%4 == 1), which
+    * refetches full at body length 20 + (3i+5j+7)%40; validator-less
+    * pages always refetch full at the old length. Every column of the
+    * accounting row is a pure function of (i, j).
+    */
+  private[sources] def ensureRevalTree(sfDir: String): String = {
+    val root = workDir(scaledTag("reval"), sfDir)
+    if (!Files.exists(Paths.get(root, "old"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      for (snap <- Seq("old", "new"); i <- 0 until 24 * mediaScale) {
+        val h = i % 8
+        val dir = Paths.get(root, snap, s"${i % 2}")
+        Files.createDirectories(dir)
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:rv-$snap-$i>", "2026-01-01T00:00:00Z",
+          None, s"software: graft $i".getBytes(utf8)))
+        val pages = (0 until 4 + i % 3).map { j =>
+          val uri = s"http://s$h.example/v$i/$j"
+          val hasEtag = (i + j) % 3 != 0
+          val hasLm = (i + j) % 2 == 0
+          val etagName = if ((i + j) % 5 == 0) "etag" else "ETag"
+          val etagVal =
+            (if ((i + j) % 7 == 0) "W/" else "") + s""""e$i-$j""""
+          val validators =
+            (if (hasEtag) s"\r\n$etagName: $etagVal" else "") +
+              (if (hasLm)
+                s"\r\nLast-Modified: Thu, 01 Jan 2026 00:00:0${(i + j) % 10} GMT"
+              else "")
+          val oldLen = 20 + (3 * i + 5 * j) % 40
+          val changed = (i + j) % 4 == 1
+          val payload =
+            if (snap == "old")
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/html$validators" +
+                "\r\n\r\n").getBytes(iso) ++
+                Array.fill[Byte](oldLen)('b')
+            else if ((hasEtag || hasLm) && !changed)
+              // conditional GET answered 304: headers only, NO body
+              (s"HTTP/1.1 304 Not Modified$validators\r\n\r\n")
+                .getBytes(iso)
+            else {
+              val len = if (changed) 20 + (3 * i + 5 * j + 7) % 40 else oldLen
+              ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+                .getBytes(iso) ++ Array.fill[Byte](len)('b')
+            }
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            "response", s"<urn:uuid:rv-$snap-$i-$j>",
+            "2026-01-01T00:00:00Z", Some(uri), payload))
+        }
+        Files.write(dir.resolve(f"v$i%03d.warc.gz"),
+          (info +: pages).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Conditional-GET revalidation accounting (RFC 9110 §13 / §8.8) —
+    * the fetch-cost primitive between [[CrawlDelta]] (what changed)
+    * and [[RecrawlPlan]] (what to fetch): pages whose previous capture
+    * carried a validator (`ETag` → `If-None-Match`, `Last-Modified` →
+    * `If-Modified-Since`) revalidate with a header-only `304 Not
+    * Modified` instead of a full transfer, and the saving is the
+    * previous body's bytes. The query parses validators from the OLD
+    * snapshot's stored headers (anchored case-insensitive field
+    * matching — weak `W/"…"` ETags are still validators), joins the
+    * NEW snapshot's statuses on the uri key, and reports per host:
+    * page/validator inventories, 304 vs full-fetch counts, bytes the
+    * validators saved vs bytes actually transferred. Scale shape: the
+    * same as [[CrawlDelta]] — validator parsing and body measuring run
+    * scan-side, the uri-keyed equi-join shuffles only
+    * (host, uri, small-ints) rows (bucketing both snapshots by uri
+    * makes it shuffle-free at 100 TB), per-host aggregates after. The
+    * oracle replays the validator-presence arithmetic, the 304/200
+    * branch, and both byte sums closed-form from (i, j).
+    */
+  object RevalidatePlan extends GraftQuery {
+    val name = "q_revalidate_plan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureRevalTree(sfDir)
+      def snapshot(snap: String): DataFrame = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(s"$root/$snap")
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            for {
+              uri <- r.targetUri.toSeq
+              if r.warcType == "response"
+              msg <- graft.text.HtmlOps.httpParse(r.payload).toSeq
+            } yield {
+              val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+              (host, uri, msg.status,
+                graft.text.HtmlOps.etag(msg.headers).isDefined,
+                graft.text.HtmlOps.lastModified(msg.headers).isDefined,
+                msg.body.length.toLong)
+            }
+          }
+        }
+        .toDF("host", "uri", "status", "has_etag", "has_lm", "blen")
+      val old = snapshot("old")
+        .select(col("host"), col("uri"), col("has_etag"), col("has_lm"),
+          col("blen").as("old_len"))
+      val neu = snapshot("new")
+        .select(col("uri").as("nuri"), col("status").as("nstatus"),
+          col("blen").as("new_len"))
+      // uri-keyed equi-join, unhinted (both sides grow with the crawl;
+      // bucketed-by-uri layout makes this shuffle-free at scale)
+      old.join(neu, old("uri") === neu("nuri"), "inner")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("has_etag"), 1L).otherwise(0L)).as("n_etag"),
+          sum(when(col("has_lm"), 1L).otherwise(0L)).as("n_lastmod"),
+          sum(when(col("has_etag") || col("has_lm"), 1L).otherwise(0L))
+            .as("n_validator"),
+          sum(when(col("nstatus") === 304, 1L).otherwise(0L)).as("n_304"),
+          sum(when(col("nstatus") === 200, 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("nstatus") === 304, col("old_len")).otherwise(0L))
+            .as("saved_bytes"),
+          sum(when(col("nstatus") === 200, col("new_len")).otherwise(0L))
+            .as("fetched_bytes"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 4 + i.i % 3 AS np
+        |  FROM unnest(range(0, 24)) i(i)),
+        |pages AS (
+        |  SELECT h, i, j.j AS j,
+        |         (i + j.j) % 3 <> 0 AS has_etag,
+        |         (i + j.j) % 2 = 0 AS has_lm,
+        |         20 + (3 * i + 5 * j.j) % 40 AS old_len,
+        |         (i + j.j) % 4 = 1 AS changed
+        |  FROM specs, LATERAL unnest(range(0, np)) j(j)),
+        |acct AS (
+        |  SELECT h, has_etag, has_lm,
+        |         (has_etag OR has_lm) AND NOT changed AS is304,
+        |         old_len,
+        |         CASE WHEN changed THEN 20 + (3 * i + 5 * j + 7) % 40
+        |              ELSE old_len END AS new_len
+        |  FROM pages)
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(count(*) AS BIGINT) AS n_pages,
+        |       CAST(sum(CASE WHEN has_etag THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_etag,
+        |       CAST(sum(CASE WHEN has_lm THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_lastmod,
+        |       CAST(sum(CASE WHEN has_etag OR has_lm THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_validator,
+        |       CAST(sum(CASE WHEN is304 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_304,
+        |       CAST(sum(CASE WHEN is304 THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_full,
+        |       CAST(sum(CASE WHEN is304 THEN old_len ELSE 0 END) AS BIGINT)
+        |         AS saved_bytes,
+        |       CAST(sum(CASE WHEN is304 THEN 0 ELSE new_len END) AS BIGINT)
+        |         AS fetched_bytes
+        |FROM acct GROUP BY h ORDER BY host""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit, RecrawlPlan,
-      RedirectMap)
+      RedirectMap, RevalidatePlan)
 }

@@ -147,6 +147,29 @@ object HtmlOps {
     LocationRe.findFirstMatchIn(headers).map(_.group(1).trim)
       .filter(_.nonEmpty)
 
+  private val EtagRe =
+    "(?mi)^etag:[ \\t]*([^\\r\\n]+)".r
+  private val LastModifiedRe =
+    "(?mi)^last-modified:[ \\t]*([^\\r\\n]+)".r
+
+  /** The `ETag` validator of a response (RFC 9110 §8.8.3) — what a
+    * revalidating recrawl sends back as `If-None-Match`. Verbatim
+    * (weak `W/"…"` prefixes included — weak validators are still
+    * validators for GET revalidation), anchored at line start.
+    */
+  def etag(headers: String): Option[String] =
+    EtagRe.findFirstMatchIn(headers).map(_.group(1).trim)
+      .filter(_.nonEmpty)
+
+  /** The `Last-Modified` validator (RFC 9110 §8.8.2) — the
+    * `If-Modified-Since` revalidation anchor. Verbatim value; date
+    * parsing is the caller's concern (equality semantics suffice for
+    * revalidation accounting).
+    */
+  def lastModified(headers: String): Option[String] =
+    LastModifiedRe.findFirstMatchIn(headers).map(_.group(1).trim)
+      .filter(_.nonEmpty)
+
   /** gzip body → bytes: CRC-32/ISIZE-verified from-spec walk; a gzip
     * body is one stream but multi-member is legal — payloads
     * concatenate (single pre-sized buffer; a many-member body must not

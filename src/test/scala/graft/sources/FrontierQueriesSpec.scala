@@ -187,6 +187,40 @@ class FrontierQueriesSpec extends SparkSpec {
     assert(row.getLong(8) == 5L, s"cap depth is the max hop count: $row")
   }
 
+  test("revalidate plan: 304s save the OLD body bytes, validator-less " +
+    "pages refetch full, unmatched pages drop") {
+    val sfDir = "/spec/reval_hand"
+    def resp(id: String, uri: String, status: String, extra: String,
+        bodyLen: Int) =
+      member("response", id, Some(uri),
+        (s"HTTP/1.1 $status\r\nContent-Type: text/html$extra\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ Array.fill[Byte](bodyLen)('b'))
+    clearTree("reval", sfDir)
+    plant("reval", sfDir, "old/0", "v000.warc.gz", Seq(
+      resp("oa", "http://t0.example/a", "200 OK",
+        "\r\nETag: \"ea\"", 30),
+      resp("ob", "http://t0.example/b", "200 OK", "", 11),
+      resp("oc", "http://t0.example/gone", "200 OK",
+        "\r\nETag: \"ec\"", 7))) // no new-side counterpart: dropped
+    plant("reval", sfDir, "new/0", "v000.warc.gz", Seq(
+      resp("na", "http://t0.example/a", "304 Not Modified",
+        "\r\nETag: \"ea\"", 0),
+      resp("nb", "http://t0.example/b", "200 OK", "", 42),
+      resp("nd", "http://t0.example/fresh", "200 OK", "", 99)))
+    val r = FrontierQueries.RevalidatePlan.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "t0.example")
+    assert(row.getLong(1) == 2L, s"only uri-matched pages count: $row")
+    assert(row.getLong(2) == 1L && row.getLong(4) == 1L,
+      s"one ETag page = one validator page: $row")
+    assert(row.getLong(5) == 1L && row.getLong(6) == 1L,
+      s"one 304, one full refetch: $row")
+    assert(row.getLong(7) == 30L,
+      s"saved bytes are the OLD stored body, not the 304's empty one: $row")
+    assert(row.getLong(8) == 42L, s"fetched bytes are the NEW body: $row")
+  }
+
   test("crawl delta: hand-planted add/remove/change/same classification") {
     val sfDir = "/spec/delta_hand"
     def page(snap: String, path: String, body: String) =

@@ -309,6 +309,25 @@ class HtmlOpsSpec extends SparkSpec {
     assert(HtmlOps.location("HTTP/1.1 200 OK\r\nA: b").isEmpty)
   }
 
+  test("etag/lastModified: anchored validator extraction, weak forms " +
+    "and case-insensitive names included") {
+    val h = "HTTP/1.1 200 OK\r\nETag: \"abc\"\r\n" +
+      "Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT\r\nA: b"
+    assert(HtmlOps.etag(h).contains("\"abc\""))
+    assert(HtmlOps.lastModified(h)
+      .contains("Thu, 01 Jan 2026 00:00:00 GMT"))
+    // weak validators are still validators; field names any case
+    assert(HtmlOps.etag("HTTP/1.1 200 OK\r\netag: W/\"x\"")
+      .contains("W/\"x\""))
+    assert(HtmlOps.lastModified("HTTP/1.1 200 OK\r\nLAST-MODIFIED: t")
+      .contains("t"))
+    // names merely ending in the field name must not match
+    assert(HtmlOps.etag("HTTP/1.1 200 OK\r\nX-Orig-ETag: \"z\"").isEmpty)
+    assert(HtmlOps.lastModified(
+      "HTTP/1.1 200 OK\r\nX-Last-Modified: t").isEmpty)
+    assert(HtmlOps.etag("HTTP/1.1 200 OK\r\nETag: ").isEmpty)
+  }
+
   test("sniffCharset: any JVM-known IANA name is honored; unknown " +
     "falls to UTF-8") {
     def cs(h: String) = HtmlOps.sniffCharset(h, Array.emptyByteArray).name()
