@@ -7,7 +7,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-ARCHIVE_QS="q_crawl_corpus,q_crawl_delta,q_crawl_pagerank,q_fetch_schedule,q_html_link_graph,q_main_content,q_pnm_scan,q_recrawl_plan,q_redirect_map,q_robots_frontier,q_sitemap_frontier,q_tar_scan,q_targz_scan,q_warc_html_extract,q_warc_revisit,q_warc_scan,q_zip_scan"
+ARCHIVE_QS="q_crawl_corpus,q_crawl_delta,q_crawl_pagerank,q_fetch_schedule,q_html_link_graph,q_main_content,q_pnm_scan,q_recrawl_plan,q_redirect_map,q_revalidate_plan,q_robots_frontier,q_sitemap_frontier,q_tar_scan,q_targz_scan,q_warc_html_extract,q_warc_revisit,q_warc_scan,q_zip_scan"
 
 echo "[r13] archive audit x1"
 SPARK_GRAFT_ONLY="$ARCHIVE_QS" SPARK_GRAFT_AUDIT_OUT=SHUFFLE_r13_archive_x1.json \
