@@ -67,8 +67,26 @@ object UrlOps {
   private def tracking(name: String): Boolean =
     name.startsWith("utm_") || name == "gclid" || name == "fbclid"
 
-  /** Frontier column form of the key rules (see object doc). */
-  def frontierCanonical(c: Column): Column = {
+  /** Frontier column form of the key rules (see object doc) — one
+    * static codegen call into [[frontierCanonicalStr]]
+    * ([[graft.plans.UrlCanonicalExpression]]), so plan-side and
+    * scan-side frontier keys are one implementation by construction.
+    * Measured on `q_bloom_urlseen` (sf0.1, w8, reps 8, min): 1.33 s
+    * with the column chain → 0.70 s native.
+    */
+  def frontierCanonical(c: Column): Column =
+    graft.plans.UrlCanonicalExpression.frontierCanonical(c)
+
+  /** The pure-column reference implementation of the frontier rules
+    * (regexp extracts + a higher-order param filter). Kept as the
+    * INDEPENDENT third implementation UrlOpsSpec's randomized
+    * differential checks the native expression and the scan twin
+    * against; production paths use [[frontierCanonical]] (one
+    * codegen'd static call — the column chain's per-row regex + lambda
+    * cost was the named `q_bloom_urlseen` regression of the round-13
+    * frontier-key switch).
+    */
+  def frontierCanonicalColumns(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
     val prefix =
       regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)", 1)
@@ -108,5 +126,97 @@ object UrlOps {
     val kept = q.split("&", -1)
       .filter(p => p.nonEmpty && !tracking(p.takeWhile(_ != '=')))
     if (kept.isEmpty) path else path + "?" + kept.mkString("&")
+  }
+
+  /** RFC 3986 §5.2.4 `remove_dot_segments` over a path. */
+  private[text] def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "/..") {
+        in = "/"
+        if (out.nonEmpty) out.remove(out.length - 1)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (through but not past the next "/")
+        val start = if (in.startsWith("/")) 1 else 0
+        val slash = in.indexOf('/', start)
+        val end = if (slash < 0) in.length else slash
+        out += in.substring(0, end)
+        in = in.substring(end)
+      }
+    }
+    out.mkString
+  }
+
+  /** Split an absolute URI into (scheme, "//"+authority, path, "?"+query)
+    * — each component "" when absent; fragments are the caller's problem.
+    */
+  private def splitUri(u: String): (String, String, String, String) = {
+    var rest = u
+    val colon = rest.indexOf(':')
+    val scheme =
+      if (colon > 0 && rest.charAt(0).isLetter &&
+        rest.substring(0, colon).forall(c =>
+          c.isLetterOrDigit || c == '+' || c == '.' || c == '-')) {
+        val s = rest.substring(0, colon)
+        rest = rest.substring(colon + 1)
+        s
+      } else ""
+    val auth =
+      if (rest.startsWith("//")) {
+        var i = 2
+        while (i < rest.length && rest.charAt(i) != '/' &&
+          rest.charAt(i) != '?') i += 1
+        val a = rest.substring(0, i)
+        rest = rest.substring(i)
+        a
+      } else ""
+    val qAt = rest.indexOf('?')
+    if (qAt >= 0) (scheme, auth, rest.substring(0, qAt), rest.substring(qAt))
+    else (scheme, auth, rest, "")
+  }
+
+  /** RFC 3986 §5.2 reference resolution: the target URI of reference
+    * `ref` against absolute base `base` — the transformation a crawler
+    * MUST apply to a `Location` header (RFC 9110 §10.2.2 allows any
+    * URI-reference) or an HTML `href`. Handles all the reference
+    * shapes real servers emit: absolute URIs, protocol-relative
+    * (`//host/p`), absolute-path (`/p`), relative-path (`p`, `../p` —
+    * merged per §5.2.3 with §5.2.4 dot-segment removal), query-only
+    * (`?q`), and empty. The ref's fragment is dropped (a fetch target
+    * has no fragment; the frontier canonicalizer would strip it
+    * anyway). Strict grammar (a scheme-bearing ref replaces the base
+    * even with the same scheme, per the spec's strict parser).
+    */
+  def resolve(base: String, ref: String): String = {
+    val hashAt = ref.indexOf('#')
+    val r = if (hashAt >= 0) ref.substring(0, hashAt) else ref
+    val (bs, ba, bp, bq) = splitUri(base)
+    val (rs, ra, rp, rq) = splitUri(r)
+    val (ts, ta, tp, tq) =
+      if (rs.nonEmpty) (rs, ra, removeDotSegments(rp), rq)
+      else if (ra.nonEmpty) (bs, ra, removeDotSegments(rp), rq)
+      else if (rp.isEmpty) (bs, ba, bp, if (rq.nonEmpty) rq else bq)
+      else if (rp.startsWith("/")) (bs, ba, removeDotSegments(rp), rq)
+      else {
+        // §5.2.3 merge: base-with-authority-and-empty-path → "/" + ref;
+        // else ref replaces everything after the base path's last "/"
+        val merged =
+          if (ba.nonEmpty && bp.isEmpty) "/" + rp
+          else {
+            val cut = bp.lastIndexOf('/')
+            (if (cut >= 0) bp.substring(0, cut + 1) else "") + rp
+          }
+        (bs, ba, removeDotSegments(merged), rq)
+      }
+    (if (ts.nonEmpty) ts + ":" else "") + ta + tp + tq
   }
 }

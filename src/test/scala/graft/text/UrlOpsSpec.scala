@@ -110,14 +110,80 @@ class UrlOpsSpec extends SparkSpec {
 
   test("column frontierCanonical ≡ frontierCanonicalStr on every class") {
     import spark.implicits._
+    // THREE implementations pinned pairwise: the native codegen
+    // expression (production), the pure-column reference chain, and
+    // the scan twin — the column chain is the independent
+    // implementation that keeps the native-vs-twin check from being
+    // vacuous (the expression delegates to the twin)
     val got = frontierVariants.toDF("u")
-      .select(col("u"), UrlOps.frontierCanonical(col("u")).as("c"))
+      .select(col("u"), UrlOps.frontierCanonical(col("u")).as("c"),
+        UrlOps.frontierCanonicalColumns(col("u")).as("ref"))
       .collect()
-      .map(r => r.getString(0) -> r.getString(1))
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
       .toMap
     frontierVariants.foreach { v =>
-      assert(got(v) == UrlOps.frontierCanonicalStr(v), s"divergence on: $v")
+      assert(got(v)._1 == UrlOps.frontierCanonicalStr(v),
+        s"native divergence on: $v")
+      assert(got(v)._2 == UrlOps.frontierCanonicalStr(v),
+        s"column-chain divergence on: $v")
     }
+  }
+
+  test("resolve: RFC 3986 §5.4 reference-resolution examples") {
+    // the spec's own vectors against base "http://a/b/c/d;p?q";
+    // resolve drops ref fragments (a fetch target has no fragment), so
+    // the #s-bearing vectors pin the spec result minus its fragment
+    val base = "http://a/b/c/d;p?q"
+    val normal = Seq( // §5.4.1
+      "g:h" -> "g:h",
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q",
+      "g#s" -> "http://a/b/c/g",
+      "g?y#s" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    val abnormal = Seq( // §5.4.2
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http:g" -> "http:g") // strict parser: same-scheme ref replaces
+    (normal ++ abnormal).foreach { case (ref, want) =>
+      assert(UrlOps.resolve(base, ref) == want, s"resolve(base, $ref)")
+    }
+    // the crawl shapes: protocol-relative and empty-path bases
+    assert(UrlOps.resolve("http://h.example/a/b?x=1", "//cdn.example/r") ==
+      "http://cdn.example/r")
+    assert(UrlOps.resolve("http://h.example", "p/q") ==
+      "http://h.example/p/q")
+    assert(UrlOps.resolve("https://h.example/a/", "../up?id=2#f") ==
+      "https://h.example/up?id=2")
   }
 
   test("randomized URLs: both twin pairs agree on every generated URL") {
@@ -144,14 +210,17 @@ class UrlOpsSpec extends SparkSpec {
     }.distinct
     val rows = urls.toDF("u")
       .select(col("u"), UrlOps.canonical(col("u")).as("c"),
-        UrlOps.frontierCanonical(col("u")).as("f"))
+        UrlOps.frontierCanonical(col("u")).as("f"),
+        UrlOps.frontierCanonicalColumns(col("u")).as("fr"))
       .collect()
     rows.foreach { r =>
       val u = r.getString(0)
       assert(r.getString(1) == UrlOps.canonicalStr(u),
         s"corpus twins diverge on: $u")
       assert(r.getString(2) == UrlOps.frontierCanonicalStr(u),
-        s"frontier twins diverge on: $u")
+        s"frontier native/twin diverge on: $u")
+      assert(r.getString(3) == UrlOps.frontierCanonicalStr(u),
+        s"frontier column-chain/twin diverge on: $u")
     }
   }
 }
