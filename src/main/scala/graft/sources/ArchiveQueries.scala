@@ -1308,8 +1308,8 @@ object ArchiveQueries {
     * page whose anchors a status-blind reader would count.
     *
     * Round 13 — robots CARRIAGE is now the real-crawl mix (tag robots2
-    * → robots3): h0 keeps the legacy `resource` record; h1/h5 are HTTP
-    * `response` records (200, identity); h2 a 200 under CHUNKED wire
+    * → robots3): h0 keeps the legacy `resource` record; h5 is an HTTP
+    * `response` record (200, identity); h2 a 200 under CHUNKED wire
     * framing; h3/h7 200 with `Content-Encoding: gzip`; h4 a 404
     * (RFC 9309 §2.3.1.3 "unavailable" — crawler MAY proceed
     * unrestricted, so h4's `*` rules are GONE and everything is
@@ -1317,9 +1317,22 @@ object ArchiveQueries {
     * disallow, so h6's rules are replaced by a synthesized
     * disallow-all). A reader that only parses `resource` records sees
     * an empty rule table for 7 of 8 hosts and every count shifts.
+    *
+    * Round 13 third wave (robots3 → robots4) — robots REDIRECTS per
+    * RFC 9309 §2.3.1.2 ("follow at least five consecutive redirects"):
+    * h1's well-known robots is now a 301 whose `Location` is spelled
+    * `HTTPS://WWW.s1.example/rt/robots.txt` (scheme/www noise + a
+    * NON-well-known target path — the canonicalizer and RFC 3986
+    * resolution must both run or the chain key misses) with the rules
+    * body captured 200 at the resolved target, so h1's rules are
+    * UNCHANGED for a following reader and GONE (allow-all) for a
+    * non-following one; h5's well-known robots 302-loops through
+    * `/r/robots.txt` back to itself — five consecutive redirects never
+    * reach a body, so per §2.3.1.2 h5 is "unavailable" → allow-all
+    * (its old rules are gone and every h5 count shifts).
     */
   private[sources] def ensureRobotsTree(sfDir: String): String = {
-    val root = workDir(scaledTag("robots3"), sfDir)
+    val root = workDir(scaledTag("robots4"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val iso = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -1368,28 +1381,49 @@ object ArchiveQueries {
             val txt = s"# host s$h fixture\nUser-agent: spiderx\n" +
               s"Disallow: /\n\n$specific$star"
             def http(status: String, body: Array[Byte],
-                chunked: Boolean = false, gzip: Boolean = false) = {
+                chunked: Boolean = false, gzip: Boolean = false,
+                extra: String = "") = {
               val coded = if (gzip) GzipCodec.buildMember(body) else body
               val framed = if (chunked) chunkFrame(coded) else coded
-              (s"HTTP/1.1 $status\r\nContent-Type: text/plain" +
+              (s"HTTP/1.1 $status\r\nContent-Type: text/plain$extra" +
                 (if (gzip) "\r\nContent-Encoding: gzip" else "") +
                 (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
                 "\r\n\r\n").getBytes(iso) ++ framed
             }
+            def robRec(tpe: String, sid: String, uri: String,
+                payload: Array[Byte]) =
+              GzipCodec.buildMember(WarcCodec.buildRecord(
+                tpe, s"<urn:uuid:$sid>", "2026-01-01T00:00:00Z",
+                Some(uri), payload))
             val bytes = txt.getBytes(utf8)
-            val (tpe, payload) = h match {
-              case 0 => ("resource", bytes) // legacy carriage
-              case 2 => ("response", http("200 OK", bytes, chunked = true))
-              case 3 | 7 => ("response", http("200 OK", bytes, gzip = true))
-              case 4 => ("response",
-                http("404 Not Found", "gone".getBytes(utf8)))
-              case 6 => ("response",
-                http("500 Internal Server Error", "err".getBytes(utf8)))
-              case _ => ("response", http("200 OK", bytes)) // h1, h5
+            val robotsUri = s"http://s$h.example/robots.txt"
+            h match {
+              case 0 => Seq(robRec("resource", s"rob$i", robotsUri, bytes))
+              case 1 => Seq( // §2.3.1.2: redirect followed to the rules
+                robRec("response", s"rob$i", robotsUri,
+                  http("301 Moved Permanently", "moved".getBytes(utf8),
+                    extra =
+                      "\r\nLocation: HTTPS://WWW.s1.example/rt/robots.txt")),
+                robRec("response", s"robt$i",
+                  "https://s1.example/rt/robots.txt",
+                  http("200 OK", bytes)))
+              case 2 => Seq(robRec("response", s"rob$i", robotsUri,
+                http("200 OK", bytes, chunked = true)))
+              case 3 | 7 => Seq(robRec("response", s"rob$i", robotsUri,
+                http("200 OK", bytes, gzip = true)))
+              case 4 => Seq(robRec("response", s"rob$i", robotsUri,
+                http("404 Not Found", "gone".getBytes(utf8))))
+              case 5 => Seq( // §2.3.1.2: a 2-cycle never reaches a body
+                robRec("response", s"rob$i", robotsUri,
+                  http("302 Found", "moved".getBytes(utf8),
+                    extra = "\r\nLocation: /r/robots.txt")),
+                robRec("response", s"robl$i",
+                  s"http://s$h.example/r/robots.txt",
+                  http("302 Found", "loop".getBytes(utf8),
+                    extra = "\r\nLocation: /robots.txt")))
+              case 6 => Seq(robRec("response", s"rob$i", robotsUri,
+                http("500 Internal Server Error", "err".getBytes(utf8))))
             }
-            Seq(GzipCodec.buildMember(WarcCodec.buildRecord(
-              tpe, s"<urn:uuid:rob$i>", "2026-01-01T00:00:00Z",
-              Some(s"http://s$h.example/robots.txt"), payload)))
           } else Seq.empty
         Files.write(dir.resolve(f"r$i%03d.warc.gz"),
           (pageMembers ++ Seq(notFound) ++ robotsMember).reduce(_ ++ _))
@@ -1407,8 +1441,13 @@ object ArchiveQueries {
     * between link extraction and the fetch frontier. Round 13: robots
     * parse is carriage-independent ([[fetchedBody]] — `resource` OR
     * HTTP `response` records, chunked/gzip wire layers removed) and
-    * carries the §2.3.1 availability semantics: a 3xx/4xx robots fetch
-    * → unrestricted (no rules), a 5xx/unparseable fetch → synthesized
+    * carries the §2.3.1 availability semantics: a 3xx robots fetch is
+    * FOLLOWED through up to five consecutive redirects (§2.3.1.2 —
+    * `Location` resolved per RFC 3986 §5.2, targets canonicalized,
+    * four bounded uri equi self-joins; the final body's rules apply to
+    * the ORIGIN host, a still-redirecting or dangling chain →
+    * unavailable, a 5xx final → disallow-all), a 4xx fetch →
+    * unrestricted (no rules), a 5xx/unparseable fetch → synthesized
     * complete disallow (fail closed, not open). Scale shape: the
     * allow/deny DECISION is computed once per distinct (host, path) via
     * the host-keyed rule join's struct-argmax (most pattern octets,
@@ -1440,25 +1479,51 @@ object ArchiveQueries {
             r.targetUri.foreach { uri =>
               val isFetch =
                 r.warcType == "resource" || r.warcType == "response"
-              if (uri.endsWith("/robots.txt") && isFetch) {
+              val robotsPathed = uri.takeWhile(c => c != '?' && c != '#')
+                .endsWith("/robots.txt")
+              if (robotsPathed && isFetch) {
                 // carriage-independent parse + RFC 9309 §2.3.1
-                // availability semantics: 2xx → parse the rules; 3xx/
-                // 4xx → "unavailable", crawler MAY proceed (no rules);
-                // 5xx or an unparseable response → "unreachable",
-                // MUST assume complete disallow (synthesized
-                // disallow-all rule — fail CLOSED, not open)
-                val host = uri.stripPrefix("http://").takeWhile(_ != '/')
+                // availability semantics: 2xx → parse the rules; 3xx →
+                // a redirect ORIGIN/EDGE to follow (§2.3.1.2, resolved
+                // per RFC 3986 §5.2 and canonicalized); 4xx →
+                // "unavailable", crawler MAY proceed (no rules); 5xx or
+                // an unparseable response → "unreachable", MUST assume
+                // complete disallow (fail CLOSED, not open). Rows:
+                // kind 1 = a rule for the host's own WELL-KNOWN robots
+                // (§2.3: path exactly /robots.txt); kind 7 = a
+                // well-known redirect origin (host → target key);
+                // kind 8 = a redirect edge in the robots-pathed catalog
+                // (uri key → target key); kind 9 = parsed rules of ANY
+                // robots-pathed 2xx body, keyed by uri — the candidate
+                // redirect targets; kind 12 = a 5xx robots-pathed uri
+                val at = uri.indexOf("://")
+                val host = (if (at < 0) uri else uri.substring(at + 3))
+                  .takeWhile(_ != '/')
+                val key = graft.text.UrlOps.frontierCanonicalStr(uri)
+                val wellKnown = graft.text.RobotsOps.isWellKnownUri(uri)
                 fetchedBody(r) match {
                   case Some((status, body)) if status / 100 == 2 =>
                     val txt = new String(body,
                       java.nio.charset.StandardCharsets.UTF_8)
                     graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-                      out += ((1, host, rule.path, rule.allow))
+                      if (wellKnown) out += ((1, host, rule.path, rule.allow))
+                      out += ((9, key, rule.path, rule.allow))
                     }
-                  case Some((status, _)) if status >= 300 && status < 500 =>
+                  case Some((status, _)) if status / 100 == 3 =>
+                    graft.text.HtmlOps.httpParse(r.payload)
+                      .flatMap(m => graft.text.HtmlOps.location(m.headers))
+                      .foreach { loc =>
+                        val t = graft.text.UrlOps.frontierCanonicalStr(
+                          graft.text.UrlOps.resolve(uri, loc))
+                        if (wellKnown) out += ((7, host, t, false))
+                        out += ((8, key, t, false))
+                      } // 3xx without Location: unavailable, no rows
+                  case Some((status, _)) if status / 100 == 4 =>
                     () // unavailable: unrestricted (§2.3.1.3)
                   case _ =>
-                    out += ((1, host, "/", false)) // unreachable (§2.3.1.4)
+                    // unreachable (§2.3.1.4), directly or as a target
+                    if (wellKnown) out += ((1, host, "/", false))
+                    out += ((12, key, "", false))
                 }
               } else if (r.warcType == "response") {
                 graft.text.HtmlOps.httpParse(r.payload)
@@ -1479,8 +1544,46 @@ object ArchiveQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val links = recs.filter(col("kind") === 0)
         .groupBy("host", "path").agg(count(lit(1)).as("n"))
-      val rules = recs.filter(col("kind") === 1)
+      val direct = recs.filter(col("kind") === 1)
         .select(col("host"), col("path").as("rpath"), col("allow"))
+      // RFC 9309 §2.3.1.2 — follow well-known robots redirects: the
+      // origin 3xx is redirect 1; redirects 2..5 follow through the
+      // robots-pathed redirect catalog (four bounded unhinted uri
+      // equi-joins — O(hosts) frames on both sides, a cycle costs
+      // exactly the cap). A final uri that still redirects (a sixth
+      // hop pending) is "unavailable" → no rules; a final 5xx is
+      // "unreachable" → synthesized disallow-all; a final 2xx
+      // robots-pathed body contributes its rules to the ORIGIN host.
+      val origins = recs.filter(col("kind") === 7)
+        .select(col("host"), col("path").as("cur"))
+      val redges = recs.filter(col("kind") === 8)
+        .select(col("host").as("e_src"), col("path").as("e_dst"))
+      var cur = origins
+      for (_ <- 2 to 5) {
+        cur = cur.join(redges, cur("cur") === redges("e_src"), "left")
+          .select(col("host"),
+            coalesce(col("e_dst"), col("cur")).as("cur"))
+      }
+      val pending = redges.select(col("e_src")).distinct()
+        .withColumn("more", lit(1))
+      val unreach = recs.filter(col("kind") === 12)
+        .select(col("host").as("u_uri")).distinct()
+        .withColumn("dead", lit(1))
+      val finals = cur
+        .join(pending, cur("cur") === pending("e_src"), "left")
+        .join(unreach, col("cur") === col("u_uri"), "left")
+        .select(col("host"), col("cur"), col("more"), col("dead"))
+      val bodies = recs.filter(col("kind") === 9)
+        .select(col("host").as("b_uri"), col("path").as("rpath"),
+          col("allow"))
+      val viaRedirect = finals
+        .filter(col("more").isNull && col("dead").isNull)
+        .join(bodies, col("cur") === col("b_uri"))
+        .select(col("host"), col("rpath"), col("allow"))
+      val deadAll = finals.filter(col("dead").isNotNull)
+        .select(col("host"), lit("/").as("rpath"),
+          lit(false).as("allow"))
+      val rules = direct.unionByName(viaRedirect).unionByName(deadAll)
       // decision per distinct (host, path): RFC 9309 §2.2.2/§2.2.3 —
       // the full wildcard grammar as the join residual (native
       // expression), most-pattern-octets wins, allow wins ties, no
@@ -1523,9 +1626,14 @@ object ArchiveQueries {
         |-- the planted generator under the full RFC 9309 grammar:
         |-- h=4    -> robots fetch is a 404 response (§2.3.1.3
         |--            unavailable): NO rules, everything allowed;
+        |-- h=5    -> robots fetch 302-loops through /r/robots.txt
+        |--            (§2.3.1.2: five consecutive redirects never
+        |--            reach a body -> unavailable): NO rules;
         |-- h=6    -> robots fetch is a 500 response (§2.3.1.4
         |--            unreachable): synthesized disallow-all, nothing
         |--            allowed;
+        |-- h=1    -> robots fetch 301s to a captured 200 body
+        |--            (§2.3.1.2 followed): the odd-h rules apply;
         |-- odd h  -> {Disallow /p, Allow /p<h%5>$ (via %70), Allow
         |--            /p*/x1}: shallow ok iff p = h%5 (the $ anchor
         |--            never matches deep), deep ok iff q = 1;
@@ -1536,6 +1644,7 @@ object ArchiveQueries {
         |dec AS (
         |  SELECT h, p, deep, q, count(*) AS n,
         |         CASE WHEN h = 4 THEN TRUE
+        |              WHEN h = 5 THEN TRUE
         |              WHEN h = 6 THEN FALSE
         |              WHEN deep = 0 THEN
         |              CASE WHEN h % 2 = 1 THEN (p = h % 5)
@@ -1545,6 +1654,7 @@ object ArchiveQueries {
         |                   WHEN h % 4 = 0 THEN (q <> 2)
         |                   ELSE TRUE END END AS ok,
         |         CASE WHEN h = 4 THEN 0
+        |              WHEN h = 5 THEN 0
         |              WHEN h = 6 THEN 1
         |              WHEN h % 2 = 1 THEN 3
         |              WHEN h % 4 = 0 THEN 1

@@ -52,8 +52,10 @@ object FrontierQueries {
     * closed-form replayable from (i, j).
     *
     * Round 13 (tag sitemap3 → sitemap4) — the real-crawl shapes:
-    *  - CARRIAGE: robots by host — h0/h4 legacy `resource`, h1 a plain
-    *    HTTP `response`, h2 a CHUNKED response, h3/h7 gzip-COODED
+    *  - CARRIAGE: robots by host — h0/h4 legacy `resource`, h1 a 301
+    *    redirect to a cross-host captured 200 body (§2.3.1.2 followed —
+    *    rules/delay/declaration apply unchanged), h2 a CHUNKED
+    *    response, h3/h7 gzip-CODED
     *    responses, h5 a 404 (RFC 9309 §2.3.1.3 unavailable → NO rules,
     *    no delay, no declaration), h6 a 500 (§2.3.1.4 unreachable →
     *    synthesized disallow-all, no delay, no declaration); sitemap
@@ -69,7 +71,14 @@ object FrontierQueries {
     *    it), each fresh (lastmod 2026-02-01) at priorities 0.5/0.5/0.6.
     */
   private[sources] def ensureSitemapTree(sfDir: String): String = {
-    val root = workDir(scaledTag("sitemap4"), sfDir)
+    // sitemap4 -> sitemap5 (third wave): h1's robots.txt is now a 301
+    // whose Location is the PROTOCOL-RELATIVE `//cdn.example/r/s1/
+    // robots.txt` with the rules body captured 200 at that (cross-host,
+    // non-well-known) target — per RFC 9309 §2.3.1.2 the chain is
+    // followed and h1's rules/delay/Sitemap-declaration are UNCHANGED
+    // for a following reader, while a non-following reader loses all
+    // three and every h1 count shifts
+    val root = workDir(scaledTag("sitemap5"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -86,11 +95,12 @@ object FrontierQueries {
         def rec(tpe: String, id: String, uri: String, body: String) =
           recBytes(tpe, id, uri, body.getBytes(utf8))
         def http(status: String, body: Array[Byte],
-            chunked: Boolean = false, gzipCoded: Boolean = false) = {
+            chunked: Boolean = false, gzipCoded: Boolean = false,
+            extra: String = "") = {
           val coded = if (gzipCoded) GzipCodec.buildMember(body) else body
           val framed =
             if (chunked) ArchiveQueries.chunkFrame(coded) else coded
-          (s"HTTP/1.1 $status\r\nContent-Type: text/xml" +
+          (s"HTTP/1.1 $status\r\nContent-Type: text/xml$extra" +
             (if (gzipCoded) "\r\nContent-Encoding: gzip" else "") +
             (if (chunked) "\r\nTransfer-Encoding: chunked" else "") +
             "\r\n\r\n").getBytes(iso) ++ framed
@@ -112,22 +122,28 @@ object FrontierQueries {
               s"Crawl-delay: ${1 + h % 4}\n" +
               s"Sitemap: http://s$h.example/sitemap.xml\n"
             val robotsUri = s"http://s$h.example/robots.txt"
-            val robotsRec = h match {
-              case 0 | 4 => rec("resource", s"rob$i", robotsUri, txt)
-              case 2 => recBytes("response", s"rob$i", robotsUri,
-                http("200 OK", txt.getBytes(utf8), chunked = true))
-              case 3 | 7 => recBytes("response", s"rob$i", robotsUri,
-                http("200 OK", txt.getBytes(utf8), gzipCoded = true))
-              case 5 => recBytes("response", s"rob$i", robotsUri,
-                http("404 Not Found", "gone".getBytes(utf8)))
-              case 6 => recBytes("response", s"rob$i", robotsUri,
-                http("500 Internal Server Error", "err".getBytes(utf8)))
-              case _ => recBytes("response", s"rob$i", robotsUri,
-                http("200 OK", txt.getBytes(utf8))) // h1
+            val robotsRecs = h match {
+              case 0 | 4 => Seq(rec("resource", s"rob$i", robotsUri, txt))
+              case 1 => Seq( // §2.3.1.2: protocol-relative redirect to a
+                // cross-host, non-well-known target carrying the rules
+                recBytes("response", s"rob$i", robotsUri,
+                  http("301 Moved Permanently", "moved".getBytes(utf8),
+                    extra = "\r\nLocation: //cdn.example/r/s1/robots.txt")),
+                recBytes("response", s"robt$i",
+                  "http://cdn.example/r/s1/robots.txt",
+                  http("200 OK", txt.getBytes(utf8))))
+              case 2 => Seq(recBytes("response", s"rob$i", robotsUri,
+                http("200 OK", txt.getBytes(utf8), chunked = true)))
+              case 3 | 7 => Seq(recBytes("response", s"rob$i", robotsUri,
+                http("200 OK", txt.getBytes(utf8), gzipCoded = true)))
+              case 5 => Seq(recBytes("response", s"rob$i", robotsUri,
+                http("404 Not Found", "gone".getBytes(utf8))))
+              case _ => Seq(recBytes("response", s"rob$i", robotsUri,
+                http("500 Internal Server Error", "err".getBytes(utf8)))) // h6
             }
-            Seq(robotsRec,
+            robotsRecs :+
               rec("resource", s"seen$i",
-                s"http://s$h.example/seen.txt", seen))
+                s"http://s$h.example/seen.txt", seen)
           } else Seq.empty
         val gridEntries = (0 until 3 + i % 4).map { j =>
           val deep = j % 3 == 2
@@ -253,25 +269,54 @@ object FrontierQueries {
           val out = Seq.newBuilder[(Int, String, String, Int, Int, Boolean)]
           val isFetch = r.warcType == "resource" || r.warcType == "response"
           for (uri <- r.targetUri if isFetch) {
-            val host = uri.stripPrefix("http://").takeWhile(_ != '/')
-            if (uri.endsWith("/robots.txt")) {
+            val at = uri.indexOf("://")
+            val host = (if (at < 0) uri else uri.substring(at + 3))
+              .takeWhile(_ != '/')
+            val robotsPathed = uri.takeWhile(c => c != '?' && c != '#')
+              .endsWith("/robots.txt")
+            if (robotsPathed) {
+              // kinds 7/8/9/10/11/12 feed [[withResolvedRobots]] — the
+              // §2.3.1.2 redirect follow (same row semantics as the
+              // RobotsFrontier scan: 7 = well-known redirect origin,
+              // 8 = robots-pathed redirect edge, 9/10/11 = target-keyed
+              // rule/declaration/delay rows, 12 = a 5xx target)
+              val key = frontierCanonicalStr(uri)
+              val wellKnown = graft.text.RobotsOps.isWellKnownUri(uri)
               ArchiveQueries.fetchedBody(r) match {
                 case Some((st, body)) if st / 100 == 2 =>
                   val txt = new String(body, utf8)
                   graft.text.RobotsOps.rules(txt, Agent).foreach { rule =>
-                    out += ((1, host, rule.path, 0, 0, rule.allow))
+                    if (wellKnown)
+                      out += ((1, host, rule.path, 0, 0, rule.allow))
+                    out += ((9, key, rule.path, 0, 0, rule.allow))
                   }
                   graft.text.SitemapOps.declaredInRobots(txt).foreach { sm =>
-                    out += ((3, host, frontierCanonicalStr(sm), 0, 0, false))
+                    val c = frontierCanonicalStr(sm)
+                    if (wellKnown) out += ((3, host, c, 0, 0, false))
+                    out += ((10, key, c, 0, 0, false))
                   }
                   graft.text.RobotsOps.crawlDelay(txt, Agent).foreach { d =>
-                    out += ((4, host, "", d.toInt, 0, false))
+                    if (wellKnown) out += ((4, host, "", d.toInt, 0, false))
+                    out += ((11, key, "", d.toInt, 0, false))
                   }
-                case Some((st, _)) if st >= 300 && st < 500 =>
+                case Some((st, _)) if st / 100 == 3 =>
+                  // §2.3.1.2: a robots redirect is followed, not
+                  // treated as unavailable — Location resolved per
+                  // RFC 3986 §5.2, target canonicalized
+                  graft.text.HtmlOps.httpParse(r.payload)
+                    .flatMap(m => graft.text.HtmlOps.location(m.headers))
+                    .foreach { loc =>
+                      val t = frontierCanonicalStr(
+                        graft.text.UrlOps.resolve(uri, loc))
+                      if (wellKnown) out += ((7, host, t, 0, 0, false))
+                      out += ((8, key, t, 0, 0, false))
+                    } // 3xx without Location: unavailable, no rows
+                case Some((st, _)) if st / 100 == 4 =>
                   () // §2.3.1.3 unavailable: crawl unrestricted
                 case _ =>
                   // §2.3.1.4 unreachable: complete disallow, fail closed
-                  out += ((1, host, "/", 0, 0, false))
+                  if (wellKnown) out += ((1, host, "/", 0, 0, false))
+                  out += ((12, key, "", 0, 0, false))
               }
             } else {
               // non-robots documents: only successful fetches count
@@ -325,6 +370,59 @@ object FrontierQueries {
         }
       }
       .toDF("kind", "host", "path", "mo", "pri", "allow")
+  }
+
+  /** RFC 9309 §2.3.1.2 robots redirect resolution over the raw
+    * [[sitemapRows]] stream: the origin 3xx at the well-known path is
+    * redirect 1; redirects 2..5 follow through the robots-pathed
+    * redirect catalog (four bounded unhinted uri equi-joins — O(hosts)
+    * frames on both sides, a cycle costs exactly the cap, never a
+    * fixpoint hang). A chain that lands on a captured 2xx robots body
+    * re-keys that body's rules (kind 9 → 1), `Sitemap:` declarations
+    * (10 → 3) and `Crawl-delay` (11 → 4) to the ORIGIN host; a chain
+    * still redirecting after five hops or landing nowhere is
+    * "unavailable" (no rules); a chain landing on a 5xx is
+    * "unreachable" → synthesized complete disallow. Returns the
+    * effective kind 0–6 rows the three sitemap-tree queries consume.
+    * Callers pass the PERSISTED raw rows (the resolution references
+    * them several times).
+    */
+  private def withResolvedRobots(raw: DataFrame): DataFrame = {
+    val base = raw.filter(col("kind") <= 6)
+    val origins = raw.filter(col("kind") === 7)
+      .select(col("host"), col("path").as("cur"))
+    val redges = raw.filter(col("kind") === 8)
+      .select(col("host").as("e_src"), col("path").as("e_dst"))
+    var cur = origins
+    for (_ <- 2 to 5)
+      cur = cur.join(redges, cur("cur") === redges("e_src"), "left")
+        .select(col("host"), coalesce(col("e_dst"), col("cur")).as("cur"))
+    val pending = redges.select(col("e_src")).distinct()
+      .withColumn("more", lit(1))
+    val unreach = raw.filter(col("kind") === 12)
+      .select(col("host").as("u_uri")).distinct()
+      .withColumn("dead", lit(1))
+    val finals = cur
+      .join(pending, cur("cur") === pending("e_src"), "left")
+      .join(unreach, col("cur") === col("u_uri"), "left")
+      .select(col("host"), col("cur"), col("more"), col("dead"))
+    val landed = finals.filter(col("more").isNull && col("dead").isNull)
+    def rekey(bodyKind: Int, outKind: Int) = landed
+      .join(raw.filter(col("kind") === bodyKind)
+          .select(col("host").as("b_uri"), col("path").as("b_path"),
+            col("mo").as("b_mo"), col("allow").as("b_allow")),
+        col("cur") === col("b_uri"))
+      .select(lit(outKind).as("kind"), col("host"),
+        col("b_path").as("path"), col("b_mo").as("mo"),
+        lit(0).as("pri"), col("b_allow").as("allow"))
+    val deadAll = finals.filter(col("dead").isNotNull)
+      .select(lit(1).as("kind"), col("host"), lit("/").as("path"),
+        lit(0).as("mo"), lit(0).as("pri"), lit(false).as("allow"))
+    base
+      .unionByName(rekey(9, 1))
+      .unionByName(rekey(10, 3))
+      .unionByName(rekey(11, 4))
+      .unionByName(deadAll)
   }
 
   /** Per distinct (host, path): newest-lastmod freshness, max priority,
@@ -420,8 +518,8 @@ object FrontierQueries {
     val name = "q_sitemap_frontier"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val root = ensureSitemapTree(sfDir)
-      val recs = sitemapRows(spark, root)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recs = withResolvedRobots(sitemapRows(spark, root)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val decided = decidePaths(recs)
       val declared = recs.filter(col("kind") === 3)
         .groupBy("host").agg(count(lit(1)).as("n_declared"))
@@ -638,8 +736,8 @@ object FrontierQueries {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val root = ensureSitemapTree(sfDir)
-      val recs = sitemapRows(spark, root)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recs = withResolvedRobots(sitemapRows(spark, root)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val frontier = decidePaths(recs)
         .filter(col("fresh") && col("ok"))
         .select(col("host"), col("path"), col("pri"))
@@ -711,8 +809,8 @@ object FrontierQueries {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import graft.functions.PortableHash.pHash28
       val root = ensureSitemapTree(sfDir)
-      val recs = sitemapRows(spark, root)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recs = withResolvedRobots(sitemapRows(spark, root)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val decided = decidePaths(recs)
         .withColumn("url", concat(lit("http://"), col("host"), col("path")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -966,8 +1064,14 @@ object FrontierQueries {
     */
   private[sources] def ensureRedirectTree(sfDir: String): String = {
     // redir -> redir2: edge j=1's Location went relative after the
-    // first generation (the ensure* guard would serve the stale tree)
-    val root = workDir(scaledTag("redir2"), sfDir)
+    // first generation (the ensure* guard would serve the stale tree).
+    // redir2 -> redir3 (third wave): edge j=1's Location is now a
+    // RELATIVE-PATH reference with dot segments and edge j=2 is
+    // protocol-relative — the two RFC 3986 shapes a "/"-prefix-only
+    // resolver mis-handles (it would pass them through as absolute
+    // URLs, the chain join keys would never match, and every landed
+    // count shifts)
+    val root = workDir(scaledTag("redir3"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -994,10 +1098,12 @@ object FrontierQueries {
         val chain = (0 until L).map { j =>
           val loc =
             if (j == 0) s"HTTP://WWW.s$h.example/c$i/1?utm_source=z#f"
-            else if (j == 1) s"/c$i/2" // RELATIVE Location (RFC 9110
-            // allows relative references; /path is the common shape) —
-            // it must resolve against the SOURCE host or the chain breaks
-            else s"http://s$h.example/c$i/${j + 1}"
+            else if (j == 1) s"../c$i/./2" // RELATIVE-PATH reference
+            // with dot segments (RFC 9110 §10.2.2 allows any
+            // URI-reference): resolves against the SOURCE uri
+            // /c<i>/1 via §5.2.3 merge + §5.2.4 dot removal → /c<i>/2
+            else s"//s$h.example/c$i/${j + 1}" // protocol-relative:
+            // a network-path reference takes only the base's scheme
           redirect(s"rd$i-$j", s"http://s$h.example/c$i/$j",
             if (j % 2 == 0) 301 else 302, loc)
         }
@@ -1021,9 +1127,12 @@ object FrontierQueries {
 
   /** Redirect targets as frontier edges (round 13) — the stage a real
     * recrawl runs on the 20–30 % of responses that are 3xx: extract
-    * (source, `Location`) alias edges (301/302/303/307/308, targets
-    * through the FRONTIER canonicalizer — spelling noise on a
-    * `Location` must not break the chain), FOLLOW chains to their
+    * (source, `Location`) alias edges (301/302/303/307/308; the
+    * `Location` is a URI-reference resolved per RFC 3986 §5.2 against
+    * the source uri — [[graft.text.UrlOps.resolve]], so relative-path/
+    * dot-segment/protocol-relative spellings all land — then through
+    * the FRONTIER canonicalizer: spelling noise on a `Location` must
+    * not break the chain), FOLLOW chains to their
     * final target under a 5-hop cap (RFC 9309 §2.3.1.2's redirect
     * bound, the industry-standard follow limit), classify the final
     * target against the crawl's 200 catalog, and report per source
@@ -1065,11 +1174,11 @@ object FrontierQueries {
                   out += ((0, host, frontierCanonicalStr(uri), "", 0))
                 else if (Codes(msg.status))
                   graft.text.HtmlOps.location(msg.headers).foreach { loc =>
-                    // RFC 9110 §10.2.2: Location may be a relative
-                    // reference — resolve path-absolute forms against
-                    // the source host (the common real-crawl shape)
-                    val abs =
-                      if (loc.startsWith("/")) s"http://$host$loc" else loc
+                    // RFC 9110 §10.2.2: Location is a URI-reference —
+                    // full RFC 3986 §5.2 resolution against the source
+                    // uri (absolute-path, relative-path with dot
+                    // segments, protocol-relative, query-only)
+                    val abs = graft.text.UrlOps.resolve(uri, loc)
                     out += ((1, host, frontierCanonicalStr(uri),
                       frontierCanonicalStr(abs), msg.status))
                   }

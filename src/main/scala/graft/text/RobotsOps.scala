@@ -33,6 +33,21 @@ object RobotsOps {
 
   final case class Rule(allow: Boolean, path: String)
 
+  /** Is `uri` a fetch of the WELL-KNOWN robots location (RFC 9309 §2.3:
+    * path exactly `/robots.txt` at the authority root)? A capture at
+    * `http://cdn/x/robots.txt` is a candidate redirect TARGET, never a
+    * host's own robots fetch — `endsWith("/robots.txt")` conflates the
+    * two.
+    */
+  def isWellKnownUri(uri: String): Boolean = {
+    val at = uri.indexOf("://")
+    if (at < 0) uri == "/robots.txt"
+    else {
+      val slash = uri.indexOf('/', at + 3)
+      slash >= 0 && uri.substring(slash) == "/robots.txt"
+    }
+  }
+
   /** Is `c` an RFC 3986 §2.3 unreserved character? Only these may be
     * percent-decoded before comparison (§2.2.2) — decoding a reserved
     * octet (`%2F`, `%3F`) or a special one (`%2A` = `*`) would change

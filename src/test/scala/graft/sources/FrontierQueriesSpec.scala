@@ -84,8 +84,8 @@ class FrontierQueriesSpec extends SparkSpec {
         |</urlset>""".stripMargin
     val robots = "User-agent: graftbot\nDisallow: /secret\n" +
       "Sitemap: http://t0.example/sitemap.xml\n" // NO Crawl-delay line
-    clearTree("sitemap4", sfDir)
-    plant("sitemap4", sfDir, "0", "s000.warc.gz", Seq(
+    clearTree("sitemap5", sfDir)
+    plant("sitemap5", sfDir, "0", "s000.warc.gz", Seq(
       member("resource", "rob", Some("http://t0.example/robots.txt"),
         robots.getBytes(utf8)),
       member("resource", "map", Some("http://t0.example/sitemap.xml"),
@@ -110,11 +110,14 @@ class FrontierQueriesSpec extends SparkSpec {
     def http(status: String, body: Array[Byte], extra: String = "") =
       (s"HTTP/1.1 $status\r\nContent-Type: text/plain$extra\r\n\r\n")
         .getBytes("ISO-8859-1") ++ body
-    // one 200 page on host a linking once into hosts b, c, d
+    // one 200 page on host a linking once into hosts b..g
     val page = http("200 OK",
       ("""<html><body><a href="http://b.example/x">.</a>""" +
         """<a href="http://c.example/x">.</a>""" +
-        """<a href="http://d.example/x">.</a></body></html>""")
+        """<a href="http://d.example/x">.</a>""" +
+        """<a href="http://e.example/x">.</a>""" +
+        """<a href="http://f.example/x">.</a>""" +
+        """<a href="http://g.example/x">.</a></body></html>""")
         .getBytes(utf8))
     // b: 500 robots → unreachable, MUST assume complete disallow
     val robotsB = http("500 Internal Server Error", "err".getBytes(utf8))
@@ -131,12 +134,35 @@ class FrontierQueriesSpec extends SparkSpec {
     }
     val robotsD = http("200 OK", chunked,
       extra = "\r\nTransfer-Encoding: chunked")
-    clearTree("robots3", sfDir)
-    plant("robots3", sfDir, "0", "r000.warc.gz", Seq(
+    // e: robots 301s cross-host to a captured 200 body → its rules
+    // apply to e (§2.3.1.2 followed)
+    val robotsE = http("301 Moved Permanently", "moved".getBytes(utf8),
+      extra = "\r\nLocation: http://cdn.example/e/robots.txt")
+    val robotsETarget = http("200 OK",
+      "User-agent: *\nDisallow: /x\n".getBytes(utf8))
+    // f: robots 302s to a target that answers 500 → unreachable via
+    // the chain, complete disallow
+    val robotsF = http("302 Found", "moved".getBytes(utf8),
+      extra = "\r\nLocation: /alt/robots.txt")
+    val robotsFTarget = http("500 Internal Server Error",
+      "err".getBytes(utf8))
+    // g: robots 302s to a target that was never captured → dangling
+    // chain, unavailable, crawl unrestricted
+    val robotsG = http("302 Found", "moved".getBytes(utf8),
+      extra = "\r\nLocation: http://nowhere.example/robots.txt")
+    clearTree("robots4", sfDir)
+    plant("robots4", sfDir, "0", "r000.warc.gz", Seq(
       member("response", "pg", Some("http://a.example/p"), page),
       member("response", "rb", Some("http://b.example/robots.txt"), robotsB),
       member("response", "rc", Some("http://c.example/robots.txt"), robotsC),
-      member("response", "rd", Some("http://d.example/robots.txt"), robotsD)))
+      member("response", "rd", Some("http://d.example/robots.txt"), robotsD),
+      member("response", "re", Some("http://e.example/robots.txt"), robotsE),
+      member("response", "ret", Some("http://cdn.example/e/robots.txt"),
+        robotsETarget),
+      member("response", "rf", Some("http://f.example/robots.txt"), robotsF),
+      member("response", "rft", Some("http://f.example/alt/robots.txt"),
+        robotsFTarget),
+      member("response", "rg", Some("http://g.example/robots.txt"), robotsG)))
     val rows = ArchiveQueries.RobotsFrontier.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toMap
@@ -147,6 +173,13 @@ class FrontierQueriesSpec extends SparkSpec {
       s"404 robots must allow: ${rows("c.example")}")
     assert(rows("d.example") == ((1L, 1L, 0L, 1L)),
       s"chunked 200 robots must parse: ${rows("d.example")}")
+    assert(rows("e.example") == ((1L, 1L, 0L, 1L)),
+      s"redirected robots rules must apply to the origin host: " +
+        rows("e.example").toString)
+    assert(rows("f.example") == ((1L, 1L, 0L, 1L)),
+      s"redirect onto a 5xx must fail CLOSED: ${rows("f.example")}")
+    assert(rows("g.example") == ((0L, 1L, 1L, 0L)),
+      s"dangling redirect chain must allow: ${rows("g.example")}")
   }
 
   test("redirect map: 303/307 codes count, relative Location resolves " +
@@ -157,9 +190,9 @@ class FrontierQueriesSpec extends SparkSpec {
       member("response", id, Some(uri),
         (s"HTTP/1.1 $status\r\nContent-Type: text/html$extra\r\n\r\n")
           .getBytes("ISO-8859-1") ++ body.getBytes(utf8))
-    clearTree("redir2", sfDir)
-    plant("redir2", sfDir, "0", "d000.warc.gz", Seq(
-      // 303 with a RELATIVE Location onto a real page
+    clearTree("redir3", sfDir)
+    plant("redir3", sfDir, "0", "d000.warc.gz", Seq(
+      // 303 with an ABSOLUTE-PATH Location onto a real page
       resp("a", "http://t0.example/a", "303 See Other",
         "\r\nLocation: /land", "x"),
       // 307 chain hop onto the same page, absolute spelling
@@ -170,18 +203,22 @@ class FrontierQueriesSpec extends SparkSpec {
         "\r\nLocation: http://t0.example/self", "x"),
       // a redirect with NO Location header contributes no edge
       resp("d", "http://t0.example/noloc", "301 Moved Permanently", "", "x"),
+      // RELATIVE-PATH reference with a dot segment: resolves against
+      // the source uri /dir/e per RFC 3986 §5.2 onto /land
+      resp("e", "http://t0.example/dir/e", "301 Moved Permanently",
+        "\r\nLocation: ../land", "x"),
       resp("land", "http://t0.example/land", "200 OK", "",
         "<html><body>landed</body></html>")))
     val r = FrontierQueries.RedirectMap.run(spark, sfDir).collect()
     assert(r.length == 1)
     val row = r.head
     assert(row.getString(0) == "t0.example")
-    assert(row.getLong(1) == 3L, s"3 edges (the no-Location 301 drops): $row")
-    assert(row.getLong(2) == 0L && row.getLong(3) == 1L,
-      s"only the 302 self-loop among 301/302 counters: $row")
+    assert(row.getLong(1) == 4L, s"4 edges (the no-Location 301 drops): $row")
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1L,
+      s"the dot-segment 301 and the 302 self-loop: $row")
     assert(row.getLong(4) == 0L, s"no cross-host edges: $row")
-    assert(row.getLong(5) == 2L,
-      s"303-relative and 307-absolute both land on /land: $row")
+    assert(row.getLong(5) == 3L,
+      s"303-path, 307-absolute, and 301-dot-segment all land on /land: $row")
     assert(row.getLong(6) == 1L && row.getLong(7) == 1L,
       s"the self-loop is unresolved AND capped: $row")
     assert(row.getLong(8) == 5L, s"cap depth is the max hop count: $row")
