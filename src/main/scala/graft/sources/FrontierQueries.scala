@@ -1436,7 +1436,202 @@ object FrontierQueries {
         |FROM acct GROUP BY h ORDER BY host""".stripMargin)
   }
 
+  /** Create (once per scale factor) the canonical-alias tree: 24
+    * `.warc.gz` files over 8 hosts, file i carrying np = 3 + i%3 pages
+    * at `/a{i}/{j}` as 200 HTTP responses whose canonical declarations
+    * exercise every extraction branch:
+    *  - j=0: HTML `<link rel="canonical">` pointing at ITSELF, spelled
+    *    with `HTTP://WWW.` + `?utm_source=x` noise (self after the
+    *    frontier canonicalizer);
+    *  - j=1: single-quoted, attribute-order-reversed HTML link whose
+    *    href is the RELATIVE dot-segment reference `../a{i}/./0`;
+    *  - j=2: an HTTP `Link` header (RFC 8288) whose SECOND link-value
+    *    is `rel="canonical"` (the first is a `rel=preload` decoy),
+    *    target spelled protocol-relative — PLUS a conflicting HTML
+    *    declaration pointing at `/conflict{i}` that the header must
+    *    beat;
+    *  - j=3 (np ≥ 4): only a `rel="alternate"` link — NO declaration;
+    *  - j=4 (np = 5): a `rel="alternate canonical"` TOKEN-LIST link
+    *    with a `#frag`-bearing absolute href;
+    *  - i%4=0 files add `/x{i}` declaring a CROSS-HOST canonical at
+    *    `http://t{(h+1)%8}.example/hub` (one shared hub per host);
+    *  - every file adds a 404 page carrying a declaration that must be
+    *    ignored whole (status gate).
+    */
+  private[sources] def ensureCanonicalTree(sfDir: String): String = {
+    val root = workDir(scaledTag("canon1"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      for (i <- 0 until 24 * mediaScale) {
+        val h = i % 8
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        def resp(id: String, uri: String, status: String, extra: String,
+            body: String) =
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            "response", s"<urn:uuid:$id>", "2026-01-01T00:00:00Z",
+            Some(uri),
+            (s"HTTP/1.1 $status\r\nContent-Type: text/html$extra\r\n\r\n")
+              .getBytes(iso) ++ body.getBytes(utf8)))
+        def page(j: Int, extra: String, head: String) =
+          resp(s"ca$i-$j", s"http://s$h.example/a$i/$j", "200 OK", extra,
+            s"<html><head>$head</head><body><p>d$i/$j</p></body></html>")
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:ci$i>", "2026-01-01T00:00:00Z", None,
+          s"software: graft $i".getBytes(utf8)))
+        val np = 3 + i % 3
+        val pages = (0 until np).map {
+          case 0 => page(0, "",
+            s"""<link rel="canonical" href="HTTP://WWW.s$h.example/a$i/0?utm_source=x">""")
+          case 1 => page(1, "",
+            s"""<link href='../a$i/./0' rel='canonical'>""")
+          case 2 => page(2,
+            s"""\r\nLink: </pre$i>; rel=preload, <//s$h.example/a$i/0>; rel="canonical"""",
+            s"""<link rel="canonical" href="/conflict$i">""")
+          case 3 => page(3, "",
+            s"""<link rel="alternate" href="/alt$i">""")
+          case j => page(j, "",
+            s"""<link rel="alternate canonical" href="http://s$h.example/a$i/0#frag">""")
+        }
+        val cross =
+          if (i % 4 == 0) Seq(resp(s"ca$i-x", s"http://s$h.example/x$i",
+            "200 OK", "",
+            s"""<html><head><link rel="canonical" href="http://t${(h + 1) % 8}.example/hub"></head><body>x</body></html>"""))
+          else Seq.empty
+        val gone = resp(s"ca$i-g", s"http://s$h.example/gone$i",
+          "404 Not Found", "",
+          s"""<html><head><link rel="canonical" href="/a$i/0"></head><body>gone</body></html>""")
+        Files.write(dir.resolve(f"c$i%03d.warc.gz"),
+          ((Seq(info) ++ pages ++ cross) :+ gone).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** `rel=canonical` alias extraction (round-13 third wave) — the
+    * OTHER alias signal a dedup pass reads next to redirect chains
+    * ([[RedirectMap]]): sites label their duplicate/parameterized/AMP
+    * pages with a canonical target, and a corpus pipeline that ignores
+    * it keeps every variant. Per 200 HTML page: the declaration comes
+    * from the HTTP `Link: <…>; rel="canonical"` header (RFC 8288) with
+    * precedence over the HTML `<link rel="canonical">` element (the
+    * header survives non-HTML types and is what CDNs inject; the
+    * de-facto pipeline rule), resolved as a full RFC 3986 reference
+    * against the page uri and collapsed by the frontier canonicalizer.
+    * Per host: page/declaration/header counts, self-canonical vs alias
+    * split, cross-host aliases, distinct alias targets, and the
+    * largest alias group — the collapse a dedup pass would apply.
+    *
+    * Scale shape: declaration parse + resolution are scan-side
+    * per-record; the only shuffles are the per-(host, target) alias
+    * group reduce and the per-host rollup — both partial-aggregated
+    * map-side, the same growth law as `q_html_link_graph`. No joins
+    * against O(pages) frames; the tstats join is per-host. The oracle
+    * replays every branch — header precedence, the rel token-list,
+    * dot-segment resolution, the hub fan-in — closed-form from (i, j).
+    */
+  object CanonicalAlias extends GraftQuery {
+    val name = "q_canonical_alias"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      import graft.text.UrlOps.frontierCanonicalStr
+      val root = ensureCanonicalTree(sfDir)
+      val pages = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            val out = Seq.newBuilder[(String, String, Boolean, String)]
+            for (uri <- r.targetUri if r.warcType == "response")
+              graft.text.HtmlOps.httpParse(r.payload)
+                .filter(_.status == 200).foreach { msg =>
+                  val at = uri.indexOf("://")
+                  val host = (if (at < 0) uri else uri.substring(at + 3))
+                    .takeWhile(_ != '/')
+                  val html = new String(msg.body,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  val declH =
+                    graft.text.HtmlOps.linkHeaderCanonical(msg.headers)
+                  val decl =
+                    declH.orElse(graft.text.HtmlOps.canonicalLink(html))
+                  val target = decl.map(d => frontierCanonicalStr(
+                    graft.text.UrlOps.resolve(uri, d))).getOrElse("")
+                  out += ((host, frontierCanonicalStr(uri),
+                    declH.isDefined, target))
+                }
+            out.result()
+          }
+        }
+        .toDF("host", "page", "hdr", "target")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isAlias = col("target") =!= "" && col("target") =!= col("page")
+      val stats = pages.groupBy("host").agg(
+        count(lit(1)).as("n_pages"),
+        sum(when(col("target") =!= "", 1L).otherwise(0L)).as("n_decl"),
+        sum(when(col("hdr"), 1L).otherwise(0L)).as("n_hdr"),
+        sum(when(col("target") === col("page"), 1L).otherwise(0L))
+          .as("n_self"),
+        sum(when(isAlias, 1L).otherwise(0L)).as("n_alias"),
+        sum(when(isAlias &&
+          regexp_extract(col("target"), "^https?://([^/?]+)", 1) =!=
+            col("host"), 1L).otherwise(0L)).as("n_cross_host"))
+      val groups = pages.filter(isAlias)
+        .groupBy("host", "target").agg(count(lit(1)).as("g"))
+      val tstats = groups.groupBy("host")
+        .agg(count(lit(1)).as("n_targets"), max(col("g")).as("max_group"))
+      stats.join(tstats, Seq("host"), "left")
+        .select(col("host"), col("n_pages"), col("n_decl"), col("n_hdr"),
+          col("n_self"), col("n_alias"), col("n_cross_host"),
+          coalesce(col("n_targets"), lit(0L)).as("n_targets"),
+          coalesce(col("max_group"), lit(0L)).as("max_group"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 3 + i.i % 3 AS np
+        |  FROM unnest(range(0, 24)) i(i)),
+        |-- per file: j0 self, j1 dot-segment alias, j2 header-beats-html
+        |-- alias, j3 (np>=4) no declaration, j4 (np=5) token-list alias,
+        |-- i%4=0 adds the cross-host hub page; the 404 page never counts
+        |perfile AS (
+        |  SELECT h,
+        |         np + CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS n_pages,
+        |         3 + CASE WHEN np = 5 THEN 1 ELSE 0 END
+        |           + CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS n_decl,
+        |         1 AS n_hdr,
+        |         1 AS n_self,
+        |         CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS n_cross
+        |  FROM specs),
+        |aliases AS (
+        |  SELECT h, '/a' || i || '/0' AS tgt,
+        |         2 + CASE WHEN np = 5 THEN 1 ELSE 0 END AS g
+        |  FROM specs
+        |  UNION ALL
+        |  SELECT h, 'hub', 1 FROM specs WHERE i % 4 = 0),
+        |groups AS (
+        |  SELECT h, tgt, sum(g) AS g FROM aliases GROUP BY 1, 2),
+        |tstats AS (
+        |  SELECT h, count(*) AS n_targets, max(g) AS max_group
+        |  FROM groups GROUP BY 1)
+        |SELECT 's' || p.h || '.example' AS host,
+        |       CAST(sum(n_pages) AS BIGINT) AS n_pages,
+        |       CAST(sum(n_decl) AS BIGINT) AS n_decl,
+        |       CAST(sum(n_hdr) AS BIGINT) AS n_hdr,
+        |       CAST(sum(n_self) AS BIGINT) AS n_self,
+        |       CAST(sum(n_decl - n_self) AS BIGINT) AS n_alias,
+        |       CAST(sum(n_cross) AS BIGINT) AS n_cross_host,
+        |       CAST(max(t.n_targets) AS BIGINT) AS n_targets,
+        |       CAST(max(t.max_group) AS BIGINT) AS max_group
+        |FROM perfile p JOIN tstats t ON t.h = p.h
+        |GROUP BY p.h ORDER BY host""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit, RecrawlPlan,
-      RedirectMap, RevalidatePlan)
+      RedirectMap, RevalidatePlan, CanonicalAlias)
 }

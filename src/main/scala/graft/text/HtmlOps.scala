@@ -147,6 +147,56 @@ object HtmlOps {
     LocationRe.findFirstMatchIn(headers).map(_.group(1).trim)
       .filter(_.nonEmpty)
 
+  private val LinkHeaderRe =
+    "(?mi)^link:[ \\t]*([^\\r\\n]+)".r
+  private val LinkValueRe = "<([^>]*)>([^,<]*)".r
+  private val RelCanonicalRe =
+    "(?i)\\brel\\s*=\\s*\"?([^\";,]*)".r
+
+  /** The canonical target declared via an HTTP `Link` header
+    * (RFC 8288) with `rel="canonical"` — the header-level alias signal
+    * production pipelines read BEFORE the HTML (it survives non-HTML
+    * content types and is what CDNs inject). First matching link-value
+    * across all `Link` header lines wins; `rel` is a space-separated
+    * list, quoted or bare, matched case-insensitively. Verbatim target;
+    * resolution/canonicalization is the caller's.
+    */
+  def linkHeaderCanonical(headers: String): Option[String] =
+    LinkHeaderRe.findAllMatchIn(headers).flatMap { hm =>
+      LinkValueRe.findAllMatchIn(hm.group(1)).collect {
+        case m if RelCanonicalRe.findFirstMatchIn(m.group(2))
+          .exists(_.group(1).split("\\s+")
+            .exists(_.equalsIgnoreCase("canonical"))) => m.group(1).trim
+      }
+    }.find(_.nonEmpty)
+
+  private val LinkTagRe = "(?is)<link\\b[^>]*>".r
+
+  /** The canonical target declared via an HTML
+    * `<link rel="canonical" href="…">` element — attribute order
+    * independent, single- or double-quoted values, `rel` matched as a
+    * case-insensitive space-separated token list (a
+    * `rel="alternate canonical"` counts; `rel="alternate"` does not).
+    * First declaring tag wins (the de-facto rule engines apply to
+    * conflicting declarations). Verbatim href; resolution is the
+    * caller's. NOTE: runs on the raw HTML — callers gate on status 200
+    * first, the same contract as the link extractor.
+    */
+  def canonicalLink(html: String): Option[String] = {
+    def attr(tag: String, name: String): Option[String] = {
+      val re = ("(?i)\\b" + name +
+        "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')").r
+      re.findFirstMatchIn(tag)
+        .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+    }
+    LinkTagRe.findAllIn(html).toSeq.iterator.flatMap { tag =>
+      if (attr(tag, "rel").exists(_.split("\\s+")
+        .exists(_.equalsIgnoreCase("canonical"))))
+        attr(tag, "href").filter(_.nonEmpty)
+      else None
+    }.nextOption()
+  }
+
   private val EtagRe =
     "(?mi)^etag:[ \\t]*([^\\r\\n]+)".r
   private val LastModifiedRe =

@@ -309,6 +309,60 @@ class HtmlOpsSpec extends SparkSpec {
     assert(HtmlOps.location("HTTP/1.1 200 OK\r\nA: b").isEmpty)
   }
 
+  test("canonicalLink: rel token-list, attr order, quote styles, " +
+    "first-wins, alternate-only ignored") {
+    assert(HtmlOps.canonicalLink(
+      """<html><head><link rel="canonical" href="/c"></head></html>""")
+      .contains("/c"))
+    // reversed attribute order + single quotes
+    assert(HtmlOps.canonicalLink(
+      """<link href='/c2' rel='canonical'>""").contains("/c2"))
+    // rel is a space-separated token list
+    assert(HtmlOps.canonicalLink(
+      """<link rel="alternate canonical" href="/c3">""").contains("/c3"))
+    // case-insensitive tag and rel value
+    assert(HtmlOps.canonicalLink(
+      """<LINK REL="Canonical" HREF="/c4">""").contains("/c4"))
+    // first declaring tag wins
+    assert(HtmlOps.canonicalLink(
+      """<link rel="canonical" href="/first">""" +
+        """<link rel="canonical" href="/second">""").contains("/first"))
+    // alternate-only, missing href, or empty href: no declaration
+    assert(HtmlOps.canonicalLink(
+      """<link rel="alternate" href="/alt">""").isEmpty)
+    assert(HtmlOps.canonicalLink("""<link rel="canonical">""").isEmpty)
+    assert(HtmlOps.canonicalLink(
+      """<link rel="canonical" href="">""").isEmpty)
+    // "canonical" as a SUBSTRING of another token must not match
+    assert(HtmlOps.canonicalLink(
+      """<link rel="noncanonical" href="/x">""").isEmpty)
+  }
+
+  test("linkHeaderCanonical: RFC 8288 link-values, decoys, quoting, " +
+    "multiple Link lines, anchored name") {
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: <http://a/c>; rel=\"canonical\"")
+      .contains("http://a/c"))
+    // unquoted rel + a decoy first link-value
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </pre>; rel=preload, </c>; rel=canonical")
+      .contains("/c"))
+    // rel token list inside one quoted value
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </c>; rel=\"alternate canonical\"")
+      .contains("/c"))
+    // second Link header line carries the canonical
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </n>; rel=next\r\nlink: </c>; rel=canonical")
+      .contains("/c"))
+    // a header name merely ending in "link" must not match
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nX-Link: </c>; rel=canonical").isEmpty)
+    // no canonical rel anywhere
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </n>; rel=next").isEmpty)
+  }
+
   test("etag/lastModified: anchored validator extraction, weak forms " +
     "and case-insensitive names included") {
     val h = "HTTP/1.1 200 OK\r\nETag: \"abc\"\r\n" +
