@@ -1797,7 +1797,127 @@ object ArchiveQueries {
         |FROM specs ORDER BY asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the MIME-routing tree: 24
+    * `.warc.gz` files, file i holding 4 + i%4 response records at
+    * `/m{i}/{j}` whose (declared Content-Type, actual bytes) pairs
+    * exercise the sniff matrix:
+    *  - j=0: `text/html` (spelled `TEXT/HTML; Charset=UTF-8` on odd i —
+    *    parameter strip + case normalization) over real HTML;
+    *  - j=1: `image/png` over a real PNG signature;
+    *  - j=2: `image/jpeg` DECLARED over PNG bytes — the lying-header
+    *    class the sniff exists for;
+    *  - j=3: NO Content-Type header over GIF89a bytes;
+    *  - j=4 (i%4 ≥ 1): `application/pdf` over `%PDF-1.4`;
+    *  - j=5 (i%4 ≥ 2): `text/plain` DECLARED over NUL-bearing bytes
+    *    (WHATWG binary-data byte → octet-stream);
+    *  - j=6 (i%4 = 3): `application/octet-stream` over ZIP magic (the
+    *    sniff REFINES an honest-but-vague declaration).
+    */
+  private[sources] def ensureMimeTree(sfDir: String): String = {
+    val root = workDir(scaledTag("mime1"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      val pngSig = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        def rec(j: Int, ct: Option[String], body: Array[Byte]) =
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            "response", s"<urn:uuid:mm$i-$j>", "2026-01-01T00:00:00Z",
+            Some(s"http://m${i % 8}.example/m$i/$j"),
+            (s"HTTP/1.1 200 OK" +
+              ct.map(c => s"\r\nContent-Type: $c").getOrElse("") +
+              "\r\n\r\n").getBytes(iso) ++ body))
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:mi$i>", "2026-01-01T00:00:00Z", None,
+          s"software: graft $i".getBytes(utf8)))
+        val htmlCt =
+          if (i % 2 == 1) "TEXT/HTML; Charset=UTF-8" else "text/html"
+        val recs = (0 until 4 + i % 4).map {
+          case 0 => rec(0, Some(htmlCt),
+            s"<html><body><p>d$i</p></body></html>".getBytes(utf8))
+          case 1 => rec(1, Some("image/png"),
+            pngSig ++ Array.tabulate(8 + i % 5)(k => (k * 7 + i).toByte))
+          case 2 => rec(2, Some("image/jpeg"),
+            pngSig ++ Array.tabulate(6)(k => (k + i).toByte))
+          case 3 => rec(3, None,
+            "GIF89a".getBytes(iso) ++ Array.tabulate(5)(k => (k ^ i).toByte))
+          case 4 => rec(4, Some("application/pdf"),
+            s"%PDF-1.4\n$i obj\n".getBytes(iso))
+          case 5 => rec(5, Some("text/plain"),
+            Array[Byte]('a', 'b', 0x00, 'c', (i % 7).toByte))
+          case j => rec(j, Some("application/octet-stream"),
+            Array[Byte]('P', 'K', 0x03, 0x04) ++
+              Array.tabulate(4)(k => (k + i).toByte))
+        }
+        Files.write(dir.resolve(f"m$i%03d.warc.gz"),
+          (info +: recs).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** MIME routing matrix (round-13 third wave) — the first decision a
+    * multimodal corpus pipeline makes per fetched payload: which
+    * modality lane does this record enter? Declared `Content-Type`
+    * essence ([[graft.text.HtmlOps.contentType]] — parameters stripped,
+    * case-normalized, absent → `(none)`) CROSS the magic-byte sniff
+    * ([[graft.multimodal.MagicBytes.sniffMime]], the WHATWG-core
+    * signature table) over the decoded bodies of 200 responses. The
+    * off-diagonal cells are the lying-header classes the sniff exists
+    * for (images declared as other image types, binaries under
+    * text/plain) and the refinement class (`application/octet-stream`
+    * declared, real type sniffed). Scale shape: pure scan-side parse +
+    * one map-side-combined groupBy on a ≤(types²) key space — no
+    * joins, no O(records) shuffle.
+    */
+  object MimeRoute extends GraftQuery {
+    val name = "q_mime_route"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureMimeTree(sfDir)
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            if (r.warcType == "response")
+              graft.text.HtmlOps.httpParse(r.payload)
+                .filter(_.status == 200).map { msg =>
+                  (graft.text.HtmlOps.contentType(msg.headers)
+                    .getOrElse("(none)"),
+                    graft.multimodal.MagicBytes.sniffMime(msg.body))
+                }.toSeq
+            else Seq.empty
+          }
+        }
+        .toDF("declared", "sniffed")
+        .groupBy("declared", "sniffed")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("declared", "sniffed")
+    }
+    // 24 files; record j exists when 4 + i%4 > j, and i%4 is uniform
+    // over 24 files (6 each): j<=3 -> 24, j=4 -> 18, j=5 -> 12, j=6 -> 6
+    val oracle = Some(
+      """SELECT * FROM (VALUES
+        |  ('(none)', 'image/gif', CAST(24 AS BIGINT)),
+        |  ('application/octet-stream', 'application/zip', 6),
+        |  ('application/pdf', 'application/pdf', 18),
+        |  ('image/jpeg', 'image/png', 24),
+        |  ('image/png', 'image/png', 24),
+        |  ('text/html', 'text/html', 24),
+        |  ('text/plain', 'application/octet-stream', 12))
+        |  t(declared, sniffed, n)
+        |ORDER BY declared, sniffed""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(TarScan, ZipScan, WarcScan, WarcHtmlExtract, TgzScan, HtmlLinkGraph,
-      CrawlCorpus, CrawlPageRank, RobotsFrontier, MainContent)
+      CrawlCorpus, CrawlPageRank, RobotsFrontier, MainContent, MimeRoute)
 }

@@ -1631,7 +1631,158 @@ object FrontierQueries {
         |GROUP BY p.h ORDER BY host""".stripMargin)
   }
 
+  /** Create (once per scale factor) the throttle tree: 24 `.warc.gz`
+    * files over 8 hosts, file i holding 5 + i%3 fetches at `/b{i}/{j}`,
+    * every response carrying `Date: Thu, 01 Jan 2026 00:00:00 GMT` (the
+    * RFC 9110 §10.2.3 anchor). By j%5:
+    *  - 0 → 200 OK (no throttle);
+    *  - 1 → 429 with DELTA-form `Retry-After: (3i+7j)%50`;
+    *  - 2 → 503 with HTTP-DATE-form `Retry-After` at Date +
+    *    60+(i+j)%30 s (IMF-fixdate);
+    *  - 3 → 503 with NO Retry-After (server says nothing — the
+    *    default-backoff class);
+    *  - 4 → 429 with the junk value `soon` (unparseable → same class
+    *    as absent, fail open to the default).
+    */
+  private[sources] def ensureBackoffTree(sfDir: String): String = {
+    val root = workDir(scaledTag("backoff1"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.{GzipCodec, WarcCodec}
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      for (i <- 0 until 24 * mediaScale) {
+        val h = i % 8
+        val dir = Paths.get(root, s"${i % 2}")
+        Files.createDirectories(dir)
+        def resp(j: Int, status: String, extra: String) =
+          GzipCodec.buildMember(WarcCodec.buildRecord(
+            "response", s"<urn:uuid:bo$i-$j>", "2026-01-01T00:00:00Z",
+            Some(s"http://s$h.example/b$i/$j"),
+            (s"HTTP/1.1 $status\r\nContent-Type: text/html" +
+              "\r\nDate: Thu, 01 Jan 2026 00:00:00 GMT" +
+              s"$extra\r\n\r\n").getBytes(iso) ++
+              s"<html><body>b$i/$j</body></html>".getBytes(utf8)))
+        val info = GzipCodec.buildMember(WarcCodec.buildRecord(
+          "warcinfo", s"<urn:uuid:bi$i>", "2026-01-01T00:00:00Z", None,
+          s"software: graft $i".getBytes(utf8)))
+        val recs = (0 until 5 + i % 3).map { j =>
+          j % 5 match {
+            case 0 => resp(j, "200 OK", "")
+            case 1 => resp(j, "429 Too Many Requests",
+              s"\r\nRetry-After: ${(3 * i + 7 * j) % 50}")
+            case 2 =>
+              val s = 60 + (i + j) % 30
+              resp(j, "503 Service Unavailable",
+                f"\r\nRetry-After: Thu, 01 Jan 2026 00:${s / 60}%02d:${s % 60}%02d GMT")
+            case 3 => resp(j, "503 Service Unavailable", "")
+            case _ => resp(j, "429 Too Many Requests",
+              "\r\nRetry-After: soon")
+          }
+        }
+        Files.write(dir.resolve(f"b$i%03d.warc.gz"),
+          (info +: recs).reduce(_ ++ _))
+      }
+    }
+    root
+  }
+
+  /** Throttle/backoff accounting (round-13 third wave) — the input a
+    * politeness scheduler reads from the LAST crawl before planning the
+    * next: which hosts rate-limited us (429) or shed load (503), what
+    * backoff did they ask for (`Retry-After`, RFC 9110 §10.2.3 — the
+    * delta-seconds form verbatim, the HTTP-date form anchored to the
+    * response's own `Date` header per the spec, clamped at 0), and how
+    * often did they throttle WITHOUT a usable value (absent or junk —
+    * the class the scheduler's default backoff covers). Complements
+    * [[FetchSchedule]]: `Crawl-delay` is the host's standing request,
+    * `Retry-After` is its live pushback.
+    *
+    * Scale shape: pure scan-side header parse + one map-side-combined
+    * per-host rollup — no joins, the same growth law as the per-asset
+    * scans. The oracle replays status, both value forms (including the
+    * date arithmetic), and the junk/absent classes closed-form from
+    * (i, j).
+    */
+  object BackoffPlan extends GraftQuery {
+    val name = "q_backoff_plan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureBackoffTree(sfDir)
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"))
+        .as[String]
+        .flatMap { file =>
+          warcRows(file) { (_, r) =>
+            val out = Seq.newBuilder[(String, Int, Long, Boolean)]
+            for (uri <- r.targetUri if r.warcType == "response")
+              graft.text.HtmlOps.httpParse(r.payload).foreach { msg =>
+                val at = uri.indexOf("://")
+                val host = (if (at < 0) uri else uri.substring(at + 3))
+                  .takeWhile(_ != '/')
+                val backoff = graft.text.HtmlOps.retryAfter(msg.headers)
+                  .flatMap {
+                    case Left(delta) => Some(delta)
+                    case Right(epoch) =>
+                      // date form: relative to the response's own Date
+                      // header; without one the value is unusable
+                      graft.text.HtmlOps.httpDate(msg.headers)
+                        .map(d => math.max(0L, epoch - d))
+                  }
+                val dateForm = graft.text.HtmlOps.retryAfter(msg.headers)
+                  .exists(_.isRight) && backoff.isDefined
+                out += ((host, msg.status, backoff.getOrElse(-1L), dateForm))
+              }
+            out.result()
+          }
+        }
+        .toDF("host", "status", "backoff", "date_form")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(when(col("status") === 429, 1L).otherwise(0L)).as("n_429"),
+          sum(when(col("status") === 503, 1L).otherwise(0L)).as("n_503"),
+          sum(when(col("backoff") >= 0, 1L).otherwise(0L)).as("n_backoff"),
+          sum(when(col("date_form"), 1L).otherwise(0L)).as("n_date_form"),
+          sum(when((col("status") === 429 || col("status") === 503) &&
+            col("backoff") < 0, 1L).otherwise(0L)).as("n_missing"),
+          max(when(col("backoff") >= 0, col("backoff")))
+            .cast("long").as("max_backoff_s"),
+          sum(when(col("backoff") >= 0, col("backoff")).otherwise(0L))
+            .as("sum_backoff_s"))
+        .orderBy("host")
+    }
+    val oracle = Some(
+      """WITH specs AS (
+        |  SELECT i.i AS i, i.i % 8 AS h, 5 + i.i % 3 AS nf
+        |  FROM unnest(range(0, 24)) i(i)),
+        |fetches AS (
+        |  SELECT h, j.j AS j, j.j % 5 AS cls,
+        |         CASE WHEN j.j % 5 = 1 THEN (3 * i + 7 * j.j) % 50
+        |              WHEN j.j % 5 = 2 THEN 60 + (i + j.j) % 30
+        |              ELSE -1 END AS backoff
+        |  FROM specs, LATERAL unnest(range(0, nf)) j(j))
+        |SELECT 's' || h || '.example' AS host,
+        |       CAST(count(*) AS BIGINT) AS n_fetches,
+        |       CAST(sum(CASE WHEN cls IN (1, 4) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_429,
+        |       CAST(sum(CASE WHEN cls IN (2, 3) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_503,
+        |       CAST(sum(CASE WHEN backoff >= 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_backoff,
+        |       CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_date_form,
+        |       CAST(sum(CASE WHEN cls IN (3, 4) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_missing,
+        |       CAST(max(CASE WHEN backoff >= 0 THEN backoff END)
+        |         AS BIGINT) AS max_backoff_s,
+        |       CAST(sum(CASE WHEN backoff >= 0 THEN backoff ELSE 0 END)
+        |         AS BIGINT) AS sum_backoff_s
+        |FROM fetches GROUP BY h ORDER BY host""".stripMargin)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(SitemapFrontier, CrawlDelta, FetchSchedule, WarcRevisit, RecrawlPlan,
-      RedirectMap, RevalidatePlan, CanonicalAlias)
+      RedirectMap, RevalidatePlan, CanonicalAlias, BackoffPlan)
 }

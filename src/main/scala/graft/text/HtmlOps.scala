@@ -147,6 +147,55 @@ object HtmlOps {
     LocationRe.findFirstMatchIn(headers).map(_.group(1).trim)
       .filter(_.nonEmpty)
 
+  private val RetryAfterRe =
+    "(?mi)^retry-after:[ \\t]*([^\\r\\n]+)".r
+  private val HttpDateRe =
+    "(?mi)^date:[ \\t]*([^\\r\\n]+)".r
+
+  /** IMF-fixdate (RFC 9110 §5.6.7) → epoch seconds; None on anything
+    * unparseable.
+    */
+  private def imfFixdateEpoch(s: String): Option[Long] =
+    try Some(java.time.ZonedDateTime.parse(s.trim,
+      java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+      .toEpochSecond)
+    catch { case _: java.time.format.DateTimeParseException => None }
+
+  /** The response's own `Date` header (RFC 9110 §6.6.1) as epoch
+    * seconds — the anchor an HTTP-date `Retry-After` is relative to.
+    */
+  def httpDate(headers: String): Option[Long] =
+    HttpDateRe.findFirstMatchIn(headers).map(_.group(1))
+      .flatMap(imfFixdateEpoch)
+
+  /** `Retry-After` (RFC 9110 §10.2.3): `Left(deltaSeconds)` for the
+    * delta form, `Right(epochSeconds)` for the HTTP-date form; None
+    * when absent or unparseable (a junk value fails open to the
+    * caller's default backoff, the same stance as unparseable robots
+    * fields).
+    */
+  def retryAfter(headers: String): Option[Either[Long, Long]] =
+    RetryAfterRe.findFirstMatchIn(headers).map(_.group(1).trim)
+      .flatMap { v =>
+        if (v.nonEmpty && v.forall(_.isDigit)) v.toLongOption.map(Left(_))
+        else imfFixdateEpoch(v).map(Right(_))
+      }
+
+  private val ContentTypeRe =
+    "(?mi)^content-type:[ \\t]*([^\\r\\n]+)".r
+
+  /** The declared media-type ESSENCE of a response (RFC 9110 §8.3):
+    * the `Content-Type` value with its parameters (`; charset=…`)
+    * stripped, lowercased, trimmed — the routing key a multimodal
+    * pipeline compares against the sniffed type. None when the header
+    * is absent or empty.
+    */
+  def contentType(headers: String): Option[String] =
+    ContentTypeRe.findFirstMatchIn(headers)
+      .map(_.group(1).takeWhile(_ != ';').trim
+        .toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
+
   private val LinkHeaderRe =
     "(?mi)^link:[ \\t]*([^\\r\\n]+)".r
   private val LinkValueRe = "<([^>]*)>([^,<]*)".r

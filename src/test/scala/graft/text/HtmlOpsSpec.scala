@@ -363,6 +363,33 @@ class HtmlOpsSpec extends SparkSpec {
       "HTTP/1.1 200 OK\r\nLink: </n>; rel=next").isEmpty)
   }
 
+  test("retryAfter/httpDate: delta and HTTP-date forms, junk fails " +
+    "open, anchored names") {
+    val dated = "HTTP/1.1 503 Service Unavailable\r\n" +
+      "Date: Thu, 01 Jan 2026 00:00:00 GMT\r\n" +
+      "Retry-After: Thu, 01 Jan 2026 00:02:03 GMT"
+    val d = HtmlOps.httpDate(dated)
+    val ra = HtmlOps.retryAfter(dated)
+    assert(d.isDefined && ra.exists(_.isRight))
+    assert(ra.get.toOption.get - d.get == 123L,
+      "date-form Retry-After is relative to the response Date")
+    assert(HtmlOps.retryAfter(
+      "HTTP/1.1 429 Too Many Requests\r\nRetry-After: 120")
+      .contains(Left(120L)))
+    assert(HtmlOps.retryAfter(
+      "HTTP/1.1 429 Too Many Requests\r\nretry-after:\t0")
+      .contains(Left(0L)))
+    // junk, empty, absent, and non-anchored names all yield None
+    assert(HtmlOps.retryAfter(
+      "HTTP/1.1 429 x\r\nRetry-After: soon").isEmpty)
+    assert(HtmlOps.retryAfter("HTTP/1.1 429 x\r\nRetry-After: ").isEmpty)
+    assert(HtmlOps.retryAfter("HTTP/1.1 429 x\r\nA: b").isEmpty)
+    assert(HtmlOps.retryAfter(
+      "HTTP/1.1 429 x\r\nX-Retry-After: 9").isEmpty)
+    assert(HtmlOps.httpDate(
+      "HTTP/1.1 200 OK\r\nX-Date: Thu, 01 Jan 2026 00:00:00 GMT").isEmpty)
+  }
+
   test("etag/lastModified: anchored validator extraction, weak forms " +
     "and case-insensitive names included") {
     val h = "HTTP/1.1 200 OK\r\nETag: \"abc\"\r\n" +
