@@ -1444,7 +1444,11 @@ object FrontierQueries {
     *    with `HTTP://WWW.` + `?utm_source=x` noise (self after the
     *    frontier canonicalizer);
     *  - j=1: single-quoted, attribute-order-reversed HTML link whose
-    *    href is the RELATIVE dot-segment reference `../a{i}/./0`;
+    *    href is the RELATIVE dot-segment reference `../a{i}/./0` — AND
+    *    a `<base href="/sub/x/">` element (itself relative), so per
+    *    HTML §4.2.3 the declaration resolves to `/sub/a{i}/0`, NOT the
+    *    page-uri-relative `/a{i}/0` (a base-blind reader collapses
+    *    j=1's target into j=2's group and n_targets/max_group shift);
     *  - j=2: an HTTP `Link` header (RFC 8288) whose SECOND link-value
     *    is `rel="canonical"` (the first is a `rel=preload` decoy),
     *    target spelled protocol-relative — PLUS a conflicting HTML
@@ -1459,7 +1463,8 @@ object FrontierQueries {
     *    ignored whole (status gate).
     */
   private[sources] def ensureCanonicalTree(sfDir: String): String = {
-    val root = workDir(scaledTag("canon1"), sfDir)
+    // canon1 -> canon2: j=1 gained the <base href> element
+    val root = workDir(scaledTag("canon2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -1486,7 +1491,7 @@ object FrontierQueries {
           case 0 => page(0, "",
             s"""<link rel="canonical" href="HTTP://WWW.s$h.example/a$i/0?utm_source=x">""")
           case 1 => page(1, "",
-            s"""<link href='../a$i/./0' rel='canonical'>""")
+            s"""<base href="/sub/x/"><link href='../a$i/./0' rel='canonical'>""")
           case 2 => page(2,
             s"""\r\nLink: </pre$i>; rel=preload, <//s$h.example/a$i/0>; rel="canonical"""",
             s"""<link rel="canonical" href="/conflict$i">""")
@@ -1559,8 +1564,17 @@ object FrontierQueries {
                     graft.text.HtmlOps.linkHeaderCanonical(msg.headers)
                   val decl =
                     declH.orElse(graft.text.HtmlOps.canonicalLink(html))
+                  // an HTML declaration resolves against the document
+                  // base (<base href>, HTML §4.2.3 — itself resolved
+                  // against the page uri); a header declaration's
+                  // context is the page uri (RFC 8288 §3.1)
+                  val base =
+                    if (declH.isDefined) uri
+                    else graft.text.HtmlOps.baseHref(html)
+                      .map(b => graft.text.UrlOps.resolve(uri, b))
+                      .getOrElse(uri)
                   val target = decl.map(d => frontierCanonicalStr(
-                    graft.text.UrlOps.resolve(uri, d))).getOrElse("")
+                    graft.text.UrlOps.resolve(base, d))).getOrElse("")
                   out += ((host, frontierCanonicalStr(uri),
                     declH.isDefined, target))
                 }
@@ -1608,8 +1622,13 @@ object FrontierQueries {
         |         CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS n_cross
         |  FROM specs),
         |aliases AS (
+        |  -- j=1 resolves via the <base href> onto /sub/a{i}/0 (its own
+        |  -- target); j=2 (+j=4 when np=5) onto /a{i}/0; i%4=0 adds the
+        |  -- shared cross-host hub
+        |  SELECT h, '/sub/a' || i || '/0' AS tgt, 1 AS g FROM specs
+        |  UNION ALL
         |  SELECT h, '/a' || i || '/0' AS tgt,
-        |         2 + CASE WHEN np = 5 THEN 1 ELSE 0 END AS g
+        |         1 + CASE WHEN np = 5 THEN 1 ELSE 0 END AS g
         |  FROM specs
         |  UNION ALL
         |  SELECT h, 'hub', 1 FROM specs WHERE i % 4 = 0),

@@ -220,31 +220,50 @@ object HtmlOps {
     }.find(_.nonEmpty)
 
   private val LinkTagRe = "(?is)<link\\b[^>]*>".r
+  private val BaseTagRe = "(?is)<base\\b[^>]*>".r
+
+  /** Attribute value inside an HTML start tag: double-quoted,
+    * single-quoted, or the HTML5-legal UNQUOTED form (terminated by
+    * whitespace or `>`).
+    */
+  private def tagAttr(tag: String, name: String): Option[String] = {
+    // (?<![-\w]): `data-href=` must not satisfy a lookup of `href`
+    val re = ("(?i)(?<![-\\w])" + name +
+      "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))").r
+    re.findFirstMatchIn(tag)
+      .map(m => Option(m.group(1))
+        .orElse(Option(m.group(2))).getOrElse(m.group(3)))
+  }
 
   /** The canonical target declared via an HTML
     * `<link rel="canonical" href="…">` element — attribute order
-    * independent, single- or double-quoted values, `rel` matched as a
+    * independent, double-/single-/un-quoted values, `rel` matched as a
     * case-insensitive space-separated token list (a
     * `rel="alternate canonical"` counts; `rel="alternate"` does not).
     * First declaring tag wins (the de-facto rule engines apply to
     * conflicting declarations). Verbatim href; resolution is the
-    * caller's. NOTE: runs on the raw HTML — callers gate on status 200
-    * first, the same contract as the link extractor.
+    * caller's — compose with [[baseHref]] first when honoring the
+    * document base. NOTE: runs on the raw HTML — callers gate on
+    * status 200 first, the same contract as the link extractor.
     */
-  def canonicalLink(html: String): Option[String] = {
-    def attr(tag: String, name: String): Option[String] = {
-      val re = ("(?i)\\b" + name +
-        "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')").r
-      re.findFirstMatchIn(tag)
-        .map(m => Option(m.group(1)).getOrElse(m.group(2)))
-    }
+  def canonicalLink(html: String): Option[String] =
     LinkTagRe.findAllIn(html).toSeq.iterator.flatMap { tag =>
-      if (attr(tag, "rel").exists(_.split("\\s+")
+      if (tagAttr(tag, "rel").exists(_.split("\\s+")
         .exists(_.equalsIgnoreCase("canonical"))))
-        attr(tag, "href").filter(_.nonEmpty)
+        tagAttr(tag, "href").filter(_.nonEmpty)
       else None
     }.nextOption()
-  }
+
+  /** The document's `<base href="…">` (HTML §4.2.3: the FIRST base
+    * element with an href wins) — relative references in the document,
+    * the canonical href included, resolve against it, itself resolved
+    * against the page URI. A pipeline that ignores it mis-targets
+    * every relative declaration on base-bearing pages.
+    */
+  def baseHref(html: String): Option[String] =
+    BaseTagRe.findAllIn(html).toSeq.iterator
+      .flatMap(tag => tagAttr(tag, "href").filter(_.nonEmpty))
+      .nextOption()
 
   private val EtagRe =
     "(?mi)^etag:[ \\t]*([^\\r\\n]+)".r

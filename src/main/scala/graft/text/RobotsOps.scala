@@ -117,11 +117,28 @@ object RobotsOps {
     if (anchored) pos == path.length else true
   }
 
+  /** RFC 9309 §2.5.1 parse bound: crawlers MUST parse at least
+    * 500 KiB and MAY ignore the rest — an unbounded parse would let
+    * one hostile multi-GB robots.txt dominate a scan task. Truncation
+    * backs up to the last line break inside the bound so a half rule
+    * is never parsed as a shorter (likely broader) one.
+    */
+  private val ParseBound = 512 * 1024
+
+  private def bounded(text: String): String =
+    if (text.length <= ParseBound) text
+    else {
+      val cut = text.lastIndexOf('\n', ParseBound)
+      text.substring(0, if (cut >= 0) cut else ParseBound)
+    }
+
   /** Rules applying to `agent` per the RFC 9309 group-selection and
     * merge semantics. Rule paths come out percent-normalized
-    * (§2.2.2); `*`/`$` stay verbatim for [[pathMatches]].
+    * (§2.2.2); `*`/`$` stay verbatim for [[pathMatches]]. Input is
+    * parsed up to the §2.5.1 bound ([[bounded]]).
     */
   def rules(text: String, agent: String): Seq[Rule] = {
+    val capped = bounded(text)
     final case class Group(agents: Seq[String], rules: Seq[Rule])
     val groups = Seq.newBuilder[Group]
     var agents = Seq.newBuilder[String]
@@ -135,7 +152,7 @@ object RobotsOps {
       body = Seq.newBuilder[Rule]
       inBody = false
     }
-    text.split("\r?\n").foreach { raw =>
+    capped.split("\r?\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
       if (c > 0) {
@@ -178,6 +195,7 @@ object RobotsOps {
     * stance as unparseable rules).
     */
   def crawlDelay(text: String, agent: String): Option[Long] = {
+    val capped = bounded(text)
     final case class Group(agents: Seq[String], delays: Seq[Long])
     val groups = Seq.newBuilder[Group]
     var agents = Seq.newBuilder[String]
@@ -191,7 +209,7 @@ object RobotsOps {
       delays = Seq.newBuilder[Long]
       inBody = false
     }
-    text.split("\r?\n").foreach { raw =>
+    capped.split("\r?\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
       if (c > 0) {

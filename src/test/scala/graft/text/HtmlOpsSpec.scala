@@ -336,6 +336,24 @@ class HtmlOpsSpec extends SparkSpec {
     // "canonical" as a SUBSTRING of another token must not match
     assert(HtmlOps.canonicalLink(
       """<link rel="noncanonical" href="/x">""").isEmpty)
+    // HTML5-legal UNQUOTED attribute values
+    assert(HtmlOps.canonicalLink(
+      """<link rel=canonical href=/u1>""").contains("/u1"))
+    assert(HtmlOps.canonicalLink(
+      """<link href=/u2 rel=canonical >""").contains("/u2"))
+    // a dashed attribute NAME must not satisfy the lookup
+    assert(HtmlOps.canonicalLink(
+      """<link rel="canonical" data-href="/wrong">""").isEmpty)
+  }
+
+  test("baseHref: first base wins, quote styles, absent") {
+    assert(HtmlOps.baseHref(
+      """<html><head><base href="/sub/"><base href="/late/"></head>""")
+      .contains("/sub/"))
+    assert(HtmlOps.baseHref("""<base target=_top href='/b/'>""")
+      .contains("/b/"))
+    assert(HtmlOps.baseHref("""<base target="_top">""").isEmpty)
+    assert(HtmlOps.baseHref("<html><head></head></html>").isEmpty)
   }
 
   test("linkHeaderCanonical: RFC 8288 link-values, decoys, quoting, " +

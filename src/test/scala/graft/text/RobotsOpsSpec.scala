@@ -173,4 +173,23 @@ class RobotsOpsSpec extends AnyFunSuite {
     assert(RobotsOps.crawlDelay(two, "b") === Some(6L))
     assert(RobotsOps.crawlDelay(two, "a") === Some(2L))
   }
+
+  test("§2.5.1 parse bound: rules beyond 500 KiB are ignored, " +
+    "truncation never half-parses a rule") {
+    // pad INSIDE the group with comment lines so the 512 KiB bound
+    // falls between an in-bound allow and an out-of-bound disallow
+    val pad = ("# " + "x" * 61 + "\n") * 8300 // ~531 KiB of comments
+    val txt = "User-agent: *\nDisallow: /in\n" + pad +
+      "Disallow: /late\nCrawl-delay: 9\n"
+    assert(txt.length > 512 * 1024)
+    val rs = RobotsOps.rules(txt, "anybot")
+    assert(rs.map(_.path) == Seq("/in"),
+      s"only the in-bound rule may parse: ${rs.map(_.path)}")
+    // the out-of-bound Crawl-delay is gone too (fail-open to none)
+    assert(RobotsOps.crawlDelay(txt, "anybot").isEmpty)
+    // an in-bound delay still parses when the junk tail is out of bound
+    val txt2 = "User-agent: *\nCrawl-delay: 3\n" + pad + "Disallow: /x\n"
+    assert(RobotsOps.crawlDelay(txt2, "anybot") === Some(3L))
+    assert(RobotsOps.rules(txt2, "anybot").isEmpty)
+  }
 }
