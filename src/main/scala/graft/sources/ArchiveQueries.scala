@@ -1583,7 +1583,10 @@ object ArchiveQueries {
       val deadAll = finals.filter(col("dead").isNotNull)
         .select(col("host"), lit("/").as("rpath"),
           lit(false).as("allow"))
+      // persisted: the decision join AND ruleCounts both consume it —
+      // unpersisted, the redirect-resolution joins would execute twice
       val rules = direct.unionByName(viaRedirect).unionByName(deadAll)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // decision per distinct (host, path): RFC 9309 §2.2.2/§2.2.3 —
       // the full wildcard grammar as the join residual (native
       // expression), most-pattern-octets wins, allow wins ties, no

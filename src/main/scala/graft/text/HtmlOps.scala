@@ -265,6 +265,27 @@ object HtmlOps {
       .flatMap(tag => tagAttr(tag, "href").filter(_.nonEmpty))
       .nextOption()
 
+  /** All `<link rel="alternate" hreflang="…" href="…">` declarations
+    * of the document, in order — the language-edition graph the
+    * hreflang protocol publishes (Google's multilingual annotation;
+    * the W3C `alternate` link type + BCP 47 tags). `rel` is matched as
+    * a token list (an `alternate` among other tokens counts), all
+    * three attributes accept the quoted/unquoted forms, and a
+    * rel=alternate link WITHOUT an hreflang (an RSS feed link) is not
+    * an edition edge. Verbatim (hreflang, href) pairs; resolution is
+    * the caller's.
+    */
+  def hreflangLinks(html: String): Seq[(String, String)] =
+    LinkTagRe.findAllIn(html).toSeq.flatMap { tag =>
+      if (tagAttr(tag, "rel").exists(_.split("\\s+")
+        .exists(_.equalsIgnoreCase("alternate"))))
+        for {
+          lang <- tagAttr(tag, "hreflang").filter(_.nonEmpty)
+          href <- tagAttr(tag, "href").filter(_.nonEmpty)
+        } yield (lang, href)
+      else None
+    }
+
   private val EtagRe =
     "(?mi)^etag:[ \\t]*([^\\r\\n]+)".r
   private val LastModifiedRe =

@@ -346,6 +346,23 @@ class HtmlOpsSpec extends SparkSpec {
       """<link rel="canonical" data-href="/wrong">""").isEmpty)
   }
 
+  test("hreflangLinks: alternate token list, all pairs in order, " +
+    "feed links without hreflang skipped") {
+    val html =
+      """<html><head>
+        |<link rel="alternate" hreflang="en" href="/en/p">
+        |<link hreflang='fr' rel='alternate' href='/fr/p'>
+        |<link rel="alternate stylesheet" hreflang="de" href="/de/p">
+        |<link rel="alternate" type="application/rss+xml" href="/feed">
+        |<link rel="canonical" href="/c">
+        |<link rel="alternate" hreflang="x-default" href="/p">
+        |</head></html>""".stripMargin
+    assert(HtmlOps.hreflangLinks(html) == Seq(
+      ("en", "/en/p"), ("fr", "/fr/p"), ("de", "/de/p"),
+      ("x-default", "/p")))
+    assert(HtmlOps.hreflangLinks("<html><body>x</body></html>").isEmpty)
+  }
+
   test("baseHref: first base wins, quote styles, absent") {
     assert(HtmlOps.baseHref(
       """<html><head><base href="/sub/"><base href="/late/"></head>""")
