@@ -1816,7 +1816,7 @@ object ArchiveQueries {
     *  - j=6 (i%4 = 3): `application/octet-stream` over ZIP magic (the
     *    sniff REFINES an honest-but-vague declaration).
     */
-  private[sources] def ensureMimeTree(sfDir: String): String = {
+  private[graft] def ensureMimeTree(sfDir: String): String = {
     val root = workDir(scaledTag("mime1"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}

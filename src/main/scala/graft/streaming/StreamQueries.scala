@@ -540,8 +540,52 @@ object StreamQueries {
         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Streaming MIME routing — the production shape of the modality
+    * router: crawl files LAND and every fetched payload is routed as
+    * it arrives (binaryFile file-source stream → the same streamed
+    * WARC walk + `httpParse` + [[graft.multimodal.MagicBytes]] sniff
+    * as the batch `q_mime_route`) into a Complete-mode
+    * (declared, sniffed) matrix. The final table is
+    * slicing-independent, so it shares the batch row's closed-form
+    * VALUES oracle. Memory-sink bound: ≤ types² rows — the matrix,
+    * never per-record rows.
+    */
+  object StreamMimeRoute extends GraftQuery {
+    val name = "q_stream_mime_route"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = graft.sources.ArchiveQueries.ensureMimeTree(sfDir)
+      val schema = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz").load(root).schema
+      val recs = spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path")).as[String]
+        .flatMap { path =>
+          graft.sources.ArchiveQueries.warcRows(path) { (_, r) =>
+            if (r.warcType == "response")
+              graft.text.HtmlOps.httpParse(r.payload)
+                .filter(_.status == 200).map { msg =>
+                  (graft.text.HtmlOps.contentType(msg.headers)
+                    .getOrElse("(none)"),
+                    graft.multimodal.MagicBytes.sniffMime(msg.body))
+                }.toSeq
+            else Seq.empty
+          }
+        }
+        .toDF("declared", "sniffed")
+      val agg = recs.groupBy("declared", "sniffed")
+        .agg(count(lit(1)).as("n"))
+      runToMemory(spark, "graft_stream_mime", agg, "complete")
+        .orderBy("declared", "sniffed")
+    }
+    val oracle = graft.sources.ArchiveQueries.MimeRoute.oracle
+  }
+
   val all: Seq[GraftQuery] = Seq(StreamTumbling, StreamHopping,
     StreamSessions, StreamPurchaseClick, StreamDedup,
     StreamFunnelFinal, StreamSnapshotFinal, StreamConversionLagFinal,
-    StreamEnrich, StreamWarcIngest)
+    StreamEnrich, StreamWarcIngest, StreamMimeRoute)
 }
