@@ -128,7 +128,12 @@ class StreamQueriesSpec extends SparkSpec {
       // Complete-mode crawl-ingest sink: one row per WARC record type
       // present in the fixture tree (warcinfo/request/response = 3)
       "q_stream_warc_ingest" -> ((() => memRows("graft_stream_warc"),
-        () => 3L)))
+        () => 3L)),
+      // Complete-mode MIME-routing sink: one row per (declared,
+      // sniffed) pair present in the fixture tree — exactly the batch
+      // twin's matrix (oracle shared verbatim with q_mime_route)
+      "q_stream_mime_route" -> ((() => memRows("graft_stream_mime"),
+        () => graft.sources.ArchiveQueries.MimeRoute.run(spark, sf).count())))
     assert(StreamQueries.all.map(_.name).toSet == expected.keySet,
       "new stream registrations must declare a sink bound in this spec")
     for (q <- StreamQueries.all) {
