@@ -26,11 +26,15 @@ class FrontierQueriesSpec extends SparkSpec {
     * silently serve it. Call ONCE per test, before the plant calls.
     */
   private def clearTree(tag: String, sfDir: String): Unit = {
-    val base = Paths.get(SourceQueries.workDir(tag, sfDir))
-    if (Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+    // a tree's derived checkpoints (the `_resolved` frontier frame)
+    // must die with it, or the existence guard serves stale rows
+    for (t <- Seq(tag, tag + "_resolved")) {
+      val base = Paths.get(SourceQueries.workDir(t, sfDir))
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
     }
   }
 
@@ -101,6 +105,24 @@ class FrontierQueriesSpec extends SparkSpec {
       s"makespan/total wait at delay 1, 2 fetches: $row")
     assert(row.getString(5) == "/p1",
       s"priority 0.9 must be fetched first: $row")
+  }
+
+  test("resolved-frontier checkpoint: cold resolution and the served " +
+    "parquet frame are row-identical (the ClassifierOps cold ≡ served " +
+    "contract)") {
+    val root = FrontierQueries.ensureSitemapTree(sf)
+    val served = FrontierQueries.servedFrontier(spark, sf)
+    val cold = FrontierQueries.coldResolvedFrontier(spark, root)
+    assert(served.schema.fieldNames.toSeq ==
+      cold.schema.fieldNames.toSeq, "checkpoint must preserve the schema")
+    assert(served.count() > 0, "the resolved frame must be non-empty")
+    // exact multiset compare: group every column to (row, multiplicity)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(df.schema.fieldNames.head,
+        df.schema.fieldNames.tail: _*).count()
+    assert(bag(served).except(bag(cold)).isEmpty &&
+      bag(cold).except(bag(served)).isEmpty,
+      "served checkpoint must hold exactly the cold-resolved rows")
   }
 
   test("robots frontier: RFC 9309 §2.3.1 availability semantics on " +
