@@ -1852,9 +1852,17 @@ object FrontierQueries {
     * surface, distinct from dangling); solo also carries a
     * rel=alternate RSS link WITHOUT hreflang that must not count; a
     * 404 page carries declarations that must be ignored whole.
+    *
+    * Round 14 (href1 → href2): each file also plants a reciprocal
+    * CHAIN `/ch{i}/a ↔ /ch{i}/b ↔ /ch{i}/c` (no a↔c edge, no self
+    * declarations) — the partial-annotation topology real hreflang
+    * graphs exhibit constantly, where every edge is reciprocal yet
+    * the cluster is NOT a clique. A one-hop `least(self, min
+    * neighbor)` group id splits {a,b},{c}; only a true connected
+    * components finds the single 3-edition group.
     */
   private[sources] def ensureHreflangTree(sfDir: String): String = {
-    val root = workDir(scaledTag("href1"), sfDir)
+    val root = workDir(scaledTag("href2"), sfDir)
     if (!Files.exists(Paths.get(root, "0"))) {
       import graft.multimodal.{GzipCodec, WarcCodec}
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -1889,6 +1897,16 @@ object FrontierQueries {
             alt("en", s"http://s$h.example/${langs(0)}/c$i") +
             s"""<link rel="alternate" type="application/rss+xml" href="/feed$i">""" +
             "</head><body>solo</body></html>")
+        // the reciprocal chain: a↔b, b↔c, NO a↔c, no self declarations
+        def chp(k: String) = s"http://s$h.example/ch$i/$k"
+        val chain = Seq(
+          resp(s"hf$i-ca", chp("a"), "200 OK",
+            s"<html><head>${alt("en", chp("b"))}</head><body>a</body></html>"),
+          resp(s"hf$i-cb", chp("b"), "200 OK",
+            s"<html><head>${alt("fr", chp("a"))}${alt("de", chp("c"))}" +
+              "</head><body>b</body></html>"),
+          resp(s"hf$i-cc", chp("c"), "200 OK",
+            s"<html><head>${alt("fr", chp("b"))}</head><body>c</body></html>"))
         val gone = resp(s"hf$i-g", s"http://s$h.example/404_$i",
           "404 Not Found",
           "<html><head>" + alt("en", s"http://s$h.example/${langs(0)}/c$i") +
@@ -1897,7 +1915,7 @@ object FrontierQueries {
           "warcinfo", s"<urn:uuid:hi$i>", "2026-01-01T00:00:00Z", None,
           s"software: graft $i".getBytes(utf8)))
         Files.write(dir.resolve(f"h$i%03d.warc.gz"),
-          ((info +: cluster) ++ Seq(solo, gone)).reduce(_ ++ _))
+          ((info +: cluster) ++ chain ++ Seq(solo, gone)).reduce(_ ++ _))
       }
     }
     root
@@ -1912,11 +1930,14 @@ object FrontierQueries {
     * one-way (target crawled, never reciprocated) / dangling (target
     * not crawled), counts self-references and `x-default` routing
     * entries, and reports the reciprocal edition groups (count, max
-    * size, distinct languages). Group ids are `least(self, min
-    * reciprocal neighbor)` — exact for the clique topology the
-    * protocol prescribes (every edition lists the full set); non-clique
-    * inputs surface in n_oneway rather than silently mis-grouping (a
-    * general CC — `dedup/StarComponents` — is the escalation path).
+    * size, distinct languages). Group ids are TRUE connected
+    * components of the reciprocal edge set via
+    * [[graft.dedup.StarComponents]] (round 14 — the one-hop
+    * `least(self, min neighbor)` id was exact only for the clique
+    * topology the protocol prescribes and silently SPLIT reciprocal
+    * chains, which real partial-annotation hreflang graphs exhibit
+    * constantly; the fixture now plants one chain per file and the
+    * oracle counts its single 3-edition group).
     *
     * Scale shape: declaration parse + resolution scan-side; the
     * reciprocity check is ONE unhinted self-join of the edge table on
@@ -1998,11 +2019,17 @@ object FrontierQueries {
           .as("n_dangling"))
       val pstats = recs.filter(col("kind") === 1)
         .groupBy("host").agg(countDistinct(col("a")).as("n_pages"))
+      // true CC over the reciprocal edges (log-round star contraction —
+      // the same O(log n) machinery as the dedup clusters); labels are
+      // global, then members re-keyed to their host for the per-host
+      // stats (a cross-host edition group counts in each host it touches)
+      val recipPairs = cls.filter(col("state") === "recip")
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val labels = graft.dedup.StarComponents.starComponents(recipPairs)
       val gids = cls.filter(col("state") === "recip")
-        .groupBy(col("host"), col("src"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("host"), col("src").as("member"),
-          least(col("src"), col("mn")).as("gid"))
+        .select(col("host"), col("src").as("member")).distinct()
+        .join(labels, col("member") === col("id"))
+        .select(col("host"), col("member"), col("label").as("gid"))
       val gstats = gids.groupBy("host", "gid")
         .agg(countDistinct(col("member")).as("sz"))
         .groupBy("host")
@@ -2022,15 +2049,17 @@ object FrontierQueries {
       """WITH specs AS (
         |  SELECT i.i AS i, i.i % 8 AS h, 2 + i.i % 3 AS L
         |  FROM unnest(range(0, 24)) i(i)),
-        |-- per file: L editions (each declaring all L incl. self) + the
-        |-- solo one-way page; edition 0 adds an x-default self and a
-        |-- dangling pt target; the 404 page's declarations never count
+        |-- per file: L editions (each declaring all L incl. self), the
+        |-- 3-page reciprocal chain a↔b↔c (4 edges, no selfs, one CC
+        |-- group), and the solo one-way page; edition 0 adds an
+        |-- x-default self and a dangling pt target; the 404 page's
+        |-- declarations never count
         |perfile AS (
         |  SELECT h, L,
-        |         L + 1 AS n_pages,
-        |         L * (L - 1) + 2 AS n_edges,
+        |         L + 4 AS n_pages,
+        |         L * (L - 1) + 6 AS n_edges,
         |         L + 1 AS n_self,
-        |         L * (L - 1) AS n_recip
+        |         L * (L - 1) + 4 AS n_recip
         |  FROM specs)
         |SELECT 's' || h || '.example' AS host,
         |       CAST(sum(n_pages) AS BIGINT) AS n_pages,
@@ -2042,7 +2071,8 @@ object FrontierQueries {
         |       CAST(count(*) AS BIGINT) AS n_xdefault,
         |       -- langs = en..(max L) + the dangling pt
         |       CAST(max(L) + 1 AS BIGINT) AS n_langs,
-        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       -- one clique group + one chain group per file
+        |       CAST(2 * count(*) AS BIGINT) AS n_groups,
         |       CAST(max(L) AS BIGINT) AS max_group
         |FROM perfile GROUP BY h ORDER BY host""".stripMargin)
   }

@@ -125,6 +125,32 @@ class FrontierQueriesSpec extends SparkSpec {
       "served checkpoint must hold exactly the cold-resolved rows")
   }
 
+  test("hreflang groups: a reciprocal chain (a↔b↔c, no a↔c) is ONE " +
+    "3-edition group under connected components, not two split halves") {
+    val sfDir = "/spec/hreflang_chain"
+    def page(id: String, uri: String, links: String) =
+      member("response", id, Some(uri),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes("ISO-8859-1") ++
+          s"<html><head>$links</head><body>.</body></html>".getBytes(utf8))
+    def alt(lang: String, href: String) =
+      s"""<link rel="alternate" hreflang="$lang" href="$href">"""
+    val h = "http://t0.example"
+    clearTree("href2", sfDir)
+    plant("href2", sfDir, "0", "h000.warc.gz", Seq(
+      page("a", s"$h/a", alt("en", s"$h/b")),
+      page("b", s"$h/b", alt("fr", s"$h/a") + alt("de", s"$h/c")),
+      page("c", s"$h/c", alt("fr", s"$h/b"))))
+    val r = FrontierQueries.HreflangGroups.run(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "t0.example")
+    assert(row.getLong(4) == 4L, s"all four edges reciprocal: $row")
+    assert(row.getLong(9) == 1L,
+      s"the chain is ONE connected component, not two: $row")
+    assert(row.getLong(10) == 3L, s"the group spans all 3 editions: $row")
+  }
+
   test("robots frontier: RFC 9309 §2.3.1 availability semantics on " +
     "response-carried robots (404 → unrestricted, 500 → disallow-all, " +
     "chunked 200 → parsed)") {
