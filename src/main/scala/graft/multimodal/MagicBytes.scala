@@ -64,6 +64,10 @@ object MagicBytes {
       low.startsWith("<script") || low.startsWith("<!--"))
       return "text/html"
     if (low.startsWith("<?xml")) return "text/xml"
-    if (b.exists(binaryByte)) "application/octet-stream" else "text/plain"
+    // WHATWG sniffing inspects only the resource header (first 1445
+    // bytes) — a stray control byte deep inside a large text body must
+    // not flip it to octet-stream, and unknown payloads stay O(1)
+    if (b.iterator.take(1445).exists(binaryByte)) "application/octet-stream"
+    else "text/plain"
   }
 }

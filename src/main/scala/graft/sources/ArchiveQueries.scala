@@ -1546,33 +1546,13 @@ object ArchiveQueries {
         .groupBy("host", "path").agg(count(lit(1)).as("n"))
       val direct = recs.filter(col("kind") === 1)
         .select(col("host"), col("path").as("rpath"), col("allow"))
-      // RFC 9309 §2.3.1.2 — follow well-known robots redirects: the
-      // origin 3xx is redirect 1; redirects 2..5 follow through the
-      // robots-pathed redirect catalog (four bounded unhinted uri
-      // equi-joins — O(hosts) frames on both sides, a cycle costs
-      // exactly the cap). A final uri that still redirects (a sixth
-      // hop pending) is "unavailable" → no rules; a final 5xx is
-      // "unreachable" → synthesized disallow-all; a final 2xx
-      // robots-pathed body contributes its rules to the ORIGIN host.
-      val origins = recs.filter(col("kind") === 7)
-        .select(col("host"), col("path").as("cur"))
-      val redges = recs.filter(col("kind") === 8)
-        .select(col("host").as("e_src"), col("path").as("e_dst"))
-      var cur = origins
-      for (_ <- 2 to 5) {
-        cur = cur.join(redges, cur("cur") === redges("e_src"), "left")
-          .select(col("host"),
-            coalesce(col("e_dst"), col("cur")).as("cur"))
-      }
-      val pending = redges.select(col("e_src")).distinct()
-        .withColumn("more", lit(1))
-      val unreach = recs.filter(col("kind") === 12)
-        .select(col("host").as("u_uri")).distinct()
-        .withColumn("dead", lit(1))
-      val finals = cur
-        .join(pending, cur("cur") === pending("e_src"), "left")
-        .join(unreach, col("cur") === col("u_uri"), "left")
-        .select(col("host"), col("cur"), col("more"), col("dead"))
+      // RFC 9309 §2.3.1.2 — follow well-known robots redirects via the
+      // shared [[RobotsResolve.chains]] resolution: a final uri that
+      // still redirects (a sixth hop pending) is "unavailable" → no
+      // rules; a final 5xx is "unreachable" → synthesized disallow-all;
+      // a final 2xx robots-pathed body contributes its rules to the
+      // ORIGIN host.
+      val finals = RobotsResolve.chains(recs)
       val bodies = recs.filter(col("kind") === 9)
         .select(col("host").as("b_uri"), col("path").as("rpath"),
           col("allow"))

@@ -395,23 +395,7 @@ object FrontierQueries {
     */
   private def withResolvedRobots(raw: DataFrame): DataFrame = {
     val base = raw.filter(col("kind") <= 6)
-    val origins = raw.filter(col("kind") === 7)
-      .select(col("host"), col("path").as("cur"))
-    val redges = raw.filter(col("kind") === 8)
-      .select(col("host").as("e_src"), col("path").as("e_dst"))
-    var cur = origins
-    for (_ <- 2 to 5)
-      cur = cur.join(redges, cur("cur") === redges("e_src"), "left")
-        .select(col("host"), coalesce(col("e_dst"), col("cur")).as("cur"))
-    val pending = redges.select(col("e_src")).distinct()
-      .withColumn("more", lit(1))
-    val unreach = raw.filter(col("kind") === 12)
-      .select(col("host").as("u_uri")).distinct()
-      .withColumn("dead", lit(1))
-    val finals = cur
-      .join(pending, cur("cur") === pending("e_src"), "left")
-      .join(unreach, col("cur") === col("u_uri"), "left")
-      .select(col("host"), col("cur"), col("more"), col("dead"))
+    val finals = RobotsResolve.chains(raw)
     val landed = finals.filter(col("more").isNull && col("dead").isNull)
     def rekey(bodyKind: Int, outKind: Int) = landed
       .join(raw.filter(col("kind") === bodyKind)

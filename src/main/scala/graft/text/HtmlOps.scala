@@ -198,26 +198,93 @@ object HtmlOps {
 
   private val LinkHeaderRe =
     "(?mi)^link:[ \\t]*([^\\r\\n]+)".r
-  private val LinkValueRe = "<([^>]*)>([^,<]*)".r
-  private val RelCanonicalRe =
-    "(?i)\\brel\\s*=\\s*\"?([^\";,]*)".r
+
+  /** RFC 8288 §3 link-value scanner over one `Link` header value:
+    * `<target>; p=v; q="v 2", <t2>; …` — quote-aware (a `,` or `;`
+    * inside a quoted param value does not split, `\"`-escapes
+    * unescape), param names lower-cased. Returns (target, params) per
+    * link-value; duplicate params are kept in order so the caller can
+    * apply §3.3's first-occurrence rule.
+    */
+  private def linkValues(s: String): Seq[(String, Seq[(String, String)])] = {
+    val out = Seq.newBuilder[(String, Seq[(String, String)])]
+    val n = s.length
+    var i = 0
+    def skipWs(): Unit =
+      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    while (i < n) {
+      skipWs()
+      if (i < n && s.charAt(i) == '<') {
+        val end = s.indexOf('>', i + 1)
+        if (end < 0) i = n
+        else {
+          val target = s.substring(i + 1, end).trim
+          i = end + 1
+          val params = Seq.newBuilder[(String, String)]
+          var more = true
+          while (more) {
+            skipWs()
+            if (i < n && s.charAt(i) == ';') {
+              i += 1; skipWs()
+              val ns = i
+              while (i < n && s.charAt(i) != '=' && s.charAt(i) != ';' &&
+                s.charAt(i) != ',') i += 1
+              val name = s.substring(ns, i).trim
+                .toLowerCase(java.util.Locale.ROOT)
+              var value = ""
+              if (i < n && s.charAt(i) == '=') {
+                i += 1; skipWs()
+                if (i < n && s.charAt(i) == '"') {
+                  val sb = new StringBuilder
+                  i += 1
+                  while (i < n && s.charAt(i) != '"') {
+                    if (s.charAt(i) == '\\' && i + 1 < n) {
+                      sb.append(s.charAt(i + 1)); i += 2
+                    } else { sb.append(s.charAt(i)); i += 1 }
+                  }
+                  if (i < n) i += 1
+                  value = sb.toString
+                } else {
+                  val vs = i
+                  while (i < n && s.charAt(i) != ';' && s.charAt(i) != ',')
+                    i += 1
+                  value = s.substring(vs, i).trim
+                }
+              }
+              if (name.nonEmpty) params += ((name, value))
+            } else more = false
+          }
+          out += ((target, params.result()))
+          skipWs()
+          if (i < n && s.charAt(i) == ',') i += 1
+        }
+      } else {
+        val c = s.indexOf(',', i)
+        i = if (c < 0) n else c + 1
+      }
+    }
+    out.result()
+  }
 
   /** The canonical target declared via an HTTP `Link` header
     * (RFC 8288) with `rel="canonical"` — the header-level alias signal
     * production pipelines read BEFORE the HTML (it survives non-HTML
     * content types and is what CDNs inject). First matching link-value
     * across all `Link` header lines wins; `rel` is a space-separated
-    * list, quoted or bare, matched case-insensitively. Verbatim target;
-    * resolution/canonicalization is the caller's.
+    * list, quoted or bare, matched case-insensitively, and only a
+    * link-value's FIRST `rel` param counts (§3.3) — a non-rel param
+    * whose quoted value contains "rel=canonical" never false-positives
+    * because params are tokenized, not regex-searched. Verbatim
+    * target; resolution/canonicalization is the caller's.
     */
   def linkHeaderCanonical(headers: String): Option[String] =
-    LinkHeaderRe.findAllMatchIn(headers).flatMap { hm =>
-      LinkValueRe.findAllMatchIn(hm.group(1)).collect {
-        case m if RelCanonicalRe.findFirstMatchIn(m.group(2))
-          .exists(_.group(1).split("\\s+")
-            .exists(_.equalsIgnoreCase("canonical"))) => m.group(1).trim
+    LinkHeaderRe.findAllMatchIn(headers)
+      .flatMap(hm => linkValues(hm.group(1)))
+      .collectFirst {
+        case (target, params) if target.nonEmpty &&
+          params.find(_._1 == "rel").exists(_._2.split("\\s+")
+            .exists(_.equalsIgnoreCase("canonical"))) => target
       }
-    }.find(_.nonEmpty)
 
   private val LinkTagRe = "(?is)<link\\b[^>]*>".r
   private val BaseTagRe = "(?is)<base\\b[^>]*>".r

@@ -129,7 +129,10 @@ object RobotsOps {
     if (text.length <= ParseBound) text
     else {
       val cut = text.lastIndexOf('\n', ParseBound)
-      text.substring(0, if (cut >= 0) cut else ParseBound)
+      // no newline inside the bound = one giant line: drop it whole —
+      // a mid-line cut would parse a truncated Disallow as a shorter,
+      // BROADER rule
+      text.substring(0, math.max(cut, 0))
     }
 
   /** Rules applying to `agent` per the RFC 9309 group-selection and

@@ -396,6 +396,18 @@ class HtmlOpsSpec extends SparkSpec {
     // no canonical rel anywhere
     assert(HtmlOps.linkHeaderCanonical(
       "HTTP/1.1 200 OK\r\nLink: </n>; rel=next").isEmpty)
+    // a non-rel param whose QUOTED VALUE contains "rel=canonical" must
+    // not false-positive (params are tokenized, not regex-searched)
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </x>; title=\"rel=canonical\"").isEmpty)
+    // a quoted param value containing a comma must not truncate the
+    // link-value before its rel param
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </c>; title=\"a,b\"; rel=canonical")
+      .contains("/c"))
+    // RFC 8288 §3.3: only the FIRST rel param of a link-value counts
+    assert(HtmlOps.linkHeaderCanonical(
+      "HTTP/1.1 200 OK\r\nLink: </c>; rel=next; rel=canonical").isEmpty)
   }
 
   test("retryAfter/httpDate: delta and HTTP-date forms, junk fails " +

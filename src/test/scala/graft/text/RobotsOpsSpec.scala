@@ -191,5 +191,11 @@ class RobotsOpsSpec extends AnyFunSuite {
     val txt2 = "User-agent: *\nCrawl-delay: 3\n" + pad + "Disallow: /x\n"
     assert(RobotsOps.crawlDelay(txt2, "anybot") === Some(3L))
     assert(RobotsOps.rules(txt2, "anybot").isEmpty)
+    // one giant line with NO newline inside the bound: drop it whole —
+    // a mid-line cut would parse the truncated Disallow as a shorter,
+    // BROADER rule
+    val giant = "User-agent: *\nDisallow: /very" + "y" * (600 * 1024)
+    assert(RobotsOps.rules(giant, "anybot").isEmpty,
+      "a rule cut mid-line must not parse as a broader prefix")
   }
 }
