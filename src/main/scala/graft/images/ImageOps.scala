@@ -45,6 +45,8 @@ object ImageOps {
       .orElse(graft.multimodal.BmpCodec.decode(bytes))
       .orElse(graft.multimodal.JpegCodec.decode(bytes))
       .orElse(graft.multimodal.TiffCodec.decode(bytes))
+      .orElse(graft.multimodal.WebpCodec.decode(bytes)
+        .map(graft.multimodal.WebpCodec.toImage))
       .orElse(decodeImageIO(bytes))
 
   /** The library path: ImageIO for JPEG/BMP/GIF and PNG shapes outside
@@ -98,7 +100,25 @@ object ImageOps {
       Some((le16(6), le16(8), "gif"))
     else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
       Some((le32(18), math.abs(le32(22)), "bmp")) // negative height = top-down
-    else None
+    else if (bytes.length >= 30 && u8(0) == 'R' && u8(1) == 'I' &&
+      u8(2) == 'F' && u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'E' &&
+      u8(10) == 'B' && u8(11) == 'P') {
+      // WebP (RFC 9649): VP8L lossless 14-bit dims after the 0x2F
+      // signature; VP8X extended 24-bit canvas dims; lossy VP8 keyframe
+      // dims after the 0x9d012a start code
+      val tag = new String(bytes.slice(12, 16), "ISO-8859-1")
+      if (tag == "VP8L" && u8(20) == 0x2F) {
+        val v = le32(21)
+        Some(((v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1, "webp"))
+      } else if (tag == "VP8X") {
+        val w = u8(24) | (u8(25) << 8) | (u8(26) << 16)
+        val h = u8(27) | (u8(28) << 8) | (u8(29) << 16)
+        Some((w + 1, h + 1, "webp"))
+      } else if (tag == "VP8 " &&
+        u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a)
+        Some((le16(26) & 0x3FFF, le16(28) & 0x3FFF, "webp"))
+      else None
+    } else None
   }
 
   /** M2 — per-channel mean truncated to int (reference truncates too:

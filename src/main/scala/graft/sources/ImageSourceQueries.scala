@@ -655,6 +655,193 @@ object ImageSourceQueries {
         |ORDER BY f.asset_idx""".stripMargin)
   }
 
+  /** Create (once per scale factor) the WebP fixture tree: 24 .webp
+    * files of 20×14 pixels cycling through eight VP8L feature classes
+    * (i mod 8) that jointly cover the lossless decoder: plain literals
+    * with normal prefix codes (0), two-color simple codes (1), color
+    * cache (2), LZ77 backward refs over row-periodic pixels (3),
+    * subtract-green + predictor transform cycling all 14 modes (4),
+    * 12-color color-indexing with bundled sub-byte pixels (5), the
+    * color transform's signed-8 cross-channel deltas (6), and meta
+    * prefix groups split by column (7). Pixel formulas (exact mod-256
+    * integer, oracle-replayable):
+    *  0: r=(5i+2x+3y), g=(3i+4x+y),  b=(7i+x+2y)
+    *  1: (x+y) even → (3i, 7i, 11i); odd → (5i+1, 2i+9, i+4)
+    *  2: tx=x/5, ty=y/3: r=(5i+3tx+7ty), g=(3i+2tx+5ty), b=(7i+tx+ty)
+    *  3: y3=y%3: r=(7i+2x+5·y3), g=(i+x+y3), b=(2i+3x+y3)
+    *  4: r=(3i+x+2y), g=(i+4x+y), b=(2i+3x+3y)
+    *  5: j=(x+2y+i)%12, palette j: ((3j+i), (5j+2i), (7j+4i))
+    *  6: r=(9i+2x+4y), g=(4i+5x+y), b=(6i+x+3y)
+    *  7: base = 0 if x<10 else 192: each channel base + formula%64 —
+    *     r=(i+x+y), g=(2i+x), b=(i+y)
+    * Encoded by the engine's own deterministic
+    * [[graft.multimodal.WebpCodec]] writer (lossless — decode must
+    * replay every pixel bit-exactly).
+    */
+  private[sources] def ensureWebpTree(sfDir: String): String = {
+    val root = workDir(scaledTag("webp"), sfDir)
+    if (!Files.exists(Paths.get(root, "0"))) {
+      import graft.multimodal.WebpCodec
+      val w = 20; val h = 14
+      for (i <- 0 until 24 * mediaScale) {
+        val dir = Paths.get(root, s"${i % 2}", s"${i % 3}")
+        Files.createDirectories(dir)
+        def m(v: Int) = ((v % 256) + 256) % 256
+        val px = Array.tabulate(w * h) { o =>
+          val x = o % w; val y = o / w
+          val (r, g, b) = (i % 8) match {
+            case 0 => (m(5 * i + 2 * x + 3 * y), m(3 * i + 4 * x + y),
+              m(7 * i + x + 2 * y))
+            case 1 =>
+              if ((x + y) % 2 == 0) (m(3 * i), m(7 * i), m(11 * i))
+              else (m(5 * i + 1), m(2 * i + 9), m(i + 4))
+            case 2 =>
+              val tx = x / 5; val ty = y / 3
+              (m(5 * i + 3 * tx + 7 * ty), m(3 * i + 2 * tx + 5 * ty),
+                m(7 * i + tx + ty))
+            case 3 =>
+              val y3 = y % 3
+              (m(7 * i + 2 * x + 5 * y3), m(i + x + y3), m(2 * i + 3 * x + y3))
+            case 4 => (m(3 * i + x + 2 * y), m(i + 4 * x + y),
+              m(2 * i + 3 * x + 3 * y))
+            case 5 =>
+              val j = (x + 2 * y + i) % 12
+              (m(3 * j + i), m(5 * j + 2 * i), m(7 * j + 4 * i))
+            case 6 => (m(9 * i + 2 * x + 4 * y), m(4 * i + 5 * x + y),
+              m(6 * i + x + 3 * y))
+            case _ =>
+              val base = if (x < 10) 0 else 192
+              (base + (i + x + y) % 64, base + (2 * i + x) % 64,
+                base + (i + y) % 64)
+          }
+          (r << 16) | (g << 8) | b
+        }
+        val layout = (i % 8) match {
+          case 0 | 1        => WebpCodec.Layout()
+          case 2            => WebpCodec.Layout(cacheBits = 6)
+          case 3            => WebpCodec.Layout(lz77 = true)
+          case 4 => WebpCodec.Layout(subtractGreen = true, predictorBits = 2)
+          case 5            => WebpCodec.Layout(palette = true)
+          case 6            => WebpCodec.Layout(colorBits = 3)
+          case _            => WebpCodec.Layout(metaBits = 4)
+        }
+        Files.write(dir.resolve(f"w$i%03d.webp"),
+          WebpCodec.encode(w, h, px, layout))
+      }
+    }
+    root
+  }
+
+  /** From-spec WebP (VP8L lossless) decode under the hash gate: binary
+    * scan of the WebP fixture tree, decoded by the pure-JVM
+    * [[graft.multimodal.WebpCodec]] (RFC 9649 §4: canonical prefix
+    * codes, color cache, LZ77 with the 2D distance neighborhood, and
+    * all four transforms — the eight fixture classes jointly exercise
+    * each), reduced to exact integer per-image channel sums. VP8L is
+    * lossless, so the oracle replays every pixel in CLOSED FORM from
+    * the filename index while `read_blob` pins byte identity — the one
+    * mainstream image format a real crawl serves in volume that
+    * `MagicBytes.sniffMime` could route but the engine could not open
+    * until round 14. Lossy VP8 stays a documented strict-fenced seam
+    * beside H.264 (header dims only, never fake pixels).
+    */
+  object WebpScan extends GraftQuery {
+    val name = "q_webp_scan"
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      val root = ensureWebpTree(sfDir)
+      val idRe = "w(\\d+)\\.webp".r
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (path, content) =>
+            graft.multimodal.WebpCodec.decode(content).map { d =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var k = 0
+              while (k < d.argb.length) {
+                val p = d.argb(k)
+                sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF
+                sb += p & 0xFF
+                k += 1
+              }
+              val idx = idRe.findFirstMatchIn(path)
+                .map(_.group(1).toLong).getOrElse(-1L)
+              (idx, d.width.toLong, d.height.toLong,
+                d.width.toLong * d.height, sr, sg, sb,
+                content.length.toLong,
+                content.take(8).map(b => f"$b%02X").mkString)
+            }
+          }
+        }
+        .toDF("asset_idx", "width", "height", "n_pixels", "sum_r", "sum_g",
+          "sum_b", "n_bytes", "head_hex")
+        .orderBy("asset_idx")
+    }
+    // Same pinned-glob stance as the other codec scans: static oracle
+    // text, gate at sf0.01 only. The per-class pixel formulas replay in
+    // one CASE over the (x, y) grid.
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'w(\d+)\.webp', 1) AS BIGINT)
+        |           AS asset_idx,
+        |         CAST(octet_length(content) AS BIGINT) AS n_bytes,
+        |         substring(hex(content), 1, 16) AS head_hex
+        |  FROM read_blob('/tmp/graft_webp__root_testdata_sf0.01/**/*.webp')),
+        |px AS (
+        |  SELECT asset_idx, i, x.x AS x, y.y AS y,
+        |         CASE i % 8
+        |           WHEN 0 THEN (5*i + 2*x.x + 3*y.y) % 256
+        |           WHEN 1 THEN CASE WHEN (x.x + y.y) % 2 = 0
+        |             THEN (3*i) % 256 ELSE (5*i + 1) % 256 END
+        |           WHEN 2 THEN (5*i + 3*(x.x//5) + 7*(y.y//3)) % 256
+        |           WHEN 3 THEN (7*i + 2*x.x + 5*(y.y % 3)) % 256
+        |           WHEN 4 THEN (3*i + x.x + 2*y.y) % 256
+        |           WHEN 5 THEN (3*((x.x + 2*y.y + i) % 12) + i) % 256
+        |           WHEN 6 THEN (9*i + 2*x.x + 4*y.y) % 256
+        |           ELSE (CASE WHEN x.x < 10 THEN 0 ELSE 192 END)
+        |                + (i + x.x + y.y) % 64 END AS r,
+        |         CASE i % 8
+        |           WHEN 0 THEN (3*i + 4*x.x + y.y) % 256
+        |           WHEN 1 THEN CASE WHEN (x.x + y.y) % 2 = 0
+        |             THEN (7*i) % 256 ELSE (2*i + 9) % 256 END
+        |           WHEN 2 THEN (3*i + 2*(x.x//5) + 5*(y.y//3)) % 256
+        |           WHEN 3 THEN (i + x.x + y.y % 3) % 256
+        |           WHEN 4 THEN (i + 4*x.x + y.y) % 256
+        |           WHEN 5 THEN (5*((x.x + 2*y.y + i) % 12) + 2*i) % 256
+        |           WHEN 6 THEN (4*i + 5*x.x + y.y) % 256
+        |           ELSE (CASE WHEN x.x < 10 THEN 0 ELSE 192 END)
+        |                + (2*i + x.x) % 64 END AS g,
+        |         CASE i % 8
+        |           WHEN 0 THEN (7*i + x.x + 2*y.y) % 256
+        |           WHEN 1 THEN CASE WHEN (x.x + y.y) % 2 = 0
+        |             THEN (11*i) % 256 ELSE (i + 4) % 256 END
+        |           WHEN 2 THEN (7*i + (x.x//5) + (y.y//3)) % 256
+        |           WHEN 3 THEN (2*i + 3*x.x + y.y % 3) % 256
+        |           WHEN 4 THEN (2*i + 3*x.x + 3*y.y) % 256
+        |           WHEN 5 THEN (7*((x.x + 2*y.y + i) % 12) + 4*i) % 256
+        |           WHEN 6 THEN (6*i + x.x + 3*y.y) % 256
+        |           ELSE (CASE WHEN x.x < 10 THEN 0 ELSE 192 END)
+        |                + (i + y.y) % 64 END AS b
+        |  FROM (SELECT asset_idx, asset_idx AS i FROM f) s,
+        |       LATERAL unnest(range(0, 20)) x(x),
+        |       LATERAL unnest(range(0, 14)) y(y)),
+        |a AS (
+        |  SELECT asset_idx, count(*) AS n_pixels,
+        |         CAST(sum(r) AS BIGINT) AS sum_r,
+        |         CAST(sum(g) AS BIGINT) AS sum_g,
+        |         CAST(sum(b) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1)
+        |SELECT f.asset_idx, CAST(20 AS BIGINT) AS width,
+        |       CAST(14 AS BIGINT) AS height, a.n_pixels, a.sum_r, a.sum_g,
+        |       a.sum_b, f.n_bytes, f.head_hex
+        |FROM f JOIN a USING (asset_idx)
+        |ORDER BY f.asset_idx""".stripMargin)
+  }
+
   /** Create (once per scale factor) the TIFF fixture tree: 24 .tif files
     * of 15×9 pixels cycling through six layout classes (i mod 6) that
     * jointly cover the baseline decoder: RGB uncompressed II (0), RGB

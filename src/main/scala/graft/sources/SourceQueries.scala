@@ -65,6 +65,6 @@ object SourceQueries {
       AdpcmScan, G711Scan, AiffScan, QoiScan, ImageAHash, ImageNearDup,
       ImageDedupCluster, AudioFpScan, AudioNearDup, AudioDedupCluster,
       VideoFpScan, VideoNearDup, VideoDedupCluster, MediaCatalog, Mp3Scan,
-      PnmScan)
+      PnmScan, WebpScan)
   }
 }
