@@ -70,23 +70,41 @@ object SubstringDedup {
         .select(col("doc_id"), posexplode(
           graft.plans.CharGramsExpression.char_grams(col("text"), L)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("s"))
+      // "appears in >1 distinct doc" ⟺ min(doc_id) ≠ max(doc_id): same dup
+      // set as count(DISTINCT doc_id) > 1, but a single-exchange map-side-
+      // combinable aggregate — the distinct rewrite shuffled the shingle
+      // stream TWICE (partial keyed (s, doc_id), then re-keyed (s)), and
+      // each exchange carried the 20-char shingle string (guide §2.3/§2.4:
+      // fewer exchanges, and never shuffle the same bytes twice).
       val dup = sh.groupBy("s")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
         .select("s")
-      val marked = sh.join(dup, "s").select(col("doc_id"), col("pos"))
+      // left_semi ≡ inner here (dup is key-distinct) but drops the key
+      // columns before the probe output is materialized
+      val marked = sh.join(dup, Seq("s"), "left_semi").select(col("doc_id"), col("pos"))
+      // Island accounting with ONE window function instead of lag+running
+      // sum+two aggregate levels: for sorted positions, each row's
+      // contribution to the covered-span total is min(next − pos, L)
+      // (L when it ends an island — gap > L or last row), and a row ends
+      // an island iff next is null or next − pos > L, so
+      //   dup_chars = Σ min(next − pos, L)   and   n_spans = Σ [is_end] —
+      // the same Σ(e0 − s0) over merged islands (telescoping: an island's
+      // internal gaps sum to last − first, its end row adds L). The
+      // doc_id-keyed aggregate reuses the window's hash partitioning, so
+      // the tail stays shuffle-free; what the rewrite removes is the
+      // second WindowExec pass (frame-sliding running sum) and the
+      // (doc_id, gid) aggregate level.
       val byPos = Window.partitionBy("doc_id").orderBy("pos")
-      val brk = when(lag(col("pos"), 1).over(byPos).isNull ||
-        col("pos") > lag(col("pos"), 1).over(byPos) + L, 1).otherwise(0)
-      val spans = marked
-        .withColumn("brk", brk)
-        .withColumn("gid", sum(col("brk")).over(
-          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("doc_id", "gid")
-        .agg(min(col("pos")).as("s0"), (max(col("pos")) + L).as("e0"))
-      spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("e0") - col("s0")).cast("long").as("dup_chars"))
+      val nxt = lead(col("pos"), 1).over(byPos)
+      marked
+        .withColumn("nxt", nxt)
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("nxt").isNull || col("nxt") - col("pos") > L, 1L)
+            .otherwise(0L)).as("n_spans"),
+          sum(coalesce(least(col("nxt") - col("pos"), lit(L)), lit(L)))
+            .cast("long").as("dup_chars"))
         .orderBy("doc_id")
     }
 

@@ -49,10 +49,15 @@ object PqSearch {
       .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
   }
 
-  /** Exact integer L2 between two equal-length quantized arrays. */
+  /** Exact integer L2 between two equal-length quantized arrays — the
+    * native codegen kernel ([[graft.plans.PqExpressions.L2Long]]); the
+    * composable `aggregate(zip_with(...))` spelling ran two interpreted
+    * lambdas per element per pair and dominated the ADC bench (the same
+    * finding that moved the cosine path to
+    * [[graft.plans.VectorExpressions.DotLong]]).
+    */
   private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, x) => acc + x)
+    graft.plans.PqExpressions.l2_long(a, b)
 
   /** The sampled codebook as ONE broadcastable row: an array of M·K
     * subvectors indexed s·K + code (built by array_sort on the unique
@@ -68,20 +73,15 @@ object PqSearch {
       .select(transform(col("es"), e => e.getField("v")).as("cb"))
 
   /** Scan-side PQ code assignment against a broadcast codebook row:
-    * argmin by (distance, code) per subspace — `q_pq_codes`' exact rule,
-    * computed as a fold with strict `<` (earlier = smaller code wins ties)
-    * with NO join and NO window.
+    * argmin by (distance, code) per subspace — `q_pq_codes`' exact rule
+    * (strict `<` over ascending code), as ONE native codegen loop
+    * ([[graft.plans.PqExpressions.PqCodesExpr]]). The previous composable
+    * fold ran M·K interpreted lambda steps per vector, each allocating a
+    * subvector slice and an accumulator struct; the kernel does the
+    * identical integer arithmetic in place (spec-differentialled).
     */
   private def codesExpr: org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(M - 1)), s =>
-      aggregate(sequence(lit(0), lit(K - 1)),
-        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
-        (acc, c) => {
-          val d = l2(slice(col("q"), s * Sub + 1, lit(Sub)),
-            element_at(col("cb"), s * K + c + 1))
-          when(d < acc.getField("d"), struct(d.as("d"), c.as("c")))
-            .otherwise(acc)
-        }).getField("c"))
+    graft.plans.PqExpressions.pq_codes(col("q"), col("cb"), M, Sub, K)
 
   /** ADC top-k per anchor query, restructured so NOTHING N-sized shuffles:
     * codes are assigned scan-side (broadcast codebook row), each anchor's
@@ -99,10 +99,10 @@ object PqSearch {
     val qts = prep.filter(col("vec_id") < QueryMax)
       .crossJoin(broadcast(cb))
       .select(struct(col("vec_id").cast("long").as("query_id"),
-        flatten(transform(sequence(lit(0), lit(M - 1)), s =>
-          transform(sequence(lit(0), lit(K - 1)), c =>
-            l2(slice(col("q"), s * Sub + 1, lit(Sub)),
-              element_at(col("cb"), s * K + c + 1))))).as("table")).as("e"))
+        // native ADC table build: table[s·K + c] = L2(subvector s, cb entry)
+        // — same layout as the flatten(transform(transform(l2))) spelling
+        graft.plans.PqExpressions.adc_table(col("q"), col("cb"), M, Sub, K)
+          .as("table")).as("e"))
       .agg(array_sort(collect_list(col("e"))).as("qts"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
@@ -113,9 +113,9 @@ object PqSearch {
         explode(col("qts")).as("qt"))
       .filter(col("neighbor_id") =!= col("qt.query_id"))
       .select(col("qt.query_id").as("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, s) =>
-          acc + element_at(col("qt.table"),
-            s * K + element_at(col("codes"), s + 1) + 1)).as("adist"))
+        // native M-lookup ADC sum (Σ_s table[s·K + codes[s]])
+        graft.plans.PqExpressions.adc_sum(col("codes"), col("qt.table"), K)
+          .as("adist"))
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= TopK)
   }

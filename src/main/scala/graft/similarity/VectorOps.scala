@@ -179,25 +179,28 @@ object VectorOps {
       import graft.plans.VectorExpressions.quantize_vec
       val prep = Graft.table(spark, sfDir, "embeddings")
         .select(col("vec_id"), quantize_vec(col("embedding")).as("q"))
-      val subs = prep
-        .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
-          col("q"))
-        .select(col("vec_id"), col("s"),
-          slice(col("q"), col("s") * Sub + 1, lit(Sub)).as("sub"))
-      val cent = subs.filter(col("vec_id") < K)
-        .select(col("s"), col("vec_id").cast("int").as("code"),
-          col("sub").as("csub"))
-      val dist = aggregate(
-        zip_with(col("sub"), col("csub"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, x) => acc + x)
-      val byDist = Window.partitionBy("vec_id", "s")
-        .orderBy(col("dist").asc, col("code").asc)
-      subs.join(broadcast(cent), Seq("s"))
-        .select(col("vec_id"), col("s"), col("code"), dist.as("dist"))
-        .withColumn("rn", row_number().over(byDist))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("s").as("subspace"), col("code"),
-          col("dist").as("distortion"))
+      // Scan-side assignment via the native argmin kernel
+      // ([[graft.plans.PqExpressions.PqAssign]]) against a 1-row broadcast
+      // codebook (array indexed s·K + code, built order-insensitively via
+      // array_sort on the unique index — the PqSearch.codebookRow shape).
+      // The old plan EXPLODED M rows per vector, broadcast-joined K
+      // centroids onto each (N·M·K interpreted-lambda distance rows) and
+      // ran a (vec_id, s)-keyed window argmin — one full exchange + sort
+      // of the N·M·K stream. Same (dist, code)-ascending winner, strict
+      // `<` over ascending code; the only exchange left is the final
+      // presentation sort.
+      val cb = prep.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(M - 1))).as("s"), col("q"))
+        .select(struct((col("s") * K + col("code")).as("k"),
+          slice(col("q"), col("s") * Sub + 1, lit(Sub)).as("v")).as("e"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+        .select(transform(col("es"), e => e.getField("v")).as("cb"))
+      prep.crossJoin(broadcast(cb))
+        .select(col("vec_id"), posexplode(
+          graft.plans.PqExpressions.pq_assign(col("q"), col("cb"), M, Sub, K)))
+        .select(col("vec_id"), col("pos").as("subspace"),
+          col("col.code").as("code"), col("col.dist").as("distortion"))
         .orderBy("vec_id", "subspace")
     }
     val oracle = Some(
