@@ -798,20 +798,28 @@ object Dedup {
       // count().over(partitionBy(doc_id)) window, which cost an extra
       // WindowExec pass over the full shingle stream (the r5 regression:
       // two windows over (doc_id) where one suffices)
+      // the candidate machinery needs only EQUALITY and a common TOTAL
+      // ORDER on shingles, so the 3-gram string is hashed to 64 bits AT THE
+      // EXPLODE and never crosses an exchange again: the df aggregate keys
+      // on the long, and the rarity window orders by (df, tk) instead of
+      // (df, tok) — fixed-width 32-byte rows through both exchanges where
+      // the string rode before (guide §2.3 "narrower types"). Completeness
+      // under hashing: a collision only MERGES tokens into one equivalence
+      // class keyed tk — classes are consecutive under the (df, tk) order,
+      // a true pair's first shared token lies in both docs' minimal shared
+      // class (one tk), the join matches on tk, and s ≥ ⌈t·m⌉ still forces
+      // that class inside both prefixes — so no true pair is lost, extra
+      // candidates are removed by the exact string-array verify below,
+      // which is why the reported rows are identical.
       val toks = docToks
         .select(col("doc_id"), size(col("toks")).cast("long").as("m"),
           explode(col("toks")).as("tok"))
-      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .select(col("doc_id"), col("m"), xxhash64(col("tok")).as("tk"))
+      val df = toks.groupBy("tk").agg(count(lit(1)).as("df"))
       val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
-      // the self-join below needs only EQUALITY on the prefix shingle, so
-      // carry a 64-bit hash instead of the 3-gram string: narrower persisted
-      // rows, narrower shuffle, long==long compare. A hash collision can
-      // only ADD a candidate pair (same string ⇒ same hash, so no pair is
-      // lost) and the exact array_intersect verify removes it — recall is
-      // untouched, which is the PPJoin completeness contract.
-      val prefixes = toks.join(broadcast(df), "tok")
-        .select(col("doc_id"), xxhash64(col("tok")).as("tk"), col("m"),
+        .partitionBy("doc_id").orderBy(col("df").asc, col("tk").asc)
+      val prefixes = toks.join(broadcast(df), "tk")
+        .select(col("doc_id"), col("tk"), col("m"),
           row_number().over(wDoc).as("pos"))
         .filter(col("pos") <= col("m") - expr("(6 * m + 9) div 10") + 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -839,8 +847,13 @@ object Dedup {
           "doc_a")
         .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
           "doc_b")
+        // exact |∩| via the sorted-merge kernel: the arrays are sorted
+        // distinct by construction, so the linear merge counts exactly what
+        // size(array_intersect(...)) counted, without the per-pair hash-set
+        // build and intersection-array allocation
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
+          graft.plans.SortedArrayExpressions
+            .sorted_intersect_count(col("ta"), col("tb")).as("n_inter"),
           col("ma"), col("mb"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("ma") + col("mb") - col("n_inter")).as("n_union"))
