@@ -407,19 +407,21 @@ object Dedup {
     * min-id-per-component labels; DedupSpec runs the union-find
     * differential against the FORCED distributed path).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-      smallGraphThreshold: Long = 100000L): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nPairs = pairs.count()
-    if (nPairs <= smallGraphThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      // iterative find + path compression: a recursive find could blow the
-      // stack on a worst-case chain near the threshold
-      def find(x: Long): Long = {
+  /** Driver-side union-find labels for a BOUNDED pair graph (callers gate
+    * on a measured edge count ≤ ~100k, the golden-CSV bounded-collect
+    * budget). Shared by [[connectedComponents]] and
+    * [[StarComponents.starComponents]] so both small-graph gates collect
+    * once and run the identical reference algorithm.
+    */
+  private[dedup] def smallGraphLabels(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // iterative find + path compression: a recursive find could blow the
+    // stack on a worst-case chain near the threshold
+    def labels[T: scala.reflect.ClassTag](es: Array[(T, T)])(
+        implicit ord: Ordering[T]): Seq[(T, T)] = {
+      val parent = scala.collection.mutable.Map[T, T]()
+      def find(x: T): T = {
         var r = x
         while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
         var c = x
@@ -428,13 +430,35 @@ object Dedup {
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        if (ra != rb) parent(ord.max(ra, rb)) = ord.min(ra, rb)
       }
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
-      return nodes.map(n => (n, minOfRoot(find(n)))).toSeq
-        .toDF("id", "label")
+      nodes.map(n => (n, minOfRoot(find(n)))).toSeq
     }
+    if (pairs.schema.fields.head.dataType ==
+        org.apache.spark.sql.types.StringType) {
+      // string node ids (e.g. the hreflang URL graph): component minima
+      // must match Spark's UTF8String BINARY ordering, not
+      // java.lang.String's UTF-16 ordering (they differ above the BMP)
+      implicit val utf8Ord: Ordering[String] = (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val es = pairs.select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      labels(es).toDF("id", "label")
+    } else {
+      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      labels(es).toDF("id", "label")
+    }
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      smallGraphThreshold: Long = 100000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nPairs = pairs.count()
+    if (nPairs <= smallGraphThreshold) return smallGraphLabels(pairs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)

@@ -27,18 +27,35 @@ import org.apache.spark.storage.StorageLevel
   * and small-star's m < v — and every step is min/groupBy arithmetic over
   * BIGINT ids: fully deterministic, so the final labels (component minima,
   * the same answer `componentOracleCtes` computes by transitive closure)
-  * are hash-checkable. Convergence = edge-set fixpoint, checked with a
-  * two-sided `except` count per round (one extra bounded shuffle over the
-  * shrinking edge list; the iteration cap throws rather than returning a
-  * wrong answer, the [[Dedup.connectedComponents]] contract).
+  * are hash-checkable. Convergence = edge-set fixpoint: both frames are
+  * distinct sets, so `next == edges` ⟺ equal counts plus an empty
+  * `next ∖ edges` (one anti-join probe per round; the iteration cap throws
+  * rather than returning a wrong answer, the
+  * [[Dedup.connectedComponents]] contract).
   */
 object StarComponents {
 
   /** Run star contraction on a (doc_a, doc_b) pair frame; returns
     * (id, label) for every node that appears in an edge, label = the
     * component's minimum id.
+    *
+    * Small-graph fast path (the [[Dedup.connectedComponents]] measured
+    * gate, same threshold, same bounded-collect budget): below
+    * `smallGraphThreshold` edges the rounds' fixed cost (plan + codegen +
+    * checkpoint + fixpoint probe per round, ~0.4 s each) dwarfs the work,
+    * so the labels come from driver-side union-find. Larger graphs take
+    * the distributed star-contraction loop unchanged — both paths produce
+    * identical min-id labels (StarComponentsSpec differentials the FORCED
+    * distributed path against union-find and against label propagation).
     */
-  def starComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def starComponents(pairs: DataFrame, maxIters: Int = 25,
+      smallGraphThreshold: Long = 100000L): DataFrame = {
+    if (pairs.count() <= smallGraphThreshold)
+      // self-loops filtered to mirror the distributed loop exactly: it
+      // drops (u,u) edges up front, so a node with ONLY self-edges gets no
+      // label from either path
+      return Dedup.smallGraphLabels(
+        pairs.filter(col("doc_a") =!= col("doc_b")))
     // Every round references the previous edge frame ~a dozen times (both
     // phases read it through unions and joins), so carrying lineage across
     // rounds would grow the LOGICAL plan exponentially even with the data
@@ -52,9 +69,10 @@ object StarComponents {
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct().localCheckpoint()
+    var edgeCnt = edges.count()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var changed = true
+    while (changed && iter < maxIters) {
       // LARGE-STAR: gather Γ(u) over both directions, attach strictly
       // larger neighbors to the neighborhood minimum
       val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
@@ -73,12 +91,22 @@ object StarComponents {
         .filter(col("hi") =!= col("lo"))
       val ssCenters = ssMin.select(col("u").as("hi"), col("m").as("lo"))
       val next = ssLeaves.unionAll(ssCenters).distinct().localCheckpoint()
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // fixpoint check on DISTINCT sets: next == edges ⟺ |next| == |edges|
+      // and next ∖ edges = ∅ (equal-cardinality containment of finite
+      // sets). One anti-join count + one metadata-cheap count of the
+      // checkpointed frame, replacing the two-sided exceptAll — which ran
+      // TWO jobs per round, each hash-exchanging both full edge frames
+      // (guide §2.4: remove shuffles outright; measured 2 jobs × 2
+      // exchanges → 1 job × 1 broadcast per round).
+      val nextCnt = next.count()
+      changed = nextCnt != edgeCnt ||
+        next.join(edges, Seq("hi", "lo"), "left_anti").limit(1).count() > 0
       edges.unpersist()
       edges = next
+      edgeCnt = nextCnt
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"starComponents did not converge within $maxIters rounds — " +
           "raise maxIters")

@@ -33,8 +33,22 @@ class StarComponentsSpec extends SparkSpec {
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("doc_a", "doc_b")
-    StarComponents.starComponents(df).collect()
+    // threshold 0 forces the DISTRIBUTED star-contraction loop — the
+    // small-graph gate would otherwise route these synthetic graphs to the
+    // union-find reference and make the differential vacuous
+    StarComponents.starComponents(df, smallGraphThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("small-graph gate ≡ forced distributed star contraction") {
+    import spark.implicits._
+    // (77,77) is a self-loop-only node: BOTH paths must drop it
+    val g = ((1L to 25L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((40L, 41L), (41L, 42L), (100L, 40L), (77L, 77L)))
+    val df = g.toDF("doc_a", "doc_b")
+    val gated = StarComponents.starComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == run(g))
   }
 
   test("star contraction ≡ union-find on adversarial synthetic graphs") {
@@ -54,7 +68,7 @@ class StarComponentsSpec extends SparkSpec {
     val pairs = Dedup.minhashCandidatePairs(
       graft.Graft.table(spark, sf, "documents"), 0.5)
       .persist()
-    val a = StarComponents.starComponents(pairs).collect()
+    val a = StarComponents.starComponents(pairs, smallGraphThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -68,7 +82,7 @@ class StarComponentsSpec extends SparkSpec {
     val chain = (1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq
     val df = chain.toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      StarComponents.starComponents(df, maxIters = 1)
+      StarComponents.starComponents(df, maxIters = 1, smallGraphThreshold = 0L)
     }
   }
 }
