@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** 60-bit hash (15 hex chars): uniform in [0, 2^60). */
+  /** 60-bit hash (15 hex chars): uniform in [0, 2^60). Value-identical to
+    * `conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")`
+    * — the native kernel reads the 60 bits off the digest instead of
+    * materializing and re-parsing the hex string
+    * ([[graft.plans.PortableHashExpression]], randomized differential in
+    * its spec).
+    */
   def pHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.plans.PortableHashExpression.md5_prefix60(c)
 
   /** 28-bit hash (7 hex chars): uniform in [0, 2^28). Small enough that
-    * `a*h + b` with 31-bit coefficients stays under 2^63.
+    * `a*h + b` with 31-bit coefficients stays under 2^63. Same native
+    * kernel as [[pHash60]].
     */
   def pHash28(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+    graft.plans.PortableHashExpression.md5_prefix28(c)
 
   /** Driver-side MD5 hex (lowercase) of a UTF-8 string — same value both
     * engines' `md5()` returns. Used to bake deterministic constants (e.g.
