@@ -72,40 +72,80 @@ object BpeTrain {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
         .otherwise(concat(acc, array(x))))
 
-  /** Run the trainer, returning the learned merges in rank order. */
+  /** UTF8String binary order on pair keys — what `orderBy(col("p").asc)`
+    * used inside the retired per-round Spark argmax; kept so the
+    * driver-side argmax breaks ties identically.
+    */
+  private[text] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** The greedy left-to-right merge fold of [[mergePair]], replayed on a
+    * plain array (same accumulator semantics: replace the accumulator's
+    * last element when it is `left` and the incoming symbol is `right`).
+    */
+  private[text] def mergePairLocal(sym: Array[String], left: String,
+      right: String, merged: String): Array[String] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    sym.foreach { x =>
+      if (acc.nonEmpty && acc.last == left && x == right)
+        acc(acc.length - 1) = merged
+      else acc += x
+    }
+    acc.toArray
+  }
+
+  /** Run the trainer, returning the learned merges in rank order.
+    *
+    * The corpus-scale dictionary build stays distributed (TakeOrdered to
+    * [[MaxWords]] rows); the FIXED [[Merges]] rounds then run driver-side
+    * on the collected dict — the documented bounded-vocab collect (≤ 2000
+    * rows). Each round previously paid a full Spark cycle (pair-count
+    * aggregate job, argmax collect, merge-fold materialization + persist
+    * + count) over those same ≤ 2000 tiny rows — ~100 % fixed overhead
+    * (guide §1.2: fix the distributed algorithm first; a bounded input
+    * does not want a cluster). The initial spelling is collected AS
+    * COMPUTED BY SPARK (the same `split` expression), the pair argmax
+    * breaks ties in UTF8String binary order (what `orderBy(p.asc)` used),
+    * and the merge fold replays [[mergePair]]'s accumulator semantics —
+    * BpeTrainSpec's independent-implementation differential and the
+    * unrolled-CTE oracle both gate the equivalence.
+    */
   def train(spark: SparkSession, sfDir: String,
       rounds: Int = Merges): Seq[Merge] = {
-    var seqs = wordDict(spark, sfDir)
+    var seqs: Array[(Long, Array[String])] = wordDict(spark, sfDir)
       .select(col("n"), split(col("w"), "").as("sym"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val pairs = seqs
-        .select(col("n"), explode(zip_with(
-          slice(col("sym"), lit(1), size(col("sym")) - 1),
-          slice(col("sym"), lit(2), size(col("sym")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("p"))
-        .groupBy("p").agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("p").asc).limit(1)
-        .collect() // 1-row argmax — the documented per-round driver gate
-      if (pairs.isEmpty) done = true
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (n, sym) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) done = true
       else {
-        val parts = pairs(0).getString(0).split(" ", 2)
-        val left = parts(0); val right = parts(1)
-        val cnt = pairs(0).getLong(1)
-        learned += Merge(r, left, right, left + right, cnt)
-        val next = seqs
-          .withColumn("sym", mergePair(col("sym"), left, right))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        seqs.unpersist()
-        seqs = next
+        // argmax by (cnt desc, "l r" asc in UTF8 binary order) — the
+        // exact total order of the retired distributed argmax
+        val ((left, right), c) = cnt.reduce { (x, y) =>
+          if (x._2 != y._2) { if (x._2 > y._2) x else y }
+          else if (utf8Lt(x._1._1 + " " + x._1._2, y._1._1 + " " + y._1._2)) x
+          else y
+        }
+        learned += Merge(r, left, right, left + right, c)
+        seqs = seqs.map { case (n, sym) =>
+          (n, mergePairLocal(sym, left, right, left + right))
+        }
       }
       r += 1
     }
-    seqs.unpersist()
     learned.toSeq
   }
 

@@ -269,6 +269,10 @@ object UnigramTrain {
     * reads both; `q_unigram_apply` broadcasts the segmentation onto the
     * corpus token stream. Persists its bounded upstream frames (the
     * k-means-tier lifecycle convention; harness clearCache releases).
+    *
+    * Kept as the INDEPENDENT DataFrame implementation the spec
+    * differentials [[localTrain]] against (the registered queries serve
+    * from the driver-side trainer — see there).
     */
   private[text] def trainedModel(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
@@ -280,6 +284,131 @@ object UnigramTrain {
   }
 
   // ---------------------------------------------------------------------
+  // Driver-side trainer (the BpeTrain/WordPieceTrain restructuring): the
+  // corpus-scale dictionary build stays distributed, the bounded trainer
+  // (2000 words, ≤ ~450 pieces, pure integer/ASCII math) runs in plain
+  // Scala. Each DataFrame stage above paid full Spark job cycles over
+  // those bounded rows — and the Viterbi DP ran as an interpreted
+  // aggregate fold, the costliest expression in the tier. Equivalence is
+  // spec-gated: UnigramTrainSpec differentials every readout against
+  // independent implementations AND localTrain against the retained
+  // DataFrame trainer term for term; the unrolled-CTE oracles gate it
+  // against DuckDB at verify time.
+  // ---------------------------------------------------------------------
+
+  private[text] final case class LocalModel(
+      cost1: Seq[(String, Long, Long)],
+      seg1: Seq[(String, Long, Long, Long, String)],
+      cost2: Seq[(String, Long, Long)],
+      seg2: Seq[(String, Long, Long, Long, String)],
+      use2: Map[String, Long])
+
+  /** Plain-Scala two-round hard-EM trainer over the collected dictionary.
+    * Every ordering replays the Spark/DuckDB total orders exactly:
+    * TakeOrdered ties in UTF8String binary order, the DP argmin on
+    * (bits, np, seq) with seq in the same binary order, bit-costs as
+    * `length(bin(t div cnt)) - 1` = 63 − numberOfLeadingZeros(t/cnt).
+    */
+  private[text] def localTrain(dict: Array[(String, Long)]): LocalModel = {
+    import scala.collection.mutable
+    def utf8Lt(a: String, b: String) = BpeTrain.utf8Lt(a, b)
+    // substring counts (the substringCounts shape)
+    val subCnt = mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var t = 1
+        val tMax = math.min(MaxPieceLen, w.length - i)
+        while (t <= tMax) {
+          val p = w.substring(i, i + t)
+          subCnt.update(p, subCnt.getOrElse(p, 0L) + n)
+          t += 1
+        }
+        i += 1
+      }
+    }
+    // seed: every single char + top SeedMulti multi by (cnt desc, p asc)
+    val singles = subCnt.iterator.filter(_._1.length == 1).toSeq
+    val multi = subCnt.iterator.filter(_._1.length >= 2).toSeq
+      .sortWith((a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else utf8Lt(a._1, b._1))
+      .take(SeedMulti)
+    val seedInv: Seq[(String, Long)] = singles ++ multi
+    def costsOf(inv: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val t = inv.map(_._2).sum
+      inv.map { case (p, c) =>
+        (p, c, 63L - java.lang.Long.numberOfLeadingZeros(t / c))
+      }
+    }
+    val cost1 = costsOf(seedInv)
+    def viterbi(w: String, n: Long, m: Map[String, Long])
+        : (String, Long, Long, Long, String) = {
+      // dp(j) = min over candidates of (bits, np, seq) — the segment()
+      // fold's array_min over struct(bits, np, seq), field order = order
+      val dp = new Array[(Long, Long, String)](w.length + 1)
+      dp(0) = (0L, 0L, "")
+      var j = 1
+      while (j <= w.length) {
+        var best: (Long, Long, String) = null
+        var t = 1
+        val tMax = math.min(MaxPieceLen, j)
+        while (t <= tMax) {
+          val piece = w.substring(j - t, j)
+          val pb = m.get(piece)
+          if (pb.isDefined) {
+            val prev = dp(j - t)
+            val cand = (prev._1 + pb.get, prev._2 + 1L,
+              if (prev._3.isEmpty) piece else prev._3 + "/" + piece)
+            if (best == null ||
+              cand._1 < best._1 ||
+              (cand._1 == best._1 && (cand._2 < best._2 ||
+                (cand._2 == best._2 && utf8Lt(cand._3, best._3)))))
+              best = cand
+          }
+          t += 1
+        }
+        dp(j) = best
+        j += 1
+      }
+      val r = dp(w.length)
+      (w, n, r._1, r._2, r._3)
+    }
+    val map1 = cost1.map(c => c._1 -> c._3).toMap
+    val seg1 = dict.toSeq.map { case (w, n) => viterbi(w, n, map1) }
+    def usageOf(seg: Seq[(String, Long, Long, Long, String)]): Map[String, Long] = {
+      val u = mutable.HashMap.empty[String, Long]
+      seg.foreach { case (_, n, _, _, pieces) =>
+        pieces.split("/").foreach(p => u.update(p, u.getOrElse(p, 0L) + n))
+      }
+      u.toMap
+    }
+    val use1 = usageOf(seg1)
+    // prune + add-one re-estimate (the prunedInventory shape)
+    val keptSingles = seedInv.filter(_._1.length == 1)
+      .map { case (p, _) => (p, use1.getOrElse(p, 0L) + 1L) }
+    val keptMulti = use1.iterator.filter(_._1.length >= 2).toSeq
+      .sortWith((a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else utf8Lt(a._1, b._1))
+      .take(KeepMulti)
+      .map { case (p, u) => (p, u + 1L) }
+    val cost2 = costsOf(keptSingles ++ keptMulti)
+    val map2 = cost2.map(c => c._1 -> c._3).toMap
+    val seg2 = dict.toSeq.map { case (w, n) => viterbi(w, n, map2) }
+    LocalModel(cost1, seg1, cost2, seg2, usageOf(seg2))
+  }
+
+  /** Collected dictionary + driver-side model. NOT memoized: the trainer
+    * readouts (`q_unigram_seed/segment/vocab`) are honest training-cost
+    * measurements and recompute per invocation, the
+    * `q_classifier_train` stance; only `q_unigram_apply` serves its
+    * bounded segmentation table from [[ModelCache]], its pre-existing
+    * adjudicated behavior.
+    */
+  private[text] def localModel(spark: SparkSession, sfDir: String): LocalModel =
+    localTrain(BpeTrain.wordDict(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))))
+
+  // ---------------------------------------------------------------------
   // Registered queries
   // ---------------------------------------------------------------------
 
@@ -288,13 +417,14 @@ object UnigramTrain {
     */
   object UnigramSeed extends GraftQuery {
     val name = "q_unigram_seed"
-    def run(spark: SparkSession, sfDir: String): DataFrame =
-      // seed persisted: withBitCosts references it twice (rows + total mass)
-      withBitCosts(seed(BpeTrain.wordDict(spark, sfDir)).persist())
+    def run(spark: SparkSession, sfDir: String): DataFrame = {
+      import spark.implicits._
+      localModel(spark, sfDir).cost1.toDF("p", "cnt", "bits")
         .select(col("p").as("piece"),
           length(col("p")).cast("int").as("piece_len"),
           col("cnt"), col("bits"))
         .orderBy("piece")
+    }
     val oracle = Some(
       s"""WITH $seedCtes
          |SELECT p AS piece, CAST(len(p) AS INTEGER) AS piece_len, cnt, bits
@@ -307,12 +437,10 @@ object UnigramTrain {
   object UnigramSegment extends GraftQuery {
     val name = "q_unigram_segment"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      // Persisted barrier (the k-means tier's lifecycle convention: the
-      // harness clearCache releases it): the 2000-row dictionary feeds both
-      // the seed build and the DP scan — without the persist each use
-      // re-runs the corpus token aggregate.
-      val dict = BpeTrain.wordDict(spark, sfDir).persist()
-      segment(dict, costMap(withBitCosts(seed(dict).persist()))).orderBy("w")
+      import spark.implicits._
+      localModel(spark, sfDir).seg1
+        .toDF("w", "n", "total_bits", "n_pieces", "pieces")
+        .orderBy("w")
     }
     val oracle = Some(
       s"""WITH $trainerCtes
@@ -327,17 +455,16 @@ object UnigramTrain {
   object UnigramVocab extends GraftQuery {
     val name = "q_unigram_vocab"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
-      // Persisted barriers inside trainedModel (bounded: 2000 words /
-      // ≤~330 pieces; released by the harness clearCache): dict feeds the
-      // seed build and BOTH DP scans, the seed inventory feeds cost1 and
-      // the prune, and cost2 feeds the round-2 map and the final readout.
-      val (cost2, seg2) = trainedModel(spark, sfDir)
-      val use2 = usage(seg2)
-      cost2.join(use2, Seq("p"), "left")
+      import spark.implicits._
+      val m = localModel(spark, sfDir)
+      m.cost2
+        .map { case (p, cnt, bits) =>
+          (p, cnt, bits, m.use2.getOrElse(p, 0L))
+        }
+        .toDF("p", "cnt", "bits", "usage")
         .select(col("p").as("piece"),
           length(col("p")).cast("int").as("piece_len"),
-          col("cnt"), col("bits"),
-          coalesce(col("usage"), lit(0L)).as("usage"))
+          col("cnt"), col("bits"), col("usage"))
         .orderBy("piece")
     }
     val oracle = Some(
@@ -373,9 +500,7 @@ object UnigramTrain {
       // only. Deterministic training → identical rows on hit and miss.
       val model: Seq[(String, Long)] =
         ModelCache.getOrElseUpdate(s"unigram:$sfDir", {
-          val (_, seg2) = trainedModel(spark, sfDir)
-          seg2.select(col("w"), col("n_pieces")).as[(String, Long)]
-            .collect().toSeq
+          localModel(spark, sfDir).seg2.map(s => (s._1, s._4))
         })
       val toks = graft.Graft.table(spark, sfDir, "documents")
         .select(col("source"), explode(

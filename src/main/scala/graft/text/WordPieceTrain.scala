@@ -59,51 +59,64 @@ object WordPieceTrain {
   private[text] def mergedName(left: String, right: String): String =
     left + right.stripPrefix("##")
 
-  /** Run the trainer, returning learned merges in rank order. */
+  /** Run the trainer, returning learned merges in rank order.
+    *
+    * Same driver-side-rounds restructuring as [[BpeTrain.train]] (see the
+    * rationale there): the distributed TakeOrdered dictionary is collected
+    * once (≤ [[MaxWords]] rows, the documented bounded-vocab collect) with
+    * its initial spelling AS COMPUTED BY SPARK ([[initialSyms]]), then the
+    * fixed [[Merges]] rounds run in plain Scala. The score is the same
+    * IEEE double `cnt / (nl·nr)` both engines compute, ties break on the
+    * pair string in UTF8String binary order — the exact total order of
+    * the retired distributed argmax — and the merge replays the
+    * [[mergePair]] fold. WordPieceTrainSpec's independent differential
+    * and the unrolled-CTE oracle gate the equivalence.
+    */
   def train(spark: SparkSession, sfDir: String,
       rounds: Int = Merges): Seq[Merge] = {
-    var seqs = BpeTrain.wordDict(spark, sfDir)
+    var seqs: Array[(Long, Array[String])] = BpeTrain.wordDict(spark, sfDir)
       .select(col("n"), initialSyms(col("w")).as("sym"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val symCounts = seqs
-        .select(col("n"), explode(col("sym")).as("s"))
-        .groupBy("s").agg(sum(col("n")).as("cnt"))
-      val best = seqs
-        .select(col("n"), explode(zip_with(
-          slice(col("sym"), lit(1), size(col("sym")) - 1),
-          slice(col("sym"), lit(2), size(col("sym")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l"), col("p.r")).agg(sum(col("n")).as("cnt"))
-        .join(broadcast(symCounts.withColumnRenamed("s", "l")
-          .withColumnRenamed("cnt", "nl")), "l")
-        .join(broadcast(symCounts.withColumnRenamed("s", "r")
-          .withColumnRenamed("cnt", "nr")), "r")
-        .select(col("l"), col("r"), col("cnt"),
-          (col("cnt").cast("double") /
-            (col("nl") * col("nr")).cast("double")).as("score"))
-        .orderBy(col("score").desc, concat_ws(" ", col("l"), col("r")).asc)
-        .limit(1)
-        .collect() // 1-row argmax — the documented per-round driver gate
-      if (best.isEmpty) done = true
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (n, sym) =>
+        var i = 0
+        while (i < sym.length) {
+          symCnt.update(sym(i), symCnt.getOrElse(sym(i), 0L) + n)
+          if (i < sym.length - 1) {
+            val k = (sym(i), sym(i + 1))
+            pairCnt.update(k, pairCnt.getOrElse(k, 0L) + n)
+          }
+          i += 1
+        }
+      }
+      if (pairCnt.isEmpty) done = true
       else {
-        val left = best(0).getString(0); val right = best(0).getString(1)
-        val cnt = best(0).getLong(2); val score = best(0).getDouble(3)
+        // argmax by (score desc, "l r" asc in UTF8 binary order); score
+        // is the identical IEEE double division the Spark plan computed
+        def score(k: (String, String), c: Long): Double =
+          c.toDouble / (symCnt(k._1) * symCnt(k._2)).toDouble
+        val (bk, bc) = pairCnt.reduce { (x, y) =>
+          val sx = score(x._1, x._2); val sy = score(y._1, y._2)
+          if (sx != sy) { if (sx > sy) x else y }
+          else if (BpeTrain.utf8Lt(x._1._1 + " " + x._1._2,
+            y._1._1 + " " + y._1._2)) x
+          else y
+        }
+        val (left, right) = bk
         val m = mergedName(left, right)
-        learned += Merge(r, left, right, m, cnt, score)
-        val next = seqs
-          .withColumn("sym", mergePair(col("sym"), left, right, m))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        seqs.unpersist()
-        seqs = next
+        learned += Merge(r, left, right, m, bc, score(bk, bc))
+        seqs = seqs.map { case (n, sym) =>
+          (n, BpeTrain.mergePairLocal(sym, left, right, m))
+        }
       }
       r += 1
     }
-    seqs.unpersist()
     learned.toSeq
   }
 
