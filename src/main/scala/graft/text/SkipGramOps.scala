@@ -28,22 +28,18 @@ object SkipGramOps {
 
   /** Directional windowed pair occurrences: (center, context, d) for every
     * ordered pair at distance d ≤ [[W]] — both directions, the word2vec
-    * convention (each token is center once per neighbor).
+    * convention (each token is center once per neighbor). Emitted by the
+    * native kernel ([[graft.plans.SkipGramExpression]]); the retired
+    * nested-transform spelling ran two interpreted lambdas and a
+    * 2-struct array allocation per (i, d) and dominated the query
+    * (1.1 s of 1.4 s at sf0.1) — SkipGramExpressionSpec differentials the
+    * kernel against it row for row.
     */
   private[text] def pairOccurrences(docs: DataFrame): DataFrame =
     docs.select(TextOps.tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= 2)
-      .select(explode(flatten(flatten(transform(
-        sequence(lit(0), size(col("arr")) - 2), i =>
-          transform(
-            sequence(lit(1), least(lit(W), size(col("arr")) - 1 - i)),
-            d => {
-              val a = element_at(col("arr"), (i + 1).cast("int"))
-              val b = element_at(col("arr"), (i + d + 1).cast("int"))
-              array(
-                struct(a.as("center"), b.as("context"), d.as("d")),
-                struct(b.as("center"), a.as("context"), d.as("d")))
-            }))))).as("p"))
+      .select(explode(
+        graft.plans.SkipGramExpression.skipgram_pairs(col("arr"), W)).as("p"))
       .select(col("p.center"), col("p.context"), col("p.d"))
 
   /** Top co-occurring pairs by exact distance-weighted count. */
