@@ -31,7 +31,11 @@ object SafeMath {
 
   /** Order-independent sum of a double column, returned as double. */
   def exactSum(c: Column): Column =
-    sum(c.cast(SumDecimal)).cast("double")
+    // value-identical to sum(c.cast(DECIMAL(27,6))): the conversion runs
+    // through the fast-path kernel ([[graft.plans.DecimalExpressions]],
+    // proof + randomized differential there) — the toString-based cast
+    // dominated every money aggregate
+    sum(graft.plans.DecimalExpressions.double_to_decimal6(c)).cast("double")
 
   /** Order-independent average of a double column, returned as double.
     * Implemented as exact-sum / count so both engines perform one identical

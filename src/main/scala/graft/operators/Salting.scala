@@ -27,7 +27,7 @@ object Salting {
     val salt = pmod(hash(value), lit(salts))
     df.select(key.as("key"), value.as("v"), salt.as("salt"))
       .groupBy("key", "salt")
-      .agg(sum(col("v").cast("decimal(27,6)")).as("ps"), count(lit(1)).as("pc"))
+      .agg(sum(graft.plans.DecimalExpressions.double_to_decimal6(col("v"))).as("ps"), count(lit(1)).as("pc"))
       .groupBy("key")
       .agg(sum(col("ps")).cast("double").as("total"), sum(col("pc")).as("n"))
   }
@@ -137,7 +137,7 @@ object Salting {
       fact.join(dim, Seq("key", "salt"))
         .groupBy("key")
         .agg(count(lit(1)).as("n"),
-          sum((col("v") * col("rate")).cast("decimal(27,6)")).cast("double")
+          sum(graft.plans.DecimalExpressions.double_to_decimal6(col("v") * col("rate"))).cast("double")
             .as("weighted_total"))
         .withColumnRenamed("key", "l_returnflag")
         .orderBy("l_returnflag")

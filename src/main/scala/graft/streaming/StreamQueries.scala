@@ -471,7 +471,7 @@ object StreamQueries {
         .join(broadcast(dim), Seq("user_id"))
         .groupBy("c_mktsegment", "event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(27,6)")).as("tv"))
+          sum(graft.plans.DecimalExpressions.double_to_decimal6(col("value"))).as("tv"))
       runToMemory(spark, "graft_stream_enrich", agg, "complete")
         .select(col("c_mktsegment"), col("event_type"), col("n"),
           col("tv").cast("double").as("total_value"))
