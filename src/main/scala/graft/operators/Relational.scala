@@ -57,7 +57,7 @@ object Relational {
       // associative), half the aggregated row volume.
       li.join(part, li("l_partkey") === part("p_partkey"))
         .groupBy(substring(col("p_name"), 1, 1).as("letter"), col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast(DecimalType(27, 6))).as("q"))
+        .agg(sum(graft.plans.DecimalExpressions.double_to_decimal6(col("l_quantity"))).as("q"))
         .groupBy("letter")
         .agg(sum(col("q")).cast("double").as("sq"), count(lit(1)).as("n_orders"))
         .select(
@@ -368,7 +368,7 @@ object Relational {
       // plain count of order rows, and the decimal partial sums re-sum
       // exactly (decimal addition is associative — same bits as exactSum).
       val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(sum(revenue.cast(DecimalType(27, 6))).as("order_rev"))
+        .agg(sum(graft.plans.DecimalExpressions.double_to_decimal6(revenue)).as("order_rev"))
       val perCust = o.join(perOrder, o("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), sum(col("order_rev")).as("rev_dec"))

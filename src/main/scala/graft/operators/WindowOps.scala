@@ -31,7 +31,7 @@ object WindowOps {
         .orderBy(tieBreak.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_extendedprice").cast(DecimalType(27, 6))).over(w)
+          sum(graft.plans.DecimalExpressions.double_to_decimal6(col("l_extendedprice"))).over(w)
             .cast("double").as("running_revenue"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("running_revenue"))
@@ -67,7 +67,7 @@ object WindowOps {
       val o = Graft.table(spark, sfDir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
       val bOff = o.groupBy(expr(s"o_orderkey div $B").as("bkt"))
-        .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("bw"))
+        .agg(sum(graft.plans.DecimalExpressions.double_to_decimal6(col("o_totalprice"))).as("bw"))
         // bucket-offset frame: n/B rows, single-partition by design
         .withColumn("b_off",
           coalesce(sum(col("bw")).over(
@@ -81,7 +81,7 @@ object WindowOps {
         .join(broadcast(bOff), "bkt")
         .select(col("o_orderkey"), col("o_totalprice"),
           (col("b_off") +
-            sum(col("o_totalprice").cast(DecimalType(27, 6))).over(inB))
+            sum(graft.plans.DecimalExpressions.double_to_decimal6(col("o_totalprice"))).over(inB))
             .cast("double").as("running_total"))
         .orderBy("o_orderkey")
     }
@@ -194,7 +194,7 @@ object WindowOps {
             .as("day"),
           col("o_totalprice"))
         .groupBy("day")
-        .agg(sum(col("o_totalprice").cast(DecimalType(27, 6))).as("rev"))
+        .agg(sum(graft.plans.DecimalExpressions.double_to_decimal6(col("o_totalprice"))).as("rev"))
       // day-bucket frame (time-span bounded), single-partition by design
       val w = Window.partitionBy(Dist.boundedOne(col("day"))).orderBy("day").rangeBetween(-6, 0)
       daily.select(col("day"), col("rev").cast("double").as("day_rev"),
