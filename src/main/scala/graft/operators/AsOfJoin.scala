@@ -339,7 +339,7 @@ object AsOfJoin {
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts div 1000000000").as("sec"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
         .withColumn("is_p", col("event_type") === "purchase")
       val w = Window.partitionBy("user_id")
         .orderBy(col("sec").asc, col("is_p").asc, col("event_id").asc)
@@ -399,7 +399,7 @@ object AsOfJoin {
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts div 1000000000").as("sec"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
         .withColumn("is_p", col("event_type") === "purchase")
       val w = Window.partitionBy("user_id")
         .orderBy(col("sec").asc, col("is_p").asc, col("event_id").asc)

@@ -110,7 +110,7 @@ object AuditOps {
       import graft.functions.PortableHash.pHash60
       val canon = concat_ws("|",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        graft.plans.DecimalExpressions.money_cents(col("o_totalprice")),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
         col("o_orderpriority"))
       Graft.table(spark, sfDir, "orders")

@@ -543,7 +543,7 @@ object BehaviorOps {
       val perUser = Graft.table(spark, sfDir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), expr("ts div 1000000000").as("sec"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
         .groupBy("user_id")
         .agg(max(col("sec")).as("last_sec"), count(lit(1)).as("freq"),
           sum(col("cents")).as("monetary"))
@@ -774,7 +774,7 @@ object BehaviorOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("event_type"), expr("ts div 86400000000000").as("day"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
       val anchor = ev.agg(max(col("day")).as("dmax"))
       val cur = col("day") > col("dmax") - 7
       val prev = col("day") > col("dmax") - 14 && col("day") <= col("dmax") - 7
@@ -892,7 +892,7 @@ object BehaviorOps {
       val perUser = Graft.table(spark, sfDir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+        .agg(sum(graft.plans.DecimalExpressions.money_cents(col("value"))).as("x"))
       // distributed rank + broadcast total (no buyers-sized single task)
       val totalN = perUser.agg(count(lit(1)).as("n"))
       val ranked = Dist

@@ -37,7 +37,7 @@ object InferenceOps {
       val li = Graft.table(spark, sfDir, "lineitem")
         .select(col("l_returnflag"),
           col("l_quantity").cast("long").as("x"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+          graft.plans.DecimalExpressions.money_cents(col("l_extendedprice")).as("y"))
       val m = li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -171,7 +171,7 @@ object InferenceOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       import graft.functions.PortableHash.pHash60
       val t = Graft.table(spark, sfDir, "orders")
-        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        .select(graft.plans.DecimalExpressions.money_cents(col("o_totalprice")).as("v"),
           when(pmod(pHash60(col("o_orderkey").cast("string")), lit(2L)) === 0L,
             1L).otherwise(0L).as("g1"))
       val perVal = t.groupBy("v")
@@ -256,7 +256,7 @@ object InferenceOps {
       val daily = Graft.table(spark, sfDir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(expr("ts div 86400000000000").as("day"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+        .agg(sum(graft.plans.DecimalExpressions.money_cents(col("value"))).as("rev"))
       // day-bucket frame (corpus time span in days), single-partition by
       // design — lit(0) marks the audited bound
       val cumW = Window.partitionBy(Dist.boundedOne(col("day"))).orderBy("day")
@@ -314,7 +314,7 @@ object InferenceOps {
       val ev = Graft.table(spark, sfDir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val point = ev.agg(
         (sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
@@ -394,7 +394,7 @@ object InferenceOps {
       val daily = Graft.table(spark, sfDir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(expr("ts div 86400000000000").as("day"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+        .agg(sum(graft.plans.DecimalExpressions.money_cents(col("value"))).as("rev"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val fanned = daily
@@ -450,9 +450,9 @@ object InferenceOps {
       import org.apache.spark.sql.types.DecimalType
       val li = Graft.table(spark, sfDir, "lineitem")
         .select(col("l_quantity").cast("long").as("qty"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price"),
-          expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
-          expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax"))
+          graft.plans.DecimalExpressions.money_cents(col("l_extendedprice")).as("price"),
+          graft.plans.DecimalExpressions.money_cents(col("l_discount")).as("disc"),
+          graft.plans.DecimalExpressions.money_cents(col("l_tax")).as("tax"))
       def wide(c: String) = c == "price" // the only column whose squares wrap
       def mom(c: String) =
         if (wide(c)) sum((col(c) * col(c)).cast(DecimalType(38, 0))).as(s"s_${c}_$c")

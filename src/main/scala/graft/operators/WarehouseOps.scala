@@ -650,7 +650,7 @@ object WarehouseOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("event_type"), expr("ts div 86400000000000").as("day"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
       val cut = ev.agg(min(col("day")).as("d0"))
       val tagged = ev.crossJoin(broadcast(cut))
         .withColumn("is_base", col("day") < col("d0") + BaseDays)

@@ -289,7 +289,7 @@ object WindowOps {
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("event_type"), col("event_id"),
           expr("ts div 1000000000").as("sec"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("cents"))
         .withColumn("bar_start", expr(s"(sec div $BarSec) * $BarSec"))
       ev.groupBy("event_type", "bar_start")
         .agg(
@@ -339,7 +339,7 @@ object WindowOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val daily = Graft.table(spark, sfDir, "events")
         .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
-        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+        .agg(sum(graft.plans.DecimalExpressions.money_cents(col("value"))).as("rev"))
       daily
         .withColumn("rk", dense_rank().over(
           Window.partitionBy("event_type").orderBy(col("rev").desc)))

@@ -66,4 +66,64 @@ object DecimalExpressions {
   /** double column → DECIMAL(27,6), ≡ `c.cast("decimal(27,6)")`. */
   def double_to_decimal6(c: Column): Column =
     Bridge.column(Double6(Bridge.expression(c.cast("double"))))
+
+  /** ≡ `CAST(round(x * 100) AS BIGINT)` — the engine's cents conversion,
+    * spelled ~23 times across the stats/behavior/inference tiers. Spark's
+    * `round` on a double is `BigDecimal(d)` (= `Double.toString`, shortest
+    * decimal representation) + `setScale(0, HALF_UP)` PER ROW, then the
+    * ANSI cast re-checks range.
+    *
+    * Fast path (all finite |d| < 2⁵¹, no grid assumption): with
+    * t = trunc(d) and frac = |d − t| — both EXACT, because trunc of
+    * |d| < 2⁵³ is exact and the real difference d − t is a trailing-bit
+    * suffix of d's significand, hence representable, hence the correctly
+    * rounded subtraction returns it — the result is t when frac < ½ and
+    * t±1 (away from zero) when frac ≥ ½. Proof that this equals the
+    * shortest-repr HALF_UP: every integer and half-integer below 2⁵² is
+    * itself a double, and the shortest representation r of d re-parses to
+    * d, so r can never lie on the far side of (or exactly on) a
+    * representable boundary k+½ unless d IS that boundary (if r ≥ b > d
+    * for a representable b, r would re-parse to b or nearer, not d);
+    * ties therefore occur exactly when d = k+½ in binary, where shortest
+    * repr is "k.5" (no shorter decimal lies in the half-ulp interval for
+    * |d| < 2⁵¹) and HALF_UP rounds away from zero — our frac = ½ branch.
+    * The rounded integer is < 2⁵², so Round's `.toDouble` and the ANSI
+    * BIGINT cast are exact no-ops. Everything else — |d| ≥ 2⁵¹, NaN, ±Inf
+    * — takes the verbatim BigDecimal path and throws on NaN/Inf/overflow
+    * like the session's ANSI cast (no engine value reaches it).
+    */
+  def moneyCents(x: Double): Long = {
+    val d = x * 100.0
+    if (math.abs(d) < 2.251799813685248e15) { // 2^51
+      val t = d.toLong
+      val frac = math.abs(d - t.toDouble)
+      if (frac < 0.5) t
+      else if (d >= 0) t + 1L
+      else t - 1L
+    } else {
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+        throw new ArithmeticException(s"$d cannot be cast to BIGINT")
+      val r = scala.math.BigDecimal(d)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (math.floor(r) <= Long.MaxValue.toDouble &&
+          math.ceil(r) >= Long.MinValue.toDouble) r.toLong
+      else throw new ArithmeticException(s"$r cannot be cast to BIGINT")
+    }
+  }
+
+  case class MoneyCents(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      moneyCents(input.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.DecimalExpressions.moneyCents($c)")
+    override protected def withNewChildInternal(newChild: Expression): MoneyCents =
+      copy(child = newChild)
+  }
+
+  /** double column → cents BIGINT, ≡ `expr("CAST(round(c * 100) AS BIGINT)")`. */
+  def money_cents(c: Column): Column =
+    Bridge.column(MoneyCents(Bridge.expression(c.cast("double"))))
 }

@@ -63,7 +63,7 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .withColumn("sec", unix_timestamp(col("ts")))
-      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("cents", graft.plans.DecimalExpressions.money_cents(col("value")))
       .groupBy(window(col("ts"), bar).as("w"), col("event_type"))
       .agg(
         min(struct(col("sec"), col("event_id"), col("cents"))).as("o"),

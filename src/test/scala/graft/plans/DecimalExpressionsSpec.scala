@@ -42,6 +42,50 @@ class DecimalExpressionsSpec extends AnyFunSuite {
     assert(got.length == rows.length)
   }
 
+  test("money_cents ≡ CAST(round(x * 100) AS BIGINT) on adversarial doubles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(100)
+    val adversarial = Seq(
+      0.0, -0.0, 0.005, -0.005, 0.004999999999999999, 0.015, 0.025, -0.015,
+      0.1, 0.105, -0.105, 1.005, 2.675, -2.675, 0.499999999999999994,
+      1234567.89, -1234567.89, 0.49999999999999994, 7.000000000000001,
+      0.07, 1e9 + 0.005, -1e9 - 0.005, 2.2250738585072014e-308, 4.9e-324,
+      1e13 + 0.125, -1e13 - 0.125, 0.625, 0.635, 0.645)
+    val randoms = Seq.fill(4000) {
+      rnd.nextInt(5) match {
+        case 0 => (rnd.nextDouble() - 0.5) * 200000 // money-like
+        case 1 => math.rint((rnd.nextDouble() - 0.5) * 2e11) / 100.0 // 2dp
+        case 2 => (rnd.nextDouble() - 0.5) * 2e12 // large
+        case 3 => java.lang.Double.longBitsToDouble(rnd.nextLong()) // raw bits
+        case _ => (rnd.nextLong() % 2000000L) / 2.0 / 100.0 // exact half-cent ties
+      }
+    }.filterNot(d => d.isNaN || d.isInfinite || math.abs(d) >= 1e16)
+    val rows = (adversarial ++ randoms).zipWithIndex.map { case (d, i) => (i.toLong, d) }
+    val df = rows.toDF("id", "x")
+    val got = df.select(col("id"), col("x"),
+        DecimalExpressions.money_cents(col("x")).as("fast"),
+        expr("CAST(round(x * 100) AS BIGINT)").as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"id ${r.getLong(0)} x=${r.getDouble(1)}: fast=${r.getLong(2)} ref=${r.getLong(3)}")
+    }
+    assert(got.length == rows.length)
+  }
+
+  test("money_cents throws on NaN/Inf/overflow, like round + the ANSI cast") {
+    import spark.implicits._
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, 1e300)) {
+      val df = Seq((1L, bad)).toDF("id", "x")
+      intercept[Exception] {
+        df.select(DecimalExpressions.money_cents(col("x"))).collect()
+      }
+      intercept[Exception] {
+        df.select(expr("CAST(round(x * 100) AS BIGINT)")).collect()
+      }
+    }
+  }
+
   test("out-of-range values throw, like the session's ANSI cast") {
     import spark.implicits._
     val df = Seq((1L, 1e22)).toDF("id", "x")
