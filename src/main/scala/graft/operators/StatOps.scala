@@ -71,7 +71,7 @@ object StatOps {
       // sharing the flaw, would not catch it)
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("event_type"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("x"),
           get_json_object(col("props"), "$.k").cast("long").as("y"))
         .filter(col("y").isNotNull)
       val m = ev.groupBy("event_type")
@@ -124,7 +124,7 @@ object StatOps {
     val name = "q_zscore_outliers"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = Graft.table(spark, sfDir, "events")
-        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+        .select(col("event_type"), graft.plans.DecimalExpressions.money_cents(col("value")).as("x"))
       val m = ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("x")).as("sxx"))
@@ -378,7 +378,7 @@ object StatOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val ev = Graft.table(spark, sfDir, "events")
         .select(col("event_type"), col("event_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+          graft.plans.DecimalExpressions.money_cents(col("value")).as("x"))
       val stats = ev.groupBy("event_type")
         .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
           count(lit(1)).as("n"))
@@ -480,24 +480,40 @@ object StatOps {
       // (price cents div 2^14 ≈ $164 bands) makes the only big window
       // per-(flag, bucket); the cross-bucket offsets and totals live on
       // the tiny (flag × bucket) frame and broadcast back.
-      val perVal = Graft.table(spark, sfDir, "lineitem")
+      // Second refinement (r14): the full per-value histogram (a ~N-key
+      // hash aggregate — l_extendedprice is near-unique, so perVal was the
+      // query's dominant cost) is only ever READ inside the single bucket
+      // that contains the median. So: pass 1 aggregates straight to the
+      // tiny (flag × bucket) frame (map-side combinable, few hundred
+      // groups), locates the median bucket per flag — the FIRST bucket
+      // whose end-of-bucket cumulative weight crosses tot/2, which must
+      // contain min{v : 2·cumw(v) ≥ tot} — and pass 2 re-scans with a
+      // 3-row broadcast semi-filter and builds the per-value cumsum for
+      // THAT bucket only (≤ 16384 values per flag). Integer sums are
+      // associative, so bucket sums from raw rows equal bucket sums of
+      // per-value sums, and the in-bucket cumw equals b_off + the global
+      // prefix sum restricted to the bucket — bit-identical selection.
+      val li = Graft.table(spark, sfDir, "lineitem")
         .select(col("l_returnflag"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          graft.plans.DecimalExpressions.money_cents(col("l_extendedprice")).as("v"),
           col("l_quantity").cast("long").as("w"))
-        .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wv"))
         .withColumn("bkt", expr("v div 16384"))
-      val bSums = perVal.groupBy("l_returnflag", "bkt")
-        .agg(sum(col("wv")).as("bw"))
-      val bOff = bSums
+      val bOff = li.groupBy("l_returnflag", "bkt")
+        .agg(sum(col("w")).as("bw"))
         .withColumn("b_off", coalesce(sum(col("bw")).over(
           Window.partitionBy("l_returnflag").orderBy("bkt")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("tot", sum(col("bw")).over(Window.partitionBy("l_returnflag")))
+      val mBkt = bOff
+        .filter(lit(2L) * (col("b_off") + col("bw")) >= col("tot"))
+        .groupBy("l_returnflag").agg(min(col("bkt")).as("bkt"))
+        .join(bOff, Seq("l_returnflag", "bkt"))
         .select("l_returnflag", "bkt", "b_off", "tot")
       val inB = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perVal
-        .join(broadcast(bOff), Seq("l_returnflag", "bkt"))
+      li.join(broadcast(mBkt), Seq("l_returnflag", "bkt"))
+        .groupBy("l_returnflag", "bkt", "v", "b_off", "tot")
+        .agg(sum(col("w")).as("wv"))
         .withColumn("cumw", col("b_off") + sum(col("wv")).over(inB))
         .groupBy("l_returnflag")
         .agg(max(col("tot")).as("total_weight"),
@@ -538,7 +554,7 @@ object StatOps {
         .join(Graft.table(spark, sfDir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+          graft.plans.DecimalExpressions.money_cents(col("o_totalprice")).as("v"),
           col("o_orderkey"))
       val ranked = o.select(col("segment"), col("v"),
         row_number().over(Window.partitionBy("segment")
