@@ -66,4 +66,52 @@ object SkipGramExpression {
   /** array<string> → array<struct<center,context,d>> for window radius w. */
   def skipgram_pairs(arr: Column, w: Int): Column =
     Bridge.column(SkipGramPairs(Bridge.expression(arr), w))
+
+  /** Native adjacent-pair (positional bigram) emitter: arr →
+    * [(arr[0],arr[1]), (arr[1],arr[2]), …] as one primitive loop. The
+    * engine spelled this three ways — `transform(sequence(0, n−2), i →
+    * struct(arr[i], arr[i+1]))` (LmOps) and `zip_with(slice, slice,
+    * concat(a, ' ', b))` later re-`split` (TokenLift / NextToken) — all
+    * interpreted per row, the latter also paying a concat + 2 splits per
+    * pair. Equivalence with the concat-then-split spelling holds because
+    * tokens come from a whitespace split and therefore never contain the
+    * ' ' separator. Token strings are copied once and shared by their ≤2
+    * pair rows.
+    */
+  def adjacentPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      toks(i) = if (t == null) null else t.clone()
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = InternalRow(toks(i), toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class AdjacentPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      adjacentPairs(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.SkipGramExpression.adjacentPairs($c)")
+    override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+      copy(child = newChild)
+  }
+
+  /** array<string> → array<struct<w1,w2>> of adjacent pairs. */
+  def adjacent_pairs(arr: Column): Column =
+    Bridge.column(AdjacentPairs(Bridge.expression(arr)))
 }

@@ -1019,12 +1019,9 @@ object CorpusOps {
       val toks = TextOps.tokens(col("text"))
       val bi = Graft.table(spark, sfDir, "documents")
         .filter(size(toks) >= 2)
-        .select(explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("g"))
-        .select(split(col("g"), " ").getItem(0).as("w1"),
-          split(col("g"), " ").getItem(1).as("w2"))
+        .select(explode(
+          graft.plans.SkipGramExpression.adjacent_pairs(toks)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // top-Heads via distributed limit, rank over the Heads-row frame

@@ -34,16 +34,18 @@ object LmOps {
 
   /** Bigram occurrences (one row per adjacent token pair, NOT distinct —
     * an LM counts occurrences, unlike the shingle-dedup pipelines). The
-    * pair list is built scan-side with one `transform` over the token
-    * array: no self-join, no positional explode — at 100 TB the bigram
-    * stream is emitted by the same task that read the page.
+    * pair list is built scan-side with the native
+    * [[graft.plans.SkipGramExpression.adjacent_pairs]] kernel (one
+    * primitive loop; the retired `transform(sequence(...))` spelling ran
+    * an interpreted lambda per position): no self-join, no positional
+    * explode — at 100 TB the bigram stream is emitted by the same task
+    * that read the page.
     */
   def bigramOccurrences(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(arr) - 2), " +
-          "i -> struct(arr[i] AS w1, arr[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"),
+        explode(graft.plans.SkipGramExpression.adjacent_pairs(col("arr"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** Score `docs` under a bigram LM trained on `corpus` (both in the
@@ -64,7 +66,12 @@ object LmOps {
     */
   def surprisal(scoreOcc: DataFrame, trainOcc: DataFrame, vocabSize: DataFrame): DataFrame = {
     val big = trainOcc.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val ctx = trainOcc.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c1 = Σ_w2 c12: derived from the bigram counts instead of a THIRD
+    // full tokenize+emit pass over trainOcc — a context appears in ctx iff
+    // it heads some training bigram (the exact same condition as appearing
+    // in big), and its occurrence count is the sum of its bigrams' counts,
+    // so the row set and values are identical to counting trainOcc directly.
+    val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
     // two token-keyed shuffle joins (the tf-idf shape); the vocab size is a
     // broadcast scalar. c12 <= c1 (c12 null => c1 may be null too, both
     // coalesce to 0) guarantees the div argument >= 1 for V >= 1.

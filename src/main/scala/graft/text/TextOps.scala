@@ -704,11 +704,12 @@ object TextOps {
     * in the oracle; log-lift would rank identically since log is
     * monotone). Top pairs by lift under a minimum-support floor.
     *
-    * Plan shape: raw bigrams come from a scan-side `zip_with` of the
-    * token array against its own tail (no positional self-join on the
-    * Spark side — the oracle uses one, proving the zip formulation
-    * equivalent); then two vocabulary-keyed equi-joins attach unigram
-    * counts. All shuffles carry (token, count) pairs, never text.
+    * Plan shape: raw bigrams come from the scan-side native
+    * [[graft.plans.SkipGramExpression.adjacent_pairs]] kernel (no
+    * positional self-join on the Spark side — the oracle uses one, proving
+    * the adjacent-pair formulation equivalent); then two vocabulary-keyed
+    * equi-joins attach unigram counts. All shuffles carry (token, count)
+    * pairs, never text.
     *
     * Scale note: `co_n * N` sits in BIGINT; past ~2^63/N-count corpora
     * the product must widen to DECIMAL(38,0) — exactness, not range, is
@@ -727,14 +728,11 @@ object TextOps {
         .agg(sum(col("nt")).as("total"))
       val big = docs
         .filter(size(toks) >= 2)
-        .select(explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("co_n"))
+        .select(explode(
+          graft.plans.SkipGramExpression.adjacent_pairs(toks)).as("bg"))
+        .select(col("bg.w1").as("token_a"), col("bg.w2").as("token_b"))
+        .groupBy("token_a", "token_b").agg(count(lit(1)).as("co_n"))
         .filter(col("co_n") >= MinCo)
-        .select(split(col("bigram"), " ").getItem(0).as("token_a"),
-          split(col("bigram"), " ").getItem(1).as("token_b"), col("co_n"))
       big
         .join(uni.select(col("tok").as("token_a"), col("n").as("a_n")), Seq("token_a"))
         .join(uni.select(col("tok").as("token_b"), col("n").as("b_n")), Seq("token_b"))

@@ -42,4 +42,39 @@ class SkipGramExpressionSpec extends AnyFunSuite {
     }
     assert(got.length == 200)
   }
+
+  test("native adjacent_pairs ≡ all three retired spellings, order included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "", "yy")
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("id", "arr")
+    val arr = col("arr")
+    // retired spelling 1 (LmOps): transform over a sequence of positions
+    val refTransform = expr(
+      "transform(sequence(0, size(arr) - 2), " +
+        "i -> struct(arr[i] AS w1, arr[i + 1] AS w2))")
+    // retired spelling 2 (TokenLift/NextToken): zip_with concat then split
+    val refConcat = zip_with(
+      slice(arr, lit(1), size(arr) - 1),
+      slice(arr, lit(2), size(arr) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val got = df.select(col("id"),
+        SkipGramExpression.adjacent_pairs(arr).as("n"),
+        refTransform.as("rt"), refConcat.as("rc"))
+      .collect()
+    got.foreach { r =>
+      val n = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getString(1)))
+      val rt = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => (x.getString(0), x.getString(1)))
+      val rc = r.getSeq[String](3)
+        .map { g => val i = g.indexOf(' '); (g.substring(0, i), g.substring(i + 1)) }
+      assert(n == rt, s"row ${r.getLong(0)} vs transform spelling")
+      assert(n == rc, s"row ${r.getLong(0)} vs concat-split spelling")
+    }
+    assert(got.length == 200)
+  }
 }
