@@ -29,13 +29,26 @@ object AuditOps {
   object OrphanAudit extends GraftQuery {
     val name = "q_orphan_audit"
 
-    /** (relation label, child rows with `k`, parent keys as `k`). */
+    /** (relation label, child rows with `k`, parent keys as `k`).
+      *
+      * r14 shape: the child stream is pre-aggregated per key BEFORE the
+      * parent join. The old spelling's `count + countDistinct` pair
+      * planned as an Expand (2× the joined child stream) feeding a
+      * k-keyed aggregate; aggregating to (k, cnt) first pays the same
+      * k-keyed exchange WITHOUT the doubling, the parent join probes one
+      * row per distinct key, and n_orphan_keys degenerates to a plain
+      * filtered count (rows are per-key now). n_rows = Σ cnt and
+      * n_orphans = Σ cnt over absent keys are the same integer sums
+      * re-associated — bit-identical.
+      */
     private[graft] def audit(label: String, child: DataFrame, parent: DataFrame): DataFrame = {
       val p = parent.distinct().withColumn("present", lit(1))
-      child.join(p, Seq("k"), "left")
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(col("present").isNull, lit(1))).as("n_orphans"),
-          countDistinct(when(col("present").isNull, col("k"))).as("n_orphan_keys"))
+      child.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .join(p, Seq("k"), "left")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("present").isNull, col("cnt"))), lit(0L))
+            .as("n_orphans"),
+          count(when(col("present").isNull, lit(1))).as("n_orphan_keys"))
         .select(lit(label).as("relation"), col("n_rows"), col("n_orphans"),
           col("n_orphan_keys"),
           (col("n_orphans").cast("double") / col("n_rows").cast("double"))

@@ -1,7 +1,6 @@
 package graft.text
 
 import graft.{Graft, GraftQuery}
-import graft.functions.PortableHash.pHash60
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,10 +62,8 @@ object ClassifierOps {
         when(col("source") === TargetSource, 1).otherwise(-1).as("y"),
         TextOps.tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= 2)
-      .select(col("doc_id"), col("y"), explode(expr(
-        "transform(sequence(0, size(arr) - 2), " +
-          "i -> concat(arr[i], ' ', arr[i + 1]))")).as("bg"))
-      .select(col("doc_id"), col("y"), (pHash60(col("bg")) % B).as("f"))
+      .select(col("doc_id"), col("y"), explode(
+        graft.plans.PortableHashExpression.bigram_feats(col("arr"), B)).as("f"))
       .groupBy("doc_id", "y", "f")
       .agg(count(lit(1)).as("c"))
 

@@ -1,7 +1,6 @@
 package graft.text
 
 import graft.{Graft, GraftQuery}
-import graft.functions.PortableHash.pHash60
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,10 +47,8 @@ object DsirOps {
   def features(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(arr) - 2), " +
-          "i -> concat(arr[i], ' ', arr[i + 1]))")).as("bg"))
-      .select(col("doc_id"), col("source"), (pHash60(col("bg")) % B).as("f"))
+      .select(col("doc_id"), col("source"), explode(
+        graft.plans.PortableHashExpression.bigram_feats(col("arr"), B)).as("f"))
 
   /** (doc_id, source, n_feats, bits_delta, mean_delta) for every doc with
     * ≥ 1 bigram. source rides the group key (functionally dependent on

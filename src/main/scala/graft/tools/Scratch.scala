@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Dev-only sub-stage timing probe (guide §1: measure first). */
 object Scratch {
@@ -24,20 +23,26 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    val fullQ = graft.SparkEntry.queries("q_weighted_median")
+    val fullQ = graft.SparkEntry.queries("q_classifier_train")
     time("warmup full")(noop(fullQ(spark, sfDir)))
     for (rep <- 1 to 2) {
-      val perVal = graft.Graft.table(spark, sfDir, "lineitem")
-        .select(col("l_returnflag"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
-          col("l_quantity").cast("long").as("w"))
-        .groupBy("l_returnflag", "v").agg(sum(col("w")).as("wv"))
-        .withColumn("bkt", expr("v div 16384"))
-      time(s"r$rep perVal agg")(noop(perVal))
-      val bSums = perVal.groupBy("l_returnflag", "bkt")
-        .agg(sum(col("wv")).as("bw"))
-      time(s"r$rep bSums")(noop(bSums))
+      val docs = graft.Graft.table(spark, sfDir, "documents")
+      val feats = docs.select(col("doc_id"),
+          when(col("source") === "src0", 1).otherwise(-1).as("y"),
+          graft.text.TextOps.tokens(col("text")).as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("doc_id"), col("y"), explode(
+          graft.plans.PortableHashExpression.bigram_feats(col("arr"), 2048L)).as("f"))
+        .groupBy("doc_id", "y", "f")
+        .agg(count(lit(1)).as("c"))
+      time(s"r$rep featCounts noop")(noop(feats))
+      val p = feats.persist()
+      time(s"r$rep persist+count")(p.count())
+      time(s"r$rep epoch1 agg")(p.groupBy("f")
+        .agg(sum(col("y") * col("c")).as("d")).collect())
+      time(s"r$rep distinct docs")(p.select("doc_id").distinct().count())
       time(s"r$rep full")(noop(fullQ(spark, sfDir)))
+      p.unpersist()
     }
     spark.stop()
   }

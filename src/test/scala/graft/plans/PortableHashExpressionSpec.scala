@@ -27,4 +27,29 @@ class PortableHashExpressionSpec extends AnyFunSuite {
     }
     assert(got.length == 503)
   }
+
+  test("bigram_feats ≡ explode(transform concat) + pHash60 % B, order included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("alpha", "beta", "gamma", "é", "", "漢字", "x1")
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val b = 2048L
+    val df = rows.toDF("id", "arr")
+    // the retired spelling, verbatim (DsirOps/ClassifierOps shape)
+    val ref = expr(
+      "transform(sequence(0, size(arr) - 2), " +
+        "i -> concat(arr[i], ' ', arr[i + 1]))")
+    val got = df.filter(size(col("arr")) >= 2)
+      .select(col("id"),
+        PortableHashExpression.bigram_feats(col("arr"), b).as("n"),
+        transform(ref, bg =>
+          graft.functions.PortableHash.pHash60(bg) % b).as("r"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"row ${r.getLong(0)}")
+    }
+    assert(got.nonEmpty)
+  }
 }
