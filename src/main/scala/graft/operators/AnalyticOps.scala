@@ -41,15 +41,16 @@ object AnalyticOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val o = Graft.table(spark, sfDir, "orders")
       val c = Graft.table(spark, sfDir, "customer")
+      // bucket-pruned positional select (RankSelect — the r14 shape): the
+      // retired per-segment row_number window sorted the whole join output
+      // in 5 tasks; only the median bucket's rows are ranked now.
       val j = o.join(c, o("o_custkey") === c("c_custkey"))
-        .select(col("c_mktsegment").as("segment"), col("o_totalprice"), col("o_orderkey"))
-      val w = Window.partitionBy("segment")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      j.select(col("segment"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy("segment")).as("n"))
-        .filter(col("rn") === expr("(n + 1) div 2")) // integer div — `/` on longs is double division in Spark
-        .select(col("segment"), col("o_totalprice").as("median_price"), col("n"))
+        .select(col("c_mktsegment").as("grp"), col("o_totalprice").as("v"),
+          col("o_orderkey").as("tb"))
+      RankSelect.select(j,
+          n => array(struct(lit("med").as("tag"),
+            expr("(n + 1) div 2").as("r"))))
+        .select(col("grp").as("segment"), col("v").as("median_price"), col("n"))
         .orderBy("segment")
     }
     val oracle = Some(

@@ -27,19 +27,23 @@ object StatOps {
     def run(spark: SparkSession, sfDir: String): DataFrame = {
       val o = Graft.table(spark, sfDir, "orders")
       val c = Graft.table(spark, sfDir, "customer")
+      // bucket-pruned positional select (RankSelect — the r14 shape):
+      // only the ≤3 quartile buckets per segment are ranked, not the
+      // whole join output in 5 segment-partition sorts. Duplicate ranks
+      // (tiny groups where two quartiles collapse to the same position)
+      // emit one row per tag, exactly like the retired min(when(rn = r))
+      // per-quartile aggregates.
       val j = o.join(c, o("o_custkey") === c("c_custkey"))
-        .select(col("c_mktsegment").as("segment"), col("o_totalprice"), col("o_orderkey"))
-      val w = Window.partitionBy("segment")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      val ranked = j.select(col("segment"), col("o_totalprice"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy("segment")).as("n"))
-      def atQuartile(k: Int) =
-        min(when(col("rn") === expr(s"greatest(1, ((n + 1) * $k) div 4)"),
-          col("o_totalprice")))
-      ranked.groupBy("segment")
-        .agg(atQuartile(1).as("q1"), atQuartile(2).as("median"),
-          atQuartile(3).as("q3"), max(col("n")).as("n"))
+        .select(col("c_mktsegment").as("grp"), col("o_totalprice").as("v"),
+          col("o_orderkey").as("tb"))
+      val picked = RankSelect.select(j,
+        n => array((1 to 3).map(k => struct(lit(s"q$k").as("tag"),
+          expr(s"greatest(1, ((n + 1) * $k) div 4)").as("r"))): _*))
+      picked.groupBy(col("grp").as("segment"))
+        .agg(min(when(col("tag") === "q1", col("v"))).as("q1"),
+          min(when(col("tag") === "q2", col("v"))).as("median"),
+          min(when(col("tag") === "q3", col("v"))).as("q3"),
+          max(col("n")).as("n"))
         .orderBy("segment")
     }
     val oracle = Some(

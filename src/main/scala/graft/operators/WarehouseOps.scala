@@ -260,37 +260,43 @@ object WarehouseOps {
     * of points beyond 3×MAD. Exact positional medians (same stance as
     * `q_median_price`: rank = (n+1) div 2), so the oracle replays
     * bit-for-bit — deviations are single IEEE subtractions of
-    * bit-identical doubles. Plan: two status-keyed sorts (value order,
-    * then deviation order) + two broadcast joins of the 3-row stats —
-    * exact medians cannot skip the per-group sort, and the scale
-    * alternative (`percentile_approx`) is documented in PLANS.md.
+    * bit-identical doubles. Plan: two bucket-pruned positional selects
+    * ([[RankSelect]] — per-(status, price-band) counts locate each
+    * median's bucket and only that bucket's rows are ranked; nothing
+    * sorts the full table) + two broadcast joins of the 3-row stats.
     */
   object MadOutliers extends GraftQuery {
     val name = "q_mad_outliers"
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // both positional medians via the bucket-pruned RankSelect (r14):
+      // the retired shape ran TWO status-keyed row_number windows — at 3
+      // statuses, 3 tasks each sorting a third of the table at any scale.
+      // Now each median ranks only its median bucket's rows; the dev
+      // stream is scanned, never sorted.
       val o = Graft.table(spark, sfDir, "orders")
         .select(col("o_orderstatus").as("status"), col("o_totalprice"),
           col("o_orderkey"))
-      val wVal = Window.partitionBy("status")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      val med = o
-        .select(col("status"), col("o_totalprice"),
-          row_number().over(wVal).as("rn"),
-          count(lit(1)).over(Window.partitionBy("status")).as("n"))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("status").as("m_status"), col("o_totalprice").as("med"),
-          col("n"))
+      val medTarget = (n: org.apache.spark.sql.Column) =>
+        array(struct(lit("med").as("tag"), expr("(n + 1) div 2").as("r")))
+      // localCheckpoint the 3-row median frame (the q_bucketed_join
+      // idiom): dev is referenced three times downstream (the second
+      // select's bucket counts, its ranking pass, and the final
+      // aggregate) — without the lineage cut each reference re-plans and
+      // re-executes the whole first positional select (measured: the
+      // naive composition benched SLOWER than the retired full-sort).
+      val med = RankSelect.select(
+          o.select(col("status").as("grp"), col("o_totalprice").as("v"),
+            col("o_orderkey").as("tb")), medTarget)
+        .select(col("grp").as("m_status"), col("v").as("med"), col("n"))
+        .localCheckpoint(eager = true)
       val dev = o.join(broadcast(med), col("status") === col("m_status"))
         .select(col("status"), col("o_orderkey"),
           abs(col("o_totalprice") - col("med")).as("dev"),
           col("med"), col("n"))
-      val wDev = Window.partitionBy("status")
-        .orderBy(col("dev").asc, col("o_orderkey").asc)
-      val mad = dev
-        .select(col("status"), col("dev"), row_number().over(wDev).as("rn"),
-          col("n"))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("status").as("d_status"), col("dev").as("mad"))
+      val mad = RankSelect.select(
+          dev.select(col("status").as("grp"), col("dev").as("v"),
+            col("o_orderkey").as("tb")), medTarget)
+        .select(col("grp").as("d_status"), col("v").as("mad"))
       dev.join(broadcast(mad), col("status") === col("d_status"))
         .groupBy("status")
         .agg(max(col("n")).as("n"), max(col("med")).as("median_price"),
