@@ -39,17 +39,28 @@ object RankSelect {
 
   /** Rows at requested per-group ranks.
     *
-    * @param rows    frame with `grp` (group key), `v` (double order key),
-    *                `tb` (unique-per-group long tiebreak)
-    * @param targets n (group row count, long) → array<struct<tag string,
-    *                r long>> of requested ranks, 1 ≤ r ≤ n
-    * @return one row per (grp, tag): (grp, tag, r, v, n)
+    * @param rows     frame with `grp` (group key), `v` (double order key),
+    *                 `tb` (unique-per-group long tiebreak)
+    * @param targets  n (group row count, long) → array<struct<tag string,
+    *                 r long>> of requested ranks; a rank outside [1, n]
+    *                 simply emits no row (no bucket contains it)
+    * @param bucketOf monotone long bucketing of the order key (v ≤ v' ⇒
+    *                 bucketOf(v) ≤ bucketOf(v')); defaults to
+    *                 money-cents / 16384 (≈ $164 bands) for raw money
+    *                 doubles. Pass a direct integer banding when v is
+    *                 already an exact integer-valued double.
+    * @return one row per (grp, tag) whose rank exists: (grp, tag, r, v, n)
     */
-  def select(rows: DataFrame, targets: Column => Column): DataFrame = {
-    val withB = rows
-      .withColumn("cents", graft.plans.DecimalExpressions.money_cents(col("v")))
-      .withColumn("bkt", expr(s"cents div $BucketWidth"))
-      .drop("cents")
+  def select(rows: DataFrame, targets: Column => Column,
+      bucketOf: Option[Column => Column] = None): DataFrame = {
+    val withB = bucketOf match {
+      case Some(f) => rows.withColumn("bkt", f(col("v")))
+      case None => rows
+        .withColumn("c_tmp",
+          graft.plans.DecimalExpressions.money_cents(col("v")))
+        .withColumn("bkt", expr(s"c_tmp div $BucketWidth"))
+        .drop("c_tmp")
+    }
     val bOff = withB.groupBy("grp", "bkt")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("b_off", coalesce(sum(col("cnt")).over(

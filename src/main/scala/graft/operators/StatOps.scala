@@ -554,25 +554,35 @@ object StatOps {
     val name = "q_percentile_cont"
     private val Ps = Seq(25, 50, 75, 90)
     def run(spark: SparkSession, sfDir: String): DataFrame = {
+      // bucket-pruned positional select (RankSelect — the r14 shape): the
+      // retired spelling ranked the whole join in 5 segment-partition
+      // sorts AND exploded the ranked stream ×4 (one copy per percentile)
+      // before aggregating; now only the ≤8 percentile-boundary buckets
+      // per segment are ranked. v is already exact integer cents, so the
+      // bucket override bands it directly (cents are < 2^53, exact as
+      // doubles — order and equality preserved through the cast).
       val o = Graft.table(spark, sfDir, "orders")
         .join(Graft.table(spark, sfDir, "customer"),
           col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("segment"),
-          graft.plans.DecimalExpressions.money_cents(col("o_totalprice")).as("v"),
-          col("o_orderkey"))
-      val ranked = o.select(col("segment"), col("v"),
-        row_number().over(Window.partitionBy("segment")
-          .orderBy(col("v").asc, col("o_orderkey").asc)).as("rn"),
-        count(lit(1)).over(Window.partitionBy("segment")).as("n"))
-      val withP = ranked.select(col("segment"), col("v"), col("rn"), col("n"),
-        explode(array(Ps.map(p => lit(p.toLong)): _*)).as("p"))
-      val lo = expr("((n - 1) * p) div 100 + 1") // 1-based lower rank
-      val f = expr("((n - 1) * p) % 100")
-      withP.groupBy("segment", "p")
+        .select(col("c_mktsegment").as("grp"),
+          graft.plans.DecimalExpressions.money_cents(col("o_totalprice"))
+            .cast("double").as("v"),
+          col("o_orderkey").as("tb"))
+      val picked = RankSelect.select(o,
+        n => array(Ps.flatMap(p => Seq(
+          struct(lit(s"lo$p").as("tag"),
+            expr(s"((n - 1) * $p) div 100 + 1").as("r")),
+          struct(lit(s"hi$p").as("tag"),
+            expr(s"((n - 1) * $p) div 100 + 2").as("r")))): _*),
+        bucketOf = Some(v => expr("CAST(v AS BIGINT) div 16384")))
+      picked
+        .withColumn("p", expr("CAST(substring(tag, 3) AS BIGINT)"))
+        .withColumn("kind", expr("substring(tag, 1, 2)"))
+        .groupBy(col("grp").as("segment"), col("p"))
         .agg(
-          min(when(col("rn") === lo, col("v"))).as("vlo"),
-          min(when(col("rn") === lo + 1, col("v"))).as("vhi"),
-          max(f).as("f"))
+          min(when(col("kind") === "lo", col("v").cast("long"))).as("vlo"),
+          min(when(col("kind") === "hi", col("v").cast("long"))).as("vhi"),
+          max(expr("((n - 1) * p) % 100")).as("f"))
         .select(col("segment"), col("p"),
           (((lit(100L) - col("f")) * col("vlo").cast("double") +
             col("f") * coalesce(col("vhi"), col("vlo")).cast("double")) /

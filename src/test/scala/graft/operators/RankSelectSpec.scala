@@ -56,4 +56,25 @@ class RankSelectSpec extends AnyFunSuite {
     assert(got == ref)
     assert(got.size == 6 * ranks.size) // every (group, tag) present exactly once
   }
+
+  test("custom integer bucketing ≡ full sort; out-of-range ranks emit nothing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 3).flatMap { g =>
+      Seq.tabulate(200 + g) { i => (s"g$g", rnd.nextInt(40000).toDouble, i.toLong) }
+    }
+    val df = rows.toDF("grp", "v", "tb")
+    val ranks = Seq(("med", "(n + 1) div 2"), ("past", "n + 1"))
+    val got = RankSelect.select(df, n => array(ranks.map { case (tag, r) =>
+        struct(lit(tag).as("tag"), expr(r).as("r")) }: _*),
+        bucketOf = Some(v => expr("CAST(v AS BIGINT) div 1000")))
+      .select("grp", "tag", "r", "v", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val ref = referenceSelect(df, Seq(("med", "(n + 1) div 2")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == ref) // the rank-past-n target contributes no rows
+    assert(got.size == 3)
+  }
 }
