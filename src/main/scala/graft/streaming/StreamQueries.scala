@@ -150,9 +150,23 @@ object StreamQueries {
       mode: String): DataFrame = {
     spark.catalog.dropTempView(name) // re-runs in one session replace it
     withStreamPartitions(spark) {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // The registered memory-sink shapes emit everything in the DATA
+      // batches — Complete-mode aggregates re-emit full state per batch,
+      // and the Append registrations are an eager inner join and
+      // pass-through dedup — so the trailing NO-DATA micro-batch
+      // (watermark advancement + state eviction, one more load/commit
+      // cycle across every state store) changes nothing about the sink
+      // table and is skipped. The landing-path queries ([[runToLanding]])
+      // keep it: their keyed-state operators may flush on
+      // timeout/watermark in that final batch.
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try {
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set(key, prev)
     }
     spark.table(name)
   }
