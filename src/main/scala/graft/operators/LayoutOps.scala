@@ -435,9 +435,19 @@ object LayoutOps {
         loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
-      o.write.bucketBy(8, "o_custkey")
+      // Project to the columns the readout touches BEFORE the bucketed
+      // write (guide §2.3 "project before the exchange" applied to the
+      // layout rewrite's write leg): the bucketed tables exist to serve
+      // THIS join, and writing orders' other 7 columns only to drop them
+      // at the scan was the query's dominant cost (sub-stage probe at
+      // sf0.1/w8: orders write 0.90 s of the 1.7 s total with all
+      // columns). The declared result is the aggregate — unchanged; the
+      // oracle still replays the plain join on the raw parquet.
+      o.select(col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey")
         .sortBy("o_custkey").saveAsTable("graft_bjoin_orders")
-      c.write.bucketBy(8, "c_custkey")
+      c.select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey")
         .sortBy("c_custkey").saveAsTable("graft_bjoin_customer")
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
