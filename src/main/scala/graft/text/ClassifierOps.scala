@@ -66,6 +66,18 @@ object ClassifierOps {
         graft.plans.PortableHashExpression.bigram_feats(col("arr"), B)).as("f"))
       .groupBy("doc_id", "y", "f")
       .agg(count(lit(1)).as("c"))
+      // re-key the (persisted) feature frame by doc_id: HashPartitioning
+      // (doc_id) satisfies every downstream doc-keyed clustering —
+      // the per-epoch margin aggregate groupBy(doc_id, y) (×2 epochs per
+      // training run after the epoch-1 specialization), the epoch-1
+      // distinct-docs count, and servedScores' (doc_id, y) score
+      // aggregate — so the epochs run exchange-free on top of the one
+      // extra exchange paid here once (guide §2.4 "two operations keyed
+      // the same way can often share one exchange"). The broadcast
+      // weight join preserves the streamed side's partitioning. At
+      // corpus scale the removed exchanges are the ones that grow with
+      // partition count (partial (doc_id, y) rows per partition).
+      .repartition(col("doc_id"))
 
   /** Run the batch-perceptron loop. Returns the per-epoch stat rows and
     * the final weights. The weight table is collected each epoch — ≤ B

@@ -23,30 +23,25 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    val fullQ = graft.SparkEntry.queries("q_bucketed_join")
-    time("warmup full")(noop(fullQ(spark, sfDir)))
-    for (rep <- 1 to 2) time(s"r$rep full")(noop(fullQ(spark, sfDir)))
-    // written table sizes under the projection
-    Seq("graft_bjoin_orders", "graft_bjoin_customer").foreach { tb =>
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), tb)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sz = fs.getContentSummary(loc).getLength
-      println(s"[scratch] $tb bytes: $sz")
-    }
-    // the readout plan over the bucketed tables (the query's final frame is
-    // a localCheckpoint, which hides this — dump it directly)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.table("graft_bjoin_orders")
-      .join(spark.table("graft_bjoin_customer"),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"),
-        graft.functions.SafeMath.exactSum(col("o_totalprice")).as("revenue"))
-      .orderBy("c_mktsegment")
-      .explain("formatted")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import spark.implicits._
+    val docs = graft.Graft.table(spark, sfDir, "documents")
+    def rawFeats = docs.select(col("doc_id"),
+        when(col("source") === "src0", 1).otherwise(-1).as("y"),
+        graft.text.TextOps.tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), col("y"), explode(
+        graft.plans.PortableHashExpression.bigram_feats(col("arr"), 2048L)).as("f"))
+      .groupBy("doc_id", "y", "f")
+      .agg(count(lit(1)).as("c"))
+    val wDf = Seq((1L, 1L), (2L, -1L)).toDF("f", "w")
+    def scored(feats: DataFrame) = feats
+      .join(broadcast(wDf), Seq("f"), "left")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("s"))
+    println("===== BEFORE: epoch scored aggregate over (doc_id,y,f)-keyed feats =====")
+    scored(rawFeats).explain("formatted")
+    println("===== AFTER: epoch scored aggregate over repartition(doc_id) feats =====")
+    scored(rawFeats.repartition(col("doc_id"))).explain("formatted")
     spark.stop()
   }
 }
