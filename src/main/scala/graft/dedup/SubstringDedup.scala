@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * (rather than whole-document) removal.
   *
   * Plan shape at scale: one row per character position (linear in corpus
-  * bytes, the same budget as any tokenizer pass), one hash shuffle on the
-  * fixed-width L-char shingle, one equi-join back to positions, then a
+  * bytes, the same budget as any tokenizer pass), ONE hash shuffle on the
+  * fixed-width L-char shingle shared by the dup aggregate and the
+  * co-partitioned shuffled-hash mark-back semi-join (no broadcast of the
+  * corpus-sized dup set), then a
   * doc_id-partitioned window for the gaps-and-islands merge — the
   * (doc_id, gid) and doc_id aggregates after it reuse the window's hash
   * partitioning (subset-clustering satisfaction), so the whole tail is
@@ -56,33 +58,43 @@ object SubstringDedup {
       val docs = docsIn
         .filter(length(col("text")) >= L)
         .select(col("doc_id"), col("text"))
-      // All L-char windows with their 1-based start position. This frame
-      // is read twice (dup-set build + position mark-back) but NOT
-      // persisted: it is corpus_chars rows × ~32 B — a barrier here would
-      // materialize ~30× the corpus, while recomputing it is one more
-      // gram explode over the base scan. The explode runs the native
-      // char_grams kernel (one byte-offset walk, zero-copy slices) — the
-      // composable transform/substring chain evaluated its lambda
-      // interpreted per element and re-walked the string per gram, and
-      // was the operator's dominant cost (4.1 s of the 7.8 s sf0.1
-      // bench; spec-proven identical).
+      // All L-char windows with their 1-based start position, via the
+      // native char_grams kernel (one byte-offset walk, zero-copy slices
+      // — the composable transform/substring chain evaluated its lambda
+      // interpreted per element and was the operator's dominant cost:
+      // 4.1 s of the 7.8 s sf0.1 bench; spec-proven identical).
+      // ONE shingle exchange serves both consumers (guide §2.4 "two
+      // operations keyed the same way can often share one exchange"):
+      // the stream is hash-exchanged on `s` once, the dup aggregate runs
+      // exchange-free on top of it, and the mark-back semi-join sees both
+      // sides already HashPartitioning(s) — AQE's stage reuse serves the
+      // second consumer from the same shuffle files, so the grams are
+      // exploded and shuffled exactly once. The retired shape paid the
+      // string exchange for the aggregate AND re-exploded the corpus to
+      // probe a driver-collected BROADCAST of the dup set — sf1 measured
+      // the dup set at 2.1M strings, i.e. an unbounded broadcast that
+      // grows with the corpus (the exact thing that dies first at
+      // 100 TB); the shuffled-hash semi join keeps the build side
+      // per-partition-bounded instead (partitions scale with data).
+      // Measured (w8): sf1 30.2 → 11.5 s, sf0.1 2.2 → ~1.4-1.7 s.
       val sh = docs
         .select(col("doc_id"), posexplode(
           graft.plans.CharGramsExpression.char_grams(col("text"), L)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("s"))
+        .repartition(col("s"))
       // "appears in >1 distinct doc" ⟺ min(doc_id) ≠ max(doc_id): same dup
-      // set as count(DISTINCT doc_id) > 1, but a single-exchange map-side-
-      // combinable aggregate — the distinct rewrite shuffled the shingle
-      // stream TWICE (partial keyed (s, doc_id), then re-keyed (s)), and
-      // each exchange carried the 20-char shingle string (guide §2.3/§2.4:
-      // fewer exchanges, and never shuffle the same bytes twice).
+      // set as count(DISTINCT doc_id) > 1 in one aggregate (the distinct
+      // rewrite shuffled the shingle stream twice).
       val dup = sh.groupBy("s")
         .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
         .filter(col("d0") =!= col("d1"))
         .select("s")
       // left_semi ≡ inner here (dup is key-distinct) but drops the key
-      // columns before the probe output is materialized
-      val marked = sh.join(dup, Seq("s"), "left_semi").select(col("doc_id"), col("pos"))
+      // columns before the probe output is materialized; SHUFFLE_HASH
+      // because both sides are already co-partitioned — a sort-merge pick
+      // would sort the full gram stream for nothing (guide §3.1).
+      val marked = sh.join(dup.hint("shuffle_hash"), Seq("s"), "left_semi")
+        .select(col("doc_id"), col("pos"))
       // Island accounting with ONE window function instead of lag+running
       // sum+two aggregate levels: for sorted positions, each row's
       // contribution to the covered-span total is min(next − pos, L)

@@ -21,27 +21,37 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
 
-    import spark.implicits._
-    val docs = graft.Graft.table(spark, sfDir, "documents")
-    def rawFeats = docs.select(col("doc_id"),
-        when(col("source") === "src0", 1).otherwise(-1).as("y"),
-        graft.text.TextOps.tokens(col("text")).as("arr"))
-      .filter(size(col("arr")) >= 2)
-      .select(col("doc_id"), col("y"), explode(
-        graft.plans.PortableHashExpression.bigram_feats(col("arr"), 2048L)).as("f"))
-      .groupBy("doc_id", "y", "f")
-      .agg(count(lit(1)).as("c"))
-    val wDf = Seq((1L, 1L), (2L, -1L)).toDF("f", "w")
-    def scored(feats: DataFrame) = feats
-      .join(broadcast(wDf), Seq("f"), "left")
-      .groupBy("doc_id", "y")
-      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("s"))
-    println("===== BEFORE: epoch scored aggregate over (doc_id,y,f)-keyed feats =====")
-    scored(rawFeats).explain("formatted")
-    println("===== AFTER: epoch scored aggregate over repartition(doc_id) feats =====")
-    scored(rawFeats.repartition(col("doc_id"))).explain("formatted")
+    val L = 20
+    def run(tag: String): Unit = {
+      val docs = graft.Graft.table(spark, sfDir, "documents")
+        .filter(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"))
+      val shExch = docs.select(col("doc_id"), posexplode(
+          graft.plans.CharGramsExpression.char_grams(col("text"), L)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("s"))
+        .repartition(col("s"))
+      val dup = shExch.groupBy("s")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select("s")
+      val marked = shExch.join(dup.hint("shuffle_hash"), Seq("s"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val res = marked.withColumn("nxt", lead(col("pos"), 1).over(byPos))
+        .groupBy("doc_id")
+        .agg(sum(when(col("nxt").isNull || col("nxt") - col("pos") > L, 1L)
+          .otherwise(0L)).as("n_spans"),
+          sum(coalesce(least(col("nxt") - col("pos"), lit(L)), lit(L)))
+            .cast("long").as("dup_chars"))
+        .orderBy("doc_id")
+      time(s"$tag full (exchange-once shape)")(noop(res))
+      if (tag == "r1") { println("=== plan ==="); res.explain("formatted") }
+    }
+    run("warmup")
+    run("r1"); run("r2")
     spark.stop()
   }
 }
