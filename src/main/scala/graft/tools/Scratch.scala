@@ -23,35 +23,36 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
 
-    val L = 20
-    def run(tag: String): Unit = {
-      val docs = graft.Graft.table(spark, sfDir, "documents")
-        .filter(length(col("text")) >= L)
-        .select(col("doc_id"), col("text"))
-      val shExch = docs.select(col("doc_id"), posexplode(
-          graft.plans.CharGramsExpression.char_grams(col("text"), L)))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("s"))
-        .repartition(col("s"))
-      val dup = shExch.groupBy("s")
-        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-        .filter(col("d0") =!= col("d1"))
-        .select("s")
-      val marked = shExch.join(dup.hint("shuffle_hash"), Seq("s"), "left_semi")
-        .select(col("doc_id"), col("pos"))
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val res = marked.withColumn("nxt", lead(col("pos"), 1).over(byPos))
-        .groupBy("doc_id")
-        .agg(sum(when(col("nxt").isNull || col("nxt") - col("pos") > L, 1L)
-          .otherwise(0L)).as("n_spans"),
-          sum(coalesce(least(col("nxt") - col("pos"), lit(L)), lit(L)))
-            .cast("long").as("dup_chars"))
-        .orderBy("doc_id")
-      time(s"$tag full (exchange-once shape)")(noop(res))
-      if (tag == "r1") { println("=== plan ==="); res.explain("formatted") }
+    val K = graft.text.TextOps.Contamination.K
+    val W = graft.text.TextOps.Contamination.W
+    def docs = graft.Graft.fanOutSmallScan(
+        graft.Graft.table(spark, sfDir, "documents"))
+      .select(col("source"),
+        regexp_replace(lower(trim(col("text"))), "[^ -~]", "")
+          .cast("binary").as("t"))
+    def fpsRaw = docs.select(col("source"),
+      explode(graft.plans.WinnowExpression.winnow_fps(col("t"), K, W)).as("fp"))
+    def tail(grouped: DataFrame) = grouped
+      .filter(size(col("srcs")) >= 2)
+      .select(col("fp"), explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("fp"), col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("src_a", "src_b")
+    def cur = tail(fpsRaw.distinct()
+      .groupBy("fp").agg(collect_set(col("source")).as("srcs")))
+    def alt = tail(fpsRaw
+      .groupBy("fp").agg(collect_set(col("source")).as("srcs")))
+    time("warmup cur")(noop(cur))
+    for (r <- 1 to 2) {
+      time(s"r$r cur (distinct + collect_set)")(noop(cur))
+      time(s"r$r alt (collect_set only)")(noop(alt))
     }
-    run("warmup")
-    run("r1"); run("r2")
+    // equality check
+    val a = cur.collect().map(_.toString).toSeq
+    val b = alt.collect().map(_.toString).toSeq
+    println("[scratch] results equal: " + (a == b))
     spark.stop()
   }
 }
