@@ -65,23 +65,32 @@ object SubstringDedup {
       // 4.1 s of the 7.8 s sf0.1 bench; spec-proven identical).
       // ONE shingle exchange serves both consumers (guide §2.4 "two
       // operations keyed the same way can often share one exchange"):
-      // the stream is hash-exchanged on `s` once, the dup aggregate runs
-      // exchange-free on top of it, and the mark-back semi-join sees both
-      // sides already HashPartitioning(s) — AQE's stage reuse serves the
-      // second consumer from the same shuffle files, so the grams are
-      // exploded and shuffled exactly once. The retired shape paid the
+      // the stream is hash-exchanged on `s` once and PERSISTED; the dup
+      // aggregate runs exchange-free on top of it, and the mark-back
+      // semi-join sees both sides already HashPartitioning(s), so the
+      // grams are exploded and shuffled exactly once (the r14 shuffle
+      // audit verifies the sw_rec ratio at ×10 data). The persist is the
+      // barrier that GUARANTEES the single materialization: without it
+      // the optimizer strips the user repartition below the join's
+      // streamed side and plans its own ENSURE_REQUIREMENTS exchange — a
+      // different shuffle origin that defeats AQE stage reuse, measured
+      // at sf1 shuffling the 18.8M-row gram stream TWICE (54.1M vs
+      // 35.3M records). The retired shape was worse still: it paid the
       // string exchange for the aggregate AND re-exploded the corpus to
-      // probe a driver-collected BROADCAST of the dup set — sf1 measured
-      // the dup set at 2.1M strings, i.e. an unbounded broadcast that
-      // grows with the corpus (the exact thing that dies first at
-      // 100 TB); the shuffled-hash semi join keeps the build side
-      // per-partition-bounded instead (partitions scale with data).
-      // Measured (w8): sf1 30.2 → 11.5 s, sf0.1 2.2 → ~1.4-1.7 s.
+      // probe a driver-collected BROADCAST of the dup set — 2.1M strings
+      // at sf1, i.e. an unbounded broadcast that grows with the corpus
+      // (the exact thing that dies first at 100 TB); the shuffled-hash
+      // semi join keeps the build side per-partition-bounded instead
+      // (partitions scale with data). At 100 TB one spill-to-disk
+      // columnar cache + one shuffle strictly beats shuffling the gram
+      // stream twice. Measured (w8): sf1 64.0 (round start) → 30.2
+      // (pass 1) → 13.3 s; sf0.1 4.4 → 2.2 → ~1.6 s.
       val sh = docs
         .select(col("doc_id"), posexplode(
           graft.plans.CharGramsExpression.char_grams(col("text"), L)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("s"))
         .repartition(col("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // "appears in >1 distinct doc" ⟺ min(doc_id) ≠ max(doc_id): same dup
       // set as count(DISTINCT doc_id) > 1 in one aggregate (the distinct
       // rewrite shuffled the shingle stream twice).
